@@ -1,0 +1,102 @@
+"""Mirror of the driver's correctness gate: every registered query runs on
+Spark AND its DuckDB oracle on the same parquet tables; results must match
+on row count, column names, and (order-insensitively) every value.
+
+This is the same contract as CORRECTNESS_r{N}.json — failing here means
+failing the driver, so keep it green.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tmdb_movie_data_pipeline_spark.registry import all_oracles, all_queries
+from tmdb_movie_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float) and pd.isna(v):
+                v = None
+            elif v is pd.NaT:
+                v = None
+            vals.append(_canon_value(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def test_every_query_has_an_oracle():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    # Streaming/stateful entries may legitimately lack oracles; today all
+    # registered queries carry one — keep it that way unless impossible.
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    try:
+        duck_df = con.execute(ORACLES[name]).df()
+    finally:
+        con.close()
+
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{name}: column mismatch spark={sorted(spark_df.columns)} "
+        f"duck={sorted(duck_df.columns)}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count spark={len(spark_df)} duck={len(duck_df)}"
+    )
+    s_rows = _canon_frame(spark_df)
+    d_rows = _canon_frame(duck_df)
+    if s_rows != d_rows:
+        diffs = [
+            f"  spark: {s}\n  duck:  {d}"
+            for s, d in zip(s_rows, d_rows)
+            if s != d
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs:\n" + "\n".join(diffs))

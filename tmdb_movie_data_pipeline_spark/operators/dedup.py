@@ -1,0 +1,277 @@
+"""Deduplication operators (SURVEY.md §2.5 A1/A2 + §2.9 "exact/near dedup").
+
+The reference dedups on an exact key only (drop_duplicates on tmdb_id,
+src/movie.py:275,295). A training-data pipeline needs content-level dedup;
+this module ships the standard ladder:
+
+* exact     — hash-groupBy on a content fingerprint (one shuffle on the hash);
+* MinHash+LSH — shingle → per-seed min-hash signature → band buckets →
+  candidate pairs via an equi-join on (band, bucket). Signatures are computed
+  per row with array expressions (NO explode, NO shuffle); the only shuffle
+  is the band-bucket join, whose size is O(candidates), not O(pairs) — the
+  property that makes this the 100 TB near-dup algorithm;
+* SimHash   — 32-bit per-document sketch (bitwise majority of token hashes);
+  identical-sketch grouping here, hamming-radius banding at scale;
+* n-gram Jaccard — exact pairwise similarity, restricted to candidate pairs
+  that share a shingle; the verification stage behind MinHash candidates.
+
+Hash functions are md5-based (not Spark's xxhash64) so the DuckDB oracle can
+compute bit-identical signatures — the dedup *decision* is what the
+correctness gate locks in. Lexicographic min over fixed-width hex = numeric
+min over the hash, which is all MinHash needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["exact_dedup", "minhash_signatures", "NUM_HASHES", "BANDS", "ROWS_PER_BAND"]
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# Word 3-gram shingles over normalized text — shared by MinHash and Jaccard.
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_SHINGLES_SQL = (
+    f"[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    f"for i in range(1, GREATEST(len(toks) - 1, 2))]"
+)
+
+_NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_TOKENS_SPARK = f"split({_NORM_SPARK}, ' ')"
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: md5-group, keep the smallest id as canonical.
+    One partial+final hash aggregate — the A1/A2 pattern with a content key."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, seeds: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): per-seed min over md5(seed|shingle).
+
+    Fully columnar: shingling and the per-seed mins are array expressions
+    evaluated row-at-a-time inside codegen — the signature of a 100 TB corpus
+    computes in one scan with zero shuffles.
+    """
+    with_sh = docs.selectExpr(
+        "doc_id", f"{_TOKENS_SPARK} AS toks"
+    ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+    sig_cols = [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))").alias(f"sig_{i}")
+        for i in range(seeds)
+    ]
+    return with_sh.select("doc_id", *sig_cols)
+
+
+def _sig_sql(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+
+
+_MINHASH_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), shingled AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toked
+), sigs AS (
+    SELECT doc_id,
+           {", ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(NUM_HASHES))}
+    FROM shingled
+), bands AS (
+    SELECT doc_id, band_idx,
+           CASE band_idx
+             {" ".join(
+                 f"WHEN {b} THEN md5(" + " || '|' || ".join(
+                     f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                 ) + ")"
+                 for b in range(BANDS)
+             )}
+           END AS bucket
+    FROM sigs, (SELECT UNNEST(range(0, {BANDS})) AS band_idx)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding
+    (16 hashes, 4 bands × 4 rows → catches pairs with Jaccard ≳ 0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    band_exprs = []
+    for b in range(BANDS):
+        parts = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"md5(concat_ws('|', {', '.join(parts)}))").alias("bucket"),
+            )
+        )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT)    AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_SPARK).alias("norm_text")
+    )
+    return exact_dedup(docs, "norm_text", "doc_id")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _bit_val_spark(j: int) -> str:
+    """±1 contribution of bit j of md5(token) (hex digit j//4, bit j%4)."""
+    digit = j // 4 + 1
+    shift = j % 4
+    v = f"(instr('0123456789abcdef', substring(md5(t), {digit}, 1)) - 1)"
+    return f"CASE WHEN ({v} div {1 << shift}) % 2 = 1 THEN 1 ELSE -1 END"
+
+
+def _bit_val_duck(j: int) -> str:
+    digit = j // 4 + 1
+    shift = j % 4
+    v = f"(strpos('0123456789abcdef', substr(md5(t), {digit}, 1)) - 1)"
+    return f"CASE WHEN (({v} // {1 << shift}) % 2) = 1 THEN 1 ELSE -1 END"
+
+
+_SIMHASH_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), bits AS (
+    SELECT doc_id,
+           {", ".join(
+               f"CASE WHEN list_sum(list_transform(toks, t -> {_bit_val_duck(j)})) >= 0"
+               f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END AS bit_{j}"
+               for j in range(_SIMHASH_BITS)
+           )}
+    FROM toked
+)
+SELECT doc_id,
+       CAST({" + ".join(f"bit_{j}" for j in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: bitwise majority vote over token hashes.
+
+    Near-dup grouping at scale pairs this with hamming-ball banding
+    (split the sketch into 4 bytes; Hamming distance ≤3 ⇒ one byte matches
+    exactly ⇒ equi-join per byte) — the sketch column is the hard part and
+    is what the oracle verifies bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks")
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(transform(toks, t -> {_bit_val_spark(j)}), 0,"
+        f" (acc, x) -> acc + x) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return toked.select("doc_id", F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), shingled AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM toked
+    ), exploded AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(sh) AS n_sh FROM shingled
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.0375
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over candidate pairs (pairs sharing ≥1
+    shingle). The shingle equi-join bounds work to true candidates — at
+    scale this runs AFTER MinHash banding; the threshold here is set low
+    enough to produce verifiable rows on the synthetic corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    # raw int/int IEEE division — bit-equal across engines, no rounding
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.0375)
+    )

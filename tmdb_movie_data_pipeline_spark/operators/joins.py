@@ -1,0 +1,321 @@
+"""Join operators (SURVEY.md §2.4 + §2.9 "joins (full menu)").
+
+The reference has exactly two joins, both hand-rolled as dict probes:
+J1 genre lookup (src/movie.py:140-142,189) and J2 checkpoint anti-join
+(src/movie.py:257-264). This module re-expresses both natively and adds the
+full join menu: inner / left / semi / anti multi-way equi-joins, broadcast
+dimension joins, a non-equi range join, and a scalable as-of join.
+
+Scale notes:
+* dimension tables (region, nation, supplier) ride a **broadcast hash join**
+  — zero shuffle for the big side; asserted in tests via the physical plan;
+* fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew at runtime;
+* the as-of join deliberately avoids the naive range-join blow-up: it is a
+  union + window scan (one shuffle, O(n log n) within partitions) — the
+  pattern that survives 100 TB, unlike a theta-join that explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import PRICE_SCALE, qsum, qsum_sql
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["broadcast_lookup", "asof_join"]
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    value_col: str,
+    fallback_col: str,
+    out_col: str,
+) -> DataFrame:
+    """J1 parity: left broadcast-join a small dimension and fall back to the
+    stringified key when the dimension misses (reference src/movie.py:189 —
+    unknown genre id → ``str(id)``)."""
+    joined = fact.join(F.broadcast(dim), on=key, how="left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(value_col), F.col(fallback_col).cast("string"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_val_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.ts <= left.ts`` within the same ``on`` key.
+
+    Implemented as union + last_value(ignorenulls) window — a single shuffle
+    on ``on`` and a per-partition ordered scan. No range-join row explosion,
+    so it scales to billions of rows on both sides (the naive
+    ``l JOIN r ON key AND r.ts <= l.ts`` + max() oracle form is quadratic
+    per key and exists only for small-scale verification).
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_val_cols],
+    )
+    l_cols = [c for c in left.columns]
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (side 0 < 1) → "<=" semantics
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(c + suffix)
+        for c in right_val_cols
+    ]
+    asof_ts = (
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias(ts_col + suffix)
+    )
+    return (
+        unioned.select(*l_cols, F.col("_side"), asof_ts, *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {qsum_sql("l_extendedprice * (1 - l_discount)", PRICE_SCALE)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join → agg → top-k. Catalyst broadcast-joins customer (small
+    after the segment filter) and shuffles orders⋈lineitem on the order key;
+    the LIMIT plans as TakeOrderedAndProject (top-k, no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), PRICE_SCALE).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {qsum_sql("l_extendedprice * (1 - l_discount)", PRICE_SCALE)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way star join: region/nation/supplier broadcast, orders⋈lineitem
+    shuffles once on the order key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), PRICE_SCALE).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (returns each order once
+    regardless of matching line count — no row multiplication)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join; same primitive as the reference's
+    checkpoint skip (J2, src/movie.py:257-264)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_broadcast_lookup_fallback",
+    oracle="""
+    SELECT COALESCE(r_name, CAST(n_regionkey AS VARCHAR)) AS region_label,
+           CAST(COUNT(*) AS BIGINT)                       AS n_nations
+    FROM nation LEFT JOIN (SELECT * FROM region WHERE r_regionkey <> 0) r
+      ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def lookup_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 genre-lookup parity on testdata: left broadcast join with
+    stringified-key fallback for misses (region 0 withheld to force the
+    NULL path, like an unknown genre id — src/movie.py:189)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_regionkey") != 0)
+        .withColumnRenamed("r_regionkey", "n_regionkey")
+    )
+    looked = broadcast_lookup(n, r, "n_regionkey", "r_name", "n_regionkey", "region_label")
+    return looked.groupBy("region_label").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@register(
+    "join_range_nonequi",
+    oracle="""
+    SELECT p_size AS size_class, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM part JOIN supplier
+      ON s_acctbal > p_retailprice / 100.0
+    WHERE p_size <= 5
+    GROUP BY p_size
+    """,
+)
+def range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (no equi key): Spark plans BroadcastNestedLoopJoin —
+    acceptable only because one side is filtered small + broadcast. At scale
+    the engine's as-of/band patterns (see asof_join) replace raw theta joins."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        p.join(F.broadcast(s), s.s_acctbal > p.p_retailprice / 100.0)
+        .groupBy(F.col("p_size").alias("size_class"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_asof_prev_view",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         views     AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts)     AS purchase_us,
+           MAX(epoch_us(v.ts)) AS prev_view_us
+    FROM purchases p LEFT JOIN views v
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior view.
+
+    Spark side uses the scalable union+window implementation (one shuffle);
+    the oracle uses the quadratic join+max form — same result, different
+    physical strategy, which is exactly the point.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, on="user_id", ts_col="ts", right_val_cols=[])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros(F.col("ts_asof")).alias("prev_view_us"),
+    )

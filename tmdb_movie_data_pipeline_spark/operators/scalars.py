@@ -1,0 +1,250 @@
+"""Scalar-function operators (SURVEY.md §2.2 P1-P15 + §2.9 "string/math fns").
+
+The reference's scalar surface is string concat/join/substring, date
+month-math, and JSON serde, all in Python row loops (src/movie.py:185-205,
+228-238). Here every one is a Catalyst expression inside whole-stage codegen
+— no Python executes per row anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import MONEY_SCALE, qavg, qavg_sql, round4
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["month_ranges"]
+
+
+def month_ranges(spark: SparkSession, start_ts_col_df: DataFrame, ts_col: str) -> DataFrame:
+    """Calendar-month windows spanning a timestamp column's range —
+    the reference's partition planner (``month_ranges``,
+    src/movie.py:228-238: truncate to month (P11), add a month (P12),
+    last day = next month minus a day (P13), clamp to range end (P14)).
+
+    Returns (month_start DATE, month_end DATE) rows. Driver-side in the
+    reference; a 2-row agg + sequence explode here, so it stays distributed.
+    """
+    bounds = start_ts_col_df.agg(
+        F.date_trunc("month", F.min(ts_col)).cast("date").alias("lo"),
+        F.max(ts_col).cast("date").alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))).alias(
+            "month_start"
+        ),
+        F.col("hi"),
+    )
+    return months.select(
+        F.col("month_start"),
+        F.least(F.date_sub(F.add_months("month_start", 1), 1), F.col("hi")).alias("month_end"),
+    )
+
+
+@register(
+    "date_month_ranges",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE)                      AS hi
+        FROM orders
+    )
+    , series AS (
+        SELECT UNNEST(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                      INTERVAL 1 MONTH)) AS gs, hi
+        FROM bounds
+    )
+    SELECT strftime(gs, '%Y-%m-%d') AS month_start,
+           strftime(LEAST(CAST(gs AS DATE) + INTERVAL 1 MONTH - INTERVAL 1 DAY,
+                          CAST(hi AS TIMESTAMP)), '%Y-%m-%d') AS month_end
+    FROM series
+    """,
+)
+def date_month_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = month_ranges(spark, load_table(spark, sf_dir, "orders"), "o_orderdate")
+    # ISO strings, not DATE-typed output: temporal types round-trip to pandas
+    # differently per engine; strings hash identically everywhere.
+    return out.select(
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+        F.date_format("month_end", "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                     AS order_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('month', o_orderdate)
+                    + INTERVAL 1 MONTH, '%Y-%m-%d')              AS next_month,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(year(o_orderdate) AS INTEGER)                    AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)                   AS order_month,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS INTEGER)  AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d')                     AS iso_date
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10-P15 date kit: parse/truncate/add-month/last-day/format — the
+    reference's month math (src/movie.py:228-238) as columnar expressions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        iso(d).alias("order_date"),
+        iso(F.trunc(d.cast("date"), "month")).alias("month_start"),
+        iso(F.add_months(F.trunc(d.cast("date"), "month"), 1)).alias("next_month"),
+        iso(F.last_day(d.cast("date"))).alias("month_end"),
+        F.year(d).cast("int").alias("order_year"),
+        F.month(d).cast("int").alias("order_month"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+@register(
+    "string_battery",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                         AS name_upper,
+           LOWER(p_brand)                                        AS brand_lower,
+           TRIM(p_type)                                          AS type_trim,
+           SUBSTRING(p_name, 1, 5)                               AS name_prefix,
+           CAST(LENGTH(p_name) AS INTEGER)                       AS name_len,
+           REPLACE(p_type, ' ', '_')                             AS type_snake,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR))         AS brand_size,
+           regexp_extract(p_name, '([a-z]+)', 1)                 AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g')            AS name_novowels,
+           CAST(strpos(p_name, 'a') AS INTEGER)                  AS first_a,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0')              AS padded_key,
+           reverse(p_brand)                                      AS brand_rev
+    FROM part
+    WHERE p_partkey % 20 = 0
+    """,
+)
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function menu over `part` (SURVEY §2.9): case, trim, substring,
+    regexp extract/replace, position, padding — all codegen'd expressions."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "math_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_extendedprice - 30000), 2)          AS abs_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)                AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)               AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 4)                 AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 4)               AS price_ln,
+           ROUND(LOG10(l_extendedprice + 1), 4)            AS price_log10,
+           ROUND(POW(1 + l_discount, 2), 6)                AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT)                  AS key_mod7,
+           ROUND(GREATEST(l_discount, l_tax), 2)           AS max_rate,
+           ROUND(LEAST(l_discount, l_tax), 2)              AS min_rate,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)         AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+)
+def math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_dev"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        round4(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        round4(F.log(F.col("l_extendedprice") + 1)).alias("price_ln"),
+        round4(F.log10(F.col("l_extendedprice") + 1)).alias("price_log10"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar kit (reference checkpoint serde, src/movie.py:211,218 →
+    from_json/get_json_object): extract a typed field and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "conditional_bucketing",
+    oracle=f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END                                    AS bal_bucket,
+           CASE WHEN c_nationkey IS NOT NULL
+                THEN CONCAT('nation/', CAST(c_nationkey AS VARCHAR))
+                ELSE NULL END                                      AS nation_path,
+           CAST(COUNT(*) AS BIGINT)                                AS n,
+           {qavg_sql("c_acctbal", MONEY_SCALE)}                    AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 parity: conditional concat (NULL propagating, like the poster-URL
+    build, src/movie.py:190-191) + CASE bucketing."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    path = F.when(
+        F.col("c_nationkey").isNotNull(),
+        F.concat(F.lit("nation/"), F.col("c_nationkey").cast("string")),
+    ).alias("nation_path")
+    return c.groupBy(bucket, path).agg(
+        F.count(F.lit(1)).alias("n"),
+        qavg(F.col("c_acctbal"), MONEY_SCALE).alias("avg_bal"),
+    )

@@ -1,0 +1,215 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.9).
+
+The reference carries free text opaquely (`overview`, src/movie.py:202);
+a training-data pipeline needs to *analyze* it. Everything here is pure
+Catalyst expressions over arrays — tokenization, language ID, quality
+scoring, token counting, fingerprinting — zero Python per row, so the ops
+run inside whole-stage codegen and scale linearly with no shuffle at all
+(per-document computations are embarrassingly parallel).
+
+Determinism contract: each op has a DuckDB oracle computing the identical
+expression tree, so tokenizer edge cases (empty strings, trailing
+whitespace) are pinned by the correctness gate, not by convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["tokens_col", "norm_text_col", "LANG_MARKERS"]
+
+
+def norm_text_col(c: str = "text") -> Column:
+    """Canonical normalization: lowercase, collapse whitespace, trim."""
+    return F.lower(F.trim(F.regexp_replace(F.col(c), r"\s+", " ")))
+
+
+def tokens_col(c: str = "text") -> Column:
+    """Whitespace tokens of the normalized text (no empty tokens)."""
+    return F.split(norm_text_col(c), " ")
+
+
+#: tiny marker-word sets for the n-gram/stopword language heuristic.
+#: (Real corpora would use char-trigram profiles; the *shape* — per-language
+#: marker scoring + argmax — is the operator under test.)
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _marker_count(tokens: Column, markers: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_arr, t)))
+
+
+def _marker_count_sql(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKENS_SQL}, t -> t IN ({inlist})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {_marker_count_sql(LANG_MARKERS["en"])} AS s_en,
+               {_marker_count_sql(LANG_MARKERS["es"])} AS s_es,
+               {_marker_count_sql(LANG_MARKERS["de"])} AS s_de
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CAST(s_en AS INTEGER) AS s_en,
+           CAST(s_es AS INTEGER) AS s_es,
+           CAST(s_de AS INTEGER) AS s_de,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+                WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language token scoring + deterministic
+    argmax (ties broken en > es > de)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _marker_count(toks, LANG_MARKERS["en"]).cast("int").alias("s_en"),
+        _marker_count(toks, LANG_MARKERS["es"]).cast("int").alias("s_es"),
+        _marker_count(toks, LANG_MARKERS["de"]).cast("int").alias("s_de"),
+    )
+    pred = (
+        F.when((F.col("s_en") == 0) & (F.col("s_es") == 0) & (F.col("s_de") == 0), "unknown")
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKENS_SQL} AS toks,
+               {_NORM_SQL}   AS norm,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER)                                   AS n_tokens,
+           CAST(length(norm) AS INTEGER)                                AS n_chars,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / CAST(NULLIF(len(toks), 0) AS DOUBLE)                 AS avg_token_len,
+           CAST(len(list_filter(toks,
+                 t -> t IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
+                 / CAST(NULLIF(len(toks), 0) AS DOUBLE)                 AS stopword_ratio,
+           CAST(length(text)
+                 - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / CAST(NULLIF(length(text), 0) AS DOUBLE)              AS punct_ratio,
+           CAST((len(toks) BETWEEN 20 AND 1000)
+                AND CAST(len(list_filter(toks,
+                     t -> t IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
+                     / CAST(NULLIF(len(toks), 0) AS DOUBLE) >= 0.01 AS BOOLEAN) AS passes_quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features (Gopher/C4-style length, stopword
+    and punctuation ratios) + a pass/fail gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = ["the", "a", "and", "of", "is", "to", "in"]
+    t = docs.select(
+        "doc_id",
+        tokens_col().alias("toks"),
+        norm_text_col().alias("norm"),
+        "text",
+    )
+    n_tokens = F.size("toks")
+    tok_chars = F.aggregate(
+        F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    stop_cnt = _marker_count(F.col("toks"), stop)
+    punct_cnt = F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    # raw int/int IEEE divisions: both engines divide identical integers, so
+    # the doubles are bit-equal — no rounding (rounding near ties is what
+    # breaks cross-engine equality, see functions/numeric.py).
+    denom = F.nullif(n_tokens, F.lit(0)).cast("double")
+    stop_ratio = stop_cnt.cast("double") / denom
+    return t.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.length("norm").cast("int").alias("n_chars"),
+        (tok_chars.cast("double") / denom).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (punct_cnt.cast("double") / F.nullif(F.length("text"), F.lit(0)).cast("double")).alias(
+            "punct_ratio"
+        ),
+        (n_tokens.between(20, 1000) & (stop_ratio >= 0.01)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS INTEGER)                          AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INTEGER)
+                                                                        AS word_tokens,
+           CAST(CEIL(length(text) / 4.0) AS INTEGER)                    AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex extraction
+    (a BPE-ish pre-tokenizer), and the chars/4 BPE-budget estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS content_md5,
+           list_min([md5(substr({_NORM_SQL}, i, 16))
+                     for i in range(1, GREATEST(length({_NORM_SQL}) - 14, 2))])
+                            AS min_shingle_hash
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash + min-hash over rolling
+    16-char shingles (winnowing-style; the min over a rolling window of
+    hashes is the classic local fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_text_col()
+    shingle_min = F.expr(
+        "array_min(transform(sequence(1, greatest(length(lower(trim(regexp_replace(text,"
+        " '\\\\s+', ' ')))) - 15, 1)),"
+        " i -> md5(substring(lower(trim(regexp_replace(text, '\\\\s+', ' '))), i, 16))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        shingle_min.alias("min_shingle_hash"),
+    )

@@ -1,0 +1,186 @@
+"""Window-function operators (SURVEY.md §2.9 "window functions" + §2.6 top-k).
+
+The reference's only order-sensitive ops are a server-side sort + page cap
+(top-10k per month, src/movie.py:153,161-168) and keep-first dedup
+(src/movie.py:275). Both are window patterns; this module ships the full
+analytic-function menu: ranking (row_number/rank/dense_rank/ntile), offsets
+(lag/lead), and running/frame aggregates.
+
+Scale notes: a window partitioned by a key is one shuffle on that key plus a
+per-partition sort — fine when partitions are bounded (per-customer,
+per-user). An UNPARTITIONED ordered window is a single-task bottleneck and
+never appears here. Every ordering carries a unique tie-break key so results
+are deterministic across engines and across re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import MONEY_SCALE, qavg_over, qsum_over, round2
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["topk_per_group", "keep_first"]
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_cols: list, k: int) -> DataFrame:
+    """Top-k rows per group: row_number over (group, order) ≤ k. Plans as a
+    single shuffle + partial sort; with AQE no global sort ever happens."""
+    w = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def keep_first(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:
+    """Deterministic keep-first dedup (reference A1/A2, src/movie.py:275,295).
+
+    The reference keeps the first row in *file order* (popularity-desc API
+    order within a month); file order is not a thing in a distributed scan,
+    so the survivor is pinned by an explicit ordering instead — the
+    documented fix for the reference's hidden nondeterminism (SURVEY.md §7.3).
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+@register(
+    "window_topk_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    out = topk_per_group(
+        c, ["c_mktsegment"], [F.desc("c_acctbal"), F.asc("c_custkey")], 3
+    )
+    return out.select(
+        "c_mktsegment",
+        "c_custkey",
+        round2(F.col("c_acctbal")).alias("acctbal"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+@register(
+    "window_running_totals",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * {MONEY_SCALE}) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST({MONEY_SCALE} AS DOUBLE)                                  AS running_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
+           ROUND(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 2)  AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead in one window spec (single shuffle on the
+    partition key, shared by all four functions). The running sum is a
+    quantized-integer window aggregate — order-independent and bit-exact."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        qsum_over(
+            F.col("o_totalprice"), MONEY_SCALE, w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        round2(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        round2(F.lead("o_totalprice").over(w)).alias("next_price"),
+    )
+
+
+@register(
+    "window_rank_ntile",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(RANK()       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (ORDER BY s_nationkey, s_suppkey)    AS BIGINT) AS nation_seq,
+           CAST(NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile
+    FROM supplier
+    """,
+)
+def rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking over the 100-row supplier dim — the one place an
+    unpartitioned window is fine (dimension-sized input, documented)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w_bal = W.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w_nat = W.orderBy(F.asc("s_nationkey"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.rank().over(w_bal).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w_nat).cast("long").alias("nation_seq"),
+        F.ntile(4).over(w_bal).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_frame_moving_avg",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * {MONEY_SCALE}) AS BIGINT)) OVER w AS DOUBLE)
+            / CAST(COUNT(l_extendedprice) OVER w AS DOUBLE))
+               / CAST({MONEY_SCALE} AS DOUBLE) AS moving_avg_price
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(-2, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        qavg_over(F.col("l_extendedprice"), MONEY_SCALE, w).alias("moving_avg_price"),
+    )
+
+
+@register(
+    "dedup_keepfirst_events",
+    oracle="""
+    SELECT user_id, event_id AS first_event_id, epoch_us(ts) AS first_ts_us, event_type
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keepfirst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 parity: keep-first-per-key with an explicit deterministic order
+    (earliest event per user, event_id tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = keep_first(ev, ["user_id"], [F.asc("ts"), F.asc("event_id")])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.unix_micros("ts").alias("first_ts_us"),
+        "event_type",
+    )

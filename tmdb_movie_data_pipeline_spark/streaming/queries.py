@@ -1,0 +1,192 @@
+"""Structured Streaming queries over the events stream (SURVEY.md §2.9
+"streaming").
+
+The reference's moral equivalent is batch backfill + JSON checkpoint resume
+(src/movie.py:208-222, 247-299); Structured Streaming subsumes that design:
+`checkpointLocation` is the WAL, watermarks bound state, windows replace the
+month loop.
+
+Each streaming query here has a batch twin in operators/events.py computing
+the same logical result — the registered entries run the stream to
+completion over the static events parquet (memory sink,
+processAllAvailable) and return the sink table, so the driver's DuckDB
+oracle can hash-check streaming output against plain SQL. Complete/update
+output modes are chosen so no rows are withheld by the final watermark.
+
+Scale notes: watermark + windowed aggregation keeps state O(open windows);
+dropDuplicatesWithinWatermark keeps the dedup set bounded; the same code
+runs against Kafka by swapping the source format.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import UNIT_SCALE, qavg, qavg_sql, qsum, qsum_sql
+from ..registry import register
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the static events parquet (1 file = 1
+    micro-batch; swap for format('kafka') in production).
+
+    `ts` is TIMESTAMP(NANOS) in the file — read as raw nanos and floored to
+    microsecond timestamps, matching the batch loader (io.load_table).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame over static input to completion via a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = "snk_" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1h window per event_type — streaming twin of
+    operators.events.tumbling_hourly."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        qsum(F.col("value"), UNIT_SCALE).alias("sum_value"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)         AS n_events,
+           {qsum_sql("value", UNIT_SCALE)}  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly_stream(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (event_type, user_id) within the watermark, then
+    count — over the static input this equals exact count(distinct)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_type", "user_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return _run_to_completion(agg, "complete")
+
+
+def sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows (streaming twin of events_sliding_windows)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        qavg(F.col("value"), UNIT_SCALE).alias("avg_value"),
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n_events",
+        "avg_value",
+    )
+
+
+@register(
+    "stream_sliding_windows",
+    oracle=f"""
+    WITH offsets AS (SELECT UNNEST([0, 30]) AS off_min)
+    SELECT epoch_us(date_trunc('hour', ts - to_minutes(off_min))
+                    + to_minutes(off_min))                    AS window_start_us,
+           CAST(COUNT(*) AS BIGINT)                           AS n_events,
+           {qavg_sql("value", UNIT_SCALE)}                    AS avg_value
+    FROM events, offsets
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_stream(spark, sf_dir)
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via F.session_window — the
+    built-in stateful sessionizer (batch twin: operators.events.sessionize)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts))        AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_stream(spark, sf_dir)
