@@ -1,0 +1,158 @@
+"""Behavioral unit tests for engine operators on synthetic micro-data:
+as-of join correctness, keep-first determinism, near-dup detection on real
+duplicates, approx-distinct tolerance, checkpointed incremental backfill.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tmdb_movie_data_pipeline_spark.io import load_table
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from tmdb_movie_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "p1"), (1, ts("2024-01-01T12:00:00"), "p2"),
+         (2, ts("2024-01-01T09:00:00"), "p3")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:30:00")), (1, ts("2024-01-01T11:59:00")),
+         (1, ts("2024-01-01T12:00:00")),  # equal ts: counts (<=)
+         (2, ts("2024-01-01T09:30:00"))],  # after left's event: must not match
+        "user_id long, ts timestamp",
+    )
+    out = {
+        r.tag: r.ts_asof
+        for r in asof_join(left, right, "user_id", "ts", []).collect()
+    }
+    assert out["p1"] == ts("2024-01-01T09:30:00")
+    assert out["p2"] == ts("2024-01-01T12:00:00")  # <= semantics, latest wins
+    assert out["p3"] is None  # no prior right row → NULL (left outer)
+
+
+def test_keep_first_survivor_is_deterministic(spark):
+    from tmdb_movie_data_pipeline_spark.operators.windows import keep_first
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 9.0, "b"), (1, 9.0, "c"), (2, 1.0, "d")],
+        "k long, pop double, tag string",
+    )
+    # popularity desc, tie-break on tag: survivor must be 'b', never 'c'
+    for _ in range(3):
+        out = keep_first(df.repartition(8), ["k"], [F.desc("pop"), F.asc("tag")])
+        assert {r.tag for r in out.collect()} == {"b", "d"}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    from tmdb_movie_data_pipeline_spark.operators.dedup import minhash_signatures
+    # two near-identical docs (one word changed) + one unrelated
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "changed")
+    other = " ".join(f"zz{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs).collect()
+    by_id = {r.doc_id: [r[f"sig_{i}"] for i in range(16)] for r in sigs}
+    agree_near = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    agree_far = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert agree_near >= 8  # hash agreement tracks Jaccard (~0.9 here)
+    assert agree_far == 0
+
+
+def test_exact_dedup_counts_duplicates(spark):
+    from tmdb_movie_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.canonical_id: r.dup_count for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_incremental_backfill_skips_done_months(spark, tmp_path):
+    from tmdb_movie_data_pipeline_spark.plans.checkpoint import (
+        load_done_keys,
+        run_incremental_backfill,
+        save_done_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-05T00:00:00")), (2, ts("2024-02-10T00:00:00")),
+         (3, ts("2024-02-20T00:00:00"))],
+        "id long, ts timestamp",
+    )
+    out = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt.json")
+
+    first = run_incremental_backfill(spark, df, "ts", out, ckpt)
+    assert first == ["2024-01", "2024-02"]
+    assert spark.read.parquet(out).count() == 3
+
+    # second run: everything checkpointed → no work (J2 anti-join, R4)
+    second = run_incremental_backfill(spark, df, "ts", out, ckpt)
+    assert second == []
+
+    # new month arrives → only it is written
+    df2 = df.union(
+        spark.createDataFrame([(4, ts("2024-03-01T00:00:00"))], "id long, ts timestamp")
+    )
+    third = run_incremental_backfill(spark, df2, "ts", out, ckpt)
+    assert third == ["2024-03"]
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_checkpoint_corruption_degrades_to_full_run(spark, tmp_path):
+    from tmdb_movie_data_pipeline_spark.plans.checkpoint import load_done_keys, save_done_keys
+
+    p = str(tmp_path / "ckpt.json")
+    # missing file → empty (W5, movie.py:214-222)
+    assert load_done_keys(spark, p).count() == 0
+    # corrupted JSON → empty, no crash (tests/test_movie.py:128-132)
+    with open(p, "w") as f:
+        f.write("not valid json {{ }")
+    assert load_done_keys(spark, p).count() == 0
+    # roundtrip + atomicity: no .tmp residue (tests/test_movie.py:134-143)
+    save_done_keys(["2024-01", "2024-02"], p)
+    import os
+
+    assert not os.path.exists(p + ".tmp")
+    keys = {r.unit_key for r in load_done_keys(spark, p).collect()}
+    assert keys == {"2024-01", "2024-02"}
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image,
+        extract_features,
+    )
+    import pytest
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    feat = extract_features(attach_binary_payload(docs)).first()
+    assert feat.n_bytes == 11
+    import hashlib
+
+    assert feat.payload_md5 == hashlib.md5(b"hello world").hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,99 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the plans (SURVEY.md §4) — pushdown, column
+pruning, broadcast joins, partial aggregation, top-k. A correct result via
+the wrong plan is a 100 TB regression waiting to happen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tmdb_movie_data_pipeline_spark.io import load_table
+from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+
+import re
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes: each appears once as '(id) Name' in the
+    formatted details section (tree lines would double-count)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema carries only the projected columns — not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(all_queries()["q5_region_revenue"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_partial_final_aggregate(spark, sf_dir):
+    df = all_queries()["q1_pricing_summary"](spark, sf_dir)
+    # partial+final HashAggregate = map-side combine before the shuffle
+    plan = _plan(df)
+    assert _nodes(plan, "HashAggregate") >= 2
+    # codegen spans appear once AQE finalizes the plan — materialize this
+    # exact DataFrame, then read the executed plan ('*(n)' = codegen'd span)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in final
+    assert "*(" in final
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(all_queries()["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    semi = _plan(all_queries()["join_semi_exists"](spark, sf_dir))
+    anti = _plan(all_queries()["join_anti_not_exists"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_dedup_keepfirst_single_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["dedup_keepfirst_events"](spark, sf_dir))
+    # one exchange for the window partitionBy; no extra shuffles
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_minhash_signature_stage_shuffles_once_with_partial_agg(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_signatures(docs))
+    # one shuffle on doc_id; partial min-agg combines map-side so the
+    # exchange carries O(docs × seeds), not O(shingles)
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "HashAggregate") == 2
+    # md5 must hash a materialized row exactly once — never inside a
+    # higher-order lambda that CollapseProject can replicate per seed
+    assert plan.count("md5") <= 3
+
+
+def test_events_scan_prunes_binaryish_columns(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    plan = _plan(ev)
+    assert "props" not in plan.split("ReadSchema")[1][:200]

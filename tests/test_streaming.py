@@ -1,0 +1,181 @@
+"""Streaming semantics: batch/stream equivalence, late-data watermark drop,
+stateful custom operators (applyInPandasWithState), foreachBatch sink."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tmdb_movie_data_pipeline_spark.streaming.queries import (
+    read_events_stream,
+    session_window_stream,
+    tumbling_hourly_stream,
+)
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.events import tumbling_hourly
+
+    streamed = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_hourly_stream(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_hourly(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_session_equals_batch_sessionize(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.events import sessionize
+
+    from tmdb_movie_data_pipeline_spark.io import load_table
+
+    streamed = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in session_window_stream(spark, sf_dir).collect()
+    }
+    batch_df = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n"), F.unix_micros(F.min("ts")).alias("start_us"))
+    )
+    batch = {(r.user_id, r.start_us): r.n for r in batch_df.collect()}
+    assert streamed == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: a row arriving behind the
+    watermark is dropped — fed as two micro-batches via a file stream."""
+    schema = "ts timestamp, v long"
+    d1 = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(d1)
+    spark.createDataFrame(
+        [("2024-01-01 10:00:30", 1), ("2024-01-01 12:00:00", 1)],
+        "ts string, v long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(d1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(F.sum("v").alias("s"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a row 2h older than the max event time → behind watermark
+        spark.createDataFrame(
+            [("2024-01-01 10:00:40", 100)], "ts string, v long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "v").coalesce(1).write.mode(
+            "append"
+        ).parquet(d1)
+        q.processAllAvailable()
+        # batch 3: advance watermark far enough to finalize everything
+        spark.createDataFrame(
+            [("2024-01-01 23:00:00", 1)], "ts string, v long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "v").coalesce(1).write.mode(
+            "append"
+        ).parquet(d1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["window"].start.isoformat(), r.s)
+        for r in spark.table("wm_sink").collect()
+    }
+    # the late v=100 row was dropped: the 10:00 window sums to 1, not 101
+    assert ("2024-01-01T10:00:00", 1) in out
+    assert all(s != 101 for _, s in out)
+
+
+def test_apply_in_pandas_with_state_running_count(spark, sf_dir):
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState (the arbitrary-state API)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cnt", T.LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = "state_sink"
+    q = counted.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.user_id: r.n_events for r in spark.table(name).collect()}
+    from tmdb_movie_data_pipeline_spark.io import load_table
+
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # single micro-batch over static data → final counts equal batch counts
+    assert got == want
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: exactly-once-style upsert into a parquet target —
+    the streaming twin of the reference's idempotent month overwrite."""
+    target = str(tmp_path / "compacted")
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def upsert(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(target)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from tmdb_movie_data_pipeline_spark.io import load_table
+
+    got = {r.event_type: r.n for r in spark.read.parquet(target).collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -65,24 +65,42 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, seeds: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): per-seed min over md5(seed|shingle).
+    """(doc_id, sig_0..sig_{n-1}): per-seed min-hash over word-3-gram shingles.
 
-    Fully columnar: shingling and the per-seed mins are array expressions
-    evaluated row-at-a-time inside codegen — the signature of a 100 TB corpus
-    computes in one scan with zero shuffles.
+    One md5 per shingle; the k hash functions are derived Kirsch-Mitzenmacher
+    style as ``h_i = h1 + i·h2`` from two disjoint md5 slices (h1: 60 bits,
+    h2: 56 bits — h1 + 15·h2 < 2^63, no overflow under ANSI mode). This cuts
+    hashing cost k× versus hashing per seed, at equal MinHash quality.
+
+    Physical shape: explode shingles → hash each ONCE as a materialized row
+    → partial/final min-aggregate per doc. The aggregate binds to the
+    hashed attributes, so the md5 runs exactly once per shingle (an
+    array-expression formulation looks shuffle-free but CollapseProject
+    inlines the md5 array into every per-seed projection — k× the hashing).
+    The min-agg combines map-side, so the shuffle carries only
+    O(docs × seeds) bytes, not O(shingles).
     """
-    with_sh = docs.selectExpr(
-        "doc_id", f"{_TOKENS_SPARK} AS toks"
-    ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+    hashed = (
+        docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks")
+        .selectExpr("doc_id", f"explode({_SHINGLES_SPARK}) AS s")
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1",
+            "CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT) AS h2",
+        )
+    )
     sig_cols = [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))").alias(f"sig_{i}")
-        for i in range(seeds)
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"sig_{i}") for i in range(seeds)
     ]
-    return with_sh.select("doc_id", *sig_cols)
+    return hashed.groupBy("doc_id").agg(*sig_cols)
 
 
 def _sig_sql(i: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+    return (
+        "list_min(list_transform(md5s, m ->"
+        " ('0x' || substr(m, 1, 15))::BIGINT"
+        f" + {i} * ('0x' || substr(m, 17, 14))::BIGINT))"
+    )
 
 
 _MINHASH_ORACLE = f"""
@@ -93,7 +111,7 @@ WITH toked AS (
 ), sigs AS (
     SELECT doc_id,
            {", ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(NUM_HASHES))}
-    FROM shingled
+    FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS md5s FROM shingled)
 ), bands AS (
     SELECT doc_id, band_idx,
            CASE band_idx

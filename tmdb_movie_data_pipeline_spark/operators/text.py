@@ -213,3 +213,74 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_md5"),
         shingle_min.alias("min_shingle_hash"),
     )
+
+
+# -- TF-IDF ------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(n_toks) AS n_toks
+    FROM (SELECT doc_id, UNNEST(toks) AS term, len(toks) AS n_toks FROM toked)
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           (CAST(tf.tf AS DOUBLE) / CAST(tf.n_toks AS DOUBLE))
+             * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+    FROM tf JOIN df USING (term), n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@register("text_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    The IDF factor is the log-free rational (N+1)/(df+1): same ranking
+    monotonicity as log-IDF, but every score is a product of exact-integer
+    ratios — bit-identical across engines (ln() is libm-dependent and would
+    poison the hash). Dataflow: explode → per-(doc,term) counts → term df →
+    broadcast-join scores → window top-k; the explode shuffles once on
+    (doc_id, term), df is a tiny broadcast side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col().alias("toks"))
+    terms = toked.select(
+        "doc_id",
+        F.explode("toks").alias("term"),
+        F.size("toks").alias("n_toks"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.any_value(F.col("n_toks")).alias("n_toks")
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar dimension; fine to evaluate eagerly
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf").cast("double") / F.col("n_toks").cast("double"))
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"))
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

@@ -1,0 +1,190 @@
+"""User-defined function battery (SURVEY.md §2.9 "UDF/UDAF/UDTF").
+
+The reference is, in effect, one big row-at-a-time Python UDF (the
+normalize loop, src/movie.py:187-204). The engine's policy inverts that:
+built-in expressions first; when Python is genuinely needed, Arrow-batched
+vectorized UDFs — never per-row serde:
+
+* scalar ``pandas_udf``      — whole-column numpy arithmetic per Arrow batch;
+* grouped-agg ``pandas_udf`` — one reduced value per group;
+* ``applyInPandas``          — full pandas DataFrame per group (UDAF+transform);
+* Python UDTF                — one row in, many rows out (table function).
+
+Every entry keeps its arithmetic exactly reproducible (integer quantization
+inside the UDF, deterministic IEEE division at the end) so the DuckDB
+oracle hash-matches the Python-side computation — the same discipline as
+functions/numeric.py, enforced *inside* user code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SQRT(l_extendedprice) + FLOOR(l_quantity / 10.0) AS scored
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    """,
+)
+def pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF: numpy sqrt/floor over Arrow batches (sqrt and
+    floor are IEEE-correctly-rounded, so Python == JVM == DuckDB bitwise)."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def score(price: pd.Series, qty: pd.Series) -> pd.Series:
+        return np.sqrt(price) + np.floor(qty / 10.0)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        score(F.col("l_extendedprice"), F.col("l_quantity")).alias("scored"),
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price, computed
+    on quantized int64 inside Python (order-independent, exact) with one
+    final IEEE division — cross-engine bit-equal."""
+
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        # half-up quantization (np.round is banker's — would diverge from
+        # Spark/DuckDB ROUND at exact .5 ties)
+        p = np.floor(price * 100 + 0.5).astype("int64")
+        q = qty.astype("int64")
+        return float(int((p * q).sum()) / int(q.sum()) / 100.0)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("weighted_avg_price")
+    )
+
+
+APPLY_SCHEMA = T.StructType(
+    [
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("bal_minus_seg_mean", T.DoubleType()),
+        T.StructField("seg_rank", T.LongType()),
+    ]
+)
+
+
+@register(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           (CAST(ROUND(c_acctbal * 100) AS BIGINT)
+            - CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER w AS DOUBLE)
+              / CAST(COUNT(*) OVER w AS DOUBLE)) / 100.0  AS bal_minus_seg_mean,
+           CAST(RANK() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS seg_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group transform: per-segment mean-centering + rank —
+    the custom-UDAF-and-transform shape (one shuffle on the group key,
+    whole group as a pandas frame in one Python worker)."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # half-away-from-zero (acctbal can be negative; matches ROUND in
+        # Spark and DuckDB, unlike np.round's banker's rounding)
+        x = pdf["c_acctbal"] * 100
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
+        q = pd.Series(q, index=pdf.index)
+        mean = float(int(q.sum())) / float(len(q))
+        # deterministic ordering: acctbal desc, custkey asc
+        order = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index()
+        seg_rank = pd.Series(0, index=pdf.index, dtype="int64")
+        # RANK(): ties share the min position (1-based)
+        pos = 1
+        prev_bal = None
+        for n, (idx, bal) in enumerate(zip(order["index"], order["c_acctbal"]), start=1):
+            if prev_bal is None or bal != prev_bal:
+                pos = n
+                prev_bal = bal
+            seg_rank[idx] = pos
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pdf["c_mktsegment"],
+                "c_custkey": pdf["c_custkey"],
+                "bal_minus_seg_mean": (q.astype("float64") - mean) / 100.0,
+                "seg_rank": seg_rank,
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(center, APPLY_SCHEMA)
+
+
+@register(
+    "udtf_explode_buckets",
+    oracle="""
+    SELECT o_orderkey, bucket_idx,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3
+             + CASE WHEN bucket_idx < CAST(ROUND(o_totalprice * 100) AS BIGINT) % 3
+                    THEN 1 ELSE 0 END AS bucket_cents
+    FROM orders, (SELECT UNNEST([0, 1, 2]) AS bucket_idx)
+    WHERE o_orderkey % 500 = 0
+    """,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): splits each order's total into 3
+    integer-cent buckets (largest-remainder rounding) — one row in, three
+    rows out; the canonical row-expanding UDTF shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, bucket_idx int, bucket_cents bigint")
+    class SplitBuckets:
+        def eval(self, orderkey: int, totalprice: float):
+            import math
+
+            # half-up (Python round() is banker's)
+            cents = int(math.floor(totalprice * 100 + 0.5))
+            base, rem = divmod(cents, 3)
+            for i in range(3):
+                yield orderkey, i, base + (1 if i < rem else 0)
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    o.createOrReplaceTempView("t_orders_udtf")
+    spark.udtf.register("split_buckets", SplitBuckets)
+    return spark.sql(
+        """
+        SELECT s.o_orderkey, s.bucket_idx, s.bucket_cents
+        FROM t_orders_udtf,
+             LATERAL split_buckets(o_orderkey, o_totalprice) s
+        """
+    )

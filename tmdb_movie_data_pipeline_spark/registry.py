@@ -68,7 +68,9 @@ def _ensure_loaded() -> None:
         scalars,
         setops,
         similarity,
+        subqueries,
         text,
+        udfs,
         windows,
     )
     from .streaming import queries as streaming_queries  # noqa: F401

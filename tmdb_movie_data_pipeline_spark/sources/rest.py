@@ -44,8 +44,13 @@ DEFAULT_MAX_PAGES = 500
 
 def month_windows(start: str, end: str) -> list[tuple[str, str]]:
     """Calendar-month (start, end) ISO windows covering [start, end] —
-    the partition planner (reference month_ranges, src/movie.py:228-238:
-    snap to first-of-month, step one month, clamp the final window)."""
+    the partition planner (reference month_ranges, src/movie.py:228-238).
+
+    Exact reference semantics, pinned by its own tests
+    (tests/test_movie.py:87-117): the start is snapped to the first of its
+    month (a mid-month start still fetches the whole month), the final
+    window is clamped to ``end``.
+    """
     s = date.fromisoformat(start)
     e = date.fromisoformat(end)
     cur = date(s.year, s.month, 1)
@@ -53,7 +58,7 @@ def month_windows(start: str, end: str) -> list[tuple[str, str]]:
     while cur <= e:
         nxt = date(cur.year + (cur.month == 12), cur.month % 12 + 1, 1)
         last = min(date.fromordinal(nxt.toordinal() - 1), e)
-        out.append((max(cur, s).isoformat(), last.isoformat()))
+        out.append((cur.isoformat(), last.isoformat()))
         cur = nxt
     return out
 
