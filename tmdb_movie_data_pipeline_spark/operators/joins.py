@@ -319,3 +319,58 @@ def asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("purchase_us"),
         F.unix_micros(F.col("ts_asof")).alias("prev_view_us"),
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+           ROUND(MAX(s_acctbal), 2)         AS max_bal
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation survives, supplier-less nations count
+    zero (COUNT over the nullable side) — the null-extension contract."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         rich   AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    SELECT
+        CASE WHEN o_custkey IS NULL THEN 'rich_only'
+             WHEN c_custkey IS NULL THEN 'buyer_only'
+             ELSE 'both' END       AS side,
+        CAST(COUNT(*) AS BIGINT)   AS n
+    FROM buyers FULL OUTER JOIN rich ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join + null-side classification — the set-reconciliation
+    pattern (which keys exist on which side)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    joined = buyers.join(rich, buyers.o_custkey == rich.c_custkey, "full_outer")
+    side = (
+        F.when(F.col("o_custkey").isNull(), "rich_only")
+        .when(F.col("c_custkey").isNull(), "buyer_only")
+        .otherwise("both")
+    )
+    return joined.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n"))

@@ -202,3 +202,38 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+DUP_COSINE_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_dot_duck("a.embedding", "b.embedding")}
+                   / ({_norm_duck("a.embedding")} * {_norm_duck("b.embedding")}) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {DUP_COSINE_THRESHOLD}
+    """,
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-duplicate pairs: all (a, b) with cosine above a
+    threshold. Brute-force O(n²) pair scan here (verification tier); at
+    corpus scale the identical scoring runs AFTER the LSH bucket join
+    (ann_lsh_bucketed) so candidates are O(bucket collisions), not n² —
+    same operator contract, two physical tiers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(_dot_spark("q_emb", "c_emb")) / (
+        F.expr(_norm_spark("q_emb")) * F.expr(_norm_spark("c_emb"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= DUP_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
