@@ -56,3 +56,10 @@ def test_register_views(spark, sf_dir):
     eio.register_views(spark, sf_dir)
     assert spark.sql("SELECT count(*) FROM lineitem").first()[0] > 0
     assert spark.sql("SELECT count(*) FROM documents").first()[0] > 0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.range(50).withColumnRenamed("id", "k")
+    p = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(p)
+    assert spark.read.orc(p).count() == 50

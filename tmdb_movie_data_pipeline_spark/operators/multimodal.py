@@ -120,3 +120,71 @@ def extract_features(media: DataFrame) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_offset", T.IntegerType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+N_FRAMES = 4
+
+
+def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling over binary payloads: one media row → n evenly-spaced
+    "frames" (here: fixed-width byte slices — a real video decoder plugs in
+    at the marked line; the row-expanding Arrow plumbing is identical).
+
+    mapInPandas keeps the expansion streaming: each Arrow batch yields its
+    frame rows without materializing the whole partition.
+    """
+
+    def batches(it):
+        import hashlib
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(b) - 1, 0))
+                    # real impl: decode frame at timestamp i/n — needs ffmpeg
+                    frame = b[off : off + 16]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n_bytes,
+               GREATEST(octet_length(encode(text)) // {N_FRAMES}, 1) AS step,
+               UNNEST(range(0, {N_FRAMES})) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(LEAST(frame_idx * step, GREATEST(n_bytes - 1, 0)) AS INTEGER) AS frame_offset,
+           md5(substr(text, CAST(LEAST(frame_idx * step, GREATEST(n_bytes - 1, 0)) AS INTEGER) + 1, 16))
+               AS frame_md5
+    FROM frames
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the fake media payloads: 4 evenly-spaced 16-byte frames
+    per document (ASCII text ⇒ byte slicing == char slicing, so the oracle
+    can mirror the Python slice with substr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))

@@ -68,8 +68,10 @@ def _ensure_loaded() -> None:
         scalars,
         setops,
         similarity,
+        skew,
         subqueries,
         text,
+        tpch_extra,
         udfs,
         windows,
     )
