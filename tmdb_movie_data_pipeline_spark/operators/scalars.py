@@ -126,7 +126,8 @@ def date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(p_name, '[aeiou]', '', 'g')            AS name_novowels,
            CAST(strpos(p_name, 'a') AS INTEGER)                  AS first_a,
            lpad(CAST(p_partkey AS VARCHAR), 8, '0')              AS padded_key,
-           reverse(p_brand)                                      AS brand_rev
+           reverse(p_brand)                                      AS brand_rev,
+           CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER)      AS brand_dist
     FROM part
     WHERE p_partkey % 20 = 0
     """,
@@ -151,6 +152,7 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
         F.reverse("p_brand").alias("brand_rev"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("int").alias("brand_dist"),
     )
 
 
@@ -247,4 +249,89 @@ def conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy(bucket, path).agg(
         F.count(F.lit(1)).alias("n"),
         qavg(F.col("c_acctbal"), MONEY_SCALE).alias("avg_bal"),
+    )
+
+
+@register(
+    "array_map_battery",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(lower(trim(
+                   regexp_replace(text, '\\s+', ' ', 'g'))), ' '))) AS vocab
+        FROM documents
+        WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           CAST(len(vocab) AS INTEGER)                             AS vocab_size,
+           vocab[1]                                                AS first_term,
+           vocab[len(vocab)]                                       AS last_term,
+           array_to_string(vocab[1:3], ',')                        AS first3,
+           CAST(list_contains(vocab, 'data') AS BOOLEAN)           AS has_data,
+           list_sort(list_filter(vocab, w -> length(w) > 5))       AS long_terms,
+           CAST(len(list_intersect(vocab, ['data','table','row','fast']))
+                AS INTEGER)                                        AS marker_hits
+    FROM t
+    """,
+)
+def array_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function menu (SURVEY §2.9 / P2-P3 generalization): distinct,
+    sort, index, slice, join, contains, filter lambda, intersect — all
+    Catalyst higher-order functions, zero Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    vocab = F.array_sort(
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        )
+    )
+    t = docs.select("doc_id", vocab.alias("vocab"))
+    return t.select(
+        "doc_id",
+        F.size("vocab").cast("int").alias("vocab_size"),
+        F.col("vocab").getItem(0).alias("first_term"),
+        F.element_at("vocab", -1).alias("last_term"),
+        F.array_join(F.slice("vocab", 1, 3), ",").alias("first3"),
+        F.array_contains("vocab", "data").alias("has_data"),
+        F.array_sort(F.filter("vocab", lambda w: F.length(w) > 5)).alias("long_terms"),
+        F.size(
+            F.array_intersect(
+                "vocab", F.array(F.lit("data"), F.lit("table"), F.lit("row"), F.lit("fast"))
+            )
+        )
+        .cast("int")
+        .alias("marker_hits"),
+    )
+
+
+@register(
+    "map_functions_battery",
+    oracle="""
+    SELECT event_type,
+           CAST(map_extract(stats, 'n')[1] AS BIGINT)   AS n,
+           CAST(map_extract(stats, 'users')[1] AS BIGINT) AS users,
+           CAST(len(map_keys(stats)) AS INTEGER)        AS n_keys
+    FROM (
+        SELECT event_type,
+               MAP {'n': COUNT(*), 'users': COUNT(DISTINCT user_id)} AS stats
+        FROM events
+        GROUP BY event_type
+    )
+    """,
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + probing (the genre id→name dict as a native
+    Spark type, reference movie.py:140-142): create_map, element_at,
+    map_keys."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.create_map(
+            F.lit("n"), F.count(F.lit(1)),
+            F.lit("users"), F.countDistinct("user_id"),
+        ).alias("stats")
+    )
+    return agg.select(
+        "event_type",
+        F.element_at("stats", "n").alias("n"),
+        F.element_at("stats", "users").alias("users"),
+        F.size(F.map_keys("stats")).cast("int").alias("n_keys"),
     )

@@ -134,3 +134,45 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), PRICE_SCALE).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH target AS (SELECT p_partkey, p_type FROM part WHERE p_size = 10)
+    SELECT p_partkey, s_suppkey, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM target, lineitem, supplier
+    WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      AND s_acctbal = (
+          SELECT MAX(s2.s_acctbal)
+          FROM lineitem l2 JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+          WHERE l2.l_partkey = p_partkey
+      )
+    GROUP BY p_partkey, s_suppkey, s_acctbal
+    """,
+)
+def q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated aggregate subquery selecting the extreme-value
+    partner per key (here: the richest supplier that ships each size-10
+    part). Equality against MAX picks identical doubles — engine-safe."""
+    spark_tables = {
+        "t_part_q2": load_table(spark, sf_dir, "part"),
+        "t_li_q2": load_table(spark, sf_dir, "lineitem"),
+        "t_supp_q2": load_table(spark, sf_dir, "supplier"),
+    }
+    for name, df in spark_tables.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH target AS (SELECT p_partkey, p_type FROM t_part_q2 WHERE p_size = 10)
+        SELECT p_partkey, s_suppkey, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM target, t_li_q2, t_supp_q2
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND s_acctbal = (
+              SELECT MAX(s2.s_acctbal)
+              FROM t_li_q2 l2 JOIN t_supp_q2 s2 ON l2.l_suppkey = s2.s_suppkey
+              WHERE l2.l_partkey = p_partkey
+          )
+        GROUP BY p_partkey, s_suppkey, s_acctbal
+        """
+    )
