@@ -31,13 +31,19 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q18_large_volume_orders",
     "agg_rollup",
+    "subq_correlated_scalar",
     "window_topk_per_segment",
     "window_running_totals",
+    "udf_grouped_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "events_sessionize",
     "events_tumbling_hourly",
 ]

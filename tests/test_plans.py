@@ -97,3 +97,36 @@ def test_events_scan_prunes_binaryish_columns(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id")
     plan = _plan(ev)
     assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing on the join key co-locates both sides: the sort-merge join
+    plans with ZERO Exchange — the 100 TB fact-fact join pattern (bucket
+    once at write time, join shuffle-free forever after)."""
+    from tmdb_movie_data_pipeline_spark.io import load_table
+
+    # (warehouse dir is a static conf — bucketed tables land in the default
+    # spark-warehouse and are dropped below)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            "b_orders"
+        )
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "b_lineitem"
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(joined)
+        assert _nodes(plan, "SortMergeJoin") == 1
+        assert _nodes(plan, "Exchange") == 0  # co-located: no shuffle at all
+        # sanity: result matches the unbucketed join
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -190,3 +190,58 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stream(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    # batch twin: interval join — every (purchase, prior-view-within-1h) pair
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user views within
+    the preceding hour. Watermarks bound both join states; the time-range
+    condition lets Spark expire rows — the canonical streaming enrichment.
+    Inner joins emit eagerly, so over static input the append-mode sink
+    holds exactly the batch interval-join result.
+    """
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    out = _run_to_completion(joined, "append")
+    return out.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("v_ts").alias("view_us"),
+    )
