@@ -179,3 +179,48 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Kill a streaming query mid-stream and restart from its checkpoint:
+    the restarted query must process exactly the remaining input — no
+    reprocessing, no loss (the reference's month-checkpoint resume,
+    src/movie.py:208-222, as Structured Streaming's WAL)."""
+    import os
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+
+    def add_file(n, val):
+        spark.createDataFrame([(n, val)], "k long, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def start():
+        return (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    add_file(1, 10)
+    add_file(2, 20)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # new data arrives while the query is down
+    add_file(3, 30)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = sorted((r.k, r.v) for r in spark.read.parquet(out_dir).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]  # each input exactly once
