@@ -245,3 +245,71 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_custs"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "agg_stats_exact",
+    # variance/stddev/corr derived from exact integer power sums:
+    # every input to the final float arithmetic is an exact int64, and the
+    # float steps are written in the identical order on both sides — so the
+    # statistics are bit-equal without touching builtin stddev/corr (whose
+    # accumulation order is engine-internal).
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT)                                   AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)  AS sx,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                        * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)
+                        * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS syy,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                        * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0   AS var_qty,
+           SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0    AS stddev_qty,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))     AS corr_qty_disc
+    FROM sums
+    """,
+)
+def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation from exact integer power sums
+    (n, Σx, Σx², Σy, Σy², Σxy). Builtin stddev/corr stream floats in
+    engine-specific order; the power-sum form is order-independent and its
+    final float expression is evaluated identically by both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    qy = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(qy).alias("sy"),
+        F.sum(qy * qy).alias("syy"),
+        F.sum(qx * qy).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_num = n * sxx - sx * sx
+    var_den = n * (F.col("n") - 1).cast("double")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (var_num / var_den / F.lit(10000.0)).alias("var_qty"),
+        (F.sqrt(var_num / var_den) / F.lit(100.0)).alias("stddev_qty"),
+        ((n * sxy - sx * sy) / F.sqrt(var_num * (n * syy - sy * sy))).alias("corr_qty_disc"),
+    )

@@ -184,3 +184,64 @@ def dedup_keepfirst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("first_ts_us"),
         "event_type",
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(s_acctbal, 2) AS acctbal,
+           CAST(COUNT(*) OVER (ORDER BY s_acctbal
+                               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+                AS BIGINT) AS peers_within_500
+    FROM supplier
+    """,
+)
+def range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): peers whose balance is within ±500
+    — distinct from ROWS frames (which count physical neighbors)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal")).rangeBetween(-500, 500)
+    return s.select(
+        "s_suppkey",
+        round2(F.col("s_acctbal")).alias("acctbal"),
+        F.count(F.lit(1)).over(w).cast("long").alias("peers_within_500"),
+    )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ROUND(FIRST_VALUE(c_acctbal) OVER w, 2)              AS seg_richest,
+           ROUND(LAST_VALUE(c_acctbal) OVER
+                 (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                                                                AS seg_poorest,
+           ROUND(NTH_VALUE(c_acctbal, 2) OVER
+                 (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                                                                AS seg_second,
+           ROUND(PERCENT_RANK() OVER w, 9)                      AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9)                         AS cume
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + percent_rank/cume_dist. percent_rank is
+    (rank-1)/(n-1) of exact ints — one IEEE division, rounded identically
+    on both sides only as belt-and-braces (values are already bit-equal)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        round2(F.first("c_acctbal").over(w)).alias("seg_richest"),
+        round2(F.last("c_acctbal").over(w_full)).alias("seg_poorest"),
+        round2(F.nth_value("c_acctbal", 2).over(w_full)).alias("seg_second"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
