@@ -293,3 +293,77 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.0375)
     )
+
+
+HAMMING_MAX = 6
+_N_BANDS_SH = 4  # 4 bytes of the 32-bit sketch; hamming ≤ 6 < 8 ⇒ by
+# pigeonhole at least one byte matches exactly → byte-equality candidates
+# have perfect recall for the radius (the standard hamming-ball banding)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sk AS ({_SIMHASH_ORACLE.strip()}),
+    bands AS (
+        SELECT doc_id, simhash, band_idx,
+               (simhash // CAST(POWER(256, band_idx) AS BIGINT)) % 256 AS band_val
+        FROM sk, (SELECT UNNEST(range(0, {_N_BANDS_SH})) AS band_idx)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+    """,
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming-ball banding (byte-equality
+    candidates — pigeonhole guarantees recall for hamming ≤ 6 over 4 bands)
+    then exact popcount(xor) verification.
+
+    Scale shape: the band join is an equi-join on (band, byte) — candidate
+    generation is O(collisions); the 2^32 sketch space keeps random
+    collisions rare, so no O(n²) stage exists.
+    """
+    sketches = simhash_docs(spark, sf_dir)
+    band_vals = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                ((F.col("simhash") / F.lit(256**b)).cast("long") % 256).alias("band_val"),
+            )
+            for b in range(_N_BANDS_SH)
+        ])
+    )
+    bands = sketches.select("doc_id", "simhash", band_vals.alias("bv")).select(
+        "doc_id", "simhash", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
