@@ -176,3 +176,320 @@ def q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_partkey, s_suppkey, s_acctbal
         """
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {qsum_sql("l_extendedprice * (1 - l_discount)", PRICE_SCALE)} AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bidirectional nation-pair trade volume — OR of symmetric
+    predicates over two broadcast dimension joins + year rollup."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), PRICE_SCALE).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    # market share = target nation's revenue / all revenue per year — a
+    # ratio of two exact quantized sums (one IEEE division)
+    oracle="""
+    WITH flows AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol,
+               n_name
+        FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM flows
+    GROUP BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    flows = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol.alias("vol"), "n_name")
+    )
+    return flows.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("n_name") == "NATION_3", F.col("vol")).otherwise(0)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {qsum_sql("l_extendedprice * (1 - l_discount)", PRICE_SCALE)} AS revenue,
+           n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by returned-item revenue (join + agg +
+    TakeOrderedAndProject; deterministic tie-break on custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), PRICE_SCALE).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'TYPE_1%'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE) * 100.0
+           / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS DOUBLE) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share — LIKE-classified conditional sum over
+    a broadcast join, emitted as an exact ratio × 100."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type").like("TYPE_1%"), vol).otherwise(0)).cast("double")
+            * 100.0
+            / F.sum(vol).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                    AS BIGINT) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    aggregate view + equality against its own MAX (exact ints: the winner
+    set is engine-independent even under ties)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(F.sum(vol).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        s.join(rev, s.s_suppkey == rev.suppkey)
+        .join(F.broadcast(mx), F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts with a NOT IN exclusion list
+    (anti-join against a filtered dimension)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10, 13)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_part_supply_chain",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 50 * 100
+    )
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN chains (suppliers shipping enough of the matching
+    parts) — two semi-join levels above an exact-int HAVING."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("t_supp_q20")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("t_li_q20")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("t_part_q20")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM t_supp_q20
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM t_li_q20
+            WHERE l_partkey IN (SELECT p_partkey FROM t_part_q20 WHERE p_name LIKE '%bolt%')
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > 50 * 100
+        )
+        """
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH positive AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_bal_cents
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
+    FROM customer, positive
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > avg_bal_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 480000)
+    GROUP BY c_nationkey
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no very large (>480k)
+    order — scalar-average subquery (exact cents) + NOT EXISTS anti-join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(cents).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_bal_cents"
+            )
+        )
+    )
+    return (
+        c.withColumn("bal_cents", cents)
+        .join(F.broadcast(avg_bal), F.col("bal_cents").cast("double") > F.col("avg_bal_cents"))
+        .join(
+            o.filter(F.col("o_totalprice") > 480000),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+    )
