@@ -151,3 +151,76 @@ def test_datasource_end_to_end_normalize(spark, tmp_path):
     movies = normalize_movies(raw, "https://cdn/", "w500", {28: "Action"})
     deduped = keep_first(movies, ["tmdb_id"], [F.desc("popularity")])
     assert deduped.count() == 2  # A1 dedup semantics (movie.py:275)
+
+
+def test_http_transport_against_local_server(spark):
+    """Exercise the REAL HTTP path (_http_transport + DataSource) against an
+    in-process localhost server: first request per page 429s with
+    Retry-After, then 503s once, then succeeds — the full S2 ladder."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse
+
+    hits = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            page = int(q["page"][0])
+            hits[page] = hits.get(page, 0) + 1
+            if hits[page] == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "0")
+                self.end_headers()
+                return
+            if hits[page] == 2:
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = _json.dumps(
+                {
+                    "total_pages": 2,
+                    "results": [
+                        {"id": page * 10, "title": f"p{page}", "genre_ids": [28],
+                         "vote_count": 1, "popularity": 1.0, "adult": False}
+                    ],
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from tmdb_movie_data_pipeline_spark.sources.rest import (
+            PagedRestDataSource,
+            RetryPolicy,
+            _http_transport,
+            fetch_window,
+        )
+
+        transport = _http_transport(
+            {"base_url": f"http://127.0.0.1:{port}", "bearer_token": "t"}
+        )
+        rows = list(
+            fetch_window(
+                transport,
+                "2023-01-01",
+                "2023-01-31",
+                retry=RetryPolicy(sleep=lambda s: None),
+            )
+        )
+        assert [r["id"] for r in rows] == [10, 20]
+        # each page: 429 → 503 → 200 = exactly 3 hits, no over-retry
+        assert hits == {1: 3, 2: 3}
+    finally:
+        srv.shutdown()

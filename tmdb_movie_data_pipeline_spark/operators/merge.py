@@ -1,0 +1,123 @@
+"""MERGE / SCD2 emulation (SURVEY.md §2.9; pyspark_guide "CDC / SCD2").
+
+No Delta/Iceberg jars in this image, so MERGE INTO is emulated with the
+classic relational decomposition — which is also exactly what those table
+formats execute underneath:
+
+* **upsert** (MERGE matched→update, not-matched→insert):
+  ``target ANTI JOIN source  UNION ALL  source`` — one anti-join + union,
+  no row-by-row logic;
+* **SCD2 intervals**: change events → validity windows via lead() over the
+  change timestamp — the history table a MERGE-based SCD2 maintains
+  incrementally, built here in one pass.
+
+Scale notes: upsert shuffles both sides once on the key (or zero times if
+both are bucketed on it — see test_bucketed_join_avoids_shuffle); SCD2 is
+one shuffle on the entity key + an ordered scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import round2
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["merge_upsert", "scd2_intervals"]
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Full-row upsert: source rows win on key collision, unmatched target
+    rows survive. Equivalent to MERGE ... WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *."""
+    kept = target.join(source.select(key), on=key, how="left_anti")
+    return kept.unionByName(source)
+
+
+def scd2_intervals(
+    changes: DataFrame, key: str, ts_col: str, val_cols: list[str]
+) -> DataFrame:
+    """Change stream → SCD2 history: each change opens a validity interval
+    closed by the next change of the same key (NULL = current)."""
+    w = W.partitionBy(key).orderBy(F.asc(ts_col))
+    return changes.select(
+        key,
+        *val_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH source AS (
+        SELECT c_custkey, CONCAT(c_name, '*') AS c_name,
+               ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT 1000000 + n_nationkey, CONCAT('new-', n_name),
+               CAST(0.0 AS DOUBLE), 'NEW' FROM nation
+    ),
+    kept AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM source
+    """,
+)
+def upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation: every 7th customer updated (name tagged, +100
+    balance), 25 synthetic rows inserted; untouched rows pass through."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", round2(F.col("c_acctbal")).alias("c_acctbal"), "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+        round2(F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = n.select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("long").alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("n_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(c, updates.unionByName(inserts), "c_custkey")
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, event_type, ROUND(value, 4) AS value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT user_id, value, valid_from_us, valid_to_us,
+           CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+    FROM hist
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history over the purchase change-stream: validity intervals per
+    user, open-ended for the latest state."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = scd2_intervals(ev, "user_id", "ts", ["value"])
+    return out.select(
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )

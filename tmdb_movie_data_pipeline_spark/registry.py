@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         dedup,
         events,
         joins,
+        merge,
         multimodal,
         normalize,
         scalars,

@@ -205,6 +205,7 @@ def _http_transport(opts: dict) -> Callable[[dict], dict]:  # pragma: no cover
     """Real HTTP transport: one session per partition (reference keeps one
     per process, src/movie.py:82-83). Imported lazily — offline images never
     touch it."""
+    import urllib.error
     import urllib.parse
     import urllib.request
 
