@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         dedup,
         events,
         joins,
+        llm_prep,
         merge,
         multimodal,
         normalize,
