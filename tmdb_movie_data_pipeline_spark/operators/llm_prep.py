@@ -131,3 +131,110 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ws_tokens").cast("int").alias("min_tokens"),
         F.max("ws_tokens").cast("int").alias("max_tokens"),
     )
+
+
+# -- decontamination ----------------------------------------------------------
+
+_DECON_NGRAM = 8  # word 8-grams: the standard exact-overlap decontamination unit
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id < 5
+    ),
+    bench_grams AS (
+        SELECT DISTINCT UNNEST([array_to_string(toks[i:i+{_DECON_NGRAM - 1}], ' ')
+                        for i in range(1, GREATEST(len(toks) - {_DECON_NGRAM - 2}, 2))]) AS gram
+        FROM bench
+    ),
+    corpus AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id >= 5
+    ),
+    corpus_grams AS (
+        SELECT doc_id, UNNEST([array_to_string(toks[i:i+{_DECON_NGRAM - 1}], ' ')
+                       for i in range(1, GREATEST(len(toks) - {_DECON_NGRAM - 2}, 2))]) AS gram
+        FROM corpus
+    )
+    SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_contaminated_grams
+    FROM corpus_grams
+    WHERE gram IN (SELECT gram FROM bench_grams)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    8-gram with the benchmark set (here: doc_id < 5 stand in for a held-out
+    eval set).
+
+    Physical shape: benchmark grams are tiny → broadcast; the corpus side
+    explodes its grams once and semi-joins — O(corpus grams), no pair blowup.
+    At 100 TB the benchmark side stays a broadcast (eval sets are small by
+    definition), so the plan shape is scale-invariant.
+    """
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = _DECON_NGRAM
+
+    def grams(df: DataFrame) -> DataFrame:
+        toked = df.select("doc_id", tokens_col().alias("toks"))
+        return toked.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("gram"),
+        )
+
+    bench_grams = grams(docs.filter(F.col("doc_id") < 5)).select("gram").distinct()
+    corpus_grams = grams(docs.filter(F.col("doc_id") >= 5))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                '\d{3}[-. ]\d{3,4}[-. ]\d{4}', '<PHONE>', 'g'),
+                '\d{6,}', '<NUM>', 'g'))                        AS scrubbed_md5,
+           CAST(length(text) - length(regexp_replace(text, '\d', '', 'g'))
+                AS INTEGER)                                      AS n_digits
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email / phone / long-number redaction as chained
+    regexp_replace — pure codegen'd expressions (the hash of the scrubbed
+    text is emitted so the oracle verifies the exact rewrite)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\d{3}[-. ]\d{3,4}[-. ]\d{4}",
+            "<PHONE>",
+        ),
+        r"\d{6,}",
+        "<NUM>",
+    )
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", r"\d", ""))
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        n_digits.cast("int").alias("n_digits"),
+    )
