@@ -224,3 +224,69 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
 
     rows = sorted((r.k, r.v) for r in spark.read.parquet(out_dir).collect())
     assert rows == [(1, 10), (2, 20), (3, 30)]  # each input exactly once
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Streaming ingest dedup: batch 2's exact and near duplicates of batch 1
+    documents are rejected; novel documents are admitted — without ever
+    re-scanning the accumulated corpus."""
+    from tmdb_movie_data_pipeline_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "changed")  # high-jaccard near-dup of base
+    novel = " ".join(f"zz{i}" for i in range(60))
+
+    ded = IncrementalDeduper(spark, str(tmp_path / "state"))
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base), (3, "something else entirely " * 10)],
+        "doc_id long, text string",
+    )
+    ded.process_batch(b1, 0)
+    assert {r.doc_id for r in ded.admitted().collect()} == {1, 3}  # 2 = exact dup
+
+    b2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, novel)], "doc_id long, text string"
+    )
+    ded.process_batch(b2, 1)
+    got = {r.doc_id for r in ded.admitted().collect()}
+    assert 10 not in got  # exact dup vs state
+    assert 11 not in got  # near dup vs state (band collision)
+    assert 12 in got  # novel admitted
+    assert got == {1, 3, 12}
+
+
+def test_incremental_dedup_driven_by_stream(spark, tmp_path):
+    """Same deduper attached to a real file stream via foreachBatch."""
+    import os
+
+    from tmdb_movie_data_pipeline_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    text = " ".join(f"w{i}" for i in range(40))
+    spark.createDataFrame([(1, text)], "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(2, text), (3, "fresh " * 30)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    ded = IncrementalDeduper(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = ded.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in ded.admitted().collect()}
+    assert 1 in got and 3 in got
+    assert 2 not in got  # duplicate arriving in a later micro-batch rejected
