@@ -335,3 +335,30 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("stats", "users").alias("users"),
         F.size(F.map_keys("stats")).cast("int").alias("n_keys"),
     )
+
+
+@register(
+    "array_posexplode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+        FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id,
+           CAST(UNNEST(range(1, len(toks) + 1)) AS INTEGER) AS pos,
+           UNNEST(toks)                                     AS token
+    FROM t
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode / LATERAL VIEW with ordinality: element + 1-based position
+    (token order is meaningful downstream — n-grams, positional features)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    toked = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ").alias("toks"),
+    )
+    return toked.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
