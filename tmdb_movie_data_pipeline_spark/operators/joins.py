@@ -225,15 +225,26 @@ def semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    )
     GROUP BY c_mktsegment
     """,
 )
 def anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join; same primitive as the reference's
-    checkpoint skip (J2, src/movie.py:257-264)."""
+    checkpoint skip (J2, src/movie.py:257-264).
+
+    The inner side is restricted to 1995 orders so the anti-join output is
+    NON-empty at every SF (every testdata customer has some order, so an
+    unfiltered NOT EXISTS matches zero rows — a vacuous pass;
+    VERDICT r1 "What's wrong" #3)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

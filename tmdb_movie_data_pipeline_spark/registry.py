@@ -40,14 +40,83 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's correctness harness verified exactly the FIRST 50 registry
+# entries in round 1 (CORRECTNESS_r01.json), leaving 43 registered queries
+# without a row. Coverage is therefore ROTATED: names listed here surface
+# first (in this order) so every query the driver has not yet verified —
+# plus any whose semantics changed this round — gets a row next run.
+# Remaining queries keep registration order behind them.
+_VERIFY_FIRST: list[str] = [
+    # round-1 unverified (CORRECTNESS_r01 had no row)
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "skew_salted_agg",
+    "subq_correlated_scalar",
+    "subq_in_filter",
+    "agg_percentiles",
+    "sort_global_topn",
+    "unpivot_measures",
+    "join_events_enrichment",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q20_part_supply_chain",
+    "q22_global_sales_opportunity",
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_apply_in_pandas",
+    "udtf_explode_buckets",
+    "window_topk_per_segment",
+    "window_running_totals",
+    "window_rank_ntile",
+    "window_frame_moving_avg",
+    "dedup_keepfirst_events",
+    "window_range_frame",
+    "window_value_functions",
+    "stream_tumbling_hourly",
+    "stream_dedup_within_watermark",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_stream_join",
+    # changed this round (round-1 row is stale)
+    "array_map_battery",
+    "join_anti_not_exists",
+    # new this round
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q21_suppliers_kept_waiting",
+    "delta_merge_upsert_read",
+]
+
+
+def _ordered(d: dict[str, Any]) -> dict[str, Any]:
+    first = {n: d[n] for n in _VERIFY_FIRST if n in d}
+    rest = {n: v for n, v in d.items() if n not in first}
+    return {**first, **rest}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False
