@@ -83,16 +83,19 @@ def qavg_over(c: Column, scale: int, window) -> Column:
 
 
 def qsum_sql(expr: str, scale: int) -> str:
-    """DuckDB oracle twin of ``qsum`` — identical operation order."""
+    """DuckDB oracle twin of ``qsum`` — identical operation order. The expr
+    is parenthesized before ``* scale`` so additive expressions quantize as
+    a whole (for multiplicative chains the parens don't change the
+    left-assoc parse tree, so prior oracles are bit-identical)."""
     return (
-        f"CAST(SUM(CAST(ROUND({expr} * {scale}) AS BIGINT)) AS DOUBLE)"
+        f"CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
         f" / CAST({scale} AS DOUBLE)"
     )
 
 
 def qavg_sql(expr: str, scale: int) -> str:
     return (
-        f"(CAST(SUM(CAST(ROUND({expr} * {scale}) AS BIGINT)) AS DOUBLE)"
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)) / CAST({scale} AS DOUBLE)"
     )
 
