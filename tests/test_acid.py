@@ -1,0 +1,95 @@
+"""Transactional-table protocol tests (plans/acid.py): atomic commit,
+optimistic concurrency with rebase, snapshot isolation / time travel,
+compaction, and crash-residue tolerance."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_movie_data_pipeline_spark.plans.acid import CommitConflict, TxTable
+
+
+def _mk(spark, tmp_path, rows=None):
+    df = spark.createDataFrame(
+        rows or [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    return TxTable.create(spark, str(tmp_path / "tbl"), df)
+
+
+def _content(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.latest_version() == 0
+    assert _content(t.read()) == [(1, "a", 10.0), (2, "b", 20.0)]
+
+
+def test_merge_commits_new_version_and_preserves_old(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(2, "b2", 22.0), (3, "c", 30.0)], "k long, name string, v double")
+    assert t.merge(src, "k") == 1
+    assert _content(t.read()) == [(1, "a", 10.0), (2, "b2", 22.0), (3, "c", 30.0)]
+    # snapshot isolation: version 0 is untouched by the merge
+    assert _content(t.read(0)) == [(1, "a", 10.0), (2, "b", 20.0)]
+    ops = [m["op"] for m in t.history()]
+    assert ops[0] == "CREATE" and ops[1].startswith("MERGE")
+
+
+def test_publish_is_put_if_absent(spark, tmp_path):
+    """Two writers racing for the same version: exactly one manifest wins."""
+    t = _mk(spark, tmp_path)
+    m = {"version": 1, "op": "X", "files": [], "schema_ddl": "k long"}
+    t._publish(dict(m))
+    with pytest.raises(CommitConflict):
+        t._publish(dict(m))
+    # the loser's tmp file must not linger
+    residue = [n for n in os.listdir(t._log_path()) if n.startswith(".tmp-")]
+    assert residue == []
+
+
+def test_merge_rebases_after_conflicting_commit(spark, tmp_path):
+    """A competing commit lands between a writer's read and its publish; the
+    writer must rebase onto the winner's snapshot, so BOTH changes land."""
+    t = _mk(spark, tmp_path)
+    other = TxTable(spark, t.path)
+    competing = spark.createDataFrame([(3, "c", 30.0)], "k long, name string, v double")
+    fired = {"done": False}
+
+    def interleave():
+        if not fired["done"]:
+            fired["done"] = True
+            other.merge(competing, "k")
+
+    src = spark.createDataFrame([(1, "a2", 11.0)], "k long, name string, v double")
+    v = t.merge(src, "k", _test_hook=interleave)
+    assert v == 2  # rebased past the competing version 1
+    assert _content(t.read()) == [(1, "a2", 11.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_optimize_same_content_fewer_files(spark, tmp_path):
+    rows = [(i, f"n{i}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, name string, v double").repartition(8)
+    t = TxTable.create(spark, str(tmp_path / "tbl"), df)
+    before = _content(t.read())
+    n_before = len(t.manifest(t.latest_version())["files"])
+    assert n_before > 1
+    t.optimize(target_files=1)
+    assert len(t.manifest(t.latest_version())["files"]) == 1
+    assert _content(t.read()) == before
+
+
+def test_uncommitted_stage_dirs_are_invisible(spark, tmp_path):
+    """A crashed writer leaves staged data but no manifest: readers never
+    see it, and the next version number is unaffected."""
+    t = _mk(spark, tmp_path)
+    orphan = spark.createDataFrame([(9, "z", 99.0)], "k long, name string, v double")
+    t._stage(orphan, 1)  # staged, never published — a simulated crash
+    assert _content(t.read()) == [(1, "a", 10.0), (2, "b", 20.0)]
+    src = spark.createDataFrame([(3, "c", 30.0)], "k long, name string, v double")
+    assert t.merge(src, "k") == 1
+    assert (3, "c", 30.0) in _content(t.read())

@@ -121,3 +121,120 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",
     )
+
+
+# -- transactional (Delta-shaped) upsert -------------------------------------
+
+
+def _tx_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        round2(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def _tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tx_base(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    updates = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("+")).alias("c_name"),
+        round2(F.col("c_acctbal") + 50).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = n.select(
+        (F.lit(2000000) + F.col("n_nationkey")).cast("long").alias("c_custkey"),
+        F.concat(F.lit("tx-"), F.col("n_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("TX").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+_TX_SOURCE_SQL = """
+        SELECT c_custkey, CONCAT(c_name, '+') AS c_name,
+               ROUND(ROUND(c_acctbal, 2) + 50, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT 2000000 + n_nationkey, CONCAT('tx-', n_name),
+               CAST(0.0 AS DOUBLE), 'TX' FROM nation
+"""
+
+
+def _tx_table_path() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="txtable_")
+
+
+@register(
+    "delta_merge_upsert_read",
+    oracle=f"""
+    WITH source AS ({_TX_SOURCE_SQL}),
+    kept AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM source
+    """,
+)
+def delta_merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE round-trip (the Delta-shaped path, plans/acid.py):
+    CREATE v0 from the customer base, MERGE an update+insert source as an
+    atomically committed v1, then snapshot-read v1 back from its manifest.
+    The rows returned have physically been through the parquet commit, not
+    just a logical plan — this is the oracle-checked proof that the
+    stage-invisible → put-if-absent publish protocol preserves content."""
+    from ..plans.acid import TxTable
+
+    t = TxTable.create(spark, _tx_table_path(), _tx_base(spark, sf_dir))
+    t.merge(_tx_source(spark, sf_dir), "c_custkey")
+    return t.read()
+
+
+@register(
+    "delta_time_travel_stats",
+    oracle=f"""
+    WITH source AS ({_TX_SOURCE_SQL}),
+    v0 AS (
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM customer
+    ),
+    v1 AS (
+        SELECT c_custkey, c_acctbal FROM source
+        UNION ALL
+        SELECT c_custkey, c_acctbal FROM v0
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    )
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM v0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM v1
+    """,
+)
+def delta_time_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after CREATE + MERGE, read BOTH versions by manifest and
+    aggregate each — v0 must still be the pre-merge table (immutable files,
+    snapshot isolation), v1 the post-merge state."""
+    from ..plans.acid import TxTable
+
+    t = TxTable.create(spark, _tx_table_path(), _tx_base(spark, sf_dir))
+    t.merge(_tx_source(spark, sf_dir), "c_custkey")
+
+    def stats(version: int) -> DataFrame:
+        return t.read(version).agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+
+    return stats(0).unionByName(stats(1))

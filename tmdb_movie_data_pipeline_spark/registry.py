@@ -100,6 +100,7 @@ _VERIFY_FIRST: list[str] = [
     "q11_important_stock",
     "q21_suppliers_kept_waiting",
     "delta_merge_upsert_read",
+    "delta_time_travel_stats",
 ]
 
 
