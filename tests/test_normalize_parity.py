@@ -76,7 +76,9 @@ def test_missing_fields_become_nulls(spark):
     r = (3, None, None, None, None, None, None, None, None, None, None, None)
     row = normalize_movies(_raw(spark, [r]), BASE, SIZE, GENRES).first()
     assert row.title is None and row.release_date is None
-    assert row.genres is None  # null array → null string (array_join of NULL)
+    # null genre_ids → '' — the reference's falsy check (`or []`) treats
+    # missing and empty lists alike (src/movie.py:196-197; ADVICE r1)
+    assert row.genres == ""
 
 
 def test_empty_genre_map(spark):

@@ -77,3 +77,81 @@ def test_backfill_end_to_end(spark, tmp_path):
     # resume: everything checkpointed → no work (J2/R4)
     stats2 = run_backfill(spark, **args)
     assert stats2 == {"months_run": 0, "rows": 0}
+
+
+def test_backfill_mid_month_date_to_keeps_final_window(spark, tmp_path):
+    """A non-month-aligned --to clamps the final window (2023-02-01..
+    2023-02-15). Rows fetched by that window — including one with a NULL
+    release_date — must land in the output and the checkpoint, because unit
+    attribution is by fetch-window provenance, not re-derived from
+    release_date (ADVICE r1, high)."""
+    fixtures = tmp_path / "fx"
+    fixtures.mkdir()
+    _write_fixture(
+        fixtures, "2023-01-01", "2023-01-31", [_movie(1, "2023-01-10", 50.0)]
+    )
+    nodate = _movie(3, None, 5.0, "undated")
+    _write_fixture(
+        fixtures, "2023-02-01", "2023-02-15",
+        [_movie(2, "2023-02-10", 30.0), nodate],
+    )
+
+    out = tmp_path / "out"
+    args = dict(
+        date_from="2023-01-01",
+        date_to="2023-02-15",
+        out_dir=str(out),
+        checkpoint_path=str(tmp_path / "ckpt.json"),
+        genre_map={28: "Action"},
+        image_base="https://cdn/",
+        poster_size="w500",
+        source_options={"fixture_dir": str(fixtures)},
+    )
+    stats = run_backfill(spark, **args)
+    assert stats["months_run"] == 2
+    assert stats["rows"] == 3  # clamped-window rows NOT dropped
+
+    master = spark.read.parquet(str(out / "master_parquet"))
+    got = {r.tmdb_id: r for r in master.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3].release_date is None  # null release_date survives
+
+    done = json.loads((tmp_path / "ckpt.json").read_text())["done_units"]
+    assert "2023-02-01_2023-02-15" in done
+    # resume is a no-op — the clamped window was committed, not lost
+    assert run_backfill(spark, **args) == {"months_run": 0, "rows": 0}
+
+
+def test_backfill_rerun_month_does_not_wipe_other_partitions(spark, tmp_path):
+    """Dynamic partition overwrite is set on the writer itself: re-running
+    one month must not delete other months' committed partitions even on a
+    session without partitionOverwriteMode=dynamic (ADVICE r1, medium)."""
+    fixtures = tmp_path / "fx"
+    fixtures.mkdir()
+    _write_fixture(
+        fixtures, "2023-01-01", "2023-01-31", [_movie(1, "2023-01-10", 50.0)]
+    )
+    _write_fixture(
+        fixtures, "2023-02-01", "2023-02-28", [_movie(2, "2023-02-10", 30.0)]
+    )
+    out = tmp_path / "out"
+    common = dict(
+        out_dir=str(out),
+        genre_map={28: "Action"},
+        image_base="https://cdn/",
+        poster_size="w500",
+        source_options={"fixture_dir": str(fixtures)},
+    )
+    # run 1 commits January under ckpt A
+    run_backfill(
+        spark, date_from="2023-01-01", date_to="2023-01-31",
+        checkpoint_path=str(tmp_path / "ckptA.json"), **common,
+    )
+    # run 2 commits February under a FRESH checkpoint: with static overwrite
+    # this would wipe January's partition from monthly_parts
+    run_backfill(
+        spark, date_from="2023-02-01", date_to="2023-02-28",
+        checkpoint_path=str(tmp_path / "ckptB.json"), **common,
+    )
+    parts = spark.read.parquet(str(out / "monthly_parts"))
+    assert {r.tmdb_id for r in parts.collect()} == {1, 2}

@@ -44,7 +44,8 @@ def main(argv=None) -> int:
     logging.basicConfig(level=args.log_level, format="%(asctime)s %(levelname)s %(message)s")
     log = logging.getLogger("tmdb_pipeline")
 
-    src_opts: dict[str, str] = {}
+    src_opts: dict[str, str] = {"language": args.lang}
+    genre_map: dict[int, str] = {}
     if args.fixture_dir:
         src_opts["fixture_dir"] = args.fixture_dir
     elif args.base_url:
@@ -53,6 +54,11 @@ def main(argv=None) -> int:
             log.error("live mode needs a bearer token in $%s", args.bearer_env)
             return 2
         src_opts.update({"base_url": args.base_url, "bearer_token": token})
+        # live mode loads the genre dimension before the month windows run,
+        # localized like every other request (reference src/movie.py:132-142)
+        from .sources.rest import fetch_genre_map
+
+        genre_map = fetch_genre_map(args.base_url, token, args.lang)
     else:
         log.error("pass --fixture-dir (offline) or --base-url (live)")
         return 2
@@ -65,9 +71,6 @@ def main(argv=None) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name="tmdb_backfill")
-    # live mode would fetch the genre map + CDN config here (reference
-    # src/movie.py:132-142); offline fixtures carry genre ids only.
-    genre_map: dict[int, str] = {}
     stats = run_backfill(
         spark,
         date_from=args.date_from,

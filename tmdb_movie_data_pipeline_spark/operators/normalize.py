@@ -49,29 +49,33 @@ def normalize_movies(
     image_base: str,
     poster_size: str,
     genre_map: dict[int, str],
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """P1-P7: defensive field extraction, genre lookup+join, pipe-joined
-    genre string ('' on empty — src/movie.py:197), conditional poster URL
-    concat (NULL-propagating — src/movie.py:190-191), fixed column order
-    (src/movie.py:26-30)."""
+    genre string ('' on empty OR null genre_ids — the reference's falsy
+    check, src/movie.py:197), conditional poster URL concat (None on null
+    OR empty poster_path — falsy check, src/movie.py:190-191), fixed column
+    order (src/movie.py:26-30). ``passthrough`` appends raw columns (e.g.
+    the source's provenance ``_window_key``) after the contract columns."""
     names = _genre_lookup(genre_map)
     out = raw.select(
         F.col("id").cast("long").alias("tmdb_id"),
         F.col("title").alias("title"),
         F.col("original_title").alias("original_title"),
         F.col("release_date").alias("release_date"),
-        F.array_join(names, "|").alias("genres"),
+        F.coalesce(F.array_join(names, "|"), F.lit("")).alias("genres"),
         F.col("vote_average").cast("double").alias("vote_average"),
         F.col("vote_count").cast("long").alias("vote_count"),
         F.col("popularity").cast("double").alias("popularity"),
         F.col("original_language").alias("original_language"),
         F.col("overview").alias("overview"),
         F.when(
-            F.col("poster_path").isNotNull(),
+            F.col("poster_path").isNotNull() & (F.col("poster_path") != ""),
             F.concat(F.lit(image_base), F.lit(poster_size), F.col("poster_path")),
         ).alias("poster_url"),
+        *[F.col(c) for c in passthrough],
     )
-    return out.select(*MOVIE_COLS)
+    return out.select(*MOVIE_COLS, *passthrough)
 
 
 def genres_pipe_view(df: DataFrame, genres_array_col: str = "genres") -> DataFrame:
@@ -89,6 +93,10 @@ _FIXTURE_ROWS = [
     (2, "No Poster", "No Poster OT", "2023-07-01", [28], 6.0, 50, 10.0, "en", "No poster here.", None),
     (3, "Unknown Genre", "Unknown Genre OT", "2023-07-02", [9999], 5.5, 20, 5.0, "fr", "Mystery genre.", "/p3.jpg"),
     (4, "Empty Genres", "Empty Genres OT", "2023-07-03", [], 4.0, 10, 2.0, "de", "Nothing at all.", "/p4.jpg"),
+    # edge parity rows (ADVICE r1): null genre_ids → '' genres (falsy check,
+    # src/movie.py:197); empty-string poster_path → no URL (src/movie.py:190)
+    (5, "Null Genres", "Null Genres OT", "2023-07-04", None, 3.0, 5, 1.0, "it", "No genre list.", "/p5.jpg"),
+    (6, "Blank Poster", "Blank Poster OT", "2023-07-05", [35], 2.0, 3, 0.5, "es", "Poster is blank.", ""),
 ]
 
 _GENRE_MAP = {28: "Action", 35: "Comedy"}
@@ -99,7 +107,11 @@ _POSTER_SIZE = "w500"
 def _fixture_values_sql() -> str:
     rows = []
     for r in _FIXTURE_ROWS:
-        genre_arr = "[" + ", ".join(str(g) for g in r[4]) + "]"
+        genre_arr = (
+            "CAST(NULL AS BIGINT[])"
+            if r[4] is None
+            else "[" + ", ".join(str(g) for g in r[4]) + "]"
+        )
         poster = "NULL" if r[10] is None else f"'{r[10]}'"
         rows.append(
             f"({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}', {genre_arr}, {r[5]}, {r[6]},"
@@ -133,7 +145,7 @@ def _fixture_values_sql() -> str:
            CAST(popularity AS DOUBLE)            AS popularity,
            original_language,
            overview,
-           CASE WHEN poster_path IS NOT NULL
+           CASE WHEN poster_path IS NOT NULL AND poster_path <> ''
                 THEN '{_IMAGE_BASE}' || '{_POSTER_SIZE}' || poster_path
                 ELSE NULL END                    AS poster_url
     FROM looked

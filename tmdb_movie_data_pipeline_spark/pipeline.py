@@ -75,20 +75,35 @@ def run_backfill(
         .option("date_to", hi)
         .load()
     )
-    movies = normalize_movies(raw, image_base, poster_size, genre_map)
+    # unit attribution by provenance: every source row carries the window
+    # that fetched it (_window_key), so clamped final windows and null
+    # release dates land in exactly the checkpointed unit — deriving the
+    # key from release_date would silently drop both (ADVICE r1, high)
+    movies = normalize_movies(
+        raw, image_base, poster_size, genre_map, passthrough=("_window_key",)
+    ).withColumnRenamed("_window_key", "unit_key")
     # A1: per-month dedup, survivor = highest popularity then lowest id
     movies = keep_first(
-        movies.withColumn("unit_key", _month_key(F.col("release_date"))),
+        movies,
         ["unit_key", "tmdb_id"],
         [F.desc("popularity"), F.asc("tmdb_id")],
     )
     movies = movies.filter(F.col("unit_key").isin(todo_keys))
-    rows = movies.count()
-    (
-        movies.write.mode("overwrite")
-        .partitionBy("unit_key")
-        .parquet(f"{out_dir}/monthly_parts")
-    )
+    # one materialization feeds both the count and the write: without it,
+    # every TMDB page would be fetched twice per run (ADVICE r1, medium)
+    movies = movies.persist()
+    try:
+        rows = movies.count()
+        (
+            movies.write.mode("overwrite")
+            # per-writer so correctness never depends on session conf:
+            # only the pending unit partitions are replaced (ADVICE r1)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("unit_key")
+            .parquet(f"{out_dir}/monthly_parts")
+        )
+    finally:
+        movies.unpersist()
     prior = [r.unit_key for r in done.collect()]
     save_done_keys(prior + todo_keys, checkpoint_path)
 
@@ -107,13 +122,3 @@ def run_backfill(
         .csv(f"{out_dir}/master_csv")
     )
     return {"months_run": len(todo_keys), "rows": rows}
-
-
-def _month_key(release_date: F.Column) -> F.Column:
-    """unit key = '<month_start>_<month_end>' of the release date — the
-    reference's checkpoint key format f"{a}_{b}" (movie.py:261)."""
-    start = F.trunc(F.to_date(release_date), "month")
-    end = F.last_day(F.to_date(release_date))
-    return F.concat_ws(
-        "_", F.date_format(start, "yyyy-MM-dd"), F.date_format(end, "yyyy-MM-dd")
-    )

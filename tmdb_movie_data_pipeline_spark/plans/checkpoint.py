@@ -81,6 +81,10 @@ def run_incremental_backfill(
         (
             keyed.filter(F.col("unit_key").isin(todo_keys))
             .write.mode("overwrite")
+            # per-writer, not session conf: a caller-supplied session without
+            # partitionOverwriteMode=dynamic must not wipe committed months
+            # (ADVICE r1, medium)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("unit_key")
             .parquet(out_path)
         )

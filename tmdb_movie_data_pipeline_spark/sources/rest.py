@@ -34,9 +34,23 @@ from datetime import date
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
+from pyspark.sql.types import StringType, StructField
+
 from ..schemas import RAW_MOVIE_SCHEMA
 
-__all__ = ["PagedRestDataSource", "month_windows", "fetch_window", "RetryPolicy"]
+__all__ = [
+    "PagedRestDataSource",
+    "SOURCE_SCHEMA",
+    "month_windows",
+    "fetch_window",
+    "RetryPolicy",
+]
+
+#: What the source emits: the raw API record plus the window that fetched it
+#: (the unit/checkpoint key — attribution by provenance, not by value).
+SOURCE_SCHEMA = StructType(
+    list(RAW_MOVIE_SCHEMA.fields) + [StructField("_window_key", StringType(), False)]
+)
 
 PAGE_SIZE = 20
 DEFAULT_MAX_PAGES = 500
@@ -113,6 +127,7 @@ def fetch_window(
     polite_sleep: float = 0.0,
     retry: RetryPolicy | None = None,
     sleeper: Callable[[float], None] = time.sleep,
+    language: str | None = None,
 ) -> Iterator[dict]:
     """Page through one window via ``transport(params) -> page_dict``.
 
@@ -130,6 +145,8 @@ def fetch_window(
         "sort_by": "popularity.desc",
         "page": 1,
     }
+    if language:  # reference sends it on every request (src/movie.py:151)
+        params["language"] = language
     first = retry.call(lambda: transport(dict(params)))
     total_pages = int(first.get("total_pages", 1))
     if total_pages > max_pages:
@@ -178,9 +195,15 @@ class _PagedRestReader(DataSourceReader):
             include_adult=opts.get("include_adult", "false") == "true",
             max_pages=int(opts.get("max_pages", DEFAULT_MAX_PAGES)),
             polite_sleep=float(opts.get("polite_sleep", 0.0)),
+            language=opts.get("language"),
         )
+        # every row carries the window that fetched it: downstream unit
+        # attribution (checkpointing, partitioned writes) never has to
+        # re-derive the window from release_date — which would mis-bin
+        # clamped final windows and drop null release dates (ADVICE r1)
+        window_key = f"{partition.date_from}_{partition.date_to}"
         for rec in rows:
-            yield tuple(rec.get(f) for f in fields)
+            yield tuple(rec.get(f) for f in fields) + (window_key,)
 
 
 def _fixture_transport(fixture_dir: str) -> Callable[[dict], dict]:
@@ -229,6 +252,26 @@ def _http_transport(opts: dict) -> Callable[[dict], dict]:  # pragma: no cover
     return transport
 
 
+def fetch_genre_map(
+    base_url: str, bearer_token: str, language: str = "en-US"
+) -> dict[int, str]:  # pragma: no cover - network path
+    """Genre dimension fetch (/genre/movie/list) — the reference loads this
+    once per run before the month loop (src/movie.py:132-142)."""
+    import urllib.parse
+    import urllib.request
+
+    url = (
+        f"{base_url.rstrip('/')}/genre/movie/list?"
+        + urllib.parse.urlencode({"language": language})
+    )
+    req = urllib.request.Request(
+        url, headers={"Authorization": f"Bearer {bearer_token}"}
+    )
+    with urllib.request.urlopen(req, timeout=25) as resp:
+        doc = json.load(resp)
+    return {int(g["id"]): g["name"] for g in doc.get("genres", [])}
+
+
 class PagedRestDataSource(DataSource):
     """``spark.read.format("paged_rest")`` — register with
     ``spark.dataSource.register(PagedRestDataSource)``.
@@ -242,7 +285,7 @@ class PagedRestDataSource(DataSource):
         return "paged_rest"
 
     def schema(self) -> StructType:
-        return RAW_MOVIE_SCHEMA
+        return SOURCE_SCHEMA
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _PagedRestReader(schema, dict(self.options))
