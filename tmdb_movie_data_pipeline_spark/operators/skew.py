@@ -93,3 +93,127 @@ def skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_key").cast("long").alias("min_key"),
         F.col("max_key").cast("long").alias("max_key"),
     )
+
+
+# -- skewed shuffle join: the case where static salting is the fix ----------
+#
+# Partial aggregation makes groupBy-skew mostly a non-issue; the place a hot
+# key genuinely serializes a stage is a SHUFFLE JOIN whose fact side
+# concentrates on one key, when the dim side can't broadcast and AQE's
+# skew-join splitting isn't available (pinned partitioning mid-pipeline,
+# streaming micro-batches, pre-3.0 clusters). The pair below is benchmarked
+# with broadcast + AQE skew handling disabled to isolate exactly that case;
+# the salted variant is also oracle-checked (salting must not change
+# results — phase-2 combine is exact integer math).
+
+_SKEW_DIM_N = 1000
+_SKEW_SALT = 16
+#: fact fan-out: each lineitem row contributes this many fact rows. At sf0.1
+#: the raw hot key holds ~514k rows — a single reduce task probes that in
+#: ~10 ms, far under the job's fixed overhead, so the straggler is invisible
+#: locally. ×16 the hot task handles ~8M join rows and genuinely serializes
+#: the stage, which is the regime salting exists for (at 100 TB the raw key
+#: count is already there; the fan-out only recreates it at bench scale).
+_SKEW_FANOUT = 16
+
+
+def _skew_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~6/7 of lineitem lands on key 0; the rest spreads over 1..999."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.when(F.col("l_linenumber") % 7 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("l_orderkey"), F.lit(_SKEW_DIM_N)))
+            .cast("long")
+            .alias("k"),
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("v"),
+        )
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(_SKEW_FANOUT))))
+        .drop("_r")
+    )
+
+
+def _skew_dim(spark: SparkSession) -> DataFrame:
+    return spark.range(_SKEW_DIM_N).select(
+        F.col("id").alias("k"), (F.col("id") * 3 + 1).cast("long").alias("w")
+    )
+
+
+def skew_join_plan(
+    spark: SparkSession, sf_dir: str, salt: int | None
+) -> DataFrame:
+    """Weighted join-aggregate over the skewed key; ``salt=None`` is the
+    naive plan (hot key 0 → one straggler task), ``salt=N`` spreads the hot
+    key over N sub-partitions by replicating the dim side N×."""
+    fact = _skew_fact(spark, sf_dir)
+    dim = _skew_dim(spark)
+    if salt is not None:
+        fact = fact.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+        )
+        dim = dim.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        joined = fact.join(dim, ["k", "_salt"])
+    else:
+        joined = fact.join(dim, ["k"])
+    return joined.groupBy("k").agg(
+        F.sum(F.col("v") * F.col("w")).cast("long").alias("weighted_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle=f"""
+    WITH fact AS (
+        SELECT CASE WHEN l_linenumber % 7 <> 0 THEN 0
+                    ELSE l_orderkey % {_SKEW_DIM_N} END AS k,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS v
+        FROM lineitem, UNNEST(generate_series(1, {_SKEW_FANOUT})) AS fan(r)
+    ),
+    dim AS (
+        SELECT CAST(x AS BIGINT) AS k, CAST(x * 3 + 1 AS BIGINT) AS w
+        FROM UNNEST(generate_series(0, {_SKEW_DIM_N - 1})) AS t(x)
+    )
+    SELECT k, CAST(SUM(v * w) AS BIGINT) AS weighted_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM fact JOIN dim USING (k)
+    GROUP BY k
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting must be invisible in the result: the {salt}-way salted join
+    equals the direct join exactly (integer weights/cents, exact combine)."""
+    return skew_join_plan(spark, sf_dir, _SKEW_SALT)
+
+
+def bench_skew_pair(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Time unsalted vs salted under the conditions salting exists for:
+    no broadcast, no AQE skew-join splitting. Returns seconds per variant
+    (min of 2, matching bench.py's steady-state convention)."""
+    import time
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        out: dict[str, float] = {}
+        for label, salt in (("skew_join_unsalted", None), ("skew_join_salted", _SKEW_SALT)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                skew_join_plan(spark, sf_dir, salt).count()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 3)
+        return out
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)

@@ -101,6 +101,7 @@ _VERIFY_FIRST: list[str] = [
     "q21_suppliers_kept_waiting",
     "delta_merge_upsert_read",
     "delta_time_travel_stats",
+    "skew_salted_join",
 ]
 
 
