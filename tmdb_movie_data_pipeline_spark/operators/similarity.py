@@ -426,55 +426,90 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes each probe a partition-pruned scan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        emb.filter(
+    # All vector math over FLAT double columns (attribute refs stay inside
+    # whole-stage codegen; GetArrayItem trees fall back to interpreted eval —
+    # the dedup_embedding_cosine lesson, same 3-4× here).
+    emb_flat = emb.select(
+        "vec_id",
+        *[F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_e{i}") for i in range(DIM)],
+    ).withColumn(
+        "nrm_e", F.expr("sqrt(" + " + ".join(f"_e{i} * _e{i}" for i in range(DIM)) + ")")
+    )
+    cent_flat = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
             (F.col("vec_id") >= CENTROID_BASE)
             & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
         )
-        .select((F.col("vec_id") - CENTROID_BASE).alias("cid"), F.col("embedding").alias("c_emb"))
+        .select(
+            (F.col("vec_id") - CENTROID_BASE).alias("cid"),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_c{i}")
+                for i in range(DIM)
+            ],
+        )
+        .withColumn(
+            "nrm_c",
+            F.expr("sqrt(" + " + ".join(f"_c{i} * _c{i}" for i in range(DIM)) + ")"),
+        )
     )
-    cos_to_cent = F.expr(_dot_spark("embedding", "c_emb")) / (
-        F.expr(_norm_spark("embedding")) * F.expr(_norm_spark("c_emb"))
-    )
+    dot_ec = "(" + " + ".join(f"_e{i} * _c{i}" for i in range(DIM)) + ")"
+    cos_to_cent = F.expr(dot_ec) / (F.col("nrm_e") * F.col("nrm_c"))
     # Nearest-centroid assignment as a partial-aggregable max_by, NOT a
     # row_number window: the window form shuffles the entire corpus ×K to
     # rank K rows per vector; max_by(struct) combines map-side, so the only
     # exchange carries one row per vector (VERDICT r1 "What's wrong" #4).
     # Ordering key struct(cos, -cid) == the oracle's (cos DESC, cid ASC).
     assign = (
-        emb.crossJoin(F.broadcast(cent))
+        emb_flat.crossJoin(F.broadcast(cent_flat))
         .withColumn("cos", cos_to_cent)
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct(F.col("cid"), F.col("embedding")),
+                F.col("cid"),
                 F.struct(F.col("cos").alias("cos"), (-F.col("cid")).alias("pref")),
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.embedding").alias("embedding"),
-            F.col("best.cid").alias("cid"),
+            ).alias("cid")
         )
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
     probes = (  # N_QUERIES rows × K centroids — the window here is trivial
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent))
+        emb_flat.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_flat))
         .withColumn("cos", cos_to_cent)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
-    cand = probes.join(assign, "cid").filter(F.col("vec_id") != F.col("query_id"))
-    q_emb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    scored = cand.join(F.broadcast(q_emb), "query_id").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            F.expr(_dot_spark("q_emb", "embedding"))
-            / (F.expr(_norm_spark("q_emb")) * F.expr(_norm_spark("embedding")))
-        ).alias("cosine"),
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    def rescore_side(tag: str, key: str) -> DataFrame:
+        # fresh scan per side: reusing emb_flat's lineage in a self-join of
+        # 64-wide projections sends the analyzer into a transform blowup
+        e = load_table(spark, sf_dir, "embeddings")
+        d = e.select(
+            F.col("vec_id").alias(key),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_{tag}{i}")
+                for i in range(DIM)
+            ],
+        )
+        nrm = "sqrt(" + " + ".join(f"_{tag}{i} * _{tag}{i}" for i in range(DIM)) + ")"
+        return d.withColumn(f"nrm_{tag}", F.expr(nrm))
+
+    q_side = rescore_side("q", "query_id")
+    n_side = rescore_side("n", "vec_id")
+    dot_qn = "(" + " + ".join(f"_q{i} * _n{i}" for i in range(DIM)) + ")"
+    scored = (
+        cand.join(F.broadcast(q_side), "query_id")
+        .join(F.broadcast(n_side), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.expr(dot_qn) / (F.col("nrm_q") * F.col("nrm_n"))).alias("cosine"),
+        )
     )
     w_rank = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
