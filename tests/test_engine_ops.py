@@ -196,3 +196,23 @@ def test_lsh_embedding_dedup_subset_of_dense_scan(spark, sf_dir):
     assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, f"recall {recall:.3f} below floor at 24 planes / 6 tables"
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation reaches the transitive fixpoint: two chains and
+    a triangle, where the chain 10-11-12-13 requires multi-hop propagation
+    (13 never shares an edge with 10)."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(11, 10), (11, 12), (12, 13), (20, 21), (21, 20), (30, 31), (31, 32), (30, 32)],
+        "src long, dst long",
+    )
+    got = {
+        (r.v, r.comp) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30),
+    }

@@ -1,0 +1,95 @@
+"""CSV / JSON-lines source+sink round-trips (SURVEY.md §2.1/§2.8).
+
+The reference writes CSV (src/movie.py:309, single-file master export) and
+consumes JSON (REST pages). Here both formats are exercised end-to-end as
+Spark sources AND sinks: a lineitem slice is physically written to the
+format, read back with an EXPLICIT schema (schema inference is a full extra
+scan — never at 100 TB), and aggregated; the oracle computes the same
+aggregate straight from parquet, so the round-trip proves the format codecs
+preserve content, not just that a write succeeded.
+
+Scale notes: both formats write/read splittable multi-file directories —
+the read parallelizes per file (and per block for uncompressed CSV).
+Doubles are quantized to integer cents BEFORE the write: float → text →
+float round-trips are where CSV pipelines silently diverge, and integer
+columns round-trip exactly in both formats.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["csv_roundtrip_agg", "json_roundtrip_agg"]
+
+_SLICE_SQL = """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_linenumber <= 2
+"""
+
+_AGG_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty
+    FROM slice
+    GROUP BY l_returnflag
+"""
+
+
+def _slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+
+_SLICE_SCHEMA = (
+    "l_orderkey BIGINT, l_linenumber BIGINT, l_returnflag STRING, "
+    "price_cents BIGINT, qty BIGINT"
+)
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+    )
+
+
+_ORACLE = f"WITH slice AS ({_SLICE_SQL}) {_AGG_SQL}"
+
+
+@register("sink_csv_roundtrip", oracle=_ORACLE)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the slice as headered CSV, read it back with an explicit
+    schema, aggregate — values must round-trip exactly (integer columns)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="fmt_csv_"), "slice")
+    _slice(spark, sf_dir).write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(_SLICE_SCHEMA).option("header", "true").csv(path)
+    return _agg(back)
+
+
+@register("sink_json_roundtrip", oracle=_ORACLE)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the slice as JSON lines, read it back with an explicit schema,
+    aggregate — mirrors the reference's JSON-page ingest direction
+    (src/movie.py:171-177) with Spark's splittable json source."""
+    path = os.path.join(tempfile.mkdtemp(prefix="fmt_json_"), "slice")
+    _slice(spark, sf_dir).write.mode("overwrite").json(path)
+    back = spark.read.schema(_SLICE_SCHEMA).json(path)
+    return _agg(back)

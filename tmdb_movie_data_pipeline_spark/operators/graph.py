@@ -1,0 +1,144 @@
+"""Duplicate-cluster connected components (SURVEY.md §2.9, LLM dedup).
+
+Pair-level dedup (MinHash-LSH, SimHash, embedding-LSH) emits EDGES; the
+operation a training-data pipeline actually needs is the CLUSTER: group all
+transitively-connected duplicates and keep one canonical document per
+component. This module closes that gap with connected components over the
+MinHash duplicate-pair graph.
+
+Scale shape: iterative min-label propagation — each round every vertex
+adopts the minimum label among itself and its neighbors, a groupBy(min)
+after an equi-join, i.e. two shuffles per round bounded by |E| + |V|. The
+loop is driver-controlled with a convergence check (standard practice for
+iterative graph algorithms on Spark — GraphX/Pregel drive the same shape);
+each round is localCheckpoint'ed so lineage stays flat instead of growing
+exponentially. Rounds needed = graph diameter ≤ log-ish for dedup clusters
+(dup clusters are small and dense); at 100 TB the same plan holds because
+every round's cost is one |E|-sized equi-join, never an all-pairs product.
+
+The DuckDB oracle computes the identical fixpoint with WITH RECURSIVE
+transitive closure (exact on the small correctness SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
+
+__all__ = ["connected_components", "dedup_cluster_components"]
+
+#: hard cap on propagation rounds — convergence is checked each round; the
+#: cap only bounds a pathological chain-of-length-N graph (not a dedup shape).
+_MAX_ROUNDS = 50
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; the component id is
+    the minimum vertex id reachable from the vertex.
+
+    ``edges`` is interpreted as undirected; isolated vertices don't appear
+    (callers union them in if needed).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MAX_ROUNDS):
+        # neighbor labels: for edge (u, w), u can adopt w's current label
+        nbr = sym.join(
+            labels.select(F.col("v").alias("w"), F.col("comp")), "w"
+        ).select(F.col("u").alias("v"), "comp")
+        new_labels = (
+            labels.union(nbr).groupBy("v").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v AS root, v AS node FROM verts
+        UNION
+        SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT root AS doc_id, CAST(MIN(node) AS BIGINT) AS component_id
+    FROM reach GROUP BY root
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the MinHash-LSH pair graph: every
+    document that appears in at least one near-dup pair, labeled with its
+    cluster's canonical (minimum) doc_id."""
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.select(
+        F.col("v").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v AS root, v AS node FROM verts
+        UNION
+        SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root
+    )
+    SELECT CAST(component_id AS BIGINT) AS component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM comp GROUP BY component_id
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup accounting: cluster size and how many documents a
+    keep-canonical policy removes. ``sum(n_removed)`` is the corpus-level
+    dedup yield."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    return comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_removed"),
+    )

@@ -1,0 +1,108 @@
+"""Deterministic sampling & per-group capping (SURVEY.md §2.9, LLM prep).
+
+Training-data pipelines sample and rebalance corpora constantly; both ops
+here are expressed so the SAME rows are selected on any engine and any
+cluster size — no RNG state, no partition-order dependence:
+
+* **stratified hash sampling** — keep a row iff a multiplicative integer
+  hash of its key falls under the stratum's cut. Knuth's 2654435761
+  (⌊2³²/φ⌋) multiplier over pure int64 arithmetic reproduces bit-for-bit in
+  DuckDB, scales embarrassingly (a map-only filter — pushes down, no
+  shuffle), and is stable under resumes/retries, unlike ``df.sample``.
+* **per-group capping** — at most N documents per source, preferring the
+  longest: one window over (source) with a unique tie-break. At scale this
+  is the partial-topK-per-key shape: Spark runs rank inside one Exchange
+  keyed by the group column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["stratified_hash_sample", "cap_per_group"]
+
+_KNUTH = 2654435761  # ⌊2^32 / golden ratio⌋, Fibonacci hashing multiplier
+_MOD = 1 << 32
+
+#: per-language keep rates, in hash-space units (out of 2^32).
+_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+_DEFAULT_RATE = 0.10
+
+
+def _cut(rate: float) -> int:
+    return int(rate * _MOD)
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {_cut(rate)}" for lang, rate in _RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {_cut(_DEFAULT_RATE)} END"
+
+
+def stratified_hash_sample(docs: DataFrame) -> DataFrame:
+    """Keep each document iff hash(doc_id) < cut(lang) — deterministic,
+    map-only, stratum rates independent of data order."""
+    return (
+        docs.withColumn(
+            "_h", F.expr(f"(doc_id * {_KNUTH}) % {_MOD}")
+        )
+        .filter(F.col("_h") < F.expr(_rate_case_sql()))
+        .select("doc_id", "lang", F.col("_h").cast("long").alias("sample_key"))
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(h AS BIGINT) AS sample_key
+    FROM (
+        SELECT doc_id, lang, (doc_id * {_KNUTH}) % {_MOD} AS h
+        FROM documents
+    )
+    WHERE h < ({_rate_case_sql()})
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_hash_sample(load_table(spark, sf_dir, "documents"))
+
+
+_CAP_N = 3
+
+
+def cap_per_group(docs: DataFrame, group_col: str, n: int) -> DataFrame:
+    """At most ``n`` docs per group, longest-first, doc_id tie-break."""
+    w = W.partitionBy(group_col).orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n)
+        .select(group_col, "doc_id", F.length("text").cast("long").alias("text_len"), "rk")
+    )
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=f"""
+    SELECT source, doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT source, doc_id, text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY LENGTH(text) DESC, doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= {_CAP_N}
+    """,
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalancing cap: keep the {_CAP_N} longest documents per source."""
+    return cap_per_group(load_table(spark, sf_dir, "documents"), "source", _CAP_N)

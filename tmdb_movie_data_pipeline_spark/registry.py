@@ -102,6 +102,12 @@ _VERIFY_FIRST: list[str] = [
     "delta_merge_upsert_read",
     "delta_time_travel_stats",
     "skew_salted_join",
+    "dedup_cluster_components",
+    "dedup_cluster_stats",
+    "sample_stratified_hash",
+    "cap_docs_per_source",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
 ]
 
 
@@ -133,11 +139,14 @@ def _ensure_loaded() -> None:
         aggregates,
         dedup,
         events,
+        formats,
+        graph,
         joins,
         llm_prep,
         merge,
         multimodal,
         normalize,
+        sampling,
         scalars,
         setops,
         similarity,
