@@ -1,0 +1,172 @@
+"""Iterative k-means (Lloyd) over the embeddings table (SURVEY.md §2.9).
+
+Demonstrates the iterative-ML shape on DataFrames — the loop that trains the
+IVF coarse codebook (operators/similarity.py) for real instead of borrowing
+corpus vectors. Each Lloyd round is:
+
+* **assign** — corpus × broadcast(K centroids), squared-L2 over FLAT double
+  columns (whole-stage codegen; the GetArrayItem lesson), nearest centroid
+  via partial-aggregable ``min_by`` — one map-side-combined shuffle of one
+  row per vector, never a corpus-wide window;
+* **update** — per-cluster mean as QUANTIZED-INTEGER sums (micro-units):
+  integer addition is order-free, so the new centroids are bit-identical on
+  any partitioning/engine, then one IEEE division back to double. This is
+  what makes a 2-round fixpoint hash-comparable with DuckDB at all — raw
+  double sums would diverge by summation order.
+
+Rounds are driver-sequenced with ``localCheckpoint`` between them (tiny K×D
+tables; keeps the plan flat — same discipline as operators/graph.py). At
+100 TB the per-round cost is one broadcast-join scan + one |corpus|-row
+shuffle, the canonical distributed-k-means shape.
+
+The oracle replays the identical rounds as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from .similarity import DIM
+
+__all__ = ["kmeans_lloyd", "kmeans_centroid_sums"]
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+_INIT_BASE = 100  # deterministic init: vec_id in [100, 108) seed the codebook
+_QSCALE = 1_000_000  # micro-units for order-free integer centroid sums
+
+
+def _dist_sql(e: str, c: str) -> str:
+    """Squared L2, i ascending, left-assoc — identical text on both engines
+    modulo column naming, so the compared doubles are bit-identical."""
+    return " + ".join(f"(({e}{i} - {c}{i}) * ({e}{i} - {c}{i}))" for i in range(DIM))
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; returns (cid, n, s_0..s_{D-1}) — cluster
+    sizes and quantized-integer coordinate sums of the LAST round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        *[F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_e{i}") for i in range(DIM)],
+        *[
+            F.expr(f"CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * {_QSCALE}) AS BIGINT)").alias(
+                f"_q{i}"
+            )
+            for i in range(DIM)
+        ],
+    ).localCheckpoint(eager=True)
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= _INIT_BASE) & (F.col("vec_id") < _INIT_BASE + K_CLUSTERS))
+        .select(
+            (F.col("vec_id") - _INIT_BASE).alias("cid"),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_c{i}")
+                for i in range(DIM)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    sums = None
+    for _ in range(iters):
+        dist = F.expr(_dist_sql("_e", "_c"))
+        assign = (
+            vecs.crossJoin(F.broadcast(cent))
+            .withColumn("_dist", dist)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.col("cid"),
+                    F.struct(F.col("_dist").alias("d"), F.col("cid").alias("c")),
+                ).alias("cid")
+            )
+        )
+        sums = (
+            assign.join(vecs, "vec_id")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"_q{i}").alias(f"s_{i}") for i in range(DIM)],
+            )
+            .localCheckpoint(eager=True)
+        )
+        cent = sums.select(
+            "cid",
+            *[
+                (
+                    F.col(f"s_{i}").cast("double")
+                    / (F.col("n") * F.lit(_QSCALE)).cast("double")
+                ).alias(f"_c{i}")
+                for i in range(DIM)
+            ],
+        ).localCheckpoint(eager=True)
+    return sums
+
+
+def _oracle_sql() -> str:
+    e_cols = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS _e{i}" for i in range(DIM))
+    q_cols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * {_QSCALE}) AS BIGINT) AS _q{i}"
+        for i in range(DIM)
+    )
+    c0_cols = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS _c{i}" for i in range(DIM))
+    dist = _dist_sql("v._e", "c._c")
+    sum_cols = ", ".join(f"SUM(v._q{i}) AS s_{i}" for i in range(DIM))
+    cd_cols = ", ".join(
+        f"CAST(s_{i} AS DOUBLE) / CAST(n * {_QSCALE} AS DOUBLE) AS _c{i}" for i in range(DIM)
+    )
+    rounds = []
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        rounds.append(
+            f"""a{it} AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ),
+    s{it} AS (
+        SELECT a{it}.cid, COUNT(*) AS n, {sum_cols}
+        FROM a{it} JOIN v USING (vec_id) GROUP BY a{it}.cid
+    ),
+    c{it} AS (
+        SELECT cid, n, {cd_cols} FROM s{it}
+    )"""
+        )
+        prev = f"c{it}"
+    sum_case = " ".join(f"WHEN {i} THEN s_{i}" for i in range(DIM))
+    return f"""
+    WITH v AS (
+        SELECT vec_id, {e_cols}, {q_cols} FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id - {_INIT_BASE} AS cid, {c0_cols} FROM embeddings
+        WHERE vec_id >= {_INIT_BASE} AND vec_id < {_INIT_BASE + K_CLUSTERS}
+    ),
+    {", ".join(rounds)}
+    SELECT CAST(s.cid AS BIGINT) AS cid, CAST(s.n AS BIGINT) AS n,
+           CAST(d.dim AS BIGINT) AS dim,
+           CAST(CASE d.dim {sum_case} END AS BIGINT) AS sum_q
+    FROM s{KMEANS_ITERS} s, (SELECT UNNEST(range(0, {DIM})) AS dim) d
+    """
+
+
+@register("kmeans_lloyd_centroids", oracle=_oracle_sql())
+def kmeans_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-round k-means state, flattened to one row per (cluster, dim):
+    cluster size and the order-free quantized coordinate sum — all-integer
+    output, so the cross-engine hash check is exact."""
+    sums = kmeans_lloyd(spark, sf_dir)
+    return sums.select(
+        "cid",
+        F.col("n").cast("long").alias("n"),
+        F.posexplode(F.array(*[F.col(f"s_{i}") for i in range(DIM)])).alias(
+            "dim", "sum_q"
+        ),
+    ).select("cid", "n", F.col("dim").cast("long").alias("dim"), "sum_q")

@@ -1,0 +1,166 @@
+"""Table profiling & Z-order layout keys (SURVEY.md §2.9, data management).
+
+* **profile** — per-column null counts, exact distinct counts, min/max for a
+  declared column set, unpivoted to one row per column. One pass over the
+  table (all aggregates in a single partial+final HashAggregate), then a
+  constant-sized unpivot — the shape data-quality gates run before every
+  100 TB ingest promotion.
+* **Z-order key** — bit-interleaving of two bounded dimension keys into one
+  space-filling-curve value, in pure int64 arithmetic (bit-identical in
+  DuckDB). Sorting/range-partitioning by ``z`` co-locates rows that are
+  close in BOTH dimensions, so min/max parquet footer stats prune
+  two-predicate scans — the standard lakehouse data-skipping layout
+  (:func:`write_zordered`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+__all__ = ["profile_columns", "zorder_key_expr", "write_zordered"]
+
+# -- one-pass profile ---------------------------------------------------------
+
+#: (name, SQL expression yielding a canonical STRING value) — values are
+#: stringified CANONICALLY (integers, dates) so both engines render alike;
+#: raw doubles are quantized before profiling for the same reason.
+_PROFILE_COLS = [
+    ("l_orderkey", "CAST(l_orderkey AS BIGINT)"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_returnflag", "l_returnflag"),
+    ("l_shipdate", "CAST(l_shipdate AS DATE)"),
+]
+
+
+def profile_columns(df: DataFrame) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.expr(f"CASE WHEN ({expr}) IS NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"null_{name}"),
+            F.countDistinct(F.expr(expr)).alias(f"dist_{name}"),
+            F.expr(f"CAST(MIN({expr}) AS STRING)").alias(f"min_{name}"),
+            F.expr(f"CAST(MAX({expr}) AS STRING)").alias(f"max_{name}"),
+        ]
+    wide = df.agg(*aggs)
+    stats = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col(f"null_{name}").alias("n_null"),
+                F.col(f"dist_{name}").alias("n_distinct"),
+                F.col(f"min_{name}").alias("min_value"),
+                F.col(f"max_{name}").alias("max_value"),
+            )
+            for name, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select("n_rows", F.explode(stats).alias("s")).select(
+        F.col("s.column").alias("column"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "s.n_null",
+        "s.n_distinct",
+        "s.min_value",
+        "s.max_value",
+    )
+
+
+def _profile_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"""SELECT '{name}' AS column,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN ({expr}) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT ({expr})) AS BIGINT) AS n_distinct,
+               CAST(MIN({expr}) AS VARCHAR) AS min_value,
+               CAST(MAX({expr}) AS VARCHAR) AS max_value
+        FROM lineitem"""
+        for name, expr in _PROFILE_COLS
+    )
+    return branches
+
+
+@register("profile_table_stats", oracle=_profile_oracle())
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem: one row per audited column."""
+    return profile_columns(load_table(spark, sf_dir, "lineitem"))
+
+
+# -- Z-order ------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def zorder_key_expr(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """Interleave the low ``bits`` of two non-negative int expressions into
+    a Morton key — plain int64 arithmetic, identical text on both engines:
+    bit i of x lands at 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def write_zordered(df: DataFrame, path: str, x: str, y: str, files: int) -> None:
+    """Materialize ``df`` range-partitioned + sorted by the Morton key of
+    (x, y): each output file covers a compact 2-D region, so parquet
+    min/max stats on x AND y prune two-predicate scans."""
+    z = zorder_key_expr(x, y).replace("//", "div")
+    (
+        df.withColumn("_z", F.expr(z))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+_Z_BUCKETS = 16
+
+
+#: the registered stats query folds keys into 8 bits so the z space (2^16)
+#: is fully exercised at every test SF (raw suppkey tops out ~100 at
+#: sf0.01 — under 16-bit interleave everything lands in bucket 0).
+_Z_STAT_BITS = 8
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT {zorder_key_expr("l_partkey % 256", "l_suppkey % 256", _Z_STAT_BITS)} AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval // {(1 << (2 * _Z_STAT_BITS)) // _Z_BUCKETS} AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key distribution of lineitem over (partkey, suppkey): the
+    range-bucket histogram a Z-ordered writer would use to place files."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_key_expr("l_partkey % 256", "l_suppkey % 256", _Z_STAT_BITS).replace(
+        "//", "div"
+    )
+    return (
+        li.select(F.expr(z).alias("zval"))
+        .groupBy(
+            F.expr(
+                f"CAST(zval div {(1 << (2 * _Z_STAT_BITS)) // _Z_BUCKETS} AS BIGINT)"
+            ).alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )

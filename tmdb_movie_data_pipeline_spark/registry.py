@@ -108,6 +108,9 @@ _VERIFY_FIRST: list[str] = [
     "cap_docs_per_source",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
+    "kmeans_lloyd_centroids",
+    "profile_table_stats",
+    "layout_zorder_stats",
 ]
 
 
@@ -137,6 +140,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        clustering,
         dedup,
         events,
         formats,
@@ -146,6 +150,7 @@ def _ensure_loaded() -> None:
         merge,
         multimodal,
         normalize,
+        profiling,
         sampling,
         scalars,
         setops,
