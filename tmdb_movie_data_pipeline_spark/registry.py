@@ -111,6 +111,8 @@ _VERIFY_FIRST: list[str] = [
     "kmeans_lloyd_centroids",
     "profile_table_stats",
     "layout_zorder_stats",
+    "stream_static_join",
+    "stream_stateful_user_stats",
 ]
 
 

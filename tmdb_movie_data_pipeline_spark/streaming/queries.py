@@ -245,3 +245,134 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_us"),
         F.unix_micros("v_ts").alias("view_us"),
     )
+
+
+@register(
+    "stream_static_join",
+    # batch twin: enrichment join + segment rollup
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {qsum_sql("e.value", UNIT_SCALE)} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    customer dimension (re-read per micro-batch, broadcast-sized), rolled up
+    by market segment. The static side needs no watermark or state — this is
+    the standard dimension-enrichment topology in front of every streaming
+    aggregation at scale."""
+    from ..io import load_table
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qsum(F.col("value"), UNIT_SCALE).alias("sum_value"),
+        )
+    )
+    return _run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * {UNIT_SCALE}) AS BIGINT)) AS BIGINT)
+               AS sum_value,
+           epoch_us(MAX(ts)) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY §2.9):
+    per-user running (count, quantized value sum, last-seen) maintained in
+    explicit group state across micro-batches, emitted in update mode.
+
+    The arbitrary-state API is the escape hatch when built-in windows can't
+    express the semantics (CDC-style accumulators, custom session logic);
+    state is partitioned by group key, so the shape scales exactly like a
+    shuffle keyed on user_id. Over the static input the final update per
+    user equals the batch aggregate, which is what the oracle checks
+    (micro-batch boundaries change WHEN updates are emitted, never the
+    final value — the sink keeps the last update per user).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", LongType()),
+            StructField("last_seen_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update_user(key, pdf_iter, state: GroupState):
+        # rows arrive pre-quantized (Spark-side ROUND, identical to the
+        # batch qsum path) — the state transition is pure int64 arithmetic,
+        # order-free and engine-exact
+        n, s, last_us = state.get if state.exists else (0, 0, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += int(pdf["value_q"].sum())
+            mx = int(pdf["ts_us"].max())
+            last_us = mx if last_us is None else max(last_us, mx)
+        state.update((n, s, last_us))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_seen_us": [last_us],
+            }
+        )
+
+    from ..functions import quantize
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        quantize(F.col("value"), UNIT_SCALE).alias("value_q"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_completion(updates, "update")
+    # keep the LAST update per user (one per micro-batch may be emitted)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
