@@ -130,3 +130,15 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
+    """The banded interval join must plan as equi-joins only: the raw theta
+    form degenerates to BroadcastNestedLoopJoin (per-pair interpreted eval),
+    the banded form shuffles/broadcasts on the week-bin key."""
+    from tmdb_movie_data_pipeline_spark.operators.joins import range_banded
+
+    df = range_banded(spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert _nodes(plan, "BroadcastHashJoin") >= 1

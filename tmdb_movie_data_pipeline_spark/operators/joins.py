@@ -385,3 +385,90 @@ def full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
     )
     return joined.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# -- banded interval join: the scalable replacement for theta-join BNLJ ------
+
+_N_PROMOS = 50
+_PROMO_EPOCH = "1993-01-01"
+_WEEK = 7
+
+
+def _promo_dim(spark: SparkSession) -> DataFrame:
+    """Deterministic variable-length date intervals (a promotions dim):
+    promo i covers [epoch + (i*37) % 1500 days, +3 + (i*13) % 28 days)."""
+    return spark.range(_N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        F.expr(f"date_add(DATE '{_PROMO_EPOCH}', CAST(id * 37 % 1500 AS INT))").alias(
+            "start_d"
+        ),
+        F.expr(
+            f"date_add(date_add(DATE '{_PROMO_EPOCH}', CAST(id * 37 % 1500 AS INT)),"
+            f" CAST(3 + id * 13 % 28 AS INT))"
+        ).alias("end_d"),
+    )
+
+
+@register(
+    "join_range_banded",
+    oracle=f"""
+    WITH promos AS (
+        SELECT CAST(x AS BIGINT) AS promo_id,
+               DATE '{_PROMO_EPOCH}' + CAST(x * 37 % 1500 AS INTEGER) AS start_d,
+               DATE '{_PROMO_EPOCH}' + CAST(x * 37 % 1500 AS INTEGER)
+                   + CAST(3 + x * 13 % 28 AS INTEGER) AS end_d
+        FROM UNNEST(generate_series(0, {_N_PROMOS - 1})) AS t(x)
+    )
+    SELECT p.promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM promos p JOIN orders o
+      ON o.o_orderdate >= p.start_d AND o.o_orderdate < p.end_d
+    GROUP BY p.promo_id
+    """,
+)
+def range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested-loop: each variable-length interval
+    explodes to the week bins it overlaps, facts compute their bin, and the
+    match is a plain EQUI-join on the bin plus a residual range filter.
+
+    This is how production interval/band joins scale: candidates are
+    O(facts + intervals × bins-per-interval) and shuffle on the bin key,
+    where the raw theta join is a BroadcastNestedLoopJoin evaluating every
+    (fact, interval) pair (join_range_nonequi documents that trap). A plan
+    test pins the no-BNLJ property. An interval spans at most
+    ceil(len/7)+1 week bins, so duplicate candidates are bounded and the
+    post-filter restores exact semantics — no dedup needed because bins
+    partition the timeline (a fact matches an interval in exactly one bin).
+    """
+    promos = _promo_dim(spark)
+    weeks = promos.select(
+        "promo_id",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(floor(datediff(start_d, DATE '1970-01-01') / {_WEEK}) AS BIGINT)"),
+                F.expr(
+                    f"CAST(floor(datediff(date_sub(end_d, 1), DATE '1970-01-01') / {_WEEK}) AS BIGINT)"
+                ),
+            )
+        ).alias("wk"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        F.expr(f"CAST(floor(datediff(o_orderdate, DATE '1970-01-01') / {_WEEK}) AS BIGINT)").alias(
+            "wk"
+        ),
+    )
+    return (
+        orders.join(F.broadcast(weeks), "wk")
+        .filter((F.col("o_orderdate") >= F.col("start_d")) & (F.col("o_orderdate") < F.col("end_d")))
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        )
+    )

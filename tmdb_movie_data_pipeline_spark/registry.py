@@ -113,6 +113,7 @@ _VERIFY_FIRST: list[str] = [
     "layout_zorder_stats",
     "stream_static_join",
     "stream_stateful_user_stats",
+    "join_range_banded",
 ]
 
 
