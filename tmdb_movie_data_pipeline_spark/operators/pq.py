@@ -1,0 +1,216 @@
+"""Product quantization (PQ) for vector search (SURVEY.md §2.9 similarity).
+
+Completes the ANN family (exact / LSH / IVF in operators/similarity.py) with
+the compression tier every billion-vector deployment uses: vectors are
+split into M subvectors, each encoded as its nearest sub-centroid id, and
+queries score candidates with an **asymmetric distance computation** (ADC)
+— a per-query lookup table of (block, code) → distance contribution, summed
+over the M codes. A 64-float vector becomes M=8 bytes; the scoring join
+touches codes, never raw vectors.
+
+Scale shape: encoding is corpus × broadcast(16-row codebook) with ALL M
+argmins taken in ONE ``min_by`` aggregate pass (one map-side-combined
+shuffle carrying one row per vector — the IVF assignment lesson). ADC is an
+equi-join of codes against the broadcast LUT, then a partial-agg sum per
+(query, vector). All vector math runs over flat extracted columns
+(whole-stage codegen), and LUT entries are quantized to BIGINT micro-units
+so the M-way sums are order-free and bit-identical to the DuckDB oracle.
+
+Codebook: the deterministic corpus slice vec_id ∈ [100, 116) — per block b,
+sub-centroid c is that vector's dims [8b, 8b+8) (k-means training for real
+deployments lives in operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from ..registry import register
+from .similarity import DIM, N_QUERIES, TOP_K
+
+__all__ = ["pq_encode", "pq_adc_topk"]
+
+PQ_M = 8  # blocks
+PQ_DSUB = DIM // PQ_M  # dims per block
+PQ_K = 16  # sub-centroids per block
+_CB_BASE = 100  # codebook slice, shared with IVF's deterministic centroids
+_QSCALE = 1_000_000
+
+
+def _block_dist(e: str, c: str, b: int) -> str:
+    """Squared L2 over block ``b``'s dims, j ascending, left-assoc — the
+    shared text both engines compile (``e``/``c`` are column PREFIXES)."""
+    return " + ".join(
+        f"(({e}{b * PQ_DSUB + j} - {c}{b * PQ_DSUB + j})"
+        f" * ({e}{b * PQ_DSUB + j} - {c}{b * PQ_DSUB + j}))"
+        for j in range(PQ_DSUB)
+    )
+
+
+def _flat(df: DataFrame, prefix: str, id_alias: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        *[
+            F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"{prefix}{i}")
+            for i in range(DIM)
+        ],
+    )
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flat(
+        load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") >= _CB_BASE) & (F.col("vec_id") < _CB_BASE + PQ_K)
+        ),
+        "_c",
+        "cid",
+    ).withColumn("cid", F.col("cid") - _CB_BASE)
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, block, code): every vector's M nearest-sub-centroid ids —
+    all M argmins in one aggregate pass over corpus × broadcast codebook."""
+    vecs = _flat(load_table(spark, sf_dir, "embeddings"), "_e", "vec_id")
+    cb = _codebook(spark, sf_dir)
+    paired = vecs.crossJoin(F.broadcast(cb))
+    aggs = [
+        F.min_by(
+            F.col("cid"),
+            F.struct(
+                F.expr(f"({_block_dist('_e', '_c', b)})").alias("d"),
+                F.col("cid").alias("c"),
+            ),
+        ).alias(f"code_{b}")
+        for b in range(PQ_M)
+    ]
+    codes_wide = paired.groupBy("vec_id").agg(*aggs)
+    return codes_wide.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code_{b}") for b in range(PQ_M)])).alias(
+            "block", "code"
+        ),
+    ).select("vec_id", F.col("block").cast("long").alias("block"), F.col("code").cast("long").alias("code"))
+
+
+def _sql_flat(alias: str, prefix: str) -> str:
+    return ", ".join(
+        f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) AS {prefix}{i}" for i in range(DIM)
+    )
+
+
+def _encode_oracle() -> str:
+    """Per-block argmin as ROW_NUMBER over the 16 sub-centroids, one UNION
+    ALL branch per block."""
+    branches = " UNION ALL ".join(
+        f"""SELECT vec_id, CAST({b} AS BIGINT) AS block, CAST(cid AS BIGINT) AS code
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY ({_block_dist("v._e", "c._c", b)}) ASC,
+                                               c.cid ASC) AS rn
+            FROM fv v, fc c
+        ) WHERE rn = 1"""
+        for b in range(PQ_M)
+    )
+    return f"""
+    WITH fv AS (SELECT vec_id, {_sql_flat("embeddings", "_e")} FROM embeddings),
+    fc AS (SELECT vec_id - {_CB_BASE} AS cid, {_sql_flat("embeddings", "_c")}
+           FROM embeddings
+           WHERE vec_id >= {_CB_BASE} AND vec_id < {_CB_BASE + PQ_K}),
+    {{body}}
+    """.replace(
+        "{body}", f"codes AS ({branches}) SELECT * FROM codes"
+    )
+
+
+@register("pq_encode_codes", oracle=_encode_oracle())
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_encode(spark, sf_dir)
+
+
+def _lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, block, code, qdist): quantized per-block distance from each
+    query subvector to each sub-centroid — the ADC lookup table."""
+    q = _flat(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
+        "_e",
+        "query_id",
+    )
+    cb = _codebook(spark, sf_dir)
+    paired = q.crossJoin(F.broadcast(cb))
+    dists = F.array(
+        *[
+            F.expr(
+                f"CAST(ROUND(({_block_dist('_e', '_c', b)}) * {_QSCALE}) AS BIGINT)"
+            )
+            for b in range(PQ_M)
+        ]
+    )
+    return paired.select(
+        "query_id",
+        F.col("cid").alias("code"),
+        F.posexplode(dists).alias("block", "qdist"),
+    ).select("query_id", F.col("block").cast("long").alias("block"), "code", "qdist")
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH fv AS (SELECT vec_id, {_sql_flat("embeddings", "_e")} FROM embeddings),
+    fc AS (SELECT vec_id - {_CB_BASE} AS cid, {_sql_flat("embeddings", "_c")}
+           FROM embeddings
+           WHERE vec_id >= {_CB_BASE} AND vec_id < {_CB_BASE + PQ_K}),
+    codes AS ({" UNION ALL ".join(
+        f'''SELECT vec_id, {b} AS block, cid AS code
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY ({_block_dist("v._e", "c._c", b)}) ASC,
+                                               c.cid ASC) AS rn
+            FROM fv v, fc c
+        ) WHERE rn = 1'''
+        for b in range(PQ_M)
+    )}),
+    lut AS ({" UNION ALL ".join(
+        f'''SELECT q.vec_id AS query_id, {b} AS block, c.cid AS code,
+               CAST(ROUND(({_block_dist("q._e", "c._c", b)}) * {_QSCALE}) AS BIGINT)
+                   AS qdist
+        FROM fv q, fc c WHERE q.vec_id < {N_QUERIES}'''
+        for b in range(PQ_M)
+    )}),
+    scored AS (
+        SELECT l.query_id, s.vec_id AS neighbor_id,
+               CAST(SUM(l.qdist) AS BIGINT) AS adc_dist_q
+        FROM codes s JOIN lut l ON l.block = s.block AND l.code = s.code
+        WHERE s.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist_q, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist_q,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist_q ASC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: candidates scored purely from their PQ codes against the
+    query's lookup table — integer sums over M=8 quantized entries, so the
+    approximate distances (and therefore the ranking) are engine-exact."""
+    codes = pq_encode(spark, sf_dir)
+    lut = _lut(spark, sf_dir)
+    scored = (
+        codes.join(F.broadcast(lut), ["block", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").cast("long").alias("adc_dist_q"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

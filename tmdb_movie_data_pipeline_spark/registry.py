@@ -114,6 +114,8 @@ _VERIFY_FIRST: list[str] = [
     "stream_static_join",
     "stream_stateful_user_stats",
     "join_range_banded",
+    "pq_encode_codes",
+    "ann_pq_adc_topk",
 ]
 
 
@@ -153,6 +155,7 @@ def _ensure_loaded() -> None:
         merge,
         multimodal,
         normalize,
+        pq,
         profiling,
         sampling,
         scalars,
