@@ -47,21 +47,77 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # plus any whose semantics changed this round — gets a row next run.
 # Remaining queries keep registration order behind them.
 _VERIFY_FIRST: list[str] = [
-    # round-1 unverified (CORRECTNESS_r01 had no row)
+    # Never driver-verified, ordered so that if the driver caps the run
+    # (~50 rows in round 1), the environment-SENSITIVE categories get rows
+    # first: streaming drives real micro-batch execution on the driver's
+    # default session, UDFs cross the Arrow boundary, delta/format queries
+    # write real files, iterative ops run driver-sequenced jobs. Pure-SQL
+    # TPC-H shapes (locally verified side-by-side, lowest env risk) go last.
+    # -- streaming (7)
+    "stream_tumbling_hourly",
+    "stream_dedup_within_watermark",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_stateful_user_stats",
+    # -- UDF/UDTF over Arrow (4)
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_apply_in_pandas",
+    "udtf_explode_buckets",
+    # -- windows (7)
+    "window_topk_per_segment",
+    "window_running_totals",
+    "window_rank_ntile",
+    "window_frame_moving_avg",
+    "window_range_frame",
+    "window_value_functions",
+    "dedup_keepfirst_events",
+    # -- set ops (3)
     "setop_union_distinct",
     "setop_intersect",
     "setop_except",
+    # -- similarity / vector (6)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "dedup_embedding_cosine",
     "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "pq_encode_codes",
+    "ann_pq_adc_topk",
+    # -- transactional / file-writing (4)
+    "delta_merge_upsert_read",
+    "delta_time_travel_stats",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    # -- iterative, driver-sequenced (3)
+    "dedup_cluster_components",
+    "dedup_cluster_stats",
+    "kmeans_lloyd_centroids",
+    # -- skew (2)
     "skew_salted_agg",
+    "skew_salted_join",
+    # -- subqueries / misc relational (6)
     "subq_correlated_scalar",
     "subq_in_filter",
     "agg_percentiles",
     "sort_global_topn",
     "unpivot_measures",
     "join_events_enrichment",
+    # -- new data-management ops (5)
+    "sample_stratified_hash",
+    "cap_docs_per_source",
+    "profile_table_stats",
+    "layout_zorder_stats",
+    "join_range_banded",
+    # -- changed since the round-1 row (2)
+    "array_map_battery",
+    "join_anti_not_exists",
+    # -- TPC-H shapes, never verified but pure SQL (14)
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q21_suppliers_kept_waiting",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q18_large_volume_orders",
@@ -75,47 +131,6 @@ _VERIFY_FIRST: list[str] = [
     "q16_parts_supplier_counts",
     "q20_part_supply_chain",
     "q22_global_sales_opportunity",
-    "udf_pandas_scalar",
-    "udf_grouped_agg",
-    "udf_apply_in_pandas",
-    "udtf_explode_buckets",
-    "window_topk_per_segment",
-    "window_running_totals",
-    "window_rank_ntile",
-    "window_frame_moving_avg",
-    "dedup_keepfirst_events",
-    "window_range_frame",
-    "window_value_functions",
-    "stream_tumbling_hourly",
-    "stream_dedup_within_watermark",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "stream_stream_join",
-    # changed this round (round-1 row is stale)
-    "array_map_battery",
-    "join_anti_not_exists",
-    # new this round
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q21_suppliers_kept_waiting",
-    "delta_merge_upsert_read",
-    "delta_time_travel_stats",
-    "skew_salted_join",
-    "dedup_cluster_components",
-    "dedup_cluster_stats",
-    "sample_stratified_hash",
-    "cap_docs_per_source",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "kmeans_lloyd_centroids",
-    "profile_table_stats",
-    "layout_zorder_stats",
-    "stream_static_join",
-    "stream_stateful_user_stats",
-    "join_range_banded",
-    "pq_encode_codes",
-    "ann_pq_adc_topk",
 ]
 
 
