@@ -142,3 +142,36 @@ def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When the dim side of a shuffle join is selective, Catalyst injects a
+    runtime Bloom filter (might_contain) on the fact scan — rows that can't
+    join are dropped BEFORE the shuffle. At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the matching 1%."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        from tmdb_movie_data_pipeline_spark.io import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
