@@ -40,20 +40,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# The driver's correctness harness verified exactly the FIRST 50 registry
-# entries in round 1 (CORRECTNESS_r01.json), leaving 43 registered queries
-# without a row. Coverage is therefore ROTATED: names listed here surface
-# first (in this order) so every query the driver has not yet verified —
-# plus any whose semantics changed this round — gets a row next run.
-# Remaining queries keep registration order behind them.
+# The driver's correctness harness caps each round's verification at ~50
+# registry entries (rounds 1 and 2 each produced exactly 50 rows), so
+# coverage is ROTATED per round: names listed here surface first.
+#
+# Round-3 ordering (per VERDICT r2 item #1): the 16 TPC-H shapes that have
+# NEVER received a driver row (q2, q7–q16, q18–q22) lead, followed by
+# queries NEW in round 3 and queries whose semantics CHANGED in round 3.
+# Everything already cumulatively green (r1+r2 = 98 queries) follows in its
+# round-2 order, so leftover cap budget re-confirms previously green rows.
 _VERIFY_FIRST: list[str] = [
-    # Never driver-verified, ordered so that if the driver caps the run
-    # (~50 rows in round 1), the environment-SENSITIVE categories get rows
-    # first: streaming drives real micro-batch execution on the driver's
-    # default session, UDFs cross the Arrow boundary, delta/format queries
-    # write real files, iterative ops run driver-sequenced jobs. Pure-SQL
-    # TPC-H shapes (locally verified side-by-side, lowest env risk) go last.
-    # -- streaming (7)
+    # -- TPC-H shapes never driver-verified (16) — VERDICT r2 top item
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q20_part_supply_chain",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    # -- NEW in round 3 (registered this round, no row yet)
+    "stream_incremental_corpus_dedup",
+    "sink_partitioned_write_readback",
+    "checkpoint_resume_degrade",
+    "source_rest_fixture_scan",
+    "delta_file_pruned_merge",
+    "stream_transform_with_state",
+    "graph_shortest_paths",
+    # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
+    "dedup_embedding_cosine",
+    "sample_stratified_hash",
+    "skew_salted_agg",
+    "delta_merge_upsert_read",
+    "delta_time_travel_stats",
+    # -- cumulatively green; re-confirm with leftover cap budget
     "stream_tumbling_hourly",
     "stream_dedup_within_watermark",
     "stream_sliding_windows",
@@ -61,12 +89,10 @@ _VERIFY_FIRST: list[str] = [
     "stream_stream_join",
     "stream_static_join",
     "stream_stateful_user_stats",
-    # -- UDF/UDTF over Arrow (4)
     "udf_pandas_scalar",
     "udf_grouped_agg",
     "udf_apply_in_pandas",
     "udtf_explode_buckets",
-    # -- windows (7)
     "window_topk_per_segment",
     "window_running_totals",
     "window_rank_ntile",
@@ -74,63 +100,33 @@ _VERIFY_FIRST: list[str] = [
     "window_range_frame",
     "window_value_functions",
     "dedup_keepfirst_events",
-    # -- set ops (3)
     "setop_union_distinct",
     "setop_intersect",
     "setop_except",
-    # -- similarity / vector (6)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
-    "dedup_embedding_cosine",
     "pq_encode_codes",
     "ann_pq_adc_topk",
-    # -- transactional / file-writing (4)
-    "delta_merge_upsert_read",
-    "delta_time_travel_stats",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
-    # -- iterative, driver-sequenced (3)
     "dedup_cluster_components",
     "dedup_cluster_stats",
     "kmeans_lloyd_centroids",
-    # -- skew (2)
-    "skew_salted_agg",
     "skew_salted_join",
-    # -- subqueries / misc relational (6)
     "subq_correlated_scalar",
     "subq_in_filter",
     "agg_percentiles",
     "sort_global_topn",
     "unpivot_measures",
     "join_events_enrichment",
-    # -- new data-management ops (5)
-    "sample_stratified_hash",
     "cap_docs_per_source",
     "profile_table_stats",
     "layout_zorder_stats",
     "join_range_banded",
-    # -- changed since the round-1 row (2)
     "array_map_battery",
     "join_anti_not_exists",
-    # -- TPC-H shapes, never verified but pure SQL (14)
     "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q21_suppliers_kept_waiting",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q20_part_supply_chain",
-    "q22_global_sales_opportunity",
 ]
 
 
