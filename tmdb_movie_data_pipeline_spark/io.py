@@ -14,7 +14,10 @@ master CSV+Parquet, glob-scan merge — src/movie.py:224-225, 277-278,
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -22,6 +25,7 @@ from .schemas import TESTDATA_TABLES
 
 __all__ = [
     "default_sf_dir",
+    "scratch_dir",
     "load_table",
     "load_tables",
     "register_views",
@@ -37,6 +41,32 @@ __all__ = [
 
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
+
+atexit.register(_cleanup_scratch)
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp directory removed at interpreter exit.
+
+    Query functions that stage data on local disk (TxTable versions, format
+    round-trips) return DataFrames whose lineage still READS the staged
+    files when the caller collects, so the dirs must outlive the query
+    function — but not the process. Deferring removal to ``atexit`` keeps
+    repeated verification/bench invocations from accreting /tmp garbage.
+    """
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -48,6 +48,8 @@ def _dist_sql(e: str, c: str) -> str:
 def kmeans_lloyd(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS) -> DataFrame:
     """Run ``iters`` Lloyd rounds; returns (cid, n, s_0..s_{D-1}) — cluster
     sizes and quantized-integer coordinate sums of the LAST round."""
+    if iters < 1:
+        raise ValueError(f"kmeans_lloyd needs iters >= 1, got {iters}")
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",

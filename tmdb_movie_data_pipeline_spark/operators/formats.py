@@ -18,12 +18,11 @@ columns round-trip exactly in both formats.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, scratch_dir
 from ..registry import register
 
 __all__ = ["csv_roundtrip_agg", "json_roundtrip_agg"]
@@ -78,7 +77,7 @@ _ORACLE = f"WITH slice AS ({_SLICE_SQL}) {_AGG_SQL}"
 def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the slice as headered CSV, read it back with an explicit
     schema, aggregate — values must round-trip exactly (integer columns)."""
-    path = os.path.join(tempfile.mkdtemp(prefix="fmt_csv_"), "slice")
+    path = os.path.join(scratch_dir("fmt_csv_"), "slice")
     _slice(spark, sf_dir).write.mode("overwrite").option("header", "true").csv(path)
     back = spark.read.schema(_SLICE_SCHEMA).option("header", "true").csv(path)
     return _agg(back)
@@ -89,7 +88,7 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the slice as JSON lines, read it back with an explicit schema,
     aggregate — mirrors the reference's JSON-page ingest direction
     (src/movie.py:171-177) with Spark's splittable json source."""
-    path = os.path.join(tempfile.mkdtemp(prefix="fmt_json_"), "slice")
+    path = os.path.join(scratch_dir("fmt_json_"), "slice")
     _slice(spark, sf_dir).write.mode("overwrite").json(path)
     back = spark.read.schema(_SLICE_SCHEMA).json(path)
     return _agg(back)

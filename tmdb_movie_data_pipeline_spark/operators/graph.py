@@ -65,6 +65,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(_MAX_ROUNDS):
         # neighbor labels: for edge (u, w), u can adopt w's current label
         nbr = sym.join(
@@ -91,8 +92,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         )
         cur = labels.agg(F.sum("comp").alias("s")).collect()[0].s
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # Returning possibly-unconverged labels would silently disagree with
+        # the oracle's exact transitive closure — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {_MAX_ROUNDS} rounds"
+        )
     return labels
 
 

@@ -164,9 +164,9 @@ _TX_SOURCE_SQL = """
 
 
 def _tx_table_path() -> str:
-    import tempfile
+    from ..io import scratch_dir
 
-    return tempfile.mkdtemp(prefix="txtable_")
+    return scratch_dir("txtable_")
 
 
 @register(

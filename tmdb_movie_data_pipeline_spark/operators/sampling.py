@@ -28,6 +28,10 @@ __all__ = ["stratified_hash_sample", "cap_per_group"]
 
 _KNUTH = 2654435761  # ⌊2^32 / golden ratio⌋, Fibonacci hashing multiplier
 _MOD = 1 << 32
+#: mask the key into [0, 2^31) before multiplying so the int64 product
+#: (< 2^31 · 2^32 < 2^63) can never overflow — unmasked, doc_id ≥ ~3.47e9
+#: overflows BIGINT, where Spark and DuckDB disagree (wrap vs raise).
+_KEY_MASK = 1 << 31
 
 #: per-language keep rates, in hash-space units (out of 2^32).
 _RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
@@ -50,7 +54,7 @@ def stratified_hash_sample(docs: DataFrame) -> DataFrame:
     map-only, stratum rates independent of data order."""
     return (
         docs.withColumn(
-            "_h", F.expr(f"(doc_id * {_KNUTH}) % {_MOD}")
+            "_h", F.expr(f"((doc_id % {_KEY_MASK}) * {_KNUTH}) % {_MOD}")
         )
         .filter(F.col("_h") < F.expr(_rate_case_sql()))
         .select("doc_id", "lang", F.col("_h").cast("long").alias("sample_key"))
@@ -62,7 +66,7 @@ def stratified_hash_sample(docs: DataFrame) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang, CAST(h AS BIGINT) AS sample_key
     FROM (
-        SELECT doc_id, lang, (doc_id * {_KNUTH}) % {_MOD} AS h
+        SELECT doc_id, lang, ((doc_id % {_KEY_MASK}) * {_KNUTH}) % {_MOD} AS h
         FROM documents
     )
     WHERE h < ({_rate_case_sql()})
