@@ -216,3 +216,39 @@ def test_connected_components_known_graph(spark):
         (20, 20), (21, 20),
         (30, 30), (31, 30), (32, 30),
     }
+
+
+def test_salted_agg_explicit_combiners_match_direct(spark):
+    import pytest
+
+    from tmdb_movie_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, v) for k in ("a", "b") for v in range(1, 11)], "k string, v long"
+    )
+    out = {
+        r.k: (r.s, r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "s": (F.sum("v"), "sum"),
+                "n": (F.count(F.lit(1)), "count"),
+                "lo": (F.min("v"), "min"),
+                "hi": (F.max("v"), "max"),
+            },
+            salt=4,
+        ).collect()
+    }
+    assert out == {"a": (55, 10, 1, 10), "b": (55, 10, 1, 10)}
+
+    # non-decomposable aggregates must NOT be silently mis-combined: an
+    # unknown combiner name raises instead of re-summing a mean of means
+    with pytest.raises(ValueError, match="avg"):
+        salted_agg(df, ["k"], {"m": (F.avg("v"), "avg")}, salt=4).collect()
+
+    # callable combiners pass through (caller-owned decomposition)
+    out2 = salted_agg(
+        df, ["k"], {"s2": (F.sum("v"), lambda c: F.sum(c) * 2)}, salt=4
+    )
+    assert {r.s2 for r in out2.collect()} == {110}

@@ -19,6 +19,8 @@ identical (quantized-int sums are order-independent, so this is exact).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,35 +29,52 @@ from ..registry import register
 
 __all__ = ["salted_agg"]
 
+#: named phase-2 combiners for algebraic aggregates. ``count`` partials
+#: re-combine by SUMMING (a count of counts would be wrong); ``avg`` et al.
+#: are deliberately absent — a mean of partial means is wrong under salting,
+#: so non-decomposable aggregates must be expressed as (sum, count) pairs by
+#: the caller and divided after phase 2.
+_COMBINERS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
 
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
-    agg_exprs: dict[str, Column],
+    agg_exprs: dict[str, tuple[Column, str | Callable[[Column], Column]]],
     salt: int = 16,
 ) -> DataFrame:
-    """Two-phase salted aggregation.
+    """Two-phase salted aggregation with an EXPLICIT combiner per output.
 
-    ``agg_exprs`` maps output name → aggregate over the *input* (phase 1);
-    phase 2 re-aggregates phase-1 partials with the matching combiner
-    (sum→sum, count→sum, min→min, max→max — caller supplies phase-1 exprs,
-    this helper re-combines sums/counts by summing and mins/maxes by
-    min/max based on the expression's aggregate function name).
+    ``agg_exprs`` maps output name → ``(phase1_aggregate, combiner)`` where
+    ``combiner`` is one of the algebraic names in ``_COMBINERS`` ("sum",
+    "count", "min", "max") or a callable ``Column -> Column`` applied to the
+    phase-1 partial. The combiner is never inferred from the expression —
+    inference (e.g. reading the JVM expression string) silently mis-combines
+    anything whose name doesn't prefix-match, so an unknown name raises.
     """
     salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
-        *[expr.alias(f"_p1_{name}") for name, expr in agg_exprs.items()]
+        *[expr.alias(f"_p1_{name}") for name, (expr, _) in agg_exprs.items()]
     )
     combiners = []
-    for name, expr in agg_exprs.items():
-        fn = expr._jc.toString().split("(")[0].lower()  # noqa: SLF001
-        col = F.col(f"_p1_{name}")
-        if fn.startswith("min"):
-            combiners.append(F.min(col).alias(name))
-        elif fn.startswith("max"):
-            combiners.append(F.max(col).alias(name))
-        else:  # sum / count partials combine by summing
-            combiners.append(F.sum(col).alias(name))
+    for name, (_, comb) in agg_exprs.items():
+        if isinstance(comb, str):
+            if comb not in _COMBINERS:
+                raise ValueError(
+                    f"salted_agg: no combiner named {comb!r} for output {name!r}; "
+                    f"known: {sorted(_COMBINERS)}. Non-decomposable aggregates "
+                    "(avg, stddev, ...) must be decomposed into sum/count "
+                    "partials by the caller."
+                )
+            comb_fn = _COMBINERS[comb]
+        else:
+            comb_fn = comb
+        combiners.append(comb_fn(F.col(f"_p1_{name}")).alias(name))
     return phase1.groupBy(*key_cols).agg(*combiners)
 
 
@@ -80,10 +99,10 @@ def skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag"],
         {
-            "sum_qty_cents": F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")),
-            "n": F.count(F.lit(1)),
-            "min_key": F.min("l_orderkey"),
-            "max_key": F.max("l_orderkey"),
+            "sum_qty_cents": (F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")), "sum"),
+            "n": (F.count(F.lit(1)), "count"),
+            "min_key": (F.min("l_orderkey"), "min"),
+            "max_key": (F.max("l_orderkey"), "max"),
         },
     )
     return out.select(
