@@ -179,6 +179,7 @@ def _ensure_loaded() -> None:
         udfs,
         windows,
     )
+    from .streaming import incremental_dedup as _incremental_dedup  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
 
     _LOADED = True
