@@ -238,3 +238,67 @@ def delta_time_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(0).unionByName(stats(1))
+
+# -- file-pruned MERGE (footer-stats skipping) --------------------------------
+
+_PX_CUT = 100  # update keys confined to [1, 100] — a narrow slice of the table
+
+
+def _px_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    updates = c.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") <= _PX_CUT)
+    ).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("~")).alias("c_name"),
+        round2(F.col("c_acctbal") + 25).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = n.select(
+        (F.lit(3000000) + F.col("n_nationkey")).cast("long").alias("c_custkey"),
+        F.concat(F.lit("px-"), F.col("n_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("PX").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+_PX_SOURCE_SQL = f"""
+        SELECT c_custkey, CONCAT(c_name, '~') AS c_name,
+               ROUND(ROUND(c_acctbal, 2) + 25, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0 AND c_custkey <= {_PX_CUT}
+        UNION ALL
+        SELECT 3000000 + n_nationkey, CONCAT('px-', n_name),
+               CAST(0.0 AS DOUBLE), 'PX' FROM nation
+"""
+
+
+@register(
+    "delta_file_pruned_merge",
+    oracle=f"""
+    WITH source AS ({_PX_SOURCE_SQL}),
+    kept AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM source
+    """,
+)
+def delta_file_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned transactional MERGE: the base table is committed as 8
+    range-partitioned files with footer min/max stats on the key; the merge
+    source only touches keys <= {_PX_CUT} plus out-of-range inserts, so the
+    stats join rewrites ONE file and carries the other seven into v1 by
+    reference (plans/acid.py:_touched_files). The read-back proves the
+    referenced-not-rewritten layout returns the exact MERGE result; the
+    file-reuse property itself is pinned by tests/test_acid.py."""
+    from ..plans.acid import TxTable
+
+    base = _tx_base(spark, sf_dir).repartitionByRange(8, "c_custkey")
+    t = TxTable.create(spark, _tx_table_path(), base, stats_key="c_custkey")
+    t.merge(_px_source(spark, sf_dir), "c_custkey")
+    return t.read()
