@@ -1,0 +1,217 @@
+"""Driver-checkable round-trips for the write/checkpoint/source surfaces
+(SURVEY.md §2.1 S1/S2, §2.8 W1/W4/W5 — VERDICT r2 items #6 and #7).
+
+These surfaces were pytest-only in rounds 1-2 because they produce FILES,
+not rows. Each query here turns one of them into an oracle-checkable
+relation the same way the CSV/JSON sink round-trips did: physically exercise
+the surface (partitioned write, checkpoint corruption + degrade-to-full
+resume, paged-REST fixture ingest), then read the result back and return
+rows whose values a DuckDB oracle derives straight from the parquet tables.
+
+* ``sink_partitioned_write_readback`` — W1: dir-per-partition dataset write
+  (reference file-per-month layout, src/movie.py:224-225) read back and
+  aggregated; proves layout + codec preserve content per partition.
+* ``checkpoint_resume_degrade`` — W4/W5: incremental month-partitioned
+  backfill, checkpoint doc corrupted, second run degrades to "nothing done"
+  (reference src/movie.py:219-222) and rewrites every month via dynamic
+  partition overwrite. Equality with the direct aggregate proves the resume
+  is idempotent — an append-instead-of-overwrite bug would double counts.
+* ``source_rest_fixture_scan`` — S1/S2: the paged-REST DataSource reads a
+  deterministic fixture corpus derived from ``orders`` (pages of 20, one
+  partition per calendar month, reference src/movie.py:98-129); the oracle
+  recomputes the admitted rows and each row's month-window attribution.
+"""
+
+from __future__ import annotations
+
+import calendar
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import UNIT_SCALE, quantize
+from ..io import load_table, scratch_dir, write_partitioned
+from ..registry import register
+
+__all__ = [
+    "sink_partitioned_write_readback",
+    "checkpoint_resume_degrade",
+    "source_rest_fixture_scan",
+]
+
+
+@register(
+    "sink_partitioned_write_readback",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as a relation: write lineitem as a dir-per-partition dataset keyed
+    on l_returnflag, read the directory back, aggregate per partition. The
+    partition column round-trips through directory NAMES (not data pages),
+    so this is the layout check a pytest on write paths can't give the
+    driver. Doubles are quantized to integer cents BEFORE the write — the
+    same exactness discipline as the CSV/JSON round-trips."""
+    path = os.path.join(scratch_dir("w1_part_"), "lineitem_by_flag")
+    sl = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        quantize(F.col("l_extendedprice"), 100).alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    write_partitioned(sl, path, ["l_returnflag"])
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("price_cents"),
+        F.sum("qty").cast("long").alias("qty"),
+    )
+
+
+@register(
+    "checkpoint_resume_degrade",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS unit_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * {UNIT_SCALE}) AS BIGINT)) AS BIGINT)
+               AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def checkpoint_resume_degrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W5 as a relation: day-partitioned incremental backfill of the
+    events table, then the checkpoint doc is CORRUPTED and the backfill
+    re-run — the bookkeeping reader degrades to "nothing done" and rewrites
+    every unit. Because each unit commits via dynamic partition overwrite,
+    the rewrite is idempotent: the final read-back must equal the direct
+    per-day aggregate exactly (duplicated units would double n_events)."""
+    from ..plans.checkpoint import run_incremental_backfill
+
+    root = scratch_dir("w45_ckpt_")
+    out = os.path.join(root, "out")
+    ck = os.path.join(root, "checkpoint.json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", quantize(F.col("value"), UNIT_SCALE).alias("value_q")
+    )
+    first = run_incremental_backfill(spark, ev, "ts", out, ck, unit_format="yyyy-MM-dd")
+    assert len(first) > 1, "expected multiple daily units to checkpoint"
+    with open(ck, "w") as f:
+        f.write("{not json")  # simulate a torn/corrupt bookkeeping doc
+    second = run_incremental_backfill(spark, ev, "ts", out, ck, unit_format="yyyy-MM-dd")
+    assert second == first, "degrade-to-full must re-run every unit"
+    back = spark.read.parquet(out)
+    # partition dirs named yyyy-MM-dd come back DATE-typed via partition
+    # inference; emit ISO strings (temporal output types never cross the
+    # engine-comparison boundary — memory rule)
+    return (
+        back.withColumn("unit_key", F.col("unit_key").cast("string"))
+        .groupBy("unit_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_q").cast("long").alias("sum_value"),
+        )
+    )
+
+
+_REST_FROM = "1995-01-01"
+_REST_TO = "1995-03-31"
+_REST_MOD = 10  # keep every 10th order in the fixture corpus
+
+
+def _write_rest_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Derive a deterministic paged-API corpus from ``orders``: one JSON
+    page file per (month window, page of 20), named the way the fixture
+    transport resolves them. Fixture GENERATION is driver-side test-input
+    setup (bounded: a 3-month key-sampled slice), not part of the query
+    plan the driver measures."""
+    from ..sources.rest import PAGE_SIZE
+
+    fixture = scratch_dir("restfx_")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _REST_FROM)
+            & (F.col("o_orderdate") <= _REST_TO)
+            & (F.col("o_orderkey") % _REST_MOD == 0)
+        )
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .collect()
+    )
+    by_month: dict[str, list] = {}
+    for r in rows:
+        by_month.setdefault(r.d[:7], []).append((r.o_orderkey, r.d))
+    for mm, rs in by_month.items():
+        y, m = map(int, mm.split("-"))
+        a = f"{mm}-01"
+        b = f"{mm}-{calendar.monthrange(y, m)[1]:02d}"
+        rs.sort()
+        pages = [rs[i : i + PAGE_SIZE] for i in range(0, len(rs), PAGE_SIZE)]
+        for p, chunk in enumerate(pages, 1):
+            doc = {
+                "total_pages": len(pages),
+                "results": [
+                    {
+                        "id": k,
+                        "title": f"order-{k}",
+                        "release_date": d,
+                        "genre_ids": [1],
+                        "vote_average": 5.0,
+                        "vote_count": 10,
+                        "popularity": 1.0,
+                        "adult": False,
+                    }
+                    for k, d in chunk
+                ],
+            }
+            with open(os.path.join(fixture, f"{a}_{b}_p{p}.json"), "w") as f:
+                json.dump(doc, f)
+    return fixture
+
+
+@register(
+    "source_rest_fixture_scan",
+    oracle=f"""
+    SELECT o_orderkey AS movie_id,
+           'order-' || CAST(o_orderkey AS VARCHAR) AS title,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS release_date,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-01') || '_' ||
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS window_key
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '{_REST_FROM}' AND DATE '{_REST_TO}'
+      AND o_orderkey % {_REST_MOD} = 0
+    """,
+)
+def source_rest_fixture_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 end to end under the driver: the paged-REST DataSource ingests
+    the fixture corpus with one partition per calendar month and pages of
+    20; every emitted row carries its window attribution. The oracle
+    recomputes the expected row set AND each row's month window from
+    ``orders`` — if the reader dropped a page, double-fetched a window, or
+    mis-clamped a month boundary, the set comparison fails."""
+    from ..sources.rest import PagedRestDataSource
+
+    fixture = _write_rest_fixture(spark, sf_dir)
+    spark.dataSource.register(PagedRestDataSource)
+    df = (
+        spark.read.format("paged_rest")
+        .option("date_from", _REST_FROM)
+        .option("date_to", _REST_TO)
+        .option("fixture_dir", fixture)
+        .load()
+    )
+    return df.select(
+        F.col("id").cast("long").alias("movie_id"),
+        "title",
+        "release_date",
+        F.col("_window_key").alias("window_key"),
+    )

@@ -62,17 +62,19 @@ def run_incremental_backfill(
     ts_col: str,
     out_path: str,
     checkpoint_path: str,
+    unit_format: str = "yyyy-MM",
 ) -> list[str]:
-    """Month-partitioned incremental write of ``df``:
+    """Calendar-unit-partitioned incremental write of ``df``:
 
-    1. derive unit keys (year-month of ``ts_col``),
+    1. derive unit keys (``unit_format`` of ``ts_col`` — months by default,
+       days for finer-grained checkpointing),
     2. anti-join against the checkpoint,
-    3. write ONLY pending months via dynamic partition overwrite,
+    3. write ONLY pending units via dynamic partition overwrite,
     4. commit the updated checkpoint atomically.
 
     Returns the unit keys written this run.
     """
-    keyed = df.withColumn("unit_key", F.date_format(F.col(ts_col), "yyyy-MM"))
+    keyed = df.withColumn("unit_key", F.date_format(F.col(ts_col), unit_format))
     units = keyed.select("unit_key").distinct()
     done = load_done_keys(spark, checkpoint_path)
     todo = pending_units(units, done)

@@ -161,6 +161,7 @@ def _ensure_loaded() -> None:
         events,
         formats,
         graph,
+        io_roundtrips,
         joins,
         llm_prep,
         merge,
