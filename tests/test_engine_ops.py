@@ -257,3 +257,46 @@ def test_salted_agg_explicit_combiners_match_direct(spark):
         df, ["k"], {"s2": (F.sum("v"), lambda c: F.sum(c) * 2)}, salt=4
     )
     assert {r.s2 for r in out2.collect()} == {110}
+
+
+def test_shortest_paths_known_graph(spark):
+    from tmdb_movie_data_pipeline_spark.operators.graph import shortest_paths
+
+    # path 1-2-3-4, triangle 10-11-12, isolated edge 20-21 (no source side)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,), (10,)], "v long")
+    got = {r.v: r.d for r in shortest_paths(edges, sources).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1, 12: 1}
+    # 20/21 unreachable -> absent, not d=inf
+
+
+def test_shortest_paths_round_cap_raises(spark):
+    import pytest
+
+    from tmdb_movie_data_pipeline_spark.operators.graph import shortest_paths
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,)], "v long")
+    with pytest.raises(RuntimeError, match="converge"):
+        # 6-hop chain cannot converge in 2 rounds
+        shortest_paths(chain, sources, max_rounds=2)
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    import pytest
+
+    from tmdb_movie_data_pipeline_spark.streaming.transform_state import (
+        transform_with_state_event_stats,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            transform_with_state_event_stats(spark, sf_dir)
+    else:  # pragma: no cover - needs protobuf in the image
+        assert transform_with_state_event_stats(spark, sf_dir).count() > 0

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
 
-__all__ = ["connected_components", "dedup_cluster_components"]
+__all__ = [
+    "connected_components",
+    "dedup_cluster_components",
+    "shortest_paths",
+    "graph_shortest_paths",
+]
 
 #: hard cap on propagation rounds — convergence is checked each round; the
 #: cap only bounds a pathological chain-of-length-N graph (not a dedup shape).
@@ -170,4 +175,111 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_removed"),
+    )
+
+
+# -- multi-source shortest paths (BFS hop distance) ---------------------------
+
+_SP_MAX_ROUNDS = 30
+_SP_ORACLE_CAP = 20  # recursion bound in the oracle; >> observed diameters
+_SP_SRC_MOD = 10  # sources = pair-graph vertices with doc_id % mod == 0
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = _SP_MAX_ROUNDS,
+) -> DataFrame:
+    """(vertex, hops): minimum hop count from any source vertex, over the
+    undirected ``edges`` graph. Vertices unreachable from every source are
+    absent from the result.
+
+    Scale shape (the iterative-frontier twin of :func:`connected_components`):
+    each round is one |E|-bounded equi-join (current distances × edges) plus
+    a groupBy(min) — two key-bounded shuffles, no all-pairs stage; rounds =
+    eccentricity of the source set. Convergence is the (count, sum) pair of
+    the distance relation — the set only grows and distances only decrease,
+    so an unchanged pair is a fixpoint — and exhausting the round cap without
+    converging raises instead of returning short counts (same failure
+    contract as connected_components)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("v"))
+        .distinct()
+        .select("v", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_rounds):
+        nbr = sym.join(dist, sym["u"] == dist["v"]).select(
+            F.col("w").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.union(nbr)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("s")
+        ).collect()[0]
+        cur = (row.n, row.s)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"shortest_paths did not converge within {max_rounds} rounds"
+        )
+    return dist
+
+
+@register(
+    "graph_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    walk AS (
+        SELECT v AS node, 0 AS d FROM verts WHERE v % {_SP_SRC_MOD} = 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w
+        JOIN edges e ON e.src = w.node
+        WHERE w.d < {_SP_ORACLE_CAP}
+    )
+    SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the nearest canonical-candidate document (doc_id %
+    {mod} == 0) across the MinHash duplicate-pair graph — the "how far is
+    this doc from an already-reviewed doc" query a curation pipeline asks.
+    The oracle walks the same graph with a recursive CTE and takes MIN(d)
+    per vertex."""
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    verts = (
+        edges.select(F.col("doc_a").alias("v"))
+        .union(edges.select(F.col("doc_b").alias("v")))
+        .distinct()
+    )
+    sources = verts.filter(F.col("v") % _SP_SRC_MOD == 0)
+    out = shortest_paths(edges, sources, "doc_a", "doc_b")
+    return out.select(
+        F.col("v").alias("doc_id"), F.col("d").cast("long").alias("hops")
     )

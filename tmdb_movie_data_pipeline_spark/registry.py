@@ -182,6 +182,7 @@ def _ensure_loaded() -> None:
     )
     from .streaming import incremental_dedup as _incremental_dedup  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
+    from .streaming import transform_state as _transform_state  # noqa: F401
 
     _LOADED = True
 
