@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "events_tumbling_hourly",
     "delta_merge_upsert_read",
 ]
+# NOT benched, deliberately: delta_file_pruned_merge (its local timing is
+# dominated by the range-partitioned CREATE, not the merge — the pruning win
+# scales with table size and is invisible at sf0.1; the file-reuse property
+# is pinned by tests/test_acid.py instead) and the iterative graph queries
+# (driver-sequenced rounds measure round-trip latency, not engine
+# throughput — same reason dedup_cluster_components was never benched).
 
 #: files per table in the warmup copy — enough tasks to feed local[32]
 #: without tiny-file overhead at sf0.1.
