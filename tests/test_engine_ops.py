@@ -300,3 +300,24 @@ def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
             transform_with_state_event_stats(spark, sf_dir)
     else:  # pragma: no cover - needs protobuf in the image
         assert transform_with_state_event_stats(spark, sf_dir).count() > 0
+
+
+def test_repetition_filter_flags_planted_repetitive_doc(spark):
+    from tmdb_movie_data_pipeline_spark.operators.text import repetition_stats
+
+    clean = " ".join(f"word{i}" for i in range(50))          # all distinct
+    loop = " ".join(["spam ham eggs"] * 20)                  # pure repetition
+    short = "a b"                                            # < 3 tokens: dropped
+    docs = spark.createDataFrame(
+        [(1, clean), (2, loop), (3, short)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2}  # short doc filtered out
+    assert rows[1].dup_unigram_ratio == 0.0
+    assert rows[1].dup_trigram_ratio == 0.0
+    assert bool(rows[1].passes_repetition)
+    # 60 tokens, 3 distinct -> dup ratio 57/60; trigrams heavily duplicated
+    assert rows[2].dup_unigram_ratio > 0.9
+    assert rows[2].dup_trigram_ratio > 0.9
+    assert rows[2].top_token_frac >= 1.0 / 3.0
+    assert not bool(rows[2].passes_repetition)

@@ -284,3 +284,127 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# -- Gopher-style repetition filter -------------------------------------------
+
+#: gate thresholds (Rae et al. 2021 "Gopher" §A1.1 uses the same family of
+#: duplicate-n-gram / top-token-fraction rules; thresholds here are tuned to
+#: the synthetic corpus so both branches of the gate are exercised).
+REP_MAX_DUP_UNIGRAM = 0.6
+REP_MAX_TOP_TOKEN = 0.2
+REP_MAX_DUP_TRIGRAM = 0.1
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    ft AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+    uni AS (SELECT doc_id, UNNEST(toks) AS w FROM ft),
+    per_tok AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1, 2
+    ),
+    uni_stats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT)   AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(MAX(c) AS BIGINT)   AS top_cnt
+        FROM per_tok GROUP BY 1
+    ),
+    tri AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM ft
+    ),
+    tri_stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)          AS n_trigrams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+        FROM tri GROUP BY 1
+    )
+    SELECT u.doc_id, n_tokens, n_distinct_tokens,
+           1.0 - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS dup_unigram_ratio,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+           n_trigrams, n_distinct_trigrams,
+           1.0 - CAST(n_distinct_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+               AS dup_trigram_ratio,
+           (1.0 - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               <= {REP_MAX_DUP_UNIGRAM}
+           AND CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               <= {REP_MAX_TOP_TOKEN}
+           AND (1.0 - CAST(n_distinct_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE))
+               <= {REP_MAX_DUP_TRIGRAM} AS passes_repetition
+    FROM uni_stats u JOIN tri_stats tr ON tr.doc_id = u.doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate over the corpus table — see
+    :func:`repetition_stats` for the semantics and scale shape."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Duplicate-unigram ratio, top-token fraction, and duplicate-word-
+    trigram ratio per document, plus a pass/fail flag (Gopher §A1.1-style
+    repetition rules).
+
+    Scale shape: two aggregation trees (unigram counts, trigram counts),
+    each an explode → partial+final hash agg shuffled on ``doc_id``; the
+    final join is co-partitioned on the same key, so no extra exchange
+    beyond the two aggregations. Trigrams are built map-side with an array
+    ``transform`` over index ``sequence`` (no window, no second shuffle) —
+    the tokenizer is shared with the rest of the text battery. Ratios are
+    raw int/int IEEE divisions (bit-equal cross-engine); filtering to
+    ``size >= 3`` happens BEFORE the sequence so no descending-sequence or
+    out-of-bounds element_at can occur under ANSI mode.
+    """
+    docs = documents.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    uni = docs.select("doc_id", F.explode("toks").alias("w"))
+    per_tok = uni.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    uni_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.max("c").cast("long").alias("top_cnt"),
+    )
+    # 1-indexed to mirror the oracle's DuckDB list indexing exactly
+    trigram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + F.lit(1)),
+            F.element_at(F.col("toks"), i + F.lit(2)),
+        ),
+    )
+    tri = docs.select("doc_id", F.explode(trigram).alias("g"))
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.countDistinct("g").cast("long").alias("n_distinct_trigrams"),
+    )
+    dup_uni = F.lit(1.0) - F.col("n_distinct_tokens").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")
+    dup_tri = F.lit(1.0) - F.col("n_distinct_trigrams").cast("double") / F.col(
+        "n_trigrams"
+    ).cast("double")
+    return uni_stats.join(tri_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        dup_uni.alias("dup_unigram_ratio"),
+        top_frac.alias("top_token_frac"),
+        "n_trigrams",
+        "n_distinct_trigrams",
+        dup_tri.alias("dup_trigram_ratio"),
+        (
+            (dup_uni <= REP_MAX_DUP_UNIGRAM)
+            & (top_frac <= REP_MAX_TOP_TOKEN)
+            & (dup_tri <= REP_MAX_DUP_TRIGRAM)
+        ).alias("passes_repetition"),
+    )

@@ -75,6 +75,9 @@ _VERIFY_FIRST: list[str] = [
     "delta_file_pruned_merge",
     "stream_transform_with_state",
     "graph_shortest_paths",
+    "text_repetition_filter",
+    "udf_cogrouped_join",
+    "ann_ivfpq_topk",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
