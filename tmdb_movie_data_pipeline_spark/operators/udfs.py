@@ -188,3 +188,68 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_buckets(o_orderkey, o_totalprice) s
         """
     )
+
+
+@register(
+    "udf_cogrouped_join",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS num_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT)                      AS total_spend_cents,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 100 = 0
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def cogrouped_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: customers cogrouped with their orders by
+    key, merged in one Python pass per key — the custom-join shape
+    (``cogroup`` is the pandas-API dual of a join + groupBy).
+
+    Scale shape: one hash shuffle per side on the cogroup key (exactly what
+    an equi-join would pay), then each key's two pandas frames visit a
+    single Arrow-batched worker — no driver collect, no broadcast. Spend is
+    summed as half-up-quantized int cents inside Python (order-free), so
+    the result is bit-equal to the oracle's LEFT JOIN + GROUP BY. Customers
+    with no orders surface with zero counts (cogroup keeps keys present on
+    either side); order groups with no customer row emit nothing, matching
+    the oracle's FROM customer LEFT JOIN.
+    """
+    import numpy as np
+
+    def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(c_pdf) == 0:  # orders whose key has no customer row
+            return pd.DataFrame(
+                columns=["c_custkey", "num_orders", "total_spend_cents", "acctbal_cents"]
+            )
+        # half-away-from-zero quantization (acctbal can be negative;
+        # np.round is banker's and would diverge at exact .5 ties)
+        def q_cents(x: pd.Series) -> pd.Series:
+            v = x * 100
+            return pd.Series(
+                np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64"),
+                index=x.index,
+            )
+
+        spend = int(q_cents(o_pdf["o_totalprice"]).sum()) if len(o_pdf) else 0
+        return pd.DataFrame(
+            {
+                "c_custkey": c_pdf["c_custkey"].astype("int64"),
+                "num_orders": np.int64(len(o_pdf)),
+                "total_spend_cents": np.int64(spend),
+                "acctbal_cents": q_cents(c_pdf["c_acctbal"]),
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, num_orders long, total_spend_cents long, acctbal_cents long",
+        )
+    )
