@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "text_quality_score",
+    "text_repetition_filter",
     "text_tfidf_top_terms",
     "events_sessionize",
     "events_tumbling_hourly",

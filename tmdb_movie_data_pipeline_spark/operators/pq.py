@@ -214,3 +214,102 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# -- IVF-PQ: coarse routing + code-only scoring -------------------------------
+
+def _codes_cte() -> str:
+    return " UNION ALL ".join(
+        f"""SELECT vec_id, {b} AS block, cid AS code
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY ({_block_dist("v._e", "c._c", b)}) ASC,
+                                               c.cid ASC) AS rn
+            FROM fv v, fc c
+        ) WHERE rn = 1"""
+        for b in range(PQ_M)
+    )
+
+
+def _lut_cte() -> str:
+    return " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {b} AS block, c.cid AS code,
+               CAST(ROUND(({_block_dist("q._e", "c._c", b)}) * {_QSCALE}) AS BIGINT)
+                   AS qdist
+        FROM fv q, fc c WHERE q.vec_id < {N_QUERIES}"""
+        for b in range(PQ_M)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from .similarity import IVF_ROUTE_SQL
+
+    return f"""
+    WITH {IVF_ROUTE_SQL},
+    fv AS (SELECT vec_id, {_sql_flat("embeddings", "_e")} FROM embeddings),
+    fc AS (SELECT vec_id - {_CB_BASE} AS cid, {_sql_flat("embeddings", "_c")}
+           FROM embeddings
+           WHERE vec_id >= {_CB_BASE} AND vec_id < {_CB_BASE + PQ_K}),
+    codes AS ({_codes_cte()}),
+    lut AS ({_lut_cte()}),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.qdist) AS BIGINT) AS adc_dist_q
+        FROM cand cd
+        JOIN codes s ON s.vec_id = cd.vec_id
+        JOIN lut l ON l.query_id = cd.query_id
+                  AND l.block = s.block AND l.code = s.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist_q, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist_q,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist_q ASC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the billion-vector production shape — IVF coarse routing
+    picks the probed inverted lists, then candidates are scored purely from
+    their PQ codes against the query's broadcast ADC lookup table. Raw
+    vectors are touched only by the (offline) encode and routing steps;
+    query-time scoring reads M=8 codes per candidate.
+
+    Scale shape: routing is corpus × broadcast(16 centroids) with a max_by
+    partial agg (one row per vector on the wire); candidate generation is a
+    cid equi-join against the probes; scoring joins candidates to their
+    codes on vec_id (co-partitionable — at 100 TB, write codes partitioned
+    by cid so the probe join prunes partitions) and sums M broadcast-LUT
+    integers per candidate in a partial+final agg. Integer ADC distances
+    make the ranking engine-exact.
+    """
+    from .similarity import ivf_route
+
+    assign, probes = ivf_route(spark, sf_dir)
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = pq_encode(spark, sf_dir)
+    lut = _lut(spark, sf_dir)
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").cast("long").alias("adc_dist_q"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -419,10 +419,10 @@ CENTROID_BASE = 100  # vec_id in [100, 116) serve as the deterministic coarse co
 N_PROBE = 2
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH cent AS (
+#: IVF routing CTEs (cent/assign/probes) — shared verbatim by the IVF-Flat
+#: oracle below and the IVF-PQ oracle in operators/pq.py.
+IVF_ROUTE_SQL = f"""
+    cent AS (
         SELECT vec_id - {CENTROID_BASE} AS cid, embedding AS c_emb FROM embeddings
         WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
     ),
@@ -447,7 +447,10 @@ N_PROBE = 2
                                 DESC, cent.cid) AS rn
             FROM embeddings q, cent WHERE q.vec_id < {N_QUERIES}
         ) WHERE rn <= {N_PROBE}
-    ),
+    )"""
+
+_IVF_ORACLE = f"""
+    WITH {IVF_ROUTE_SQL},
     cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, a.embedding AS c_emb
         FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
@@ -466,12 +469,14 @@ N_PROBE = 2
                                   ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
     ) WHERE rank <= {TOP_K}
-    """,
-)
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: a coarse codebook (here a deterministic slice of the
-    corpus; k-means on a real deployment) partitions vectors into inverted
-    lists; a query probes only its N_PROBE nearest lists.
+    """
+
+
+def ivf_route(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse routing, shared by the IVF-Flat and IVF-PQ tiers: returns
+    ``(assign, probes)`` where ``assign`` is (vec_id, cid) — every corpus
+    vector's nearest-centroid inverted-list id — and ``probes`` is
+    (query_id, cid) — each query's ``N_PROBE`` nearest lists.
 
     Scale shape: assignment is a broadcast of K centroids against the corpus
     (one scan, no shuffle of the big side beyond the list partitioning);
@@ -534,6 +539,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
+    return assign, probes
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: coarse routing via :func:`ivf_route`, then an exact
+    cosine re-score restricted to the probed inverted lists."""
+    assign, probes = ivf_route(spark, sf_dir)
     cand = (
         probes.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
