@@ -175,3 +175,22 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_percentile_gate_is_take_ordered_not_global_sort(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        quality_percentile_gate,
+    )
+
+    plan = _plan(quality_percentile_gate(spark, sf_dir))
+    # partial top-k per partition + merge, never a range-shuffled full sort
+    assert _nodes(plan, "TakeOrderedAndProject") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_sequence_packing_windows_on_source_not_single_partition(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import sequence_packing
+
+    plan = _plan(sequence_packing(spark, sf_dir))
+    assert "SinglePartition" not in plan  # the 100 TB killer for windows
+    assert _nodes(plan, "Window") == 1

@@ -238,3 +238,130 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         n_digits.cast("int").alias("n_digits"),
     )
+
+
+# -- quality-percentile gating -------------------------------------------------
+
+#: fraction of the corpus kept by the percentile gate (FineWeb-Edu-style
+#: "keep the best-scoring slice", expressed as an exact global top-k)
+GATE_KEEP_PCT = 20
+
+
+@register(
+    "llm_quality_percentile_gate",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter({_TOKENS_SQL},
+                     t -> t IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
+                     / CAST(NULLIF(len({_TOKENS_SQL}), 0) AS DOUBLE)
+                   AS stopword_ratio
+        FROM documents
+        WHERE len({_TOKENS_SQL}) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, stopword_ratio,
+               ROW_NUMBER() OVER (ORDER BY stopword_ratio DESC, doc_id) AS rn
+        FROM q
+    )
+    SELECT doc_id, n_tokens, stopword_ratio
+    FROM ranked
+    WHERE rn <= (SELECT COUNT(*) * {GATE_KEEP_PCT} // 100 FROM q)
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-``GATE_KEEP_PCT``% of documents by quality score
+    (stopword ratio, doc_id tie-break) — the FineWeb-Edu-style "keep only
+    the best slice" gate.
+
+    Scale shape: the corpus size is a 1-row aggregate evaluated eagerly
+    (bounded driver scalar, same pattern as TF-IDF's ``n_docs``); the
+    selection itself is ``orderBy().limit(k)`` which Spark plans as
+    ``TakeOrderedAndProject`` — each partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge, so no global
+    sort and no single-partition window at any scale. The score is a raw
+    int/int IEEE division and the tie-break key is unique, so the selected
+    SET is deterministic and engine-exact.
+    """
+    from ..io import load_table
+    from .text import _marker_count
+
+    stop = ["the", "a", "and", "of", "is", "to", "in"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    q = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        (
+            _marker_count(toks, stop).cast("double")
+            / F.nullif(F.size(toks), F.lit(0)).cast("double")
+        ).alias("stopword_ratio"),
+    ).filter(F.col("n_tokens") > 0)
+    k = q.count() * GATE_KEEP_PCT // 100  # bounded 1-row scalar, like tfidf's n_docs
+    return q.orderBy(F.desc("stopword_ratio"), F.asc("doc_id")).limit(int(k))
+
+
+# -- sequence packing ----------------------------------------------------------
+
+#: tokens per training sequence (the concat-and-chunk context budget)
+PACK_BUDGET = 2048
+
+
+@register(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM toked
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST((cum_tokens - n_tokens) % {PACK_BUDGET} AS BIGINT) AS offset_in_pack
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each source, documents are
+    concatenated in doc_id order and split into ``PACK_BUDGET``-token
+    training sequences; each document gets the pack id and offset where it
+    starts.
+
+    Scale shape: one running-sum window partitioned by ``source`` — the
+    shuffle is on the pack partitioning key, and within a source the scan
+    is a single ordered pass (inherent to packing: a document's offset
+    depends on every earlier document in its stream). At 100 TB you pack
+    per (source, shard) so each window partition is bounded; the shape is
+    identical, only the partition key widens. All arithmetic is integer,
+    so the assignment is engine-exact by construction.
+    """
+    from ..io import load_table
+    from pyspark.sql.window import Window as W
+
+    toked = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = toked.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"CAST((cum_tokens - n_tokens) DIV {PACK_BUDGET} AS BIGINT)").alias(
+            "pack_id"
+        ),
+        (start % PACK_BUDGET).cast("long").alias("offset_in_pack"),
+    )

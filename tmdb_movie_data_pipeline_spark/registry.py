@@ -78,6 +78,8 @@ _VERIFY_FIRST: list[str] = [
     "text_repetition_filter",
     "udf_cogrouped_join",
     "ann_ivfpq_topk",
+    "llm_quality_percentile_gate",
+    "llm_sequence_packing",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
