@@ -194,3 +194,57 @@ def test_sequence_packing_windows_on_source_not_single_partition(spark, sf_dir):
     plan = _plan(sequence_packing(spark, sf_dir))
     assert "SinglePartition" not in plan  # the 100 TB killer for windows
     assert _nodes(plan, "Window") == 1
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The dynamic dual of the static-salt plan test: with AQE skew-join on,
+    the hot partition of a skewed SMJ is split at runtime and 'skew=true'
+    lands in the final adaptive plan.
+
+    Two traps this test dodges, both real at any scale: (1) skew splitting
+    works on MAP-output boundaries, so the skewed side needs >1 mapper
+    (testdata parquet is one row group = one map task — hence the
+    repartition); (2) skew detection is byte-based AFTER shuffle
+    compression, so a constant hot key with compressible values can hide a
+    6x row skew (the md5 payload keeps bytes proportional to rows)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact = (
+            spark.range(200_000)
+            .repartition(8)  # >1 mapper so the hot partition CAN split
+            .select(
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.pmod(F.col("id"), F.lit(1000)))
+                .alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("w")
+        )
+        df = fact.join(dim, "k")
+        df.collect()  # count() clones the QE; collect materializes THIS one
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

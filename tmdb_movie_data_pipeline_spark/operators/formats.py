@@ -92,3 +92,46 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _slice(spark, sf_dir).write.mode("overwrite").json(path)
     back = spark.read.schema(_SLICE_SCHEMA).json(path)
     return _agg(back)
+
+
+@register(
+    "source_schema_evolution_scan",
+    oracle="""
+    WITH merged AS (
+        SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged GROUP BY lang
+    """,
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old batch written WITHOUT ``lang`` and a
+    new batch written with it are read together via ``mergeSchema`` — the
+    missing column surfaces as NULL for old files, the standard
+    append-only-lake evolution path.
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time (one
+    footer read per file, no data scan); production tables evolve the same
+    way — writers add columns, readers merge, old files are never
+    rewritten. The aggregate proves values AND nulls land correctly, not
+    just that the read planned.
+    """
+    base = scratch_dir("fmt_evo_")
+    docs = load_table(spark, sf_dir, "documents")
+    old = os.path.join(base, "batch1")
+    new = os.path.join(base, "batch2")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(old)
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).parquet(new)
+    merged = spark.read.option("mergeSchema", "true").parquet(old, new)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

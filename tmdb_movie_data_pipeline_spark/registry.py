@@ -80,6 +80,7 @@ _VERIFY_FIRST: list[str] = [
     "ann_ivfpq_topk",
     "llm_quality_percentile_gate",
     "llm_sequence_packing",
+    "source_schema_evolution_scan",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
