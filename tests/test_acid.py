@@ -139,3 +139,29 @@ def test_merge_without_stats_falls_back_to_full_rewrite(spark, tmp_path):
     assert "stats_key" not in m1
     assert not (set(t.manifest(0)["files"]) & set(m1["files"]))
     assert _content(t.read()) == [(1, "a", 10.0), (2, "b2", 22.0)]
+
+
+def test_delete_range_prunes_untouched_files(spark, tmp_path):
+    """DELETE on a narrow key range rewrites only the intersecting files
+    (range-vs-range footer pruning is exact); untouched files carry by
+    reference, the deleted rows are gone, v0 stays intact, and a follow-up
+    OPTIMIZE compacts without changing content."""
+    base = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    ).repartitionByRange(8, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base, stats_key="k")
+    m0 = t.manifest(0)
+    assert len(m0["files"]) == 8
+
+    t.delete_range("k", 10, 20)  # inside one file's range
+    m1 = t.manifest(1)
+    reused = set(m0["files"]) & set(m1["files"])
+    assert len(reused) == 7, f"expected 7 carried files, got {len(reused)}"
+    got = {r.k for r in t.read().collect()}
+    assert got == {k for k in range(800) if not (10 <= k <= 20)}
+    assert t.read(0).count() == 800  # snapshot isolation
+
+    v2 = t.optimize(2)
+    assert t.read(v2).count() == 800 - 11
+    assert len(t.manifest(v2)["files"]) <= 2

@@ -302,3 +302,45 @@ def delta_file_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TxTable.create(spark, _tx_table_path(), base, stats_key="c_custkey")
     t.merge(_px_source(spark, sf_dir), "c_custkey")
     return t.read()
+
+
+# -- file-pruned DELETE + OPTIMIZE --------------------------------------------
+
+_DEL_LO, _DEL_HI = 1, 300  # delete range: a narrow key slice of the table
+
+
+@register(
+    "delta_delete_optimize",
+    oracle=f"""
+    WITH v AS (
+        SELECT c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        WHERE c_custkey NOT BETWEEN {_DEL_LO} AND {_DEL_HI}
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM v GROUP BY c_mktsegment
+    """,
+)
+def delta_delete_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional DELETE + OPTIMIZE round-trip: CREATE the customer base
+    as 8 range-partitioned files with key stats, DELETE a narrow key range
+    (v1 rewrites only the files whose footer range intersects — the rest
+    carry by reference, see TxTable.delete_range), then OPTIMIZE compacts
+    v2 without changing content. The aggregate read-back proves the
+    delete+compact pipeline preserves exactly the surviving rows through
+    two more manifest commits."""
+    from ..plans.acid import TxTable
+
+    base = _tx_base(spark, sf_dir).repartitionByRange(8, "c_custkey")
+    t = TxTable.create(spark, _tx_table_path(), base, stats_key="c_custkey")
+    t.delete_range("c_custkey", _DEL_LO, _DEL_HI)
+    t.optimize(2)
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("bal_cents"),
+    )

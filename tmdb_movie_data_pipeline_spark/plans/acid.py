@@ -303,6 +303,57 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases at {self.path}")
 
+    def delete_range(
+        self, key: str, lo: int, hi: int, max_retries: int = 3
+    ) -> int:
+        """DELETE WHERE ``key BETWEEN lo AND hi`` as a transaction.
+
+        The same footer-stats skipping as :meth:`merge`: only files whose
+        [min, max] intersects the delete range are rewritten (minus their
+        matching rows); every other file is carried into the new manifest
+        by reference. A range predicate against range stats is exact
+        pruning — a file whose range misses [lo, hi] provably holds no
+        matching row. Falls back to a full rewrite when stats are absent,
+        same as merge (safe, not wrong)."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries + 1):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            stats_key = m.get("stats_key")
+            stats = m.get("stats") or {}
+            files = m["files"]
+            usable = stats_key == key and all(stats.get(rel) for rel in files)
+            if usable:
+                touched = [
+                    rel
+                    for rel in files
+                    if stats[rel]["min"] <= hi and stats[rel]["max"] >= lo
+                ]
+                untouched = set(files) - set(touched)
+                carry = [(rel, stats.get(rel)) for rel in files if rel in untouched]
+                if touched:
+                    rewrite = self.spark.read.parquet(
+                        *[os.path.join(self.path, rel) for rel in touched]
+                    )
+                else:
+                    rewrite = self.spark.createDataFrame([], m["schema_ddl"])
+            else:
+                rewrite = self.read(base_v)
+                carry = []
+            kept = rewrite.filter(~F.col(key).between(lo, hi))
+            try:
+                return self._commit(
+                    kept,
+                    base_v + 1,
+                    f"DELETE {key} IN [{lo}, {hi}]",
+                    stats_key=stats_key,
+                    carry=carry,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} rebases at {self.path}")
+
     def optimize(self, target_files: int = 1) -> int:
         """Compaction: same logical content, fewer files, new version."""
         v = self.latest_version()

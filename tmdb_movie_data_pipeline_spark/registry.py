@@ -81,6 +81,7 @@ _VERIFY_FIRST: list[str] = [
     "llm_quality_percentile_gate",
     "llm_sequence_packing",
     "source_schema_evolution_scan",
+    "delta_delete_optimize",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
