@@ -472,3 +472,41 @@ def range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH lhs AS (SELECT NULLIF(c_custkey % 7, 3) AS k FROM customer),
+    rhs AS (SELECT NULLIF(id, 3) AS k, CAST(id * 2 AS BIGINT) AS w
+            FROM range(7) t(id))
+    SELECT l.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(r.w) AS BIGINT) AS sum_w
+    FROM lhs l JOIN rhs r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantic a plain equi-join
+    silently drops. The NULL bucket here is 1/7 of the fact side, which is
+    also the classic skew trap of null-safe joins at scale: NULL hashes to
+    one partition, so a production-size NULL share wants the same salting
+    treatment as any hot key (operators/skew.py)."""
+    lhs = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k")
+    )
+    rhs = spark.range(7).select(
+        F.nullif(F.col("id"), F.lit(3)).alias("k"),
+        (F.col("id") * 2).cast("long").alias("w"),
+    )
+    return (
+        lhs.alias("l")
+        .join(rhs.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .groupBy(F.col("l.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("r.w").cast("long").alias("sum_w"),
+        )
+    )

@@ -164,3 +164,79 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+@register(
+    "quality_constraint_audit",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS price,
+               CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ship
+        FROM lineitem
+    ),
+    dup AS (
+        SELECT CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM (SELECT COUNT(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT 'quantity_in_1_50' AS rule, qty AS n_violations, n_rows FROM base
+    UNION ALL SELECT 'price_positive', price, n_rows FROM base
+    UNION ALL SELECT 'discount_in_0_1', disc, n_rows FROM base
+    UNION ALL SELECT 'shipdate_not_null', ship, n_rows FROM base
+    UNION ALL SELECT 'pk_unique', n_violations, n_rows FROM dup
+    """,
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/DLT-expectations-style constraint audit: one row per declared
+    rule with its violation count — range, positivity, not-null, and
+    primary-key-uniqueness checks over lineitem.
+
+    Scale shape: all row-level rules evaluate in ONE conditional-aggregate
+    scan (a single partial+final agg, no per-rule passes); only the
+    uniqueness rule needs its own keyed aggregation. `stack` unpivots the
+    wide audit row map-side. This is the audit you bolt onto every ingest:
+    adding a rule adds a column to the same scan, not a new job.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0))
+        .cast("long")
+        .alias("qty"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("price"),
+        F.sum(F.when(~F.col("l_discount").between(0, 1), 1).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("ship"),
+    )
+    row_rules = wide.selectExpr(
+        "stack(4, 'quantity_in_1_50', qty, 'price_positive', price, "
+        "'discount_in_0_1', disc, 'shipdate_not_null', ship) "
+        "AS (rule, n_violations)",
+        "n_rows",
+    )
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.lit("pk_unique").alias("rule"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+    )
+    return row_rules.unionByName(pk)

@@ -82,6 +82,8 @@ _VERIFY_FIRST: list[str] = [
     "llm_sequence_packing",
     "source_schema_evolution_scan",
     "delta_delete_optimize",
+    "join_null_safe_eq",
+    "quality_constraint_audit",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
