@@ -321,3 +321,24 @@ def test_repetition_filter_flags_planted_repetitive_doc(spark):
     assert rows[2].dup_trigram_ratio > 0.9
     assert rows[2].top_token_frac >= 1.0 / 3.0
     assert not bool(rows[2].passes_repetition)
+
+
+def test_observe_collects_audit_metrics_inline(spark, sf_dir):
+    """df.observe(): audit metrics (row count, violation count) ride along
+    with the real job — no second scan, the Deequ-style audit for free on
+    any existing action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)).alias(
+            "qty_violations"
+        ),
+    )
+    # the action that triggers metric collection is the real query itself
+    total = observed.groupBy("l_returnflag").count().collect()
+    assert sum(r["count"] for r in total) == obs.get["n_rows"]
+    assert obs.get["qty_violations"] == 0

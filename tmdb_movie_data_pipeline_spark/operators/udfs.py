@@ -18,6 +18,8 @@ functions/numeric.py, enforced *inside* user code.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -252,4 +254,82 @@ def cogrouped_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge,
             "c_custkey long, num_orders long, total_spend_cents long, acctbal_cents long",
         )
+    )
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) % 97 AS bucket97
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    """,
+)
+def pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER): the variant for
+    expensive per-executor init — the \"model\" (here just the quantizer
+    constants) loads ONCE per partition, then streams over Arrow batches;
+    a plain scalar UDF would re-enter Python with no place to hoist that
+    setup. Arithmetic is half-up integer quantization, so Python == JVM ==
+    DuckDB exactly."""
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale, mod = 1_000_000, 97  # per-partition init, amortized
+        for b in batches:
+            micros = np.floor(b * scale + 0.5).astype("int64")
+            yield pd.Series(micros % mod)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber", bucket(F.col("l_extendedprice")).alias("bucket97")
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             + CAST(l_quantity AS BIGINT) AS price_qty_mix
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    """,
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: zero-copy RecordBatch-in / RecordBatch-out — the
+    lowest-overhead Python hook (no pandas conversion at all), the shape
+    for columnar codecs and Arrow-native libraries. ``pc.round`` is pinned
+    to half_towards_infinity (positive inputs ⇒ half-up) to match both
+    engines' ROUND."""
+    import pyarrow as pa
+
+    def mix(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            qty = pc.cast(b.column("l_quantity"), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"),
+                 pc.add(cents, qty)],
+                ["l_orderkey", "l_linenumber", "price_qty_mix"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    )
+    return li.mapInArrow(
+        mix, "l_orderkey long, l_linenumber int, price_qty_mix long"
     )

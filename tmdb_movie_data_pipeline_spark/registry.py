@@ -84,6 +84,8 @@ _VERIFY_FIRST: list[str] = [
     "delta_delete_optimize",
     "join_null_safe_eq",
     "quality_constraint_audit",
+    "udf_pandas_scalar_iter",
+    "udf_map_in_arrow",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
