@@ -510,3 +510,42 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r.w").cast("long").alias("sum_w"),
         )
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.price_cents
+    FROM customer c, LATERAL (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by price,
+    written as the per-row subquery a SQL user reaches for. Catalyst
+    decorrelates this into a joined window ranking — same physical shape as
+    operators/windows.py's top-k — so the lateral form costs one shuffle,
+    not one subquery execution per outer row (the 100 TB difference)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("t_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.price_cents
+        FROM t_cust_lat c, LATERAL (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM t_ord_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey % 50 = 0
+        """
+    )

@@ -369,3 +369,69 @@ def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toked.select(
         "doc_id", F.posexplode("toks").alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
+@register(
+    "json_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType shredding (Spark 4): ``parse_json`` builds the binary
+    variant encoding once, ``variant_get`` does typed path access — the
+    engine-native semi-structured path (no per-row string re-parse per
+    field, unlike chained get_json_object). Same extraction semantics as
+    the JSON-string kit, exercised through the variant engine."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", (k % 10).alias("k_mod"))
+        .groupBy("event_type", "k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2002-03-01'
+    )
+    SELECT strftime(months.m, '%Y-%m') AS ym,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = months.m
+    GROUP BY 1
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate the month spine
+    the reference iterates imperatively (src/movie.py month windows) as a
+    recursive union INSIDE the engine, then left-join order counts onto it
+    — months past the data edge surface with zero, proving the spine drives
+    the join rather than the data. The recursion depth is the number of
+    months (bounded metadata), not a data-sized loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_orders_spine")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months
+            WHERE m < TIMESTAMP '2002-03-01'
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS ym,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN t_orders_spine o
+          ON date_trunc('MONTH', o.o_orderdate) = months.m
+        GROUP BY 1
+        """
+    )

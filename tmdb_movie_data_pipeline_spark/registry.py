@@ -86,6 +86,9 @@ _VERIFY_FIRST: list[str] = [
     "quality_constraint_audit",
     "udf_pandas_scalar_iter",
     "udf_map_in_arrow",
+    "json_variant_shred",
+    "recursive_month_spine",
+    "join_lateral_topn",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
