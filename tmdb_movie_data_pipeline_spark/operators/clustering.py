@@ -172,3 +172,68 @@ def kmeans_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "sum_q"
         ),
     ).select("cid", "n", F.col("dim").cast("long").alias("dim"), "sum_q")
+
+
+# -- grouped closed-form OLS ---------------------------------------------------
+
+#: hours are measured from this instant so the integer moment sums stay far
+#: inside int64 (raw epoch-hours squared × |group| would approach overflow)
+_OLS_X0 = "TIMESTAMP '1995-01-01 00:00:00'"
+
+
+@register(
+    "ml_grouped_ols",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000)
+                 - (epoch_us({_OLS_X0}) // 3600000000) AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(y) AS BIGINT)     AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_hour
+    FROM m
+    """,
+)
+def ml_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (value-vs-time trend per event type) — the
+    "many small models" pattern, fitted WITHOUT Python: the five moment
+    sums (n, Σx, Σy, Σx², Σxy) are partial-aggregable integers, so each
+    group's slope costs one map-side-combined shuffle row regardless of
+    group size. A pandas per-group fit would move every row to Python;
+    this moves five numbers. Integer moments + one IEEE expression make
+    the slope bit-equal cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        f"(unix_micros(ts) div 3600000000) - (unix_micros({_OLS_X0}) div 3600000000)"
+    )
+    y = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    pts = ev.select("event_type", x.alias("x"), y.alias("y"))
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    slope = (
+        m["n"].cast("double") * m["sxy"].cast("double")
+        - m["sx"].cast("double") * m["sy"].cast("double")
+    ) / (
+        m["n"].cast("double") * m["sxx"].cast("double")
+        - m["sx"].cast("double") * m["sx"].cast("double")
+    )
+    return m.select("event_type", "n", slope.alias("slope_cents_per_hour"))

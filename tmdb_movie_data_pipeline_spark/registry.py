@@ -89,6 +89,7 @@ _VERIFY_FIRST: list[str] = [
     "json_variant_shred",
     "recursive_month_spine",
     "join_lateral_topn",
+    "ml_grouped_ols",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
