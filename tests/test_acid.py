@@ -165,3 +165,29 @@ def test_delete_range_prunes_untouched_files(spark, tmp_path):
     v2 = t.optimize(2)
     assert t.read(v2).count() == 800 - 11
     assert len(t.manifest(v2)["files"]) <= 2
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "lo,hi,expect_kept,expect_carried",
+    [
+        (900, 999, 800, 8),   # range misses every file: all carried, no-op
+        (0, 799, 0, 0),       # range covers the table: full rewrite, empty
+        (100, 100, 799, 7),   # single key: one file touched
+    ],
+)
+def test_delete_range_edges(spark, tmp_path, lo, hi, expect_kept, expect_carried):
+    base = spark.range(0, 800).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    ).repartitionByRange(8, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base, stats_key="k")
+    m0 = t.manifest(0)
+    t.delete_range("k", lo, hi)
+    m1 = t.manifest(1)
+    assert t.read().count() == expect_kept
+    assert len(set(m0["files"]) & set(m1["files"])) == expect_carried
+    # deleted keys truly gone; snapshot v0 untouched
+    assert t.read().filter(F.col("k").between(lo, hi)).count() == 0
+    assert t.read(0).count() == 800

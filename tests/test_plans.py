@@ -248,3 +248,18 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_obeyed(spark, sf_dir):
+    """Strategy hints are the manual override when AQE/stats guess wrong at
+    scale: each hint must actually flip the physical join operator."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cases = [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]
+    for hint, node in cases:
+        plan = _plan(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
+        assert _nodes(plan, node) >= 1, f"hint {hint} did not produce {node}"
