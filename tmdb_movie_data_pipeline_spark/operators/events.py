@@ -166,3 +166,39 @@ def latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@register(
+    "events_cdc_tombstones",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+           event_type AS last_type, ROUND(value, 4) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction WITH tombstones: latest row per key wins, and a key
+    whose latest row is a delete marker (here the synthetic mapping
+    ``event_type = 'error'``) is dropped from the compacted state entirely
+    — the missing half of upsert compaction (``events_latest_per_user``
+    keeps every key). Same single-Exchange window shape; the tombstone
+    filter rides the rn=1 filter for free. At scale this is exactly how a
+    log-compacted changefeed (Kafka compaction, Delta CDF) materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).alias("value"),
+        )
+    )

@@ -90,6 +90,8 @@ _VERIFY_FIRST: list[str] = [
     "recursive_month_spine",
     "join_lateral_topn",
     "ml_grouped_ols",
+    "events_cdc_tombstones",
+    "join_fuzzy_deletion_neighborhood",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
