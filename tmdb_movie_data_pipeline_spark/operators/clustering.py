@@ -237,3 +237,106 @@ def ml_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         - m["sx"].cast("double") * m["sx"].cast("double")
     )
     return m.select("event_type", "n", slope.alias("slope_cents_per_hour"))
+
+
+@register(
+    "stats_corr_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(l_quantity AS BIGINT)                        AS x,
+               CAST(ROUND(l_extendedprice) AS BIGINT)            AS y,
+               CAST(ROUND(l_discount * 10000) AS BIGINT)         AS z
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(y * z) AS BIGINT) AS syz
+        FROM q
+    )
+    SELECT 'qty_price' AS pair,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'qty_discount',
+           (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+    FROM m
+    UNION ALL
+    SELECT 'price_discount',
+           (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+    FROM m
+    """,
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of three lineitem measures from ONE
+    aggregate pass: 10 integer moment sums (all partial-aggregable) feed
+    every pairwise coefficient — the profile-stage statistic computed the
+    way a distributed engine should (never one `corr()` job per pair).
+
+    Exactness: moments are quantized ints (quantity is integral; price
+    rounded to dollars, discount to basis points — squares × row count stay
+    far inside int64 at any plausible SF; ANSI mode would throw loudly, not
+    wrap, if that envelope were ever exceeded); the final expression is
+    mul/sub/div/sqrt — all IEEE correctly-rounded, so the doubles are
+    bit-equal cross-engine with the identical left-assoc text."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr("CAST(ROUND(l_extendedprice) AS BIGINT)").alias("y"),
+        F.expr("CAST(ROUND(l_discount * 10000) AS BIGINT)").alias("z"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+    )
+
+    def corr(sab: str, a: str, saa: str, b: str, sbb: str):
+        n, A, B = F.col("n").cast("double"), F.col(a).cast("double"), F.col(b).cast("double")
+        AB, AA, BB = (
+            F.col(sab).cast("double"),
+            F.col(saa).cast("double"),
+            F.col(sbb).cast("double"),
+        )
+        return (n * AB - A * B) / (
+            F.sqrt(n * AA - A * A) * F.sqrt(n * BB - B * B)
+        )
+
+    rows = [
+        ("qty_price", corr("sxy", "sx", "sxx", "sy", "syy")),
+        ("qty_discount", corr("sxz", "sx", "sxx", "sz", "szz")),
+        ("price_discount", corr("syz", "sy", "syy", "sz", "szz")),
+    ]
+    out = None
+    for name, expr in rows:
+        one = m.select(F.lit(name).alias("pair"), expr.alias("corr"))
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -92,6 +92,7 @@ _VERIFY_FIRST: list[str] = [
     "ml_grouped_ols",
     "events_cdc_tombstones",
     "join_fuzzy_deletion_neighborhood",
+    "stats_corr_matrix",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
