@@ -263,3 +263,27 @@ def test_join_strategy_hints_are_obeyed(spark, sf_dir):
     for hint, node in cases:
         plan = _plan(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
         assert _nodes(plan, node) >= 1, f"hint {hint} did not produce {node}"
+
+
+def test_user_streaks_reuses_one_partitioning_after_dedup(spark, sf_dir):
+    """Gaps-and-islands: the (user, day) dedup and the user_id window are
+    the ONLY two shuffles — the island agg (user, grp) and the final
+    per-user rollup both cluster on a superset of user_id, so Catalyst
+    satisfies them from the window's Exchange instead of re-shuffling.
+    Four logical regroupings, two physical Exchanges, at any scale."""
+    from tmdb_movie_data_pipeline_spark.operators.events import user_streaks
+
+    plan = _plan(user_streaks(spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 2, plan
+
+
+def test_kmv_sketch_dedups_before_the_window(spark, sf_dir):
+    """KMV: the row_number that extracts the K-th order statistic must run
+    over DISTINCT hashes, not raw events — the dedup's partial aggregate
+    shrinks the shuffle to |distinct| before any ordering work happens."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import kmv_distinct
+
+    plan = _plan(kmv_distinct(spark, sf_dir))
+    assert _nodes(plan, "Window") == 1
+    # dedup partial+final below the window, group agg partial+final above it
+    assert _nodes(plan, "HashAggregate") >= 4

@@ -202,3 +202,177 @@ def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    f AS (SELECT user_id, MIN(w) AS cohort_w FROM uw GROUP BY 1)
+    SELECT epoch_us(cohort_w)                                    AS cohort_week_us,
+           CAST(datediff('day', cohort_w, w) / 7 AS BIGINT)      AS weeks_since,
+           CAST(COUNT(*) AS BIGINT)                              AS n_users
+    FROM uw JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week, counted
+    in every later week they return — the standard growth-analytics rollup.
+    (Weekly, not monthly: both engines truncate weeks to Monday, and the
+    offset is day-diff/7 on week-truncated values — exact integers with no
+    engine-specific week-counting semantics.)
+
+    Scale shape: distinct (user, week) first (partial-agg dedup before the
+    shuffle), then the per-user MIN rides a user_id aggregation whose output
+    is joined back and re-aggregated by (cohort, offset). Because a user's
+    active weeks are bounded (≤ weeks in the data's lifetime), every
+    intermediate is strictly smaller than the raw events table — nothing
+    here scans events twice. After the (user, week) dedup the join back to
+    per-user minima colocates on user_id. COUNT(*) on the joined set IS
+    count-distinct-users because (user, week) rows are unique by
+    construction — no expensive distinct aggregate at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_w").alias("cohort_week_us"),
+            (F.datediff(F.col("w"), F.col("cohort_w")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "events_user_streaks",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    g AS (
+        SELECT user_id, d,
+               datediff('day', DATE '1970-01-01', d)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM ud
+    ),
+    isl AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT)        AS n_streaks,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days
+    FROM isl GROUP BY 1
+    """,
+)
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active DAYS (daily
+    streaks). The classic trick — day_number minus row_number is constant
+    within a consecutive run — turns streak detection into two plain
+    aggregations, no iterative logic.
+
+    Scale shape: after the (user, day) dedup, ONE hash partitioning on
+    user_id serves everything downstream — the row_number window, the
+    (user, grp) island aggregation, and the final per-user rollup all
+    cluster on user_id subsets, so Catalyst reuses the same Exchange (the
+    plan has exactly two shuffles total, dedup + window, regardless of data
+    size; pinned in tests/test_plans.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy(F.asc("d"))
+    g = ud.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    isl = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return isl.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("streak_len").cast("long").alias("active_days"),
+    )
+
+
+@register(
+    "events_cooccurrence_pairs",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    tc AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type FROM ut GROUP BY 1
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           CAST(p.n_both AS DOUBLE)
+             / CAST(ta.n_type + tb.n_type - p.n_both AS DOUBLE) AS jaccard
+    FROM p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    """,
+)
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior co-occurrence matrix: for every unordered pair of event
+    types, how many users did both, plus the Jaccard overlap of the two
+    user sets — market-basket affinity over the event log.
+
+    Scale shape: the self-join runs on the DEDUPED (user, type) relation —
+    |types| per user is tiny and bounded, so the triangular join (`<` on
+    type) emits at most C(T,2) rows per user, never a quadratic blowup in
+    users. Both join sides cluster on user_id (one shuffle each from the
+    same dedup); the per-type totals are a tiny aggregate joined in by
+    broadcast at the end. Jaccard is an int/int IEEE division — bit-equal
+    cross-engine with no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("na")
+    )
+    tb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("nb")
+    )
+    return (
+        p.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

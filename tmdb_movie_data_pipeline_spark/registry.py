@@ -93,6 +93,10 @@ _VERIFY_FIRST: list[str] = [
     "events_cdc_tombstones",
     "join_fuzzy_deletion_neighborhood",
     "stats_corr_matrix",
+    "events_cohort_retention",
+    "events_user_streaks",
+    "events_cooccurrence_pairs",
+    "sketch_kmv_distinct",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
@@ -191,6 +195,7 @@ def _ensure_loaded() -> None:
         scalars,
         setops,
         similarity,
+        sketches,
         skew,
         subqueries,
         text,
