@@ -376,3 +376,76 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t1,
+               MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t2,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1
+                             THEN 1 ELSE 0 END) AS BIGINT)                     AS n2,
+               CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+                             THEN 1 ELSE 0 END) AS BIGINT)                     AS n3
+        FROM u
+    )
+    SELECT 1 AS step, 'view' AS step_type, n1 AS n_users,
+           CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first
+    FROM s
+    UNION ALL
+    SELECT 2, 'click', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM s
+    UNION ALL
+    SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM s
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user counts at
+    step k if their FIRST occurrence of each step is strictly later than the
+    first occurrence of the previous step (min-time ordering — the standard
+    single-scan funnel; strict ``>`` is the tie rule on both engines).
+
+    Scale shape: ONE scan and ONE user_id aggregation produce the three
+    conditional minima (all partial-aggregable); the step counts are a
+    second aggregation over one row per user; the 3-row presentation fans
+    out from a single-row aggregate — at 100 TB this is a map-side-combined
+    groupBy and nothing else. Conversion is an int/int IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    u = ev.groupBy("user_id").agg(
+        first_of("view").alias("t1"),
+        first_of("click").alias("t2"),
+        first_of("purchase").alias("t3"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & (F.col("t2") > F.col("t1"))
+    s3 = s2 & (F.col("t3") > F.col("t2"))
+    s = u.agg(flag(s1).alias("n1"), flag(s2).alias("n2"), flag(s3).alias("n3"))
+    rows = [
+        (1, "view", "n1"),
+        (2, "click", "n2"),
+        (3, "purchase", "n3"),
+    ]
+    out = None
+    for step, name, col in rows:
+        one = s.select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_type"),
+            F.col(col).alias("n_users"),
+            (F.col(col).cast("double") / F.col("n1").cast("double")).alias(
+                "conv_from_first"
+            ),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

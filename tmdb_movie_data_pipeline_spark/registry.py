@@ -97,6 +97,7 @@ _VERIFY_FIRST: list[str] = [
     "events_user_streaks",
     "events_cooccurrence_pairs",
     "sketch_kmv_distinct",
+    "events_funnel_steps",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
