@@ -287,3 +287,18 @@ def test_kmv_sketch_dedups_before_the_window(spark, sf_dir):
     assert _nodes(plan, "Window") == 1
     # dedup partial+final below the window, group agg partial+final above it
     assert _nodes(plan, "HashAggregate") >= 4
+
+
+def test_incremental_refresh_reads_state_not_history(spark, sf_dir):
+    """The refreshed rollup's plan must scan the persisted state parquet and
+    the NEW batch only: the orders scan carries a pushed >= split filter,
+    and no < split (history) scan appears anywhere — refresh cost is
+    O(delta + |groups|), not O(history)."""
+    from tmdb_movie_data_pipeline_spark.operators.incremental import (
+        incremental_agg_maintenance,
+    )
+
+    plan = _plan(incremental_agg_maintenance(spark, sf_dir))
+    assert "aggstate_" in plan  # the state table is a real on-disk relation
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "LessThan(o_orderdate,1996-01-01" not in plan

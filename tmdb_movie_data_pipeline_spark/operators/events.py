@@ -449,3 +449,56 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    p AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS prob
+    FROM p
+    """,
+)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for every
+    (from, to) pair of consecutive events within a user's timeline, the
+    count and the row-normalized transition probability — the clickstream
+    model behind next-action prediction and anomaly scoring.
+
+    Scale shape: one user_id shuffle for the LEAD window, then a tiny
+    (|types|² upper-bounded) aggregate; the row normalization is a window
+    over that tiny relation, not over events. Probability is an int/int
+    IEEE division — bit-equal cross-engine. The per-user ordered scan never
+    leaves its partition, exactly like sessionize above."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    p = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wt = W.partitionBy("from_type")
+    return p.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wt).cast("double")
+        ).alias("prob"),
+    )

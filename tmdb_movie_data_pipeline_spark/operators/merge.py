@@ -344,3 +344,94 @@ def delta_delete_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bal_cents"),
     )
+
+
+_DIFF_DEL_LO, _DIFF_DEL_HI = 301, 450  # delete slice for the change feed
+
+
+@register(
+    "delta_version_diff",
+    oracle=f"""
+    WITH source AS ({_TX_SOURCE_SQL}),
+    v0 AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    v1 AS (
+        SELECT * FROM source
+        UNION ALL
+        SELECT * FROM v0 WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE c_custkey NOT BETWEEN {_DIFF_DEL_LO} AND {_DIFF_DEL_HI}
+    )
+    SELECT 'delete' AS change_type, v0.c_custkey,
+           v0.c_name, v0.c_acctbal
+    FROM v0 LEFT JOIN v2 USING (c_custkey) WHERE v2.c_custkey IS NULL
+    UNION ALL
+    SELECT 'insert', v2.c_custkey, v2.c_name, v2.c_acctbal
+    FROM v2 LEFT JOIN v0 USING (c_custkey) WHERE v0.c_custkey IS NULL
+    UNION ALL
+    SELECT 'update', v2.c_custkey, v2.c_name, v2.c_acctbal
+    FROM v2 JOIN v0 USING (c_custkey)
+    WHERE v2.c_name <> v0.c_name OR v2.c_acctbal <> v0.c_acctbal
+       OR v2.c_mktsegment <> v0.c_mktsegment
+    """,
+)
+def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between table versions: CREATE v0, MERGE v1
+    (updates + inserts), DELETE a key range as v2, then DIFF v0 → v2 into
+    typed change rows (insert / update / delete) — what Delta CDF or an
+    outbox materializer would emit, derived purely from two snapshot reads.
+
+    Scale shape: the diff is one full-outer-shaped comparison on the key —
+    here as two anti-joins plus an inner join, all shuffle-on-key with
+    partial-agg-free pipelines; at 100 TB each side prunes to its own
+    snapshot's files, and the joins colocate on c_custkey. (A production
+    CDF would read the per-commit file lists instead of diffing snapshots;
+    the snapshot diff is the oracle-checkable ground truth the file-level
+    feed must agree with.)"""
+    from ..plans.acid import TxTable
+
+    t = TxTable.create(spark, _tx_table_path(), _tx_base(spark, sf_dir))
+    t.merge(_tx_source(spark, sf_dir), "c_custkey")
+    t.delete_range("c_custkey", _DIFF_DEL_LO, _DIFF_DEL_HI)
+
+    old = t.read(0).alias("o")
+    new = t.read().alias("n")
+    key = F.col("o.c_custkey") == F.col("n.c_custkey")
+
+    deletes = (
+        old.join(new, key, "left_anti")
+        .select(
+            F.lit("delete").alias("change_type"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+        )
+    )
+    inserts = (
+        new.join(old, key, "left_anti")
+        .select(
+            F.lit("insert").alias("change_type"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+        )
+    )
+    updates = (
+        new.join(old, key, "inner")
+        .filter(
+            (F.col("n.c_name") != F.col("o.c_name"))
+            | (F.col("n.c_acctbal") != F.col("o.c_acctbal"))
+            | (F.col("n.c_mktsegment") != F.col("o.c_mktsegment"))
+        )
+        .select(
+            F.lit("update").alias("change_type"),
+            F.col("n.c_custkey").alias("c_custkey"),
+            F.col("n.c_name").alias("c_name"),
+            F.col("n.c_acctbal").alias("c_acctbal"),
+        )
+    )
+    return deletes.unionByName(inserts).unionByName(updates)

@@ -98,6 +98,9 @@ _VERIFY_FIRST: list[str] = [
     "events_cooccurrence_pairs",
     "sketch_kmv_distinct",
     "events_funnel_steps",
+    "events_transition_matrix",
+    "delta_version_diff",
+    "incremental_agg_maintenance",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
@@ -184,6 +187,7 @@ def _ensure_loaded() -> None:
         events,
         formats,
         graph,
+        incremental,
         io_roundtrips,
         joins,
         llm_prep,
