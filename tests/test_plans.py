@@ -302,3 +302,14 @@ def test_incremental_refresh_reads_state_not_history(spark, sf_dir):
     assert "aggstate_" in plan  # the state table is a real on-disk relation
     assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
     assert "LessThan(o_orderdate,1996-01-01" not in plan
+
+
+def test_interval_overlap_join_is_banded_not_nested_loop(spark, sf_dir):
+    """Interval × interval overlap must plan as an equi-join on the hour
+    band (theta predicate evaluated only within a bucket) — never a
+    BroadcastNestedLoopJoin over the full cross product."""
+    from tmdb_movie_data_pipeline_spark.operators.joins import interval_overlap
+
+    plan = _plan(interval_overlap(spark, sf_dir))
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "CartesianProduct" not in plan

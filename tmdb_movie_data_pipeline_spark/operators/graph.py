@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import load_table
 from ..registry import register
 from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
 
@@ -283,3 +284,83 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("doc_id"), F.col("d").cast("long").alias("hops")
     )
+
+
+_TRI_MIN_SHARED = 5  # edge = user pair sharing ≥ this many (type, day) cells
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+    ),
+    e AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM ut a JOIN ut b
+          ON a.event_type = b.event_type AND a.d = b.d
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           n_triangles
+    FROM t
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over a behavioral affinity graph
+    (edge = two users sharing ≥{_TRI_MIN_SHARED} (event_type, day) activity
+    cells). Triangles are the clustering-coefficient numerator — the
+    community-density statistic of the co-activity graph.
+
+    Scale shape: edges are ORIENTED low-id → high-id, so each triangle is
+    counted exactly once and — crucially — every wedge is enumerated from
+    the edge relation itself via two equi-joins (e1.v=e2.u, then the
+    closing edge on (e1.u, e2.v)); no vertex-centric adjacency blowup. At
+    power-law scale the standard refinement is degree-ordering instead of
+    id-ordering (orient edges toward the higher-degree endpoint) so hub
+    wedges are split — same plan, different orientation key. Edge
+    construction blocks on (type, day) cells; at 100 TB hot cells get the
+    same cap/salt treatment as any skewed key (see operators/skew.py).
+    Fresh load_table scans per join side keep the analyzer away from the
+    shared-lineage wide-self-join trap."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    ).distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("u", "v")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri)

@@ -549,3 +549,110 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 50 = 0
         """
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq,
+               epoch_us(ts) AS us
+        FROM seq
+    ),
+    iv AS (
+        SELECT user_id, session_seq, MIN(us) AS s, MAX(us) AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    a AS (SELECT * FROM iv WHERE user_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE user_id % 2 = 1),
+    p AS (
+        SELECT a.user_id AS a_user, b.user_id AS b_user,
+               GREATEST(a.s, b.s) AS os, LEAST(a.e, b.e) AS oe
+        FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    )
+    SELECT a_user, b_user,
+           CAST(COUNT(*) AS BIGINT)       AS n_overlaps,
+           CAST(SUM(oe - os) AS BIGINT)   AS total_overlap_us
+    FROM p GROUP BY 1, 2
+    """,
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: session intervals of even-id users vs odd-id
+    users; for each user pair, how many sessions overlapped in time and for
+    how long — concurrency analysis (co-presence, contention windows,
+    meeting detection) as a join of two INTERVAL relations, the shape
+    banded point-in-range joins (``join_range_banded``) don't cover.
+
+    Scale shape: each interval explodes to the HOUR bands it covers
+    (sessions are gap-bounded, so the fanout is small and bounded); the
+    pair join is an equi-join on the band key; pairs overlapping several
+    shared bands collapse via DISTINCT before aggregation so each session
+    pair counts once. No BroadcastNestedLoopJoin anywhere — the theta
+    overlap predicate only ever evaluates within a band bucket (pinned in
+    tests/test_plans.py). Overlap micros are exact int arithmetic."""
+    from .events import sessionize
+
+    _HOUR_US = 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+    )
+    banded = iv.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _HOUR_US).cast("long"),
+                (F.col("e") / _HOUR_US).cast("long"),
+            )
+        ),
+    )
+    a = banded.filter(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_seq").alias("a_seq"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.col("band").alias("a_band"),
+    )
+    b = banded.filter(F.col("user_id") % 2 == 1).select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_seq").alias("b_seq"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        F.col("band").alias("b_band"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e")),
+        )
+        .select("a_user", "a_seq", "a_s", "a_e", "b_user", "b_seq", "b_s", "b_e")
+        .distinct()
+    )
+    return pairs.groupBy("a_user", "b_user").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+        )
+        .cast("long")
+        .alias("total_overlap_us"),
+    )

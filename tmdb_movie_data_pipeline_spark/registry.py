@@ -101,6 +101,8 @@ _VERIFY_FIRST: list[str] = [
     "events_transition_matrix",
     "delta_version_diff",
     "incremental_agg_maintenance",
+    "graph_triangle_count",
+    "join_interval_overlap",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
