@@ -340,3 +340,52 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = m.select(F.lit(name).alias("pair"), expr.alias("corr"))
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "ml_label_centroids",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               CAST(UNNEST(range(0, 64)) AS BIGINT) AS dim,
+               UNNEST([CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       FOR x IN embedding]) AS qv
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv) AS BIGINT)  AS sum_micro,
+           CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_micro
+    FROM q GROUP BY 1, 2
+    """,
+)
+def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the vector AGGREGATION surface (class
+    prototypes, nearest-class-mean classifiers, drift monitoring) that the
+    ANN queries' vector SEARCH surface doesn't cover.
+
+    Scale shape: posexplode to (label, dim, component) and let partial
+    aggregation do the work — the map-side combine collapses each
+    partition's rows to |labels|×64 sums before the shuffle, so the
+    exchange carries O(labels × dim) regardless of corpus size. This beats
+    any elementwise array-fold in a single reducer, and it's the shape a
+    1000-executor mean-pooling job wants. Components are quantized to int
+    micro-units per row (exact cross-engine sums); the centroid itself is
+    one IEEE division of those exact ints."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").cast("long").alias("sum_micro"),
+        (F.sum("qv").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "centroid_micro"
+        ),
+    )

@@ -188,3 +188,63 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     can mirror the Python slice with substr)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(docs))
+
+
+_BLOCK = 64  # fixed block size (chars == bytes for the ASCII payloads)
+
+
+@register(
+    "multimodal_block_dedup",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               md5(substr(text, CAST(i * {_BLOCK} + 1 AS BIGINT), {_BLOCK}))
+                 AS block_md5
+        FROM documents,
+             UNNEST(range(0, (length(text) + {_BLOCK} - 1) // {_BLOCK})) AS t(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                    AS total_blocks,
+           CAST(COUNT(DISTINCT block_md5) AS BIGINT)   AS distinct_blocks,
+           CAST(COUNT(DISTINCT block_md5) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)                AS unique_ratio
+    FROM b
+    """,
+)
+def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block content dedup over media payloads: split every payload
+    into {_BLOCK}-byte blocks, fingerprint each, and measure corpus-level
+    block redundancy — the storage-dedup statistic (how much a
+    content-addressed block store would save) that document-level dedup
+    can't see. The ASCII payload contract (multimodal.attach_binary_payload)
+    makes char blocks == byte blocks, so the oracle mirrors the slicing
+    exactly.
+
+    Scale shape: the explode emits len/{_BLOCK} rows per payload and the
+    distinct-count is a hash aggregate with map-side partials — no state
+    beyond |distinct blocks|. At 100 TB one would swap fixed blocks for
+    content-defined chunking (rolling-hash boundaries, same downstream
+    plan) so insertions don't shift every subsequent block; fixed blocks
+    keep the oracle exactly mirrorable here."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.length("text") + _BLOCK - 1) / _BLOCK).cast("long") - 1,
+            )
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        F.md5(
+            F.expr(f"substring(text, CAST(i * {_BLOCK} + 1 AS INT), {_BLOCK})")
+        ).alias("block_md5")
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("total_blocks"),
+        F.countDistinct("block_md5").alias("distinct_blocks"),
+        (
+            F.countDistinct("block_md5").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("unique_ratio"),
+    )

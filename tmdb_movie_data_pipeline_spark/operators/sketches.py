@@ -102,3 +102,93 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("hk").cast("double") / F.lit(_HASH_RANGE))
     )
     return a.select("event_type", "n_exact", est.alias("est_distinct"))
+
+
+@register(
+    "sketch_kmv_union",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        FROM documents
+    ),
+    per AS (
+        SELECT source, hv,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM h
+    ),
+    states AS (SELECT source, hv FROM per WHERE rn <= {KMV_K}),
+    merged AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT hv FROM states)
+    ),
+    per_agg AS (
+        SELECT source AS scope,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS hk
+        FROM per GROUP BY 1
+    ),
+    all_agg AS (
+        SELECT '__all__' AS scope,
+               (SELECT CAST(COUNT(DISTINCT hv) AS BIGINT) FROM h) AS n_exact,
+               MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS hk
+        FROM merged
+    ),
+    u AS (SELECT * FROM per_agg UNION ALL SELECT * FROM all_agg)
+    SELECT scope, n_exact,
+           CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE)
+                       / (CAST(hk AS DOUBLE) / {_HASH_RANGE!r})
+           END AS est_distinct
+    FROM u
+    """,
+)
+def kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE: per-source sketch states (each source's K smallest
+    text hashes) are unioned and re-trimmed to K — and the resulting
+    ``__all__`` estimate is computed FROM THE STATES ALONE, never from the
+    raw rows. That is the defining property of a mergeable sketch (K
+    smallest of a union == K smallest of the union of per-part K-smallest),
+    and because it's an exact set identity, both engines land on the
+    bit-identical estimate — the gate checks mergeability itself.
+
+    Scale shape: per-source states are |sources|×K rows; the merge is a
+    window over that tiny relation. At 100 TB each source's state comes out
+    of its own partial aggregation; states are what you'd persist in a
+    metadata store and fold per ingest batch (same lifecycle as
+    incremental_agg_maintenance's state table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    per = h.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("source").orderBy(F.asc("hv"))),
+    )
+    states = per.filter(F.col("rn") <= KMV_K).select("source", "hv")
+    merged = (
+        states.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy(F.asc("hv"))))
+    )
+    per_agg = per.groupBy(F.col("source").alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("hk"),
+    )
+    n_all = h.select("hv").distinct().count()
+    all_agg = merged.agg(
+        F.lit("__all__").alias("scope"),
+        F.lit(n_all).cast("long").alias("n_exact"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("hk"),
+    )
+    u = per_agg.unionByName(all_agg)
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        / (F.col("hk").cast("double") / F.lit(_HASH_RANGE))
+    )
+    return u.select("scope", "n_exact", est.alias("est_distinct"))

@@ -103,6 +103,9 @@ _VERIFY_FIRST: list[str] = [
     "incremental_agg_maintenance",
     "graph_triangle_count",
     "join_interval_overlap",
+    "ml_label_centroids",
+    "sketch_kmv_union",
+    "multimodal_block_dedup",
     # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
     "dedup_embedding_cosine",
     "sample_stratified_hash",
