@@ -67,6 +67,13 @@ _VERIFY_FIRST: list[str] = [
     "q20_part_supply_chain",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
+    # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows
+    #    ahead of never-verified NEW queries: regression risk beats coverage)
+    "dedup_embedding_cosine",
+    "sample_stratified_hash",
+    "skew_salted_agg",
+    "delta_merge_upsert_read",
+    "delta_time_travel_stats",
     # -- NEW in round 3 (registered this round, no row yet)
     "stream_incremental_corpus_dedup",
     "sink_partitioned_write_readback",
@@ -92,26 +99,22 @@ _VERIFY_FIRST: list[str] = [
     "ml_grouped_ols",
     "events_cdc_tombstones",
     "join_fuzzy_deletion_neighborhood",
-    "stats_corr_matrix",
-    "events_cohort_retention",
-    "events_user_streaks",
-    "events_cooccurrence_pairs",
-    "sketch_kmv_distinct",
-    "events_funnel_steps",
-    "events_transition_matrix",
-    "delta_version_diff",
+    # -- NEW in the second round-3 session, most distinctive first (a
+    #    ~50-capped driver run cuts from the tail; the cut get r4 head slots)
     "incremental_agg_maintenance",
+    "delta_version_diff",
+    "sketch_kmv_distinct",
+    "sketch_kmv_union",
     "graph_triangle_count",
     "join_interval_overlap",
     "ml_label_centroids",
-    "sketch_kmv_union",
     "multimodal_block_dedup",
-    # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows)
-    "dedup_embedding_cosine",
-    "sample_stratified_hash",
-    "skew_salted_agg",
-    "delta_merge_upsert_read",
-    "delta_time_travel_stats",
+    "events_cohort_retention",
+    "events_user_streaks",
+    "events_transition_matrix",
+    "stats_corr_matrix",
+    "events_funnel_steps",
+    "events_cooccurrence_pairs",
     # -- cumulatively green; re-confirm with leftover cap budget
     "stream_tumbling_hourly",
     "stream_dedup_within_watermark",
