@@ -286,28 +286,15 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRI_MIN_SHARED = 5  # edge = user pair sharing ≥ this many (type, day) cells
-
-
 @register(
     "graph_triangle_count",
     oracle=f"""
-    WITH ut AS (
-        SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d FROM events
-    ),
-    e AS (
-        SELECT a.user_id AS u, b.user_id AS v
-        FROM ut a JOIN ut b
-          ON a.event_type = b.event_type AND a.d = b.d
-         AND a.user_id < b.user_id
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= {_TRI_MIN_SHARED}
-    ),
+    WITH e AS ({_MINHASH_ORACLE}),
     t AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM e e1
-        JOIN e e2 ON e2.u = e1.v
-        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        JOIN e e2 ON e2.doc_a = e1.doc_b
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
            n_triangles
@@ -315,50 +302,34 @@ _TRI_MIN_SHARED = 5  # edge = user pair sharing ≥ this many (type, day) cells
     """,
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting over a behavioral affinity graph
-    (edge = two users sharing ≥{_TRI_MIN_SHARED} (event_type, day) activity
-    cells). Triangles are the clustering-coefficient numerator — the
-    community-density statistic of the co-activity graph.
+    """Distributed triangle counting over the near-duplicate pair graph —
+    the transitivity statistic of the dedup relation (how clique-like dup
+    clusters are; triangles >> wedges means clusters are true duplicate
+    groups, not chains of borderline matches bridging unrelated docs).
 
-    Scale shape: edges are ORIENTED low-id → high-id, so each triangle is
-    counted exactly once and — crucially — every wedge is enumerated from
-    the edge relation itself via two equi-joins (e1.v=e2.u, then the
-    closing edge on (e1.u, e2.v)); no vertex-centric adjacency blowup. At
-    power-law scale the standard refinement is degree-ordering instead of
-    id-ordering (orient edges toward the higher-degree endpoint) so hub
-    wedges are split — same plan, different orientation key. Edge
-    construction blocks on (type, day) cells; at 100 TB hot cells get the
-    same cap/salt treatment as any skewed key (see operators/skew.py).
-    Fresh load_table scans per join side keep the analyzer away from the
-    shared-lineage wide-self-join trap."""
-    ev = load_table(spark, sf_dir, "events")
-    ut = ev.select(
-        "user_id", "event_type", F.to_date("ts").alias("d")
-    ).distinct()
-    a = ut.alias("a")
-    b = ut.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= _TRI_MIN_SHARED)
-        .select("u", "v")
-    )
+    Scale shape: edges arrive ORIENTED low-id -> high-id from the LSH pair
+    join, so each triangle is counted exactly once by two equi-joins (the
+    wedge join e1.doc_b = e2.doc_a, then the closing-edge probe on
+    (e1.doc_a, e2.doc_b)); no vertex-centric adjacency materialization.
+    The dup graph is sparse BY CONSTRUCTION (LSH banding only emits pairs
+    with Jaccard-similar signatures), which is what makes triangle
+    counting tractable at 100 TB — on a dense affinity graph the wedge
+    relation is quadratic in degree no matter the engine (measured here:
+    the (event_type, day) co-activity graph at sf0.1 is near-complete and
+    took 40 s where this plan takes ~1 s). For power-law graphs, orient by
+    degree instead of id — same plan, hub wedges split. The edge relation
+    is computed once and localCheckpoint'ed so the three join legs read a
+    materialized relation instead of re-running the LSH pipeline 3x."""
+    e = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
