@@ -42,132 +42,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver's correctness harness caps each round's verification at ~50
 # registry entries (rounds 1 and 2 each produced exactly 50 rows), so
-# coverage is ROTATED per round: names listed here surface first.
+# coverage must be ROTATED per round.  Rounds 3 and 4 each shipped a stale
+# hand-maintained priority list that left late-registered queries just past
+# the cap (VERDICT r2 item #1, VERDICT r4 item #1).  The ordering is now
+# DERIVED, so it can never rot:
 #
-# Round-3 ordering (per VERDICT r2 item #1): the 16 TPC-H shapes that have
-# NEVER received a driver row (q2, q7–q16, q18–q22) lead, followed by
-# queries NEW in round 3 and queries whose semantics CHANGED in round 3.
-# Everything already cumulatively green (r1+r2 = 98 queries) follows in its
-# round-2 order, so leftover cap budget re-confirms previously green rows.
-_VERIFY_FIRST: list[str] = [
-    # -- TPC-H shapes never driver-verified (16) — VERDICT r2 top item
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q20_part_supply_chain",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # -- CHANGED in round 3 (semantics or plan rewritten; need fresh rows
-    #    ahead of never-verified NEW queries: regression risk beats coverage)
-    "dedup_embedding_cosine",
-    "sample_stratified_hash",
-    "skew_salted_agg",
-    "delta_merge_upsert_read",
-    "delta_time_travel_stats",
-    # -- NEW in round 3 (registered this round, no row yet)
-    "stream_incremental_corpus_dedup",
-    "sink_partitioned_write_readback",
-    "checkpoint_resume_degrade",
-    "source_rest_fixture_scan",
-    "delta_file_pruned_merge",
-    "stream_transform_with_state",
-    "graph_shortest_paths",
-    "text_repetition_filter",
-    "udf_cogrouped_join",
-    "ann_ivfpq_topk",
-    "llm_quality_percentile_gate",
-    "llm_sequence_packing",
-    "source_schema_evolution_scan",
-    "delta_delete_optimize",
-    "join_null_safe_eq",
-    "quality_constraint_audit",
-    "udf_pandas_scalar_iter",
-    "udf_map_in_arrow",
-    "json_variant_shred",
-    "recursive_month_spine",
-    "join_lateral_topn",
-    "ml_grouped_ols",
-    "events_cdc_tombstones",
-    "join_fuzzy_deletion_neighborhood",
-    # -- NEW in the second round-3 session, most distinctive first (a
-    #    ~50-capped driver run cuts from the tail; the cut get r4 head slots)
-    "incremental_agg_maintenance",
-    "delta_version_diff",
-    "sketch_kmv_distinct",
-    "sketch_kmv_union",
-    "graph_triangle_count",
-    "join_interval_overlap",
-    "ml_label_centroids",
-    "multimodal_block_dedup",
-    "events_cohort_retention",
-    "events_user_streaks",
-    "events_transition_matrix",
-    "stats_corr_matrix",
-    "events_funnel_steps",
-    "events_cooccurrence_pairs",
-    # -- cumulatively green; re-confirm with leftover cap budget
-    "stream_tumbling_hourly",
-    "stream_dedup_within_watermark",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_stateful_user_stats",
-    "udf_pandas_scalar",
-    "udf_grouped_agg",
-    "udf_apply_in_pandas",
-    "udtf_explode_buckets",
-    "window_topk_per_segment",
-    "window_running_totals",
-    "window_rank_ntile",
-    "window_frame_moving_avg",
-    "window_range_frame",
-    "window_value_functions",
-    "dedup_keepfirst_events",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "pq_encode_codes",
-    "ann_pq_adc_topk",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "dedup_cluster_components",
-    "dedup_cluster_stats",
-    "kmeans_lloyd_centroids",
-    "skew_salted_join",
-    "subq_correlated_scalar",
-    "subq_in_filter",
-    "agg_percentiles",
-    "sort_global_topn",
-    "unpivot_measures",
-    "join_events_enrichment",
-    "cap_docs_per_source",
-    "profile_table_stats",
-    "layout_zorder_stats",
-    "join_range_banded",
-    "array_map_battery",
-    "join_anti_not_exists",
-    "q4_order_priority",
+#   1. never-verified -- registered names absent from the union of every
+#      CORRECTNESS_r*.json the driver has ever written (registration order);
+#   2. changed this round -- `_CHANGED_THIS_ROUND`, the one remaining
+#      hand-maintained list: queries whose semantics or physical plan were
+#      rewritten this session and therefore need a fresh row even though a
+#      prior round already verified them;
+#   3. everything else (cumulatively green, unchanged) in registration
+#      order, consuming whatever cap budget remains as re-confirmation.
+#
+# tests/test_registry_rotation.py asserts bucket 1 sits exhaustively inside
+# the cap window so a silent regression of this logic fails CI.
+
+_CHANGED_THIS_ROUND: list[str] = [
+    "dedup_embedding_cosine",  # bucket-sharded Arrow re-score (r5 rewrite)
+    "delta_merge_upsert_read",  # r4 watch item: confirm pruned-path bench
 ]
 
 
+def _driver_verified_names() -> set[str]:
+    """Union of query names across every driver-written CORRECTNESS file.
+
+    Only rows the DRIVER recorded count -- local pytest oracle checks are
+    the builder grading its own homework and deliberately do not register
+    here.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(k for k in data if isinstance(k, str))
+    return seen
+
+
+def verification_order(names: list[str] | None = None) -> list[str]:
+    """Derived driver-verification priority over registered query names."""
+    if names is None:
+        _ensure_loaded()
+        names = list(_QUERIES)
+    verified = _driver_verified_names()
+    never = [n for n in names if n not in verified]
+    changed = [n for n in _CHANGED_THIS_ROUND if n in names and n in verified]
+    head = {*never, *changed}
+    rest = [n for n in names if n not in head]
+    return never + changed + rest
+
+
 def _ordered(d: dict[str, Any]) -> dict[str, Any]:
-    first = {n: d[n] for n in _VERIFY_FIRST if n in d}
-    rest = {n: v for n, v in d.items() if n not in first}
-    return {**first, **rest}
+    order = verification_order(list(d))
+    return {n: d[n] for n in order}
 
 
 def all_queries() -> dict[str, QueryFn]:
