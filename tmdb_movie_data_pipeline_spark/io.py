@@ -72,17 +72,29 @@ def scratch_dir(prefix: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One synthetic table: ``{sf_dir}/{name}.parquet``.
 
-    `events.ts` is stored as Parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos (legacy conf) and
-    floored to a microsecond timestamp — bit-identical to DuckDB's
-    ``epoch_us`` on the same column, which the oracle relies on.
+    `events.ts` is stored as Parquet TIMESTAMP(NANOS). Spark runtimes
+    differ in how they surface it — older vectorized readers reject it
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` maps it to a raw nanos
+    BIGINT; newer ones read it natively as a micros-truncated
+    TIMESTAMP_NTZ and ignore that conf entirely. Both paths are normalized
+    here to a plain microsecond TIMESTAMP — bit-identical to DuckDB's
+    ``epoch_us`` on the same column, which the oracle relies on — by
+    dispatching on the dtype the reader actually produced (version-proof,
+    unlike pinning either conf behavior).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf retired: the native nanos read below handles it
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(raw.dtypes)["ts"] == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # native read: TIMESTAMP_NTZ already floored to micros; cast keeps
+        # the engine-wide TIMESTAMP schema (UTC session => same instant)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -20,6 +20,7 @@ runs against Kafka by swapping the source format.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,8 +29,12 @@ from pyspark.sql import functions as F
 from ..functions import UNIT_SCALE, qavg, qavg_sql, qsum, qsum_sql
 from ..registry import register
 
-EVENTS_DDL = (
+EVENTS_DDL_NANOS_AS_LONG = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+EVENTS_DDL_NATIVE = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING,"
     " value DOUBLE, props STRING"
 )
 
@@ -38,17 +43,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the static events parquet (1 file = 1
     micro-batch; swap for format('kafka') in production).
 
-    `ts` is TIMESTAMP(NANOS) in the file — read as raw nanos and floored to
-    microsecond timestamps, matching the batch loader (io.load_table).
+    `ts` is TIMESTAMP(NANOS) in the file. Like the batch loader
+    (io.load_table) this dispatches on what the runtime's parquet reader
+    actually produces — raw nanos BIGINT under the legacy
+    ``nanosAsLong`` conf, micros-truncated TIMESTAMP_NTZ under newer
+    native readers — and normalizes both to microsecond TIMESTAMP.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf retired: native nanos read handled below
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nanos_as_long = dict(probe.dtypes)["ts"] == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(
+            EVENTS_DDL_NANOS_AS_LONG if nanos_as_long else EVENTS_DDL_NATIVE
+        )
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos_as_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
