@@ -173,9 +173,20 @@ class TxTable:
         staged = self._stage(df, version)
         files = list(staged)
         stats: dict[str, dict | None] = {}
-        if stats_key is not None:
-            for rel in staged:
-                stats[rel] = self._file_stats(rel, stats_key)
+        if stats_key is not None and staged:
+            # footer reads are IO-bound and release the GIL inside pyarrow;
+            # a thread pool turns the per-file metadata pass into ~one
+            # slowest-file latency instead of a serial sum (at real scale
+            # the writer computes stats inline with the write — this is the
+            # collector for files staged by Spark's committer).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(staged))) as ex:
+                for rel, st in zip(
+                    staged,
+                    ex.map(lambda r: self._file_stats(r, stats_key), staged),
+                ):
+                    stats[rel] = st
         for rel, st in carry or []:
             files.append(rel)
             if stats_key is not None:
