@@ -335,3 +335,66 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+# -- bill-of-materials explosion (native recursive CTE) -----------------------
+
+_BOM_FANOUT = 10  # child partkey // 10 = parent partkey: a synthetic assembly
+_BOM_QTY_MOD = 3  # per-edge quantity in [1, 3], derived from the child key
+
+
+@register(
+    "graph_bom_explosion",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, p_partkey // {_BOM_FANOUT} AS parent,
+               p_partkey % {_BOM_QTY_MOD} + 1 AS qty
+        FROM part WHERE p_partkey >= {_BOM_FANOUT}
+    ),
+    bom(root, node, depth, ext_qty) AS (
+        SELECT p_partkey, p_partkey, 0, CAST(1 AS BIGINT)
+        FROM part WHERE p_partkey < {_BOM_FANOUT}
+        UNION ALL
+        SELECT b.root, e.child, b.depth + 1, b.ext_qty * e.qty
+        FROM bom b JOIN edges e ON e.parent = b.node
+    )
+    SELECT root, CAST(COUNT(*) - 1 AS BIGINT) AS n_components,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(ext_qty) AS BIGINT) AS total_ext_qty
+    FROM bom GROUP BY 1
+    """,
+)
+def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion over a synthetic assembly hierarchy
+    (child part → parent = key div {_BOM_FANOUT}), written as a NATIVE
+    Spark 4 ``WITH RECURSIVE`` whose recursive leg JOINS the edge relation
+    — the classic BOM shape (extended quantity = product of edge
+    quantities along the path) that the month-spine query
+    (recursive_month_spine) doesn't exercise. Depth is bounded by the key
+    width (log_{_BOM_FANOUT} of max partkey ≈ 4-5 levels), so the
+    recursion is a handful of join+union rounds, each a plain equi-join
+    Catalyst plans like any other — per-level work is distributed; only
+    the level BARRIER is sequential, the same contract as the iterative
+    graph queries above. Products stay tiny integers (qty ≤
+    {_BOM_QTY_MOD}^depth), exact in BIGINT cross-engine."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("t_part_bom")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS (
+            SELECT p_partkey AS child, p_partkey div {_BOM_FANOUT} AS parent,
+                   p_partkey % {_BOM_QTY_MOD} + 1 AS qty
+            FROM t_part_bom WHERE p_partkey >= {_BOM_FANOUT}
+        ),
+        bom(root, node, depth, ext_qty) AS (
+            SELECT p_partkey, p_partkey, 0, CAST(1 AS BIGINT)
+            FROM t_part_bom WHERE p_partkey < {_BOM_FANOUT}
+            UNION ALL
+            SELECT b.root, e.child, b.depth + 1, b.ext_qty * e.qty
+            FROM bom b JOIN edges e ON e.parent = b.node
+        )
+        SELECT root, CAST(COUNT(*) - 1 AS BIGINT) AS n_components,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               CAST(SUM(ext_qty) AS BIGINT) AS total_ext_qty
+        FROM bom GROUP BY root
+        """
+    )

@@ -656,3 +656,161 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_overlap_us"),
     )
+
+
+# -- Bloom-filter semi-join prefilter -----------------------------------------
+#
+# The runtime-filter pattern Spark's own InjectRuntimeFilter applies under
+# AQE (and Delta/Iceberg apply at scan time): build a tiny Bloom filter
+# from the dimension-side join keys, prefilter the fact scan with it, and
+# only exact-join the survivors. Here the filter, the probe, and the
+# false-positive accounting are all materialized deterministically (shared
+# md5 hash family, integer bit ops) so the gate pins the exact behavior:
+# zero false negatives — every true match passes the filter — and a
+# bit-reproducible false-positive count.
+
+BLOOM_BITS = 64  # deliberately undersized (~60 set positions land in 64
+#                    bits) so false positives are VISIBLE in the gate —
+#                    production sizing is ~10 bits/key for ~1% FP; the gate
+#                    pins the accuracy contract (n_false_neg = 0 ALWAYS,
+#                    n_false_pos bit-reproducible), not just the happy path
+BLOOM_WORD = 32  # ... as 2 32-bit words (bit index stays clear of signs)
+BLOOM_K = 3  # hash functions
+_BLOOM_DIM_NATIONS = 5  # suppliers from nations 0..4 form the build side
+
+
+def _bloom_pos_duck(j: int, key: str) -> str:
+    return f"('0x' || substr(md5('{j}_' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {BLOOM_BITS}"
+
+
+def _bloom_pos_spark(j: int, key: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{j}_', CAST({key} AS STRING))), 1, 15), 16, 10)"
+        f" AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT s_suppkey FROM supplier
+        WHERE s_nationkey < {_BLOOM_DIM_NATIONS}
+    ),
+    pos AS (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_duck(j, 's_suppkey')} AS p FROM dim"
+            for j in range(BLOOM_K)
+        )}
+    ),
+    words AS (
+        SELECT p // {BLOOM_WORD} AS w,
+               bit_or((1::BIGINT) << (p % {BLOOM_WORD})) AS mask
+        FROM pos GROUP BY 1
+    ),
+    probe AS (
+        SELECT l_suppkey,
+               {", ".join(
+                   f"{_bloom_pos_duck(j, 'l_suppkey')} AS p{j}"
+                   for j in range(BLOOM_K)
+               )}
+        FROM lineitem
+    ),
+    checked AS (
+        SELECT probe.l_suppkey,
+               {" AND ".join(
+                   f"(COALESCE(w{j}.mask, 0) >> (p{j} % {BLOOM_WORD})) & 1 = 1"
+                   for j in range(BLOOM_K)
+               )} AS bloom_pass,
+               EXISTS (SELECT 1 FROM dim WHERE dim.s_suppkey = probe.l_suppkey)
+                   AS is_true
+        FROM probe
+        {" ".join(
+            f"LEFT JOIN words w{j} ON w{j}.w = p{j} // {BLOOM_WORD}"
+            for j in range(BLOOM_K)
+        )}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM checked
+    """,
+)
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter accounting over the lineitem→supplier semi-join:
+    one row with probe count, filter-pass count, true-match count, false
+    positives, and false negatives (provably 0 — the no-false-negative
+    guarantee is IN the checked result, not just asserted in a test).
+
+    Scale shape: the filter build aggregates the (small) dim side into at
+    most {BLOOM_BITS // BLOOM_WORD} words; the probe side takes the words
+    via {BLOOM_K} BROADCAST joins (the word relation is ~2 KB — this is
+    exactly the shuffle-free shape of an engine runtime filter, expressed
+    in the declarative layer). The fact scan is touched once; no shuffle
+    carries fact rows — the only exchange is the single-row final agg."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        sup.filter(F.col("s_nationkey") < _BLOOM_DIM_NATIONS)
+        .select("s_suppkey")
+        .distinct()
+    )
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_pos_spark(j, "s_suppkey")) for j in range(BLOOM_K)]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / BLOOM_WORD).cast("long").alias("w")).agg(
+        F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))"))
+        .alias("mask")
+    )
+    probe = li.select(
+        "l_suppkey",
+        *[
+            F.expr(_bloom_pos_spark(j, "l_suppkey")).alias(f"p{j}")
+            for j in range(BLOOM_K)
+        ],
+    )
+    checked = probe
+    for j in range(BLOOM_K):
+        wj = words.select(
+            F.col("w").alias(f"w{j}"), F.col("mask").alias(f"mask{j}")
+        )
+        checked = checked.join(
+            F.broadcast(wj),
+            (F.col(f"p{j}") / BLOOM_WORD).cast("long") == F.col(f"w{j}"),
+            "left",
+        )
+    bloom_pass = None
+    for j in range(BLOOM_K):
+        bit = F.expr(
+            f"(shiftright(COALESCE(mask{j}, CAST(0 AS BIGINT)),"
+            f" CAST(p{j} % {BLOOM_WORD} AS INT)) & 1) = 1"
+        )
+        bloom_pass = bit if bloom_pass is None else (bloom_pass & bit)
+    dimkeys = dim.select(F.col("s_suppkey").alias("_dk"))
+    checked = checked.join(
+        F.broadcast(dimkeys),
+        F.col("l_suppkey") == F.col("_dk"),
+        "left",
+    ).select(
+        bloom_pass.alias("bloom_pass"),
+        F.col("_dk").isNotNull().alias("is_true"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_true") & ~F.col("bloom_pass"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )

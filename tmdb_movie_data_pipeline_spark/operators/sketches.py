@@ -192,3 +192,338 @@ def kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("hk").cast("double") / F.lit(_HASH_RANGE))
     )
     return u.select("scope", "n_exact", est.alias("est_distinct"))
+
+
+# -- HyperLogLog (deterministic cross-engine formulation) ---------------------
+#
+# Same design constraint as KMV above: Spark's approx_count_distinct (HLL++)
+# and DuckDB's HLL can never hash-match, so the registered HLL is built from
+# first principles (Flajolet et al., "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA 2007) on the shared
+# md5-derived 60-bit hash:
+#
+# * register index  = hv % HLL_M           (low 6 bits)
+# * remaining word  w = hv div HLL_M       (54 bits)
+# * rho(w)          = leading zeros in the 54-bit word + 1
+#                   = 55 - length(bin(w)), with w = 0 -> 55
+#   (both engines' ``bin`` prints minimal binary digits, so length(bin(w))
+#   is the bit length — verified identical including w = 0)
+# * estimate        = alpha_m * m^2 / sum_j 2^(-M_j)
+#
+# The harmonic sum is kept INTEGER: sum_j 2^(55 - M_j) <= 64 * 2^55 = 2^61
+# fits a BIGINT exactly, making the sum order-free (a raw double 2^(-M_j)
+# sum would need 61 significand bits and would depend on add order). The
+# one float expression is alpha_m*m^2 * 2^55 / S — a shared decimal literal
+# times an exactly-representable power of two, divided once: bit-identical
+# IEEE in both engines.
+#
+# DELIBERATE OMISSION: the small-range linear-counting correction
+# m*ln(m/V) is NOT applied — ln() differs by 1 ulp between the JVM and
+# DuckDB's libm on 6 of the 64 possible m/V inputs (measured), which would
+# poison the hash gate. Instead the zero-register count V is emitted so a
+# consumer (or a test) can apply the correction; the registered estimator
+# is the raw HLL curve, with the exact count alongside to keep the error
+# contract visible.
+
+HLL_B = 6
+HLL_M = 1 << HLL_B  # 64 registers
+_HLL_ALPHA_M2 = "2904.064"  # alpha_64 (0.709) * 64^2, as a SHARED literal
+_HLL_WMAX = 55  # 54-bit word -> rho in [1, 55]
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events
+    ),
+    rr AS (
+        SELECT event_type, hv % {HLL_M} AS reg,
+               CASE WHEN hv // {HLL_M} = 0 THEN {_HLL_WMAX}
+                    ELSE {_HLL_WMAX} - length(bin(hv // {HLL_M})) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, reg, MAX(rho) AS mj
+        FROM rr GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               SUM((1::BIGINT) << ({_HLL_WMAX} - mj)) AS s_present,
+               COUNT(*) AS n_regs
+        FROM regs GROUP BY 1
+    ),
+    x AS (
+        SELECT event_type,
+               s_present + ({HLL_M} - n_regs) * ((1::BIGINT) << {_HLL_WMAX}) AS s_int,
+               CAST({HLL_M} - n_regs AS BIGINT) AS v_zero
+        FROM s
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT x.event_type, ex.n_exact, x.v_zero,
+           {_HLL_ALPHA_M2} * pow(2.0, {_HLL_WMAX}) / CAST(x.s_int AS DOUBLE)
+               AS est_distinct
+    FROM x JOIN ex ON ex.event_type = x.event_type
+    """,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a deterministic 64-register
+    HyperLogLog, with the exact count and the zero-register count alongside.
+
+    Scale shape: one narrow scan -> (group, reg) max-agg (fully partial-
+    aggregable, at most |groups|*64 rows cross the exchange regardless of
+    corpus size) -> per-group fold. The DISTINCT on (event_type, hv) before
+    register extraction is an optimization local to the gate's exact-count
+    companion; the sketch itself needs only max(rho), which is insensitive
+    to duplicates — at 100 TB drop the distinct and the exact column and
+    the exchange still carries O(groups * 64)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = (F.col("hv") / F.lit(HLL_M)).cast("long")  # floor div: hv >= 0
+    rr = h.select(
+        "event_type",
+        (F.col("hv") % HLL_M).alias("reg"),
+        F.when(w == 0, F.lit(_HLL_WMAX))
+        .otherwise(F.lit(_HLL_WMAX) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+    regs = rr.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+    s = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WMAX} - mj)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    x = s.select(
+        "event_type",
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_regs"))
+            * F.shiftleft(F.lit(1).cast("long"), _HLL_WMAX)
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("v_zero"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    est = (
+        F.expr(f"{_HLL_ALPHA_M2} * pow(2.0, {_HLL_WMAX})")
+        / F.col("s_int").cast("double")
+    ).alias("est_distinct")
+    return x.join(ex, "event_type").select(
+        "event_type", "n_exact", "v_zero", est
+    )
+
+
+@register(
+    "sketch_hll_union",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        FROM documents
+    ),
+    rr AS (
+        SELECT source, hv % {HLL_M} AS reg,
+               CASE WHEN hv // {HLL_M} = 0 THEN {_HLL_WMAX}
+                    ELSE {_HLL_WMAX} - length(bin(hv // {HLL_M})) END AS rho
+        FROM h
+    ),
+    states AS (
+        SELECT source, reg, MAX(rho) AS mj FROM rr GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT reg, MAX(mj) AS mj FROM states GROUP BY 1
+    ),
+    scoped AS (
+        SELECT source AS scope, reg, mj FROM states
+        UNION ALL
+        SELECT '__all__', reg, mj FROM merged
+    ),
+    s AS (
+        SELECT scope,
+               SUM((1::BIGINT) << ({_HLL_WMAX} - mj)) AS s_present,
+               COUNT(*) AS n_regs
+        FROM scoped GROUP BY 1
+    )
+    SELECT scope,
+           CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
+           {_HLL_ALPHA_M2} * pow(2.0, {_HLL_WMAX})
+               / CAST(s_present + ({HLL_M} - n_regs) * ((1::BIGINT) << {_HLL_WMAX})
+                      AS DOUBLE) AS est_distinct
+    FROM s
+    """,
+)
+def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE: per-source register vectors (the sketch STATE) are folded
+    into an ``__all__`` estimate by register-wise MAX — computed from the
+    states alone, never from the raw rows. max(max(a), max(b)) ==
+    max(a ∪ b) is an exact set identity, so the gate pins HLL's defining
+    mergeability property bit-exactly, the same contract sketch_kmv_union
+    pins for KMV.
+
+    Scale shape: states are |sources| * 64 rows — what an ingest pipeline
+    would persist per batch and fold on read; the merge exchange carries
+    O(sources * 64) regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = (F.col("hv") / F.lit(HLL_M)).cast("long")
+    rr = h.select(
+        "source",
+        (F.col("hv") % HLL_M).alias("reg"),
+        F.when(w == 0, F.lit(_HLL_WMAX))
+        .otherwise(F.lit(_HLL_WMAX) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+    states = rr.groupBy("source", "reg").agg(F.max("rho").alias("mj"))
+    merged = states.groupBy("reg").agg(F.max("mj").alias("mj"))
+    scoped = states.select(
+        F.col("source").alias("scope"), "reg", "mj"
+    ).unionByName(merged.select(F.lit("__all__").alias("scope"), "reg", "mj"))
+    s = scoped.groupBy("scope").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WMAX} - mj)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    est = (
+        F.expr(f"{_HLL_ALPHA_M2} * pow(2.0, {_HLL_WMAX})")
+        / (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_regs"))
+            * F.shiftleft(F.lit(1).cast("long"), _HLL_WMAX)
+        ).cast("double")
+    ).alias("est_distinct")
+    return s.select(
+        "scope",
+        (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("v_zero"),
+        est,
+    )
+
+
+# -- Count-Min sketch (heavy hitters) -----------------------------------------
+#
+# Cormode & Muthukrishnan, "An improved data stream summary: the count-min
+# sketch and its applications", J. Algorithms 2005. d independent hash rows,
+# w counters each; point estimate = min over rows of the hashed counter —
+# always an OVERestimate (collisions only add), never under. All counters
+# are integers and the row hashes are the shared md5 construction, so the
+# sketch, the estimates, and the (est - exact) overcount are bit-identical
+# cross-engine — like KMV/HLL above, a sketch whose accuracy contract the
+# gate itself pins.
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row — deliberately small so collisions are VISIBLE
+CMS_TOPN = 20
+
+
+def _cms_pos_duck(i: int, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('{i}_' || {key}), 1, 15))::BIGINT % {CMS_W}"
+    )
+
+
+def _cms_pos_spark(i: int, key: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}_', {key})), 1, 15), 16, 10)"
+        f" AS BIGINT) % {CMS_W}"
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_i, {_cms_pos_duck(i, 'k')} AS col_j, k FROM keyed"
+            for i in range(CMS_D)
+        )}
+    ),
+    sketch AS (
+        SELECT row_i, col_j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY 1
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT k, {i} AS row_i, {_cms_pos_duck(i, 'k')} AS col_j FROM exact"
+            for i in range(CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT p.k, MIN(s.c) AS n_est
+        FROM probes p JOIN sketch s
+          ON s.row_i = p.row_i AND s.col_j = p.col_j
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT e.k AS user_key, x.n_exact, e.n_est,
+               ROW_NUMBER() OVER (ORDER BY x.n_exact DESC, e.k) AS rn
+        FROM est e JOIN exact x ON x.k = e.k
+    )
+    SELECT user_key, n_exact, n_est FROM ranked WHERE rn <= {CMS_TOPN}
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CMS_TOPN} users by exact event count, with the Count-Min
+    estimate alongside: n_est >= n_exact always (one-sided error), and with
+    w = 64 << |users| the overcounts are non-trivial — the gate pins the
+    exact collision pattern of the shared hash family.
+
+    Scale shape: the sketch build is one explode-by-d scan folded by
+    (row, col) — partial-aggregable, and the exchange carries at most
+    d * w = {CMS_D * CMS_W} counter rows REGARDLESS of stream size; that is
+    the entire point of a CMS at 100 TB (the heavy-hitter candidate set
+    would come from a per-partition top-k partial, not the full key list
+    used here to make the gate's exact column checkable)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("k"))
+    cells = keyed.select(
+        "k",
+        F.posexplode(
+            F.array(*[F.expr(_cms_pos_spark(i, "k")) for i in range(CMS_D)])
+        ).alias("row_i", "col_j"),
+    )
+    sketch = cells.groupBy("row_i", "col_j").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "k",
+        F.posexplode(
+            F.array(*[F.expr(_cms_pos_spark(i, "k")) for i in range(CMS_D)])
+        ).alias("row_i", "col_j"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row_i", "col_j"])
+        .groupBy("k")
+        .agg(F.min("c").alias("n_est"))
+    )
+    # top-n via sort+limit => TakeOrderedAndProject (per-partition top-n
+    # partials, no single-partition window) — the deterministic total order
+    # (count desc, key asc) makes it row-identical to the oracle's
+    # row_number formulation.
+    return (
+        est.join(exact, "k")
+        .select(F.col("k").alias("user_key"), "n_exact", "n_est")
+        .orderBy(F.desc("n_exact"), F.asc("user_key"))
+        .limit(CMS_TOPN)
+    )
