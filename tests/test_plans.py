@@ -313,3 +313,17 @@ def test_interval_overlap_join_is_banded_not_nested_loop(spark, sf_dir):
     plan = _plan(interval_overlap(spark, sf_dir))
     assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
+    """The year-partitioned fact scan must carry a DynamicPruningSubquery in
+    its PartitionFilters — partitions are ELIMINATED at runtime from the
+    dim side's values, not post-filtered after a full scan. This is the
+    partition-elimination contract that turns a 7-year scan into a 2-year
+    scan at 100 TB."""
+    from tmdb_movie_data_pipeline_spark.operators.io_roundtrips import (
+        join_dynamic_partition_pruning,
+    )
+
+    plan = _plan(join_dynamic_partition_pruning(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan

@@ -215,3 +215,58 @@ def source_rest_fixture_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "release_date",
         F.col("_window_key").alias("window_key"),
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND EXTRACT(year FROM o_orderdate) <= 1996
+    )
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders o JOIN dim ON CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+                              = dim.o_year
+    GROUP BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a year-partitioned fact: orders are
+    staged dir-per-year, then joined to a runtime-only dimension (the years
+    that contain urgent orders up to 1996 — unknowable at plan time), and
+    Catalyst injects a DynamicPruningSubquery into the fact scan so only
+    the dim's years are READ, not post-filtered. At 100 TB this is the
+    difference between scanning 7 years and scanning 2 — the partition-
+    elimination contract tests/test_plans.py pins by asserting
+    ``dynamicpruning`` appears in the scan's PartitionFilters. Quantized
+    cents make the per-year sums integer-exact cross-engine."""
+    path = os.path.join(scratch_dir("dpp_"), "orders_by_year")
+    o = load_table(spark, sf_dir, "orders")
+    staged = o.select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderdate",
+        "o_orderpriority",
+        quantize(F.col("o_totalprice"), 100).alias("price_cents"),
+    )
+    write_partitioned(staged, path, ["o_year"])
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_year") <= 1996)
+        )
+        .select(F.col("o_year").alias("dim_year"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["o_year"] == dim["dim_year"])
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
