@@ -270,3 +270,162 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("price_cents").alias("total_cents"),
         )
     )
+
+
+# -- S3: config dimension -> relation (driver-facing) -------------------------
+
+#: the TMDB movie genre dimension (reference src/movie.py:132-142 fetches it
+#: per run; offline runs pass it as config). Keys/names are the public TMDB
+#: catalog — the engine treats it as an opaque config dict.
+GENRE_CONFIG: dict[int, str] = {
+    28: "Action", 12: "Adventure", 16: "Animation", 35: "Comedy",
+    80: "Crime", 99: "Documentary", 18: "Drama", 10751: "Family",
+    14: "Fantasy", 36: "History", 27: "Horror", 10402: "Music",
+    9648: "Mystery", 10749: "Romance", 878: "Science Fiction",
+    10770: "TV Movie", 53: "Thriller", 10752: "War", 37: "Western",
+}
+
+_GENRE_VALUES_SQL = ", ".join(
+    f"({k}, '{v}')" for k, v in sorted(GENRE_CONFIG.items())
+)
+
+
+@register(
+    "source_config_dimension",
+    oracle=f"""
+    WITH dim(genre_id, genre_name) AS (VALUES {_GENRE_VALUES_SQL}),
+    derived AS (
+        SELECT p_partkey % 40 AS gid FROM part
+    )
+    SELECT COALESCE(dim.genre_name, CAST(derived.gid AS VARCHAR)) AS genre,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(dim.genre_id IS NOT NULL) AS BOOLEAN) AS resolved
+    FROM derived LEFT JOIN dim ON dim.genre_id = derived.gid
+    GROUP BY 1, dim.genre_id IS NOT NULL
+    """,
+)
+def source_config_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 as a driver row: an external CONFIG DICT becomes a broadcast
+    dimension relation (the pipeline's genre_map path, pipeline.py /
+    normalize._genre_lookup semantics): ids resolve through the dimension,
+    unknown ids fall back to ``str(id)`` — the reference's exact fallback
+    (src/movie.py:189). Derived ids come from ``part`` (key % 40 spans
+    both known and unknown genre ids), so the join exercises hit AND miss
+    paths. The dim is rows-in-driver config (19 rows) → always broadcast:
+    zero shuffle added to the fact side."""
+    dim = spark.createDataFrame(
+        sorted(GENRE_CONFIG.items()), "genre_id INT, genre_name STRING"
+    )
+    derived = load_table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 40).cast("int").alias("gid")
+    )
+    joined = derived.join(
+        F.broadcast(dim), dim["genre_id"] == derived["gid"], "left"
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("genre_name"), F.col("gid").cast("string")).alias(
+            "genre"
+        ),
+        F.col("genre_id").isNotNull().alias("resolved"),
+    ).agg(F.count(F.lit(1)).alias("n_parts")).select(
+        "genre", "n_parts", "resolved"
+    )
+
+
+# -- S6: glob-scoped multi-file scan (driver-facing) --------------------------
+
+
+@register(
+    "source_glob_scan",
+    oracle="""
+    SELECT CAST(o_orderkey % 3 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def source_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a driver row: stage orders into shard=0/1/2 directories, then
+    scan ONLY shards {{0,1}} via a glob path (``shard={0,1}``) — the file-
+    LISTING layer selects the inputs (the reference's glob-scan merge,
+    src/movie.py:288-298), no row-level filter involved: the excluded
+    shard's files are never opened, which is the point at 100 TB (listing
+    prunes before IO). Aggregates are integer cents, exact cross-engine."""
+    base = os.path.join(scratch_dir("s6_glob_"), "orders_sharded")
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).cast("int").alias("shard"),
+        quantize(F.col("o_totalprice"), 100).alias("price_cents"),
+    )
+    write_partitioned(o, base, ["shard"])
+    picked = spark.read.parquet(os.path.join(base, "shard={0,1}"))
+    # partition dirs consumed by the glob don't resurface as a column; the
+    # shard id is recovered from the directory branch via input_file_name
+    return (
+        picked.withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard=(\d)", 1).cast("int"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
+
+
+# -- F3-F5: boolean pushdown + empty-relation guards (driver-facing) ----------
+
+
+@register(
+    "filter_boolean_guards",
+    oracle="""
+    WITH filtered AS (
+        SELECT o_orderpriority, o_totalprice, o_orderstatus FROM orders
+        WHERE (o_orderpriority IN ('1-URGENT', '2-HIGH')
+               OR o_orderstatus LIKE 'F%')
+          AND NOT (o_totalprice < 1000.0)
+          AND o_orderstatus IS NOT NULL
+    ),
+    empty_branch AS (
+        SELECT o_orderpriority, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey < 0
+    ),
+    unioned AS (
+        SELECT * FROM filtered UNION ALL SELECT * FROM empty_branch
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus LIKE 'F%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_filled
+    FROM unioned GROUP BY 1
+    """,
+)
+def filter_boolean_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F5 as a driver row: a disjunctive boolean battery (IN ∨ LIKE,
+    ¬<, IS NOT NULL — over the status/priority strings) that Catalyst pushes to the parquet scan
+    (Or/Not/IsNotNull all have PushedFilters encodings), UNION ALL'd with
+    a provably EMPTY branch (o_orderkey < 0) — the empty-relation guard:
+    the union must neither fail nor change the aggregate when one input
+    produces zero rows (the reference's empty-page/empty-month handling,
+    src/movie.py:154-160, as relational algebra)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderpriority", "o_totalprice", "o_orderstatus"]
+    filtered = o.filter(
+        (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | F.col("o_orderstatus").like("F%")
+        )
+        & ~(F.col("o_totalprice") < 1000.0)
+        & F.col("o_orderstatus").isNotNull()
+    ).select(*cols)
+    empty_branch = o.filter(F.col("o_orderkey") < 0).select(*cols)
+    unioned = filtered.unionByName(empty_branch)
+    return unioned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_orderstatus").like("F%"), 1).otherwise(0)
+        ).alias("n_filled"),
+    )

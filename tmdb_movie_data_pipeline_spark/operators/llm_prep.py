@@ -365,3 +365,152 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (start % PACK_BUDGET).cast("long").alias("offset_in_pack"),
     )
+
+
+# -- domain-mix resampling ----------------------------------------------------
+
+_MIX_BUDGET = 300  # target corpus size (docs) across all sources
+_MIX_KNUTH = 2654435761  # Fibonacci hashing multiplier (sampling.py idiom)
+_MIX_MOD = 1 << 32
+_MIX_MASK = 1 << 31  # pre-mask keys so the int64 product can't overflow
+
+
+@register(
+    "llm_domain_mix_resample",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT source,
+               CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(w) AS big_w FROM weighted),
+    kept AS (
+        SELECT d.source, COUNT(*) AS n_kept
+        FROM documents d
+        JOIN weighted ww ON ww.source = d.source
+        CROSS JOIN tot
+        WHERE ((d.doc_id % {_MIX_MASK}) * {_MIX_KNUTH}) % {_MIX_MOD}
+                  * tot.big_w * ww.n_docs
+              < {_MIX_BUDGET} * ww.w * {_MIX_MOD}
+        GROUP BY 1
+    )
+    SELECT w.source, w.w AS weight, w.n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM weighted w LEFT JOIN kept k ON k.source = w.source
+    """,
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data DOMAIN MIXING: resample each source toward a target
+    share of a fixed corpus budget ({_MIX_BUDGET} docs). Target weights are
+    derived per source (here: source number % 4 + 1 — in production, the
+    mixture config); each source keeps rows with per-source probability
+    min(1, budget·w / (W·n_s)) via the deterministic multiplicative hash.
+
+    The keep decision is ONE integer inequality
+    ``h · W · n_s < budget · w · 2^32`` — no float rate, no CAST-rounding
+    divergence (DuckDB CAST(double AS BIGINT) rounds, Spark truncates),
+    and min(1, rate) falls out of the algebra since h < 2^32. Scale shape:
+    two tiny aggregates (per-source counts + one global weight sum,
+    broadcast back) and a map-side filter over the corpus — rebalancing
+    100 TB never shuffles the documents themselves."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.groupBy("source").agg(
+        (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("w"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = weighted.agg(F.sum("w").alias("big_w"))
+    h = (F.col("doc_id") % _MIX_MASK) * _MIX_KNUTH % _MIX_MOD
+    kept = (
+        docs.join(F.broadcast(weighted.select("source", "w", "n_docs")), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            h * F.col("big_w") * F.col("n_docs")
+            < F.lit(_MIX_BUDGET) * F.col("w") * F.lit(_MIX_MOD)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        weighted.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("w").alias("weight"),
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+# -- canonical-document selection after near-dup clustering -------------------
+
+
+def _keep_canonical_oracle() -> str:
+    from .dedup import _MINHASH_ORACLE
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v AS root, v AS node FROM verts
+        UNION
+        SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT root AS doc_id, MIN(node) AS canonical FROM reach GROUP BY 1
+    ),
+    dropped AS (SELECT doc_id FROM comp WHERE canonical <> doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY 1
+    """
+
+
+@register("llm_dedup_keep_canonical", oracle=_keep_canonical_oracle())
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline's FINAL act, end to end: MinHash-LSH pairs →
+    connected components → keep each cluster's canonical (minimum) doc_id,
+    drop the rest — reported per source so the dedup burden's skew across
+    domains is visible (the number a data-mixing pass consumes next).
+
+    Scale shape: the component labels cover ONLY documents that appear in
+    some near-dup pair (a small fraction of the corpus); survivors come
+    from a left-anti-shaped join of the full corpus against that small
+    dropped set — the corpus itself crosses no extra exchange beyond the
+    final per-source aggregate."""
+    from ..io import load_table
+    from .graph import connected_components
+
+    comp = connected_components(
+        minhash_lsh_pairs(spark, sf_dir), "doc_a", "doc_b"
+    )
+    dropped = comp.filter(F.col("comp") != F.col("v")).select(
+        F.col("v").alias("dropped_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.join(
+        F.broadcast(dropped), docs["doc_id"] == dropped["dropped_id"], "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dropped_id").isNull(), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("dropped_id").isNull(), 0).otherwise(1)).alias(
+            "n_dropped"
+        ),
+    )
