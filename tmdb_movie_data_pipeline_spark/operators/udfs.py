@@ -333,3 +333,55 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         mix, "l_orderkey long, l_linenumber int, price_qty_mix long"
     )
+
+
+_POLY_N = 3  # fixed-width chunks requested by the registered query
+_POLY_WIDTH = 16
+
+
+@register(
+    "udtf_polymorphic_split",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(
+               f"substr(text, {i * _POLY_WIDTH + 1}, {_POLY_WIDTH}) AS chunk_{i}"
+               for i in range(_POLY_N)
+           )}
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output schema —
+    ``chunk_0 .. chunk_{{n-1}}`` — is computed at ANALYSIS time from the
+    constant ``n`` argument, not declared statically. This is the schema-
+    from-arguments contract (SPARK-44503) that static-returnType UDTFs
+    (udtf_explode_buckets above) cannot express; the worker then yields
+    fixed-width text chunks matching exactly the analyzer-produced arity.
+    Chunking itself mirrors the oracle's substr() battery byte for byte."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"chunk_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            yield tuple(
+                text[i * _POLY_WIDTH : (i + 1) * _POLY_WIDTH] for i in range(n)
+            )
+
+    poly = udtf(SplitFixed)
+    spark.udtf.register("split_fixed", poly)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    docs.createOrReplaceTempView("t_docs_poly")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.*
+        FROM t_docs_poly d, LATERAL split_fixed(d.text, {_POLY_N}) s
+        """
+    )

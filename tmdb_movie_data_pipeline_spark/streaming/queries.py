@@ -393,3 +393,88 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    # batch twin: interval join UNION the watermark-evicted unmatched side.
+    # The eviction cutoff is deterministic for a drained static stream:
+    # processAllAvailable runs a trailing empty batch whose GLOBAL watermark
+    # is min over the two input streams of (that stream's max event time)
+    # minus the delay — each side's watermark tracks only ITS filtered
+    # rows, and the join takes the min (measured: a max(all-events) cutoff
+    # over-emits by exactly the purchases between the two bounds). Exactly
+    # the unmatched purchases older than that emit their NULL row before
+    # the sink freezes.
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+        ) - INTERVAL 30 MINUTE AS w
+    ),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    matched AS (
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us
+        FROM p JOIN v ON p.user_id = v.user_id
+                     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    ),
+    unmatched AS (
+        SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id,
+               epoch_us(p.ts), CAST(NULL AS BIGINT)
+        FROM p, wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+                          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the stateful shape the inner join
+    (stream_stream_join) never exercises: an unmatched purchase must WAIT
+    in state until the watermark proves no qualifying view can still
+    arrive, then emit exactly once with a NULL view side. Purchases
+    younger than the final watermark (max(ts) − 30 min) are still in
+    state when the drained stream stops, so they never emit — the oracle
+    encodes that cutoff explicitly, pinning the eviction timing contract
+    (not just the join's row content). Both sides carry the watermark and
+    the time-interval condition bounds both state stores, same as the
+    inner variant."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = _run_to_completion(joined, "append")
+    return out.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("v_ts").alias("view_us"),
+    )
