@@ -342,3 +342,63 @@ def test_observe_collects_audit_metrics_inline(spark, sf_dir):
     total = observed.groupBy("l_returnflag").count().collect()
     assert sum(r["count"] for r in total) == obs.get["n_rows"]
     assert obs.get["qty_violations"] == 0
+
+
+class TestCdcChunking:
+    """Semantic pins for cdc_chunk_spans (no SQL oracle is possible for a
+    per-byte rolling recurrence — these properties are the check)."""
+
+    def test_reconstruction_and_bounds(self):
+        from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+            _CDC_MAX,
+            _CDC_MIN,
+            cdc_chunk_spans,
+        )
+
+        data = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+        spans = cdc_chunk_spans(data)
+        assert b"".join(data[s:e] for s, e in spans) == data
+        # every chunk except possibly the trailing remainder respects bounds
+        for s, e in spans[:-1]:
+            assert _CDC_MIN <= e - s <= _CDC_MAX
+        assert spans[-1][1] - spans[-1][0] <= _CDC_MAX
+
+    def test_insertion_shifts_only_local_chunks(self):
+        """THE CDC property: inserting bytes early re-chunks O(1) chunks;
+        every chunk whose content lies after the re-synchronization point
+        is identical. Fixed 64-byte blocks would change EVERY subsequent
+        block — that contrast is why the 100 TB path chunks by content."""
+        from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+            cdc_chunk_spans,
+        )
+
+        import hashlib
+
+        # high-entropy corpus: periodic text degenerates to MAX-size cuts
+        # (mask never fires on a short cycle), which is fixed-block behavior
+        # by design — locality is only claimable where boundaries are
+        # content-driven
+        base = b"".join(
+            hashlib.md5(str(i).encode()).digest() for i in range(400)
+        )
+        edited = base[:100] + b"INSERTED!" + base[100:]
+        chunks_a = {base[s:e] for s, e in cdc_chunk_spans(base)}
+        chunks_b = {edited[s:e] for s, e in cdc_chunk_spans(edited)}
+        shared = chunks_a & chunks_b
+        # the overwhelming majority of chunks survive the insertion
+        assert len(shared) >= int(0.8 * len(chunks_a)), (
+            len(shared),
+            len(chunks_a),
+        )
+        # fixed-block contrast: blocks after the insertion all shift
+        blk = lambda d: {d[i : i + 64] for i in range(0, len(d), 64)}
+        fixed_shared = blk(base) & blk(edited)
+        assert len(fixed_shared) < len(shared)
+
+    def test_empty_and_tiny_payloads(self):
+        from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+            cdc_chunk_spans,
+        )
+
+        assert cdc_chunk_spans(b"") == []
+        assert cdc_chunk_spans(b"abc") == [(0, 3)]

@@ -248,3 +248,98 @@ def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("unique_ratio"),
     )
+
+
+# -- content-defined chunking (the fixed-block scale swap, made real) ---------
+
+import hashlib as _hashlib
+
+_CDC_MASK = 0x3F  # boundary when (h & mask) == 0 -> ~64 B average chunks
+_CDC_MIN = 16  # never cut before MIN bytes (suppresses tiny chunks)
+_CDC_MAX = 256  # forced cut at MAX bytes (bounds worst-case chunk)
+
+#: Gear table: byte -> pseudo-random 32-bit word, derived from md5 so any
+#: re-implementation (tests, another engine, another language) regenerates
+#: the identical table without sharing state.
+_GEAR = [
+    int(_hashlib.md5(f"gear_{b}".encode()).hexdigest()[:8], 16)
+    for b in range(256)
+]
+
+
+def cdc_chunk_spans(data: bytes) -> list[tuple[int, int]]:
+    """Gear-hash content-defined chunk spans [(start, end), ...) over raw
+    bytes (FastCDC's core loop, simplified: single mask, no normalized
+    chunking). A boundary is declared after byte i when the rolling hash
+    masks to zero and the chunk has reached _CDC_MIN bytes; _CDC_MAX forces
+    a cut. The hash restarts per chunk, so a boundary depends only on the
+    bytes SINCE the previous boundary — the locality that makes insertions
+    shift O(1) chunks instead of every subsequent block (the fixed-block
+    failure mode multimodal_block_dedup documents)."""
+    spans: list[tuple[int, int]] = []
+    start = 0
+    h = 0
+    for i, byte in enumerate(data):
+        h = ((h << 1) + _GEAR[byte]) & 0xFFFFFFFF
+        length = i - start + 1
+        if (length >= _CDC_MIN and (h & _CDC_MASK) == 0) or length >= _CDC_MAX:
+            spans.append((start, i + 1))
+            start = i + 1
+            h = 0
+    if start < len(data):
+        spans.append((start, len(data)))
+    return spans
+
+
+def _cdc_stats_batches(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for payload in pdf["payload"]:
+            data = bytes(payload)
+            for s, e in cdc_chunk_spans(data):
+                rows.append(
+                    (
+                        _hashlib.md5(data[s:e]).hexdigest(),
+                        e - s,
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["chunk_md5", "chunk_len"])
+
+
+@register("multimodal_cdc_chunk_dedup")  # no SQL oracle: see docstring
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup over media payloads — the 100 TB swap
+    the fixed-block row (multimodal_block_dedup) documents, implemented:
+    Gear rolling-hash boundaries (mapInPandas, Arrow-batched), chunk
+    fingerprints, corpus redundancy stats in one hash aggregate.
+
+    NO SQL ORACLE on purpose: a per-byte rolling hash with min/max chunk
+    clamps is a sequential recurrence no set-oriented SQL reproduces
+    without a byte-level recursive CTE (neither engine can do that at
+    useful cost), so this entry takes the driver's weaker rows-only check.
+    The SEMANTICS are pinned instead by tests/test_engine_ops.py:
+    reconstruction (chunks concatenate back to every payload), size
+    bounds, per-chunk locality, and the shift-resilience property that
+    justifies CDC over fixed blocks (an insertion re-chunks O(1) chunks,
+    not every subsequent one).
+
+    Scale shape: chunking is map-only (each payload visits one Python
+    worker once, no state); the dedup statistic is the same partial-agg
+    distinct-count plan as the fixed-block row. Chunk hashes, not chunk
+    bytes, cross the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs).select("payload")
+    chunks = payloads.mapInPandas(
+        _cdc_stats_batches, "chunk_md5 string, chunk_len long"
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk_md5").alias("distinct_chunks"),
+        (
+            F.countDistinct("chunk_md5").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("unique_ratio"),
+        F.sum("chunk_len").alias("total_bytes"),
+    )
