@@ -527,3 +527,131 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("user_key"))
         .limit(CMS_TOPN)
     )
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    pairs(t_a, t_b) AS (
+        VALUES ('click', 'purchase'), ('click', 'view'), ('purchase', 'view')
+    ),
+    uni AS (
+        SELECT p.t_a, p.t_b, h.hv,
+               ROW_NUMBER() OVER (PARTITION BY p.t_a, p.t_b ORDER BY h.hv) AS rn
+        FROM pairs p JOIN (SELECT DISTINCT event_type, hv FROM h) h
+          ON h.event_type IN (p.t_a, p.t_b)
+        GROUP BY p.t_a, p.t_b, h.hv
+    ),
+    unionk AS (SELECT t_a, t_b, hv FROM uni WHERE rn <= {KMV_K}),
+    uk AS (
+        SELECT t_a, t_b, MAX(hv) AS hk, COUNT(*) AS k_eff FROM unionk
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT u.t_a, u.t_b, COUNT(*) AS n_shared
+        FROM unionk u
+        JOIN h a ON a.event_type = u.t_a AND a.hv = u.hv
+        JOIN h b ON b.event_type = u.t_b AND b.hv = u.hv
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT p.t_a, p.t_b, COUNT(*) AS n_exact
+        FROM pairs p
+        JOIN h a ON a.event_type = p.t_a
+        JOIN h b ON b.event_type = p.t_b AND b.hv = a.hv
+        GROUP BY 1, 2
+    )
+    SELECT uk.t_a, uk.t_b,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(shared.n_shared, 0) AS DOUBLE) / CAST(uk.k_eff AS DOUBLE)
+             * (CAST(uk.k_eff - 1 AS DOUBLE) / (CAST(uk.hk AS DOUBLE) / {_HASH_RANGE!r}))
+             AS est_intersection
+    FROM uk
+    LEFT JOIN shared ON shared.t_a = uk.t_a AND shared.t_b = uk.t_b
+    JOIN exact ON exact.t_a = uk.t_a AND exact.t_b = uk.t_b
+    """,
+)
+def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimate — the sketch-algebra operation Theta
+    sketches exist for, from the same KMV states as sketch_kmv_distinct/
+    union: for each event-type pair, take the K smallest hashes of the
+    UNION of the two user sets, count how many of those belong to both
+    sets (an exact membership test against the per-set hash sets), and
+    scale the Jaccard fraction by the union-KMV cardinality estimate:
+    |A∩B| ≈ (shared/K) · (K−1)/(h_K / 2^60). Every input to the final
+    expression is an integer (shared count, K, the K-th order statistic),
+    so the two IEEE divisions and one multiply are bit-identical
+    cross-engine — the exact intersection count sits alongside, keeping
+    the error contract visible.
+
+    Scale shape: per-set states are K hashes (mergeable partials); the
+    membership probe joins the K-row union sketch back to the per-set
+    hash relations on the hash value — K·|pairs| probe rows, never a
+    corpus-sized set operation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    pairs = spark.createDataFrame(
+        [("click", "purchase"), ("click", "view"), ("purchase", "view")],
+        "t_a string, t_b string",
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(h, h["event_type"].isin(F.col("t_a"), F.col("t_b")))
+        .select("t_a", "t_b", "hv")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("t_a", "t_b").orderBy(F.asc("hv"))
+            ),
+        )
+    )
+    unionk = uni.filter(F.col("rn") <= KMV_K).select("t_a", "t_b", "hv")
+    uk = unionk.groupBy("t_a", "t_b").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("k_eff")
+    )
+    ha = h.select(F.col("event_type").alias("e_a"), F.col("hv").alias("hv_a"))
+    hb = h.select(F.col("event_type").alias("e_b"), F.col("hv").alias("hv_b"))
+    shared = (
+        unionk.join(
+            ha, (F.col("e_a") == F.col("t_a")) & (F.col("hv_a") == F.col("hv"))
+        )
+        .join(hb, (F.col("e_b") == F.col("t_b")) & (F.col("hv_b") == F.col("hv")))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    exact = (
+        F.broadcast(pairs)
+        .join(ha, F.col("e_a") == F.col("t_a"))
+        .join(
+            hb,
+            (F.col("e_b") == F.col("t_b")) & (F.col("hv_b") == F.col("hv_a")),
+        )
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = (
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+        / F.col("k_eff").cast("double")
+        * (
+            (F.col("k_eff") - 1).cast("double")
+            / (F.col("hk").cast("double") / F.lit(_HASH_RANGE))
+        )
+    ).alias("est_intersection")
+    return (
+        uk.join(shared, ["t_a", "t_b"], "left")
+        .join(exact, ["t_a", "t_b"])
+        .select("t_a", "t_b", F.col("n_exact").cast("long").alias("n_exact"), est)
+    )
