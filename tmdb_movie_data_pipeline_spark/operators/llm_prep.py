@@ -385,14 +385,17 @@ _MIX_MASK = 1 << 31  # pre-mask keys so the int64 product can't overflow
         FROM documents GROUP BY 1
     ),
     tot AS (SELECT SUM(w) AS big_w FROM weighted),
+    dim AS (
+        SELECT ww.source,
+               ({_MIX_BUDGET} * ww.w * {_MIX_MOD} + t.big_w * ww.n_docs - 1)
+                   // (t.big_w * ww.n_docs) AS thr
+        FROM weighted ww CROSS JOIN tot t
+    ),
     kept AS (
         SELECT d.source, COUNT(*) AS n_kept
         FROM documents d
-        JOIN weighted ww ON ww.source = d.source
-        CROSS JOIN tot
-        WHERE ((d.doc_id % {_MIX_MASK}) * {_MIX_KNUTH}) % {_MIX_MOD}
-                  * tot.big_w * ww.n_docs
-              < {_MIX_BUDGET} * ww.w * {_MIX_MOD}
+        JOIN dim ON dim.source = d.source
+        WHERE ((d.doc_id % {_MIX_MASK}) * {_MIX_KNUTH}) % {_MIX_MOD} < dim.thr
         GROUP BY 1
     )
     SELECT w.source, w.w AS weight, w.n_docs,
@@ -407,13 +410,22 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture config); each source keeps rows with per-source probability
     min(1, budget·w / (W·n_s)) via the deterministic multiplicative hash.
 
-    The keep decision is ONE integer inequality
-    ``h · W · n_s < budget · w · 2^32`` — no float rate, no CAST-rounding
-    divergence (DuckDB CAST(double AS BIGINT) rounds, Spark truncates),
-    and min(1, rate) falls out of the algebra since h < 2^32. Scale shape:
-    two tiny aggregates (per-source counts + one global weight sum,
-    broadcast back) and a map-side filter over the corpus — rebalancing
-    100 TB never shuffles the documents themselves."""
+    The keep decision is ONE integer inequality, evaluated as
+    ``h < thr`` where ``thr = ceil(budget · w · 2^32 / (W · n_s))`` is
+    computed ONCE per source in the broadcast dim. The two forms are
+    exactly equivalent for integer A = W·n_s > 0 (``h·A < B  ⟺
+    h < ceil(B/A)``: ceil(B/A)−1 < B/A always), but the threshold form
+    keeps every per-row operand below 2^32 — the naive ``h·W·n_s < B``
+    product overflows BIGINT once W·n_s exceeds ~2^31 (h is up to
+    2^32−1), wrapping silently in non-ANSI Spark while DuckDB raises.
+    The only products left live in the per-source dim, whose bound is
+    W·n_s < 2^63/budget — unreachable in practice. No float rate, no
+    CAST-rounding divergence (DuckDB CAST(double AS BIGINT) rounds,
+    Spark truncates), and min(1, rate) falls out of the algebra since
+    h < 2^32. Scale shape: two tiny aggregates (per-source counts + one
+    global weight sum, broadcast back) and a map-side hash-compare over
+    the corpus — rebalancing 100 TB never shuffles the documents
+    themselves."""
     from ..io import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -422,14 +434,17 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
     )
     tot = weighted.agg(F.sum("w").alias("big_w"))
+    dim = weighted.crossJoin(tot).select(
+        "source",
+        F.expr(
+            f"CAST(({_MIX_BUDGET} * w * {_MIX_MOD} + big_w * n_docs - 1) "
+            "DIV (big_w * n_docs) AS BIGINT)"
+        ).alias("thr"),
+    )
     h = (F.col("doc_id") % _MIX_MASK) * _MIX_KNUTH % _MIX_MOD
     kept = (
-        docs.join(F.broadcast(weighted.select("source", "w", "n_docs")), "source")
-        .crossJoin(F.broadcast(tot))
-        .filter(
-            h * F.col("big_w") * F.col("n_docs")
-            < F.lit(_MIX_BUDGET) * F.col("w") * F.lit(_MIX_MOD)
-        )
+        docs.join(F.broadcast(dim), "source")
+        .filter(h < F.col("thr"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )

@@ -289,7 +289,9 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hv"),
     ).distinct()
-    w = (F.col("hv") / F.lit(HLL_M)).cast("long")  # floor div: hv >= 0
+    w = F.shiftright(F.col("hv"), HLL_B)  # exact integer hv div 64: `/` is
+    # IEEE double division, and 60-bit hv values round on long->double,
+    # flipping the truncated quotient (and rho) vs the oracle's exact `//`
     rr = h.select(
         "event_type",
         (F.col("hv") % HLL_M).alias("reg"),
@@ -381,7 +383,7 @@ def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hv"),
     ).distinct()
-    w = (F.col("hv") / F.lit(HLL_M)).cast("long")
+    w = F.shiftright(F.col("hv"), HLL_B)  # exact hv div 64 (see hll_distinct)
     rr = h.select(
         "source",
         (F.col("hv") % HLL_M).alias("reg"),

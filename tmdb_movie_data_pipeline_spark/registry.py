@@ -60,8 +60,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the cap window so a silent regression of this logic fails CI.
 
 _CHANGED_THIS_ROUND: list[str] = [
-    "dedup_embedding_cosine",  # bucket-sharded Arrow re-score (r5 rewrite)
-    "delta_merge_upsert_read",  # r4 watch item: confirm pruned-path bench
+    # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
+    # slots at the head of the rotation. Entries below are r6 rewrites.
+    "sketch_hll_distinct",  # exact shiftright word split (ADVICE r5)
+    "sketch_hll_union",  # same fix
+    "llm_domain_mix_resample",  # overflow-safe threshold form (ADVICE r5)
+    "multimodal_cdc_chunk_dedup",  # vectorized windowed chunker + oracle
 ]
 
 
