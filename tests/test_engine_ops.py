@@ -345,39 +345,80 @@ def test_observe_collects_audit_metrics_inline(spark, sf_dir):
 
 
 class TestCdcChunking:
-    """Semantic pins for cdc_chunk_spans (no SQL oracle is possible for a
-    per-byte rolling recurrence — these properties are the check)."""
+    """Semantic pins for the fixed-window Buzhash chunker. Since the r6
+    rewrite the boundary rule is ALSO oracle-checked end-to-end
+    (test_oracle: multimodal_cdc_chunk_dedup hash-matches DuckDB); these
+    tests pin the pieces the aggregate can't see — reconstruction, the
+    vectorization's equivalence to a scalar reference, and dedup
+    locality under edits."""
 
-    def test_reconstruction_and_bounds(self):
+    def test_reconstruction(self):
         from tmdb_movie_data_pipeline_spark.operators.multimodal import (
-            _CDC_MAX,
-            _CDC_MIN,
             cdc_chunk_spans,
         )
 
         data = ("the quick brown fox jumps over the lazy dog " * 40).encode()
         spans = cdc_chunk_spans(data)
         assert b"".join(data[s:e] for s, e in spans) == data
-        # every chunk except possibly the trailing remainder respects bounds
-        for s, e in spans[:-1]:
-            assert _CDC_MIN <= e - s <= _CDC_MAX
-        assert spans[-1][1] - spans[-1][0] <= _CDC_MAX
+        assert all(e > s for s, e in spans)
+        assert spans[-1][1] == len(data)
+
+    def test_vectorized_matches_scalar_reference(self):
+        """The numpy sliding-window passes must equal a byte-at-a-time
+        recomputation of H_i = XOR_d rotl32(T[b_{i-d}], d) — the scalar
+        form is the spec, the vectorized form is the implementation."""
+        import hashlib
+        import random
+
+        from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+            _CDC_MASK,
+            _CDC_W,
+            cdc_chunk_ends,
+        )
+
+        tbl = [
+            int(hashlib.md5(f"buz_{b}".encode()).hexdigest()[:8], 16)
+            for b in range(256)
+        ]
+
+        def rotl(x, r):
+            return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF if r else x
+
+        def ref_ends(data):
+            n = len(data)
+            if n == 0:
+                return []
+            if n < _CDC_W:
+                return [n]
+            cuts = []
+            for i in range(_CDC_W, n + 1):
+                h = 0
+                for d in range(_CDC_W):
+                    h ^= rotl(tbl[data[i - 1 - d]], d)
+                if (h & _CDC_MASK) == 0:
+                    cuts.append(i)
+            if not cuts or cuts[-1] != n:
+                cuts.append(n)
+            return cuts
+
+        rng = random.Random(7)
+        for n in [0, 1, 7, 8, 9, 64, 500, 4096]:
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert cdc_chunk_ends(data) == ref_ends(data), n
 
     def test_insertion_shifts_only_local_chunks(self):
-        """THE CDC property: inserting bytes early re-chunks O(1) chunks;
-        every chunk whose content lies after the re-synchronization point
-        is identical. Fixed 64-byte blocks would change EVERY subsequent
-        block — that contrast is why the 100 TB path chunks by content."""
+        """THE CDC property: a boundary depends on exactly the W bytes of
+        its window, so an insertion disturbs only cuts whose window
+        overlaps the edit — every later cut fires at the same CONTENT
+        offset. Fixed 64-byte blocks shift EVERY subsequent block — that
+        contrast is why the 100 TB path chunks by content."""
+        import hashlib
+
         from tmdb_movie_data_pipeline_spark.operators.multimodal import (
             cdc_chunk_spans,
         )
 
-        import hashlib
-
-        # high-entropy corpus: periodic text degenerates to MAX-size cuts
-        # (mask never fires on a short cycle), which is fixed-block behavior
-        # by design — locality is only claimable where boundaries are
-        # content-driven
+        # high-entropy corpus so boundaries are content-driven
         base = b"".join(
             hashlib.md5(str(i).encode()).digest() for i in range(400)
         )

@@ -71,11 +71,9 @@ ORACLES = all_oracles()
 #: entries that legitimately take the driver's weaker rows-only check —
 #: each must document in its registration docstring WHY no set-oriented
 #: SQL oracle can exist. Keep this list short and justified.
-ORACLE_EXEMPT = {
-    # per-byte rolling-hash recurrence; no set-oriented SQL equivalent
-    # (semantics pinned by property tests in test_engine_ops.py)
-    "multimodal_cdc_chunk_dedup",
-}
+ORACLE_EXEMPT: set[str] = set()
+# (empty since r6: the CDC chunker's fixed-window rewrite made its boundary
+# rule SQL-expressible, so the last rows-only exemption was retired)
 
 
 def test_every_query_has_an_oracle():
