@@ -383,40 +383,47 @@ def _cdc_hash_sql() -> str:
     return h
 
 
-_CDC_ORACLE = f"""
-    WITH tv AS (
-        SELECT doc_id, i,
-               ('0x' || substr(md5('buz_' ||
-                    ascii(substr(text, CAST(i AS INT), 1))), 1, 8))::BIGINT AS t
-        FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
-    ),
-    hh AS (
-        SELECT doc_id, i, {_cdc_hash_sql()} AS h
-        FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-    ),
-    ends AS (
-        SELECT doc_id, i AS e FROM hh
-        WHERE i >= {_CDC_W} AND (h & {_CDC_MASK}) = 0
-        UNION
-        SELECT doc_id, length(text) FROM documents WHERE length(text) > 0
-    ),
-    spans AS (
-        SELECT doc_id, e,
-               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
-        FROM ends
-    ),
-    chunks AS (
+def _cdc_chunks_sql(src: str) -> str:
+    """DuckDB relation ``(chunk_md5, chunk_len)`` — the chunker applied in
+    SQL to any ``(doc_id, text)`` relation ``src``. Mirrors cdc_chunk_ends
+    bit-exactly (ASCII contract: chars == bytes)."""
+    return f"""(
+        WITH src AS ({src}),
+        tv AS (
+            SELECT doc_id, i,
+                   ('0x' || substr(md5('buz_' ||
+                        ascii(substr(text, CAST(i AS INT), 1))), 1, 8))::BIGINT AS t
+            FROM src, UNNEST(range(1, length(text) + 1)) AS r(i)
+        ),
+        hh AS (
+            SELECT doc_id, i, {_cdc_hash_sql()} AS h
+            FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        ends AS (
+            SELECT doc_id, i AS e FROM hh
+            WHERE i >= {_CDC_W} AND (h & {_CDC_MASK}) = 0
+            UNION
+            SELECT doc_id, length(text) FROM src WHERE length(text) > 0
+        ),
+        spans AS (
+            SELECT doc_id, e,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+            FROM ends
+        )
         SELECT md5(substr(d.text, CAST(sp.s + 1 AS INT),
                           CAST(sp.e - sp.s AS INT))) AS chunk_md5,
                sp.e - sp.s AS chunk_len
-        FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
-    )
+        FROM spans sp JOIN src d ON d.doc_id = sp.doc_id
+    )"""
+
+
+_CDC_ORACLE = f"""
     SELECT CAST(COUNT(*) AS BIGINT)                  AS total_chunks,
            CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS distinct_chunks,
            CAST(COUNT(DISTINCT chunk_md5) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE)              AS unique_ratio,
            CAST(SUM(chunk_len) AS BIGINT)            AS total_bytes
-    FROM chunks
+    FROM {_cdc_chunks_sql("SELECT doc_id, text FROM documents")} chunks
 """
 
 
@@ -453,4 +460,119 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("unique_ratio"),
         F.sum("chunk_len").alias("total_bytes"),
+    )
+
+# -- incremental snapshot diff: the consumer that makes chunk dedup pay -------
+
+_CDC_EDIT_PREFIX = "EDIT v2: "  # ASCII; an INSERTION — the fixed-block worst case
+_CDC_EDIT_MOD = 7  # docs with doc_id % 7 == 0 change between snapshots
+
+_CDC_V1_SRC = f"""SELECT doc_id,
+           CASE WHEN doc_id % {_CDC_EDIT_MOD} = 0
+                THEN '{_CDC_EDIT_PREFIX}' || text ELSE text END AS text
+    FROM documents"""
+
+
+@register(
+    "multimodal_cdc_snapshot_diff",
+    oracle=f"""
+    WITH v0d AS (
+        SELECT DISTINCT chunk_md5 FROM
+            {_cdc_chunks_sql("SELECT doc_id, text FROM documents")} c0
+    ),
+    v1 AS (
+        SELECT chunk_md5, chunk_len FROM {_cdc_chunks_sql(_CDC_V1_SRC)} c1
+    ),
+    v1d AS (SELECT DISTINCT chunk_md5, chunk_len FROM v1),
+    new AS (
+        SELECT * FROM v1d
+        WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM v0d)
+    ),
+    a_chg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS docs_changed,
+               CAST(SUM(length('{_CDC_EDIT_PREFIX}' || text)) AS BIGINT)
+                   AS bytes_changed_docs
+        FROM documents WHERE doc_id % {_CDC_EDIT_MOD} = 0
+    ),
+    a_v1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS chunks_v1,
+               CAST(SUM(chunk_len) AS BIGINT) AS bytes_v1
+        FROM v1
+    ),
+    a_new AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS chunks_new,
+               CAST(COALESCE(SUM(chunk_len), 0) AS BIGINT) AS bytes_new
+        FROM new
+    )
+    SELECT docs_changed, chunks_v1, bytes_v1, chunks_new, bytes_new,
+           bytes_changed_docs,
+           CAST(bytes_new AS DOUBLE) / CAST(bytes_changed_docs AS DOUBLE)
+               AS ship_ratio
+    FROM a_chg CROSS JOIN a_v1 CROSS JOIN a_new
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot shipping over a content-addressed chunk store —
+    the consumer that proves chunk-level dedup PAYS (VERDICT r5 item #8,
+    pairing with delta_version_diff's file-level story): snapshot v1 edits
+    {_CDC_EDIT_MOD}ths of the corpus by INSERTING a prefix (the fixed-block
+    worst case — every 64-byte block of an edited doc shifts), chunks both
+    snapshots with the same fixed-window rule, and ships only chunks whose
+    hash v0 never stored.
+
+    ``ship_ratio`` = bytes of genuinely-new chunks / bytes of the changed
+    documents — document-level diff ships the full right-hand side, CDC
+    ships only the chunks overlapping each edit plus the geometric-tail
+    remainder, so the ratio lands well under 1 (gate-pinned by value).
+
+    Scale shape: chunking is map-only per snapshot; the only shuffle is the
+    set difference on chunk_md5 (hash-partitioned, uniformly distributed
+    keys by construction); the final stats are 1-row partial aggregates
+    cross-joined. In production v0's chunk index is the persisted store
+    manifest — here it's recomputed because the gate owns both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % _CDC_EDIT_MOD) == 0,
+            F.concat(F.lit(_CDC_EDIT_PREFIX), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    chunk = lambda df: df.select(
+        F.encode("text", "utf-8").alias("payload")
+    ).mapInPandas(_cdc_stats_batches, "chunk_md5 string, chunk_len long")
+    c0 = chunk(docs.select("doc_id", "text"))
+    c1 = chunk(edited)
+    new = c1.dropDuplicates(["chunk_md5"]).join(
+        c0.select("chunk_md5").distinct(), "chunk_md5", "left_anti"
+    )
+    a_chg = edited.filter((F.col("doc_id") % _CDC_EDIT_MOD) == 0).agg(
+        F.count(F.lit(1)).alias("docs_changed"),
+        F.sum(F.length("text")).cast("long").alias("bytes_changed_docs"),
+    )
+    a_v1 = c1.agg(
+        F.count(F.lit(1)).alias("chunks_v1"),
+        F.sum("chunk_len").alias("bytes_v1"),
+    )
+    a_new = new.agg(
+        F.count(F.lit(1)).alias("chunks_new"),
+        F.coalesce(F.sum("chunk_len"), F.lit(0)).cast("long").alias("bytes_new"),
+    )
+    return (
+        a_chg.crossJoin(a_v1)
+        .crossJoin(a_new)
+        .select(
+            "docs_changed",
+            "chunks_v1",
+            "bytes_v1",
+            "chunks_new",
+            "bytes_new",
+            "bytes_changed_docs",
+            (
+                F.col("bytes_new").cast("double")
+                / F.col("bytes_changed_docs").cast("double")
+            ).alias("ship_ratio"),
+        )
     )
