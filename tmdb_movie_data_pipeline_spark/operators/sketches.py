@@ -657,3 +657,161 @@ def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, ["t_a", "t_b"])
         .select("t_a", "t_b", F.col("n_exact").cast("long").alias("n_exact"), est)
     )
+
+
+# -- fixed-grid histogram quantiles (deterministic, mergeable) ----------------
+
+_QH_WIDTH = 512  # bin width; a power of two, so v/512 is exact IEEE scaling
+_QH_PS = [25, 50, 90, 99]  # integer percentiles: rank k = ceil(p*n/100)
+
+
+@register(
+    "sketch_quantile_histogram",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_returnflag AS scope, CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem
+    ),
+    states AS (
+        SELECT scope, CAST(FLOOR(v / {_QH_WIDTH}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT '__all__' AS scope, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM states GROUP BY 2
+    ),
+    scoped AS (
+        SELECT * FROM states UNION ALL SELECT * FROM merged
+    ),
+    ks AS (
+        SELECT t.scope, t.n, u.p, (u.p * t.n + 99) // 100 AS k
+        FROM (SELECT scope, CAST(SUM(cnt) AS BIGINT) AS n
+              FROM scoped GROUP BY 1) t,
+             UNNEST({_QH_PS}) AS u(p)
+    ),
+    cum AS (
+        SELECT scope, bin,
+               CAST(SUM(cnt) OVER (PARTITION BY scope ORDER BY bin) AS BIGINT)
+                   AS cum
+        FROM scoped
+    ),
+    hit AS (
+        SELECT c.scope, k.p, k.n, k.k, MIN(c.bin) AS qbin
+        FROM cum c JOIN ks k ON k.scope = c.scope
+        WHERE c.cum >= k.k
+        GROUP BY 1, 2, 3, 4
+    ),
+    rows_ AS (
+        SELECT scope, v FROM li UNION ALL SELECT '__all__', v FROM li
+    ),
+    rn AS (
+        SELECT scope, v, ROW_NUMBER() OVER (PARTITION BY scope ORDER BY v)
+                   AS rn
+        FROM rows_
+    ),
+    exact AS (
+        SELECT r.scope, k.p, r.v AS exact_q
+        FROM rn r JOIN ks k ON k.scope = r.scope AND r.rn = k.k
+    )
+    SELECT h.scope, CAST(h.p AS INTEGER) AS p,
+           CAST(h.n AS BIGINT) AS n, CAST(h.k AS BIGINT) AS k,
+           CAST((h.qbin + 1) * {_QH_WIDTH} AS DOUBLE) AS est_q,
+           e.exact_q,
+           (e.exact_q >= h.qbin * {_QH_WIDTH}
+                AND e.exact_q < (h.qbin + 1) * {_QH_WIDTH}) AS within_bin
+    FROM hit h JOIN exact e ON e.scope = h.scope AND e.p = h.p
+    """,
+)
+def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram quantiles — the deterministic, MERGEABLE
+    quantile sketch completing the sketch shelf (KMV distincts, HLL, CMS;
+    VERDICT r5 item #4), paired with agg_percentiles the way HLL pairs
+    with approx_count_distinct.
+
+    Sketch state is ``(scope, bin, cnt)`` with ``bin = floor(v / 512)`` —
+    512 is a power of two, so the division is exact IEEE scaling and the
+    bin id is engine-exact by construction (no ln/log, no CAST rounding).
+    The ``__all__`` scope is folded FROM THE PER-GROUP STATES alone by
+    bin-wise count sum — sum(cnt_a, cnt_b) == cnt_{{a∪b}} is exact, which
+    pins the histogram's defining mergeability the same way
+    sketch_hll_union pins register-wise max. Rank targets are pure
+    integers: k = ceil(p·n/100) = (p·n + 99) div 100.
+
+    The estimate for percentile p is the upper edge of the first bin whose
+    cumulative count reaches k; the gate also carries the EXACT k-th order
+    statistic and pins the accuracy contract ``exact_q ∈ [qbin·512,
+    (qbin+1)·512)`` — true by construction of the hit bin, so any binning
+    or merge defect flips a hash-checked boolean.
+
+    Scale shape: the sketch path exchanges O(scopes × bins) rows (≤ ~206
+    bins here) regardless of corpus size, fully partial-aggregable; bin
+    width tunes accuracy vs state like HLL's register count. The exact-
+    rank companion (a per-scope ROW_NUMBER) is gate scaffolding — at
+    100 TB you ship only the states, exactly as the HLL/KMV gates do with
+    their exact-count columns."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("scope"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    states = (
+        li.select("scope", F.floor(F.col("v") / _QH_WIDTH).alias("bin"))
+        .groupBy("scope", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = states.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    scoped = states.unionByName(
+        merged.select(F.lit("__all__").alias("scope"), "bin", "cnt")
+    )
+    ks = (
+        scoped.groupBy("scope")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "scope",
+            F.col("n").cast("long").alias("n"),
+            F.explode(F.array(*[F.lit(p) for p in _QH_PS])).alias("p"),
+        )
+        .withColumn("k", F.expr("CAST((p * n + 99) DIV 100 AS BIGINT)"))
+    )
+    cum = scoped.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("scope")
+            .orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
+    hit = (
+        cum.join(ks, "scope")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("scope", "p", "n", "k")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    rows = li.unionByName(li.select(F.lit("__all__").alias("scope"), "v"))
+    rn = rows.withColumn(
+        "rn", F.row_number().over(W.partitionBy("scope").orderBy("v"))
+    )
+    exact = (
+        rn.join(ks.select("scope", "p", "k"), "scope")
+        .filter(F.col("rn") == F.col("k"))
+        .select("scope", "p", F.col("v").alias("exact_q"))
+    )
+    return (
+        hit.join(exact, ["scope", "p"])
+        .select(
+            "scope",
+            F.col("p").cast("int").alias("p"),
+            "n",
+            "k",
+            ((F.col("qbin") + 1) * _QH_WIDTH).cast("double").alias("est_q"),
+            "exact_q",
+            (
+                (F.col("exact_q") >= F.col("qbin") * _QH_WIDTH)
+                & (F.col("exact_q") < (F.col("qbin") + 1) * _QH_WIDTH)
+            ).alias("within_bin"),
+        )
+    )
