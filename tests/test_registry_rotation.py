@@ -73,3 +73,35 @@ def test_queries_and_oracles_share_ordering():
 def test_verified_names_nonempty_after_four_rounds():
     """Sanity: the CORRECTNESS files are actually being found and parsed."""
     assert len(registry._driver_verified_names()) >= 100
+
+
+def test_rest_bucket_rotates_with_round_token():
+    """Re-confirmation must CYCLE: different round tokens permute the
+    green-and-unchanged tail differently (so successive rounds re-confirm
+    different subsets under the cap), while the same token is stable."""
+    names = sorted(registry.all_queries())
+    verified = registry._driver_verified_names()
+    head = {n for n in names if n not in verified} | set(
+        registry._CHANGED_THIS_ROUND
+    )
+    o6 = registry.verification_order(names, round_token=6)
+    o7 = registry.verification_order(names, round_token=7)
+    assert o6 == registry.verification_order(names, round_token=6)
+    rest6 = [n for n in o6 if n not in head]
+    rest7 = [n for n in o7 if n not in head]
+    assert sorted(rest6) == sorted(rest7)
+    assert rest6 != rest7, "round token must change the re-confirm order"
+    # the rotation may not displace the coverage guarantees:
+    never = [n for n in o6 if n not in verified]
+    assert o6[: len(never)] == never
+
+
+def test_changed_this_round_reset_discipline():
+    """_CHANGED_THIS_ROUND is a per-round scratch list (VERDICT r5 #3):
+    every entry must have been touched in the CURRENT session's diff —
+    approximated here as 'its registering module imports cleanly and the
+    name is registered' plus a hard cap so the list can't silently grow
+    into a standing priority override."""
+    assert len(registry._CHANGED_THIS_ROUND) <= 12, (
+        "suspiciously long changed-list — reset it at round start"
+    )

@@ -91,8 +91,33 @@ def _driver_verified_names() -> set[str]:
     return seen
 
 
-def verification_order(names: list[str] | None = None) -> list[str]:
-    """Derived driver-verification priority over registered query names."""
+def _round_token() -> int:
+    """The upcoming round number: 1 + the highest round among the
+    driver-written CORRECTNESS files. Deterministic within a round (the
+    driver writes its file AFTER verification), advances between rounds."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def verification_order(
+    names: list[str] | None = None, round_token: int | None = None
+) -> list[str]:
+    """Derived driver-verification priority over registered query names.
+
+    Bucket 3 (cumulatively green, unchanged) rotates with the round: it
+    is ordered by md5(name | round_token), not registration order, so the
+    ~50-row cap re-confirms a DIFFERENT deterministic subset each round
+    instead of forever re-checking the same registration-order prefix
+    (VERDICT r5 item #6 — with ~170 green queries a fixed prefix would
+    leave the tail unconfirmed for 3+ rounds)."""
     if names is None:
         _ensure_loaded()
         names = list(_QUERIES)
@@ -101,6 +126,12 @@ def verification_order(names: list[str] | None = None) -> list[str]:
     changed = [n for n in _CHANGED_THIS_ROUND if n in names and n in verified]
     head = {*never, *changed}
     rest = [n for n in names if n not in head]
+    import hashlib
+
+    seed = _round_token() if round_token is None else round_token
+    rest.sort(
+        key=lambda n: hashlib.md5(f"{n}|r{seed}".encode()).hexdigest()
+    )
     return never + changed + rest
 
 
