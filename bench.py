@@ -60,6 +60,16 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_tumbling_hourly",
     "delta_merge_upsert_read",
+    # r6 widening (VERDICT r5 item #5): the heaviest previously-unmeasured
+    # queries — where the next silent regression would hide — plus this
+    # round's two new entries.
+    "sketch_hll_union",
+    "join_bloom_prefilter",
+    "dedup_simhash_pairs",
+    "join_fuzzy_deletion_neighborhood",
+    "stream_stream_left_outer_join",
+    "multimodal_cdc_chunk_dedup",
+    "sketch_quantile_histogram",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -75,7 +85,13 @@ COPY_FILES = 16
 #: queries whose builder performs the measured work EAGERLY (transactional
 #: create+merge commits happen at plan-build time, the returned DataFrame is
 #: only the snapshot read) — these must be rebuilt inside the timed region.
-REBUILD_PER_RUN = {"delta_merge_upsert_read"}
+REBUILD_PER_RUN = {
+    "delta_merge_upsert_read",
+    # the streaming join runs its micro-batches to completion inside the
+    # builder (_run_to_completion); the returned frame is just the sink
+    # read — the measured work must happen inside the timed region.
+    "stream_stream_left_outer_join",
+}
 
 #: timed executions per query; reported number is the min (run 1 pays
 #: whole-stage-codegen JIT, later runs are the resident-pipeline steady
