@@ -529,3 +529,100 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped"
         ),
     )
+
+
+# -- deterministic stratified train/val/test split ----------------------------
+
+_SPLIT_KNUTH = 2654435761  # Fibonacci hashing multiplier (sampling.py idiom)
+_SPLIT_MOD = 1 << 32
+_SPLIT_MASK = 1 << 31  # pre-mask keys so the int64 product can't overflow
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+@register(
+    "llm_train_val_test_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, source, size,
+               ((doc_id % {_SPLIT_MASK}) * {_SPLIT_KNUTH}) % {_SPLIT_MOD}
+                   % 100 AS slot
+        FROM (SELECT doc_id, source,
+                     CAST(length(text) AS BIGINT) AS size
+              FROM documents)
+    ),
+    labeled AS (
+        SELECT source,
+               CASE WHEN slot < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN slot < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               doc_id, size
+        FROM assigned
+    ),
+    cells AS (
+        SELECT source, split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(size) AS BIGINT) AS n_chars
+        FROM labeled GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_source FROM cells
+        GROUP BY 1
+    )
+    SELECT c.source, c.split, c.n_docs, c.sum_doc_id, c.n_chars,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.n_source AS DOUBLE) AS share
+    FROM cells c JOIN tot t ON t.source = c.source
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split — the last step every
+    training-data pipeline runs before materializing shards. Assignment is
+    a pure function of the stable document key: slot = Fibonacci-hash
+    (doc_id) mod 100, train < 80 <= val < 90 <= test — integer end to end
+    (no rand(), no float rates, no CAST-rounding divergence), so the split
+    is reproducible across engines, re-runs, and backfills: a document
+    never migrates between splits when the corpus grows, which is the
+    property that keeps eval sets uncontaminated over time.
+
+    The gate pins MEMBERSHIP, not just sizes: sum(doc_id) per
+    (source, split) cell changes if any single document moves cells, so a
+    hash or boundary defect can't hide behind matching counts.
+
+    Scale shape: one narrow scan, map-side hash + label, then a
+    (source, split) partial aggregate — ~|sources|x3 rows cross the
+    exchange; the corpus itself never shuffles. Writing the actual shards
+    is the same expression routed to partitionBy('split')."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("size")
+    )
+    slot = (
+        (F.col("doc_id") % _SPLIT_MASK) * _SPLIT_KNUTH % _SPLIT_MOD % 100
+    )
+    labeled = docs.select(
+        "source",
+        F.when(slot < _SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(slot < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "doc_id",
+        "size",
+    )
+    cells = labeled.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("size").alias("n_chars"),
+    )
+    tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    return cells.join(tot, "source").select(
+        "source",
+        "split",
+        "n_docs",
+        "sum_doc_id",
+        "n_chars",
+        (
+            F.col("n_docs").cast("double") / F.col("n_source").cast("double")
+        ).alias("share"),
+    )

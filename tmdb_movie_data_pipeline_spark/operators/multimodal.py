@@ -384,7 +384,7 @@ def _cdc_hash_sql() -> str:
 
 
 def _cdc_chunks_sql(src: str) -> str:
-    """DuckDB relation ``(chunk_md5, chunk_len)`` — the chunker applied in
+    """DuckDB relation ``(doc_id, chunk_md5, chunk_len)`` — the chunker applied in
     SQL to any ``(doc_id, text)`` relation ``src``. Mirrors cdc_chunk_ends
     bit-exactly (ASCII contract: chars == bytes)."""
     return f"""(
@@ -410,7 +410,8 @@ def _cdc_chunks_sql(src: str) -> str:
                    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
             FROM ends
         )
-        SELECT md5(substr(d.text, CAST(sp.s + 1 AS INT),
+        SELECT d.doc_id,
+               md5(substr(d.text, CAST(sp.s + 1 AS INT),
                           CAST(sp.e - sp.s AS INT))) AS chunk_md5,
                sp.e - sp.s AS chunk_len
         FROM spans sp JOIN src d ON d.doc_id = sp.doc_id
