@@ -327,3 +327,49 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
 
     plan = _plan(join_dynamic_partition_pruning(spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_quantile_histogram_states_aggregate_partially(spark, sf_dir):
+    """The sketch path must be partial-aggregable: binned counts combine
+    map-side before the exchange (the property that bounds the shuffle at
+    O(scopes x bins) regardless of corpus size)."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import _QH_WIDTH
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("scope"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    states = (
+        li.select("scope", F.floor(F.col("v") / _QH_WIDTH).alias("bin"))
+        .groupBy("scope", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = _plan(states)
+    # partial + final HashAggregate around exactly one exchange
+    assert _nodes(plan, "HashAggregate") == 2
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_cdc_chunker_scan_reads_only_text(spark, sf_dir):
+    """Chunking projects the payload (encoded text) and nothing else: the
+    wide documents table (embedding etc.) must be pruned at the scan."""
+    plan = _plan(all_queries()["multimodal_cdc_chunk_dedup"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"text"}, cols
+
+
+def test_train_split_is_one_scan_and_tiny_exchanges(spark, sf_dir):
+    """The split never shuffles the corpus: one scan of 3 columns, then
+    (source, split) partial aggregates — every exchange after the scan
+    carries cell rows, not documents."""
+    plan = _plan(all_queries()["llm_train_val_test_split"](spark, sf_dir))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) == 1, "corpus must be scanned exactly once"
+    cols = {c.split(":")[0] for c in scans[0].split(",") if c}
+    assert cols == {"doc_id", "source", "text"}, cols
+    # cell aggregation is partial+final; the per-source total is a window
+    # over the aggregated cells, never a second corpus aggregate
+    assert _nodes(plan, "HashAggregate") == 2
+    assert _nodes(plan, "Window") == 1

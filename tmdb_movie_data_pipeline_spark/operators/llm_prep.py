@@ -615,14 +615,19 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_doc_id"),
         F.sum("size").alias("n_chars"),
     )
-    tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
-    return cells.join(tot, "source").select(
+    # per-source total as a WINDOW over the tiny cells aggregate — a join
+    # against a re-aggregated `cells` would make Catalyst re-expand the
+    # lineage and scan the corpus twice (plan-pinned in test_plans)
+    from pyspark.sql.window import Window as W
+
+    n_source = F.sum("n_docs").over(W.partitionBy("source"))
+    return cells.select(
         "source",
         "split",
         "n_docs",
         "sum_doc_id",
         "n_chars",
-        (
-            F.col("n_docs").cast("double") / F.col("n_source").cast("double")
-        ).alias("share"),
+        (F.col("n_docs").cast("double") / n_source.cast("double")).alias(
+            "share"
+        ),
     )
