@@ -747,9 +747,12 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sketch path exchanges O(scopes × bins) rows (≤ ~206
     bins here) regardless of corpus size, fully partial-aggregable; bin
     width tunes accuracy vs state like HLL's register count. The exact-
-    rank companion (a per-scope ROW_NUMBER) is gate scaffolding — at
-    100 TB you ship only the states, exactly as the HLL/KMV gates do with
-    their exact-count columns."""
+    rank companion is gate scaffolding, and even it is bin-local: the
+    k-th value is ranked only among the hit bin's rows (located by the
+    histogram itself, joined via broadcast), so no window partition ever
+    exceeds one bin's population — there is no global per-scope sort
+    anywhere in the plan. At 100 TB you ship only the states, exactly as
+    the HLL/KMV gates do with their exact-count columns."""
     from pyspark.sql.window import Window as W
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -789,15 +792,38 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(ks, "scope")
         .filter(F.col("cum") >= F.col("k"))
         .groupBy("scope", "p", "n", "k")
-        .agg(F.min("bin").alias("qbin"))
+        # min-struct: the hit bin AND its cumulative in one deterministic
+        # pick (bin is unique per scope, so the struct order is total)
+        .agg(F.min(F.struct("bin", "cum", "cnt")).alias("s"))
+        .select(
+            "scope",
+            "p",
+            "n",
+            "k",
+            F.col("s.bin").alias("qbin"),
+            (F.col("s.cum") - F.col("s.cnt")).alias("cum_before"),
+        )
     )
+    # exact k-th order statistic, ranked WITHIN the hit bin only: the k-th
+    # smallest overall is the (k - cum_before)-th smallest inside the bin
+    # the histogram already located — a bin-local sort (O(bin) rows per
+    # window partition), never a global per-scope sort.
     rows = li.unionByName(li.select(F.lit("__all__").alias("scope"), "v"))
-    rn = rows.withColumn(
-        "rn", F.row_number().over(W.partitionBy("scope").orderBy("v"))
+    in_bin = rows.join(
+        F.broadcast(
+            hit.select(
+                F.col("scope").alias("h_scope"), "p", "k", "qbin", "cum_before"
+            )
+        ),
+        (F.col("scope") == F.col("h_scope"))
+        & (F.floor(F.col("v") / _QH_WIDTH) == F.col("qbin")),
     )
     exact = (
-        rn.join(ks.select("scope", "p", "k"), "scope")
-        .filter(F.col("rn") == F.col("k"))
+        in_bin.withColumn(
+            "rn_in",
+            F.row_number().over(W.partitionBy("scope", "p").orderBy("v")),
+        )
+        .filter(F.col("rn_in") == F.col("k") - F.col("cum_before"))
         .select("scope", "p", F.col("v").alias("exact_q"))
     )
     return (
