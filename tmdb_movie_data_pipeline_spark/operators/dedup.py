@@ -441,3 +441,76 @@ def fuzzy_deletion_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
     )
+
+
+# -- exact-substring dedup (Lee et al. 2022's second dedup axis) --------------
+
+_SUBSTR_K = 15  # tokens per window: pairs share a >= K-token verbatim run
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST([md5(array_to_string(toks[i:i+{_SUBSTR_K - 1}], ' '))
+                       for i in range(1, GREATEST(len(toks) - {_SUBSTR_K - 2}, 2))]) AS g
+        FROM toked
+    ),
+    gd AS (SELECT DISTINCT doc_id, g FROM grams)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM gd a JOIN gd b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """.replace("{toks}", _TOKENS_SQL),
+)
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING near-dup pairs: documents sharing a verbatim run of
+    >= {_SUBSTR_K} consecutive tokens — the second dedup axis of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), orthogonal to MinHash/SimHash whole-document similarity: a
+    boilerplate footer pasted into otherwise-unrelated pages is invisible
+    to bag-of-shingles sketches but is exactly a shared token window.
+
+    Candidate generation is the same hashed-key equi-join shape as LSH
+    banding: explode each document into md5-hashed {_SUBSTR_K}-token
+    rolling windows, dedup (doc, window) pairs, and self-join on the
+    window hash — never an all-pairs comparison. At 100 TB the only extra
+    ingredient is a frequency cap on pathological windows (a gram shared
+    by m docs emits m^2 pairs; production drops grams with m above a
+    threshold and handles those docs via the boilerplate-removal path
+    instead), exactly the skew discipline the salted-join exhibits.
+
+    n_shared_windows counts the distinct shared window hashes — a run of
+    L >= K shared tokens yields L-K+1 shared windows, so longer verbatim
+    overlaps rank higher."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SUBSTR_K
+    toked = docs.select(
+        "doc_id", F.split(F.expr(_NORM_SPARK), " ").alias("toks")
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+                f" i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    gd = grams.distinct()
+    a, b = gd.alias("a"), gd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

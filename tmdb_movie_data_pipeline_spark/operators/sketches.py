@@ -841,3 +841,108 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bin"),
         )
     )
+
+
+@register(
+    "sketch_cms_union",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type AS t, CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT t, {i} AS row_i, {_cms_pos_duck(i, 'k')} AS col_j, k "
+            "FROM keyed"
+            for i in range(CMS_D)
+        )}
+    ),
+    states AS (
+        SELECT t, row_i, col_j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT row_i, col_j, CAST(SUM(c) AS BIGINT) AS c
+        FROM states GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY 1
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT k, {i} AS row_i, {_cms_pos_duck(i, 'k')} AS col_j "
+            "FROM exact"
+            for i in range(CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT p.k, MIN(m.c) AS n_est
+        FROM probes p JOIN merged m
+          ON m.row_i = p.row_i AND m.col_j = p.col_j
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT e.k AS user_key, x.n_exact, e.n_est,
+               (e.n_est >= x.n_exact) AS one_sided,
+               ROW_NUMBER() OVER (ORDER BY x.n_exact DESC, e.k) AS rn
+        FROM est e JOIN exact x ON x.k = e.k
+    )
+    SELECT user_key, n_exact, n_est, one_sided FROM ranked
+    WHERE rn <= {CMS_TOPN}
+    """,
+)
+def cms_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS MERGE: per-event-type Count-Min STATES are folded into a
+    whole-stream sketch by CELL-WISE SUM, and the merged sketch — never
+    the raw union stream — answers the global heavy-hitter probes. The
+    fold is exact, not approximate: a CMS is linear in its input
+    multiset, so sum of states == state of the multiset union, the
+    counting-sketch analogue of hll_union's register-wise max and
+    kmv_union's merged order statistics. ``one_sided`` pins CMS's
+    defining n_est >= n_exact guarantee THROUGH the merge — any fold
+    defect (double count, dropped cell) flips a hash-checked boolean or
+    the estimates themselves.
+
+    Scale shape: per-stream states are what an ingest pipeline persists
+    per batch/source; the merge exchange carries O(streams * d * w) =
+    O(streams * {CMS_D * CMS_W}) counter rows regardless of stream
+    size, and probing stays O(d) lookups per candidate against a
+    broadcast sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("event_type").alias("t"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    cells = keyed.select(
+        "t",
+        "k",
+        F.posexplode(
+            F.array(*[F.expr(_cms_pos_spark(i, "k")) for i in range(CMS_D)])
+        ).alias("row_i", "col_j"),
+    )
+    states = cells.groupBy("t", "row_i", "col_j").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = states.groupBy("row_i", "col_j").agg(F.sum("c").alias("c"))
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "k",
+        F.posexplode(
+            F.array(*[F.expr(_cms_pos_spark(i, "k")) for i in range(CMS_D)])
+        ).alias("row_i", "col_j"),
+    )
+    est = (
+        probes.join(F.broadcast(merged), ["row_i", "col_j"])
+        .groupBy("k")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").alias("user_key"),
+            "n_exact",
+            F.col("n_est").cast("long").alias("n_est"),
+            (F.col("n_est") >= F.col("n_exact")).alias("one_sided"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("user_key"))
+        .limit(CMS_TOPN)
+    )
