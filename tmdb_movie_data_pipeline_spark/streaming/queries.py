@@ -478,3 +478,111 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros("p_ts").alias("purchase_us"),
         F.unix_micros("v_ts").alias("view_us"),
     )
+
+
+from ..operators.sketches import (  # noqa: E402
+    HLL_M as _M,
+    _HLL_ALPHA_M2 as _AM2,
+    _HLL_WMAX as _WMAX,
+)
+
+
+@register(
+    "stream_windowed_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS w,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM events
+    ),
+    rr AS (
+        SELECT w, hv % {_M} AS reg,
+               CASE WHEN hv // {_M} = 0 THEN {_WMAX}
+                    ELSE {_WMAX} - length(bin(hv // {_M})) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT w, reg, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+    s AS (
+        SELECT w, SUM((1::BIGINT) << ({_WMAX} - mj)) AS s_present,
+               COUNT(*) AS n_regs
+        FROM regs GROUP BY 1
+    ),
+    ex AS (
+        SELECT date_trunc('hour', ts) AS w,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT epoch_us(s.w) AS window_start_us, ex.n_exact,
+           CAST({_M} - s.n_regs AS BIGINT) AS v_zero,
+           {_AM2} * pow(2.0, {_WMAX})
+               / CAST(s.s_present
+                      + ({_M} - s.n_regs) * ((1::BIGINT) << {_WMAX})
+                      AS DOUBLE) AS est_distinct
+    FROM s JOIN ex ON ex.w = s.w
+    """,
+)
+def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register states maintained BY the streaming engine: the
+    watermarked tumbling-window aggregation keeps (window, register) ->
+    max(rho) as its state, so every micro-batch merge IS an HLL fold —
+    max-of-maxes across batches exercises the sketch's mergeability
+    through Spark's stateful operator rather than a hand-written union
+    (the streaming counterpart of sketch_hll_union). The estimate is
+    derived from the sunk states batch-side, exactly how a dashboard
+    reads a persisted sketch table: state is small (windows x 64
+    registers), the raw stream is never retained.
+
+    Scale shape: streaming state is O(open windows x 64) rows no matter
+    the event rate — the property that makes per-window approx-distinct
+    viable on an unbounded stream where exact distinct state would grow
+    with cardinality. Batch fold + exact companion are gate scaffolding,
+    as in the batch HLL gates."""
+    from ..io import load_table
+    from ..operators.sketches import HLL_B
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    h = ev.select(
+        F.window("ts", "1 hour").alias("win"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    w_word = F.shiftright(F.col("hv"), HLL_B)  # exact hv div 64
+    rr = h.select(
+        "win",
+        (F.col("hv") % _M).alias("reg"),
+        F.when(w_word == 0, F.lit(_WMAX))
+        .otherwise(F.lit(_WMAX) - F.length(F.bin(w_word)))
+        .alias("rho"),
+    )
+    regs = rr.groupBy("win", "reg").agg(F.max("rho").alias("mj"))
+    sink = _run_to_completion(regs, "complete")
+    s = sink.groupBy(F.col("win.start").alias("ws")).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_WMAX} - mj)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", F.col("ts")).alias("we"), "user_id")
+        .groupBy("we")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    est = (
+        F.expr(f"{_AM2} * pow(2.0, {_WMAX})")
+        / (
+            F.col("s_present")
+            + (F.lit(_M) - F.col("n_regs"))
+            * F.shiftleft(F.lit(1).cast("long"), _WMAX)
+        ).cast("double")
+    ).alias("est_distinct")
+    return s.join(ex, s.ws == ex.we).select(
+        F.unix_micros("ws").alias("window_start_us"),
+        "n_exact",
+        (F.lit(_M) - F.col("n_regs")).cast("long").alias("v_zero"),
+        est,
+    )
