@@ -389,3 +389,85 @@ def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_micro"
         ),
     )
+
+
+# -- distributed Gram matrix (the PCA / whitening building block) -------------
+
+_GRAM_Q = 1024  # 2^10: |q| <= ~540, so sum of q_i*q_j stays in BIGINT for
+# ~3e12 rows — and gram_q / 2^20 is EXACT IEEE scaling back to double
+_GRAM_DIM = 64
+
+
+@register(
+    "ml_embedding_gram",
+    oracle=f"""
+    WITH q AS (
+        SELECT [CAST(ROUND(CAST(x AS DOUBLE) * {_GRAM_Q}) AS BIGINT)
+                for x in embedding] AS qv
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT ii.i AS i, jj.j AS j, qv[ii.i + 1] * qv[jj.j + 1] AS p
+        FROM q,
+             UNNEST(range(0, {_GRAM_DIM})) AS ii(i),
+             UNNEST(range(0, {_GRAM_DIM})) AS jj(j)
+        WHERE jj.j >= ii.i
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(SUM(p) AS BIGINT) AS gram_q,
+           CAST(SUM(p) AS DOUBLE) / {_GRAM_Q * _GRAM_Q} AS gram
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAM MATRIX X^T X over the embedding corpus — the
+    one-pass building block behind PCA, whitening, ridge regression and
+    linear probes at scale: 64x64 accumulators are all that ever cross
+    the exchange, so the plan is identical whether X has 500 rows or
+    10^12. Upper triangle only (the matrix is symmetric).
+
+    Determinism: components quantize to q = round(v * 2^10) BIGINT once
+    per value; every accumulation is integer (order-free, engine-exact),
+    and the double `gram` column is gram_q / 2^20 — exact IEEE scaling,
+    no rounding step anywhere after quantization. Overflow headroom:
+    |q| <= ~540 here, so cell sums stay within BIGINT up to ~3e12 rows;
+    production would shard the sum by partition id first (the same
+    partial-merge the plan already performs).
+
+    Scale shape: a map-side explode emits the {_GRAM_DIM}({_GRAM_DIM}+1)/2
+    products per row and partial aggregation folds them BEFORE the
+    shuffle — the exchange carries 2,080 rows per task regardless of
+    corpus size. (A numpy per-partition outer-product via mapInPandas is
+    the constant-factor upgrade at 100 TB; the relational form keeps the
+    oracle bit-exact and the plan shape is the same.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {_GRAM_Q}) AS BIGINT))"
+        ).alias("qv")
+    )
+    cells = (
+        q.select("qv", F.explode(F.sequence(F.lit(0), F.lit(_GRAM_DIM - 1))).alias("i"))
+        .select(
+            "qv",
+            "i",
+            F.explode(
+                F.sequence(F.col("i"), F.lit(_GRAM_DIM - 1))
+            ).alias("j"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.element_at("qv", F.col("i").cast("int") + 1)
+                * F.element_at("qv", F.col("j").cast("int") + 1)
+            ).alias("p"),
+        )
+    )
+    return cells.groupBy(
+        F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j")
+    ).agg(
+        F.sum("p").alias("gram_q"),
+        (F.sum("p").cast("double") / (_GRAM_Q * _GRAM_Q)).alias("gram"),
+    )
