@@ -34,6 +34,7 @@ __all__ = [
     "dedup_cluster_components",
     "shortest_paths",
     "graph_shortest_paths",
+    "pagerank",
 ]
 
 #: hard cap on propagation rounds — convergence is checked each round; the
@@ -398,3 +399,100 @@ def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bom GROUP BY root
         """
     )
+
+
+# -- PageRank (fixed-point integer arithmetic, bit-exact cross-engine) --------
+
+_PR_SCALE = 1_000_000  # rank fixed-point scale: r0 = 1.0 * SCALE per vertex
+_PR_ITERS = 8  # fixed iteration count (deterministic row SET for the oracle)
+_PR_TELEPORT = 15 * _PR_SCALE // 100  # (1 - 0.85) * SCALE, exact
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB oracle: PageRank's per-round aggregation
+    cannot live in a recursive CTE leg (aggregation in the recursive term is
+    restricted), so the fixed ``_PR_ITERS`` rounds are unrolled as chained
+    CTEs — each one the same contribution join + grouped sum the Spark loop
+    runs. Integer ``//`` everywhere keeps both engines bit-identical."""
+    parts = [
+        f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+        SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    ]
+    for k in range(_PR_ITERS):
+        parts.append(
+            f""",
+    r{k + 1} AS (
+        SELECT e.dst AS v,
+               CAST({_PR_TELEPORT} + (85 * SUM(r.r // dg.d)) // 100 AS BIGINT) AS r
+        FROM edges e
+        JOIN r{k} r ON r.v = e.src
+        JOIN deg dg ON dg.v = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    parts.append(f"""
+    SELECT v AS doc_id, r AS rank_u FROM r{_PR_ITERS}""")
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash duplicate-pair graph — "which
+    documents sit at the center of duplication mass" (canonical-pick
+    tie-breaking and crawl-frontier prioritization both want this, and it is
+    the one classic iterative-graph kernel the CC/BFS/triangle trio doesn't
+    cover).
+
+    Scale shape: identical per-round contract to :func:`shortest_paths` —
+    each of the fixed {_PR_ITERS} rounds is ONE |E|-bounded equi-join
+    (contribution edges x current ranks) plus a groupBy(sum), i.e. two
+    key-bounded shuffles; the (src, dst, deg) contribution relation is
+    joined with degrees ONCE and localCheckpoint'ed, so the loop re-reads a
+    materialized relation and lineage stays flat. No all-pairs stage, no
+    driver-side state beyond the loop counter — at 100 TB each round is a
+    shuffle the size of the edge list, the same plan GraphX/Pregel would
+    schedule.
+
+    Determinism: ranks are FIXED-POINT BIGINTs (scale {_PR_SCALE}); the
+    damping update is ``teleport + (85 * sum(r div deg)) div 100`` in exact
+    integer arithmetic, so every engine computes the identical register —
+    no IEEE summation-order divergence, the same recipe as the sketch
+    family. The symmetric edge set guarantees deg >= 1 and indegree >= 1
+    for every vertex (no dangling-mass term needed). Fixed iteration count
+    (not a convergence test) keeps the output row SET deterministic for the
+    hash-match gate; 1e-6 resolution is far below the per-round movement at
+    round {_PR_ITERS} on this graph.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    contrib = sym.join(deg, "src").localCheckpoint(eager=True)  # (src, dst, d)
+    ranks = deg.select(
+        F.col("src").alias("v"), F.lit(_PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            contrib.join(ranks, contrib["src"] == ranks["v"])
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    f"cast({_PR_TELEPORT} + (85 * sum(r div d)) div 100 as bigint)"
+                ).alias("r")
+            )
+            .withColumnRenamed("dst", "v")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_u"))
