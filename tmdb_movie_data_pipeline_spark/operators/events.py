@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import UNIT_SCALE, qavg, qavg_sql, qsum, qsum_sql, round4
+from ..functions import UNIT_SCALE, qavg, qavg_sql, qsum, qsum_sql, quantize, round4
 from ..io import load_table
 from ..registry import register
 
@@ -569,4 +569,203 @@ def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.when(F.col("day_value").isNull(), 1).otherwise(0).alias("filled"),
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+# -- integer-exact outlier detection (3-sigma without a float sigma) ----------
+
+_Z_SCALE = 100  # cents quantization for event values
+_Z_K = 3  # flag beyond K population-sigma
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_id, event_type,
+               strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+               CAST(ROUND(value * {_Z_SCALE}) AS BIGINT) AS qc
+        FROM events
+    ),
+    g AS (
+        SELECT event_id, event_type, day, qc,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(qc) OVER w AS BIGINT) AS s,
+               CAST(SUM(qc * qc) OVER w AS BIGINT) AS qq
+        FROM q WINDOW w AS (PARTITION BY event_type, day)
+    )
+    SELECT event_id, event_type, day, qc AS value_cents, n AS n_group
+    FROM g
+    WHERE (n * qc - s) * (n * qc - s) > {_Z_K * _Z_K} * (n * qq - s * s)
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) {_Z_K}-sigma outliers WITHOUT computing a
+    float sigma: |x - mean| > K*stddev is squared into the equivalent
+    integer inequality
+
+        (n*x - S)^2 > K^2 * (n*Q - S^2),   S = sum(x), Q = sum(x^2)
+
+    over cent-quantized values — every operand is a BIGINT, so the flag set
+    is bit-identical cross-engine (stddev via sqrt would hand each engine
+    its own libm rounding at the decision boundary; the sketch family's
+    integer-contract recipe applied to anomaly detection).
+
+    Scale shape: ONE window over (event_type, day) — a single Exchange
+    keyed by group; moments are computed by the same windowed partial
+    aggregation as the ranking battery, and the filter is stateless per
+    row. Overflow bound (documented, same discipline as the resample
+    threshold fix): |n*x - S| <= n * max|x|, so the squared term needs
+    n_group * max_cents < 3.0e9 — at 5e4-cent values that is ~6e4 rows per
+    (type, day), holding through sf10; beyond that, tighten the bucket to
+    (type, hour) — same plan, smaller n — rather than widening to floats."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        quantize(F.col("value"), _Z_SCALE).alias("qc"),
+    )
+    w = W.partitionBy("event_type", "day")
+    g = q.select(
+        "*",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("qc").over(w).alias("s"),
+        F.sum(F.col("qc") * F.col("qc")).over(w).alias("qq"),
+    )
+    dev = F.col("n") * F.col("qc") - F.col("s")
+    thresh = F.lit(_Z_K * _Z_K) * (
+        F.col("n") * F.col("qq") - F.col("s") * F.col("s")
+    )
+    return g.filter(dev * dev > thresh).select(
+        "event_id",
+        "event_type",
+        "day",
+        F.col("qc").alias("value_cents"),
+        F.col("n").alias("n_group"),
+    )
+
+
+# -- gap fill by LINEAR INTERPOLATION (integer-exact rational form) -----------
+
+
+@register(
+    "events_gap_fill_interpolate",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * {_Z_SCALE}) AS BIGINT)) AS BIGINT)
+                   AS day_q
+        FROM events WHERE user_id % 50 = 0
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id, UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))
+                   AS d
+        FROM daily GROUP BY user_id
+    ),
+    joined AS (
+        SELECT s.user_id, CAST(s.d AS DATE) AS d, daily.day_q
+        FROM spine s LEFT JOIN daily
+          ON daily.user_id = s.user_id AND daily.d = CAST(s.d AS DATE)
+    ),
+    ctx AS (
+        SELECT user_id, d, day_q,
+            LAST_VALUE(day_q IGNORE NULLS) OVER wp AS prev_q,
+            MAX(CASE WHEN day_q IS NOT NULL THEN d END) OVER wp AS prev_d,
+            FIRST_VALUE(day_q IGNORE NULLS) OVER wn AS next_q,
+            MIN(CASE WHEN day_q IS NOT NULL THEN d END) OVER wn AS next_d
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN day_q IS NULL THEN 1 ELSE 0 END AS filled,
+           CAST(CASE WHEN day_q IS NOT NULL THEN day_q
+                ELSE (prev_q * (date_diff('day', d, next_d))
+                      + next_q * (date_diff('day', prev_d, d)))
+                     // date_diff('day', prev_d, next_d)
+           END AS DOUBLE) / {float(_Z_SCALE)} AS value_interp
+    FROM ctx
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION between the bracketing observed
+    days — the companion to events_gap_fill_ffill for series where a gap
+    means "missed reading", not "value persisted".
+
+    The interpolated value is computed as the single-division rational
+
+        (prev*(g-k) + next*k) div g,   k = days since prev, g = gap width,
+
+    in integer cents: the numerator is a sum of NON-NEGATIVE products, so
+    integer division agrees between Spark (`div`, truncates toward zero)
+    and DuckDB (`//`, floors) — the naive prev + (next-prev)*k/g form has a
+    sign-dependent numerator and silently diverges between the two on
+    falling segments. One IEEE division de-quantizes at the end (qsum's
+    recipe). Both bracketing values always exist: the spine spans exactly
+    [min observed day, max observed day] per user, so every gap is
+    interior.
+
+    Scale shape: identical to ffill — spine explode is O(active span) per
+    user; prev/next context comes from two frames over ONE (user, day)
+    sort, no self-join; everything partitions by user."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(quantize(F.col("value"), _Z_SCALE)).alias("day_q"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+                "d"
+            ),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_d = F.when(F.col("day_q").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "user_id",
+        "d",
+        "day_q",
+        F.last("day_q", ignorenulls=True).over(wp).alias("prev_q"),
+        F.max(known_d).over(wp).alias("prev_d"),
+        F.first("day_q", ignorenulls=True).over(wn).alias("next_q"),
+        F.min(known_d).over(wn).alias("next_d"),
+    )
+    k = F.datediff(F.col("d"), F.col("prev_d"))
+    gk = F.datediff(F.col("next_d"), F.col("d"))
+    g = F.datediff(F.col("next_d"), F.col("prev_d"))
+    interp_q = F.expr(
+        "(prev_q * gk_c + next_q * k_c) div g_c"
+    )
+    return (
+        ctx.withColumn("k_c", k.cast("long"))
+        .withColumn("gk_c", gk.cast("long"))
+        .withColumn("g_c", g.cast("long"))
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.when(F.col("day_q").isNull(), 1).otherwise(0).alias("filled"),
+            (
+                F.when(F.col("day_q").isNotNull(), F.col("day_q"))
+                .otherwise(interp_q)
+                .cast("double")
+                / F.lit(float(_Z_SCALE))
+            ).alias("value_interp"),
+        )
     )
