@@ -386,3 +386,136 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.join(exact, "event_type").select(
         "event_type", "n_distinct_bitmap", "n_distinct_exact", "n_words"
     )
+
+
+# -- RFM segmentation with DISTRIBUTED exact NTILE ----------------------------
+
+_RFM_K = 5  # quintile scores
+_RFM_M_BUCKET = 100_000  # monetary histogram bucket: $1000 in cents
+
+
+def _dist_ntile(df: DataFrame, metric: str, bucket: F.Column, k: int) -> DataFrame:
+    """Exact global NTILE(k) ordered by (metric, c_custkey) WITHOUT a
+    single-partition window: per-bucket counts (tiny) -> cumulative offsets
+    (window over the bucket HISTOGRAM, |buckets| rows) -> global rank =
+    offset + bucket-local row_number (window partitioned by bucket, fully
+    distributed) -> standard NTILE arithmetic from (rank, n). This is the
+    distributed-order-statistics trick the quantile sketch uses, applied to
+    ranking: the only non-partitioned state is the histogram."""
+    b = df.withColumn("_b", bucket)
+    hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql.window import Window as W
+
+    off = hist.select(
+        "_b",
+        (
+            F.sum("_c").over(
+                W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("_off"),
+    ).fillna({"_off": 0})
+    wl = W.partitionBy("_b").orderBy(F.asc(metric), F.asc("c_custkey"))
+    ranked = (
+        b.join(F.broadcast(off), "_b")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(wl))
+    )
+    n = df.count()  # scalar: |customers|, the same 1-row-probe pattern
+    q, r = n // k, n % k
+    cut = r * (q + 1)
+    score = F.expr(
+        f"CASE WHEN _rank <= {cut} THEN 1 + (_rank - 1) div {q + 1} "
+        f"ELSE {r} + 1 + (_rank - 1 - {cut}) div {max(q, 1)} END"
+    )
+    return ranked.withColumn(f"{metric}_score", score.cast("long")).drop(
+        "_b", "_off", "_rank"
+    )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                    (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                    AS BIGINT) AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT c_custkey, r_days, n_orders, monetary_cents,
+               CAST(NTILE({_RFM_K}) OVER (ORDER BY r_days, c_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE({_RFM_K}) OVER (ORDER BY n_orders, c_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE({_RFM_K}) OVER (ORDER BY monetary_cents, c_custkey)
+                    AS BIGINT) AS m_score
+        FROM cust
+    )
+    SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+              || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM scoring query — with every NTILE computed by the
+    DISTRIBUTED exact-rank construction instead of a global window.
+
+    The oracle uses native NTILE(5) over a total order; the Spark side
+    NEVER materializes that order: rank = cumulative-histogram offset +
+    row_number WITHIN a histogram bucket (window partitioned by bucket),
+    and the quintile comes from the standard NTILE arithmetic
+    q = n div k, r = n mod k, first r buckets sized q+1 — so the gate
+    proves the distributed formula reproduces NTILE bit-exactly, ties
+    broken by c_custkey. The only non-partitioned state is each metric's
+    bucket histogram (|distinct days|, |distinct counts|, |$1000 buckets|
+    rows); the customer relation itself only ever shuffles by bucket — at
+    100 TB no task sees more than one bucket's rows, where NTILE-over-all
+    collapses onto ONE task (the anti-pattern this query exists to
+    retire). Integer metrics end to end (days, counts, cents)."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_anchor")
+    )
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("_anchor", "_last").cast("long").alias("r_days"),
+            "n_orders",
+            "monetary_cents",
+        )
+    )
+    cust = _dist_ntile(cust, "r_days", F.col("r_days"), _RFM_K)
+    cust = _dist_ntile(cust, "n_orders", F.col("n_orders"), _RFM_K)
+    cust = _dist_ntile(
+        cust,
+        "monetary_cents",
+        F.expr(f"monetary_cents div {_RFM_M_BUCKET}"),
+        _RFM_K,
+    )
+    return cust.select(
+        "c_custkey",
+        "r_days",
+        "n_orders",
+        "monetary_cents",
+        F.col("r_days_score").alias("r_score"),
+        F.col("n_orders_score").alias("f_score"),
+        F.col("monetary_cents_score").alias("m_score"),
+        F.concat(
+            F.col("r_days_score").cast("string"),
+            F.col("n_orders_score").cast("string"),
+            F.col("monetary_cents_score").cast("string"),
+        ).alias("segment"),
+    )

@@ -398,9 +398,8 @@ _GRAM_Q = 1024  # 2^10: |q| <= ~540, so sum of q_i*q_j stays in BIGINT for
 _GRAM_DIM = 64
 
 
-@register(
-    "ml_embedding_gram",
-    oracle=f"""
+#: shared oracle body: also the input CTE of the PCA power-iteration oracle
+_GRAM_ORACLE = f"""
     WITH q AS (
         SELECT [CAST(ROUND(CAST(x AS DOUBLE) * {_GRAM_Q}) AS BIGINT)
                 for x in embedding] AS qv
@@ -417,8 +416,10 @@ _GRAM_DIM = 64
            CAST(SUM(p) AS BIGINT) AS gram_q,
            CAST(SUM(p) AS DOUBLE) / {_GRAM_Q * _GRAM_Q} AS gram
     FROM cells GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("ml_embedding_gram", oracle=_GRAM_ORACLE)
 def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed GRAM MATRIX X^T X over the embedding corpus — the
     one-pass building block behind PCA, whitening, ridge regression and
@@ -471,3 +472,108 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").alias("gram_q"),
         (F.sum("p").cast("double") / (_GRAM_Q * _GRAM_Q)).alias("gram"),
     )
+
+
+# -- top principal direction via power iteration on the Gram matrix -----------
+
+_PCA_ITERS = 8  # fixed round count: deterministic output for the hash gate
+_PCA_V0 = 1024  # starting component, 2^10
+_PCA_TARGET_BITS = 10  # renormalize so max|v| has this many bits
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle: like PageRank, the per-round
+    aggregation can't live in a recursive CTE leg, so the fixed rounds are
+    chained CTEs over the (tiny) full Gram relation; the renormalization
+    shift is derived EXACTLY via a powers-of-two relation (no log2 at the
+    boundary) and applied with arithmetic `>>`, which floors identically in
+    both engines (verified on negatives)."""
+    parts = [
+        f"""
+    WITH gram AS MATERIALIZED ({_GRAM_ORACLE}),
+    g AS MATERIALIZED (
+        SELECT i, j, gram_q AS gq FROM gram
+        UNION ALL
+        SELECT j, i, gram_q FROM gram WHERE j > i
+    ),
+    pow2 AS (
+        SELECT CAST(t.p AS INTEGER) AS p,
+               1::BIGINT << CAST(t.p AS INTEGER) AS w
+        FROM UNNEST(range(0, 63)) AS t(p)
+    ),
+    v0 AS (
+        SELECT CAST(t.j AS INTEGER) AS j, CAST({_PCA_V0} AS BIGINT) AS vq
+        FROM UNNEST(range(0, {_GRAM_DIM})) AS t(j)
+    )"""
+    ]
+    for k in range(_PCA_ITERS):
+        parts.append(
+            f""",
+    u{k + 1} AS MATERIALIZED (
+        SELECT g.i AS j, CAST(SUM(g.gq * v.vq) AS BIGINT) AS u
+        FROM g JOIN v{k} v ON v.j = g.j GROUP BY g.i
+    ),
+    s{k + 1} AS MATERIALIZED (
+        SELECT GREATEST(
+            (SELECT MIN(p) FROM pow2
+             WHERE w > (SELECT MAX(ABS(u)) FROM u{k + 1}))
+            - {_PCA_TARGET_BITS}, 0) AS s
+    ),
+    v{k + 1} AS MATERIALIZED (
+        SELECT j, u >> (SELECT s FROM s{k + 1}) AS vq FROM u{k + 1}
+    )"""
+        )
+    parts.append(f"""
+    SELECT j AS i, vq AS v_q FROM v{_PCA_ITERS}""")
+    return "".join(parts)
+
+
+@register("ml_pca_power_iteration", oracle=_pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal DIRECTION of the embedding corpus by power iteration
+    on the Gram matrix — the curation question behind "is this corpus
+    dominated by one axis of variation" and the first step of whitening.
+
+    Scale split: the data-sized work is ml_embedding_gram's ONE distributed
+    pass (the exchange carries 2,080 accumulator rows whatever the corpus
+    size); the {_PCA_ITERS} power-iteration rounds then run on the fixed
+    {_GRAM_DIM}x{_GRAM_DIM} relation — per-round cost is independent of
+    corpus size, so the plan is identical at 100 TB. (Uncentered PCA, i.e.
+    the top singular direction of X itself; centering would subtract the
+    rank-one mean outer product from gram_q first — same integer pipeline.)
+
+    Determinism (the interesting part): each round is v <- (G v) >> s in
+    EXACT integer arithmetic, where the renormalization shift s =
+    max(bitlen(max|Gv|) - {_PCA_TARGET_BITS}, 0) is derived from an exact
+    bit-length, not a float log, and `>>` is the arithmetic shift both
+    engines floor identically (verified on negatives — unlike integer
+    division, where Spark truncates and DuckDB floors). Fixed-point
+    components keep ~{_PCA_TARGET_BITS} bits of precision per round, enough
+    that {_PCA_ITERS} rounds pin the dominant direction; the per-round
+    1-row max|u| collect is the same bounded convergence-probe pattern as
+    the iterative graph kernels. Overflow: |u| <= dim * max|gram_q| *
+    2^{_PCA_TARGET_BITS} ~ 1e14 at sf0.1 — 4 orders inside BIGINT."""
+    gram = embedding_gram(spark, sf_dir).select(
+        "i", "j", F.col("gram_q").alias("gq")
+    )
+    gfull = gram.union(
+        gram.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("gq")
+        )
+    ).localCheckpoint(eager=True)
+    v = spark.range(_GRAM_DIM).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PCA_V0).cast("long").alias("vq"),
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            gfull.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gq") * F.col("vq")).alias("u"))
+            .withColumnRenamed("i", "j")
+            .localCheckpoint(eager=True)
+        )
+        m = u.agg(F.max(F.abs(F.col("u")))).collect()[0][0]
+        s = max(int(m).bit_length() - _PCA_TARGET_BITS, 0)
+        v = u.select("j", F.shiftright("u", s).alias("vq"))
+    return v.select(F.col("j").alias("i"), F.col("vq").cast("long").alias("v_q"))

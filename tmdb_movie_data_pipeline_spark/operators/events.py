@@ -769,3 +769,87 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_interp"),
         )
     )
+
+
+# -- marketing attribution (last touch within a lookback window) --------------
+
+_ATTR_LOOKBACK_DAYS = 7
+_ATTR_CHANNELS = ("view", "click")  # attributable touch events
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(ROUND(value * {_Z_SCALE}) AS BIGINT) AS qc,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS) OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+                         THEN touch_type END, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(qc) AS BIGINT) AS revenue_cents
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase is credited to the user's most
+    recent view/click STRICTLY BEFORE it (frame ends at 1 PRECEDING) and no
+    older than {_ATTR_LOOKBACK_DAYS} days; purchases with no in-window
+    touch fall into the 'none' bucket. Revenue is cent-quantized so the
+    per-channel totals are order-free integers.
+
+    The touch (type, ts) pair is carried by TWO last_value(ignoreNulls)
+    expressions over the SAME frame of the same CASE-filtered rows — both
+    resolve to the same source row (they are NULL on exactly the same
+    rows), so no struct comparison is needed and the pair stays consistent
+    by construction.
+
+    Scale shape: one window keyed by user (the sessionize shuffle), then a
+    filter + tiny groupBy — per-user state never leaves its partition and
+    the output relation is |channels|+1 rows. Ties inside a user timeline
+    break on (ts, event_id), the repo-wide total-order convention."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_ATTR_CHANNELS)
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        quantize(F.col("value"), _Z_SCALE).alias("qc"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY"
+    )
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(
+                F.when(in_window, F.col("touch_type")), F.lit("none")
+            ).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("qc").cast("long").alias("revenue_cents"),
+        )
+    )
