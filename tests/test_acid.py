@@ -226,3 +226,42 @@ def test_benched_merge_scenario_takes_pruned_path(spark, tmp_path):
     m1 = t.manifest(1)
     assert m1["stats_key"] == "c_custkey"
     assert all(m1["stats"][rel] for rel in m1["files"])
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    """VACUUM contract: files of retained manifests survive byte-for-byte,
+    everything else is gone, the current snapshot is unchanged, and a
+    vacuumed version's read fails (files removed, manifest kept)."""
+    from tmdb_movie_data_pipeline_spark.operators.merge import (
+        _tx_base,
+        _tx_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = _tx_base(spark, sf).repartitionByRange(4, "c_custkey")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base, stats_key="c_custkey")
+    t.merge(_tx_source(spark, sf), "c_custkey")
+    t.delete_range("c_custkey", 1, 30)
+    t.optimize(1)
+
+    before = sorted(map(tuple, t.read().collect()))
+    data_root = os.path.join(t.path, "data")
+    n_files_before = sum(
+        1 for _r, _d, names in os.walk(data_root)
+        for n in names if n.endswith(".parquet")
+    )
+    stats = t.vacuum(keep_latest=1)
+    n_files_after = sum(
+        1 for _r, _d, names in os.walk(data_root)
+        for n in names if n.endswith(".parquet")
+    )
+    # something was reclaimed, and exactly the retained set survives
+    assert stats["n_deleted"] > 0 and stats["bytes_deleted"] > 0
+    assert n_files_after == n_files_before - stats["n_deleted"]
+    assert n_files_after == len(t.manifest(t.latest_version())["files"])
+    # current snapshot identical across the physical deletion
+    assert sorted(map(tuple, t.read().collect())) == before
+    # history stays auditable, but a vacuumed version can't be read
+    assert len(t.versions()) == 4
+    with pytest.raises(Exception):
+        t.read(0).collect()

@@ -447,3 +447,65 @@ def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return deletes.unionByName(inserts).unionByName(updates)
+
+
+# -- VACUUM: physical retention under the snapshot protocol -------------------
+
+_VAC_DEL_LO, _VAC_DEL_HI = 1, 300
+
+
+@register(
+    "delta_vacuum_read",
+    oracle=f"""
+    WITH source AS ({_TX_SOURCE_SQL}),
+    v0 AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    v1 AS (
+        SELECT * FROM source
+        UNION ALL
+        SELECT * FROM v0 WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE c_custkey NOT BETWEEN {_VAC_DEL_LO} AND {_VAC_DEL_HI}
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM v2 GROUP BY c_mktsegment
+    """,
+)
+def delta_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM under the snapshot protocol: CREATE (8 range-partitioned
+    files) -> MERGE -> DELETE -> OPTIMIZE builds a 4-version history whose
+    early versions reference files the compacted head no longer needs;
+    vacuum(keep_latest=1) then physically deletes every file no retained
+    manifest references. The aggregate read-back is taken AFTER the
+    deletion, so the hash gate proves what VACUUM must guarantee: removing
+    unreferenced files changes nothing a retained snapshot can see. The
+    filesystem-side facts (files actually deleted, vacuumed-version reads
+    now failing, bytes reclaimed) are pinned by tests/test_acid.py — they
+    are deliberately NOT in this result, which must stay SQL-derivable.
+
+    Scale note: the retained-file set is computed from the manifests alone
+    (tiny log scan), never by listing-and-diffing the data tree against
+    readers — the same reason Delta's VACUUM is safe under concurrent
+    snapshot reads; deletion only ever touches files provably outside
+    every retained manifest."""
+    from ..plans.acid import TxTable
+
+    base = _tx_base(spark, sf_dir).repartitionByRange(8, "c_custkey")
+    t = TxTable.create(spark, _tx_table_path(), base, stats_key="c_custkey")
+    t.merge(_tx_source(spark, sf_dir), "c_custkey")
+    t.delete_range("c_custkey", _VAC_DEL_LO, _VAC_DEL_HI)
+    t.optimize(2)
+    t.vacuum(keep_latest=1)
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("bal_cents"),
+    )

@@ -569,3 +569,110 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# -- k-NN label classification over the embedding corpus ----------------------
+
+_KNN_K = 10
+_KNN_HOLDOUT_MOD = 10  # vec_id % MOD == _KNN_HOLDOUT_REM is the eval slice
+_KNN_HOLDOUT_REM = 7
+
+
+@register(
+    "ml_knn_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+        FROM embeddings
+        WHERE vec_id % {_KNN_HOLDOUT_MOD} = {_KNN_HOLDOUT_REM}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS nbr_label
+        FROM embeddings
+        WHERE vec_id % {_KNN_HOLDOUT_MOD} <> {_KNN_HOLDOUT_REM}
+    ),
+    scored AS (
+        SELECT query_id, true_label, neighbor_id, nbr_label,
+               {_dot_duck("q_emb", "c_emb")}
+                   / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")}) AS cosine
+        FROM q, c
+    ),
+    ranked AS (
+        SELECT query_id, true_label, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, true_label, nbr_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM ranked WHERE rank <= {_KNN_K}
+        GROUP BY 1, 2, 3
+    ),
+    pick AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, nbr_label ASC) AS rn
+        FROM votes
+    )
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(nbr_label AS BIGINT) AS pred_label, n_votes,
+           CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM pick WHERE rn = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification of a held-out slice (vec_id %
+    {_KNN_HOLDOUT_MOD} == {_KNN_HOLDOUT_REM}) against the rest of the
+    corpus: top-{_KNN_K} cosine neighbors vote, ties broken by (more
+    votes, smaller label) — the standard eval loop for "are these
+    embeddings any good", run entirely relationally.
+
+    Rides :func:`cosine_topk` (broadcast queries x corpus, the exact
+    baseline), so the ranking doubles are the bit-identical explicit dot
+    expressions the ANN ladder already pins; the vote and the argmax are
+    integer windows. Scale: eval slices are small by construction —
+    broadcast-queries is the right plan; for corpus-scale inference swap
+    the neighbor source for the IVF route (ann_ivf_topk) and keep the
+    vote/argmax stages unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_holdout = (
+        F.col("vec_id") % _KNN_HOLDOUT_MOD == _KNN_HOLDOUT_REM
+    )
+    queries = emb.filter(is_holdout)
+    corpus = emb.filter(~is_holdout)
+    nbrs = cosine_topk(queries, corpus, _KNN_K)
+    labeled = (
+        nbrs.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+    )
+    votes = labeled.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("nbr_label").cast("long").alias("pred_label"),
+            "n_votes",
+            F.when(F.col("nbr_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )

@@ -946,3 +946,139 @@ def cms_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("user_key"))
         .limit(CMS_TOPN)
     )
+
+
+
+@register(
+    "sketch_kmv_difference",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN CAST(strftime(ts, '%d') AS INTEGER) <= 3
+                    THEN 1 ELSE 2 END AS period,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events
+        WHERE CAST(strftime(ts, '%d') AS INTEGER) <= 6
+    ),
+    uni AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT event_type, hv FROM h)
+        GROUP BY event_type, hv
+    ),
+    unionk AS (SELECT event_type, hv FROM uni WHERE rn <= {KMV_K}),
+    uk AS (
+        SELECT event_type, MAX(hv) AS hk, COUNT(*) AS k_eff FROM unionk
+        GROUP BY 1
+    ),
+    probe AS (
+        SELECT u.event_type,
+               COUNT(CASE WHEN b.hv IS NULL THEN 1 END) AS n_only_a
+        FROM unionk u
+        JOIN h a ON a.event_type = u.event_type AND a.period = 1
+               AND a.hv = u.hv
+        LEFT JOIN h b ON b.event_type = u.event_type AND b.period = 2
+               AND b.hv = u.hv
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT a.event_type,
+               COUNT(CASE WHEN b.hv IS NULL THEN 1 END) AS n_exact
+        FROM h a
+        LEFT JOIN h b ON b.event_type = a.event_type AND b.period = 2
+               AND b.hv = a.hv
+        WHERE a.period = 1
+        GROUP BY 1
+    )
+    SELECT uk.event_type,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(probe.n_only_a, 0) AS DOUBLE) / CAST(uk.k_eff AS DOUBLE)
+             * (CAST(uk.k_eff - 1 AS DOUBLE) / (CAST(uk.hk AS DOUBLE) / {_HASH_RANGE!r}))
+             AS est_difference
+    FROM uk
+    LEFT JOIN probe ON probe.event_type = uk.event_type
+    JOIN exact ON exact.event_type = uk.event_type
+    """,
+)
+def kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-DIFFERENCE estimate — the third Theta-sketch algebra
+    operation, closing the family over the same mergeable KMV states as
+    distinct/union/intersection. The question is CHURN: per event type,
+    how many users active in days 1-3 never returned in days 4-6
+    (A = early actives, B = following-window actives, estimate
+    |A \\ B|). Within the union-KMV sample, count members of A absent from
+    B — an anti-membership probe, the intersection estimator with the
+    predicate negated — and scale by the union cardinality estimate. The
+    zero-surviving-probe case yields an HONEST 0-estimate ROW (conditional
+    count over a left join, never a filter that can empty the group; the
+    first cut of this query silently dropped A⊆B pairs — structurally
+    empty gates prove nothing). All-integer inputs into two IEEE
+    divisions; exact |A \\ B| alongside as the error contract.
+
+    Scale shape: K-row sketch per set, hash-keyed probe joins — no
+    corpus-sized set operation anywhere."""
+    ev = load_table(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 6)
+    h = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 3, 1).otherwise(2).alias("period"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    uni = (
+        h.select("event_type", "hv")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type").orderBy(F.asc("hv"))),
+        )
+    )
+    unionk = uni.filter(F.col("rn") <= KMV_K).select("event_type", "hv")
+    uk = unionk.groupBy("event_type").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("k_eff")
+    )
+    ha = h.filter(F.col("period") == 1).select(
+        F.col("event_type").alias("e_a"), F.col("hv").alias("hv_a")
+    )
+    hb = h.filter(F.col("period") == 2).select(
+        F.col("event_type").alias("e_b"), F.col("hv").alias("hv_b")
+    )
+    probe = (
+        unionk.join(
+            ha,
+            (F.col("e_a") == F.col("event_type")) & (F.col("hv_a") == F.col("hv")),
+        )
+        .join(
+            hb,
+            (F.col("e_b") == F.col("event_type")) & (F.col("hv_b") == F.col("hv")),
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.when(F.col("hv_b").isNull(), 1)).alias("n_only_a"))
+    )
+    exact = (
+        ha.join(
+            hb,
+            (F.col("e_b") == F.col("e_a")) & (F.col("hv_b") == F.col("hv_a")),
+            "left",
+        )
+        .groupBy(F.col("e_a").alias("event_type"))
+        .agg(
+            F.count(F.when(F.col("hv_b").isNull(), 1))
+            .cast("long")
+            .alias("n_exact")
+        )
+    )
+    est = (
+        F.coalesce(F.col("n_only_a"), F.lit(0)).cast("double")
+        / F.col("k_eff").cast("double")
+        * (
+            (F.col("k_eff") - 1).cast("double")
+            / (F.col("hk").cast("double") / F.lit(_HASH_RANGE))
+        )
+    )
+    return (
+        uk.join(probe, ["event_type"], "left")
+        .join(exact, ["event_type"])
+        .select("event_type", "n_exact", est.alias("est_difference"))
+    )

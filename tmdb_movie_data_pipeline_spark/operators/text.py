@@ -408,3 +408,102 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             & (dup_tri <= REP_MAX_DUP_TRIGRAM)
         ).alias("passes_repetition"),
     )
+
+
+# -- BM25-family ranked retrieval (engine-exact variant) ----------------------
+
+_BM25_TERMS = ("spark", "join", "dup")  # fixed query: common, common, rare
+_BM25_TOPK = 20
+# k1 = 1.2, b = 0.75 pre-folded into decimal literals (identical doubles in
+# both parsers): 2.2 = k1+1, 0.3 = k1*(1-b), 0.9 = k1*b
+_BM25_NUM, _BM25_C0, _BM25_C1 = "2.2", "0.3", "0.9"
+
+
+def _bm25_score_expr(div_op: str) -> str:
+    """The BM25 score as ONE explicit expression string, textually
+    identical on both engines except the integer-division token (`div` vs
+    `//`). Each term's contribution is exact-rounded basic IEEE arithmetic
+    over integer inputs, and terms fold LEFT-ASSOC in fixed order, so the
+    summed double is bit-identical cross-engine — the _dist_sql recipe.
+    IDF is the integer floor-log2 (length(bin(q))) of the smoothed ratio
+    (N+1) div (df+1): ln-IDF would hand each engine its own libm (the
+    1-ulp divergence the HLL work measured), while bin() is exact in both;
+    same monotone shape, deterministic everywhere."""
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"CAST(length(bin((n_docs + 1) {div_op} (df{i} + 1))) AS DOUBLE)"
+        tf = (
+            f"((CAST(f{i} AS DOUBLE) * {_BM25_NUM}) / "
+            f"(CAST(f{i} AS DOUBLE) + {_BM25_C0} + "
+            f"{_BM25_C1} * CAST(dl AS DOUBLE) / {avgdl}))"
+        )
+        parts.append(f"({idf} * {tf})")
+    return " + ".join(parts)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS f{i}" for i, t in enumerate(_BM25_TERMS))}
+        FROM d
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               {", ".join(f"CAST(SUM(CASE WHEN f{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+        FROM feat
+    )
+    SELECT doc_id, dl, {_bm25_score_expr("//")} AS score
+    FROM feat, st
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BM25_TOPK} documents for a fixed conjunctive query under
+    BM25 scoring (k1=1.2, b=0.75) — ranked retrieval over the corpus, the
+    query a search/RAG layer runs per request.
+
+    Scale shape: term frequencies and doc length are per-row Catalyst HOFs
+    (one corpus scan, no explode); the collection statistics (N, Σdl, per-
+    term df) are ONE 1-row conditional aggregate broadcast back over the
+    corpus; the top-k is (score, doc_id)-ordered with a LIMIT, which
+    Catalyst executes as TakeOrderedAndProject — per-partition heaps, no
+    global sort (the llm_quality_percentile_gate pin). At 100 TB an
+    inverted index beats a scan per query, but the SCORING and statistics
+    pipeline is exactly this; the scan form is also what index-building
+    itself runs. Determinism: see _bm25_score_expr — integer inputs,
+    exact-rounded arithmetic, fixed fold order, floor-log2 IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def _tf(term: str) -> Column:
+        # NB: the lambda must be single-arg — a second parameter would be
+        # interpreted by F.filter as the element INDEX
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).alias(f"f{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    st = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"f{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    return (
+        feat.crossJoin(F.broadcast(st))
+        .select("doc_id", "dl", F.expr(_bm25_score_expr("div")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

@@ -374,3 +374,48 @@ class TxTable:
             f"OPTIMIZE n={target_files}",
             stats_key=self.manifest(v).get("stats_key"),
         )
+
+    def vacuum(self, keep_latest: int = 1) -> dict:
+        """Physically delete data files referenced ONLY by versions older
+        than the ``keep_latest`` most recent — Delta's VACUUM with a
+        version-count retention instead of a wall-clock one (deterministic
+        for tests; production retention is just a different predicate over
+        the same manifest scan).
+
+        Safety argument, same as Delta's: data files are immutable and a
+        manifest pins an exact file list, so the set "files referenced by
+        any retained version" is computable from the (tiny) log alone;
+        anything outside it can never be read again through a retained
+        snapshot. Readers of retained versions are unaffected mid-vacuum
+        because deletion only touches unreferenced files. Manifests of
+        vacuumed versions stay in the log (history stays auditable) but
+        their reads fail once their files are gone — exactly Delta's
+        behavior past the retention window.
+
+        Returns {"n_deleted", "n_kept", "bytes_deleted"}."""
+        versions = self.versions()
+        retained = set(versions[-keep_latest:])
+        keep: set[str] = set()
+        for v in retained:
+            keep.update(self.manifest(v)["files"])
+        n_deleted = 0
+        bytes_deleted = 0
+        for root, _dirs, names in os.walk(os.path.join(self.path, _DATA_DIR)):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in keep:
+                    bytes_deleted += os.path.getsize(full)
+                    os.remove(full)
+                    n_deleted += 1
+        # prune now-empty staging dirs so the layout stays clean
+        for root, dirs, names in list(os.walk(os.path.join(self.path, _DATA_DIR), topdown=False)):
+            if not dirs and not names and os.path.basename(root) != _DATA_DIR:
+                os.rmdir(root)
+        return {
+            "n_deleted": n_deleted,
+            "n_kept": len(keep),
+            "bytes_deleted": bytes_deleted,
+        }
