@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "stream_stream_left_outer_join",
     "multimodal_cdc_chunk_dedup",
     "sketch_quantile_histogram",
+    # r6 additions: the heaviest new non-iterative queries (the iterative
+    # PageRank/PCA stay unbenched per the policy note below)
+    "ml_embedding_gram",
+    "ml_knn_classify",
+    "agg_rfm_segmentation",
+    "text_bm25_topk",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

@@ -373,3 +373,38 @@ def test_train_split_is_one_scan_and_tiny_exchanges(spark, sf_dir):
     # over the aggregated cells, never a second corpus aggregate
     assert _nodes(plan, "HashAggregate") == 2
     assert _nodes(plan, "Window") == 1
+
+
+# -- r6 operator plan pins ----------------------------------------------------
+
+
+def test_bm25_topk_heap_not_global_sort(spark, sf_dir):
+    plan = _plan(all_queries()["text_bm25_topk"](spark, sf_dir))
+    # ORDER BY score LIMIT k must be per-partition heaps, not a full sort
+    assert _nodes(plan, "TakeOrderedAndProject") == 1
+    assert _nodes(plan, "Sort") == 0
+    # scoring is pure Catalyst: stats pass + scoring pass, no Python
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_customer_scale_windows_are_partitioned(spark, sf_dir):
+    plan = _plan(all_queries()["agg_rfm_segmentation"](spark, sf_dir))
+    # every customer-scale window (the row_number rank) must be partitioned
+    # by the histogram bucket; only the tiny histogram prefix-sums may be
+    # unpartitioned (the documented exception)
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*)", plan)
+    assert len(specs) == 3
+    assert all("_b" in s for s in specs), specs
+
+
+def test_anomaly_zscore_single_exchange(spark, sf_dir):
+    plan = _plan(all_queries()["events_anomaly_zscore"](spark, sf_dir))
+    # one shuffle for the (type, day) window; moments + filter ride it
+    assert _nodes(plan, "Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_bitmap_distinct_stays_jvm_side(spark, sf_dir):
+    plan = _plan(all_queries()["agg_bitmap_distinct"](spark, sf_dir))
+    assert "bit_or" in plan and "bit_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import (
     MONEY_SCALE,
@@ -404,8 +405,6 @@ def _dist_ntile(df: DataFrame, metric: str, bucket: F.Column, k: int) -> DataFra
     ranking: the only non-partitioned state is the histogram."""
     b = df.withColumn("_b", bucket)
     hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-    from pyspark.sql.window import Window as W
-
     off = hist.select(
         "_b",
         (
@@ -518,4 +517,233 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders_score").cast("string"),
             F.col("monetary_cents_score").cast("string"),
         ).alias("segment"),
+    )
+
+
+# -- Welch A/B t-test from exact integer moments ------------------------------
+
+#: the t statistic's full expression tree over the six integer moments.
+#: Division, multiplication, subtraction and sqrt are all IEEE-exact-rounded
+#: (sqrt is REQUIRED correctly-rounded by IEEE 754 — unlike ln/exp/pow,
+#: which are libm-specific), so evaluating this identical text on exact
+#: integer inputs yields bit-identical doubles in both engines.
+_TT_STEPS = {
+    "ma": "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)",
+    "mb": "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)",
+    "va": "((CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    " / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE))",
+    "vb": "((CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+    " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))",
+    "sea": "va / CAST(na AS DOUBLE)",
+    "seb": "vb / CAST(nb AS DOUBLE)",
+    "t_stat": "(ma - mb) / sqrt(sea + seb)",
+    "dof": "((sea + seb) * (sea + seb)) / ((sea * sea) / CAST(na - 1 AS DOUBLE)"
+    " + (seb * seb) / CAST(nb - 1 AS DOUBLE))",
+}
+
+
+@register(
+    "stats_ab_ttest",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                         * CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS qa,
+               CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                         * CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS qb
+        FROM events GROUP BY 1
+    ),
+    d AS (SELECT *, {_TT_STEPS["ma"]} AS ma, {_TT_STEPS["mb"]} AS mb,
+                 {_TT_STEPS["va"]} AS va, {_TT_STEPS["vb"]} AS vb FROM m),
+    e AS (SELECT *, {_TT_STEPS["sea"]} AS sea, {_TT_STEPS["seb"]} AS seb FROM d)
+    SELECT event_type, na AS n_a, nb AS n_b,
+           {_TT_STEPS["t_stat"]} AS t_stat, {_TT_STEPS["dof"]} AS dof
+    FROM e
+    """,
+)
+def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event type (cohort A = even user ids,
+    B = odd — the deterministic stand-in for an experiment assignment):
+    t statistic and Welch–Satterthwaite degrees of freedom, the A/B
+    readout an experimentation platform computes per metric.
+
+    One conditional-aggregation scan produces the six integer moments per
+    group (n, Σx, Σx² per cohort — partial-aggregable, the stats_exact
+    recipe); the statistic is then a fixed expression tree over those
+    integers, bit-identical cross-engine because every operation in it is
+    IEEE-exact-rounded — including sqrt, which 754 requires correctly
+    rounded, in contrast to the libm transcendentals the sketch family
+    refuses (see _TT_STEPS note). No p-value on purpose: erf/gamma ARE
+    transcendental — the t and dof pair is the engine-checkable part, and
+    the caller's lookup table is the right home for the tail probability.
+
+    Scale: the moments shuffle is |event_types| rows; nothing else moves."""
+    ev = load_table(spark, sf_dir, "events")
+    qc = F.round(F.col("value") * 100, 0).cast("long")
+    even = F.col("user_id") % 2 == 0
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(even, 1)).cast("long").alias("na"),
+        F.sum(F.when(even, qc)).cast("long").alias("sa"),
+        F.sum(F.when(even, qc * qc)).cast("long").alias("qa"),
+        F.count(F.when(~even, 1)).cast("long").alias("nb"),
+        F.sum(F.when(~even, qc)).cast("long").alias("sb"),
+        F.sum(F.when(~even, qc * qc)).cast("long").alias("qb"),
+    )
+    d = m.select(
+        "*",
+        F.expr(_TT_STEPS["ma"]).alias("ma"),
+        F.expr(_TT_STEPS["mb"]).alias("mb"),
+        F.expr(_TT_STEPS["va"]).alias("va"),
+        F.expr(_TT_STEPS["vb"]).alias("vb"),
+    )
+    e = d.select(
+        "*",
+        F.expr(_TT_STEPS["sea"]).alias("sea"),
+        F.expr(_TT_STEPS["seb"]).alias("seb"),
+    )
+    return e.select(
+        "event_type",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr(_TT_STEPS["t_stat"]).alias("t_stat"),
+        F.expr(_TT_STEPS["dof"]).alias("dof"),
+    )
+
+
+# -- chi-square independence (event type x day of week) -----------------------
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, CAST(strftime(ts, '%w') AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT *, SUM(n_obs) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(n_obs) OVER (PARTITION BY dow) AS col_tot,
+               SUM(n_obs) OVER () AS grand
+        FROM obs
+    ),
+    c AS (
+        SELECT event_type, dow, n_obs,
+               CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                   / CAST(grand AS DOUBLE) AS expected
+        FROM tot
+    ),
+    k AS (
+        SELECT *, (CAST(n_obs AS DOUBLE) - expected)
+                  * (CAST(n_obs AS DOUBLE) - expected) / expected AS contrib
+        FROM c
+    )
+    SELECT event_type, dow, n_obs, expected, contrib,
+           CAST(SUM(CAST(ROUND(contrib * 1000000) AS BIGINT)) OVER ()
+                AS BIGINT) AS chi2_micro
+    FROM k
+    """,
+)
+def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type x day-of-week — "is
+    activity mix stable across the week". Per-cell observed counts,
+    expected counts, and contributions, plus the total statistic.
+
+    Determinism: each cell's expected value and contribution is a fixed
+    arithmetic tree over integers (deterministic doubles); the TOTAL would
+    be a float sum in engine-specific order, so it is summed as QUANTIZED
+    micro-unit integers instead (order-free — the qsum recipe applied to a
+    derived statistic). The marginals come from windows over the |types| x
+    7 CELL relation, never over events. Scale: one conditional-agg scan to
+    35 cells; everything after is O(cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = obs.select(
+        "*",
+        F.sum("n_obs").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("n_obs").over(W.partitionBy("dow")).alias("col_tot"),
+        F.sum("n_obs").over(W.partitionBy()).alias("grand"),
+    )
+    c = tot.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.expr(
+            "CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+            " / CAST(grand AS DOUBLE)"
+        ).alias("expected"),
+    )
+    k = c.select(
+        "*",
+        F.expr(
+            "(CAST(n_obs AS DOUBLE) - expected)"
+            " * (CAST(n_obs AS DOUBLE) - expected) / expected"
+        ).alias("contrib"),
+    )
+    return k.select(
+        "*",
+        F.sum(F.round(F.col("contrib") * 1000000, 0).cast("long"))
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+# -- year-over-year growth ----------------------------------------------------
+
+
+@register(
+    "agg_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           LAG(rev_cents, 12) OVER (ORDER BY month) AS prev_year_cents,
+           CAST(rev_cents - LAG(rev_cents, 12) OVER (ORDER BY month) AS DOUBLE)
+               / CAST(LAG(rev_cents, 12) OVER (ORDER BY month) AS DOUBLE)
+               AS yoy_growth
+    FROM monthly
+    """,
+)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — lag(12) over the MONTH
+    relation (80 rows), so the unpartitioned window is over an aggregate
+    the size of the calendar, never over orders; the first year's months
+    carry NULL growth honestly. Revenue is cent-quantized (order-free
+    integer sums); the growth ratio is one deterministic IEEE division.
+    At 100 TB the only data-sized stage is the monthly groupBy (partial
+    agg before shuffle); the window input is O(months)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev_cents", 12).over(w)
+    return monthly.select(
+        "month",
+        "rev_cents",
+        prev.alias("prev_year_cents"),
+        (
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double")
+        ).alias("yoy_growth"),
     )
