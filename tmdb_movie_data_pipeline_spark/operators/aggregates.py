@@ -27,6 +27,7 @@ from ..functions import (
     qavg_sql,
     qsum,
     qsum_sql,
+    quantize,
     round2,
 )
 from ..io import load_table
@@ -746,4 +747,88 @@ def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("rev_cents") - prev).cast("double") / prev.cast("double")
         ).alias("yoy_growth"),
+    )
+
+
+# -- Pareto (80/20) contribution analysis with distributed cumulative sum -----
+
+_PARETO_PCT = 80  # head = customers covering the first 80% of revenue
+_PARETO_BUCKET = 500_000  # $5k revenue histogram bucket, in cents
+
+
+@register(
+    "agg_pareto_contribution",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM rev
+    ), ranked AS (
+        SELECT c_custkey, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (
+                   ORDER BY revenue_cents DESC, c_custkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY revenue_cents DESC, c_custkey) AS BIGINT) AS rk
+        FROM rev
+    )
+    SELECT c_custkey, revenue_cents, cum_cents, rk
+    FROM ranked CROSS JOIN tot
+    WHERE (cum_cents - revenue_cents) * 100 < total_cents * {_PARETO_PCT}
+    """,
+)
+def pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto head: the customers whose cumulative revenue (descending)
+    first covers {_PARETO_PCT}% of total — rank and running total included.
+
+    The running total is computed WITHOUT a single-partition window, via the
+    same distributed-order-statistics trick as agg_rfm_segmentation's NTILE:
+    bucket revenues into a histogram (cents div bucket), take per-bucket
+    (sum, count) — a tiny frame — window THAT for cross-bucket offsets, then
+    add a bucket-partitioned local cumsum/rank. The only non-distributed
+    state is the |buckets|-row histogram; the per-customer frames never
+    leave their hash partition. The head test is exact integer arithmetic:
+    (cum_before)·100 < total·{_PARETO_PCT} (cents · 100 stays far under
+    2^63 at any realistic revenue).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(quantize(F.col("o_totalprice"), MONEY_SCALE)).alias("revenue_cents")
+    )
+    total = rev.agg(F.sum("revenue_cents").alias("total_cents"))
+    b = rev.withColumn("_b", F.expr(f"revenue_cents div {_PARETO_BUCKET}"))
+    hist = b.groupBy("_b").agg(
+        F.sum("revenue_cents").alias("_bsum"), F.count(F.lit(1)).alias("_bcnt")
+    )
+    # offsets over the tiny histogram, in DESCENDING bucket order
+    w_hist = W.orderBy(F.desc("_b")).rowsBetween(W.unboundedPreceding, -1)
+    off = hist.select(
+        "_b",
+        F.coalesce(F.sum("_bsum").over(w_hist), F.lit(0)).alias("_off_sum"),
+        F.coalesce(F.sum("_bcnt").over(w_hist), F.lit(0)).alias("_off_cnt"),
+    )
+    w_loc = W.partitionBy("_b").orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+    ranked = (
+        b.join(F.broadcast(off), "_b")
+        .withColumn(
+            "cum_cents",
+            (
+                F.col("_off_sum")
+                + F.sum("revenue_cents").over(
+                    w_loc.rowsBetween(W.unboundedPreceding, 0)
+                )
+            ).cast("long"),
+        )
+        .withColumn("rk", (F.col("_off_cnt") + F.row_number().over(w_loc)).cast("long"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("cum_cents") - F.col("revenue_cents")) * 100
+            < F.col("total_cents") * _PARETO_PCT
+        )
+        .select("c_custkey", "revenue_cents", "cum_cents", "rk")
     )

@@ -853,3 +853,172 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qc").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# -- interval merge (gaps-and-islands over derived intervals) -----------------
+
+_IVL_DUR_CHOICES = 50  # synthetic duration: 1..50 minutes, keyed by event_id
+
+
+@register(
+    "events_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS start_us,
+               epoch_us(ts) + (1 + event_id % {_IVL_DUR_CHOICES})
+                              * 60 * 1000000 AS end_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, start_us, end_us,
+               CASE WHEN MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY start_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR start_us > MAX(end_us) OVER (
+                        PARTITION BY user_id ORDER BY start_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM iv
+    ), grp AS (
+        SELECT user_id, start_us, end_us,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY start_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS interval_seq
+        FROM flagged
+    )
+    SELECT user_id, interval_seq,
+           MIN(start_us)            AS merged_start_us,
+           MAX(end_us)              AS merged_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM grp
+    GROUP BY user_id, interval_seq
+    """,
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping/touching intervals per user (gaps-and-islands).
+
+    Each event spawns a deterministic interval [ts, ts + (1 + event_id % 50)
+    minutes]; intervals whose start does not exceed the running maximum end
+    of all earlier intervals coalesce into one. The running-max guard (not
+    lag(end)) is what makes this correct when an early long interval fully
+    covers later short ones — the classic subtlety of interval merging.
+
+    Scale: ONE shuffle on user_id; both windows and the final rollup share
+    that partitioning, so per-user state never crosses executors. Identical
+    shape to sessionization but over 2-sided spans — covers SURVEY §2.9's
+    range/temporal family from the coalescing side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dur_us = (1 + F.col("event_id") % _IVL_DUR_CHOICES) * 60 * 1_000_000
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + dur_us).alias("end_us"),
+    )
+    w_ord = W.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max = F.max("end_us").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_max.isNull() | (F.col("start_us") > prev_max), 1).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "interval_seq",
+        F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return grp.groupBy("user_id", "interval_seq").agg(
+        F.min("start_us").alias("merged_start_us"),
+        F.max("end_us").alias("merged_end_us"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+
+
+# -- association rules over per-user event-type baskets -----------------------
+
+_AR_MINSUP = 2  # minimum co-occurring users for a rule
+
+
+@register(
+    "events_association_rules",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), tc AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM baskets GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM baskets
+    ), pairs AS (
+        SELECT a.event_type AS ant, b.event_type AS cons,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ant, cons, n_both,
+           ta.n_t AS n_ant, tb.n_t AS n_cons,
+           (1000000 * n_both) // ta.n_t AS conf_ppm,
+           (((1000000 * n_both) // ta.n_t) * n_users) // tb.n_t AS lift_ppm
+    FROM pairs
+    JOIN tc ta ON ta.event_type = pairs.ant
+    JOIN tc tb ON tb.event_type = pairs.cons
+    CROSS JOIN tot
+    WHERE n_both >= {_AR_MINSUP}
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type baskets:
+    support / confidence / lift for every co-occurring type pair, as exact
+    scaled integers (ppm) so any engine reproduces the values bit-for-bit.
+
+    lift = conf(A→B) / P(B) is computed in two bounded integer steps
+    (conf_ppm ≤ 1e6, then conf_ppm · n_users // n_cons), so no operand
+    exceeds 1e6 · n_users — overflow-safe to ~9e12 users, unlike the naive
+    1e6·n_both·n_users product which wraps at ~2^31 users (same fix shape
+    as llm_domain_mix_resample's r6 threshold rearrangement).
+
+    Scale: baskets = distinct(user,type) is a partial-agg shuffle; the
+    pair join is per-user and bounded by the TYPE DOMAIN (tiny), never an
+    all-pairs blowup; type counts and the 1-row total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    tc = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ant"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _AR_MINSUP)
+    )
+    ta = tc.select(F.col("event_type").alias("ant"), F.col("n_t").alias("n_ant"))
+    tb = tc.select(F.col("event_type").alias("cons"), F.col("n_t").alias("n_cons"))
+    conf = F.expr("(1000000 * n_both) div n_ant")
+    return (
+        pairs.join(F.broadcast(ta), "ant")
+        .join(F.broadcast(tb), "cons")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ant",
+            "cons",
+            "n_both",
+            "n_ant",
+            "n_cons",
+            conf.alias("conf_ppm"),
+            F.expr("(((1000000 * n_both) div n_ant) * n_users) div n_cons").alias(
+                "lift_ppm"
+            ),
+        )
+    )

@@ -110,3 +110,59 @@ def cap_per_group(docs: DataFrame, group_col: str, n: int) -> DataFrame:
 def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebalancing cap: keep the {_CAP_N} longest documents per source."""
     return cap_per_group(load_table(spark, sf_dir, "documents"), "source", _CAP_N)
+
+
+# -- weighted priority sampling (Duffield–Lund–Thorup) ------------------------
+
+_PRI_K = 4  # keep the K highest-priority docs per source
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT source, doc_id, weight, pri, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT source, doc_id, weight, pri,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+               ) AS rk
+        FROM (
+            SELECT source, doc_id,
+                   CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+                   CAST(1 + ((doc_id % {_KEY_MASK}) * {_KNUTH}) % {_MOD}
+                        AS DOUBLE)
+                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS pri
+            FROM documents
+        )
+    )
+    WHERE rk <= {_PRI_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): weighted sampling without
+    replacement for subset-sum estimation, fully deterministic.
+
+    Each item gets priority ``u / w`` where ``u`` is a Fibonacci integer
+    hash of its key (1..2^32) and ``w`` its weight (here ``n_chars``); the
+    K items with the SMALLEST priority per stratum form the sample (small
+    priority = large u-normalized weight). The priority is ONE IEEE-754
+    division of identical operands on any engine — division is correctly
+    rounded, so the double is bit-identical in Spark and DuckDB and the
+    selected SET is reproducible anywhere, unlike rand()-based weighted
+    sampling.
+
+    Scale: hash + divide are map-only; per-stratum top-K runs as
+    rank-inside-one-Exchange keyed by the stratum (same shape as
+    cap_docs_per_source). No global sort, no driver state; worker memory
+    O(K) with Spark's TopK window optimization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    u = 1 + (F.col("doc_id") % _KEY_MASK) * _KNUTH % _MOD
+    pri = u.cast("double") / w.cast("double")
+    win = W.partitionBy("source").orderBy(F.asc("pri"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", w.alias("weight"), pri.alias("pri"))
+        .withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= _PRI_K)
+    )
