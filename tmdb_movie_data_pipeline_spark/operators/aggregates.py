@@ -832,3 +832,88 @@ def pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "revenue_cents", "cum_cents", "rk")
     )
+
+
+# -- Mann–Whitney U rank-sum test (integer-exact, distributed ranks) ----------
+
+_MW_G1, _MW_G2 = "purchase", "view"
+_MW_BUCKET = 1000  # cents histogram bucket for the distributed rank offsets
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('{_MW_G1}', '{_MW_G2}')
+    ), r AS (
+        SELECT event_type,
+               2 * RANK() OVER (ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY v) - 1 AS ar2
+        FROM s
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN event_type = '{_MW_G1}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN event_type = '{_MW_G2}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN event_type = '{_MW_G1}' THEN ar2 ELSE 0 END)
+                    AS BIGINT) AS two_r1
+        FROM r
+    )
+    SELECT n1, n2, two_r1,
+           two_r1 - n1 * (n1 + 1) AS two_u1,
+           n1 * n2                AS two_u_mean
+    FROM agg
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test ({_MW_G1} vs {_MW_G2} event values),
+    the nonparametric sibling of stats_ab_ttest — all statistics exact
+    integers (doubled to absorb the tie-averaged half-ranks): 2·R1, 2·U1,
+    and 2·E[U] = n1·n2; a consumer compares two_u1 against two_u_mean.
+
+    The textbook form ranks the pooled sample with a single total-order
+    window. Here ranks come from value-histogram arithmetic instead:
+    group by quantized value -> (cnt, n1_v), then rows-below via the same
+    histogram-offset cumsum as agg_pareto_contribution (the only
+    unpartitioned window is over the tiny bucket histogram), and each tied
+    block contributes n1_v · (2·cum_below + cnt + 1) = n1_v · 2·avg_rank.
+    No pooled sort of the raw rows exists in the plan — rank statistics at
+    any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin(_MW_G1, _MW_G2)).select(
+        "event_type", quantize(F.col("value"), MONEY_SCALE).alias("v")
+    )
+    per = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == _MW_G1, 1).otherwise(0)).alias("n1_v"),
+    )
+    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    hist = b.groupBy("_b").agg(F.sum("cnt").alias("_bc"))
+    w_hist = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    off = hist.select(
+        "_b", F.coalesce(F.sum("_bc").over(w_hist), F.lit(0)).alias("_off")
+    )
+    w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = (
+        b.join(F.broadcast(off), "_b")
+        .withColumn(
+            "cum_below", F.col("_off") + F.coalesce(F.sum("cnt").over(w_loc), F.lit(0))
+        )
+        .withColumn("ar2", 2 * F.col("cum_below") + F.col("cnt") + 1)
+    )
+    return (
+        ranked.agg(
+            F.sum("n1_v").cast("long").alias("n1"),
+            (F.sum("cnt") - F.sum("n1_v")).cast("long").alias("n2"),
+            F.sum(F.col("n1_v") * F.col("ar2")).cast("long").alias("two_r1"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "two_r1",
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).alias("two_u1"),
+            (F.col("n1") * F.col("n2")).alias("two_u_mean"),
+        )
+    )

@@ -1022,3 +1022,98 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- sequence mining: most frequent event-type trigrams -----------------------
+
+_SEQ_TOPN = 20
+
+
+@register(
+    "events_sequence_trigrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {_SEQ_TOPN}
+    """,
+)
+def sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across user timelines — sequential-pattern
+    mining's workhorse count. LEAD stays inside the per-user partition
+    (one shuffle on user_id), the trigram count is a partial-aggregable
+    groupBy over a domain bounded by |types|^3, and the top-N collapses to
+    TakeOrderedAndProject. Ties break on the full trigram so the row SET
+    is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(_SEQ_TOPN)
+    )
+
+
+# -- cumulative distinct count over time --------------------------------------
+
+
+@register(
+    "events_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+)
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user over time — the window
+    SQL forbids (no DISTINCT in a running frame), decomposed exactly:
+    first-occurrence flag (row_number over (user,type)) -> running sum of
+    flags (window over user). Two windows, BOTH partitioned by user_id, so
+    Spark computes them inside one Exchange; no per-row set state exists
+    anywhere — the trick that makes "cumulative distinct" feasible at
+    billions of rows where a HashSet-per-user UDF would OOM.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_cum).cast("long").alias("n_types_so_far"),
+    )

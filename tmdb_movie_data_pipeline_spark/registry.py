@@ -180,6 +180,7 @@ def _ensure_loaded() -> None:
         similarity,
         sketches,
         skew,
+        spatial,
         subqueries,
         text,
         tpch_extra,
