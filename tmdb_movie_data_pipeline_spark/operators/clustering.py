@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from ..registry import register
@@ -577,3 +578,105 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = max(int(m).bit_length() - _PCA_TARGET_BITS, 0)
         v = u.select("j", F.shiftright("u", s).alias("vq"))
     return v.select(F.col("j").alias("i"), F.col("vq").cast("long").alias("v_q"))
+
+
+# -- decision stump: best Gini split over a bucketed feature ------------------
+
+_GINI_BUCKET = 100  # n_chars bucket width for candidate thresholds
+
+
+@register(
+    "ml_best_split_gini",
+    oracle=f"""
+    WITH hist AS (
+        SELECT n_chars // {_GINI_BUCKET} AS b, lang,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), grid AS (
+        SELECT b, lang, COALESCE(cnt, 0) AS cnt
+        FROM (SELECT DISTINCT b FROM hist)
+        CROSS JOIN (SELECT DISTINCT lang FROM hist)
+        LEFT JOIN hist USING (b, lang)
+    ), cum AS (
+        SELECT b, lang,
+               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY b
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cl,
+               CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tl
+        FROM grid
+    ), th AS (
+        SELECT b,
+               CAST(SUM(cl) AS BIGINT)                     AS nl,
+               CAST(SUM(cl * cl) AS BIGINT)                AS sl,
+               CAST(SUM(tl - cl) AS BIGINT)                AS nr,
+               CAST(SUM((tl - cl) * (tl - cl)) AS BIGINT)  AS sr
+        FROM cum GROUP BY b
+    )
+    SELECT b AS split_bucket, nl AS n_left, nr AS n_right,
+           (((CAST(nl AS DOUBLE) - CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+             + CAST(nr AS DOUBLE)) - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))
+               AS impurity
+    FROM th
+    WHERE nr > 0
+    ORDER BY impurity, split_bucket
+    LIMIT 1
+    """,
+)
+def best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump: the single threshold on bucketed n_chars that
+    minimizes weighted Gini impurity of the lang label — the inner loop of
+    distributed tree learning (each tree node is exactly this query over
+    its partition of rows).
+
+    Distributed shape: the raw scan collapses to a (bucket, lang) count
+    histogram (partial agg); thresholds are evaluated by per-lang
+    cumulative sums over that TINY grid (windows over |buckets|·|langs|
+    rows — the data never re-shuffles), and weighted impurity
+    nl − Σcl²/nl + nr − Σcr²/nr is a fixed IEEE expression tree over exact
+    int64 inputs, so both engines produce bit-identical doubles and the
+    argmin row is deterministic (tie-break on the bucket). Exactness of the
+    squared-count sums holds to 2^53 per class (~9e15 docs) — beyond any
+    corpus; the grid cross-join fills absent (bucket, lang) cells with 0 so
+    cumulative counts exist at every candidate threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy(
+        F.expr(f"n_chars div {_GINI_BUCKET}").alias("b"), "lang"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = hist.select("b").distinct()
+    langs = hist.select("lang").distinct()
+    grid = (
+        buckets.crossJoin(langs)
+        .join(hist, ["b", "lang"], "left")
+        .fillna({"cnt": 0})
+    )
+    w_cum = (
+        W.partitionBy("lang").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "b",
+        "lang",
+        F.sum("cnt").over(w_cum).alias("cl"),
+        F.sum("cnt").over(W.partitionBy("lang")).alias("tl"),
+    )
+    th = cum.groupBy("b").agg(
+        F.sum("cl").alias("nl"),
+        F.sum(F.col("cl") * F.col("cl")).alias("sl"),
+        F.sum(F.col("tl") - F.col("cl")).alias("nr"),
+        F.sum((F.col("tl") - F.col("cl")) * (F.col("tl") - F.col("cl"))).alias("sr"),
+    )
+    nl_d = F.col("nl").cast("double")
+    nr_d = F.col("nr").cast("double")
+    impurity = (
+        (nl_d - F.col("sl").cast("double") / nl_d) + nr_d
+    ) - F.col("sr").cast("double") / nr_d
+    return (
+        th.filter(F.col("nr") > 0)
+        .select(
+            F.col("b").alias("split_bucket"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            impurity.alias("impurity"),
+        )
+        .orderBy("impurity", "split_bucket")
+        .limit(1)
+    )

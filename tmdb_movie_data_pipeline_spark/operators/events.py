@@ -1117,3 +1117,87 @@ def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_cum).cast("long").alias("n_types_so_far"),
     )
+
+
+# -- CUSUM change-point detection over daily series ---------------------------
+
+
+@register(
+    "events_cusum_change_point",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, day, v,
+               CAST(ROW_NUMBER() OVER w AS BIGINT)              AS i,
+               CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT)   AS tot
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), scored AS (
+        SELECT event_type, day, n AS n_days,
+               n * cum - i * tot AS s_scaled,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ABS(n * cum - i * tot) DESC, day
+               ) AS rk
+        FROM seq
+    )
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+               AS change_epoch_day,
+           s_scaled, n_days
+    FROM scored WHERE rk = 1
+    """,
+)
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type: the day where the cumulative
+    deviation from the series mean peaks — the standard single-change
+    estimator (argmax_i |Σ_{j<=i} (v_j - mean)|).
+
+    Integer-exact trick: multiply through by n so no mean is ever
+    materialized — S'_i = n·cum_i − i·total is the deviation CUSUM scaled
+    by n, an int64 expression with the same argmax. Daily cents times day
+    index keeps every operand far under 2^63 for centuries of data.
+
+    Shape: raw events collapse to a per-(type, day) partial agg first; all
+    four windows share the event_type partitioning, so scoring runs inside
+    one Exchange over the tiny daily series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(quantize(F.col("value"), 100)).alias("v"))
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    w_all = W.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("v").over(w_ord.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("v").over(w_all).alias("tot"),
+    )
+    scored = seq.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_days"),
+        (F.col("n") * F.col("cum") - F.col("i") * F.col("tot")).alias("s_scaled"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.abs("s_scaled").desc(), "day")
+        ),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("change_epoch_day"),
+        "s_scaled",
+        "n_days",
+    )

@@ -1082,3 +1082,91 @@ def kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, ["event_type"])
         .select("event_type", "n_exact", est.alias("est_difference"))
     )
+
+
+# -- join cardinality estimation via coordinated key sampling -----------------
+
+_JC_SHIFT = 4  # sample keys where hv < 2^60 / 2^4  ->  1/16 of the key domain
+_JC_CUT = (1 << 60) >> _JC_SHIFT
+_JC_SCALE = 1 << _JC_SHIFT
+
+
+@register(
+    "sketch_join_cardinality",
+    oracle=f"""
+    WITH co AS (
+        SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM orders GROUP BY 1
+    ), cl AS (
+        SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM lineitem GROUP BY 1
+    ), exact AS (
+        SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_pairs
+        FROM co JOIN cl USING (k)
+    ), sampled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+               CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS sampled_pairs
+        FROM co JOIN cl USING (k)
+        WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+              < {_JC_CUT}
+    )
+    SELECT exact_pairs, sampled_keys,
+           sampled_pairs * {_JC_SCALE} AS est_pairs,
+           ((sampled_pairs * {_JC_SCALE} - exact_pairs) * 10000)
+               // exact_pairs AS err_bp
+    FROM exact CROSS JOIN sampled
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by COORDINATED key sampling — the optimizer
+    statistic behind join reordering, as a first-class sketch: both sides
+    keep only keys whose shared md5 hash falls under 2^60/{_JC_SCALE}
+    (the same key survives on both sides or neither — that coordination is
+    what makes the estimator unbiased: E[Σ_sampled ca·cb · {_JC_SCALE}] =
+    |A ⋈ B|), then the sampled per-key count products are summed and scaled
+    by the exact integer inverse rate. The fixture also computes the true
+    join size so the gate pins estimate AND error together.
+
+    Scale: per-side counts are partial-aggregable; the hash filter cuts the
+    key domain 16× BEFORE any shuffle, so the estimation join moves 1/16th
+    of the key stats regardless of row count — this is how you size a
+    100 TB join without running it. All integer: estimate, scale, and
+    basis-point error reproduce bit-for-bit on any engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cl = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    hv = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    exact = (
+        co.join(cl, "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("exact_pairs"))
+    )
+    sampled = (
+        co.filter(hv < _JC_CUT)
+        .join(cl.filter(hv < _JC_CUT), "k")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_keys"),
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+                "sampled_pairs"
+            ),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(sampled))
+        .select(
+            "exact_pairs",
+            "sampled_keys",
+            (F.col("sampled_pairs") * _JC_SCALE).alias("est_pairs"),
+            F.expr(
+                f"((sampled_pairs * {_JC_SCALE} - exact_pairs) * 10000)"
+                " div exact_pairs"
+            ).alias("err_bp"),
+        )
+    )

@@ -507,3 +507,65 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# -- inverted index: capped posting lists per term ----------------------------
+
+_IDX_MIN_DF = 5  # drop near-hapax terms
+_IDX_MAX_DF_NUM, _IDX_MAX_DF_DEN = 4, 5  # RELATIVE ceiling: df <= 4n/5 drops universal terms
+_IDX_CAP = 10  # postings kept per term (smallest doc_ids)
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+        WHERE length(t.term) >= 3
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           list_sort(list(doc_id))[1:{_IDX_CAP}] AS postings
+    FROM pairs
+    GROUP BY term
+    HAVING COUNT(*) BETWEEN {_IDX_MIN_DF}
+       AND ({_IDX_MAX_DF_NUM} * (SELECT COUNT(*) FROM documents))
+           // {_IDX_MAX_DF_DEN}
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — term -> (document frequency, capped sorted
+    posting list), the retrieval-side dual of text_bm25_topk's scoring.
+
+    Shape: explode to (doc, term), distinct (the partial-aggregable dedup
+    of within-doc repeats), one groupBy term. The posting ARRAY is capped
+    at the {_IDX_CAP} smallest doc_ids — at corpus scale unbounded
+    collect_list per term is exactly the skew-amplified OOM a stop word
+    triggers, so the cap plus the RELATIVE df ceiling (4·n_docs/5, a 1-row
+    broadcast) bound every group's state; a production index would shard postings into fixed-size
+    segment rows the same way. Tokenization is the module's shared
+    normalized-whitespace contract, so the oracle pins edge cases.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    max_df = docs.agg(
+        F.expr(
+            f"({_IDX_MAX_DF_NUM} * count(*)) div {_IDX_MAX_DF_DEN}"
+        ).alias("_max_df")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, _IDX_CAP).alias(
+                "postings"
+            ),
+        )
+        .crossJoin(F.broadcast(max_df))
+        .filter(F.col("df").between(_IDX_MIN_DF, F.col("_max_df")))
+        .drop("_max_df")
+    )
