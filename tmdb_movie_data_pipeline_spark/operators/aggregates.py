@@ -917,3 +917,91 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n1") * F.col("n2")).alias("two_u_mean"),
         )
     )
+
+
+# -- Kolmogorov–Smirnov two-sample test (integer-exact CDF gap) ---------------
+
+
+@register(
+    "stats_ks_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('{_MW_G1}', '{_MW_G2}')
+    ), per AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN event_type = '{_MW_G1}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1_v
+        FROM s GROUP BY 1
+    ), c AS (
+        SELECT CAST(SUM(n1_v) OVER w AS BIGINT)       AS cum1,
+               CAST(SUM(cnt - n1_v) OVER w AS BIGINT) AS cum2
+        FROM per
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+        SELECT CAST(SUM(n1_v) AS BIGINT)       AS n1,
+               CAST(SUM(cnt - n1_v) AS BIGINT) AS n2
+        FROM per
+    )
+    SELECT n1, n2,
+           CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num
+    FROM c CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic ({_MW_G1} vs {_MW_G2}),
+    integer-exact: D = max_x |F1(x) − F2(x)| is reported as its numerator
+    d_num = max |n2·cum1(x) − n1·cum2(x)| over the common denominator
+    n1·n2 — no division ever happens, so the statistic reproduces
+    bit-for-bit (a consumer divides d_num by n1·n2 at the edge).
+
+    Distributed shape shared with stats_mann_whitney: collapse to per-value
+    counts (partial agg), histogram-offset cumulative counts (the only
+    unpartitioned window runs over the tiny bucket histogram), then a
+    plain max — empirical-CDF statistics without ever sorting the raw
+    pooled sample.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin(_MW_G1, _MW_G2)).select(
+        "event_type", quantize(F.col("value"), MONEY_SCALE).alias("v")
+    )
+    per = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == _MW_G1, 1).otherwise(0)).alias("n1_v"),
+    )
+    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    hist = b.groupBy("_b").agg(
+        F.sum("n1_v").alias("_b1"), F.sum(F.col("cnt") - F.col("n1_v")).alias("_b2")
+    )
+    w_hist = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    off = hist.select(
+        "_b",
+        F.coalesce(F.sum("_b1").over(w_hist), F.lit(0)).alias("_off1"),
+        F.coalesce(F.sum("_b2").over(w_hist), F.lit(0)).alias("_off2"),
+    )
+    w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    c = (
+        b.join(F.broadcast(off), "_b")
+        .select(
+            (F.col("_off1") + F.sum("n1_v").over(w_loc)).alias("cum1"),
+            (
+                F.col("_off2") + F.sum(F.col("cnt") - F.col("n1_v")).over(w_loc)
+            ).alias("cum2"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n1_v").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1_v")).cast("long").alias("n2"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )

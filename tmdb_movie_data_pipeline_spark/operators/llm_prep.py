@@ -631,3 +631,56 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# -- BPE tokenizer training: the pair-count step ------------------------------
+
+_BPE_TOPN = 20
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT t.term FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+        WHERE length(t.term) >= 2
+    ), pairs AS (
+        SELECT substr(term, i, 2) AS pair
+        FROM toks, UNNEST(generate_series(1, length(term) - 1)) AS g(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOPN}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding training's inner loop: count every adjacent
+    character pair across all token occurrences and rank the merge
+    candidates — one iteration of the greedy merge that produces a BPE
+    vocabulary (repeat with the winner merged to train fully).
+
+    Distributed shape: pure Catalyst — normalize/split (the module's shared
+    tokenizer contract), a transform+explode over in-token character
+    positions, and one partial-aggregable count keyed on a domain bounded
+    by |alphabet|^2. The top-N collapses to TakeOrderedAndProject: corpus
+    size only affects the map side. This is how you run the "count" half
+    of BPE training over 100 TB of text without a driver-side vocabulary.
+    """
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("term")).filter(
+        F.length("term") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPN)
+    )

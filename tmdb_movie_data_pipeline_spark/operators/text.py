@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from ..registry import register
@@ -568,4 +569,87 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(max_df))
         .filter(F.col("df").between(_IDX_MIN_DF, F.col("_max_df")))
         .drop("_max_df")
+    )
+
+
+# -- bigram language model: conditional next-token distribution ---------------
+
+_LM_TOPN = 3  # next-token candidates kept per context token
+_LM_MIN_CTX = 20  # contexts must occur at least this often
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_TOKENS_SQL} AS tl FROM documents
+    ), bi AS (
+        SELECT tl[g.i] AS w1, tl[g.i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS g(i)
+    ), cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bi GROUP BY 1, 2
+    ), ctx AS (
+        SELECT w1, w2, n,
+               CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY w1 ORDER BY n DESC, w2) AS rk
+        FROM cnt
+    )
+    SELECT w1, w2, n, n_ctx,
+           (1000000 * n) // n_ctx AS cond_ppm,
+           CAST(rk AS BIGINT)     AS rk
+    FROM ctx
+    WHERE rk <= {_LM_TOPN} AND n_ctx >= {_LM_MIN_CTX}
+    """,
+)
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model estimation: for every context token seen at
+    least {_LM_MIN_CTX} times, the top-{_LM_TOPN} next tokens with exact
+    integer-ppm conditional probability n(w1,w2)·1e6 div n(w1) — the
+    count-based LM that quality filters and domain classifiers bootstrap
+    from (and the n-gram side of perplexity-style scoring, kept
+    division-exact so any engine reproduces it).
+
+    Shape: bigram extraction is MAP-ONLY — adjacent tokens come from
+    zipping the token array against itself shifted by one (slice+zip, no
+    posexplode/LEAD, so no doc-keyed shuffle exists at all); bigram
+    counting is partial-aggregable on a vocabulary-bounded domain; context
+    totals and ranking share ONE Exchange keyed on w1. No corpus-sized
+    state anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("tl"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("tl"), 1, F.greatest(F.size("tl") - 1, F.lit(0))),
+                    F.expr("slice(tl, 2, greatest(size(tl) - 1, 0))"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    )
+    cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w_ctx = W.partitionBy("w1")
+    ctx = cnt.select(
+        "w1",
+        "w2",
+        "n",
+        F.sum("n").over(w_ctx).cast("long").alias("n_ctx"),
+        F.row_number()
+        .over(W.partitionBy("w1").orderBy(F.desc("n"), "w2"))
+        .cast("long")
+        .alias("rk"),
+    )
+    return ctx.filter(
+        (F.col("rk") <= _LM_TOPN) & (F.col("n_ctx") >= _LM_MIN_CTX)
+    ).select(
+        "w1",
+        "w2",
+        "n",
+        "n_ctx",
+        F.expr("(1000000 * n) div n_ctx").alias("cond_ppm"),
+        "rk",
     )
