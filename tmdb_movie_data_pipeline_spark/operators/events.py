@@ -1201,3 +1201,87 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_scaled",
         "n_days",
     )
+
+
+# -- funnel conversion time: exact median latency without a global sort -------
+
+_CVT_BUCKET_US = 3_600 * 1_000_000  # hourly histogram buckets
+
+
+@register(
+    "events_funnel_conversion_time",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts) END)   AS t_signup,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END)   AS t_purchase
+        FROM events GROUP BY 1
+    ), deltas AS (
+        SELECT t_purchase - t_signup AS delta_us
+        FROM firsts
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase >= t_signup
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(delta_us) AS BIGINT) AS min_us,
+               CAST(MAX(delta_us) AS BIGINT) AS max_us
+        FROM deltas
+    )
+    SELECT n_users, min_us, max_us,
+           (SELECT delta_us FROM deltas ORDER BY delta_us
+            LIMIT 1 OFFSET ((SELECT (n_users + 1) // 2 FROM agg) - 1))
+               AS median_us
+    FROM agg
+    """,
+)
+def funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: population size, min/max, and
+    the EXACT median (lower median, the k=(n+1) div 2-th order statistic)
+    of per-user first-signup→first-purchase deltas.
+
+    The oracle finds the median by sorting; the Spark side never sorts the
+    population — deltas land in hourly histogram buckets, cross-bucket
+    offsets come from a window over the tiny histogram, and the k-th order
+    statistic is the row whose (offset + bucket-local rank) equals k (the
+    sketch_quantile_histogram recipe applied to a funnel metric). Integer
+    microseconds end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_purchase"),
+    )
+    deltas = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select((F.col("t_purchase") - F.col("t_signup")).alias("delta_us"))
+    agg = deltas.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("delta_us").alias("min_us"),
+        F.max("delta_us").alias("max_us"),
+    )
+    b = deltas.withColumn("_b", F.expr(f"delta_us div {_CVT_BUCKET_US}"))
+    hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_hist = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    off = hist.select(
+        "_b", F.coalesce(F.sum("_c").over(w_hist), F.lit(0)).alias("_off")
+    )
+    w_loc = W.partitionBy("_b").orderBy("delta_us")
+    ranked = b.join(F.broadcast(off), "_b").withColumn(
+        "_rank", F.col("_off") + F.row_number().over(w_loc)
+    )
+    median = (
+        ranked.crossJoin(F.broadcast(agg.select("n_users")))
+        .filter(F.col("_rank") == F.expr("(n_users + 1) div 2"))
+        .select(F.col("delta_us").alias("median_us"))
+    )
+    return agg.crossJoin(F.broadcast(median)).select(
+        "n_users", "min_us", "max_us", "median_us"
+    )

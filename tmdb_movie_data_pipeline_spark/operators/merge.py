@@ -509,3 +509,172 @@ def delta_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bal_cents"),
     )
+
+
+# -- per-commit change feed (CDF) from the transaction log --------------------
+
+
+@register(
+    "delta_cdc_feed_commits",
+    oracle=f"""
+    WITH source AS ({_TX_SOURCE_SQL}),
+    v0 AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    v1 AS (
+        SELECT * FROM source
+        UNION ALL
+        SELECT * FROM v0 WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE c_custkey NOT BETWEEN {_DIFF_DEL_LO} AND {_DIFF_DEL_HI}
+    ),
+    d01 AS (
+        SELECT 'delete' AS change_type, v0.c_custkey, v0.c_name, v0.c_acctbal
+        FROM v0 LEFT JOIN v1 USING (c_custkey) WHERE v1.c_custkey IS NULL
+        UNION ALL
+        SELECT 'insert', v1.c_custkey, v1.c_name, v1.c_acctbal
+        FROM v1 LEFT JOIN v0 USING (c_custkey) WHERE v0.c_custkey IS NULL
+        UNION ALL
+        SELECT 'update', v1.c_custkey, v1.c_name, v1.c_acctbal
+        FROM v1 JOIN v0 USING (c_custkey)
+        WHERE v1.c_name <> v0.c_name OR v1.c_acctbal <> v0.c_acctbal
+           OR v1.c_mktsegment <> v0.c_mktsegment
+    ),
+    d12 AS (
+        SELECT 'delete' AS change_type, v1.c_custkey, v1.c_name, v1.c_acctbal
+        FROM v1 LEFT JOIN v2 USING (c_custkey) WHERE v2.c_custkey IS NULL
+        UNION ALL
+        SELECT 'insert', v2.c_custkey, v2.c_name, v2.c_acctbal
+        FROM v2 LEFT JOIN v1 USING (c_custkey) WHERE v1.c_custkey IS NULL
+        UNION ALL
+        SELECT 'update', v2.c_custkey, v2.c_name, v2.c_acctbal
+        FROM v2 JOIN v1 USING (c_custkey)
+        WHERE v2.c_name <> v1.c_name OR v2.c_acctbal <> v1.c_acctbal
+           OR v2.c_mktsegment <> v1.c_mktsegment
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version, * FROM d01
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS commit_version, * FROM d12
+    """,
+)
+def cdc_feed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed across EVERY commit of a TxTable: one typed change
+    row (insert/update/delete) per key per commit, stamped with the commit
+    version — what `readChangeFeed` gives on Delta, reconstructed from the
+    transaction log's snapshots. Extends delta_version_diff (one end-to-end
+    span) to the per-commit granularity a downstream incremental consumer
+    replays.
+
+    Scale shape: each commit's diff is a key-colocated compare of two
+    ADJACENT snapshots — two anti-joins + one inner join per commit, all
+    shuffle-on-key; version file lists prune each side's scan to that
+    snapshot's files. The loop over versions is a driver loop over the
+    MANIFEST (a few log entries), never over data.
+    """
+    from ..plans.acid import TxTable
+
+    t = TxTable.create(spark, _tx_table_path(), _tx_base(spark, sf_dir))
+    t.merge(_tx_source(spark, sf_dir), "c_custkey")
+    t.delete_range("c_custkey", _DIFF_DEL_LO, _DIFF_DEL_HI)
+
+    feeds = []
+    for v in t.versions()[1:]:
+        old = t.read(v - 1).alias("o")
+        new = t.read(v).alias("n")
+        key = F.col("o.c_custkey") == F.col("n.c_custkey")
+        deletes = old.join(new, key, "left_anti").select(
+            F.lit(v).cast("long").alias("commit_version"),
+            F.lit("delete").alias("change_type"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+        )
+        inserts = new.join(old, key, "left_anti").select(
+            F.lit(v).cast("long").alias("commit_version"),
+            F.lit("insert").alias("change_type"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+        )
+        updates = (
+            new.join(old, "c_custkey")
+            .filter(
+                (F.col("n.c_name") != F.col("o.c_name"))
+                | (F.col("n.c_acctbal") != F.col("o.c_acctbal"))
+                | (F.col("n.c_mktsegment") != F.col("o.c_mktsegment"))
+            )
+            .select(
+                F.lit(v).cast("long").alias("commit_version"),
+                F.lit("update").alias("change_type"),
+                "c_custkey",
+                F.col("n.c_name").alias("c_name"),
+                F.col("n.c_acctbal").alias("c_acctbal"),
+            )
+        )
+        feeds.append(deletes.unionByName(inserts).unionByName(updates))
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# -- point-in-time join against the SCD2 history ------------------------------
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, ROUND(value, 4) AS state_value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   AS valid_to_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           h.state_value, h.valid_from_us
+    FROM events e JOIN hist h
+      ON e.user_id = h.user_id
+     AND epoch_us(e.ts) >= h.valid_from_us
+     AND (h.valid_to_us IS NULL OR epoch_us(e.ts) < h.valid_to_us)
+    WHERE e.event_type = 'view'
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: each view event picks up the SCD2 state
+    row valid AT ITS TIMESTAMP (valid_from <= ts < valid_to, open-ended
+    current row) — the temporal-correctness join every feature store and
+    audit query needs; a plain "latest value" join silently leaks the
+    future.
+
+    Scale shape: equi-join on user_id (one key-colocated shuffle) with the
+    interval predicate applied inside the joined partition — per-user
+    history versions are few, so the intermediate stays near-linear. For
+    pathologically long histories the union-merge asof form
+    (join_asof_prev_view) is the fallback; the PIT semantics here are the
+    oracle both must agree on.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_intervals(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", "ts", ["value"]
+    ).select(
+        F.col("user_id").alias("h_user_id"),
+        F.round("value", 4).alias("state_value"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return (
+        views.join(
+            hist,
+            (F.col("user_id") == F.col("h_user_id"))
+            & (F.col("ts_us") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        )
+        .select("event_id", "user_id", "ts_us", "state_value", "valid_from_us")
+    )

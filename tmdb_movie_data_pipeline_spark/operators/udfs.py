@@ -385,3 +385,72 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t_docs_poly d, LATERAL split_fixed(d.text, {_POLY_N}) s
         """
     )
+
+
+# -- Spark 4 UDTF with TABLE argument (PARTITION BY / ORDER BY) ---------------
+
+
+@register(
+    "udtf_table_arg_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                AS n_events,
+           CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+    FROM seq GROUP BY 1
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF consuming a TABLE argument with PARTITION BY/ORDER BY:
+    per-user largest inter-event gap computed by a stateful per-partition
+    accumulator (``__init__``/``eval``/``terminate``) — the API for custom
+    per-group sequential logic when a window expression can't express the
+    state machine (here it can, which is exactly what lets the oracle
+    pin the UDTF contract: partition isolation, order delivery, terminate
+    emission).
+
+    Scale: the TABLE argument's PARTITION BY is a plain hash Exchange;
+    state is O(1) per partition key. Python crossing is Arrow-batched; a
+    production hot path would prefer the pure-window form (left as the
+    oracle) — registered to pin the API surface, per the builtins-first
+    policy.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class UserGaps:
+        def __init__(self):
+            self._user = None
+            self._prev = None
+            self._n = 0
+            self._max = 0
+
+        def eval(self, row):
+            self._user = row["user_id"]
+            t = row["ts_us"]
+            if self._prev is not None and t - self._prev > self._max:
+                self._max = t - self._prev
+            self._prev = t
+            self._n += 1
+
+        def terminate(self):
+            if self._user is not None:
+                yield self._user, self._n, self._max
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("t_events_gaps")
+    spark.udtf.register("user_gaps", UserGaps)
+    return spark.sql(
+        """
+        SELECT user_id, n_events, max_gap_us
+        FROM user_gaps(
+            TABLE(SELECT user_id, unix_micros(ts) AS ts_us, event_id
+                  FROM t_events_gaps)
+            PARTITION BY user_id ORDER BY (ts_us, event_id)
+        )
+        """
+    )
