@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "ml_knn_classify",
     "agg_rfm_segmentation",
     "text_bm25_topk",
+    # r6 session-2 additions: heaviest of the newest operators — interval
+    # coalescing, spatial bucketing, bigram LM, per-commit CDF, PIT join
+    "events_interval_merge",
+    "join_spatial_grid",
+    "text_bigram_lm",
+    "delta_cdc_feed_commits",
+    "join_scd2_point_in_time",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -93,6 +100,9 @@ COPY_FILES = 16
 #: only the snapshot read) — these must be rebuilt inside the timed region.
 REBUILD_PER_RUN = {
     "delta_merge_upsert_read",
+    # builds its TxTable (create+merge+delete commits) in the builder — the
+    # transactional work must sit inside the timed region, like the MERGE
+    "delta_cdc_feed_commits",
     # the streaming join runs its micro-batches to completion inside the
     # builder (_run_to_completion); the returned frame is just the sink
     # read — the measured work must happen inside the timed region.

@@ -408,3 +408,67 @@ def test_bitmap_distinct_stays_jvm_side(spark, sf_dir):
     plan = _plan(all_queries()["agg_bitmap_distinct"](spark, sf_dir))
     assert "bit_or" in plan and "bit_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_lm_is_map_only_extraction(spark, sf_dir):
+    plan = _plan(all_queries()["text_bigram_lm"](spark, sf_dir))
+    # bigrams come from slice+zip of the token array (map-only): exactly two
+    # Exchanges may exist — the (w1,w2) count shuffle and the w1 window —
+    # and no join/posexplode-driven doc_id shuffle
+    assert _nodes(plan, "Exchange") == 2, plan
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "HashAggregate") >= 2  # partial+final bigram count
+
+
+def test_spatial_grid_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = _plan(all_queries()["join_spatial_grid"](spark, sf_dir))
+    # the distance predicate must ride an EQUI join on the grid cells —
+    # never a nested-loop/cartesian all-pairs compare
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        _nodes(plan, "BroadcastHashJoin") + _nodes(plan, "SortMergeJoin")
+        + _nodes(plan, "ShuffledHashJoin") == 1
+    ), plan
+
+
+def test_sequence_trigrams_topn_is_heap_not_global_sort(spark, sf_dir):
+    plan = _plan(all_queries()["events_sequence_trigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-N, not Sort+Limit
+
+
+def test_rank_statistics_windows_are_bucket_partitioned(spark, sf_dir):
+    # Mann–Whitney + KS: every window over per-VALUE frames must be
+    # partitioned by the histogram bucket; only the tiny bucket-histogram
+    # prefix-sum may run unpartitioned (same contract as RFM's pin)
+    for name in ("stats_mann_whitney", "stats_ks_test"):
+        plan = _plan(all_queries()[name](spark, sf_dir))
+        specs = re.findall(r"windowspecdefinition\((v#\d+L)?[^)]*?\)", plan)
+        # count windows partitioned by _b vs unpartitioned: the local
+        # (per-bucket) cumsum carries "_b#" in its partition spec
+        parted = re.findall(r"windowspecdefinition\(_b#\d+L", plan)
+        assert len(parted) >= 1, plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_pareto_customer_windows_are_bucket_partitioned(spark, sf_dir):
+    plan = _plan(all_queries()["agg_pareto_contribution"](spark, sf_dir))
+    # customer-scale cumsum and rank both run inside the _b partitioning
+    parted = re.findall(r"windowspecdefinition\(_b#\d+L", plan)
+    assert len(parted) >= 2, plan
+
+
+def test_interval_merge_single_exchange(spark, sf_dir):
+    plan = _plan(all_queries()["events_interval_merge"](spark, sf_dir))
+    # running-max flag, group cumsum and the final rollup all share the
+    # user_id partitioning: exactly one Exchange
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_cumulative_distinct_two_bounded_exchanges(spark, sf_dir):
+    plan = _plan(all_queries()["events_cumulative_distinct"](spark, sf_dir))
+    # (user,type) first-seen window, then (user) running sum: exactly two
+    # hash Exchanges, O(1) state each — and never a per-row collected set
+    assert _nodes(plan, "Exchange") == 2, plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1094,10 +1094,11 @@ def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT event_type) per user over time — the window
     SQL forbids (no DISTINCT in a running frame), decomposed exactly:
     first-occurrence flag (row_number over (user,type)) -> running sum of
-    flags (window over user). Two windows, BOTH partitioned by user_id, so
-    Spark computes them inside one Exchange; no per-row set state exists
-    anywhere — the trick that makes "cumulative distinct" feasible at
-    billions of rows where a HashSet-per-user UDF would OOM.
+    flags (window over user). Two hash Exchanges — (user,type) then (user)
+    — each holding O(1) window state; no per-row set state exists anywhere,
+    the trick that makes "cumulative distinct" feasible at billions of rows
+    where a HashSet-per-user UDF (or a collect_list-over-window form, which
+    would shuffle once but materialize the running history per row) OOMs.
     """
     ev = load_table(spark, sf_dir, "events")
     w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
