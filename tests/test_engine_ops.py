@@ -443,3 +443,97 @@ class TestCdcChunking:
 
         assert cdc_chunk_spans(b"") == []
         assert cdc_chunk_spans(b"abc") == [(0, 3)]
+
+
+def test_interval_merge_output_is_disjoint_and_covering(spark, sf_dir):
+    """Merged intervals per user must be pairwise disjoint (strictly
+    separated — touching ones would have merged) and cover every source
+    interval's span."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["events_interval_merge"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_events = 0
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.merged_start_us)
+        for a, b in zip(rows, rows[1:]):
+            assert a.merged_end_us < b.merged_start_us, (
+                f"user {user}: intervals touch/overlap — should have merged"
+            )
+        n_events += sum(r.n_merged for r in rows)
+    ev_cnt = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
+    assert n_events == ev_cnt  # every event landed in exactly one interval
+
+
+def test_priority_sample_size_and_stability(spark, sf_dir):
+    """Per-stratum sample size is min(K, |stratum|) and the selected SET is
+    identical across runs/partitionings (the determinism the operator
+    exists for)."""
+    from tmdb_movie_data_pipeline_spark.operators.sampling import _PRI_K
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    run1 = {
+        (r.source, r.doc_id)
+        for r in all_queries()["sample_weighted_priority"](spark, sf_dir).collect()
+    }
+    run2 = {
+        (r.source, r.doc_id)
+        for r in all_queries()["sample_weighted_priority"](spark, sf_dir).collect()
+    }
+    assert run1 == run2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {
+        r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    import collections
+
+    per_stratum = collections.Counter(s for s, _ in run1)
+    for src, n in sizes.items():
+        assert per_stratum[src] == min(_PRI_K, n)
+
+
+def test_spatial_grid_join_finds_exactly_the_close_pairs(spark, sf_dir):
+    """Grid candidates lose nothing: brute-force over collected points
+    equals the operator's pair set (tiny at fixture scale)."""
+    from tmdb_movie_data_pipeline_spark.operators.spatial import (
+        _R2,
+        grid_points,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    pts = {
+        r.pkey: (r.x, r.y)
+        for r in grid_points(
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+        ).collect()
+    }
+    keys = sorted(pts)
+    expected = set()
+    for i, a in enumerate(keys):
+        ax, ay = pts[a]
+        for b in keys[i + 1 :]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= _R2:
+                expected.add((a, b))
+    got = {
+        (r.custkey_a, r.custkey_b)
+        for r in all_queries()["join_spatial_grid"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_join_cardinality_estimator_is_scaled_sample(spark, sf_dir):
+    """est = sampled * 16 by construction, and the exact count equals the
+    true join size computed independently."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["sketch_join_cardinality"](spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    true_n = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert row.exact_pairs == true_n
+    assert row.est_pairs % 16 == 0
