@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from ..registry import register
@@ -496,3 +497,100 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_u"))
+
+
+# -- semi-supervised label propagation over the duplicate graph ---------------
+
+_LP_ITERS = 3  # fixed rounds (deterministic row SET for the hash gate)
+_LP_SEED_MOD = 4  # doc_id % MOD == 0 keeps its ground-truth lang as the seed
+
+
+def _lp_oracle() -> str:
+    """Unrolled label-propagation oracle: per-round majority vote cannot sit
+    in a recursive CTE leg (aggregation restriction — same constraint as
+    PageRank), so the fixed rounds chain as CTEs, each the identical
+    neighbor-vote argmax the Spark loop runs."""
+    parts = [
+        f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    seeds AS (
+        SELECT d.doc_id AS v, d.lang AS lab
+        FROM documents d JOIN verts ON verts.v = d.doc_id
+        WHERE d.doc_id % {_LP_SEED_MOD} = 0
+    ),
+    lp0 AS (SELECT v, lab FROM seeds)"""
+    ]
+    for k in range(_LP_ITERS):
+        parts.append(
+            f""",
+    lp{k + 1} AS (
+        SELECT v, lab FROM (
+            SELECT e.dst AS v, l.lab,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM edges e
+            JOIN lp{k} l ON l.v = e.src
+            WHERE e.dst NOT IN (SELECT v FROM seeds)
+            GROUP BY e.dst, l.lab
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT v, lab FROM seeds
+    )"""
+        )
+    parts.append(f"""
+    SELECT v AS doc_id, lab AS label FROM lp{_LP_ITERS}""")
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lp_oracle())
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the MinHash duplicate graph:
+    seed vertices (doc_id % {_LP_SEED_MOD} == 0) keep their ground-truth
+    lang; every other vertex takes the MAJORITY label of its currently
+    labeled neighbors each round (tie -> lexicographically smallest
+    label), for {_LP_ITERS} fixed rounds — the classic community/label
+    inference kernel, and the deterministic variant of LPA (random-order
+    LPA is unreproducible by construction; synchronous argmax with a total
+    tie order makes the fixture hash-checkable).
+
+    Scale shape: per round ONE |E|-bounded equi-join (edges x current
+    labels) + a grouped count + a per-dst argmax window — all keyed
+    shuffles, localCheckpoint keeps lineage flat, same contract as
+    :func:`pagerank`. Unlabeled vertices simply don't appear in the label
+    relation, so sparse early rounds cost less, not more.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+    )
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = (
+        docs.join(verts, docs["doc_id"] == verts["v"])
+        .filter(F.col("doc_id") % _LP_SEED_MOD == 0)
+        .select(F.col("doc_id").alias("v"), F.col("lang").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    labels = seeds
+    w_vote = W.partitionBy("dst").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LP_ITERS):
+        votes = (
+            sym.join(labels, sym["src"] == labels["v"])
+            .join(seeds.select(F.col("v").alias("dst")), "dst", "left_anti")
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w_vote))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("v"), "lab")
+        )
+        labels = votes.unionByName(seeds).localCheckpoint(eager=True)
+    return labels.select(F.col("v").alias("doc_id"), F.col("lab").alias("label"))

@@ -578,9 +578,7 @@ _KNN_HOLDOUT_MOD = 10  # vec_id % MOD == _KNN_HOLDOUT_REM is the eval slice
 _KNN_HOLDOUT_REM = 7
 
 
-@register(
-    "ml_knn_classify",
-    oracle=f"""
+_KNN_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
         FROM embeddings
@@ -618,8 +616,10 @@ _KNN_HOLDOUT_REM = 7
            CAST(nbr_label AS BIGINT) AS pred_label, n_votes,
            CASE WHEN nbr_label = true_label THEN 1 ELSE 0 END AS correct
     FROM pick WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("ml_knn_classify", oracle=_KNN_ORACLE)
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label classification of a held-out slice (vec_id %
     {_KNN_HOLDOUT_MOD} == {_KNN_HOLDOUT_REM}) against the rest of the
@@ -674,5 +674,50 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("nbr_label") == F.col("true_label"), 1)
             .otherwise(0)
             .alias("correct"),
+        )
+    )
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH preds AS ({_KNN_ORACLE}),
+    cells AS (
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM preds GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+    SELECT true_label, pred_label, n,
+           (1000000 * n) // n_total AS share_ppm,
+           CASE WHEN true_label = pred_label THEN 1 ELSE 0 END AS on_diagonal
+    FROM cells CROSS JOIN tot
+    """,
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the k-NN classifier (ml_knn_classify): per
+    (true, predicted) cell counts with exact integer-ppm shares and the
+    diagonal flag — the standard eval artifact a model-quality dashboard
+    aggregates further (accuracy = sum of diagonal shares).
+
+    Shape: the classifier output collapses to |labels|^2 cells (partial
+    agg); the 1-row total broadcasts. Evaluation cost is dominated by the
+    classifier itself — the matrix adds one tiny aggregate, which is the
+    point of registering it: eval plumbing should be free.
+    """
+    preds = knn_classify(spark, sf_dir)
+    cells = preds.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.expr("(1000000 * n) div n_total").alias("share_ppm"),
+            F.when(F.col("true_label") == F.col("pred_label"), 1)
+            .otherwise(0)
+            .alias("on_diagonal"),
         )
     )
