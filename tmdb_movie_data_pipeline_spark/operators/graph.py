@@ -571,6 +571,9 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
+        # materialize ONCE: without this every vote round re-runs the whole
+        # MinHash pipeline upstream (same contract as pagerank's contrib)
+        .localCheckpoint(eager=True)
     )
     verts = sym.select(F.col("src").alias("v")).distinct()
     docs = load_table(spark, sf_dir, "documents")
