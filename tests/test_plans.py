@@ -443,11 +443,18 @@ def test_rank_statistics_windows_are_bucket_partitioned(spark, sf_dir):
     # prefix-sum may run unpartitioned (same contract as RFM's pin)
     for name in ("stats_mann_whitney", "stats_ks_test"):
         plan = _plan(all_queries()[name](spark, sf_dir))
-        specs = re.findall(r"windowspecdefinition\((v#\d+L)?[^)]*?\)", plan)
-        # count windows partitioned by _b vs unpartitioned: the local
-        # (per-bucket) cumsum carries "_b#" in its partition spec
-        parted = re.findall(r"windowspecdefinition\(_b#\d+L", plan)
-        assert len(parted) >= 1, plan
+        specs = re.findall(r"windowspecdefinition\((\S+ ?\S*?),", plan)
+        assert specs, plan
+        for first_arg in specs:
+            # every window must either be PARTITIONED by the bucket
+            # ("_b#NL," first) or be the histogram prefix-sum itself
+            # (unpartitioned, ORDERED by _b: "_b#NL ASC" first) — an
+            # unpartitioned window over per-value rows fails here
+            assert re.match(r"_b#\d+L( ASC)?$", first_arg.rstrip(",")), (
+                name,
+                first_arg,
+                plan,
+            )
         assert "BatchEvalPython" not in plan
 
 

@@ -1,5 +1,6 @@
 """Expression helpers shared across operators."""
 
+from .diststat import bucket_offsets
 from .numeric import (
     MONEY_SCALE,
     PRICE_SCALE,
@@ -19,6 +20,7 @@ from .numeric import (
 
 __all__ = [
     "MONEY_SCALE",
+    "bucket_offsets",
     "PRICE_SCALE",
     "UNIT_SCALE",
     "quantize",

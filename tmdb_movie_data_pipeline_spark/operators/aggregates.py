@@ -21,6 +21,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import (
     MONEY_SCALE,
+    bucket_offsets,
     PRICE_SCALE,
     UNIT_SCALE,
     qavg,
@@ -800,15 +801,9 @@ def pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = rev.agg(F.sum("revenue_cents").alias("total_cents"))
     b = rev.withColumn("_b", F.expr(f"revenue_cents div {_PARETO_BUCKET}"))
-    hist = b.groupBy("_b").agg(
-        F.sum("revenue_cents").alias("_bsum"), F.count(F.lit(1)).alias("_bcnt")
-    )
     # offsets over the tiny histogram, in DESCENDING bucket order
-    w_hist = W.orderBy(F.desc("_b")).rowsBetween(W.unboundedPreceding, -1)
-    off = hist.select(
-        "_b",
-        F.coalesce(F.sum("_bsum").over(w_hist), F.lit(0)).alias("_off_sum"),
-        F.coalesce(F.sum("_bcnt").over(w_hist), F.lit(0)).alias("_off_cnt"),
+    off = bucket_offsets(
+        b, "_b", {"sum": F.col("revenue_cents"), "cnt": F.lit(1)}, descending=True
     )
     w_loc = W.partitionBy("_b").orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
     ranked = (
@@ -890,16 +885,13 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == _MW_G1, 1).otherwise(0)).alias("n1_v"),
     )
     b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
-    hist = b.groupBy("_b").agg(F.sum("cnt").alias("_bc"))
-    w_hist = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
-    off = hist.select(
-        "_b", F.coalesce(F.sum("_bc").over(w_hist), F.lit(0)).alias("_off")
-    )
+    off = bucket_offsets(b, "_b", {"c": F.col("cnt")})
     w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
     ranked = (
         b.join(F.broadcast(off), "_b")
         .withColumn(
-            "cum_below", F.col("_off") + F.coalesce(F.sum("cnt").over(w_loc), F.lit(0))
+            "cum_below",
+            F.col("_off_c") + F.coalesce(F.sum("cnt").over(w_loc), F.lit(0)),
         )
         .withColumn("ar2", 2 * F.col("cum_below") + F.col("cnt") + 1)
     )
@@ -971,22 +963,18 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == _MW_G1, 1).otherwise(0)).alias("n1_v"),
     )
     b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
-    hist = b.groupBy("_b").agg(
-        F.sum("n1_v").alias("_b1"), F.sum(F.col("cnt") - F.col("n1_v")).alias("_b2")
-    )
-    w_hist = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
-    off = hist.select(
+    off = bucket_offsets(
+        b,
         "_b",
-        F.coalesce(F.sum("_b1").over(w_hist), F.lit(0)).alias("_off1"),
-        F.coalesce(F.sum("_b2").over(w_hist), F.lit(0)).alias("_off2"),
+        {"c1": F.col("n1_v"), "c2": F.col("cnt") - F.col("n1_v")},
     )
     w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     c = (
         b.join(F.broadcast(off), "_b")
         .select(
-            (F.col("_off1") + F.sum("n1_v").over(w_loc)).alias("cum1"),
+            (F.col("_off_c1") + F.sum("n1_v").over(w_loc)).alias("cum1"),
             (
-                F.col("_off2") + F.sum(F.col("cnt") - F.col("n1_v")).over(w_loc)
+                F.col("_off_c2") + F.sum(F.col("cnt") - F.col("n1_v")).over(w_loc)
             ).alias("cum2"),
         )
     )

@@ -16,7 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import UNIT_SCALE, qavg, qavg_sql, qsum, qsum_sql, quantize, round4
+from ..functions import (
+    MONEY_SCALE,
+    UNIT_SCALE,
+    bucket_offsets,
+    qavg,
+    qavg_sql,
+    qsum,
+    qsum_sql,
+    quantize,
+    round4,
+)
 from ..io import load_table
 from ..registry import register
 
@@ -1005,7 +1015,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = tc.select(F.col("event_type").alias("ant"), F.col("n_t").alias("n_ant"))
     tb = tc.select(F.col("event_type").alias("cons"), F.col("n_t").alias("n_cons"))
-    conf = F.expr("(1000000 * n_both) div n_ant")
+    conf_sql = "(1000000 * n_both) div n_ant"  # single source for both stats
     return (
         pairs.join(F.broadcast(ta), "ant")
         .join(F.broadcast(tb), "cons")
@@ -1016,10 +1026,8 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             "n_ant",
             "n_cons",
-            conf.alias("conf_ppm"),
-            F.expr("(((1000000 * n_both) div n_ant) * n_users) div n_cons").alias(
-                "lift_ppm"
-            ),
+            F.expr(conf_sql).alias("conf_ppm"),
+            F.expr(f"(({conf_sql}) * n_users) div n_cons").alias("lift_ppm"),
         )
     )
 
@@ -1172,7 +1180,7 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(quantize(F.col("value"), 100)).alias("v"))
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
     w_ord = W.partitionBy("event_type").orderBy("day")
     w_all = W.partitionBy("event_type")
     seq = daily.select(
@@ -1269,20 +1277,19 @@ def funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("delta_us").alias("max_us"),
     )
     b = deltas.withColumn("_b", F.expr(f"delta_us div {_CVT_BUCKET_US}"))
-    hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-    w_hist = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
-    off = hist.select(
-        "_b", F.coalesce(F.sum("_c").over(w_hist), F.lit(0)).alias("_off")
-    )
+    off = bucket_offsets(b, "_b", {"c": F.lit(1)})
     w_loc = W.partitionBy("_b").orderBy("delta_us")
     ranked = b.join(F.broadcast(off), "_b").withColumn(
-        "_rank", F.col("_off") + F.row_number().over(w_loc)
+        "_rank", F.col("_off_c") + F.row_number().over(w_loc)
     )
     median = (
         ranked.crossJoin(F.broadcast(agg.select("n_users")))
         .filter(F.col("_rank") == F.expr("(n_users + 1) div 2"))
         .select(F.col("delta_us").alias("median_us"))
     )
-    return agg.crossJoin(F.broadcast(median)).select(
+    # LEFT join (not crossJoin): with zero conversions `median` is empty and
+    # a cross join would drop the summary row, while the oracle keeps one
+    # row with NULLs — the left join preserves that contract
+    return agg.join(F.broadcast(median), F.lit(True), "left").select(
         "n_users", "min_us", "max_us", "median_us"
     )

@@ -1113,7 +1113,7 @@ _JC_SCALE = 1 << _JC_SHIFT
     SELECT exact_pairs, sampled_keys,
            sampled_pairs * {_JC_SCALE} AS est_pairs,
            ((sampled_pairs * {_JC_SCALE} - exact_pairs) * 10000)
-               // exact_pairs AS err_bp
+               // NULLIF(exact_pairs, 0) AS err_bp
     FROM exact CROSS JOIN sampled
     """,
 )
@@ -1164,9 +1164,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_pairs",
             "sampled_keys",
             (F.col("sampled_pairs") * _JC_SCALE).alias("est_pairs"),
+            # NULLIF on both sides: an empty join must yield a NULL error,
+            # not an ANSI DIVIDE_BY_ZERO (Spark 4 default) vs NULL (DuckDB)
+            # divergence
             F.expr(
                 f"((sampled_pairs * {_JC_SCALE} - exact_pairs) * 10000)"
-                " div exact_pairs"
+                " div nullif(exact_pairs, 0)"
             ).alias("err_bp"),
         )
     )

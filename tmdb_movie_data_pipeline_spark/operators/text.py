@@ -539,12 +539,15 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list), the retrieval-side dual of text_bm25_topk's scoring.
 
     Shape: explode to (doc, term), distinct (the partial-aggregable dedup
-    of within-doc repeats), one groupBy term. The posting ARRAY is capped
-    at the {_IDX_CAP} smallest doc_ids — at corpus scale unbounded
-    collect_list per term is exactly the skew-amplified OOM a stop word
-    triggers, so the cap plus the RELATIVE df ceiling (4·n_docs/5, a 1-row
-    broadcast) bound every group's state; a production index would shard postings into fixed-size
-    segment rows the same way. Tokenization is the module's shared
+    of within-doc repeats); df is a plain count (O(1) agg state). The
+    posting ARRAY is built only from rows surviving a per-term
+    row_number <= {_IDX_CAP} pre-rank — the rank window runs a spill-safe
+    streamed sort, so the collect_set downstream of it holds at most
+    {_IDX_CAP} ids per term and NO aggregation buffer is ever
+    stop-word-sized (a bare collect_set-then-slice would materialize the
+    full posting set per term before capping — the exact skew OOM this
+    avoids). The RELATIVE df ceiling (4·n_docs/5, a 1-row broadcast) then
+    drops near-universal terms. Tokenization is the module's shared
     normalized-whitespace contract, so the oracle pins edge cases.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -558,17 +561,19 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({_IDX_MAX_DF_NUM} * count(*)) div {_IDX_MAX_DF_DEN}"
         ).alias("_max_df")
     )
+    df_tbl = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_cap = W.partitionBy("term").orderBy("doc_id")
+    capped = pairs.withColumn("_rk", F.row_number().over(w_cap)).filter(
+        F.col("_rk") <= _IDX_CAP
+    )
+    postings = capped.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    )
     return (
-        pairs.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, _IDX_CAP).alias(
-                "postings"
-            ),
-        )
+        df_tbl.join(postings, "term")
         .crossJoin(F.broadcast(max_df))
         .filter(F.col("df").between(_IDX_MIN_DF, F.col("_max_df")))
-        .drop("_max_df")
+        .select("term", "df", "postings")
     )
 
 

@@ -43,23 +43,43 @@ class Scd2Apply:
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
-        self.version = -1
 
-    def state(self) -> DataFrame:
-        if self.version < 0:
+    def _versions(self) -> list[int]:
+        """Committed state versions, recovered from disk — NOT an in-memory
+        counter: on query restart the checkpointed file source skips
+        already-processed batches, and the state must still be there."""
+        if not os.path.isdir(self.state_dir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def state(self, before: int | None = None) -> DataFrame:
+        vs = self._versions()
+        if before is not None:
+            vs = [v for v in vs if v < before]
+        if not vs:
             return self.spark.createDataFrame([], self._SCHEMA)
         return self.spark.read.parquet(
-            os.path.join(self.state_dir, f"v{self.version}")
+            os.path.join(self.state_dir, f"v{vs[-1]}")
         )
 
     def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+        # Idempotent under foreachBatch's at-least-once contract: the
+        # output dir is keyed by epoch_id, and the base state is the
+        # latest version STRICTLY BELOW this epoch — a redelivered batch
+        # recomputes from the same base and overwrites the same dir,
+        # instead of applying itself twice on top of its own output.
+        epoch = int(epoch_id)
         inc = scd2_intervals(batch, "user_id", "ts", ["value"]).select(
             "user_id", "value", "valid_from", "valid_to", "is_current"
         )
         first_inc = inc.groupBy("user_id").agg(
             F.min("valid_from").alias("_t_first")
         )
-        state = self.state()
+        state = self.state(before=epoch)
         closed_or_kept = (
             state.filter(F.col("is_current"))
             .join(first_inc, "user_id", "left")
@@ -77,11 +97,9 @@ class Scd2Apply:
             .unionByName(closed_or_kept)
             .unionByName(inc)
         )
-        next_v = self.version + 1
         new_state.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"v{next_v}")
+            os.path.join(self.state_dir, f"v{epoch}")
         )
-        self.version = next_v
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (
