@@ -290,3 +290,36 @@ def test_incremental_dedup_driven_by_stream(spark, tmp_path):
     got = {r.doc_id for r in ded.admitted().collect()}
     assert 1 in got and 3 in got
     assert 2 not in got  # duplicate arriving in a later micro-batch rejected
+
+
+def test_scd2_apply_redelivery_and_restart_are_safe(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-processing the same epoch must not
+    duplicate history, and a fresh instance over the same state dir must
+    recover the committed state (checkpoint-restart survival)."""
+    from tmdb_movie_data_pipeline_spark.streaming.scd2_apply import Scd2Apply
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    # sf0.001 spans a single month — split at mid-month so two time-ordered
+    # batches exist (the registered query uses month batches at sf0.01)
+    batches = [
+        ev.filter(F.dayofmonth("ts") < 15),
+        ev.filter(F.dayofmonth("ts") >= 15),
+    ]
+    assert all(b.count() > 0 for b in batches)
+    store = Scd2Apply(spark, str(tmp_path / "state"))
+    store.process_batch(batches[0], 0)
+    store.process_batch(batches[1], 1)
+
+    def snap(s):
+        return sorted(map(tuple, s.state().collect()))
+
+    committed = snap(store)
+    store.process_batch(batches[1], 1)  # redelivered epoch
+    assert snap(store) == committed, "redelivery duplicated history"
+
+    recovered = Scd2Apply(spark, str(tmp_path / "state"))  # restart
+    assert snap(recovered) == committed, "restart lost committed state"
