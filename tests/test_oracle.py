@@ -15,7 +15,12 @@ import duckdb
 import pandas as pd
 import pytest
 
-from tmdb_movie_data_pipeline_spark.registry import all_oracles, all_queries
+from tmdb_movie_data_pipeline_spark.registry import (
+    all_oracles,
+    all_queries,
+    deferred_oracles,
+    deferred_queries,
+)
 from tmdb_movie_data_pipeline_spark.schemas import TESTDATA_TABLES
 
 
@@ -64,8 +69,10 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(out)
 
 
-QUERIES = all_queries()
-ORACLES = all_oracles()
+# deferred (next-round queue) entries face the IDENTICAL local gate —
+# deferral only changes when the driver sees them
+QUERIES = {**all_queries(), **deferred_queries()}
+ORACLES = {**all_oracles(), **deferred_oracles()}
 
 
 #: entries that legitimately take the driver's weaker rows-only check —
@@ -74,6 +81,13 @@ ORACLES = all_oracles()
 ORACLE_EXEMPT: set[str] = set()
 # (empty since r6: the CDC chunker's fixed-window rewrite made its boundary
 # rule SQL-expressible, so the last rows-only exemption was retired)
+
+
+def test_deferred_names_do_not_reach_the_driver():
+    from tmdb_movie_data_pipeline_spark.registry import verification_order
+
+    leaked = set(deferred_queries()) & set(verification_order())
+    assert not leaked, f"deferred queries leaked into the driver order: {leaked}"
 
 
 def test_every_query_has_an_oracle():

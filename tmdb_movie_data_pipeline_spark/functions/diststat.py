@@ -33,22 +33,29 @@ def bucket_offsets(
     sums: dict[str, Column],
     *,
     descending: bool = False,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Exclusive cross-bucket prefix sums over the bucket histogram.
 
-    Returns one row per distinct ``bucket_col`` value with a column
-    ``_off_<name>`` per entry of ``sums``: the total of that expression
-    over all STRICTLY earlier buckets (in ascending order, or descending
-    with ``descending=True``), 0 for the first bucket. Broadcast-join the
-    result back on ``bucket_col`` and add bucket-local running values to
-    get exact global ones.
+    Returns one row per distinct (``partition_by``..., ``bucket_col``)
+    value with a column ``_off_<name>`` per entry of ``sums``: the total
+    of that expression over all STRICTLY earlier buckets of the same
+    partition (ascending order, or descending with ``descending=True``),
+    0 for the first bucket. Broadcast-join the result back and add
+    bucket-local running values to get exact global (or per-group) ones.
+
+    With ``partition_by`` the offsets window itself is partitioned —
+    GROUPED order statistics then contain no unpartitioned window at all.
     """
-    hist = frame.groupBy(bucket_col).agg(
+    parts = list(partition_by or [])
+    hist = frame.groupBy(*parts, bucket_col).agg(
         *[F.sum(c).alias(f"_h_{n}") for n, c in sums.items()]
     )
     order = F.desc(bucket_col) if descending else F.asc(bucket_col)
-    w = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+    base = W.partitionBy(*parts) if parts else W
+    w = base.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
     return hist.select(
+        *parts,
         bucket_col,
         *[
             F.coalesce(F.sum(f"_h_{n}").over(w), F.lit(0)).alias(f"_off_{n}")

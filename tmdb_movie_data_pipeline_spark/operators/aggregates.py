@@ -993,3 +993,152 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_num")
         )
     )
+
+
+# -- deferred r7 queue: grouped median, MAD outlier scale, grouped mode -------
+
+
+@register(
+    "agg_grouped_median",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), ranked AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           v AS median_cents
+    FROM ranked WHERE rk = (n + 1) // 2
+    """,
+    deferred=True,
+)
+def grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group (lower) median — the GROUPED order statistic. With
+    ``bucket_offsets(partition_by=[group])`` the offsets window itself is
+    partitioned, so unlike the global median there is NO unpartitioned
+    window anywhere in the plan: per-(group, bucket) histogram, per-group
+    offset prefix sums, bucket-local ranks. The oracle sorts within each
+    partition; the engine never materializes a per-group sort of the raw
+    rows — medians over billions of rows per group at a shuffle of
+    histogram size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", quantize(F.col("value"), MONEY_SCALE).alias("v")
+    )
+    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    off = bucket_offsets(
+        b, "_b", {"c": F.lit(1)}, partition_by=["event_type"]
+    )
+    tot = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_loc = W.partitionBy("event_type", "_b").orderBy("v")
+    ranked = b.join(F.broadcast(off), ["event_type", "_b"]).withColumn(
+        "_rk", F.col("_off_c") + F.row_number().over(w_loc)
+    )
+    return (
+        ranked.join(F.broadcast(tot), "event_type")
+        .filter(F.col("_rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", "n", F.col("v").alias("median_cents"))
+    )
+
+
+@register(
+    "agg_median_abs_deviation",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), med AS (
+        SELECT v AS m FROM s ORDER BY v
+        LIMIT 1 OFFSET ((SELECT (COUNT(*) + 1) // 2 FROM s) - 1)
+    ), dev AS (
+        SELECT ABS(v - m) AS d FROM s CROSS JOIN med
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s)  AS n,
+           (SELECT m FROM med)                       AS median_cents,
+           (SELECT d FROM dev ORDER BY d
+            LIMIT 1 OFFSET ((SELECT (COUNT(*) + 1) // 2 FROM dev) - 1))
+                                                     AS mad_cents
+    """,
+    deferred=True,
+)
+def median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust scale estimate behind
+    outlier fences that survive the heavy tails a stddev fence doesn't
+    (one whale order shifts a z-score cutoff; it moves the MAD barely).
+    Two chained exact order statistics: median of v, then median of
+    |v − median|, both via the histogram-offset recipe (bucket_offsets),
+    the second after broadcasting the 1-row first — no sort of the
+    population at either stage. All integer cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(quantize(F.col("value"), MONEY_SCALE).alias("v"))
+
+    def order_stat(frame: DataFrame, col: str):
+        """(value at rank (n+1) div 2, n) as a 1-row broadcastable frame."""
+        b = frame.withColumn("_b", F.expr(f"{col} div {_MW_BUCKET}"))
+        off = bucket_offsets(b, "_b", {"c": F.lit(1)})
+        n1 = frame.agg(F.count(F.lit(1)).alias("_n"))
+        w_loc = W.partitionBy("_b").orderBy(col)
+        return (
+            b.join(F.broadcast(off), "_b")
+            .withColumn("_rk", F.col("_off_c") + F.row_number().over(w_loc))
+            .crossJoin(F.broadcast(n1))
+            .filter(F.col("_rk") == F.expr("(_n + 1) div 2"))
+            .select(F.col(col).alias("_stat"), F.col("_n"))
+        )
+
+    med = order_stat(s, "v").select(
+        F.col("_stat").alias("median_cents"), F.col("_n").alias("n")
+    )
+    dev = s.crossJoin(F.broadcast(med.select("median_cents"))).select(
+        F.abs(F.col("v") - F.col("median_cents")).alias("d")
+    )
+    mad = order_stat(dev, "d").select(F.col("_stat").alias("mad_cents"))
+    return med.crossJoin(F.broadcast(mad)).select("n", "median_cents", "mad_cents")
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment, o.o_orderpriority
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cnt AS (
+        SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority) AS rk
+        FROM cnt
+    ) WHERE rk = 1
+    """,
+    deferred=True,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent order priority per market
+    segment, tie -> lexicographically smallest) — the categorical
+    counterpart of the grouped median. Counting collapses the join output
+    to |segments|·|priorities| rows before the argmax window, so the
+    window runs over a frame the size of the category product, never the
+    data. The dimension join broadcasts the customer side's two columns.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )

@@ -514,3 +514,82 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+# -- containment similarity (asymmetric overlap) — deferred r7 queue ----------
+
+_CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), shingled AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM toked
+    ), exploded AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled
+    )
+    SELECT doc_a, doc_b, inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           (1000000 * inter) // LEAST(sa.n_sh, sb.n_sh) AS containment_ppm
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (1000000 * inter) // LEAST(sa.n_sh, sb.n_sh) >= {_CONTAIN_MIN_PPM}
+    """,
+    deferred=True,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity C(A,B) = |A∩B| / min(|A|,|B|) over shingle
+    sets — the ASYMMETRIC near-dup metric: a short document fully embedded
+    in a long one scores ~1.0 here while its Jaccard stays tiny (the union
+    is dominated by the long side). Clone- and quote-detection in corpus
+    prep need exactly this; dedup_ngram_jaccard cannot see it.
+
+    Same candidate-bounded shape as the Jaccard verifier (shingle
+    equi-join, never all-pairs; at scale it runs after MinHash banding);
+    containment reported as exact integer ppm, so no IEEE division exists
+    at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingled.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment_ppm", F.expr("(1000000 * inter) div least(n_a, n_b)")
+        )
+        .filter(F.col("containment_ppm") >= _CONTAIN_MIN_PPM)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "containment_ppm")
+    )

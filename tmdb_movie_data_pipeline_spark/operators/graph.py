@@ -597,3 +597,89 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = votes.unionByName(seeds).localCheckpoint(eager=True)
     return labels.select(F.col("v").alias("doc_id"), F.col("lab").alias("label"))
+
+
+# -- k-core peeling — deferred r7 queue ---------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4  # fixed synchronous peel rounds (deterministic row set)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling oracle: round r+1 keeps the vertices whose degree
+    among round-r survivors is >= k — the same synchronous rule the Spark
+    loop applies. Fixed rounds (not to-convergence) keep both engines on
+    the identical row set even on graphs that would need more peels."""
+    parts = [
+        f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    s0 AS (SELECT DISTINCT src AS v FROM edges)"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+    s{r + 1} AS (
+        SELECT e.src AS v
+        FROM edges e
+        JOIN s{r} a ON a.v = e.src
+        JOIN s{r} b ON b.v = e.dst
+        GROUP BY e.src
+        HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+    parts.append(f""",
+    final_deg AS (
+        SELECT e.src AS v, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM edges e
+        JOIN s{_KCORE_ROUNDS} a ON a.v = e.src
+        JOIN s{_KCORE_ROUNDS} b ON b.v = e.dst
+        GROUP BY e.src
+    )
+    SELECT v AS doc_id, core_degree FROM final_deg""")
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), deferred=True)
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core peeling over the duplicate graph: {_KCORE_ROUNDS}
+    synchronous rounds of "drop every vertex with fewer than {_KCORE_K}
+    surviving neighbors", then report each survivor's within-core degree —
+    the densest-region extractor used to find pathological duplication
+    hubs (a near-dup CLUSTER shows up as a core; a chain doesn't).
+
+    Scale contract matches pagerank/label_propagation: each round is one
+    |E|-bounded double semi-join + grouped count (keyed shuffles only),
+    the edge list is materialized once, and the fixed round count keeps
+    the output row SET deterministic for the hash gate (synchronous
+    peeling, unlike arbitrary-order peeling, is engine-order independent).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("src").alias("v")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            sym.join(alive.withColumnRenamed("v", "src"), "src")
+            .join(alive.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= _KCORE_K)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.join(alive.withColumnRenamed("v", "src"), "src")
+        .join(alive.withColumnRenamed("v", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("doc_id"), "core_degree")
+    )
