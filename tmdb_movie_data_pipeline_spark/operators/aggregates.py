@@ -1142,3 +1142,60 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n"
         )
     )
+
+
+_QUARTILE_PCTS = (25, 50, 75)
+
+
+@register(
+    "agg_grouped_quartiles",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), ranked AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM s
+    ), pcts AS (SELECT UNNEST([{", ".join(map(str, _QUARTILE_PCTS))}]) AS pct)
+    SELECT event_type, CAST(pct AS BIGINT) AS pct,
+           CAST(n AS BIGINT) AS n, v AS value_cents
+    FROM ranked CROSS JOIN pcts
+    WHERE rk = (pct * n + 99) // 100
+    """,
+    deferred=True,
+)
+def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 per group in ONE pass: the ranked frame is built
+    once (per-group histogram offsets + bucket-local row_number, zero
+    unpartitioned windows — bucket_offsets with partition_by) and all
+    three rank targets k = ceil(p·n/100) = (p·n+99) div 100 (the quantile
+    sketch's convention) filter against it. Adding percentiles costs one
+    more predicate, not another shuffle — the multi-quantile contract a
+    profiler wants. Targets for distinct p can collide only when n < 4;
+    each emitted row carries its own pct label either way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", quantize(F.col("value"), MONEY_SCALE).alias("v"))
+    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    off = bucket_offsets(b, "_b", {"c": F.lit(1)}, partition_by=["event_type"])
+    tot = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_loc = W.partitionBy("event_type", "_b").orderBy("v")
+    ranked = (
+        b.join(F.broadcast(off), ["event_type", "_b"])
+        .withColumn("_rk", F.col("_off_c") + F.row_number().over(w_loc))
+        .join(F.broadcast(tot), "event_type")
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in _QUARTILE_PCTS])
+    ).alias("pct")
+    return (
+        ranked.select("event_type", "v", "_rk", "n", pcts)
+        .filter(F.col("_rk") == F.expr("(pct * n + 99) div 100"))
+        .select(
+            "event_type",
+            F.col("pct").cast("long").alias("pct"),
+            "n",
+            F.col("v").alias("value_cents"),
+        )
+    )

@@ -1293,3 +1293,59 @@ def funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(median), F.lit(True), "left").select(
         "n_users", "min_us", "max_us", "median_us"
     )
+
+
+# -- maximum drawdown of per-user cumulative value — deferred r7 queue --------
+
+
+@register(
+    "events_max_drawdown",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), cums AS (
+        SELECT user_id, ts, event_id,
+               SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s
+    ), series AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM cums
+    )
+    SELECT user_id,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT)       AS peak_cents,
+           CAST(COUNT(*) AS BIGINT)        AS n_points
+    FROM series GROUP BY user_id
+    """,
+    deferred=True,
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough drop of the
+    cumulative purchase-value series — the canonical "how bad did it get"
+    statistic of any running total (portfolio value, credit balance,
+    inventory level). Composition of three windows — running sum, running
+    max of it, max of the gap — ALL sharing the user_id partitioning, so
+    the whole statistic costs one Exchange; a naive argmax-over-pairs
+    formulation (max over i<j of cum_i - cum_j) is O(n^2) per user and
+    never needed. Integer cents end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", quantize(F.col("value"), MONEY_SCALE).alias("v")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    series = s.withColumn("cum", F.sum("v").over(w)).withColumn(
+        "peak", F.max("cum").over(w)
+    )
+    return series.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown_cents"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

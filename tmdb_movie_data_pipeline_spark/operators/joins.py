@@ -814,3 +814,93 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_true") & ~F.col("bloom_pass"), 1).otherwise(0)
         ).alias("n_false_neg"),
     )
+
+
+# -- nearest-event asof join (backward OR forward) — deferred r7 queue --------
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               event_type
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), ctx AS (
+        SELECT user_id, event_id, t, event_type,
+               MAX(CASE WHEN is_p = 1 THEN t END) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+               MIN(CASE WHEN is_p = 1 THEN t END) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+        FROM tagged
+    )
+    SELECT event_id, user_id, t AS view_us,
+           CASE WHEN next_p IS NULL THEN prev_p
+                WHEN prev_p IS NULL THEN next_p
+                WHEN t - prev_p <= next_p - t THEN prev_p
+                ELSE next_p END AS nearest_purchase_us
+    FROM ctx
+    WHERE event_type = 'view'
+      AND (prev_p IS NOT NULL OR next_p IS NOT NULL)
+    """,
+    deferred=True,
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event asof join: each view matches the CLOSEST purchase of
+    the same user in either time direction (tie -> backward, the
+    attribution-friendly default) — the two-sided sibling of
+    join_asof_prev_view, and the semantics sensor-fusion pipelines mean
+    by "align to nearest reading".
+
+    Implementation is the union-merge form: ONE user-keyed shuffle of the
+    combined stream, a running max over preceding purchases and a running
+    min over following ones (both windows share the partitioning) — never
+    the |views| x |purchases| per-user join a naive two-sided range join
+    would do. A purchase AT the view's own timestamp counts as backward
+    (frame ends at CURRENT ROW); forward starts strictly after.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    prev_p = F.max(F.unix_micros("p_ts")).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    next_p = F.min(F.unix_micros("p_ts")).over(
+        w.rowsBetween(1, W.unboundedFollowing)
+    )
+    ctx = tagged.select(
+        "event_id",
+        "user_id",
+        "t",
+        "event_type",
+        prev_p.alias("prev_p"),
+        next_p.alias("next_p"),
+    )
+    nearest = (
+        F.when(F.col("next_p").isNull(), F.col("prev_p"))
+        .when(F.col("prev_p").isNull(), F.col("next_p"))
+        .when(
+            F.col("t") - F.col("prev_p") <= F.col("next_p") - F.col("t"),
+            F.col("prev_p"),
+        )
+        .otherwise(F.col("next_p"))
+    )
+    return (
+        ctx.filter(F.col("event_type") == "view")
+        .filter(F.col("prev_p").isNotNull() | F.col("next_p").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("view_us"),
+            nearest.alias("nearest_purchase_us"),
+        )
+    )
