@@ -680,3 +680,57 @@ def best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("impurity", "split_bucket")
         .limit(1)
     )
+
+
+# -- calibration bins — deferred r7 queue -------------------------------------
+
+_CAL_BINS = 10
+_CAL_POS_LANG = "en"
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), binned AS (
+        SELECT ((n_chars - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin,
+               CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos
+        FROM documents CROSS JOIN mm
+    )
+    SELECT CAST(bin AS BIGINT)      AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST((1000000 * SUM(pos)) // COUNT(*) AS BIGINT) AS rate_ppm
+    FROM binned GROUP BY 1
+    """,
+    deferred=True,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/lift table: bucket a score feature (n_chars) into
+    {_CAL_BINS} equal-width bins and report the positive-outcome rate
+    (lang == '{_CAL_POS_LANG}') per bin as exact integer ppm — the
+    reliability-curve aggregate every scored model gets evaluated with
+    (paired with ml_confusion_matrix for the thresholded view).
+
+    Shape: global min/max is a 1-row broadcast; binning is a map-only
+    integer expression ((x−mn)·B div (mx−mn+1), guaranteed in [0, B));
+    the per-bin rollup is one partial-aggregable groupBy over B groups.
+    Nothing scales with anything but the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = docs.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((n_chars - mn) * {_CAL_BINS}) div (mx - mn + 1)").alias("bin"),
+        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("pos"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(1000000 * n_pos) div n").alias("rate_ppm"),
+        )
+    )

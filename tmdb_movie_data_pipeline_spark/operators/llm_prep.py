@@ -61,6 +61,7 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-operator oracles already pin down (quality predicate, md5 dedup,
 # minhash bands — see text.py / dedup.py for the shared fragments)
 from .dedup import _MINHASH_ORACLE  # noqa: E402
+from .dedup import _SHINGLES_SPARK, _SHINGLES_SQL, _TOKENS_SPARK  # noqa: E402
 from .text import _NORM_SQL, _TOKENS_SQL  # noqa: E402
 
 _QUALITY_PRED = f"""
@@ -683,4 +684,73 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOPN)
+    )
+
+
+# -- per-document n-gram novelty — deferred r7 queue --------------------------
+
+
+@register(
+    "llm_shingle_novelty",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), shingled AS (
+        SELECT doc_id,
+               list_distinct({_SHINGLES_SQL}) AS sh
+        FROM toked
+    ), exploded AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
+    ), owner AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM exploded GROUP BY 1
+    )
+    SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000000 * SUM(CASE WHEN o.first_doc = e.doc_id
+                                    THEN 1 ELSE 0 END))
+               // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM exploded e JOIN owner o ON o.shingle = e.shingle
+    GROUP BY e.doc_id
+    """,
+    deferred=True,
+)
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction (exact integer ppm) of a doc's
+    word-3-gram shingles whose FIRST owner (smallest doc_id) is the doc
+    itself — the curation signal behind "is this document adding anything
+    the corpus hasn't seen": boilerplate and templated spam score near 0,
+    genuinely fresh text near 1e6. Sequential dedup passes use the same
+    statistic to decide processing order.
+
+    Shape: shingle explode (shared contract with the dedup family), ONE
+    min-aggregate keyed on the shingle (partial-aggregable: min commutes),
+    and a join back on the same key that reuses the shuffle partitioning.
+    No pairwise comparison exists — novelty is a first-owner property, so
+    the cost stays linear in total shingles where pair-based overlap
+    metrics go quadratic in the duplicated mass.
+    """
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    owner = exploded.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = exploded.join(owner, "shingle")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
+        )
     )

@@ -577,3 +577,94 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ship_ratio"),
         )
     )
+
+
+# -- chunk-store garbage collection — deferred r7 queue -----------------------
+
+_GC_DEL_MOD = 7  # docs with doc_id % 7 == 0 are deleted from the corpus
+
+
+def _cdc_doc_chunks_batches(batches):
+    """(doc_id, chunk_md5, chunk_len) per Arrow batch — the per-document
+    variant of _cdc_stats_batches, for consumers that need references."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            for s, e in cdc_chunk_spans(data):
+                rows.append(
+                    (int(doc_id), _hashlib.md5(data[s:e]).hexdigest(), e - s)
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "chunk_md5", "chunk_len"])
+
+
+@register(
+    "multimodal_chunk_store_gc",
+    oracle=f"""
+    WITH all_chunks AS (
+        SELECT doc_id, chunk_md5, chunk_len
+        FROM {_cdc_chunks_sql("SELECT doc_id, text FROM documents")} c
+    ),
+    stored AS (
+        SELECT chunk_md5, MIN(chunk_len) AS chunk_len
+        FROM all_chunks GROUP BY 1
+    ),
+    referenced AS (
+        SELECT DISTINCT chunk_md5 FROM all_chunks
+        WHERE doc_id % {_GC_DEL_MOD} <> 0
+    ),
+    gc AS (
+        SELECT s.chunk_md5, s.chunk_len FROM stored s
+        LEFT JOIN referenced r USING (chunk_md5)
+        WHERE r.chunk_md5 IS NULL
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM stored)     AS n_stored,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM referenced) AS n_referenced,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gc)         AS n_gc,
+           (SELECT CAST(COALESCE(SUM(chunk_len), 0) AS BIGINT) FROM gc)
+                                                             AS bytes_reclaimed
+    """,
+    deferred=True,
+)
+def chunk_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store garbage collection — the missing third of the CDC
+    lifecycle (ingest: stream_cdc_chunk_store; diff:
+    multimodal_cdc_snapshot_diff; GC: this). Deleting every
+    {_GC_DEL_MOD}th document leaves some stored chunks unreferenced —
+    but only those NOT shared with a surviving document: the refcount
+    semantics content-addressed stores must get right, or shared chunks
+    vanish under live data.
+
+    Shape: chunk once WITH doc_id (map-only, Arrow-batched), then pure
+    hash aggregates: stored = distinct hash, referenced = distinct hash
+    over survivors, GC = stored ANTI JOIN referenced. Only hashes cross
+    any exchange; at 100 TB each side is a bucketed manifest scan and the
+    anti-join colocates on the hash key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs).select("doc_id", "payload")
+    chunks = payloads.mapInPandas(
+        _cdc_doc_chunks_batches, "doc_id long, chunk_md5 string, chunk_len long"
+    )
+    stored = chunks.groupBy("chunk_md5").agg(F.min("chunk_len").alias("chunk_len"))
+    referenced = (
+        chunks.filter(F.col("doc_id") % _GC_DEL_MOD != 0)
+        .select("chunk_md5")
+        .distinct()
+    )
+    gc = stored.join(referenced, "chunk_md5", "left_anti")
+    n_stored = stored.agg(F.count(F.lit(1)).alias("n_stored"))
+    n_ref = referenced.agg(F.count(F.lit(1)).alias("n_referenced"))
+    gc_agg = gc.agg(
+        F.count(F.lit(1)).alias("n_gc"),
+        F.coalesce(F.sum("chunk_len"), F.lit(0)).cast("long").alias(
+            "bytes_reclaimed"
+        ),
+    )
+    return (
+        n_stored.crossJoin(F.broadcast(n_ref))
+        .crossJoin(F.broadcast(gc_agg))
+        .select("n_stored", "n_referenced", "n_gc", "bytes_reclaimed")
+    )
