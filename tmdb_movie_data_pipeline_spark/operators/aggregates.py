@@ -1199,3 +1199,146 @@ def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("value_cents"),
         )
     )
+
+
+# -- revenue concentration (HHI) — deferred r7 queue --------------------------
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000
+                    AS BIGINT) AS rev_k
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(rev_k) AS BIGINT) AS total_k,
+               CAST(COUNT(*) AS BIGINT)   AS n_cust,
+               CAST(SUM(rev_k * rev_k) AS BIGINT) AS sum_sq
+        FROM rev
+    )
+    SELECT n_cust, total_k,
+           CAST((10000 * sum_sq) // (total_k * total_k) AS BIGINT) AS hhi_bp
+    FROM tot
+    """,
+    deferred=True,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of customer revenue: HHI =
+    Σ share² in exact basis points — the antitrust-style "is revenue
+    concentrated in a few whales" scalar that complements the Pareto head
+    list (agg_pareto_contribution names the whales; this scores the
+    whole distribution in one number, 10000 = monopoly, →0 = atomized).
+
+    Integer discipline: shares are never materialized — HHI_bp =
+    (10000·Σ rev²) div total², computed on $1000-quantized revenue
+    (div 100000 of cents BEFORE the square, identically on both engines)
+    because squared money overflows int64 fast: cents-scale squares blew
+    up ANSI Spark at fixture scale while DuckDB's 128-bit SUM sailed on —
+    exactly the silent cross-engine divergence the quantize-first rule
+    prevents. Bounds at $1000 units: exact while total revenue < ~$3T
+    (total_k² < 2^63) — documented, and generous.
+
+    Shape: per-customer partial agg, then one 1-row total — the whole
+    statistic is two map-side-combinable aggregates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000"
+            " AS BIGINT)"
+        ).alias("rev_k")
+    )
+    return rev.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev_k").cast("long").alias("total_k"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).alias("_sum_sq"),
+    ).select(
+        "n_cust",
+        "total_k",
+        F.expr("CAST((10000 * _sum_sq) div (total_k * total_k) AS BIGINT)").alias(
+            "hhi_bp"
+        ),
+    )
+
+
+# -- Wald–Wolfowitz runs test — deferred r7 queue -----------------------------
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT)   AS total
+        FROM daily GROUP BY 1
+    ), signed AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.v * t.n > t.total THEN 1 ELSE 0 END AS above
+        FROM daily d JOIN tot t USING (event_type)
+    ), runs AS (
+        SELECT event_type, above,
+               CASE WHEN LAG(above) OVER (
+                        PARTITION BY event_type ORDER BY day) IS NULL
+                         OR LAG(above) OVER (
+                        PARTITION BY event_type ORDER BY day) <> above
+                    THEN 1 ELSE 0 END AS is_new_run
+        FROM signed
+    )
+    SELECT event_type,
+           CAST(SUM(is_new_run) AS BIGINT) AS n_runs,
+           CAST(SUM(above) AS BIGINT)      AS n_above,
+           CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below
+    FROM runs GROUP BY 1
+    """,
+    deferred=True,
+)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: how many RUNS of
+    above-/below-mean days the daily revenue series has — too few runs
+    means trending/sticky (autocorrelated), too many means oscillating;
+    under randomness E[runs] = 2·n_above·n_below/n + 1, which the consumer
+    compares against the emitted exact counts. The nonparametric
+    randomness check that pairs with events_cusum_change_point (CUSUM
+    finds WHERE a shift is; the runs count says WHETHER the series even
+    behaves randomly).
+
+    Integer discipline: "above the mean" is v·n > total — the mean is
+    never materialized (same multiply-through trick as CUSUM). One
+    per-(type, day) partial agg, per-type totals broadcast back, and a lag
+    window inside the type partition. All keyed shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    signed = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        F.when(F.col("v") * F.col("n") > F.col("total"), 1).otherwise(0).alias(
+            "above"
+        ),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    runs = signed.withColumn(
+        "is_new_run",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy("event_type").agg(
+        F.sum("is_new_run").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+    )

@@ -1349,3 +1349,74 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").cast("long").alias("peak_cents"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+# -- day-of-week seasonality index — deferred r7 queue ------------------------
+
+
+@register(
+    "events_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), dows AS (
+        SELECT event_type,
+               CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+               CAST(SUM(v) AS BIGINT)         AS sum_dow,
+               CAST(COUNT(*) AS BIGINT)       AS n_dow
+        FROM daily GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               CAST(SUM(sum_dow) AS BIGINT) AS total,
+               CAST(SUM(n_dow) AS BIGINT)   AS n_all
+        FROM dows GROUP BY 1
+    )
+    SELECT d.event_type, d.dow, d.n_dow, d.sum_dow,
+           (((1000000 * d.sum_dow) // d.n_dow) * t.n_all) // t.total
+               AS index_ppm
+    FROM dows d JOIN tot t USING (event_type)
+    """,
+    deferred=True,
+)
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: mean daily revenue on
+    each weekday relative to the type's overall daily mean, 1e6 = average
+    day — the classic seasonal profile a forecaster divides out before
+    trend fitting (and the structure the runs test flags as non-random).
+
+    Integer discipline: index = (mean_dow / mean_all) in exact ppm via
+    the two-step bounded form ((1e6·sum_dow) div n_dow · n_all) div
+    total — same overflow rearrangement as events_association_rules'
+    lift: the first div caps the intermediate at 1e6·max-daily-cents, so
+    the second product is bounded by day COUNTS, not money. Weekday
+    numbering is the classic cross-engine trap made explicit: Spark's
+    dayofweek is 1-based Sunday, DuckDB's 0-based Sunday — the oracle
+    carries the +1 shift, and the hash gate pins it (it failed loudly
+    without it).
+
+    Shape: two nested partial-aggregable groupBys (day, then dow) and a
+    broadcast of the |types|-row totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
+    dows = daily.groupBy(
+        "event_type", F.dayofweek("day").cast("long").alias("dow")
+    ).agg(
+        F.sum("v").alias("sum_dow"), F.count(F.lit(1)).alias("n_dow")
+    )
+    tot = dows.groupBy("event_type").agg(
+        F.sum("sum_dow").alias("total"), F.sum("n_dow").alias("n_all")
+    )
+    return dows.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_dow",
+        "sum_dow",
+        F.expr(
+            "(((1000000 * sum_dow) div n_dow) * n_all) div total"
+        ).alias("index_ppm"),
+    )

@@ -683,3 +683,80 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("src").alias("doc_id"), "core_degree")
     )
+
+
+# -- link prediction by common neighbors — deferred r7 queue ------------------
+
+_LINK_TOPN = 25
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    wedges AS (
+        SELECT e1.src AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.src AND e1.src < e2.dst
+        GROUP BY 1, 2
+    ),
+    nonedges AS (
+        SELECT w.a, w.b, w.common
+        FROM wedges w
+        LEFT JOIN edges e ON e.src = w.a AND e.dst = w.b
+        WHERE e.src IS NULL
+    )
+    SELECT a AS doc_a, b AS doc_b, common
+    FROM nonedges
+    ORDER BY common DESC, a, b
+    LIMIT {_LINK_TOPN}
+    """,
+    deferred=True,
+)
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the duplicate graph: the
+    non-adjacent pairs sharing the most neighbors — "these two documents
+    aren't flagged as near-dups but sit in the same duplication
+    neighborhood", the triage list a dedup-quality reviewer walks (and
+    the simplest member of the common-neighbors/Adamic-Adar family).
+
+    Shape: candidate pairs come from the WEDGE join (edges x edges on the
+    middle vertex) — bounded by Σ deg², the same frame the triangle count
+    walks — then one ANTI JOIN removes existing edges and
+    TakeOrderedAndProject keeps the top {_LINK_TOPN} (count desc, pair
+    tie-break). Never an all-pairs scores matrix; at scale the wedge join
+    is the standard skew point and high-degree hubs get capped or salted
+    exactly as in triangle counting.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    wedges = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedges = wedges.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "common"
+        )
+        .orderBy(F.desc("common"), "doc_a", "doc_b")
+        .limit(_LINK_TOPN)
+    )
