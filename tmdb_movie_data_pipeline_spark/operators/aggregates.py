@@ -1342,3 +1342,156 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("above").cast("long").alias("n_above"),
         (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
     )
+
+
+# -- Gini coefficient of customer revenue — deferred r7 queue -----------------
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT)
+                      AS i
+        FROM rev
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(i * x) AS BIGINT) AS six
+        FROM ranked
+    )
+    SELECT n, sx,
+           CAST((10000 * (2 * six - (n + 1) * sx)) // (n * sx) AS BIGINT)
+               AS gini_bp
+    FROM agg
+    """,
+    deferred=True,
+)
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue in exact basis points —
+    the Lorenz-curve inequality scalar completing the concentration kit
+    (Pareto names the head, HHI scores market power, Gini scores
+    dispersion): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending
+    ranks i.
+
+    The rank-weighted sum Σ i·x_i is the scale problem — the textbook
+    form sorts the population. Here ranks come from bucket_offsets
+    (histogram prefix counts + bucket-local row_number, customer key as
+    the total-order tie-break), so Σ i·x_i is a plain aggregate over the
+    ranked frame with no global sort. Revenue is $1000-quantized BEFORE
+    the products (the HHI lesson); exact while n·Σx < 2^63 — about a
+    billion customers averaging $10k.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    b = rev.withColumn("_b", F.expr(f"x div {_PARETO_BUCKET}"))
+    off = bucket_offsets(b, "_b", {"c": F.lit(1)})
+    w_loc = W.partitionBy("_b").orderBy("x", "o_custkey")
+    ranked = b.join(F.broadcast(off), "_b").withColumn(
+        "i", F.col("_off_c") + F.row_number().over(w_loc)
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).cast("long").alias("_six"),
+        )
+        .select(
+            "n",
+            "sx",
+            F.expr(
+                "CAST((10000 * (2 * _six - (n + 1) * sx)) div (n * sx)"
+                " AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+    )
+
+
+_CAL_POS_LANG_REF = "en"  # positive class, matching ml_calibration_bins
+
+
+# -- exact AUC-ROC via the rank-sum identity — deferred r7 queue --------------
+
+
+@register(
+    "ml_auc_roc",
+    oracle=f"""
+    WITH s AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = '{_CAL_POS_LANG_REF}' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), r AS (
+        SELECT pos,
+               2 * RANK() OVER (ORDER BY score)
+                 + COUNT(*) OVER (PARTITION BY score) - 1 AS ar2
+        FROM s
+    ), agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT)                          AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT)                      AS n_neg,
+               CAST(SUM(CASE WHEN pos = 1 THEN ar2 ELSE 0 END)
+                    AS BIGINT)                                    AS two_r1
+        FROM r
+    )
+    SELECT n_pos, n_neg,
+           two_r1 - n_pos * (n_pos + 1) AS two_u,
+           (500000 * (two_r1 - n_pos * (n_pos + 1))) // (n_pos * n_neg)
+               AS auc_ppm
+    FROM agg
+    """,
+    deferred=True,
+)
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of a score (n_chars) against a binary outcome
+    (lang == 'en') via the rank-sum identity AUC = U/(n⁺·n⁻) — ties
+    counted half, which the doubled-rank arithmetic absorbs without a
+    single float: auc_ppm = (5e5·2U) div (n⁺·n⁻). Completes the ML-eval
+    trio (confusion matrix = thresholded, calibration = binned, AUC =
+    threshold-free), and shows the MW machinery IS the AUC machinery —
+    same histogram-offset ranks, zero pooled sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == _CAL_POS_LANG_REF, 1).otherwise(0).alias("pos"),
+    )
+    per = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("n1_v")
+    )
+    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    off = bucket_offsets(b, "_b", {"c": F.col("cnt")})
+    w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = (
+        b.join(F.broadcast(off), "_b")
+        .withColumn(
+            "cum_below",
+            F.col("_off_c") + F.coalesce(F.sum("cnt").over(w_loc), F.lit(0)),
+        )
+        .withColumn("ar2", 2 * F.col("cum_below") + F.col("cnt") + 1)
+    )
+    return (
+        ranked.agg(
+            F.sum("n1_v").cast("long").alias("n_pos"),
+            (F.sum("cnt") - F.sum("n1_v")).cast("long").alias("n_neg"),
+            F.sum(F.col("n1_v") * F.col("ar2")).cast("long").alias("two_r1"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            (F.col("two_r1") - F.col("n_pos") * (F.col("n_pos") + 1)).alias(
+                "two_u"
+            ),
+            F.expr(
+                "(500000 * (two_r1 - n_pos * (n_pos + 1))) div (n_pos * n_neg)"
+            ).alias("auc_ppm"),
+        )
+    )

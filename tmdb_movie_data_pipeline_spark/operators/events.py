@@ -1420,3 +1420,103 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(((1000000 * sum_dow) div n_dow) * n_all) div total"
         ).alias("index_ppm"),
     )
+
+
+# -- cohort lifetime value curves — deferred r7 queue -------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS ym,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), cohorts AS (
+        SELECT user_id, MIN(ym) AS cym FROM p GROUP BY 1
+    ), csize AS (
+        SELECT cym, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM cohorts GROUP BY 1
+    ), monthly AS (
+        SELECT c.cym, p.ym, CAST(SUM(p.v) AS BIGINT) AS rev
+        FROM p JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    ), maxym AS (SELECT MAX(ym) AS mx FROM p),
+    grid AS (
+        SELECT s.cym, g.ym
+        FROM csize s CROSS JOIN maxym, UNNEST(generate_series(s.cym, mx)) AS g(ym)
+    ), filled AS (
+        SELECT g.cym, g.ym, COALESCE(m.rev, 0) AS rev
+        FROM grid g LEFT JOIN monthly m ON m.cym = g.cym AND m.ym = g.ym
+    ), cum AS (
+        SELECT cym, ym,
+               CAST(SUM(rev) OVER (PARTITION BY cym ORDER BY ym
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents
+        FROM filled
+    )
+    SELECT c.cym AS cohort_week,
+           CAST(c.ym - c.cym AS BIGINT) AS weeks_since,
+           s.cohort_users,
+           c.cum_cents,
+           c.cum_cents // s.cohort_users AS ltv_cents
+    FROM cum c JOIN csize s USING (cym)
+    """,
+    deferred=True,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each signup cohort (epoch WEEK
+    of first purchase — the fixture spans one calendar month, so monthly
+    cohorts would collapse to a single degenerate row; weekly matches
+    events_cohort_retention's choice) and every week since, the cohort's
+    cumulative revenue and per-user LTV in exact integer cents — the
+    curve a growth team reads "week-3 LTV by cohort" off; the
+    revenue-weighted sibling of cohort retention (which counts heads).
+
+    Dense week grid (cohort → global max, sequence+explode like the gap
+    fill) so weeks without purchases still carry the running value — LTV
+    curves must be flat through quiet weeks, not absent. Cumsum per
+    cohort is a |cohorts·weeks|-scale window, partitioned by cohort;
+    per-user data collapses to (cohort, week) partials before any
+    window. LTV division is integer: cum div cohort_users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+            " AS BIGINT)"
+        ).alias("ym"),
+        quantize(F.col("value"), MONEY_SCALE).alias("v"),
+    )
+    cohorts = p.groupBy("user_id").agg(F.min("ym").alias("cym"))
+    csize = cohorts.groupBy("cym").agg(F.count(F.lit(1)).alias("cohort_users"))
+    monthly = (
+        p.join(cohorts, "user_id")
+        .groupBy("cym", "ym")
+        .agg(F.sum("v").alias("rev"))
+    )
+    maxym = p.agg(F.max("ym").alias("mx"))
+    grid = (
+        csize.select("cym")
+        .crossJoin(F.broadcast(maxym))
+        .select("cym", F.explode(F.sequence("cym", "mx")).alias("ym"))
+    )
+    filled = grid.join(monthly, ["cym", "ym"], "left").fillna({"rev": 0})
+    w = (
+        W.partitionBy("cym")
+        .orderBy("ym")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = filled.select(
+        "cym", "ym", F.sum("rev").over(w).cast("long").alias("cum_cents")
+    )
+    return cum.join(F.broadcast(csize), "cym").select(
+        F.col("cym").alias("cohort_week"),
+        (F.col("ym") - F.col("cym")).cast("long").alias("weeks_since"),
+        "cohort_users",
+        "cum_cents",
+        F.expr("cum_cents div cohort_users").alias("ltv_cents"),
+    )

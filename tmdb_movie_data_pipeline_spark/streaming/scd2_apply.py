@@ -6,8 +6,10 @@ arriving batch to the standing history: close the currently-open row of
 every user that changed (its ``valid_to`` becomes the batch's first
 timestamp for that user), then append the batch's own validity intervals.
 This module is that apply loop, run over a real file-source stream whose
-micro-batches are the change stream in calendar-month order (CDC feeds are
-time-ordered per key; the month partition is the arrival unit).
+micro-batches are the change stream in 10-day-block order (CDC feeds are
+time-ordered per key; the time-block partition is the arrival unit —
+the fixture data spans a single month, so calendar months would collapse
+to one batch and exercise nothing).
 
 Invariant the oracle pins: after the final batch, the maintained state is
 ROW-IDENTICAL to the from-scratch batch SCD2 over the same events — the
@@ -131,8 +133,9 @@ def _register_query() -> None:
     )
     def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SCD2 incrementally maintained over a real stream: the purchase
-        change events arrive as calendar-month micro-batches through a
-        file source; each batch closes open rows and appends its own
+        change events arrive as 10-day-block micro-batches (3+ real
+        apply steps on the fixture's single-month span) through a file
+        source; each batch closes open rows and appends its own
         intervals. The returned history must be row-identical to the
         batch rebuild (the oracle) — the no-drift contract of every
         incremental dimension pipeline."""
@@ -150,17 +153,15 @@ def _register_query() -> None:
             .filter(F.col("event_type") == "purchase")
             .select("user_id", "ts", "value")
         )
-        months = [
-            r.m
-            for r in ev.select(F.date_trunc("month", "ts").alias("m"))
-            .distinct()
-            .orderBy("m")
-            .collect()
-        ]  # fixture staging only: |months| rows, never data-scale
+        block = F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 10")
+        blocks = [
+            r.b
+            for r in ev.select(block.alias("b")).distinct().orderBy("b").collect()
+        ]  # fixture staging only: |blocks| rows, never data-scale
         t0 = time.time() - 600
-        for b, m in enumerate(months):
+        for b, blk in enumerate(blocks):
             stage = os.path.join(root, f"stage_{b}")
-            ev.filter(F.date_trunc("month", "ts") == m).coalesce(1).write.mode(
+            ev.filter(block == blk).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
             [src] = glob.glob(os.path.join(stage, "*.parquet"))
