@@ -593,3 +593,126 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment_ppm") >= _CONTAIN_MIN_PPM)
         .select("doc_a", "doc_b", "inter", "n_a", "n_b", "containment_ppm")
     )
+
+
+# -- MinHash Jaccard estimate vs exact — deferred r7 queue --------------------
+
+_MJ_SIG_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+    for i in range(NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH cand AS ({_MINHASH_ORACLE}),
+    toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), shingled AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM toked
+    ), exploded AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled
+    ), sigs AS (
+        SELECT doc_id,
+               {", ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(NUM_HASHES))}
+        FROM (SELECT doc_id, list_transform({_SHINGLES_SQL}, s -> md5(s)) AS md5s
+              FROM toked)
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_MJ_SIG_MATCH_SQL} AS BIGINT) AS n_sig_match,
+           CAST((1000000 * ({_MJ_SIG_MATCH_SQL})) // {NUM_HASHES} AS BIGINT)
+               AS est_jaccard_ppm,
+           CAST((1000000 * i.n_inter)
+                // (za.n_sh + zb.n_sh - i.n_inter) AS BIGINT)
+               AS exact_jaccard_ppm
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """,
+    deferred=True,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy contract, pinned per pair: for every LSH candidate
+    the estimated Jaccard (matching signature fraction of {NUM_HASHES},
+    exact integer ppm) NEXT TO the true shingle-set Jaccard — the
+    estimator-vs-truth row the sketch shelf's other members (KMV, CMS,
+    join-cardinality) already carry, closing the gap for the dedup
+    family's own sketch. A consumer tunes band/row parameters by reading
+    exactly this table.
+
+    Shape: signatures come from the shared hash-once min-agg
+    (minhash_signatures); the {NUM_HASHES}-column compare is a map-side
+    expression on the candidate-keyed join; the exact side is the same
+    candidate-bounded shingle equi-join as the Jaccard verifier. Nothing
+    touches non-candidate pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    ia = exploded.alias("ia")
+    ib = exploded.alias("ib")
+    inter = (
+        ia.join(
+            ib,
+            (F.col("ia.shingle") == F.col("ib.shingle"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shingled.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_sig_match", n_match.cast("long"))
+        .join(inter, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("za")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("zb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            F.expr(f"(1000000 * n_sig_match) div {NUM_HASHES}").alias(
+                "est_jaccard_ppm"
+            ),
+            F.expr("(1000000 * n_inter) div (za + zb - n_inter)").alias(
+                "exact_jaccard_ppm"
+            ),
+        )
+    )

@@ -1520,3 +1520,95 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_cents",
         F.expr("cum_cents div cohort_users").alias("ltv_cents"),
     )
+
+
+# -- peak concurrency (sweep line) — deferred r7 queue ------------------------
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH iv AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + (1 + event_id % {_IVL_DUR_CHOICES})
+                              * 60 * 1000000 AS e
+        FROM events
+    ), bounds AS (
+        SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ), swept AS (
+        SELECT event_type, t,
+               CAST(SUM(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM bounds
+    ), peaks AS (
+        SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak
+        FROM swept GROUP BY 1
+    )
+    SELECT p.event_type, p.peak,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM iv
+            WHERE iv.event_type = p.event_type)      AS n_intervals,
+           (SELECT MIN(t) FROM swept
+            WHERE swept.event_type = p.event_type
+              AND swept.run = p.peak)                AS first_peak_us
+    FROM peaks p
+    """,
+    deferred=True,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: the sweep-line maximum of
+    simultaneously-open intervals (the synthetic [ts, ts + 1..50 min)
+    spans shared with events_interval_merge) plus WHEN it first happens —
+    the capacity-planning number ("how many sessions were open at the
+    worst moment") that interval merging cannot answer.
+
+    Sweep line relationally: every interval contributes a +1 at its start
+    and a −1 at its end; a running sum over boundaries ordered by
+    (t, delta, event_id) — ends sort before starts at the same instant,
+    so half-open [s, e) semantics hold and touching intervals never
+    double-count — peaks exactly at the answer. One type-keyed Exchange
+    carries the window, the peak, and the argmin of the first peak
+    moment. Integer microseconds throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dur_us = (1 + F.col("event_id") % _IVL_DUR_CHOICES) * 60 * 1_000_000
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + dur_us).alias("e"),
+    )
+    bounds = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = bounds.select(
+        "event_type", "t", F.sum("delta").over(w).cast("long").alias("run")
+    )
+    peaks = swept.groupBy("event_type").agg(F.max("run").alias("peak"))
+    n_iv = iv.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_intervals"))
+    first = (
+        swept.join(F.broadcast(peaks), "event_type")
+        .filter(F.col("run") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(F.min("t").alias("first_peak_us"))
+    )
+    return (
+        peaks.join(F.broadcast(n_iv), "event_type")
+        .join(F.broadcast(first), "event_type")
+        .select("event_type", "peak", "n_intervals", "first_peak_us")
+    )

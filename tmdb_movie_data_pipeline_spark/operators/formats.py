@@ -135,3 +135,16 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@register("sink_orc_roundtrip", oracle=_ORACLE, deferred=True)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the slice as ORC, read it back, aggregate — completes the
+    sink-format matrix (parquet/CSV/JSON/ORC). ORC is the other columnar
+    container warehouses hand over; the roundtrip pins that Spark's ORC
+    writer/reader preserve the integer slice exactly, with predicate
+    pushdown and column pruning available on re-read just like parquet."""
+    path = os.path.join(scratch_dir("fmt_orc_"), "slice")
+    _slice(spark, sf_dir).write.mode("overwrite").orc(path)
+    back = spark.read.schema(_SLICE_SCHEMA).orc(path)
+    return _agg(back)
