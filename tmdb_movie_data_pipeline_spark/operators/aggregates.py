@@ -1495,3 +1495,148 @@ def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc_ppm"),
         )
     )
+
+
+# -- Benford first-digit audit — deferred r7 queue ----------------------------
+
+#: exact-integer ppm of log10(1 + 1/d) — Benford's expected first-digit
+#: frequencies, as literals so no engine computes a logarithm
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "stats_benford_digits",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM v WHERE cents > 0
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+    exp AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())}
+        ) AS t(digit, expected_ppm)
+    )
+    SELECT e.digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT)               AS n,
+           (1000000 * CAST(COALESCE(c.n, 0) AS BIGINT)) // t.n_total
+                                                          AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT)                 AS expected_ppm,
+           ABS((1000000 * CAST(COALESCE(c.n, 0) AS BIGINT)) // t.n_total
+               - e.expected_ppm)                          AS abs_diff_ppm
+    FROM exp e
+    LEFT JOIN (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1) c
+           ON c.digit = e.digit
+    CROSS JOIN tot t
+    """,
+    deferred=True,
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected leading-digit frequency in exact ppm — the forensic
+    data-quality check (fabricated or truncated monetary data drifts off
+    the log-curve; TPC-H's uniform-ish totalprice visibly does too, which
+    is itself the finding). Expected frequencies are exact integer
+    LITERALS of log10(1+1/d) — no engine evaluates a logarithm, so the
+    cross-engine contract stays purely integral.
+
+    Shape: leading digit via string head of the integer cents (identical
+    BIGINT→VARCHAR rendering both engines, no float log10 to disagree);
+    one 9-group count, a 1-row total broadcast, and the 9-row expected
+    table joined in. All 9 digits emitted even at zero count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        quantize(F.col("o_totalprice"), MONEY_SCALE).alias("cents")
+    ).filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    exp = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD_PPM.items()], "digit long, expected_ppm long"
+    )
+    return (
+        exp.join(counts, "digit", "left")
+        .fillna({"n": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("(1000000 * n) div n_total").alias("observed_ppm"),
+            "expected_ppm",
+            F.expr("abs((1000000 * n) div n_total - expected_ppm)").alias(
+                "abs_diff_ppm"
+            ),
+        )
+    )
+
+
+# -- weighted median — deferred r7 queue --------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(w) AS BIGINT)   AS total_w
+        FROM s
+    ), c AS (
+        SELECT v, w,
+               CAST(SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumw
+        FROM s
+    )
+    SELECT t.n_rows, t.total_w, c.v AS weighted_median_cents
+    FROM c CROSS JOIN tot t
+    WHERE c.cumw >= (t.total_w + 1) // 2
+      AND c.cumw - c.w < (t.total_w + 1) // 2
+    """,
+    deferred=True,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of line-item price, weighted by quantity — the
+    order statistic where each row counts w times (the "median price a
+    unit actually sold at"). The crossing row is the unique row whose
+    cumulative weight first reaches (W+1) div 2: cumw − w < target ≤
+    cumw. Within a block of tied values the crossing ROW depends on tie
+    order, but its VALUE cannot — the output is order-insensitive even
+    though cumw itself is not, which is what lets both engines agree
+    without a total order on rows.
+
+    Shape: the same histogram-offset machinery as the unweighted median
+    (bucket_offsets carrying WEIGHT sums instead of counts); the only
+    unpartitioned window is the tiny bucket prefix-sum. Integer cents ×
+    integer quantities end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        quantize(F.col("l_extendedprice"), MONEY_SCALE).alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("w").cast("long").alias("total_w")
+    )
+    b = s.withColumn("_b", F.expr(f"v div {_PARETO_BUCKET}"))
+    off = bucket_offsets(b, "_b", {"w": F.col("w")})
+    w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    c = b.join(F.broadcast(off), "_b").withColumn(
+        "cumw", F.col("_off_w") + F.sum("w").over(w_loc)
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cumw") >= F.expr("(total_w + 1) div 2"))
+            & (F.col("cumw") - F.col("w") < F.expr("(total_w + 1) div 2"))
+        )
+        .select("n_rows", "total_w", F.col("v").alias("weighted_median_cents"))
+    )

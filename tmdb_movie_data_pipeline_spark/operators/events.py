@@ -1612,3 +1612,86 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(first), "event_type")
         .select("event_type", "peak", "n_intervals", "first_peak_us")
     )
+
+
+# -- Markov stationary distribution — deferred r7 queue -----------------------
+
+_MK_SCALE = 1_000_000
+_MK_ITERS = 8
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration over the transition counts (aggregation in
+    a recursive leg is restricted — same constraint as PageRank)."""
+    parts = [
+        """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), trans AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), rt AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM trans GROUP BY 1
+    ),"""
+        + f"""
+    pi0 AS (
+        SELECT from_type AS t, CAST({_MK_SCALE} AS BIGINT) AS p FROM rt
+    )"""
+    ]
+    for k in range(_MK_ITERS):
+        parts.append(
+            f""",
+    pi{k + 1} AS (
+        SELECT tr.to_type AS t,
+               CAST(SUM((p.p * tr.n) // r.row_total) AS BIGINT) AS p
+        FROM trans tr
+        JOIN pi{k} p ON p.t = tr.from_type
+        JOIN rt r ON r.from_type = tr.from_type
+        GROUP BY tr.to_type
+    )"""
+        )
+    parts.append(f"""
+    SELECT t AS event_type, p AS stationary_u FROM pi{_MK_ITERS}""")
+    return "".join(parts)
+
+
+@register("events_markov_stationary", oracle=_markov_oracle(), deferred=True)
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the clickstream Markov chain — where the
+    transition matrix (events_transition_matrix) says a random session
+    spends its time in the long run: {_MK_ITERS} unrolled power-iteration
+    rounds π_(k+1)(j) = Σ_i (π_k(i)·n_ij) div rowtotal_i in fixed-point
+    BIGINT (scale {_MK_SCALE}), the PageRank recipe applied to the event
+    chain (PageRank is this plus teleport). Truncation loses <|types|
+    units of mass per round — deterministic and identical on both engines,
+    which is the point: no IEEE summation order exists to diverge.
+
+    Shape: the chain lives on the tiny |types|² transition relation —
+    after ONE user-keyed LEAD shuffle, every round is a keyed join +
+    grouped sum over at most |types|² rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    rt = trans.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    contrib = trans.join(rt, "from_type").localCheckpoint(eager=True)
+    pi = rt.select(
+        F.col("from_type").alias("t"), F.lit(_MK_SCALE).cast("long").alias("p")
+    )
+    for _ in range(_MK_ITERS):
+        pi = (
+            contrib.join(pi, contrib["from_type"] == pi["t"])
+            .groupBy("to_type")
+            .agg(F.expr("CAST(sum((p * n) div row_total) AS BIGINT)").alias("p"))
+            .withColumnRenamed("to_type", "t")
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(F.col("t").alias("event_type"), F.col("p").alias("stationary_u"))
