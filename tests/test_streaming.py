@@ -303,8 +303,8 @@ def test_scd2_apply_redelivery_and_restart_are_safe(spark, sf_dir, tmp_path):
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "ts", "value")
     )
-    # sf0.001 spans a single month — split at mid-month so two time-ordered
-    # batches exist (the registered query uses month batches at sf0.01)
+    # split at mid-month so two time-ordered batches exist regardless of
+    # scale (the registered query stages 10-day blocks the same way)
     batches = [
         ev.filter(F.dayofmonth("ts") < 15),
         ev.filter(F.dayofmonth("ts") >= 15),

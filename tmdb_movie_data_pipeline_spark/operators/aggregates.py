@@ -1219,7 +1219,8 @@ def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT n_cust, total_k,
-           CAST((10000 * sum_sq) // (total_k * total_k) AS BIGINT) AS hhi_bp
+           CAST(sum_sq // GREATEST((total_k * total_k) // 10000, 1)
+                AS BIGINT) AS hhi_bp
     FROM tot
     """,
     deferred=True,
@@ -1237,8 +1238,11 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     because squared money overflows int64 fast: cents-scale squares blew
     up ANSI Spark at fixture scale while DuckDB's 128-bit SUM sailed on —
     exactly the silent cross-engine divergence the quantize-first rule
-    prevents. Bounds at $1000 units: exact while total revenue < ~$3T
-    (total_k² < 2^63) — documented, and generous.
+    prevents. The basis-point scaling divides the DENOMINATOR
+    (sum_sq div (total² div 10^4)) instead of multiplying sum_sq by 10^4:
+    sum_sq ≤ total² by Cauchy–Schwarz, so the whole expression is exact
+    while total_k² < 2^63 — total revenue < ~$3T — where the multiplied
+    form would wrap at ~$30B of concentrated revenue.
 
     Shape: per-customer partial agg, then one 1-row total — the whole
     statistic is two map-side-combinable aggregates.
@@ -1257,9 +1261,10 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_cust",
         "total_k",
-        F.expr("CAST((10000 * _sum_sq) div (total_k * total_k) AS BIGINT)").alias(
-            "hhi_bp"
-        ),
+        F.expr(
+            "CAST(_sum_sq div greatest((total_k * total_k) div 10000, 1)"
+            " AS BIGINT)"
+        ).alias("hhi_bp"),
     )
 
 
@@ -1347,6 +1352,9 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Gini coefficient of customer revenue — deferred r7 queue -----------------
 
 
+_GINI_BUCKET_K = 500  # $500k histogram blocks, in $1000 units
+
+
 @register(
     "agg_gini_coefficient",
     oracle="""
@@ -1366,8 +1374,8 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT n, sx,
-           CAST((10000 * (2 * six - (n + 1) * sx)) // (n * sx) AS BIGINT)
-               AS gini_bp
+           CAST((2 * six - (n + 1) * sx)
+                // GREATEST((n * sx) // 10000, 1) AS BIGINT) AS gini_bp
     FROM agg
     """,
     deferred=True,
@@ -1394,7 +1402,7 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("x")
     )
-    b = rev.withColumn("_b", F.expr(f"x div {_PARETO_BUCKET}"))
+    b = rev.withColumn("_b", F.expr(f"x div {_GINI_BUCKET_K}"))
     off = bucket_offsets(b, "_b", {"c": F.lit(1)})
     w_loc = W.partitionBy("_b").orderBy("x", "o_custkey")
     ranked = b.join(F.broadcast(off), "_b").withColumn(
@@ -1410,14 +1418,14 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sx",
             F.expr(
-                "CAST((10000 * (2 * _six - (n + 1) * sx)) div (n * sx)"
-                " AS BIGINT)"
+                "CAST((2 * _six - (n + 1) * sx)"
+                " div greatest((n * sx) div 10000, 1) AS BIGINT)"
             ).alias("gini_bp"),
         )
     )
 
 
-_CAL_POS_LANG_REF = "en"  # positive class, matching ml_calibration_bins
+from .clustering import _CAL_POS_LANG as _CAL_POS_LANG_REF  # shared positive class
 
 
 # -- exact AUC-ROC via the rank-sum identity — deferred r7 queue --------------
@@ -1614,9 +1622,10 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a total order on rows.
 
     Shape: the same histogram-offset machinery as the unweighted median
-    (bucket_offsets carrying WEIGHT sums instead of counts); the only
-    unpartitioned window is the tiny bucket prefix-sum. Integer cents ×
-    integer quantities end to end.
+    (bucket_offsets carrying WEIGHT sums instead of counts), with the
+    same fine-grained _MW_BUCKET width so bucket-local frames stay small
+    at any row count; the only unpartitioned window is the tiny bucket
+    prefix-sum. Integer cents × integer quantities end to end.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = li.select(
@@ -1626,7 +1635,7 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = s.agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("w").cast("long").alias("total_w")
     )
-    b = s.withColumn("_b", F.expr(f"v div {_PARETO_BUCKET}"))
+    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
     off = bucket_offsets(b, "_b", {"w": F.col("w")})
     w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     c = b.join(F.broadcast(off), "_b").withColumn(

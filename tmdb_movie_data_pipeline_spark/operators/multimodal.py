@@ -647,7 +647,9 @@ def chunk_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = attach_binary_payload(docs).select("doc_id", "payload")
     chunks = payloads.mapInPandas(
         _cdc_doc_chunks_batches, "doc_id long, chunk_md5 string, chunk_len long"
-    )
+    ).localCheckpoint(eager=True)  # the plan reads this 4x (stored, referenced,
+    # and both again under the anti-join) — without materialization the
+    # Python chunker, the dominant cost, would re-run each time
     stored = chunks.groupBy("chunk_md5").agg(F.min("chunk_len").alias("chunk_len"))
     referenced = (
         chunks.filter(F.col("doc_id") % _GC_DEL_MOD != 0)
