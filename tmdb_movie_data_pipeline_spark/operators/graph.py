@@ -505,11 +505,10 @@ _LP_ITERS = 3  # fixed rounds (deterministic row SET for the hash gate)
 _LP_SEED_MOD = 4  # doc_id % MOD == 0 keeps its ground-truth lang as the seed
 
 
-def _lp_oracle() -> str:
-    """Unrolled label-propagation oracle: per-round majority vote cannot sit
-    in a recursive CTE leg (aggregation restriction — same constraint as
-    PageRank), so the fixed rounds chain as CTEs, each the identical
-    neighbor-vote argmax the Spark loop runs."""
+def _lp_cte_chain() -> str:
+    """The label-propagation WITH-chain (no final SELECT) — shared by the
+    LPA oracle and consumers that post-process its communities
+    (graph_modularity); the final relation is ``lp{_LP_ITERS}``."""
     parts = [
         f"""
     WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
@@ -544,9 +543,19 @@ def _lp_oracle() -> str:
         SELECT v, lab FROM seeds
     )"""
         )
-    parts.append(f"""
-    SELECT v AS doc_id, lab AS label FROM lp{_LP_ITERS}""")
     return "".join(parts)
+
+
+def _lp_oracle() -> str:
+    """Unrolled label-propagation oracle: per-round majority vote cannot sit
+    in a recursive CTE leg (aggregation restriction — same constraint as
+    PageRank), so the fixed rounds chain as CTEs, each the identical
+    neighbor-vote argmax the Spark loop runs."""
+    return (
+        _lp_cte_chain()
+        + f"""
+    SELECT v AS doc_id, lab AS label FROM lp{_LP_ITERS}"""
+    )
 
 
 @register("graph_label_propagation", oracle=_lp_oracle())
@@ -759,4 +768,99 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("common"), "doc_a", "doc_b")
         .limit(_LINK_TOPN)
+    )
+
+
+# -- community modularity — deferred r7 queue ---------------------------------
+
+
+@register(
+    "graph_modularity",
+    oracle=_lp_cte_chain()
+    + f""",
+    comm AS (SELECT v, lab FROM lp{_LP_ITERS}),
+    m AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM edges),
+    deg AS (
+        SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    intra AS (
+        SELECT ca.lab, CAST(COUNT(*) / 2 AS BIGINT) AS l_c
+        FROM edges e
+        JOIN comm ca ON ca.v = e.src
+        JOIN comm cb ON cb.v = e.dst AND cb.lab = ca.lab
+        GROUP BY 1
+    ),
+    dsum AS (
+        SELECT c.lab, CAST(SUM(d.d) AS BIGINT) AS d_c,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM comm c JOIN deg d ON d.v = c.v
+        GROUP BY 1
+    )
+    SELECT ds.lab AS label, ds.n_nodes,
+           CAST(COALESCE(i.l_c, 0) AS BIGINT) AS intra_edges,
+           ds.d_c AS degree_sum,
+           (1000000 * CAST(COALESCE(i.l_c, 0) AS BIGINT)) // mm.n_edges
+             - (1000000 * ds.d_c * ds.d_c)
+               // (4 * mm.n_edges * mm.n_edges) AS q_contrib_ppm
+    FROM dsum ds
+    LEFT JOIN intra i ON i.lab = ds.lab
+    CROSS JOIN m mm
+    """,
+    deferred=True,
+)
+def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contributions of the LPA communities — the
+    quality score that says whether label propagation found real
+    structure: Q = Σ_c [L_c/m − (D_c/2m)²] in exact ppm per community
+    (consumers sum q_contrib_ppm for Q; positive contributions = denser
+    than chance). Evaluates one registered operator with another:
+    graph_label_propagation produces the partition, this scores it.
+
+    Integer discipline: both terms are single integer divisions of
+    bounded products — exact while 10^6·D_c² < 2^63, i.e. D_c < 3·10^6
+    intra-community degree (≈1.5M edges inside one community); past that,
+    move the 10^6 into the denominator as agg_hhi_concentration does.
+    Labeled unions of per-community aggregates; the only joins are
+    |V|- and |E|-keyed equi-joins.
+    """
+    labels = label_propagation(spark, sf_dir).select(
+        F.col("doc_id").alias("v"), F.col("label").alias("lab")
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ca = labels.select(F.col("v").alias("src"), F.col("lab").alias("lab_a"))
+    cb = labels.select(F.col("v").alias("dst"), F.col("lab").alias("lab_b"))
+    intra = (
+        sym.join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("l_c"))
+    )
+    dsum = (
+        labels.join(deg, labels["v"] == deg["src"])
+        .groupBy("lab")
+        .agg(F.sum("d").cast("long").alias("d_c"), F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        dsum.join(intra, "lab", "left")
+        .fillna({"l_c": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lab").alias("label"),
+            "n_nodes",
+            F.col("l_c").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.expr(
+                "(1000000 * l_c) div n_edges"
+                " - (1000000 * d_c * d_c) div (4 * n_edges * n_edges)"
+            ).alias("q_contrib_ppm"),
+        )
     )

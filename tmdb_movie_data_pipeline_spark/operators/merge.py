@@ -678,3 +678,68 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts_us", "state_value", "valid_from_us")
     )
+
+
+# -- SCD2 snapshot as-of — deferred r7 queue ----------------------------------
+
+
+@register(
+    "scd2_snapshot_asof",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, ROUND(value, 4) AS value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   AS valid_to_us
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT h.user_id, h.value, h.valid_from_us
+    FROM hist h CROSS JOIN t
+    WHERE h.valid_from_us <= t.t_us
+      AND (h.valid_to_us IS NULL OR t.t_us < h.valid_to_us)
+    """,
+    deferred=True,
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension AS OF a past instant: one row per user — the value
+    whose SCD2 validity interval contains T (midpoint of the purchase
+    span, derived from the data so the query is self-contained) — the
+    snapshot twin of join_scd2_point_in_time (which aligns many probe
+    times; this reconstructs the whole table at ONE time, what an auditor
+    or a backfill job asks for, and what delta_time_travel_stats answers
+    from the LOG rather than from interval logic — the two must agree,
+    which is the cross-check value).
+
+    Shape: the history build is one user-keyed LEAD window; the as-of
+    filter is a broadcast 1-row T against interval bounds — a map-only
+    predicate, no join at all. At most one interval per user can contain
+    T by construction (intervals partition the timeline).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hist = scd2_intervals(ev, "user_id", "ts", ["value"]).select(
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
+    t = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("t_us")
+    )
+    return (
+        hist.crossJoin(F.broadcast(t))
+        .filter(
+            (F.col("valid_from_us") <= F.col("t_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("t_us") < F.col("valid_to_us"))
+            )
+        )
+        .select("user_id", "value", "valid_from_us")
+    )

@@ -240,3 +240,72 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_rules.unionByName(pk)
+
+
+# -- distribution drift (total variation distance) — deferred r7 queue --------
+
+_TVD_BIN = 100  # n_chars bin width
+
+
+@register(
+    "profile_drift_tvd",
+    oracle=f"""
+    WITH s AS (
+        SELECT n_chars // {_TVD_BIN} AS bin,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ), tot AS (
+        SELECT CAST(SUM(is_a) AS BIGINT)     AS n_a,
+               CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+        FROM s
+    ), bins AS (
+        SELECT bin,
+               CAST(SUM(is_a) AS BIGINT)     AS a_cnt,
+               CAST(SUM(1 - is_a) AS BIGINT) AS b_cnt
+        FROM s GROUP BY 1
+    )
+    SELECT CAST(b.bin AS BIGINT) AS bin, b.a_cnt, b.b_cnt,
+           (1000000 * b.a_cnt) // t.n_a AS a_ppm,
+           (1000000 * b.b_cnt) // t.n_b AS b_ppm,
+           ABS((1000000 * b.a_cnt) // t.n_a
+             - (1000000 * b.b_cnt) // t.n_b) AS abs_diff_ppm
+    FROM bins b CROSS JOIN tot t
+    """,
+    deferred=True,
+)
+def drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: the per-bin ingredients of the total
+    variation distance between two samples (even vs odd doc_ids standing
+    in for reference vs candidate batches) over binned document length —
+    TVD = Σ abs_diff_ppm / 2, the log-free drift metric (PSI needs a
+    logarithm; TVD is a plain L1 gap, so it stays exact integer ppm and
+    cross-engine). A pipeline gate reads this to refuse a batch whose
+    length profile shifted.
+
+    Shape: one map-only bin+flag projection, one |bins|-bounded groupBy,
+    a 1-row totals broadcast. Emits per-bin rows so the consumer sees
+    WHERE the mass moved, not just that it did.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.expr(f"n_chars div {_TVD_BIN}").alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    tot = s.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    bins = s.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        F.expr("(1000000 * a_cnt) div n_a").alias("a_ppm"),
+        F.expr("(1000000 * b_cnt) div n_b").alias("b_ppm"),
+        F.expr(
+            "abs((1000000 * a_cnt) div n_a - (1000000 * b_cnt) div n_b)"
+        ).alias("abs_diff_ppm"),
+    )
