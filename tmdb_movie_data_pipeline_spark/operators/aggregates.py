@@ -33,6 +33,7 @@ from ..functions import (
 )
 from ..io import load_table
 from ..registry import register
+from .clustering import _CAL_POS_LANG as _CAL_POS_LANG_REF
 
 __all__ = ["pricing_summary"]
 
@@ -1219,8 +1220,10 @@ def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT n_cust, total_k,
-           CAST(sum_sq // GREATEST((total_k * total_k) // 10000, 1)
-                AS BIGINT) AS hhi_bp
+           CAST(CASE WHEN sum_sq < 900000000000000
+                     THEN (10000 * sum_sq) // (total_k * total_k)
+                     ELSE sum_sq // ((total_k * total_k) // 10000)
+                END AS BIGINT) AS hhi_bp
     FROM tot
     """,
     deferred=True,
@@ -1262,8 +1265,10 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cust",
         "total_k",
         F.expr(
-            "CAST(_sum_sq div greatest((total_k * total_k) div 10000, 1)"
-            " AS BIGINT)"
+            "CAST(CASE WHEN _sum_sq < 900000000000000"
+            " THEN (10000 * _sum_sq) div (total_k * total_k)"
+            " ELSE _sum_sq div ((total_k * total_k) div 10000)"
+            " END AS BIGINT)"
         ).alias("hhi_bp"),
     )
 
@@ -1374,8 +1379,10 @@ _GINI_BUCKET_K = 500  # $500k histogram blocks, in $1000 units
         FROM ranked
     )
     SELECT n, sx,
-           CAST((2 * six - (n + 1) * sx)
-                // GREATEST((n * sx) // 10000, 1) AS BIGINT) AS gini_bp
+           CAST(CASE WHEN 2 * six - (n + 1) * sx < 900000000000000
+                     THEN (10000 * (2 * six - (n + 1) * sx)) // (n * sx)
+                     ELSE (2 * six - (n + 1) * sx) // ((n * sx) // 10000)
+                END AS BIGINT) AS gini_bp
     FROM agg
     """,
     deferred=True,
@@ -1418,14 +1425,16 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sx",
             F.expr(
-                "CAST((2 * _six - (n + 1) * sx)"
-                " div greatest((n * sx) div 10000, 1) AS BIGINT)"
+                "CAST(CASE WHEN 2 * _six - (n + 1) * sx < 900000000000000"
+                " THEN (10000 * (2 * _six - (n + 1) * sx)) div (n * sx)"
+                " ELSE (2 * _six - (n + 1) * sx) div ((n * sx) div 10000)"
+                " END AS BIGINT)"
             ).alias("gini_bp"),
         )
     )
 
 
-from .clustering import _CAL_POS_LANG as _CAL_POS_LANG_REF  # shared positive class
+# (the clustering import lives at the top of the file)
 
 
 # -- exact AUC-ROC via the rank-sum identity — deferred r7 queue --------------

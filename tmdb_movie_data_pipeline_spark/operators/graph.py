@@ -558,32 +558,25 @@ def _lp_oracle() -> str:
     )
 
 
-@register("graph_label_propagation", oracle=_lp_oracle())
-def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-supervised label propagation over the MinHash duplicate graph:
-    seed vertices (doc_id % {_LP_SEED_MOD} == 0) keep their ground-truth
-    lang; every other vertex takes the MAJORITY label of its currently
-    labeled neighbors each round (tie -> lexicographically smallest
-    label), for {_LP_ITERS} fixed rounds — the classic community/label
-    inference kernel, and the deterministic variant of LPA (random-order
-    LPA is unreproducible by construction; synchronous argmax with a total
-    tie order makes the fixture hash-checkable).
-
-    Scale shape: per round ONE |E|-bounded equi-join (edges x current
-    labels) + a grouped count + a per-dst argmax window — all keyed
-    shuffles, localCheckpoint keeps lineage flat, same contract as
-    :func:`pagerank`. Unlabeled vertices simply don't appear in the label
-    relation, so sparse early rounds cost less, not more.
-    """
+def _dup_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized, MATERIALIZED duplicate-graph edge list (src, dst) —
+    the shared front half of every dup-graph kernel. localCheckpoint is
+    load-bearing: the MinHash-LSH pipeline upstream is the dominant cost,
+    and iterative consumers would otherwise re-run it per round (and
+    composite consumers like graph_modularity once per reuse)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
-    sym = (
+    return (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
-        # materialize ONCE: without this every vote round re-runs the whole
-        # MinHash pipeline upstream (same contract as pagerank's contrib)
         .localCheckpoint(eager=True)
     )
+
+
+def _lp_labels(spark: SparkSession, sf_dir: str, sym: DataFrame) -> DataFrame:
+    """The LPA vote loop over a prebuilt edge list — (v, lab) after
+    ``_LP_ITERS`` synchronous rounds. Shared with graph_modularity so the
+    composite query chunks the LSH pipeline exactly once."""
     verts = sym.select(F.col("src").alias("v")).distinct()
     docs = load_table(spark, sf_dir, "documents")
     seeds = (
@@ -605,6 +598,28 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("v"), "lab")
         )
         labels = votes.unionByName(seeds).localCheckpoint(eager=True)
+    return labels
+
+
+@register("graph_label_propagation", oracle=_lp_oracle())
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the MinHash duplicate graph:
+    seed vertices (doc_id % {_LP_SEED_MOD} == 0) keep their ground-truth
+    lang; every other vertex takes the MAJORITY label of its currently
+    labeled neighbors each round (tie -> lexicographically smallest
+    label), for {_LP_ITERS} fixed rounds — the classic community/label
+    inference kernel, and the deterministic variant of LPA (random-order
+    LPA is unreproducible by construction; synchronous argmax with a total
+    tie order makes the fixture hash-checkable).
+
+    Scale shape: per round ONE |E|-bounded equi-join (edges x current
+    labels) + a grouped count + a per-dst argmax window — all keyed
+    shuffles, localCheckpoint keeps lineage flat, same contract as
+    :func:`pagerank`. Unlabeled vertices simply don't appear in the label
+    relation, so sparse early rounds cost less, not more.
+    """
+    sym = _dup_sym_edges(spark, sf_dir)
+    labels = _lp_labels(spark, sf_dir, sym)
     return labels.select(F.col("v").alias("doc_id"), F.col("lab").alias("label"))
 
 
@@ -667,13 +682,7 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output row SET deterministic for the hash gate (synchronous
     peeling, unlike arbitrary-order peeling, is engine-order independent).
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _dup_sym_edges(spark, sf_dir)
     alive = sym.select(F.col("src").alias("v")).distinct()
     for _ in range(_KCORE_ROUNDS):
         alive = (
@@ -742,13 +751,7 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard skew point and high-degree hubs get capped or salted
     exactly as in triangle counting.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _dup_sym_edges(spark, sf_dir)
     e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
     e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
     wedges = (
@@ -823,16 +826,8 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labeled unions of per-community aggregates; the only joins are
     |V|- and |E|-keyed equi-joins.
     """
-    labels = label_propagation(spark, sf_dir).select(
-        F.col("doc_id").alias("v"), F.col("label").alias("lab")
-    )
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _dup_sym_edges(spark, sf_dir)  # ONE LSH run feeds both the
+    labels = _lp_labels(spark, sf_dir, sym)  # propagation and the scoring
     m = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ca = labels.select(F.col("v").alias("src"), F.col("lab").alias("lab_a"))

@@ -41,8 +41,14 @@ def scd2_intervals(
     changes: DataFrame, key: str, ts_col: str, val_cols: list[str]
 ) -> DataFrame:
     """Change stream → SCD2 history: each change opens a validity interval
-    closed by the next change of the same key (NULL = current)."""
-    w = W.partitionBy(key).orderBy(F.asc(ts_col))
+    closed by the next change of the same key (NULL = current). The LEAD
+    window breaks timestamp ties on the value columns — without a total
+    order, two same-instant changes for one key would let each engine
+    pick its own interval chaining (latent flake; the fixtures carry no
+    such ties, but the contract shouldn't depend on that)."""
+    w = W.partitionBy(key).orderBy(
+        F.asc(ts_col), *[F.asc(c) for c in val_cols]
+    )
     return changes.select(
         key,
         *val_cols,
@@ -100,7 +106,9 @@ def upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hist AS (
         SELECT user_id, event_type, ROUND(value, 4) AS value,
                epoch_us(ts) AS valid_from_us,
-               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, value))
+                   AS valid_to_us
         FROM events
         WHERE event_type = 'purchase'
     )
@@ -630,7 +638,8 @@ def cdc_feed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hist AS (
         SELECT user_id, ROUND(value, 4) AS state_value,
                epoch_us(ts) AS valid_from_us,
-               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, value))
                    AS valid_to_us
         FROM events WHERE event_type = 'purchase'
     )
@@ -689,7 +698,8 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hist AS (
         SELECT user_id, ROUND(value, 4) AS value,
                epoch_us(ts) AS valid_from_us,
-               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, value))
                    AS valid_to_us
         FROM events WHERE event_type = 'purchase'
     ), t AS (

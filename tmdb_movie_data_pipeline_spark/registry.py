@@ -93,6 +93,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "sketch_hll_union",  # same fix
     "llm_domain_mix_resample",  # overflow-safe threshold form (ADVICE r5)
     "multimodal_cdc_chunk_dedup",  # vectorized windowed chunker + oracle
+    "scd2_user_value_history",  # LEAD tie-break on (ts, value) — latent
+    # same-instant-change nondeterminism closed across the SCD2 family
 ]
 
 

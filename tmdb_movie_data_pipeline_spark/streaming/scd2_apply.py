@@ -121,7 +121,8 @@ def _register_query() -> None:
         WITH hist AS (
             SELECT user_id, ROUND(value, 4) AS value,
                    epoch_us(ts) AS valid_from_us,
-                   epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, value))
                        AS valid_to_us
             FROM events
             WHERE event_type = 'purchase'
