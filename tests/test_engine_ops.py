@@ -537,3 +537,53 @@ def test_join_cardinality_estimator_is_scaled_sample(spark, sf_dir):
     true_n = o.join(li, o.o_orderkey == li.l_orderkey).count()
     assert row.exact_pairs == true_n
     assert row.est_pairs % 16 == 0
+
+
+def test_modularity_contributions_are_bounded_and_sum_sane(spark, sf_dir):
+    """Q = Σ q_contrib_ppm must land in [-1e6, 1e6]; per-community intra
+    edges cannot exceed the community's degree sum / 2."""
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    rows = deferred_queries()["graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    q = sum(r.q_contrib_ppm for r in rows)
+    assert -1_000_000 <= q <= 1_000_000
+    for r in rows:
+        assert 2 * r.intra_edges <= r.degree_sum
+
+
+def test_tvd_drift_halves_to_at_most_one(spark, sf_dir):
+    """TVD = Σ abs_diff_ppm / 2 is a probability distance: <= 1e6."""
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    rows = deferred_queries()["profile_drift_tvd"](spark, sf_dir).collect()
+    assert sum(r.abs_diff_ppm for r in rows) // 2 <= 1_000_000
+
+
+def test_markov_stationary_mass_is_conserved_up_to_truncation(spark, sf_dir):
+    """Total fixed-point mass starts at |types|*S and only shrinks by
+    integer-division truncation — never grows, never collapses."""
+    from tmdb_movie_data_pipeline_spark.operators.events import _MK_SCALE
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    rows = deferred_queries()["events_markov_stationary"](spark, sf_dir).collect()
+    total = sum(r.stationary_u for r in rows)
+    n = len(rows)
+    assert total <= n * _MK_SCALE
+    assert total >= n * _MK_SCALE - 8 * n * n  # <=|types| units lost per round
+
+
+def test_auc_matches_direct_pair_count(spark, sf_dir):
+    """AUC from the rank identity equals the direct P(score+ > score-)
+    pair count (ties half) computed in pure Python on the fixture."""
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    row = deferred_queries()["ml_auc_roc"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "n_chars", "lang"
+    ).collect()
+    pos = [d.n_chars for d in docs if d.lang == "en"]
+    neg = [d.n_chars for d in docs if d.lang != "en"]
+    two_u = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
+    assert row.two_u == two_u
+    assert row.auc_ppm == (500_000 * two_u) // (len(pos) * len(neg))

@@ -479,3 +479,46 @@ def test_cumulative_distinct_two_bounded_exchanges(spark, sf_dir):
     assert _nodes(plan, "Exchange") == 2, plan
     assert "collect_list" not in plan and "collect_set" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# -- deferred (round-7 queue) plan pins: ready before activation --------------
+
+
+def _deferred(name):
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    return deferred_queries()[name]
+
+
+def test_grouped_order_statistics_have_no_unpartitioned_window(spark, sf_dir):
+    # grouped median/quartiles: bucket_offsets(partition_by=...) means EVERY
+    # window spec must carry a partition column — zero single-partition
+    # windows anywhere in the plan
+    for name in ("agg_grouped_median", "agg_grouped_quartiles"):
+        plan = _plan(_deferred(name)(spark, sf_dir))
+        specs = re.findall(r"windowspecdefinition\((\S+?),", plan)
+        assert specs, plan
+        for first_arg in specs:
+            assert not first_arg.endswith("ASC") and not first_arg.endswith(
+                "DESC"
+            ), (name, first_arg)
+        assert "SinglePartition" not in plan, (name, plan)
+
+
+def test_weighted_median_windows_are_bucket_partitioned(spark, sf_dir):
+    plan = _plan(_deferred("agg_weighted_median")(spark, sf_dir))
+    parted = re.findall(r"windowspecdefinition\(_b#\d+L,", plan)
+    assert len(parted) >= 1, plan
+
+
+def test_link_prediction_wedge_join_is_equi(spark, sf_dir):
+    plan = _plan(_deferred("graph_link_prediction")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-N, not global sort
+
+
+def test_bigram_and_bpe_stay_jvm_side(spark, sf_dir):
+    for name in ("llm_bpe_pair_counts",):
+        plan = _plan(all_queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
