@@ -69,3 +69,76 @@ def test_quantized_sum_is_order_independent(vals):
     fwd = sum(q(v) for v in vals)
     rev = sum(q(v) for v in reversed(vals))
     assert fwd == rev
+
+
+# -- piecewise basis-point scaling (agg_hhi_concentration / agg_gini) ---------
+
+_PIECEWISE_CUT = 900_000_000_000_000  # 9e14, as in the operators
+
+
+def _piecewise_bp(num: int, den: int) -> int:
+    """The exact CASE both engines run: multiplied form below the cut,
+    denominator-divided form above."""
+    if num < _PIECEWISE_CUT:
+        return (10_000 * num) // den
+    return num // (den // 10_000)
+
+
+@given(
+    num=st.integers(min_value=0, max_value=(1 << 62) - 1),
+    den=st.integers(min_value=1, max_value=(1 << 62) - 1),
+)
+@settings(max_examples=500)
+def test_piecewise_bp_scaling_stays_within_one_bp(num, den):
+    """For num <= den (the HHI/Gini regime: numerator bounded by the
+    denominator), the piecewise form never deviates more than 1 bp from
+    the true rational 1e4*num/den — including across the branch cut.
+    (A flat denominator-floor form failed this by 2-4x on small inputs —
+    the regression this test now pins.)"""
+    if num > den:
+        num, den = den, num
+    if num >= _PIECEWISE_CUT and den // 10_000 == 0:
+        return  # unreachable: num <= den forces den >= cut >> 1e4
+    got = _piecewise_bp(num, den)
+    true_bp = 10_000 * num / den
+    assert abs(got - true_bp) <= 1.0 + 1e-9, (num, den, got, true_bp)
+
+
+# -- weighted-median crossing row: value invariant under tie permutation ------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # value (small: forces ties)
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(max_examples=300)
+def test_weighted_median_crossing_value_is_permutation_invariant(rows, seed):
+    """The crossing-row PREDICATE (cumw-w < target <= cumw) picks a row
+    whose VALUE is identical no matter how ties are ordered — the
+    property agg_weighted_median's cross-engine contract rests on."""
+    import random
+
+    target = (sum(w for _, w in rows) + 1) // 2
+
+    def crossing_value(seq):
+        cum = 0
+        for v, w in seq:
+            cum += w
+            if cum - w < target <= cum:
+                return v
+        raise AssertionError("no crossing row")
+
+    base = crossing_value(sorted(rows, key=lambda r: r[0]))
+    rng = random.Random(seed)
+    for _ in range(5):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        # stable sort by value only — tie order follows the shuffle
+        assert crossing_value(sorted(shuffled, key=lambda r: r[0])) == base
