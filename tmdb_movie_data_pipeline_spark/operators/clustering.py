@@ -734,3 +734,78 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_pos) div n").alias("rate_ppm"),
         )
     )
+
+
+# -- precision-recall curve — deferred r7 queue -------------------------------
+
+
+@register(
+    "ml_pr_curve",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), binned AS (
+        SELECT ((n_chars - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin,
+               CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos
+        FROM documents CROSS JOIN mm
+    ), bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS all_pos FROM bins
+    ), cums AS (
+        SELECT bin,
+               CAST(SUM(n) OVER w AS BIGINT)     AS pred_pos,
+               CAST(SUM(n_pos) OVER w AS BIGINT) AS tp
+        FROM bins
+        WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT c.bin AS threshold_bin, c.tp,
+           c.pred_pos - c.tp        AS fp,
+           t.all_pos - c.tp         AS fn,
+           (1000000 * c.tp) // c.pred_pos AS precision_ppm,
+           (1000000 * c.tp) // t.all_pos  AS recall_ppm
+    FROM cums c CROSS JOIN tot t
+    """,
+    deferred=True,
+)
+def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision–recall curve of the score (n_chars) against the binary
+    outcome (lang == '{_CAL_POS_LANG}'): one point per "predict positive
+    when score lands in bin >= b" threshold, all counts and ratios exact
+    integers/ppm — the last member of the eval family (confusion matrix =
+    one threshold, calibration = binned rates, AUC = threshold-free
+    ranking, PR curve = every threshold).
+
+    Shape: the data collapses to the SAME {_CAL_BINS}-bin histogram as
+    ml_calibration_bins; thresholds are descending-cumulative sums over
+    that tiny frame (the only window in the plan runs over {_CAL_BINS}
+    rows). pred_pos >= 1 at every emitted threshold (the threshold bin
+    itself is nonempty by construction — empty bins emit no row), so no
+    division guard is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = docs.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((n_chars - mn) * {_CAL_BINS}) div (mx - mn + 1)").alias("bin"),
+        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("pos"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    tot = bins.agg(F.sum("n_pos").cast("long").alias("all_pos"))
+    w = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, 0)
+    cums = bins.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("pred_pos"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+    )
+    return cums.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").alias("threshold_bin"),
+        "tp",
+        (F.col("pred_pos") - F.col("tp")).alias("fp"),
+        (F.col("all_pos") - F.col("tp")).alias("fn"),
+        F.expr("(1000000 * tp) div pred_pos").alias("precision_ppm"),
+        F.expr("(1000000 * tp) div all_pos").alias("recall_ppm"),
+    )

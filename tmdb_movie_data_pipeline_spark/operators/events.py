@@ -1695,3 +1695,80 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pi.select(F.col("t").alias("event_type"), F.col("p").alias("stationary_u"))
+
+
+# -- seasonal-naive forecast backtest — deferred r7 queue ---------------------
+
+_BT_TRAIN_DAYS = 23  # first 23 days train, remaining days test
+
+
+@register(
+    "events_backtest_seasonal_naive",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2, 3
+    ), cut AS (
+        SELECT MIN(d) + {_BT_TRAIN_DAYS} AS split_d FROM daily
+    ), model AS (
+        SELECT event_type, dow,
+               CAST(SUM(v) // COUNT(*) AS BIGINT) AS forecast_cents
+        FROM daily CROSS JOIN cut WHERE d < split_d
+        GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.d AS epoch_day,
+           t.v AS actual_cents,
+           m.forecast_cents,
+           ABS(t.v - m.forecast_cents) AS abs_err_cents
+    FROM daily t
+    CROSS JOIN cut
+    JOIN model m ON m.event_type = t.event_type AND m.dow = t.dow
+    WHERE t.d >= cut.split_d
+    """,
+    deferred=True,
+)
+def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest with a temporal train/test split: the
+    seasonal-naive model (per-(type, weekday) mean of the TRAIN days
+    only) scored against the held-out final week, per test day —
+    the honest-evaluation shape every forecasting pipeline needs, where
+    a random split would leak the future into the model (the temporal
+    discipline join_scd2_point_in_time applies to lookups, applied to
+    model fitting). Consumes the seasonality the index query
+    (events_seasonality_index) measures.
+
+    Integer discipline: the model is an integer mean (sum div count of
+    train cents); errors are exact |actual − forecast|. The split day is
+    min(day)+{_BT_TRAIN_DAYS}, a 1-row broadcast. Shape: per-(type, day)
+    partial agg, a |types·7|-row model broadcast-joined to the test days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
+    cut = daily.agg((F.min("d") + _BT_TRAIN_DAYS).alias("split_d"))
+    with_cut = daily.crossJoin(F.broadcast(cut))
+    model = (
+        with_cut.filter(F.col("d") < F.col("split_d"))
+        .groupBy("event_type", "dow")
+        .agg(F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("forecast_cents"))
+    )
+    return (
+        with_cut.filter(F.col("d") >= F.col("split_d"))
+        .join(F.broadcast(model), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("d").alias("epoch_day"),
+            F.col("v").alias("actual_cents"),
+            "forecast_cents",
+            F.abs(F.col("v") - F.col("forecast_cents")).alias("abs_err_cents"),
+        )
+    )

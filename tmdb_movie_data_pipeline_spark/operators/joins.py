@@ -904,3 +904,77 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             nearest.alias("nearest_purchase_us"),
         )
     )
+
+
+# -- pairwise interval-overlap duration — deferred r7 queue -------------------
+
+_OVD_DUR_CHOICES = 50  # synthetic duration keying, as in events_interval_merge
+
+
+@register(
+    "join_interval_overlap_duration",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + (1 + event_id % {_OVD_DUR_CHOICES})
+                              * 60 * 1000000 AS e
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + (1 + event_id % {_OVD_DUR_CHOICES})
+                              * 60 * 1000000 AS e
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT v.user_id,
+               LEAST(v.e, p.e) - GREATEST(v.s, p.s) AS ov
+        FROM v JOIN p ON v.user_id = p.user_id
+        WHERE LEAST(v.e, p.e) > GREATEST(v.s, p.s)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_overlapping_pairs,
+           CAST(SUM(ov) AS BIGINT)   AS total_overlap_us
+    FROM pairs GROUP BY user_id
+    """,
+    deferred=True,
+)
+def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total pairwise overlap DURATION between two interval families per
+    user (view-spans x purchase-spans, the synthetic durations shared
+    with events_interval_merge): Σ max(0, min(ends) − max(starts)) — the
+    quantitative sibling of join_interval_overlap, which only finds
+    overlapping PAIRS; billing, attribution and co-presence analysis all
+    need the overlap AMOUNT in integer microseconds.
+
+    Shape: one user-keyed equi-join with the overlap predicate and
+    arithmetic applied in-partition; the pair count is bounded by
+    per-user interval counts, never cross-user. At pathological per-user
+    densities the banded range join (join_range_banded) is the blocking
+    fallback — same predicate, time-bucketed candidates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dur_us = (1 + F.col("event_id") % _OVD_DUR_CHOICES) * 60 * 1_000_000
+
+    def spans(etype: str, tag: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.unix_micros("ts").alias(f"{tag}_s"),
+            (F.unix_micros("ts") + dur_us).alias(f"{tag}_e"),
+        )
+
+    v = spans("view", "v")
+    p = spans("purchase", "p")
+    ov = F.least(F.col("v_e"), F.col("p_e")) - F.greatest(
+        F.col("v_s"), F.col("p_s")
+    )
+    return (
+        v.join(p, "user_id")
+        .withColumn("ov", ov)
+        .filter(F.col("ov") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.sum("ov").cast("long").alias("total_overlap_us"),
+        )
+    )
