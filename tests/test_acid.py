@@ -265,3 +265,80 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     assert len(t.versions()) == 4
     with pytest.raises(Exception):
         t.read(0).collect()
+
+
+# -- TxGroup: multi-table atomicity -------------------------------------------
+
+
+def _tiers(spark, tmp_path):
+    from tmdb_movie_data_pipeline_spark.plans.acid import TxTable
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import TxGroup
+
+    a = TxTable.create(
+        spark, str(tmp_path / "a"), spark.range(0, 10).withColumnRenamed("id", "k")
+    )
+    b = TxTable.create(
+        spark, str(tmp_path / "b"), spark.range(10, 30).withColumnRenamed("id", "k")
+    )
+    return TxGroup(spark, str(tmp_path)), a, b
+
+
+def test_txgroup_commit_moves_rows_atomically(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    g, a, b = _tiers(spark, tmp_path)
+    moved = g.read(b).filter(F.col("k") < 15)
+    g.transact(
+        [
+            (a, g.read(a).unionByName(moved)),
+            (b, g.read(b).filter(F.col("k") >= 15)),
+        ],
+        "MOVE",
+    )
+    ka = {r.k for r in g.read(a).collect()}
+    kb = {r.k for r in g.read(b).collect()}
+    assert ka == set(range(15)) and kb == set(range(15, 30))
+    assert not (ka & kb)  # conservation: moved, never duplicated
+
+
+def test_txgroup_crash_before_group_record_is_invisible_everywhere(
+    spark, tmp_path
+):
+    """Prepare publishes pending manifests on BOTH tables, then 'crash':
+    no group record. Group-aware reads must fall back to the previous
+    visible version on BOTH members — no partial state."""
+    from pyspark.sql import functions as F
+
+    g, a, b = _tiers(spark, tmp_path)
+    before_a = sorted(r.k for r in g.read(a).collect())
+    before_b = sorted(r.k for r in g.read(b).collect())
+    gid = g.prepare(
+        [
+            (a, g.read(a).unionByName(g.read(b).filter(F.col("k") < 15))),
+            (b, g.read(b).filter(F.col("k") >= 15)),
+        ],
+        "MOVE",
+    )
+    # the pending versions exist in both logs...
+    assert a.latest_version() == 1 and b.latest_version() == 1
+    # ...but neither is visible without the group record
+    assert sorted(r.k for r in g.read(a).collect()) == before_a
+    assert sorted(r.k for r in g.read(b).collect()) == before_b
+    # late recovery: writing the record commits BOTH at one instant
+    g.commit(gid, [a.path, b.path])
+    assert {r.k for r in g.read(a).collect()} == set(range(15))
+    assert {r.k for r in g.read(b).collect()} == set(range(15, 30))
+
+
+def test_txgroup_next_writer_skips_aborted_pending(spark, tmp_path):
+    """An abandoned prepare occupies a version slot; a later SINGLE-table
+    commit lands on top and becomes visible, while the aborted pending
+    version stays invisible forever."""
+    from pyspark.sql import functions as F
+
+    g, a, b = _tiers(spark, tmp_path)
+    g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "ABANDONED")
+    # independent later commit on the next slot (normal TxTable path)
+    a._commit(g.read(a).unionByName(spark.range(100, 102).withColumnRenamed("id", "k")), 2, "APPEND")  # noqa: SLF001
+    ks = sorted(r.k for r in g.read(a).collect())
+    assert ks == list(range(10)) + [100, 101]

@@ -18,11 +18,13 @@ one shuffle on the entity key + an ordered scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import round2
+from ..functions import MONEY_SCALE, quantize, round2
 from ..io import load_table
 from ..registry import register
 
@@ -753,3 +755,88 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "value", "valid_from_us")
     )
+
+
+# -- multi-table atomic transaction — deferred r7 queue -----------------------
+
+_MTX_MOVE_MOD = 10  # orders with o_orderkey % 10 == 0 move cold -> hot
+
+
+@register(
+    "delta_multi_table_tx",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    hot0 AS (SELECT * FROM base WHERE o_orderpriority = '1-URGENT'),
+    cold0 AS (SELECT * FROM base WHERE o_orderpriority <> '1-URGENT'),
+    moved AS (SELECT * FROM cold0 WHERE o_orderkey % {_MTX_MOVE_MOD} = 0),
+    hot1 AS (SELECT * FROM hot0 UNION ALL SELECT * FROM moved),
+    cold1 AS (
+        SELECT * FROM cold0 WHERE o_orderkey % {_MTX_MOVE_MOD} <> 0
+    )
+    SELECT 'hot' AS tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM hot1
+    UNION ALL
+    SELECT 'cold', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM cold1
+    """,
+    deferred=True,
+)
+def multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table atomic MOVE: orders split into a hot tier (urgent) and
+    a cold tier, then one TxGroup transaction relocates a key slice from
+    cold to hot — two table rewrites made visible by ONE atomic group
+    record, so no reader can ever see the moved rows in neither or both
+    tiers (plans/txgroup.py; crash-injection pinned in tests/test_acid.py:
+    a prepare without the group record leaves BOTH tiers at their old
+    snapshots). The emitted per-tier counts and cent totals carry the
+    conservation invariant: rows and money only moved, never leaked.
+
+    Shape: each tier's rewrite is a normal TxTable commit (stage
+    invisible, put-if-absent manifest); the transaction adds one tiny
+    group object — the same cost profile as a single-table commit, which
+    is why multi-statement transactions scale in log-based formats.
+    """
+    from ..io import scratch_dir
+    from ..plans.acid import TxTable
+    from ..plans.txgroup import TxGroup
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        quantize(F.col("o_totalprice"), MONEY_SCALE).alias("cents"),
+    )
+    root = scratch_dir("txgroup_")
+    hot = TxTable.create(
+        spark,
+        os.path.join(root, "hot"),
+        base.filter(F.col("o_orderpriority") == "1-URGENT"),
+    )
+    cold = TxTable.create(
+        spark,
+        os.path.join(root, "cold"),
+        base.filter(F.col("o_orderpriority") != "1-URGENT"),
+    )
+    group = TxGroup(spark, root)
+    moved_pred = F.col("o_orderkey") % _MTX_MOVE_MOD == 0
+    cold_now = group.read(cold)
+    group.transact(
+        [
+            (hot, group.read(hot).unionByName(cold_now.filter(moved_pred))),
+            (cold, cold_now.filter(~moved_pred)),
+        ],
+        "MOVE",
+    )
+    hot_agg = group.read(hot).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(F.lit("hot").alias("tier"), "n_orders", "total_cents")
+    cold_agg = group.read(cold).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(F.lit("cold").alias("tier"), "n_orders", "total_cents")
+    return hot_agg.unionByName(cold_agg)

@@ -165,6 +165,7 @@ class TxTable:
         op: str,
         stats_key: str | None = None,
         carry: list[tuple[str, dict | None]] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Stage ``df``, then publish a manifest holding the staged files
         plus any ``carry`` files referenced (not rewritten) from a previous
@@ -202,6 +203,10 @@ class TxTable:
         if stats_key is not None:
             manifest["stats_key"] = stats_key
             manifest["stats"] = stats
+        if extra:
+            # e.g. TxGroup's pending-group marker (plans/txgroup.py): fields
+            # the manifest carries verbatim for cross-table protocols
+            manifest.update(extra)
         self._publish(manifest)
         return version
 
