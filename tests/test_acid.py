@@ -342,3 +342,25 @@ def test_txgroup_next_writer_skips_aborted_pending(spark, tmp_path):
     a._commit(g.read(a).unionByName(spark.range(100, 102).withColumnRenamed("id", "k")), 2, "APPEND")  # noqa: SLF001
     ks = sorted(r.k for r in g.read(a).collect())
     assert ks == list(range(10)) + [100, 101]
+
+
+def test_txtable_sink_replayed_epoch_is_noop(spark, tmp_path):
+    """The epoch marker rides the data commit: replaying a processed
+    micro-batch must not append its rows again, and each distinct epoch
+    is exactly one table version."""
+    from tmdb_movie_data_pipeline_spark.plans.acid import TxTable
+    from tmdb_movie_data_pipeline_spark.streaming.txtable_sink import TxTableSink
+
+    table = TxTable.create(
+        spark, str(tmp_path / "t"), spark.createDataFrame([], "k long")
+    )
+    sink = TxTableSink(spark, table)
+    b0 = spark.range(0, 5).withColumnRenamed("id", "k")
+    b1 = spark.range(5, 8).withColumnRenamed("id", "k")
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    assert table.latest_version() == 2
+    sink.process_batch(b0, 0)  # redelivery
+    assert table.latest_version() == 2  # no new commit
+    assert sorted(r.k for r in table.read().collect()) == list(range(8))
+    assert sink.committed_epochs() == {0, 1}

@@ -220,6 +220,7 @@ def _ensure_loaded() -> None:
     from .streaming import chunk_store as _chunk_store  # noqa: F401
     from .streaming import incremental_dedup as _incremental_dedup  # noqa: F401
     from .streaming import scd2_apply as _scd2_apply  # noqa: F401
+    from .streaming import txtable_sink as _txtable_sink  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
     from .streaming import transform_state as _transform_state  # noqa: F401
 
