@@ -840,3 +840,68 @@ def multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
     ).select(F.lit("cold").alias("tier"), "n_orders", "total_cents")
     return hot_agg.unionByName(cold_agg)
+
+
+# -- schema evolution on the transaction log — deferred r7 queue --------------
+
+
+@register(
+    "delta_schema_evolution_commit",
+    oracle="""
+    WITH v0 AS (
+        SELECT c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               CAST(NULL AS VARCHAR) AS tier
+        FROM customer
+    ), v1_new AS (
+        SELECT 3000000 + n_nationkey AS c_custkey,
+               CAST(0 AS BIGINT) AS cents,
+               'T-' || CAST(n_nationkey % 3 AS VARCHAR) AS tier
+        FROM nation
+    ), snap AS (
+        SELECT * FROM v0 UNION ALL SELECT * FROM v1_new
+    )
+    SELECT COALESCE(tier, '∅') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM snap GROUP BY 1
+    """,
+    deferred=True,
+)
+def schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the transaction log: v0 commits customers
+    WITHOUT a tier column; v1 appends new rows WITH it (old files carried
+    untouched). Reading v1 with the LOG's schema surfaces the column as
+    NULL for every pre-evolution row — no rewrite of old data, no
+    mergeSchema footer sweep; the manifest is the schema authority, which
+    is exactly how Delta/Iceberg make ADD COLUMN an O(1) metadata
+    operation. The aggregate groups by tier (NULLs bucketed) so the gate
+    pins both the evolved column's values and the carried rows' NULLs.
+    """
+    from ..io import scratch_dir
+    from ..plans.acid import TxTable
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", quantize(F.col("c_acctbal"), MONEY_SCALE).alias("cents")
+    )
+    t = TxTable.create(spark, _tx_table_path(), base)
+    evolved = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            (F.lit(3000000) + F.col("n_nationkey")).cast("long").alias("c_custkey"),
+            F.lit(0).cast("long").alias("cents"),
+            F.concat(F.lit("T-"), (F.col("n_nationkey") % 3).cast("string")).alias(
+                "tier"
+            ),
+        )
+    )
+    prev = t.manifest(t.latest_version())
+    carry = [(rel, None) for rel in prev["files"]]
+    t._commit(evolved, t.latest_version() + 1, "EVOLVE_ADD_COLUMN", carry=carry)  # noqa: SLF001
+    snap = t.read(use_log_schema=True)
+    return snap.groupBy(
+        F.coalesce(F.col("tier"), F.lit("∅")).alias("tier")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

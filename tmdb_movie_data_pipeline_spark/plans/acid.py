@@ -91,14 +91,25 @@ class TxTable:
 
     # -- read -----------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, use_log_schema: bool = False
+    ) -> DataFrame:
         """Snapshot read: resolve one manifest, read only its (immutable)
-        files. Concurrent commits can never change what this returns."""
+        files. Concurrent commits can never change what this returns.
+
+        ``use_log_schema=True`` applies the manifest's schema to the scan —
+        the log, not the file footers, is the schema authority (how every
+        log-based format reads after schema evolution): files written
+        before a column existed surface it as NULL, with no mergeSchema
+        footer sweep. Off by default so pre-evolution readers keep their
+        exact plan."""
         v = self.latest_version() if version is None else version
         m = self.manifest(v)
         files = [os.path.join(self.path, rel) for rel in m["files"]]
         if not files:
             return self.spark.createDataFrame([], m["schema_ddl"])
+        if use_log_schema:
+            return self.spark.read.schema(m["schema_ddl"]).parquet(*files)
         return self.spark.read.parquet(*files)
 
     # -- write ----------------------------------------------------------
