@@ -364,3 +364,37 @@ def test_txtable_sink_replayed_epoch_is_noop(spark, tmp_path):
     assert table.latest_version() == 2  # no new commit
     assert sorted(r.k for r in table.read().collect()) == list(range(8))
     assert sink.committed_epochs() == {0, 1}
+
+
+def test_pending_group_is_invisible_to_plain_txtable_reads(spark, tmp_path):
+    """The visibility rule lives in TxTable itself: a NON-group-aware
+    reader (plain table.read()) and a later single-table writer both skip
+    an uncommitted pending version — no coordinator required."""
+    from pyspark.sql import functions as F
+
+    g, a, b = _tiers(spark, tmp_path)
+    g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "ABANDONED")
+    assert a.latest_version() == 1  # slot claimed...
+    assert a.latest_visible_version() == 0  # ...but invisible
+    assert sorted(r.k for r in a.read().collect()) == list(range(10))
+    # a single-table transactional write bases on the VISIBLE snapshot
+    a.delete_range("k", 0, 4)
+    assert sorted(r.k for r in a.read().collect()) == list(range(5, 10))
+
+
+def test_vacuum_preserves_visible_snapshot_under_abandoned_prepare(
+    spark, tmp_path
+):
+    """An abandoned prepare must not let VACUUM destroy the last visible
+    snapshot (retention counts VISIBLE versions), nor reclaim the
+    prepared files themselves (the group may still commit)."""
+    from pyspark.sql import functions as F
+
+    g, a, b = _tiers(spark, tmp_path)
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
+    a.vacuum(keep_latest=1)
+    # the visible v0 still reads fine after the sweep
+    assert sorted(r.k for r in a.read().collect()) == list(range(10))
+    # late commit: the prepared files survived the sweep too
+    g.commit(gid, [a.path])
+    assert sorted(r.k for r in a.read().collect()) == [0, 1, 2]

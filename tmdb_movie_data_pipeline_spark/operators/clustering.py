@@ -688,6 +688,18 @@ _CAL_BINS = 10
 _CAL_POS_LANG = "en"
 
 
+def _calibration_binned(docs: DataFrame) -> DataFrame:
+    """(bin, pos) rows — the shared equal-width score histogram input for
+    ml_calibration_bins and ml_pr_curve: ONE definition of the min/max
+    broadcast, the binning expression and the positive-class predicate, so
+    the two operators can never drift apart."""
+    mm = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    return docs.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((n_chars - mn) * {_CAL_BINS}) div (mx - mn + 1)").alias("bin"),
+        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("pos"),
+    )
+
+
 @register(
     "ml_calibration_bins",
     oracle=f"""
@@ -718,12 +730,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-bin rollup is one partial-aggregable groupBy over B groups.
     Nothing scales with anything but the scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    mm = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
-    binned = docs.crossJoin(F.broadcast(mm)).select(
-        F.expr(f"((n_chars - mn) * {_CAL_BINS}) div (mx - mn + 1)").alias("bin"),
-        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("pos"),
-    )
+    binned = _calibration_binned(load_table(spark, sf_dir, "documents"))
     return (
         binned.groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
@@ -785,12 +792,7 @@ def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is nonempty by construction — empty bins emit no row), so no
     division guard is needed.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    mm = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
-    binned = docs.crossJoin(F.broadcast(mm)).select(
-        F.expr(f"((n_chars - mn) * {_CAL_BINS}) div (mx - mn + 1)").alias("bin"),
-        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("pos"),
-    )
+    binned = _calibration_binned(load_table(spark, sf_dir, "documents"))
     bins = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
     )

@@ -908,7 +908,8 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- pairwise interval-overlap duration — deferred r7 queue -------------------
 
-_OVD_DUR_CHOICES = 50  # synthetic duration keying, as in events_interval_merge
+from .events import _IVL_DUR_CHOICES as _OVD_DUR_CHOICES  # single-sourced:
+# the overlap metric MUST share events_interval_merge's synthetic spans
 
 
 @register(

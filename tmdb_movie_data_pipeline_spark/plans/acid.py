@@ -77,10 +77,28 @@ class TxTable:
         )
 
     def latest_version(self) -> int:
+        """Highest CLAIMED version slot — including group-pending manifests
+        whose transaction has not committed. Writers claim slots above
+        this; readers must use :meth:`latest_visible_version`."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no committed versions at {self.path}")
         return vs[-1]
+
+    @staticmethod
+    def _is_visible(manifest: dict) -> bool:
+        """A manifest is visible unless it is group-pending and its group
+        record (whose path the manifest carries) does not exist — the
+        TxGroup commit-point check, enforced HERE so every reader and
+        writer shares one visibility rule (plans/txgroup.py)."""
+        rec = manifest.get("group_record")
+        return rec is None or os.path.exists(rec)
+
+    def latest_visible_version(self) -> int:
+        for v in reversed(self.versions()):
+            if self._is_visible(self.manifest(v)):
+                return v
+        raise FileNotFoundError(f"no visible versions at {self.path}")
 
     def manifest(self, version: int) -> dict:
         with open(os.path.join(self._log_path(), _manifest_name(version))) as f:
@@ -103,7 +121,7 @@ class TxTable:
         before a column existed surface it as NULL, with no mergeSchema
         footer sweep. Off by default so pre-evolution readers keep their
         exact plan."""
-        v = self.latest_version() if version is None else version
+        v = self.latest_visible_version() if version is None else version
         m = self.manifest(v)
         files = [os.path.join(self.path, rel) for rel in m["files"]]
         if not files:
@@ -298,7 +316,8 @@ class TxTable:
         from ..operators.merge import merge_upsert
 
         for _ in range(max_retries + 1):
-            base_v = self.latest_version()
+            base_v = self.latest_visible_version()
+            slot = self.latest_version() + 1  # pending slots stay claimed
             m = self.manifest(base_v)
             split = self._touched_files(m, source, key)
             if split is None:
@@ -321,7 +340,7 @@ class TxTable:
             try:
                 return self._commit(
                     merged,
-                    base_v + 1,
+                    slot,
                     f"MERGE key={key}",
                     stats_key=stats_key,
                     carry=carry,
@@ -345,7 +364,8 @@ class TxTable:
         from pyspark.sql import functions as F
 
         for _ in range(max_retries + 1):
-            base_v = self.latest_version()
+            base_v = self.latest_visible_version()
+            slot = self.latest_version() + 1
             m = self.manifest(base_v)
             stats_key = m.get("stats_key")
             stats = m.get("stats") or {}
@@ -372,7 +392,7 @@ class TxTable:
             try:
                 return self._commit(
                     kept,
-                    base_v + 1,
+                    slot,
                     f"DELETE {key} IN [{lo}, {hi}]",
                     stats_key=stats_key,
                     carry=carry,
@@ -383,10 +403,10 @@ class TxTable:
 
     def optimize(self, target_files: int = 1) -> int:
         """Compaction: same logical content, fewer files, new version."""
-        v = self.latest_version()
+        v = self.latest_visible_version()
         return self._commit(
             self.read(v).coalesce(target_files),
-            v + 1,
+            self.latest_version() + 1,
             f"OPTIMIZE n={target_files}",
             stats_key=self.manifest(v).get("stats_key"),
         )
@@ -409,11 +429,17 @@ class TxTable:
         behavior past the retention window.
 
         Returns {"n_deleted", "n_kept", "bytes_deleted"}."""
-        versions = self.versions()
-        retained = set(versions[-keep_latest:])
+        manifests = {v: self.manifest(v) for v in self.versions()}
+        visible = [v for v, m in manifests.items() if self._is_visible(m)]
+        retained = set(visible[-keep_latest:])
         keep: set[str] = set()
-        for v in retained:
-            keep.update(self.manifest(v)["files"])
+        for v, m in manifests.items():
+            # retained visible snapshots, plus EVERY group-pending version:
+            # a prepared-but-uncommitted transaction may still commit, and
+            # an aborted one must never take a visible snapshot's carried
+            # files down with it
+            if v in retained or not self._is_visible(m):
+                keep.update(m["files"])
         n_deleted = 0
         bytes_deleted = 0
         for root, _dirs, names in os.walk(os.path.join(self.path, _DATA_DIR)):

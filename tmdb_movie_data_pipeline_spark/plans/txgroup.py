@@ -24,7 +24,13 @@ Crash after step 2: fully committed. This is the same shape as Delta's
 multi-statement transaction log / Iceberg's multi-table catalog commit:
 stage everything invisibly, then flip one conditional-put object.
 
-Aborted prepares occupy version slots permanently (like any failed Delta
+Concurrent SINGLE-table writers and an in-flight group serialize on the
+version slots (a pending prepare keeps its slot; later writers commit
+above it, basing on the latest VISIBLE snapshot). A group that commits
+after such a writer surfaces as the older version — the standard
+last-writer-wins outcome optimistic logs give without a global lock;
+serializing the two workloads needs the same external coordination Delta
+applications use. Aborted prepares occupy version slots permanently (like any failed Delta
 commit attempt's staged files) — a VACUUM-style sweep can reclaim the
 data dirs of pending manifests whose group record never appeared;
 readers already skip them.
@@ -64,10 +70,17 @@ class TxGroup:
         """Phase 1: claim the next version of every member with a pending
         manifest. Returns the group id; nothing is visible yet."""
         gid = uuid.uuid4().hex
+        record = self._record_path(gid)
         for table, df in updates:
             v = table.latest_version() + 1
             table._commit(  # noqa: SLF001 — coordinator is package-internal
-                df, v, op, extra={"pending_group": gid}
+                df,
+                v,
+                op,
+                # the manifest carries its own commit-point location, so
+                # EVERY TxTable reader/writer (not just TxGroup) applies
+                # the visibility rule — see TxTable._is_visible
+                extra={"pending_group": gid, "group_record": record},
             )
         return gid
 
@@ -83,6 +96,8 @@ class TxGroup:
             json.dump({"gid": gid, "members": members}, f)
         try:
             os.link(tmp, final)  # atomic create-exclusive, as in TxTable
+        except FileExistsError:
+            pass  # recovery re-running the commit point: already committed
         finally:
             os.unlink(tmp)
 
@@ -94,14 +109,9 @@ class TxGroup:
     # -- group-aware reads ----------------------------------------------
 
     def visible_version(self, table: TxTable) -> int:
-        """Latest version whose manifest is either unconditionally
-        committed or whose pending group record exists."""
-        for v in sorted(table.versions(), reverse=True):
-            m = table.manifest(v)
-            gid = m.get("pending_group")
-            if gid is None or self.group_committed(gid):
-                return v
-        raise ValueError(f"no visible version at {table.path}")
+        """Latest visible version — now simply TxTable's own rule, since
+        manifests carry their group-record path."""
+        return table.latest_visible_version()
 
     def read(self, table: TxTable) -> DataFrame:
         return table.read(self.visible_version(table))

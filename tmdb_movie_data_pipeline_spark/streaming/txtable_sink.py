@@ -41,7 +41,19 @@ class TxTableSink:
         self.spark = spark
         self.table = table
 
+    def max_committed_epoch(self) -> int | None:
+        """Largest epoch in the log, probed from the TAIL: epochs are
+        monotone, so the newest manifest carrying a marker holds the max —
+        O(non-stream commits since the last append), not O(history)."""
+        for v in reversed(self.table.versions()):
+            m = self.table.manifest(v)
+            if "txn_epoch" in m:
+                return int(m["txn_epoch"])
+        return None
+
     def committed_epochs(self) -> set[int]:
+        """Full-history scan — diagnostics only; the hot path uses the
+        monotone tail probe."""
         return {
             m["txn_epoch"]
             for m in self.table.history()
@@ -50,7 +62,8 @@ class TxTableSink:
 
     def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         epoch = int(epoch_id)
-        if epoch in self.committed_epochs():
+        latest = self.max_committed_epoch()
+        if latest is not None and epoch <= latest:
             return  # replayed delivery: the log already carries this epoch
         prev = self.table.manifest(self.table.latest_version())
         stats = prev.get("stats", {})
@@ -59,6 +72,9 @@ class TxTableSink:
             batch,
             self.table.latest_version() + 1,
             "STREAM_APPEND",
+            # preserve the table's stats contract: dropping stats_key for
+            # one append would disable file-pruned MERGE/DELETE forever
+            stats_key=prev.get("stats_key"),
             carry=carry,
             extra={"txn_epoch": epoch},
         )
