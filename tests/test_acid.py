@@ -398,3 +398,26 @@ def test_vacuum_preserves_visible_snapshot_under_abandoned_prepare(
     # late commit: the prepared files survived the sweep too
     g.commit(gid, [a.path])
     assert sorted(r.k for r in a.read().collect()) == [0, 1, 2]
+
+
+def test_sink_append_skips_pending_group_data(spark, tmp_path):
+    """A streaming append that lands while a group prepare is in flight
+    must carry the latest VISIBLE snapshot — not the pending manifest's
+    uncommitted files."""
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.streaming.txtable_sink import TxTableSink
+
+    g, a, b = _tiers(spark, tmp_path)
+    g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
+    sink = TxTableSink(spark, a)
+    sink.process_batch(
+        spark.range(100, 103).withColumnRenamed("id", "k"), 0
+    )
+    # visible content = v0 (all ten rows) + the appended batch; the
+    # pending prepare's truncation to k<3 must NOT leak through
+    assert sorted(r.k for r in a.read().collect()) == list(range(10)) + [
+        100,
+        101,
+        102,
+    ]

@@ -65,7 +65,10 @@ class TxTableSink:
         latest = self.max_committed_epoch()
         if latest is not None and epoch <= latest:
             return  # replayed delivery: the log already carries this epoch
-        prev = self.table.manifest(self.table.latest_version())
+        # carry from the latest VISIBLE snapshot — latest_version() may be
+        # an uncommitted group-pending manifest, and carrying its files
+        # would make aborted-transaction data visible through the append
+        prev = self.table.manifest(self.table.latest_visible_version())
         stats = prev.get("stats", {})
         carry = [(rel, stats.get(rel)) for rel in prev["files"]]
         self.table._commit(  # noqa: SLF001 — sink is package-internal
