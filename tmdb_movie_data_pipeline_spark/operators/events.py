@@ -1772,3 +1772,74 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("v") - F.col("forecast_cents")).alias("abs_err_cents"),
         )
     )
+
+
+# -- DAU/WAU stickiness — deferred r7 queue -----------------------------------
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ),
+    wau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        GROUP BY 1
+    )
+    SELECT dau.d AS epoch_day, dau.dau, wau.wau,
+           (1000000 * dau.dau) // wau.wau AS stickiness_ppm
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+    deferred=True,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — daily actives over trailing-7-day
+    actives, the growth metric every product dashboard leads with, as
+    exact integer ppm. The subtlety is that WAU is a DISTINCT count over
+    a SLIDING window, which no window frame can express (distinct doesn't
+    decompose over frames): the standard exact form is the one here —
+    dedupe to (user, day), then a 7-day band join from each day to its
+    trailing user-days and a distinct count per day.
+
+    Scale shape: the band join's left side is |days| (tiny) and the right
+    side is user-days (already deduped), so the join fans each user-day
+    into at most 7 day-buckets — linear with constant 7, shuffled on the
+    day key; the distinct count is partial-aggregable. For month windows
+    at extreme scale the bitmap-word or HLL forms (agg_bitmap_distinct,
+    stream_windowed_hll_distinct) are the documented swaps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("days")
+        .join(
+            ud.alias("ud"),
+            F.col("ud.d").between(F.col("days.d") - 6, F.col("days.d")),
+        )
+        .groupBy(F.col("days.d").alias("d"))
+        .agg(F.countDistinct("ud.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("epoch_day"),
+            "dau",
+            "wau",
+            F.expr("(1000000 * dau) div wau").alias("stickiness_ppm"),
+        )
+    )

@@ -979,3 +979,58 @@ def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ov").cast("long").alias("total_overlap_us"),
         )
     )
+
+
+# -- null-aware anti join (NOT IN with NULLs) — deferred r7 queue -------------
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+    WITH clean AS (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), with_null AS (
+        SELECT k FROM clean UNION ALL SELECT NULL
+    )
+    SELECT 'no_null' AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM clean)
+    UNION ALL
+    SELECT 'with_null',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM with_null)
+    """,
+    deferred=True,
+)
+def null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic, pinned by CONTRAST: against the
+    clean key set the anti-join keeps every non-BUILDING customer; add
+    ONE NULL to the same set and ``x NOT IN (...)`` becomes UNKNOWN for
+    every x — zero rows survive. Both counts ride in one result, so the
+    gate fails if either side of the semantics drifts (a plain LEFT ANTI
+    JOIN would silently report the clean count for the nullable set too —
+    which is exactly why Spark plans this as a null-aware anti join and
+    why the semantics, not just the plan shape, need a pin).
+
+    Scale: Spark's NAAJ broadcasts the key set and short-circuits on the
+    null flag — O(probe) with a broadcast, same cost as a plain anti join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("t_naaj_customer")
+    return spark.sql(
+        """
+        WITH clean AS (
+            SELECT c_custkey AS k FROM t_naaj_customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), with_null AS (
+            SELECT k FROM clean UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT 'no_null' AS variant, COUNT(*) AS n_kept
+        FROM t_naaj_customer
+        WHERE c_custkey NOT IN (SELECT k FROM clean)
+        UNION ALL
+        SELECT 'with_null', COUNT(*)
+        FROM t_naaj_customer
+        WHERE c_custkey NOT IN (SELECT k FROM with_null)
+        """
+    )

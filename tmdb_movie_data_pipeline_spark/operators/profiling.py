@@ -309,3 +309,52 @@ def drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs((1000000 * a_cnt) div n_a - (1000000 * b_cnt) div n_b)"
         ).alias("abs_diff_ppm"),
     )
+
+
+# -- k-anonymity audit — deferred r7 queue ------------------------------------
+
+_KANON_K = 5
+_KANON_LEN_BUCKET = 200  # n_chars quasi-identifier coarsening
+
+
+@register(
+    "profile_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+        SELECT lang, source, n_chars // {_KANON_LEN_BUCKET} AS len_b
+        FROM documents
+    ), groups AS (
+        SELECT lang, source, len_b, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM q GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, CAST(len_b AS BIGINT) AS len_b, group_size,
+           CAST(group_size < {_KANON_K} AS BOOLEAN) AS violates_k
+    FROM groups
+    """,
+    deferred=True,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    coarsened length): every equivalence class with its size and a
+    violates-k={_KANON_K} flag — the privacy gate a release pipeline runs
+    BEFORE publishing (classes smaller than k re-identify their members;
+    the flagged rows are what suppression/generalization must fix, and
+    the class list doubles as the generalization worksheet). Complements
+    llm_pii_scrub: scrubbing removes direct identifiers, k-anonymity
+    bounds what the quasi-identifiers still leak.
+
+    Shape: ONE partial-aggregable groupBy over the quasi-identifier
+    domain; the flag is a map-side comparison. Nothing scales with
+    anything but the scan — auditing 100 TB costs one pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang", "source", F.expr(f"n_chars div {_KANON_LEN_BUCKET}").alias("len_b")
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.select(
+        "lang",
+        "source",
+        "len_b",
+        "group_size",
+        (F.col("group_size") < _KANON_K).alias("violates_k"),
+    )
