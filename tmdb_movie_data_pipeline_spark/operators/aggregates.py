@@ -1658,3 +1658,46 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_rows", "total_w", F.col("v").alias("weighted_median_cents"))
     )
+
+
+# -- power-of-two histogram — deferred r7 queue -------------------------------
+
+
+@register(
+    "agg_pow2_histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    )
+    SELECT CAST(length(bin(cents)) AS BIGINT) AS bits,
+           CAST(COUNT(*) AS BIGINT)           AS n,
+           CAST(MIN(cents) AS BIGINT)         AS lo,
+           CAST(MAX(cents) AS BIGINT)         AS hi
+    FROM v WHERE cents > 0
+    GROUP BY 1
+    """,
+    deferred=True,
+)
+def pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HdrHistogram-style) value histogram of order totals:
+    bucket = bit length of the integer cents — exponentially sized
+    buckets with CONSTANT relative error, the layout latency and money
+    distributions are always recorded in, computed WITHOUT any logarithm:
+    ``length(bin(v))`` is exact integer bit arithmetic on both engines,
+    where floor(log2(v)) via floating log would flip at boundary values
+    whenever the two libms round differently. min/max per bucket pin the
+    bucket boundaries themselves.
+
+    Shape: a map-only bucket expression + one ~40-group partial agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        quantize(F.col("o_totalprice"), MONEY_SCALE).alias("cents")
+    ).filter(F.col("cents") > 0)
+    return v.groupBy(
+        F.length(F.bin(F.col("cents"))).cast("long").alias("bits")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )

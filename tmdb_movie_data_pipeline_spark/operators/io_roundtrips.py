@@ -429,3 +429,58 @@ def filter_boolean_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus").like("F%"), 1).otherwise(0)
         ).alias("n_filled"),
     )
+
+
+# -- binaryFile source scan — deferred r7 queue -------------------------------
+
+_BIN_MOD = 25  # write every 25th doc's payload as a standalone binary file
+
+
+@register(
+    "source_binaryfile_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text)                    AS content_md5
+    FROM documents
+    WHERE doc_id % {_BIN_MOD} = 0
+    """,
+    deferred=True,
+)
+def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source — whole-file ingestion of opaque
+    media blobs as (path, length, content) rows, the front door of every
+    multimodal pipeline (images/audio arrive as FILES; this is the scan
+    that turns a directory of them into a DataFrame the payload operators
+    consume). Doc ids ride in the file NAMES and are recovered from the
+    path; content length and md5 are recomputed from the scanned BYTES,
+    so the gate proves byte-exact file round-tripping, not just metadata.
+
+    Scale: binaryFile is splittable per FILE (one task per blob up to
+    maxPartitionBytes) with pathGlobFilter/recursiveFileLookup pruning —
+    the listing-level pruning story of S6 applied to media. ASCII
+    payloads make strlen(text) == byte length for the oracle.
+    """
+    from ..io import scratch_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BIN_MOD == 0)
+        .select("doc_id", "text")
+    )
+    blob_dir = scratch_dir("binsrc_")
+    for r in docs.collect():  # fixture staging only: |docs|/MOD tiny files
+        with open(os.path.join(blob_dir, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(blob_dir)
+    )
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -454,3 +454,37 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# -- Spark 4 Arrow-optimized scalar Python UDF — deferred r7 queue ------------
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) % 97 AS bucket97
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    deferred=True,
+)
+def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized scalar Python UDF (``@udf(useArrow=True)``)
+    — the row-at-a-time @udf API with pandas-UDF transport underneath:
+    existing per-scalar code gets Arrow batching WITHOUT the rewrite to
+    Series-in/Series-out. Registered to pin the API surface alongside the
+    classic pandas variants (udf_pandas_scalar etc.); the arithmetic is
+    integer so the oracle is exact, and the builtins-first policy note
+    stands — this exists for when Python is unavoidable, not as a hot
+    path (the oracle IS the pure-SQL form a production job should use).
+    """
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def bucket97(totalprice: float) -> int:
+        import math
+
+        return int(math.floor(totalprice * 100 + 0.5)) % 97
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select("o_orderkey", bucket97(F.col("o_totalprice")).alias("bucket97"))

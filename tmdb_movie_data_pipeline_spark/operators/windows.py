@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import MONEY_SCALE, qavg_over, qsum_over, round2
+from ..functions import MONEY_SCALE, qavg_over, qsum_over, quantize, round2
 from ..io import load_table
 from ..registry import register
 
@@ -244,4 +244,47 @@ def value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.nth_value("c_acctbal", 2).over(w_full)).alias("seg_second"),
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# -- time-interval RANGE frame — deferred r7 queue ----------------------------
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_1h_cents
+    FROM events
+    """,
+    deferred=True,
+)
+def time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour running revenue per user via a TIME-valued RANGE
+    frame: the frame boundary is 3.6e9 MICROSECONDS of event time, not a
+    row count — the window semantics rate-limiting, rolling-spend and
+    velocity checks actually need (a ROWS frame silently changes meaning
+    with event density; window_range_frame pins the numeric-range cousin,
+    this pins the temporal one on integer epoch micros, which both
+    engines order and subtract identically — no interval-type arithmetic
+    to diverge).
+
+    Shape: one user-keyed Exchange; the range frame advances two pointers
+    over the sorted partition — O(n) per user, state bounded by the 1h
+    span. Identical event-time ties share a frame (RANGE, not ROWS), so
+    the output is tie-order independent and needs no extra tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(quantize(F.col("value"), MONEY_SCALE)).over(w).alias("trailing_1h_cents"),
     )
