@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from ..registry import register
@@ -357,4 +358,136 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_b",
         "group_size",
         (F.col("group_size") < _KANON_K).alias("violates_k"),
+    )
+
+
+# -- l-diversity audit — deferred r7 queue ------------------------------------
+
+_LDIV_L = 2  # each quasi-identifier class needs >= 2 distinct sensitive values
+
+
+@register(
+    "profile_l_diversity",
+    oracle=f"""
+    WITH q AS (
+        SELECT source, n_chars // {_KANON_LEN_BUCKET} AS len_b,
+               lang AS sensitive
+        FROM documents
+    ), groups AS (
+        SELECT source, len_b,
+               CAST(COUNT(*) AS BIGINT)                 AS group_size,
+               CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS n_sensitive
+        FROM q GROUP BY 1, 2
+    )
+    SELECT source, CAST(len_b AS BIGINT) AS len_b, group_size, n_sensitive,
+           CAST(n_sensitive < {_LDIV_L} AS BOOLEAN) AS violates_l
+    FROM groups
+    """,
+    deferred=True,
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can be
+    large yet have ONE sensitive value (here: lang as the sensitive
+    attribute, (source, coarsened length) as the quasi-identifiers), so
+    membership alone discloses it. Every class is emitted with its size,
+    distinct-sensitive count, and a violates-l={_LDIV_L} flag; release
+    gating requires BOTH audits green (profile_k_anonymity bounds
+    re-identification, this bounds attribute disclosure).
+
+    Shape: one partial-aggregable groupBy carrying COUNT plus
+    COUNT(DISTINCT) over the class domain — still a single pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "source", F.expr(f"n_chars div {_KANON_LEN_BUCKET}").alias("len_b")
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("lang").alias("n_sensitive"),
+    )
+    return groups.select(
+        "source",
+        "len_b",
+        "group_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < _LDIV_L).alias("violates_l"),
+    )
+
+
+# -- mode imputation with ground-truth evaluation — deferred r7 queue ---------
+
+_IMP_MISS_MOD = 11  # docs with doc_id % 11 == 0 have their lang "lost"
+
+
+@register(
+    "profile_mode_imputation",
+    oracle=f"""
+    WITH masked AS (
+        SELECT doc_id, source, lang AS true_lang,
+               CASE WHEN doc_id % {_IMP_MISS_MOD} = 0 THEN NULL
+                    ELSE lang END AS lang
+        FROM documents
+    ), modes AS (
+        SELECT source, lang AS mode_lang FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY COUNT(*) DESC, lang) AS rk
+            FROM masked WHERE lang IS NOT NULL
+            GROUP BY source, lang
+        ) WHERE rk = 1
+    )
+    SELECT m.doc_id, m.source, mo.mode_lang AS imputed_lang, m.true_lang,
+           CASE WHEN mo.mode_lang = m.true_lang THEN 1 ELSE 0 END AS correct
+    FROM masked m JOIN modes mo ON mo.source = m.source
+    WHERE m.lang IS NULL
+    """,
+    deferred=True,
+)
+def mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair with a built-in honesty check: every 11th
+    doc's lang is masked, imputed with its source's mode (computed over
+    the OBSERVED rows only — computing it over the truth would leak), and
+    each imputed row carries the held-back true value and a correctness
+    flag — imputation and its evaluation as ONE auditable artifact, the
+    way a data-repair step should ship (a fill-rate without an accuracy
+    number is marketing).
+
+    Shape: the mode is |sources·langs| argmax rows broadcast back; the
+    masked scan is map-only. Tie-break on the label keeps the mode
+    deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    masked = docs.select(
+        "doc_id",
+        "source",
+        F.col("lang").alias("true_lang"),
+        F.when(F.col("doc_id") % _IMP_MISS_MOD == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    modes = (
+        masked.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("mode_lang"))
+    )
+    return (
+        masked.filter(F.col("lang").isNull())
+        .join(F.broadcast(modes), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("mode_lang").alias("imputed_lang"),
+            "true_lang",
+            F.when(F.col("mode_lang") == F.col("true_lang"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
     )
