@@ -400,24 +400,25 @@ def test_vacuum_preserves_visible_snapshot_under_abandoned_prepare(
     assert sorted(r.k for r in a.read().collect()) == [0, 1, 2]
 
 
-def test_sink_append_skips_pending_group_data(spark, tmp_path):
-    """A streaming append that lands while a group prepare is in flight
-    must carry the latest VISIBLE snapshot — not the pending manifest's
-    uncommitted files."""
+def test_sink_append_refuses_to_shadow_pending_group(spark, tmp_path):
+    """A streaming append landing while a group prepare is in flight must
+    FAIL (foreachBatch will retry): committing above the pending slot
+    would shadow this member's transactional version, so a later group
+    commit would apply to other members but not here — partial state one
+    table at a time. After the group resolves, the retried batch lands."""
+    import pytest
     from pyspark.sql import functions as F
 
     from tmdb_movie_data_pipeline_spark.streaming.txtable_sink import TxTableSink
 
     g, a, b = _tiers(spark, tmp_path)
-    g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
     sink = TxTableSink(spark, a)
-    sink.process_batch(
-        spark.range(100, 103).withColumnRenamed("id", "k"), 0
-    )
-    # visible content = v0 (all ten rows) + the appended batch; the
-    # pending prepare's truncation to k<3 must NOT leak through
-    assert sorted(r.k for r in a.read().collect()) == list(range(10)) + [
-        100,
-        101,
-        102,
-    ]
+    batch = spark.range(100, 103).withColumnRenamed("id", "k")
+    with pytest.raises(RuntimeError, match="in-flight group transaction"):
+        sink.process_batch(batch, 0)
+    # transaction commits; the retried epoch now lands exactly once,
+    # carrying the GROUP's snapshot
+    g.commit(gid, [a.path])
+    sink.process_batch(batch, 0)
+    assert sorted(r.k for r in a.read().collect()) == [0, 1, 2, 100, 101, 102]

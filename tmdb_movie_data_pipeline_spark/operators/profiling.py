@@ -335,7 +335,7 @@ _KANON_LEN_BUCKET = 200  # n_chars quasi-identifier coarsening
     deferred=True,
 )
 def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    f"""k-anonymity audit over the quasi-identifier tuple (lang, source,
     coarsened length): every equivalence class with its size and a
     violates-k={_KANON_K} flag — the privacy gate a release pipeline runs
     BEFORE publishing (classes smaller than k re-identify their members;
@@ -386,7 +386,7 @@ _LDIV_L = 2  # each quasi-identifier class needs >= 2 distinct sensitive values
     deferred=True,
 )
 def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit — the attack k-anonymity misses: a class can be
+    f"""l-diversity audit — the attack k-anonymity misses: a class can be
     large yet have ONE sensitive value (here: lang as the sensitive
     attribute, (source, coarsened length) as the quasi-identifiers), so
     membership alone discloses it. Every class is emitted with its size,

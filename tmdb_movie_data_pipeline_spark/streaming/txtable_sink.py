@@ -65,9 +65,17 @@ class TxTableSink:
         latest = self.max_committed_epoch()
         if latest is not None and epoch <= latest:
             return  # replayed delivery: the log already carries this epoch
-        # carry from the latest VISIBLE snapshot — latest_version() may be
-        # an uncommitted group-pending manifest, and carrying its files
-        # would make aborted-transaction data visible through the append
+        # REFUSE to commit past an in-flight group prepare: appending above
+        # the pending slot would shadow this member's version — a later
+        # group commit would then apply to the other members but not here,
+        # breaking cross-table atomicity one table at a time. Failing the
+        # batch is safe: foreachBatch retries it, and the epoch marker
+        # makes the retry exact-once once the transaction resolves.
+        if self.table.latest_version() != self.table.latest_visible_version():
+            raise RuntimeError(
+                f"in-flight group transaction on {self.table.path}: "
+                "streaming append deferred until it commits or is vacuumed"
+            )
         prev = self.table.manifest(self.table.latest_visible_version())
         stats = prev.get("stats", {})
         carry = [(rel, stats.get(rel)) for rel in prev["files"]]
