@@ -1701,3 +1701,80 @@ def pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
     )
+
+
+# -- winsorized mean — deferred queue -----------------------------------------
+
+_WINS_LO_PCT, _WINS_HI_PCT = 5, 95
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    lo AS (
+        SELECT v AS lo_v FROM s ORDER BY v
+        LIMIT 1 OFFSET ((SELECT ({_WINS_LO_PCT} * n + 99) // 100 FROM n) - 1)
+    ), hi AS (
+        SELECT v AS hi_v FROM s ORDER BY v
+        LIMIT 1 OFFSET ((SELECT ({_WINS_HI_PCT} * n + 99) // 100 FROM n) - 1)
+    )
+    SELECT n.n,
+           lo.lo_v AS p05_cents,
+           hi.hi_v AS p95_cents,
+           CAST(SUM(GREATEST(LEAST(s.v, hi.hi_v), lo.lo_v)) // n.n AS BIGINT)
+               AS winsorized_mean_cents
+    FROM s CROSS JOIN n CROSS JOIN lo CROSS JOIN hi
+    GROUP BY n.n, lo.lo_v, hi.hi_v
+    """,
+    deferred=True,
+)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clamp every value into the exact [p05, p95]
+    order-statistic band, then take the integer mean — the robust center
+    that keeps sample size (unlike trimming) while capping tail leverage;
+    pairs with the MAD as the robust-statistics kit. Fence values come
+    from the same histogram-offset exact rank machinery (k = (p·n+99)
+    div 100, the quantile sketch's convention), broadcast as one row;
+    the clamp is map-only and the mean one integer division.
+
+    Shape: two rank lookups over bucket offsets + one partial-aggregable
+    clamped sum — no sort of the population anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(quantize(F.col("value"), MONEY_SCALE).alias("v"))
+    n1 = s.agg(F.count(F.lit(1)).alias("n"))
+    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    off = bucket_offsets(b, "_b", {"c": F.lit(1)})
+    w_loc = W.partitionBy("_b").orderBy("v")
+    ranked = (
+        b.join(F.broadcast(off), "_b")
+        .withColumn("_rk", F.col("_off_c") + F.row_number().over(w_loc))
+        .crossJoin(F.broadcast(n1))
+    )
+    fences = (
+        ranked.filter(
+            (F.col("_rk") == F.expr(f"({_WINS_LO_PCT} * n + 99) div 100"))
+            | (F.col("_rk") == F.expr(f"({_WINS_HI_PCT} * n + 99) div 100"))
+        )
+        .groupBy()
+        .agg(F.min("v").alias("lo_v"), F.max("v").alias("hi_v"))
+    )
+    return (
+        s.crossJoin(F.broadcast(fences))
+        .crossJoin(F.broadcast(n1))
+        .groupBy("n", "lo_v", "hi_v")
+        .agg(
+            F.expr(
+                "CAST(sum(greatest(least(v, hi_v), lo_v)) div n AS BIGINT)"
+            ).alias("winsorized_mean_cents")
+        )
+        .select(
+            "n",
+            F.col("lo_v").alias("p05_cents"),
+            F.col("hi_v").alias("p95_cents"),
+            "winsorized_mean_cents",
+        )
+    )

@@ -1843,3 +1843,73 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * dau) div wau").alias("stickiness_ppm"),
         )
     )
+
+
+# -- Kaplan–Meier ingredients table — deferred queue --------------------------
+
+
+@register(
+    "events_survival_table",
+    oracle="""
+    WITH lifespans AS (
+        SELECT user_id,
+               CAST(MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                    AS BIGINT) AS last_day
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lifespans
+    ), deaths AS (
+        SELECT last_day AS d, CAST(COUNT(*) AS BIGINT) AS d_events
+        FROM lifespans GROUP BY 1
+    ), risk AS (
+        SELECT d, d_events,
+               CAST(SUM(d_events) OVER (ORDER BY d DESC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_at_risk
+        FROM deaths
+    )
+    SELECT r.d AS epoch_day, r.n_at_risk, r.d_events,
+           (1000000 * (r.n_at_risk - r.d_events)) // r.n_at_risk
+               AS step_survival_ppm
+    FROM risk r CROSS JOIN tot
+    """,
+    deferred=True,
+)
+def survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier ingredients per event day: users "die" on their last
+    observed activity day; each distinct death day carries the at-risk
+    count (everyone surviving INTO the day — a DESCENDING cumulative sum
+    of deaths), the deaths, and the per-step survival factor
+    (n−d)/n in exact ppm. The cumulative product S(t) = Π steps is a
+    sequential recurrence no window expresses — deliberately left to the
+    consumer (multiply the handful of emitted steps), which is also how
+    survival tables are published; everything DISTRIBUTED here is exact
+    relational algebra.
+
+    Shape: per-user max (partial agg) → per-day death counts (|days|
+    rows) → one descending cumsum over that tiny frame. Churn/retention
+    analysis at any scale collapses to the same |days|-sized table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lifespans = ev.groupBy("user_id").agg(
+        F.max(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        )
+        .cast("long")
+        .alias("last_day")
+    )
+    deaths = lifespans.groupBy(F.col("last_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("d_events")
+    )
+    w = W.orderBy(F.desc("d")).rowsBetween(W.unboundedPreceding, 0)
+    risk = deaths.withColumn(
+        "n_at_risk", F.sum("d_events").over(w).cast("long")
+    )
+    return risk.select(
+        F.col("d").alias("epoch_day"),
+        "n_at_risk",
+        "d_events",
+        F.expr("(1000000 * (n_at_risk - d_events)) div n_at_risk").alias(
+            "step_survival_ppm"
+        ),
+    )

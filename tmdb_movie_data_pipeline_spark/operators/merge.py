@@ -905,3 +905,59 @@ def schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# -- shallow clone — deferred queue -------------------------------------------
+
+_CLONE_DEL_LO, _CLONE_DEL_HI = 200, 400
+
+
+@register(
+    "delta_shallow_clone",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    clone1 AS (
+        SELECT * FROM base
+        WHERE c_custkey NOT BETWEEN {_CLONE_DEL_LO} AND {_CLONE_DEL_HI}
+    )
+    SELECT 'source' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM base
+    UNION ALL
+    SELECT 'clone', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM clone1
+    """,
+    deferred=True,
+)
+def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE and copy-on-write divergence: the clone's v0 is pure
+    metadata referencing the source's files (zero bytes copied); a DELETE
+    on the clone rewrites only the clone's snapshot while the source
+    reads back untouched — both sides' counts and cent totals ride in one
+    gated result, so the isolation claim is hash-checked, not asserted.
+    The dual of delta_time_travel_stats: time travel shares files across
+    VERSIONS, cloning shares them across TABLES.
+    """
+    from ..io import scratch_dir
+    from ..plans.acid import TxTable
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", quantize(F.col("c_acctbal"), MONEY_SCALE).alias("cents")
+    )
+    root = scratch_dir("clone_")
+    src = TxTable.create(spark, os.path.join(root, "src"), base)
+    clone = TxTable.shallow_clone(spark, os.path.join(root, "clone"), src)
+    clone.delete_range("c_custkey", _CLONE_DEL_LO, _CLONE_DEL_HI)
+    src_agg = src.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(F.lit("source").alias("side"), "n_rows", "total_cents")
+    clone_agg = clone.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(F.lit("clone").alias("side"), "n_rows", "total_cents")
+    return src_agg.unionByName(clone_agg)

@@ -100,6 +100,13 @@ class TxTable:
                 return v
         raise FileNotFoundError(f"no visible versions at {self.path}")
 
+    def _abs(self, rel: str) -> str:
+        """Manifest file entries are normally RELATIVE to the table root;
+        shallow clones reference another table's files by ABSOLUTE path
+        (metadata-only clone — same caveat as Delta's: vacuuming the
+        SOURCE can orphan a clone's references)."""
+        return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+
     def manifest(self, version: int) -> dict:
         with open(os.path.join(self._log_path(), _manifest_name(version))) as f:
             return json.load(f)
@@ -123,7 +130,7 @@ class TxTable:
         exact plan."""
         v = self.latest_visible_version() if version is None else version
         m = self.manifest(v)
-        files = [os.path.join(self.path, rel) for rel in m["files"]]
+        files = [self._abs(rel) for rel in m["files"]]
         if not files:
             return self.spark.createDataFrame([], m["schema_ddl"])
         if use_log_schema:
@@ -150,7 +157,7 @@ class TxTable:
         that file (it is then always treated as touched: safe, not wrong)."""
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(os.path.join(self.path, rel))
+        pf = pq.ParquetFile(self._abs(rel))
         try:
             idx = pf.schema_arrow.names.index(col)
         except ValueError:
@@ -257,6 +264,34 @@ class TxTable:
         t._commit(df, 0, "CREATE", stats_key=stats_key)
         return t
 
+    @classmethod
+    def shallow_clone(
+        cls, spark: SparkSession, path: str, source: "TxTable"
+    ) -> "TxTable":
+        """Metadata-only clone: v0 references the source's current files by
+        absolute path — zero data copied, O(manifest) cost (Delta's
+        SHALLOW CLONE). The clone then diverges copy-on-write: its own
+        commits stage new files under ITS root, so writes on either side
+        never touch the other. Caveat shared with Delta: VACUUM on the
+        source can delete files the clone still references — production
+        retention must account for clones."""
+        m = source.manifest(source.latest_visible_version())
+        t = cls(spark, path)
+        manifest = {
+            "version": 0,
+            "op": f"SHALLOW_CLONE {source.path}",
+            "files": [source._abs(rel) for rel in m["files"]],  # noqa: SLF001
+            "schema_ddl": m["schema_ddl"],
+        }
+        if "stats_key" in m:
+            manifest["stats_key"] = m["stats_key"]
+            manifest["stats"] = {
+                source._abs(rel): st  # noqa: SLF001
+                for rel, st in (m.get("stats") or {}).items()
+            }
+        t._publish(manifest)
+        return t
+
     def _touched_files(
         self, manifest: dict, source: DataFrame, key: str
     ) -> tuple[list[str], list[str]] | None:
@@ -328,7 +363,7 @@ class TxTable:
                 touched, untouched = split
                 if touched:
                     rewrite = self.spark.read.parquet(
-                        *[os.path.join(self.path, rel) for rel in touched]
+                        *[self._abs(rel) for rel in touched]
                     )
                 else:
                     rewrite = self.spark.createDataFrame([], m["schema_ddl"])
@@ -381,7 +416,7 @@ class TxTable:
                 carry = [(rel, stats.get(rel)) for rel in files if rel in untouched]
                 if touched:
                     rewrite = self.spark.read.parquet(
-                        *[os.path.join(self.path, rel) for rel in touched]
+                        *[self._abs(rel) for rel in touched]
                     )
                 else:
                     rewrite = self.spark.createDataFrame([], m["schema_ddl"])
