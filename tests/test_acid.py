@@ -422,3 +422,29 @@ def test_sink_append_refuses_to_shadow_pending_group(spark, tmp_path):
     g.commit(gid, [a.path])
     sink.process_batch(batch, 0)
     assert sorted(r.k for r in a.read().collect()) == [0, 1, 2, 100, 101, 102]
+
+
+def test_shallow_clone_delete_prunes_carried_absolute_refs(spark, tmp_path):
+    """A stats-keyed clone's DELETE must engage file pruning over the
+    ABSOLUTE cross-table references: files whose range misses the delete
+    stay carried (still absolute, still the source's bytes), and the
+    source is untouched."""
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.plans.acid import TxTable
+
+    base = (
+        spark.range(0, 100)
+        .withColumnRenamed("id", "k")
+        .repartitionByRange(4, "k")
+    )
+    src = TxTable.create(spark, str(tmp_path / "src"), base, stats_key="k")
+    clone = TxTable.shallow_clone(spark, str(tmp_path / "clone"), src)
+    clone.delete_range("k", 10, 20)
+    m = clone.manifest(clone.latest_visible_version())
+    carried_abs = [f for f in m["files"] if f.startswith(str(tmp_path / "src"))]
+    assert carried_abs, "pruning should carry untouched source files"
+    assert sorted(r.k for r in clone.read().collect()) == [
+        k for k in range(100) if not 10 <= k <= 20
+    ]
+    assert src.read().count() == 100  # source untouched

@@ -1871,7 +1871,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.d AS epoch_day, r.n_at_risk, r.d_events,
            (1000000 * (r.n_at_risk - r.d_events)) // r.n_at_risk
                AS step_survival_ppm
-    FROM risk r CROSS JOIN tot
+    FROM risk r
     """,
     deferred=True,
 )

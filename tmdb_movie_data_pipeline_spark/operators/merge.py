@@ -909,7 +909,7 @@ def schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- shallow clone — deferred queue -------------------------------------------
 
-_CLONE_DEL_LO, _CLONE_DEL_HI = 200, 400
+_CLONE_DEL_LO, _CLONE_DEL_HI = 20, 40  # inside [0,149] so sf0.001 diverges too
 
 
 @register(
@@ -939,6 +939,9 @@ def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the clone rewrites only the clone's snapshot while the source
     reads back untouched — both sides' counts and cent totals ride in one
     gated result, so the isolation claim is hash-checked, not asserted.
+    The source commits range-partitioned WITH footer stats, so the
+    clone's DELETE exercises file-pruned rewriting over ABSOLUTE
+    cross-table references (carried source files stay carried).
     The dual of delta_time_travel_stats: time travel shares files across
     VERSIONS, cloning shares them across TABLES.
     """
@@ -949,7 +952,12 @@ def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", quantize(F.col("c_acctbal"), MONEY_SCALE).alias("cents")
     )
     root = scratch_dir("clone_")
-    src = TxTable.create(spark, os.path.join(root, "src"), base)
+    src = TxTable.create(
+        spark,
+        os.path.join(root, "src"),
+        base.repartitionByRange(4, "c_custkey"),
+        stats_key="c_custkey",
+    )
     clone = TxTable.shallow_clone(spark, os.path.join(root, "clone"), src)
     clone.delete_range("c_custkey", _CLONE_DEL_LO, _CLONE_DEL_HI)
     src_agg = src.read().agg(

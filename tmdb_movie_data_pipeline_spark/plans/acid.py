@@ -493,6 +493,9 @@ class TxTable:
                 os.rmdir(root)
         return {
             "n_deleted": n_deleted,
-            "n_kept": len(keep),
+            # count only LOCAL references: a clone's absolute refs to
+            # another table's files are outside this walk and would
+            # overstate kept-on-disk counts
+            "n_kept": sum(1 for rel in keep if not os.path.isabs(rel)),
             "bytes_deleted": bytes_deleted,
         }
