@@ -811,3 +811,83 @@ def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * tp) div pred_pos").alias("precision_ppm"),
         F.expr("(1000000 * tp) div all_pos").alias("recall_ppm"),
     )
+
+
+# -- feature hashing (the hashing trick) — deferred queue ---------------------
+
+_FH_DIM = 64  # feature space dimension (buckets)
+_FH_MIN_DF = 3  # emit only features backed by >= 3 docs (output bound)
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                    'g'))), ' ')) AS t(term)
+        WHERE length(t.term) >= 2
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('fh_' || term), 1, 15))::BIGINT
+                   % {_FH_DIM} AS feature_idx
+        FROM toks
+    ), cells AS (
+        SELECT doc_id, CAST(feature_idx AS BIGINT) AS feature_idx,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM hashed GROUP BY 1, 2
+    ), df AS (
+        SELECT feature_idx, COUNT(*) AS n_docs FROM cells GROUP BY 1
+    )
+    SELECT c.doc_id, c.feature_idx, c.tf
+    FROM cells c JOIN df ON df.feature_idx = c.feature_idx
+    WHERE df.n_docs >= {_FH_MIN_DF}
+    """,
+    deferred=True,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens map to a FIXED {_FH_DIM}-dimensional
+    feature space via a salted md5 modulus — no vocabulary is ever built
+    or broadcast, which is the whole point (a vocab dictionary is
+    mutable, skewed state; the hash is stateless and identical on every
+    executor, every engine, every run). Emits the sparse (doc,
+    feature_idx, tf) matrix that linear models and NB train on,
+    restricted to features backed by >= {_FH_MIN_DF} docs.
+
+    Shape: map-only hash + one (doc, idx) partial-aggregable count; the
+    df filter is a {_FH_DIM}-row broadcast. Collisions are the accepted
+    trade (dimension controls them) — deterministic collisions, since
+    the hash family is the repo's cross-engine md5 recipe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+            )
+        ).alias("term"),
+    ).filter(F.length("term") >= 2)
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fh_"), F.col("term"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % _FH_DIM
+        ).alias("feature_idx"),
+    )
+    cells = hashed.groupBy("doc_id", "feature_idx").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = cells.groupBy("feature_idx").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        cells.join(
+            F.broadcast(df_tbl.filter(F.col("n_docs") >= _FH_MIN_DF)),
+            "feature_idx",
+        )
+        .select("doc_id", "feature_idx", "tf")
+    )

@@ -969,3 +969,42 @@ def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
     ).select(F.lit("clone").alias("side"), "n_rows", "total_cents")
     return src_agg.unionByName(clone_agg)
+
+
+# -- RESTORE to an old version — deferred queue -------------------------------
+
+
+@register(
+    "delta_restore_version",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM customer
+    """,
+    deferred=True,
+)
+def restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION: a bad DELETE (v1) is undone by a
+    metadata-only commit (v2) that re-references v0's exact files — no
+    data rewritten, the mistake stays in history for audit and time
+    travel, and the head reads back IDENTICAL to the original (the gate:
+    post-restore count and cent total equal the raw table, with the
+    version count pinned in the same row). The operational sibling of
+    time travel: travel READS the past, restore RE-HEADS it.
+    """
+    from ..io import scratch_dir
+    from ..plans.acid import TxTable
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", quantize(F.col("c_acctbal"), MONEY_SCALE).alias("cents")
+    )
+    t = TxTable.create(spark, os.path.join(scratch_dir("restore_"), "t"), base)
+    t.delete_range("c_custkey", 0, 50)  # the mistake
+    t.restore(0)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.lit(t.latest_version() + 1).cast("long").alias("n_versions"),
+    )

@@ -436,6 +436,26 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases at {self.path}")
 
+    def restore(self, version: int) -> int:
+        """RESTORE: make an old snapshot the new head — a metadata-only
+        commit whose manifest re-references ``version``'s exact files
+        (Delta's RESTORE TABLE ... TO VERSION). History stays append-only
+        and auditable: the bad intermediate versions remain readable via
+        time travel; nothing is rewritten or deleted (VACUUM retention
+        governs their files separately)."""
+        m = self.manifest(version)
+        manifest = {
+            "version": self.latest_version() + 1,
+            "op": f"RESTORE v{version}",
+            "files": list(m["files"]),
+            "schema_ddl": m["schema_ddl"],
+        }
+        if "stats_key" in m:
+            manifest["stats_key"] = m["stats_key"]
+            manifest["stats"] = dict(m.get("stats") or {})
+        self._publish(manifest)
+        return manifest["version"]
+
     def optimize(self, target_files: int = 1) -> int:
         """Compaction: same logical content, fewer files, new version."""
         v = self.latest_visible_version()
