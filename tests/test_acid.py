@@ -448,3 +448,23 @@ def test_shallow_clone_delete_prunes_carried_absolute_refs(spark, tmp_path):
         k for k in range(100) if not 10 <= k <= 20
     ]
     assert src.read().count() == 100  # source untouched
+
+
+def test_merge_rejects_schema_drift(spark, tmp_path):
+    """A MERGE source whose schema doesn't line up must fail loudly, not
+    corrupt the table: the upsert's unionByName raises on the missing
+    column, and the table's visible snapshot is untouched afterward."""
+    import pytest
+
+    from tmdb_movie_data_pipeline_spark.plans.acid import TxTable
+
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"),
+    )
+    drifted = spark.range(0, 3).selectExpr("id AS k", "id AS WRONG_NAME")
+    with pytest.raises(Exception):
+        t.merge(drifted, "k")
+    assert t.latest_visible_version() == 0  # nothing committed
+    assert t.read().count() == 10

@@ -1778,3 +1778,92 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean_cents",
         )
     )
+
+
+# -- autocorrelation function — deferred queue --------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "stats_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS k
+    ), pairs AS (
+        SELECT l.k, a.x AS xt, b.x AS xl
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d - l.k
+    ), per_lag AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(xt) AS BIGINT)       AS st,
+               CAST(SUM(xl) AS BIGINT)       AS sl,
+               CAST(SUM(xt * xl) AS BIGINT)  AS stl,
+               CAST(SUM(xt * xt) AS BIGINT)  AS stt,
+               CAST(SUM(xl * xl) AS BIGINT)  AS sll
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS lag, n,
+           n * stl - st * sl AS cov_num,
+           n * stt - st * st AS var_t_num,
+           n * sll - sl * sl AS var_l_num
+    FROM per_lag
+    """,
+    deferred=True,
+)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation ingredients at lags 1..{_ACF_MAX_LAG} over the
+    daily revenue series — the diagnostic that quantifies what the runs
+    test flags and CUSUM localizes: per lag, the n-scaled covariance and
+    variance NUMERATORS (n·Σxy − ΣxΣy etc.), all exact int64, so
+    r_k = cov/√(var_t·var_l) is one consumer-side division of pinned
+    integers and no square root ever enters the gated row (the Welch
+    t-test's moment discipline applied to serial dependence).
+
+    Shape: the daily series is calendar-sized; each lag is a self-join on
+    d = d−k — |lags|·|days| rows, trivially bounded. Overflow: daily
+    cents ≈ 2e5, squared ≈ 4e10, × days — exact beyond centuries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("x"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).withColumnRenamed("id", "k")
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xt"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xl"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.col("da") - F.col("k"))
+    )
+    return (
+        pairs.groupBy(F.col("k").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xt").alias("st"),
+            F.sum("xl").alias("sl"),
+            F.sum(F.col("xt") * F.col("xl")).alias("stl"),
+            F.sum(F.col("xt") * F.col("xt")).alias("stt"),
+            F.sum(F.col("xl") * F.col("xl")).alias("sll"),
+        )
+        .select(
+            "lag",
+            "n",
+            (F.col("n") * F.col("stl") - F.col("st") * F.col("sl")).alias("cov_num"),
+            (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias(
+                "var_t_num"
+            ),
+            (F.col("n") * F.col("sll") - F.col("sl") * F.col("sl")).alias(
+                "var_l_num"
+            ),
+        )
+    )
