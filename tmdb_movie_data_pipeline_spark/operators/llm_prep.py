@@ -754,3 +754,78 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
         )
     )
+
+
+# -- BPE vocab coverage — deferred queue --------------------------------------
+
+
+@register(
+    "llm_bpe_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT t.term FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+        WHERE length(t.term) >= 2
+    ), pairs AS (
+        SELECT substr(term, i, 2) AS pair
+        FROM toks, UNNEST(generate_series(1, length(term) - 1)) AS g(i)
+    ), counts AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1
+    ), vocab AS (
+        SELECT pair FROM counts ORDER BY n DESC, pair LIMIT {_BPE_TOPN}
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total_pairs,
+               CAST(SUM(CASE WHEN pair IN (SELECT pair FROM vocab)
+                             THEN n ELSE 0 END) AS BIGINT) AS covered_pairs
+        FROM counts
+    )
+    SELECT total_pairs, covered_pairs,
+           (1000000 * covered_pairs) // total_pairs AS coverage_ppm
+    FROM tot
+    """,
+    deferred=True,
+)
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage of the BPE merge candidates: what fraction of
+    ALL adjacent character-pair occurrences the top-{_BPE_TOPN} merges
+    (llm_bpe_pair_counts' output) would absorb — the "is this vocab big
+    enough" curve tokenizer training reads after each merge round, one
+    registered operator evaluating another (the modularity-scores-LPA
+    pattern applied to tokenizer prep). Exact integer ppm.
+
+    Shape: the same map-only pair extraction; the vocab is a
+    TakeOrdered {_BPE_TOPN}-row broadcast semi-membership; coverage is
+    one conditional aggregate over the |alphabet|²-bounded counts.
+    """
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("term")).filter(
+        F.length("term") >= 2
+    )
+    counts = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term) - 1),"
+                    " i -> substring(term, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = counts.orderBy(F.desc("n"), "pair").limit(_BPE_TOPN).select("pair")
+    in_vocab = counts.join(F.broadcast(vocab), "pair", "left_semi")
+    tot = counts.agg(F.sum("n").alias("total_pairs"))
+    cov = in_vocab.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("covered_pairs"))
+    return (
+        tot.crossJoin(F.broadcast(cov))
+        .select(
+            F.col("total_pairs").cast("long").alias("total_pairs"),
+            F.col("covered_pairs").cast("long").alias("covered_pairs"),
+            F.expr("(1000000 * covered_pairs) div total_pairs").alias(
+                "coverage_ppm"
+            ),
+        )
+    )

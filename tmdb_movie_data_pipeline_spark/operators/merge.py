@@ -1008,3 +1008,53 @@ def restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
         F.lit(t.latest_version() + 1).cast("long").alias("n_versions"),
     )
+
+
+# -- queryable commit history — deferred queue --------------------------------
+
+
+@register(
+    "delta_history_relation",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'CREATE',               CAST(2 AS BIGINT)),
+        (CAST(1 AS BIGINT), 'DELETE c_custkey IN [20, 40]', CAST(2 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'OPTIMIZE n=1',         CAST(1 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'RESTORE v0',           CAST(2 AS BIGINT))
+    ) AS t(version, op, n_files)
+    """,
+    deferred=True,
+)
+def history_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a relation: the transaction log surfaced as
+    queryable rows (version, operation, file count) — the observability
+    surface every log-based format exposes, here gated against the exact
+    commit sequence the fixture performs (create 2-file → range DELETE
+    rewriting both → OPTIMIZE to one → RESTORE re-referencing v0's two).
+    File counts are pinned by explicit repartition, so the row set is
+    deterministic — the gate catches a silently-skipped commit, a wrong
+    op label, or a compaction that stopped compacting.
+
+    Shape: the log IS the data — |versions| manifest reads, no table
+    scan at all.
+    """
+    from ..io import scratch_dir
+    from ..plans.acid import TxTable
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", quantize(F.col("c_acctbal"), MONEY_SCALE).alias("cents")
+        )
+        .repartitionByRange(2, "c_custkey")
+    )
+    t = TxTable.create(spark, os.path.join(scratch_dir("hist_"), "t"), base)
+    t.delete_range("c_custkey", 20, 40)
+    t.optimize(1)
+    t.restore(0)
+    rows = [
+        (m["version"], m["op"], len(m["files"])) for m in t.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version long, op string, n_files long"
+    )

@@ -435,3 +435,41 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# -- bitwise battery — deferred queue -----------------------------------------
+
+
+@register(
+    "bitwise_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)            AS and_mask,
+           CAST(o_orderkey | 4096 AS BIGINT)           AS or_flag,
+           CAST(xor(o_orderkey, 21845) AS BIGINT)      AS xor_pat,
+           CAST(o_orderkey << 3 AS BIGINT)             AS shl3,
+           CAST(o_orderkey >> 2 AS BIGINT)             AS shr2,
+           CAST(bit_count(o_orderkey) AS BIGINT)       AS popcount
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    deferred=True,
+)
+def bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery — AND/OR/XOR masks, shifts, popcount — the
+    last scalar family without a gate (string/math/date/JSON/array/map
+    batteries exist): flag fields, bitmap membership and hash mixing all
+    reduce to these, and the engines' integer semantics must agree
+    bit-for-bit (they do; the gate makes it a contract rather than an
+    assumption). Keys are non-negative, so shift semantics can't diverge
+    on sign extension.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("long").alias("and_mask"),
+        F.expr("o_orderkey | 4096").cast("long").alias("or_flag"),
+        F.expr("o_orderkey ^ 21845").cast("long").alias("xor_pat"),
+        F.expr("shiftleft(o_orderkey, 3)").cast("long").alias("shl3"),
+        F.expr("shiftright(o_orderkey, 2)").cast("long").alias("shr2"),
+        F.expr("bit_count(o_orderkey)").cast("long").alias("popcount"),
+    )
