@@ -1867,3 +1867,157 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- Mann–Kendall trend test — deferred queue ----------------------------------
+
+
+@register(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                         WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.d > a.d
+    GROUP BY 1
+    """,
+    deferred=True,
+)
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic per event type: S = Σ_{i<j}
+    sign(x_j − x_i) over the daily series — the nonparametric
+    monotonic-trend test (S near +max = rising, −max = falling, 0 = no
+    trend), completing the time-series kit: runs test (randomness), CUSUM
+    (level shift), ACF (serial dependence), Mann–Kendall (monotonic
+    trend). Pure integer sign counting — nothing to round, ever.
+
+    Shape: pairwise over the DAILY relation, which is calendar-sized —
+    the raw events collapse first (partial agg), so the O(days²) join is
+    a |types|·~450-row frame at a month's span and stays trivial at any
+    event volume; decades of data would switch to the O(n log n)
+    rank-variance form via bucket_offsets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("x"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    pairs = a.join(b, ["et"]).filter(F.col("db") > F.col("da"))
+    sign = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    return pairs.groupBy(F.col("et").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(sign).cast("long").alias("s_stat"),
+    )
+
+
+# -- stratified uplift — deferred queue ---------------------------------------
+
+
+@register(
+    "stats_uplift_stratified",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ), conv AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events WHERE event_type = 'purchase'
+    ), flagged AS (
+        SELECT ud.dow,
+               CASE WHEN ud.user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM ud LEFT JOIN conv
+          ON conv.user_id = ud.user_id AND conv.d = ud.d
+    ), strata AS (
+        SELECT dow,
+               CAST(SUM(treated) AS BIGINT)                       AS n_t,
+               CAST(SUM(1 - treated) AS BIGINT)                   AS n_c,
+               CAST(SUM(treated * converted) AS BIGINT)           AS conv_t,
+               CAST(SUM((1 - treated) * converted) AS BIGINT)     AS conv_c
+        FROM flagged GROUP BY 1
+    )
+    SELECT dow, n_t, n_c, conv_t, conv_c,
+           (1000000 * conv_t) // n_t - (1000000 * conv_c) // n_c
+               AS uplift_ppm
+    FROM strata
+    """,
+    deferred=True,
+)
+def uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified uplift: per-weekday difference in daily conversion rate
+    between a treatment proxy (even user ids) and control — the
+    experiment readout that survives imbalanced strata where a pooled
+    rate difference is Simpson's-paradox bait (a consumer
+    sample-weights uplift_ppm across strata for the pooled effect). The
+    unit is a USER-DAY; conversion = made a purchase that day. All
+    counts and the ppm difference exact integers — the categorical
+    counterpart of stats_ab_ttest's continuous comparison.
+
+    Shape: dedupe to user-days (partial agg), one key-colocated LEFT
+    join against purchase-days, then a |strata|-bounded conditional
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    ud = ev.select(
+        "user_id",
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+        day.alias("d"),
+    ).distinct()
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("d"))
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    flagged = ud.join(conv, ["user_id", "d"], "left").select(
+        "dow",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+    )
+    strata = flagged.groupBy("dow").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.sum(F.col("treated") * F.col("converted")).cast("long").alias("conv_t"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    return strata.select(
+        "dow",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            "(1000000 * conv_t) div n_t - (1000000 * conv_c) div n_c"
+        ).alias("uplift_ppm"),
+    )

@@ -484,3 +484,67 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# -- corrupt-record CSV handling — deferred queue -----------------------------
+
+_CSV_BAD_MOD = 10  # every 10th staged line is malformed
+
+
+@register(
+    "source_csv_corrupt_records",
+    oracle=f"""
+    WITH staged AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % {_CSV_BAD_MOD} = 0
+                    THEN 'corrupt' ELSE 'good' END AS kind
+        FROM nation
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM staged GROUP BY 1
+    """,
+    deferred=True,
+)
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record handling: a staged CSV where every
+    {_CSV_BAD_MOD}th line is malformed (a non-numeric key) must neither
+    crash the read (FAILFAST's behavior) nor silently vanish rows —
+    PERMISSIVE routes each bad line into ``_corrupt_record`` with NULLs
+    elsewhere, and the gate pins the exact good/corrupt split. The
+    ingestion-robustness contract real feeds exercise daily: dirty lines
+    are data to quarantine, not exceptions to die on.
+
+    Shape: the corrupt-record column is populated at parse time per
+    partition — no extra pass; the quarantine split is one map-side flag.
+    """
+    import os as _os
+
+    from ..io import scratch_dir
+
+    n = load_table(spark, sf_dir, "nation")
+    rows = n.select("n_nationkey", "n_name").collect()  # tiny dim staging
+    path = _os.path.join(scratch_dir("csvbad_"), "feed.csv")
+    with open(path, "w") as f:
+        f.write("key,name\n")
+        for r in rows:
+            if r.n_nationkey % _CSV_BAD_MOD == 0:
+                f.write(f"NOT_A_NUMBER<<{r.n_name},{r.n_name},EXTRA\n")
+            else:
+                f.write(f"{r.n_nationkey},{r.n_name}\n")
+    parsed = (
+        spark.read.schema("key long, name string, _corrupt_record string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # Spark forbids queries that reference ONLY the corrupt-record column
+    # over a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN); the documented workaround is to materialize the parse first
+    parsed = parsed.cache()
+    parsed.count()
+    return parsed.select(
+        F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+        .otherwise("good")
+        .alias("kind")
+    ).groupBy("kind").agg(F.count(F.lit(1)).alias("n_rows"))
