@@ -1819,7 +1819,7 @@ _ACF_MAX_LAG = 7
     deferred=True,
 )
 def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation ingredients at lags 1..{_ACF_MAX_LAG} over the
+    f"""Autocorrelation ingredients at lags 1..{_ACF_MAX_LAG} over the
     daily revenue series — the diagnostic that quantifies what the runs
     test flags and CUSUM localizes: per lag, the n-scaled covariance and
     variance NUMERATORS (n·Σxy − ΣxΣy etc.), all exact int64, so
@@ -1828,8 +1828,13 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-test's moment discipline applied to serial dependence).
 
     Shape: the daily series is calendar-sized; each lag is a self-join on
-    d = d−k — |lags|·|days| rows, trivially bounded. Overflow: daily
-    cents ≈ 2e5, squared ≈ 4e10, × days — exact beyond centuries.
+    d = d−k — |lags|·|days| rows, trivially bounded. Overflow bound,
+    honestly: the n-scaled form carries n·Σx² ≈ days²·x̄², which at the
+    fixture's ~2e5 daily cents stays in int64 to ≈ 41 YEARS of history —
+    generous for a diagnostic window, but not "centuries"; longer spans
+    (or ~1000× larger dailies) must center the series per lag first
+    (Σ(x−x̄)(y−ȳ) keeps operands near the variance scale), trading one
+    extra pass for unbounded span.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(

@@ -31,6 +31,7 @@ from pyspark.sql.window import Window as W
 from ..io import load_table
 from ..registry import register
 from .similarity import DIM
+from .text import _TOKENS_SQL, tokens_col
 
 __all__ = ["kmeans_lloyd", "kmeans_centroid_sums"]
 
@@ -824,9 +825,7 @@ _FH_MIN_DF = 3  # emit only features backed by >= 3 docs (output bound)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, t.term
-        FROM documents,
-             UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
-                    'g'))), ' ')) AS t(term)
+        FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
         WHERE length(t.term) >= 2
     ), hashed AS (
         SELECT doc_id,
@@ -847,7 +846,7 @@ _FH_MIN_DF = 3  # emit only features backed by >= 3 docs (output bound)
     deferred=True,
 )
 def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hashing trick: tokens map to a FIXED {_FH_DIM}-dimensional
+    f"""The hashing trick: tokens map to a FIXED {_FH_DIM}-dimensional
     feature space via a salted md5 modulus — no vocabulary is ever built
     or broadcast, which is the whole point (a vocab dictionary is
     mutable, skewed state; the hash is stateless and identical on every
@@ -862,12 +861,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
-            )
-        ).alias("term"),
+        "doc_id", F.explode(tokens_col("text")).alias("term")
     ).filter(F.length("term") >= 2)
     hashed = toks.select(
         "doc_id",

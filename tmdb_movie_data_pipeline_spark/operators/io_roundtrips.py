@@ -506,7 +506,7 @@ _CSV_BAD_MOD = 10  # every 10th staged line is malformed
     deferred=True,
 )
 def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERMISSIVE-mode corrupt-record handling: a staged CSV where every
+    f"""PERMISSIVE-mode corrupt-record handling: a staged CSV where every
     {_CSV_BAD_MOD}th line is malformed (a non-numeric key) must neither
     crash the read (FAILFAST's behavior) nor silently vanish rows —
     PERMISSIVE routes each bad line into ``_corrupt_record`` with NULLs
@@ -517,13 +517,9 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the corrupt-record column is populated at parse time per
     partition — no extra pass; the quarantine split is one map-side flag.
     """
-    import os as _os
-
-    from ..io import scratch_dir
-
     n = load_table(spark, sf_dir, "nation")
     rows = n.select("n_nationkey", "n_name").collect()  # tiny dim staging
-    path = _os.path.join(scratch_dir("csvbad_"), "feed.csv")
+    path = os.path.join(scratch_dir("csvbad_"), "feed.csv")
     with open(path, "w") as f:
         f.write("key,name\n")
         for r in rows:
@@ -540,9 +536,11 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spark forbids queries that reference ONLY the corrupt-record column
     # over a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-    # COLUMN); the documented workaround is to materialize the parse first
-    parsed = parsed.cache()
-    parsed.count()
+    # COLUMN); materialize the parse to scratch parquet — unlike cache(),
+    # nothing accretes in executor memory across repeated invocations
+    mat = path + ".parsed"
+    parsed.write.mode("overwrite").parquet(mat)
+    parsed = spark.read.parquet(mat)
     return parsed.select(
         F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
         .otherwise("good")

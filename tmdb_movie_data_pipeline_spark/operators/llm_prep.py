@@ -638,19 +638,48 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_TOPN = 20
 
+#: (pair, n) over every adjacent character pair — the SINGLE definition of
+#: "pair" shared by the count and coverage operators, both engines
+_BPE_PAIR_COUNTS_SQL = f"""(
+    WITH bpe_toks AS (
+        SELECT t.term FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+        WHERE length(t.term) >= 2
+    ), bpe_pairs AS (
+        SELECT substr(term, i, 2) AS pair
+        FROM bpe_toks, UNNEST(generate_series(1, length(term) - 1)) AS g(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bpe_pairs GROUP BY 1
+)"""
+
+
+def _bpe_pair_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _BPE_PAIR_COUNTS_SQL — map-only extraction, one
+    partial-aggregable count."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("term")).filter(
+        F.length("term") >= 2
+    )
+    return (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term) - 1),"
+                    " i -> substring(term, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
 
 @register(
     "llm_bpe_pair_counts",
     oracle=f"""
-    WITH toks AS (
-        SELECT t.term FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
-        WHERE length(t.term) >= 2
-    ), pairs AS (
-        SELECT substr(term, i, 2) AS pair
-        FROM toks, UNNEST(generate_series(1, length(term) - 1)) AS g(i)
-    )
-    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-    FROM pairs GROUP BY 1
+    SELECT pair, n FROM {_BPE_PAIR_COUNTS_SQL} pc
     ORDER BY n DESC, pair
     LIMIT {_BPE_TOPN}
     """,
@@ -668,20 +697,8 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size only affects the map side. This is how you run the "count" half
     of BPE training over 100 TB of text without a driver-side vocabulary.
     """
-    from ..io import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens_col("text")).alias("term")).filter(
-        F.length("term") >= 2
-    )
-    pairs = toks.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
-        ).alias("pair")
-    )
     return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _bpe_pair_counts_frame(spark, sf_dir)
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOPN)
     )
@@ -762,15 +779,8 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_bpe_vocab_coverage",
     oracle=f"""
-    WITH toks AS (
-        SELECT t.term FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
-        WHERE length(t.term) >= 2
-    ), pairs AS (
-        SELECT substr(term, i, 2) AS pair
-        FROM toks, UNNEST(generate_series(1, length(term) - 1)) AS g(i)
-    ), counts AS (
-        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-        FROM pairs GROUP BY 1
+    WITH counts AS (
+        SELECT pair, n FROM {_BPE_PAIR_COUNTS_SQL} pc
     ), vocab AS (
         SELECT pair FROM counts ORDER BY n DESC, pair LIMIT {_BPE_TOPN}
     ), tot AS (
@@ -786,7 +796,7 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     deferred=True,
 )
 def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage of the BPE merge candidates: what fraction of
+    f"""Vocabulary coverage of the BPE merge candidates: what fraction of
     ALL adjacent character-pair occurrences the top-{_BPE_TOPN} merges
     (llm_bpe_pair_counts' output) would absorb — the "is this vocab big
     enough" curve tokenizer training reads after each merge round, one
@@ -797,24 +807,7 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered {_BPE_TOPN}-row broadcast semi-membership; coverage is
     one conditional aggregate over the |alphabet|²-bounded counts.
     """
-    from ..io import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens_col("text")).alias("term")).filter(
-        F.length("term") >= 2
-    )
-    counts = (
-        toks.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(term) - 1),"
-                    " i -> substring(term, i, 2))"
-                )
-            ).alias("pair")
-        )
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    counts = _bpe_pair_counts_frame(spark, sf_dir)
     vocab = counts.orderBy(F.desc("n"), "pair").limit(_BPE_TOPN).select("pair")
     in_vocab = counts.join(F.broadcast(vocab), "pair", "left_semi")
     tot = counts.agg(F.sum("n").alias("total_pairs"))

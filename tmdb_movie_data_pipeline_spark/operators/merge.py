@@ -1031,9 +1031,13 @@ def history_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface every log-based format exposes, here gated against the exact
     commit sequence the fixture performs (create 2-file → range DELETE
     rewriting both → OPTIMIZE to one → RESTORE re-referencing v0's two).
-    File counts are pinned by explicit repartition, so the row set is
-    deterministic — the gate catches a silently-skipped commit, a wrong
-    op label, or a compaction that stopped compacting.
+    File counts are deterministic BY CONSTRUCTION, not by environment:
+    v0 is an explicit 2-range repartition, the DELETE takes the
+    stats-pruned path (ONE touched file rewritten as one staged file —
+    a single small file never splits — plus one carried), OPTIMIZE
+    coalesces to one, RESTORE re-references v0's two. The gate catches
+    a silently-skipped commit, a wrong op label, a compaction that
+    stopped compacting, or pruning that stopped pruning.
 
     Shape: the log IS the data — |versions| manifest reads, no table
     scan at all.
@@ -1048,7 +1052,12 @@ def history_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartitionByRange(2, "c_custkey")
     )
-    t = TxTable.create(spark, os.path.join(scratch_dir("hist_"), "t"), base)
+    t = TxTable.create(
+        spark,
+        os.path.join(scratch_dir("hist_"), "t"),
+        base,
+        stats_key="c_custkey",
+    )
     t.delete_range("c_custkey", 20, 40)
     t.optimize(1)
     t.restore(0)

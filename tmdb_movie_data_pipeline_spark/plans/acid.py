@@ -436,25 +436,46 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases at {self.path}")
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: int, max_retries: int = 3) -> int:
         """RESTORE: make an old snapshot the new head — a metadata-only
         commit whose manifest re-references ``version``'s exact files
         (Delta's RESTORE TABLE ... TO VERSION). History stays append-only
         and auditable: the bad intermediate versions remain readable via
         time travel; nothing is rewritten or deleted (VACUUM retention
-        governs their files separately)."""
+        governs their files separately).
+
+        Guards (matching Delta's RESTORE errors): the target must be a
+        VISIBLE version (re-heading onto an uncommitted group prepare is
+        refused) and every referenced file must still exist — restoring
+        past a VACUUM would otherwise corrupt the head silently. Slot
+        conflicts rebase-retry like every other write path."""
         m = self.manifest(version)
-        manifest = {
-            "version": self.latest_version() + 1,
-            "op": f"RESTORE v{version}",
-            "files": list(m["files"]),
-            "schema_ddl": m["schema_ddl"],
-        }
-        if "stats_key" in m:
-            manifest["stats_key"] = m["stats_key"]
-            manifest["stats"] = dict(m.get("stats") or {})
-        self._publish(manifest)
-        return manifest["version"]
+        if not self._is_visible(m):
+            raise ValueError(
+                f"cannot restore v{version}: pending group transaction"
+            )
+        missing = [rel for rel in m["files"] if not os.path.exists(self._abs(rel))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} file(s) vacuumed,"
+                f" e.g. {missing[0]}"
+            )
+        for _ in range(max_retries + 1):
+            manifest = {
+                "version": self.latest_version() + 1,
+                "op": f"RESTORE v{version}",
+                "files": list(m["files"]),
+                "schema_ddl": m["schema_ddl"],
+            }
+            if "stats_key" in m:
+                manifest["stats_key"] = m["stats_key"]
+                manifest["stats"] = dict(m.get("stats") or {})
+            try:
+                self._publish(manifest)
+                return manifest["version"]
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up restoring v{version} at {self.path}")
 
     def optimize(self, target_files: int = 1) -> int:
         """Compaction: same logical content, fewer files, new version."""
