@@ -2026,3 +2026,117 @@ def uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * conv_t) div n_t - (1000000 * conv_c) div n_c"
         ).alias("uplift_ppm"),
     )
+
+
+# -- percent-of-parent hierarchy report — deferred queue ----------------------
+
+
+@register(
+    "agg_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ), reg AS (
+        SELECT region, CAST(SUM(cents) AS BIGINT) AS region_cents
+        FROM rev GROUP BY 1
+    ), grand AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM rev
+    )
+    SELECT rev.region, rev.nation, rev.cents,
+           (1000000 * rev.cents) // reg.region_cents  AS pct_of_region_ppm,
+           (1000000 * reg.region_cents) // g.total_cents
+               AS region_pct_of_total_ppm
+    FROM rev JOIN reg USING (region) CROSS JOIN grand g
+    """,
+    deferred=True,
+)
+def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent down the region→nation hierarchy: each nation's
+    exact-ppm share of its region and each region's share of the grand
+    total, in one report — the drill-down contribution view every BI
+    hierarchy renders, and the relative companion to the absolute rollup
+    (agg_rollup gives the level totals; this gives each node's weight
+    within its parent).
+
+    Shape: one fact aggregation to the leaf grain, then two broadcast
+    joins against the |regions|-row parent totals and the 1-row grand —
+    shares never re-scan the fact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(quantize(F.col("o_totalprice"), MONEY_SCALE)).alias("cents"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("region_cents"))
+    grand = rev.agg(F.sum("cents").alias("total_cents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.expr("(1000000 * cents) div region_cents").alias(
+                "pct_of_region_ppm"
+            ),
+            F.expr("(1000000 * region_cents) div total_cents").alias(
+                "region_pct_of_total_ppm"
+            ),
+        )
+    )
+
+
+# -- grouping_id disambiguation — deferred queue ------------------------------
+
+
+@register(
+    "agg_grouping_id_report",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+    deferred=True,
+)
+def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id: the marker that tells a NULL that
+    MEANS "all values" apart from a NULL that IS a value — without it any
+    rollup over nullable dimensions is ambiguous (agg_grouping_sets pins
+    the totals; this pins the disambiguation contract: gid bit k set ⇔
+    dimension k rolled up, identical bit layout on both engines).
+
+    Shape: one pass, |sets| partial aggregates — grouping sets expand
+    map-side, never re-scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("t_gid_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM t_gid_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )
