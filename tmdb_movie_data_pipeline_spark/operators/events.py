@@ -1913,3 +1913,83 @@ def survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step_survival_ppm"
         ),
     )
+
+
+# -- top conversion paths — deferred queue ------------------------------------
+
+_PATH_MAX_STEPS = 5
+_PATH_TOPN = 15
+
+
+@register(
+    "events_conversion_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), first_conv AS (
+        SELECT user_id, MIN(rn) AS conv_rn
+        FROM seq WHERE event_type = 'purchase' GROUP BY 1
+    ), prefix AS (
+        SELECT s.user_id, s.event_type, s.rn
+        FROM seq s JOIN first_conv f
+          ON f.user_id = s.user_id AND s.rn <= f.conv_rn
+        WHERE s.rn > f.conv_rn - {_PATH_MAX_STEPS}
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM prefix GROUP BY 1
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY 1
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOPN}
+    """,
+    deferred=True,
+)
+def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top paths to conversion: for every converting user, the ordered
+    event-type sequence of the last {_PATH_MAX_STEPS} steps ENDING at the
+    first purchase, counted across users — the "which journeys convert"
+    view funnels flatten away (a funnel fixes the step order; paths
+    discover it). The window cap bounds the path string, so no per-user
+    state grows with history — the same bounded-prefix discipline as the
+    inverted index's postings.
+
+    Shape: one user-keyed rank window, a self-bounded prefix join,
+    ordered string aggregation inside the user partition, then a
+    path-keyed count and heap top-N.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    first_conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    prefix = seq.join(first_conv, "user_id").filter(
+        (F.col("rn") <= F.col("conv_rn"))
+        & (F.col("rn") > F.col("conv_rn") - _PATH_MAX_STEPS)
+    )
+    paths = prefix.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOPN)
+    )

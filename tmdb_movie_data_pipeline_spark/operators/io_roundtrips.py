@@ -546,3 +546,71 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("good")
         .alias("kind")
     ).groupBy("kind").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# -- dynamic partition overwrite — deferred queue -----------------------------
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH day10 AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 10
+                    AS BIGINT) AS block,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), first_block AS (SELECT MIN(block) AS fb FROM day10),
+    final AS (
+        SELECT block,
+               CASE WHEN block = fb THEN cents * 2 ELSE cents END AS cents
+        FROM day10 CROSS JOIN first_block
+    )
+    SELECT block, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY 1
+    """,
+    deferred=True,
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the write mode incremental backfills
+    live on: overwriting with a frame that contains ONLY one partition's
+    rows must replace THAT partition and leave every other untouched
+    (static overwrite mode would wipe the whole table — the classic
+    production data-loss incident, here pinned as a contract). The
+    fixture writes events partitioned by 10-day block, re-writes the
+    first block with doubled values in dynamic mode, and gates the
+    per-partition counts and sums: first block doubled, others
+    byte-identical.
+
+    Shape: partitionBy on a bounded key; the overwrite touches one
+    directory. The mode is set per-write (conf), not globally, so
+    neighboring queries keep Spark's default semantics.
+    """
+    from ..io import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 10"
+            " AS BIGINT)"
+        ).alias("block"),
+        quantize(F.col("value"), 100).alias("cents"),
+    )
+    path = os.path.join(scratch_dir("dynpo_"), "t")
+    ev.write.mode("overwrite").partitionBy("block").parquet(path)
+    first = ev.agg(F.min("block").alias("fb"))
+    patch = (
+        ev.crossJoin(F.broadcast(first))
+        .filter(F.col("block") == F.col("fb"))
+        .select("block", (F.col("cents") * 2).alias("cents"))
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("block").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(path)
+    return back.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
