@@ -522,3 +522,16 @@ def test_bigram_and_bpe_stay_jvm_side(spark, sf_dir):
     for name in ("llm_bpe_pair_counts",):
         plan = _plan(all_queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_colocated_join_has_no_exchange_below_join(spark, sf_dir):
+    # registered bucketed join: the only Exchange sits ABOVE the
+    # SortMergeJoin (final groupBy); the join reads co-located buckets
+    plan = _plan(_deferred("join_bucketed_colocated")(spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    ex_pos = [i for i, ln in enumerate(tree.splitlines()) if "Exchange" in ln]
+    smj_pos = [
+        i for i, ln in enumerate(tree.splitlines()) if "SortMergeJoin" in ln
+    ]
+    assert len(ex_pos) == 1 and len(smj_pos) == 1, tree
+    assert ex_pos[0] < smj_pos[0], tree  # exchange above, not feeding, the join

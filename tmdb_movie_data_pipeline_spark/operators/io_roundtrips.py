@@ -614,3 +614,68 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# -- bucketed-table co-located join — deferred queue --------------------------
+
+_BKT_N = 8
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    deferred=True,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Bucketed-table join: both sides written bucketBy({_BKT_N}) on the
+    join key into external tables, then joined WITHOUT any Exchange —
+    bucketing is THE pre-shuffle investment for repeated big-to-big
+    joins at scale (pay the shuffle once at write; every later join on
+    the key is exchange-free). The values are gated against the plain
+    join; the exchange-free plan shape is pinned separately in
+    tests/test_plans.py's bucketing test. Tables are external
+    (explicit scratch paths) and CREATE-OR-REPLACEd so driver re-runs
+    are idempotent.
+    """
+    from ..io import scratch_dir
+
+    root = scratch_dir("bkt_")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(_BKT_N, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(root, "orders"))
+        .saveAsTable("bkt_orders")
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(_BKT_N, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(root, "lineitem"))
+        .saveAsTable("bkt_lineitem")
+    )
+    o = spark.table("bkt_orders")
+    li = spark.table("bkt_lineitem")
+    # MERGE hint: at fixture scale AQE would broadcast the small side and
+    # never consult the bucketing; forcing sort-merge exercises the
+    # exchange-free co-located path this operator exists to pin
+    return (
+        o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )

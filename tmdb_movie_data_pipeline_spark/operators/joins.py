@@ -1034,3 +1034,75 @@ def null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey NOT IN (SELECT k FROM with_null)
         """
     )
+
+
+# -- asof join with staleness tolerance — deferred queue ----------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_t,
+               event_type
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), ctx AS (
+        SELECT user_id, event_id, t, event_type,
+               MAX(p_t) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p
+        FROM tagged
+    )
+    SELECT event_id, user_id, t AS view_us,
+           CASE WHEN t - prev_p <= {_ASOF_TOL_US}
+                THEN prev_p END AS fresh_purchase_us,
+           CAST(prev_p IS NOT NULL
+                AND t - prev_p <= {_ASOF_TOL_US} AS BOOLEAN) AS is_fresh
+    FROM ctx
+    WHERE event_type = 'view' AND prev_p IS NOT NULL
+    """,
+    deferred=True,
+)
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asof join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance``): each view matches its most recent purchase only if
+    that purchase is at most 1 hour old — older state is surfaced as
+    NULL-with-a-flag rather than silently used, the freshness contract
+    feature lookups and sensor alignment need (a stale join is worse
+    than no join: it looks valid). Completes the asof family: backward
+    (join_asof_prev_view), nearest (join_asof_nearest), and bounded.
+
+    Shape: identical union-merge single-shuffle form as its siblings;
+    the tolerance is a map-side comparison on the already-computed
+    running max. Integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("p_t"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ctx = tagged.withColumn("prev_p", F.max("p_t").over(w))
+    fresh = F.col("t") - F.col("prev_p") <= _ASOF_TOL_US
+    return (
+        ctx.filter(
+            (F.col("event_type") == "view") & F.col("prev_p").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("view_us"),
+            F.when(fresh, F.col("prev_p")).alias("fresh_purchase_us"),
+            fresh.alias("is_fresh"),
+        )
+    )
