@@ -1067,3 +1067,68 @@ def history_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, op string, n_files long"
     )
+
+
+# -- late-arriving SCD2 splice — deferred queue -------------------------------
+
+_LATE_MOD = 13  # every 13th purchase event arrives LATE (after newer ones)
+
+
+@register(
+    "scd2_late_arriving_splice",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, ROUND(value, 4) AS value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, value))
+                   AS valid_to_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, value, valid_from_us, valid_to_us,
+           CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+    FROM hist
+    """,
+    deferred=True,
+)
+def scd2_late_arriving_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC: every 13th purchase is withheld and applied
+    AFTER newer events — an append-style apply would bolt it onto the
+    end with a back-dated valid_from, corrupting interval order. The
+    splice repairs it per affected user: the late rows' users have their
+    histories REBUILT from (standing intervals' change points ∪ late
+    rows), while untouched users' rows pass through — and the result
+    must be row-identical to the SCD2 over the complete, in-order data
+    (the oracle). The no-drift contract of stream_scd2_apply, extended
+    to the disorder real feeds actually contain.
+
+    Shape: the affected-user set is a semi-join key filter; rebuilds are
+    user-local (one keyed shuffle over only the affected users' rows);
+    the untouched majority never moves. At scale this is why CDC appliers
+    keep change points recoverable: a splice only needs the KEYS of the
+    affected entities, never a global replay.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    on_time = ev.filter(F.col("event_id") % _LATE_MOD != 0)
+    late = ev.filter(F.col("event_id") % _LATE_MOD == 0)
+    # standing history from the on-time stream
+    standing = scd2_intervals(on_time, "user_id", "ts", ["value"])
+    late_users = late.select("user_id").distinct()
+    untouched = standing.join(late_users, "user_id", "left_anti")
+    # rebuild affected users from their change points + the late rows
+    affected_points = (
+        standing.join(late_users, "user_id", "left_semi")
+        .select("user_id", F.col("valid_from").alias("ts"), "value")
+        .unionByName(late.select("user_id", "ts", "value"))
+    )
+    rebuilt = scd2_intervals(affected_points, "user_id", "ts", ["value"])
+    out = untouched.unionByName(rebuilt)
+    return out.select(
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
