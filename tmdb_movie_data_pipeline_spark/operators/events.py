@@ -1950,7 +1950,7 @@ _PATH_TOPN = 15
     deferred=True,
 )
 def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top paths to conversion: for every converting user, the ordered
+    f"""Top paths to conversion: for every converting user, the ordered
     event-type sequence of the last {_PATH_MAX_STEPS} steps ENDING at the
     first purchase, counted across users — the "which journeys convert"
     view funnels flatten away (a funnel fixes the step order; paths

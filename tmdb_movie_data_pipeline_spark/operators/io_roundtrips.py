@@ -583,8 +583,8 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical.
 
     Shape: partitionBy on a bounded key; the overwrite touches one
-    directory. The mode is set per-write (conf), not globally, so
-    neighboring queries keep Spark's default semantics.
+    directory. The mode rides the WRITER as an option, so only this
+    write opts in regardless of any session default.
     """
     from ..io import scratch_dir
 
@@ -603,12 +603,15 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("block") == F.col("fb"))
         .select("block", (F.col("cents") * 2).alias("cents"))
     )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        patch.write.mode("overwrite").partitionBy("block").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # per-WRITER option (not session conf): the one write that needs
+    # dynamic semantics declares it, neighboring writes are untouched —
+    # same form as checkpoint.py's idempotent month writes
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("block")
+        .parquet(path)
+    )
     back = spark.read.parquet(path)
     return back.groupBy("block").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -633,7 +636,7 @@ _BKT_N = 8
     deferred=True,
 )
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Bucketed-table join: both sides written bucketBy({_BKT_N}) on the
+    """Bucketed-table join: both sides written bucketBy(8) on the
     join key into external tables, then joined WITHOUT any Exchange —
     bucketing is THE pre-shuffle investment for repeated big-to-big
     joins at scale (pay the shuffle once at write; every later join on
