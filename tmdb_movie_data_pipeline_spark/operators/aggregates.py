@@ -2140,3 +2140,83 @@ def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# -- duplicate payment detection — deferred queue -----------------------------
+
+_DUP_PAY_WINDOW_DAYS = 7
+
+
+@register(
+    "agg_duplicate_payments",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.cents,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           b.d - a.d AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.cents = b.cents
+     AND a.o_orderkey < b.o_orderkey
+    WHERE b.d - a.d BETWEEN -{_DUP_PAY_WINDOW_DAYS} AND {_DUP_PAY_WINDOW_DAYS}
+    """,
+    deferred=True,
+)
+def duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Duplicate-payment detection: order pairs from the SAME customer
+    with the IDENTICAL amount within ±{_DUP_PAY_WINDOW_DAYS} days — the
+    accounts-payable fraud/error heuristic every finance audit runs
+    first. Exact-amount blocking makes it an EQUI-join on
+    (customer, cents) — candidate pairs are confined to equal-amount
+    groups, never a per-customer cross product — with the date proximity
+    as an in-group filter; key order de-duplicates the pair.
+
+    Shape: one self-equi-join keyed on (custkey, cents); group sizes are
+    bounded by amount collisions, the blocking quality every entity-
+    resolution pipeline tunes. Integer cents and epoch days throughout.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        quantize(F.col("o_totalprice"), MONEY_SCALE).alias("cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cents"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cents"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, ["custkey", "cents"])
+        .filter(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.col("db") - F.col("da")).between(
+                -_DUP_PAY_WINDOW_DAYS, _DUP_PAY_WINDOW_DAYS
+            )
+        )
+        .select(
+            "custkey",
+            "cents",
+            "order_a",
+            "order_b",
+            (F.col("db") - F.col("da")).alias("days_apart"),
+        )
+    )

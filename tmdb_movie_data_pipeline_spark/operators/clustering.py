@@ -885,3 +885,92 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "feature_idx", "tf")
     )
+
+
+# -- chi-square feature selection — deferred queue ----------------------------
+
+_FS_LEN_BUCKET = 300
+
+
+@register(
+    "ml_chi2_feature_selection",
+    oracle=f"""
+    WITH feats AS (
+        SELECT 'len_bucket' AS feature,
+               CAST(n_chars // {_FS_LEN_BUCKET} AS VARCHAR) AS fval,
+               lang
+        FROM documents
+        UNION ALL
+        SELECT 'source', source, lang FROM documents
+    ), obs AS (
+        SELECT feature, fval, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM feats GROUP BY 1, 2, 3
+    ), margins AS (
+        SELECT o.feature, o.fval, o.lang, o.o,
+               CAST(SUM(o.o) OVER (PARTITION BY o.feature, o.fval)
+                    AS BIGINT) AS row_t,
+               CAST(SUM(o.o) OVER (PARTITION BY o.feature, o.lang)
+                    AS BIGINT) AS col_t,
+               CAST(SUM(o.o) OVER (PARTITION BY o.feature) AS BIGINT) AS n
+        FROM obs o
+    ), cells AS (
+        SELECT feature,
+               -- chi2 cell in exact micro-units:
+               -- 1e6*(o*n - row*col)^2 / (n * row * col), integer div
+               (1000000 * (o * n - row_t * col_t) * (o * n - row_t * col_t))
+                 // (n * row_t * col_t) AS contrib_micro
+        FROM margins
+    )
+    SELECT feature, CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro_n
+    FROM cells GROUP BY 1
+    """,
+    deferred=True,
+)
+def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Chi-square feature selection: which candidate feature (coarsened
+    length vs source) carries more signal about the label (lang) — the
+    filter-method ranking that prunes features BEFORE any model training.
+    Per feature, the chi-square statistic scaled by n in exact integer
+    micro-units: Σ 1e6·(o·n − row·col)² div (n·row·col) — the n-scaled
+    form keeps every operand integral (stats_chi_square's recipe,
+    per-feature); consumers comparing features need only the ordering,
+    which the common scaling preserves.
+
+    Shape: one union of per-feature projections, a contingency count, and
+    windows over the tiny (feature × value × label) frame. Candidates at
+    the cell grain: |features|·|values|·|labels|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.lit("len_bucket").alias("feature"),
+        F.expr(f"CAST(n_chars div {_FS_LEN_BUCKET} AS STRING)").alias("fval"),
+        "lang",
+    ).unionByName(
+        docs.select(
+            F.lit("source").alias("feature"),
+            F.col("source").alias("fval"),
+            "lang",
+        )
+    )
+    obs = feats.groupBy("feature", "fval", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_row = W.partitionBy("feature", "fval")
+    w_col = W.partitionBy("feature", "lang")
+    w_all = W.partitionBy("feature")
+    margins = obs.select(
+        "feature",
+        "o",
+        F.sum("o").over(w_row).alias("row_t"),
+        F.sum("o").over(w_col).alias("col_t"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    contrib = F.expr(
+        "(1000000 * (o * n - row_t * col_t) * (o * n - row_t * col_t))"
+        " div (n * row_t * col_t)"
+    )
+    return (
+        margins.select("feature", contrib.alias("c"))
+        .groupBy("feature")
+        .agg(F.sum("c").cast("long").alias("chi2_micro_n"))
+    )
