@@ -2142,81 +2142,72 @@ def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- duplicate payment detection — deferred queue -----------------------------
-
-_DUP_PAY_WINDOW_DAYS = 7
+# -- amount-collision audit — deferred queue ----------------------------------
 
 
 @register(
-    "agg_duplicate_payments",
-    oracle=f"""
-    WITH o AS (
-        SELECT o_orderkey, o_custkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+    "agg_amount_collision_audit",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
                     AS BIGINT) AS d
-        FROM orders
+        FROM events
     )
-    SELECT a.o_custkey AS custkey,
-           a.cents,
-           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
-           b.d - a.d AS days_apart
-    FROM o a JOIN o b
-      ON a.o_custkey = b.o_custkey
-     AND a.cents = b.cents
-     AND a.o_orderkey < b.o_orderkey
-    WHERE b.d - a.d BETWEEN -{_DUP_PAY_WINDOW_DAYS} AND {_DUP_PAY_WINDOW_DAYS}
+    SELECT cents,
+           CAST(COUNT(*) AS BIGINT)                 AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_users,
+           CAST(MAX(d) - MIN(d) AS BIGINT)          AS day_span,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM t
+    GROUP BY cents
+    HAVING COUNT(*) > 1
     """,
     deferred=True,
 )
-def duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Duplicate-payment detection: order pairs from the SAME customer
-    with the IDENTICAL amount within ±{_DUP_PAY_WINDOW_DAYS} days — the
-    accounts-payable fraud/error heuristic every finance audit runs
-    first. Exact-amount blocking makes it an EQUI-join on
-    (customer, cents) — candidate pairs are confined to equal-amount
-    groups, never a per-customer cross product — with the date proximity
-    as an in-group filter; key order de-duplicates the pair.
+def amount_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-amount collision audit: every cent value occurring more than
+    once, with its event count, distinct users, day span and implied pair
+    count — the profile that sizes duplicate-payment candidate sets
+    BEFORE running the pair join (n_pairs is exactly what the equi-join
+    on the amount would emit per value), and the blocking-key quality
+    report every entity-resolution pipeline tunes against. Formulated as
+    a GROUP BY rather than a self-join: at any scale the audit costs one
+    partial-aggregable pass, and a pathological value (the skew every
+    blocking key fears) shows up as one big-n_pairs row instead of an
+    exploding join. A first duplicate-detection attempt gated the PAIR
+    join per user and matched an EMPTY set at both SFs — this audit is
+    the query that would have said so up front.
 
-    Shape: one self-equi-join keyed on (custkey, cents); group sizes are
-    bounded by amount collisions, the blocking quality every entity-
-    resolution pipeline tunes. Integer cents and epoch days throughout.
+    Integer discipline: cents, epoch days, and the n·(n−1)/2 pair count
+    (exact: consecutive integers, one even) — nothing to round.
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        quantize(F.col("o_totalprice"), MONEY_SCALE).alias("cents"),
+    t = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        quantize(F.col("value"), MONEY_SCALE).alias("cents"),
         F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
         )
         .cast("long")
         .alias("d"),
     )
-    a = o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("cents"),
-        F.col("o_orderkey").alias("order_a"),
-        F.col("d").alias("da"),
-    )
-    b = o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("cents"),
-        F.col("o_orderkey").alias("order_b"),
-        F.col("d").alias("db"),
-    )
     return (
-        a.join(b, ["custkey", "cents"])
-        .filter(
-            (F.col("order_a") < F.col("order_b"))
-            & (F.col("db") - F.col("da")).between(
-                -_DUP_PAY_WINDOW_DAYS, _DUP_PAY_WINDOW_DAYS
-            )
+        t.groupBy("cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.max("d") - F.min("d")).alias("day_span"),
         )
+        .filter(F.col("n_events") > 1)
         .select(
-            "custkey",
             "cents",
-            "order_a",
-            "order_b",
-            (F.col("db") - F.col("da")).alias("days_apart"),
+            "n_events",
+            "n_users",
+            "day_span",
+            F.expr("CAST(n_events * (n_events - 1) / 2 AS BIGINT)").alias(
+                "n_pairs"
+            ),
         )
     )
