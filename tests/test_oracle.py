@@ -83,6 +83,27 @@ ORACLE_EXEMPT: set[str] = set()
 # rule SQL-expressible, so the last rows-only exemption was retired)
 
 
+def _assert_atomic_schema(name: str, schema) -> None:
+    """Driver-contract guard (VERDICT r6 item #2): the driver canonicalizes
+    results with pandas ``sort_values`` over every column, which raises
+    ``TypeError: unhashable type`` on list/dict cells — so NO registered
+    query (active or deferred) may return an array/map/struct top-level
+    column. Flatten to a delimited string (``F.array_join``) or explode to
+    rows instead; text_inverted_index was the r6 casualty."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-atomic top-level column(s) {bad} "
+        f"({[str(schema[b].dataType) for b in bad]}) — the driver "
+        "canonicalizer crashes on these; flatten to string or explode"
+    )
+
+
 def test_deferred_names_do_not_reach_the_driver():
     from tmdb_movie_data_pipeline_spark.registry import verification_order
 
@@ -105,9 +126,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
         # rows-only contract: the query must RUN and return a stable shape;
         # its semantics are pinned by dedicated property tests instead
         out = QUERIES[name](spark, sf_dir)
+        _assert_atomic_schema(name, out.schema)
         assert out.count() >= 0
         return
-    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    out = QUERIES[name](spark, sf_dir)
+    _assert_atomic_schema(name, out.schema)
+    spark_df = out.toPandas()
     con = _duck(sf_dir)
     try:
         duck_df = con.execute(ORACLES[name]).df()
@@ -121,6 +145,24 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count spark={len(spark_df)} duck={len(duck_df)}"
     )
+    # Mirror the driver's stricter canonicalization path: it sorts the raw
+    # pandas frame with sort_values over every column, which raises on
+    # unhashable (list/dict) cells. Running the same call here means any
+    # value the driver cannot canonicalize fails LOCALLY first (the r6
+    # text_inverted_index gap: our stringifying _canon_value passed a frame
+    # the driver crashed on).
+    for frame, side in ((spark_df, "spark"), (duck_df, "duck")):
+        if len(frame):
+            try:
+                frame[sorted(frame.columns)].sort_values(
+                    by=sorted(frame.columns)
+                )
+            except TypeError as e:
+                raise AssertionError(
+                    f"{name}: {side} result is not driver-canonicalizable "
+                    f"(pandas sort_values raised {e!r}) — flatten non-atomic "
+                    "values to strings"
+                ) from e
     s_rows = _canon_frame(spark_df)
     d_rows = _canon_frame(duck_df)
     if s_rows != d_rows:

@@ -1013,8 +1013,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(n AS BIGINT) AS n,
            v AS median_cents
     FROM ranked WHERE rk = (n + 1) // 2
-    """,
-    deferred=True,
+    """
 )
 def grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group (lower) median — the GROUPED order statistic. With
@@ -1062,8 +1061,7 @@ def grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT d FROM dev ORDER BY d
             LIMIT 1 OFFSET ((SELECT (COUNT(*) + 1) // 2 FROM dev) - 1))
                                                      AS mad_cents
-    """,
-    deferred=True,
+    """
 )
 def median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the robust scale estimate behind
@@ -1163,8 +1161,7 @@ _QUARTILE_PCTS = (25, 50, 75)
            CAST(n AS BIGINT) AS n, v AS value_cents
     FROM ranked CROSS JOIN pcts
     WHERE rk = (pct * n + 99) // 100
-    """,
-    deferred=True,
+    """
 )
 def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75 per group in ONE pass: the ranked frame is built
@@ -1225,8 +1222,7 @@ def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE sum_sq // ((total_k * total_k) // 10000)
                 END AS BIGINT) AS hhi_bp
     FROM tot
-    """,
-    deferred=True,
+    """
 )
 def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl–Hirschman concentration of customer revenue: HHI =
@@ -1384,8 +1380,7 @@ _GINI_BUCKET_K = 500  # $500k histogram blocks, in $1000 units
                      ELSE (2 * six - (n + 1) * sx) // ((n * sx) // 10000)
                 END AS BIGINT) AS gini_bp
     FROM agg
-    """,
-    deferred=True,
+    """
 )
 def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer revenue in exact basis points —
@@ -1464,8 +1459,7 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
            (500000 * (two_r1 - n_pos * (n_pos + 1))) // (n_pos * n_neg)
                AS auc_ppm
     FROM agg
-    """,
-    deferred=True,
+    """
 )
 def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact AUC-ROC of a score (n_chars) against a binary outcome
@@ -1617,8 +1611,7 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c CROSS JOIN tot t
     WHERE c.cumw >= (t.total_w + 1) // 2
       AND c.cumw - c.w < (t.total_w + 1) // 2
-    """,
-    deferred=True,
+    """
 )
 def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median of line-item price, weighted by quantity — the

@@ -775,8 +775,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            (1000000 * c.tp) // c.pred_pos AS precision_ppm,
            (1000000 * c.tp) // t.all_pos  AS recall_ppm
     FROM cums c CROSS JOIN tot t
-    """,
-    deferred=True,
+    """
 )
 def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision–recall curve of the score (n_chars) against the binary
@@ -916,15 +915,20 @@ _FS_LEN_BUCKET = 300
     ), cells AS (
         SELECT feature,
                -- chi2 cell in exact micro-units:
-               -- 1e6*(o*n - row*col)^2 / (n * row * col), integer div
-               (1000000 * (o * n - row_t * col_t) * (o * n - row_t * col_t))
-                 // (n * row_t * col_t) AS contrib_micro
+               -- 1e6*(o*n - row*col)^2 / (n * row * col), integer div.
+               -- HUGEINT (int128) intermediates: the BIGINT form wraps in
+               -- non-ANSI Spark once |o*n - row*col| > ~3.0e6 (ADVICE r6);
+               -- Spark mirrors this with DECIMAL(38,0) arithmetic.
+               CAST((1000000
+                     * (CAST(o AS HUGEINT) * n - CAST(row_t AS HUGEINT) * col_t)
+                     * (CAST(o AS HUGEINT) * n - CAST(row_t AS HUGEINT) * col_t))
+                 // (CAST(n AS HUGEINT) * row_t * col_t) AS BIGINT)
+                 AS contrib_micro
         FROM margins
     )
     SELECT feature, CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro_n
     FROM cells GROUP BY 1
-    """,
-    deferred=True,
+    """
 )
 def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""Chi-square feature selection: which candidate feature (coarsened
@@ -965,9 +969,20 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(w_col).alias("col_t"),
         F.sum("o").over(w_all).alias("n"),
     )
+    # Exact wide-integer cell arithmetic (ADVICE r6): the all-BIGINT form
+    # silently wraps in non-ANSI Spark once |o*n - row*col| > ~3.0e6 (the
+    # oracle's 128-bit SUM sails on — latent engine divergence). DECIMAL(19,0)
+    # casts widen each product to DECIMAL(38,0), so every operand up to
+    # 1e6*dev^2 <= 1e6*n^4 stays exact for n <= ~3e8 rows per feature —
+    # beyond that, pre-bucket fval (the oracle's HUGEINT bound is higher
+    # still, so Spark's decimal ceiling binds first and fails loudly via
+    # decimal overflow -> NULL sum, never a silent wrap). dev^2 >= 0 and the
+    # denominator > 0, so Spark's truncating `div` == DuckDB's floor `//`.
     contrib = F.expr(
-        "(1000000 * (o * n - row_t * col_t) * (o * n - row_t * col_t))"
-        " div (n * row_t * col_t)"
+        "(CAST(1000000 AS DECIMAL(38,0))"
+        " * (CAST(o AS DECIMAL(19,0)) * n - CAST(row_t AS DECIMAL(19,0)) * col_t)"
+        " * (CAST(o AS DECIMAL(19,0)) * n - CAST(row_t AS DECIMAL(19,0)) * col_t))"
+        " div (CAST(n AS DECIMAL(19,0)) * row_t * col_t)"
     )
     return (
         margins.select("feature", contrib.alias("c"))

@@ -546,8 +546,7 @@ _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE (1000000 * inter) // LEAST(sa.n_sh, sb.n_sh) >= {_CONTAIN_MIN_PPM}
-    """,
-    deferred=True,
+    """
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment similarity C(A,B) = |A∩B| / min(|A|,|B|) over shingle
@@ -640,8 +639,7 @@ _MJ_SIG_MATCH_SQL = " + ".join(
     JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     JOIN sizes za ON za.doc_id = c.doc_a
     JOIN sizes zb ON zb.doc_id = c.doc_b
-    """,
-    deferred=True,
+    """
 )
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash accuracy contract, pinned per pair: for every LSH candidate

@@ -1321,8 +1321,7 @@ def funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(peak) AS BIGINT)       AS peak_cents,
            CAST(COUNT(*) AS BIGINT)        AS n_points
     FROM series GROUP BY user_id
-    """,
-    deferred=True,
+    """
 )
 def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per user: the largest peak-to-trough drop of the
@@ -1555,8 +1554,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE swept.event_type = p.event_type
               AND swept.run = p.peak)                AS first_peak_us
     FROM peaks p
-    """,
-    deferred=True,
+    """
 )
 def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per event type: the sweep-line maximum of
@@ -1797,8 +1795,7 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dau.d AS epoch_day, dau.dau, wau.wau,
            (1000000 * dau.dau) // wau.wau AS stickiness_ppm
     FROM dau JOIN wau ON wau.d = dau.d
-    """,
-    deferred=True,
+    """
 )
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness per day — daily actives over trailing-7-day
@@ -1872,8 +1869,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            (1000000 * (r.n_at_risk - r.d_events)) // r.n_at_risk
                AS step_survival_ppm
     FROM risk r
-    """,
-    deferred=True,
+    """
 )
 def survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier ingredients per event day: users "die" on their last

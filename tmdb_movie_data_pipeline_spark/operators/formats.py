@@ -137,7 +137,7 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_orc_roundtrip", oracle=_ORACLE, deferred=True)
+@register("sink_orc_roundtrip", oracle=_ORACLE)
 def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the slice as ORC, read it back, aggregate — completes the
     sink-format matrix (parquet/CSV/JSON/ORC). ORC is the other columnar

@@ -668,7 +668,7 @@ def _kcore_oracle() -> str:
     return "".join(parts)
 
 
-@register("graph_kcore", oracle=_kcore_oracle(), deferred=True)
+@register("graph_kcore", oracle=_kcore_oracle())
 def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_KCORE_K}-core peeling over the duplicate graph: {_KCORE_ROUNDS}
     synchronous rounds of "drop every vertex with fewer than {_KCORE_K}
@@ -733,8 +733,7 @@ _LINK_TOPN = 25
     FROM nonedges
     ORDER BY common DESC, a, b
     LIMIT {_LINK_TOPN}
-    """,
-    deferred=True,
+    """
 )
 def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction over the duplicate graph: the
@@ -808,8 +807,7 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dsum ds
     LEFT JOIN intra i ON i.lab = ds.lab
     CROSS JOIN m mm
-    """,
-    deferred=True,
+    """
 )
 def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity contributions of the LPA communities — the

@@ -444,8 +444,7 @@ _BIN_MOD = 25  # write every 25th doc's payload as a standalone binary file
            md5(text)                    AS content_md5
     FROM documents
     WHERE doc_id % {_BIN_MOD} = 0
-    """,
-    deferred=True,
+    """
 )
 def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's ``binaryFile`` source — whole-file ingestion of opaque
@@ -502,8 +501,7 @@ _CSV_BAD_MOD = 10  # every 10th staged line is malformed
     )
     SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM staged GROUP BY 1
-    """,
-    deferred=True,
+    """
 )
 def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""PERMISSIVE-mode corrupt-record handling: a staged CSV where every
@@ -568,8 +566,7 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT block, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM final GROUP BY 1
-    """,
-    deferred=True,
+    """
 )
 def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite — the write mode incremental backfills
@@ -632,8 +629,7 @@ _BKT_N = 8
            CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
-    """,
-    deferred=True,
+    """
 )
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table join: both sides written bucketBy(8) on the

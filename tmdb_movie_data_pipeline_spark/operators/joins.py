@@ -845,8 +845,7 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ctx
     WHERE event_type = 'view'
       AND (prev_p IS NOT NULL OR next_p IS NOT NULL)
-    """,
-    deferred=True,
+    """
 )
 def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-event asof join: each view matches the CLOSEST purchase of
@@ -937,8 +936,7 @@ from .events import _IVL_DUR_CHOICES as _OVD_DUR_CHOICES  # single-sourced:
            CAST(COUNT(*) AS BIGINT)  AS n_overlapping_pairs,
            CAST(SUM(ov) AS BIGINT)   AS total_overlap_us
     FROM pairs GROUP BY user_id
-    """,
-    deferred=True,
+    """
 )
 def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total pairwise overlap DURATION between two interval families per
@@ -999,8 +997,7 @@ def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'with_null',
            CAST(COUNT(*) AS BIGINT)
     FROM customer WHERE c_custkey NOT IN (SELECT k FROM with_null)
-    """,
-    deferred=True,
+    """
 )
 def null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN under three-valued logic, pinned by CONTRAST: against the
@@ -1063,8 +1060,7 @@ _ASOF_TOL_US = 3_600_000_000  # 1 hour
                 AND t - prev_p <= {_ASOF_TOL_US} AS BOOLEAN) AS is_fresh
     FROM ctx
     WHERE event_type = 'view' AND prev_p IS NOT NULL
-    """,
-    deferred=True,
+    """
 )
 def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asof join with a STALENESS TOLERANCE (pandas merge_asof's

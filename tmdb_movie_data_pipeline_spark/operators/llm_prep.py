@@ -730,8 +730,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                // COUNT(*) AS BIGINT) AS novelty_ppm
     FROM exploded e JOIN owner o ON o.shingle = e.shingle
     GROUP BY e.doc_id
-    """,
-    deferred=True,
+    """
 )
 def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the fraction (exact integer ppm) of a doc's
@@ -792,8 +791,7 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT total_pairs, covered_pairs,
            (1000000 * covered_pairs) // total_pairs AS coverage_ppm
     FROM tot
-    """,
-    deferred=True,
+    """
 )
 def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""Vocabulary coverage of the BPE merge candidates: what fraction of

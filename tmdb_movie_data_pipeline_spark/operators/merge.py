@@ -712,8 +712,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hist h CROSS JOIN t
     WHERE h.valid_from_us <= t.t_us
       AND (h.valid_to_us IS NULL OR t.t_us < h.valid_to_us)
-    """,
-    deferred=True,
+    """
 )
 def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dimension AS OF a past instant: one row per user — the value
@@ -783,8 +782,7 @@ _MTX_MOVE_MOD = 10  # orders with o_orderkey % 10 == 0 move cold -> hot
     UNION ALL
     SELECT 'cold', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
     FROM cold1
-    """,
-    deferred=True,
+    """
 )
 def multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table atomic MOVE: orders split into a hot tier (urgent) and
@@ -865,8 +863,7 @@ def multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM snap GROUP BY 1
-    """,
-    deferred=True,
+    """
 )
 def schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution through the transaction log: v0 commits customers
@@ -930,8 +927,7 @@ _CLONE_DEL_LO, _CLONE_DEL_HI = 20, 40  # inside [0,149] so sf0.001 diverges too
     UNION ALL
     SELECT 'clone', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
     FROM clone1
-    """,
-    deferred=True,
+    """
 )
 def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE and copy-on-write divergence: the clone's v0 is pure
@@ -982,8 +978,7 @@ def shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total_cents,
            CAST(3 AS BIGINT) AS n_versions
     FROM customer
-    """,
-    deferred=True,
+    """
 )
 def restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... TO VERSION: a bad DELETE (v1) is undone by a
@@ -1022,8 +1017,7 @@ def restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         (CAST(2 AS BIGINT), 'OPTIMIZE n=1',         CAST(1 AS BIGINT)),
         (CAST(3 AS BIGINT), 'RESTORE v0',           CAST(2 AS BIGINT))
     ) AS t(version, op, n_files)
-    """,
-    deferred=True,
+    """
 )
 def history_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY as a relation: the transaction log surfaced as
@@ -1088,8 +1082,7 @@ _LATE_MOD = 13  # every 13th purchase event arrives LATE (after newer ones)
     SELECT user_id, value, valid_from_us, valid_to_us,
            CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
     FROM hist
-    """,
-    deferred=True,
+    """
 )
 def scd2_late_arriving_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order CDC: every 13th purchase is withheld and applied

@@ -625,8 +625,7 @@ def _cdc_doc_chunks_batches(batches):
            (SELECT CAST(COUNT(*) AS BIGINT) FROM gc)         AS n_gc,
            (SELECT CAST(COALESCE(SUM(chunk_len), 0) AS BIGINT) FROM gc)
                                                              AS bytes_reclaimed
-    """,
-    deferred=True,
+    """
 )
 def chunk_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-store garbage collection — the missing third of the CDC

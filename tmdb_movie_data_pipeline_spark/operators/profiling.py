@@ -271,8 +271,7 @@ _TVD_BIN = 100  # n_chars bin width
            ABS((1000000 * b.a_cnt) // t.n_a
              - (1000000 * b.b_cnt) // t.n_b) AS abs_diff_ppm
     FROM bins b CROSS JOIN tot t
-    """,
-    deferred=True,
+    """
 )
 def drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift audit: the per-bin ingredients of the total
@@ -331,8 +330,7 @@ _KANON_LEN_BUCKET = 200  # n_chars quasi-identifier coarsening
     SELECT lang, source, CAST(len_b AS BIGINT) AS len_b, group_size,
            CAST(group_size < {_KANON_K} AS BOOLEAN) AS violates_k
     FROM groups
-    """,
-    deferred=True,
+    """
 )
 def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""k-anonymity audit over the quasi-identifier tuple (lang, source,
@@ -382,8 +380,7 @@ _LDIV_L = 2  # each quasi-identifier class needs >= 2 distinct sensitive values
     SELECT source, CAST(len_b AS BIGINT) AS len_b, group_size, n_sensitive,
            CAST(n_sensitive < {_LDIV_L} AS BOOLEAN) AS violates_l
     FROM groups
-    """,
-    deferred=True,
+    """
 )
 def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""l-diversity audit — the attack k-anonymity misses: a class can be
@@ -440,8 +437,7 @@ _IMP_MISS_MOD = 11  # docs with doc_id % 11 == 0 have their lang "lost"
            CASE WHEN mo.mode_lang = m.true_lang THEN 1 ELSE 0 END AS correct
     FROM masked m JOIN modes mo ON mo.source = m.source
     WHERE m.lang IS NULL
-    """,
-    deferred=True,
+    """
 )
 def mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-value repair with a built-in honesty check: every 11th

@@ -451,8 +451,7 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey >> 2 AS BIGINT)             AS shr2,
            CAST(bit_count(o_orderkey) AS BIGINT)       AS popcount
     FROM orders WHERE o_orderkey % 50 = 0
-    """,
-    deferred=True,
+    """
 )
 def bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar battery — AND/OR/XOR masks, shifts, popcount — the

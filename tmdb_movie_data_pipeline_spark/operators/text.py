@@ -526,7 +526,7 @@ _IDX_CAP = 10  # postings kept per term (smallest doc_ids)
         WHERE length(t.term) >= 3
     )
     SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-           list_sort(list(doc_id))[1:{_IDX_CAP}] AS postings
+           array_to_string(list_sort(list(doc_id))[1:{_IDX_CAP}], ',') AS postings
     FROM pairs
     GROUP BY term
     HAVING COUNT(*) BETWEEN {_IDX_MIN_DF}
@@ -540,7 +540,13 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode to (doc, term), distinct (the partial-aggregable dedup
     of within-doc repeats); df is a plain count (O(1) agg state). The
-    posting ARRAY is built only from rows surviving a per-term
+    posting list is emitted as a comma-joined STRING, not an array — the
+    driver's result canonicalizer sorts the output frame with pandas
+    ``sort_values``, which raises ``unhashable type: 'list'`` on array
+    cells (the r6 defect on this exact query), so every registered
+    query's top-level columns must stay atomic (CI-pinned in
+    tests/test_oracle.py). The postings are built only from rows
+    surviving a per-term
     row_number <= {_IDX_CAP} pre-rank — the rank window runs a spill-safe
     streamed sort, so the collect_set downstream of it holds at most
     {_IDX_CAP} ids per term and NO aggregation buffer is ever
@@ -567,7 +573,13 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rk") <= _IDX_CAP
     )
     postings = capped.groupBy("term").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("postings")
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
     )
     return (
         df_tbl.join(postings, "term")

@@ -465,8 +465,7 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(ROUND(o_totalprice * 100) AS BIGINT) % 97 AS bucket97
     FROM orders WHERE o_orderkey % 100 = 0
-    """,
-    deferred=True,
+    """
 )
 def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's Arrow-optimized scalar Python UDF (``@udf(useArrow=True)``)

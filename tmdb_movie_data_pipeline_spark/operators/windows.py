@@ -259,8 +259,7 @@ def value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS trailing_1h_cents
     FROM events
-    """,
-    deferred=True,
+    """
 )
 def time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-1-hour running revenue per user via a TIME-valued RANGE

@@ -88,13 +88,11 @@ def deferred_oracles() -> dict[str, str]:
 
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
-    # slots at the head of the rotation. Entries below are r6 rewrites.
-    "sketch_hll_distinct",  # exact shiftright word split (ADVICE r5)
-    "sketch_hll_union",  # same fix
-    "llm_domain_mix_resample",  # overflow-safe threshold form (ADVICE r5)
-    "multimodal_cdc_chunk_dedup",  # vectorized windowed chunker + oracle
-    "scd2_user_value_history",  # LEAD tie-break on (ts, value) — latent
-    # same-instant-change nondeterminism closed across the SCD2 family
+    # slots at the head of the rotation. Entries below are r7 rewrites.
+    "text_inverted_index",  # postings flattened array->string (VERDICT r6
+    # item #1): the driver canonicalizer crashes on list cells, and the
+    # r6 err row already marked the name driver-seen, so bucket 1 will
+    # never re-pick it — it MUST ride this list to get its green row.
 ]
 
 

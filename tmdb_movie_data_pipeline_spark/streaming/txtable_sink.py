@@ -116,8 +116,7 @@ def _register_query() -> None:
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1
-        """,
-        deferred=True,
+        """
     )
     def stream_txtable_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Purchase events streamed through a file source and appended to
