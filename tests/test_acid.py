@@ -331,17 +331,175 @@ def test_txgroup_crash_before_group_record_is_invisible_everywhere(
 
 
 def test_txgroup_next_writer_skips_aborted_pending(spark, tmp_path):
-    """An abandoned prepare occupies a version slot; a later SINGLE-table
-    commit lands on top and becomes visible, while the aborted pending
-    version stays invisible forever."""
+    """An ABORTED prepare's slot is dead: a later SINGLE-table commit
+    lands on top and becomes visible, while the aborted version stays
+    invisible forever (its manifest remains in the log for audit)."""
     from pyspark.sql import functions as F
 
     g, a, b = _tiers(spark, tmp_path)
-    g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "ABANDONED")
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "ABANDONED")
+    assert g.abort(gid) is True
+    assert a.pending_slots() == []  # tombstoned, not pending
     # independent later commit on the next slot (normal TxTable path)
     a._commit(g.read(a).unionByName(spark.range(100, 102).withColumnRenamed("id", "k")), 2, "APPEND")  # noqa: SLF001
     ks = sorted(r.k for r in g.read(a).collect())
     assert ks == list(range(10)) + [100, 101]
+    # the aborted version is permanently invisible but still in history
+    assert a.latest_visible_version() == 2
+    assert 1 in a.versions()
+
+
+def test_prepare_partial_failure_self_aborts(spark, tmp_path):
+    """A prepare that conflicts on a LATER member must roll back the
+    earlier members (ADVICE r6): the abort record tombstones every
+    already-prepared manifest, so nothing stays pending and transactional
+    writers are not wedged."""
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.plans.acid import CommitConflict
+
+    g, a, b = _tiers(spark, tmp_path)
+    # inject a slot race on the SECOND member: a competing writer wins b's
+    # slot between prepare's version pick and its publish
+    real_commit = b._commit  # noqa: SLF001
+
+    def racing_commit(df, version, op, **kw):
+        if kw.get("extra", {}).get("pending_group"):
+            real_commit(g.read(b), version, "RACE")  # competitor lands first
+        return real_commit(df, version, op, **kw)
+
+    b._commit = racing_commit
+    import pytest
+
+    with pytest.raises(CommitConflict):
+        g.prepare(
+            [
+                (a, g.read(a).filter(F.col("k") < 3)),
+                (b, g.read(b).filter(F.col("k") >= 25)),
+            ],
+            "DOOMED",
+        )
+    # member a's prepared manifest exists but is tombstoned, not pending
+    assert a.latest_version() == 1
+    assert a.pending_slots() == []
+    assert a.latest_visible_version() == 0
+    assert sorted(r.k for r in a.read().collect()) == list(range(10))
+    # a transactional writer proceeds immediately — no permanent wedge
+    a.delete_range("k", 0, 4)
+    assert sorted(r.k for r in a.read().collect()) == list(range(5, 10))
+
+
+def test_commit_abort_race_is_decided_once(spark, tmp_path):
+    """Commit and abort contend on the same create-exclusive record:
+    whichever lands first wins permanently; the loser raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import GroupAborted
+
+    g, a, b = _tiers(spark, tmp_path)
+    gid1 = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "T1")
+    assert g.abort(gid1) is True
+    assert g.abort(gid1) is False  # idempotent replay
+    with pytest.raises(GroupAborted):
+        g.commit(gid1, [a.path])
+    gid2 = g.prepare([(b, g.read(b).filter(F.col("k") < 20))], "T2")
+    g.commit(gid2, [b.path])
+    g.commit(gid2, [b.path])  # recovery replay of the commit point: no-op
+    with pytest.raises(ValueError, match="already committed"):
+        g.abort(gid2)
+    assert sorted(r.k for r in b.read().collect()) == list(range(10, 20))
+
+
+def test_merge_refuses_pending_group_then_lands_after_abort(spark, tmp_path):
+    """MERGE over a prepared group slot must refuse (the group's later
+    commit would silently shadow it on this member only — lost update,
+    ADVICE r6), exactly like the streaming sink; after the group aborts,
+    the same merge lands."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.plans.acid import PendingGroupConflict
+
+    g, a, b = _tiers(spark, tmp_path)
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
+    source = spark.range(100, 103).withColumnRenamed("id", "k")
+    with pytest.raises(PendingGroupConflict):
+        a.merge(source, "k")
+    with pytest.raises(PendingGroupConflict):
+        a.delete_range("k", 0, 4)
+    g.abort(gid)
+    a.merge(source, "k")
+    assert sorted(r.k for r in a.read().collect()) == list(range(10)) + [
+        100,
+        101,
+        102,
+    ]
+
+
+def test_sink_unwedges_after_group_abort(spark, tmp_path):
+    """The sink's refusal is transient by construction: once the group
+    aborts, the retried epoch lands — a dead tombstoned slot must never
+    wedge streaming appends permanently (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.streaming.txtable_sink import TxTableSink
+
+    g, a, b = _tiers(spark, tmp_path)
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
+    sink = TxTableSink(spark, a)
+    batch = spark.range(100, 103).withColumnRenamed("id", "k")
+    with pytest.raises(RuntimeError, match="in-flight group transaction"):
+        sink.process_batch(batch, 0)
+    g.abort(gid)
+    sink.process_batch(batch, 0)  # foreachBatch retry after resolution
+    assert sorted(r.k for r in a.read().collect()) == list(range(10)) + [
+        100,
+        101,
+        102,
+    ]
+
+
+def test_vacuum_reclaims_aborted_group_files(spark, tmp_path):
+    """An aborted prepare's staged files are garbage with a tombstone
+    saying so — VACUUM reclaims them while the visible snapshot and any
+    still-PENDING prepare survive untouched."""
+    from pyspark.sql import functions as F
+
+    g, a, b = _tiers(spark, tmp_path)
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "DOOMED")
+    before = a.vacuum(keep_latest=1)
+    assert before["n_deleted"] == 0  # pending: files pinned
+    g.abort(gid)
+    after = a.vacuum(keep_latest=1)
+    assert after["n_deleted"] > 0  # tombstoned: files reclaimed
+    assert sorted(r.k for r in a.read().collect()) == list(range(10))
+
+
+def test_vacuum_spares_inflight_staging_dir(spark, tmp_path):
+    """Files staged above every claimed slot belong to a writer that has
+    not published yet — VACUUM must not delete them (ADVICE r6: the racing
+    writer would otherwise publish a manifest pointing at deleted files).
+    Unreferenced files at-or-below the latest slot are losers of a slot
+    race and ARE reclaimed."""
+    import os
+
+    g, a, b = _tiers(spark, tmp_path)
+    # simulate an in-flight stage for the NEXT slot (latest is 0)
+    live = os.path.join(a.path, "data", "v1-inflight0000")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0.parquet"), "wb") as f:
+        f.write(b"stub-bytes")
+    # and a lost-race leftover at the CURRENT slot
+    lost = os.path.join(a.path, "data", "v0-lostrace0000")
+    os.makedirs(lost)
+    with open(os.path.join(lost, "part-0.parquet"), "wb") as f:
+        f.write(b"stub-bytes")
+    a.vacuum(keep_latest=1)
+    assert os.path.exists(os.path.join(live, "part-0.parquet"))
+    assert not os.path.exists(os.path.join(lost, "part-0.parquet"))
+    assert sorted(r.k for r in a.read().collect()) == list(range(10))
 
 
 def test_txtable_sink_replayed_epoch_is_noop(spark, tmp_path):
@@ -368,8 +526,9 @@ def test_txtable_sink_replayed_epoch_is_noop(spark, tmp_path):
 
 def test_pending_group_is_invisible_to_plain_txtable_reads(spark, tmp_path):
     """The visibility rule lives in TxTable itself: a NON-group-aware
-    reader (plain table.read()) and a later single-table writer both skip
-    an uncommitted pending version — no coordinator required."""
+    reader (plain table.read()) skips an uncommitted pending version, and
+    a later transactional writer refuses to commit above it — no
+    coordinator required."""
     from pyspark.sql import functions as F
 
     g, a, b = _tiers(spark, tmp_path)
@@ -377,9 +536,14 @@ def test_pending_group_is_invisible_to_plain_txtable_reads(spark, tmp_path):
     assert a.latest_version() == 1  # slot claimed...
     assert a.latest_visible_version() == 0  # ...but invisible
     assert sorted(r.k for r in a.read().collect()) == list(range(10))
-    # a single-table transactional write bases on the VISIBLE snapshot
-    a.delete_range("k", 0, 4)
-    assert sorted(r.k for r in a.read().collect()) == list(range(5, 10))
+    # a single-table transactional write REFUSES while the slot is pending
+    # (committing above it would shadow the group's update — ADVICE r6)
+    import pytest
+
+    from tmdb_movie_data_pipeline_spark.plans.acid import PendingGroupConflict
+
+    with pytest.raises(PendingGroupConflict):
+        a.delete_range("k", 0, 4)
 
 
 def test_vacuum_preserves_visible_snapshot_under_abandoned_prepare(

@@ -41,7 +41,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TxTable", "CommitConflict"]
+__all__ = ["TxTable", "CommitConflict", "PendingGroupConflict"]
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -49,6 +49,15 @@ _DATA_DIR = "data"
 
 class CommitConflict(Exception):
     """Another writer committed this version first; rebase and retry."""
+
+
+class PendingGroupConflict(CommitConflict):
+    """A prepared-but-unresolved group transaction holds a version slot
+    above the visible head. Committing above it would shadow this member's
+    group update if the group later commits — applied on the other members,
+    silently lost here (ADVICE r6). Retry after the group commits or
+    aborts; a failed prepare tombstones itself (TxGroup.abort), so the
+    wait is bounded by the coordinator, never forever."""
 
 
 def _manifest_name(version: int) -> str:
@@ -86,19 +95,54 @@ class TxTable:
         return vs[-1]
 
     @staticmethod
-    def _is_visible(manifest: dict) -> bool:
-        """A manifest is visible unless it is group-pending and its group
-        record (whose path the manifest carries) does not exist — the
-        TxGroup commit-point check, enforced HERE so every reader and
-        writer shares one visibility rule (plans/txgroup.py)."""
+    def _group_state(manifest: dict) -> str:
+        """Tri-state of a manifest's group transaction, resolved from the
+        group record whose path the manifest carries (plans/txgroup.py):
+
+        * ``"visible"`` — no group, or the record exists and is a commit;
+        * ``"pending"`` — the record does not exist yet: the transaction
+          may still commit OR abort, so the slot is live (invisible to
+          readers, blocking to transactional writers, unreclaimable);
+        * ``"aborted"`` — the record exists and says ``aborted``:
+          permanently invisible, never blocks a writer, and VACUUM may
+          reclaim its files.
+
+        Enforced HERE so every reader and writer shares one rule."""
         rec = manifest.get("group_record")
-        return rec is None or os.path.exists(rec)
+        if rec is None:
+            return "visible"
+        if not os.path.exists(rec):
+            return "pending"
+        try:
+            with open(rec) as f:
+                record = json.load(f)
+        except (OSError, ValueError):
+            # record unreadable mid-race: treat as pending (safe — stays
+            # invisible and unreclaimed until the record resolves)
+            return "pending"
+        return "aborted" if record.get("aborted") else "visible"
+
+    @classmethod
+    def _is_visible(cls, manifest: dict) -> bool:
+        return cls._group_state(manifest) == "visible"
 
     def latest_visible_version(self) -> int:
         for v in reversed(self.versions()):
             if self._is_visible(self.manifest(v)):
                 return v
         raise FileNotFoundError(f"no visible versions at {self.path}")
+
+    def pending_slots(self) -> list[int]:
+        """Version slots above the visible head held by PREPARED-but-
+        unresolved group transactions. Transactional writers must refuse
+        to commit while this is non-empty (see PendingGroupConflict);
+        aborted slots are excluded — they are dead and never block."""
+        head = self.latest_visible_version()
+        return [
+            v
+            for v in self.versions()
+            if v > head and self._group_state(self.manifest(v)) == "pending"
+        ]
 
     def _abs(self, rel: str) -> str:
         """Manifest file entries are normally RELATIVE to the table root;
@@ -347,12 +391,26 @@ class TxTable:
         the table). Correctness: every file holding a source key is in the
         touched set (stats ranges are conservative), so matching inside the
         touched subset equals matching inside the whole table, and source
-        rows with no match anywhere insert exactly once."""
+        rows with no match anywhere insert exactly once.
+
+        Refuses (PendingGroupConflict) while a prepared group transaction
+        holds a slot above the visible head: basing on the visible snapshot
+        but committing above the claimed slot would silently discard the
+        group's update to this member if the group later commits — the
+        lost-update hazard the streaming sink already refuses (ADVICE r6).
+        Retry after the group resolves; failed prepares self-abort."""
         from ..operators.merge import merge_upsert
 
         for _ in range(max_retries + 1):
+            pending = self.pending_slots()
+            if pending:
+                raise PendingGroupConflict(
+                    f"in-flight group transaction holds slot(s) {pending} at "
+                    f"{self.path}: merge would shadow the group's update to "
+                    "this member; retry after it commits or aborts"
+                )
             base_v = self.latest_visible_version()
-            slot = self.latest_version() + 1  # pending slots stay claimed
+            slot = self.latest_version() + 1  # aborted slots stay claimed
             m = self.manifest(base_v)
             split = self._touched_files(m, source, key)
             if split is None:
@@ -395,10 +453,18 @@ class TxTable:
         by reference. A range predicate against range stats is exact
         pruning — a file whose range misses [lo, hi] provably holds no
         matching row. Falls back to a full rewrite when stats are absent,
-        same as merge (safe, not wrong)."""
+        same as merge (safe, not wrong). Refuses over a prepared group
+        slot exactly like :meth:`merge` (PendingGroupConflict)."""
         from pyspark.sql import functions as F
 
         for _ in range(max_retries + 1):
+            pending = self.pending_slots()
+            if pending:
+                raise PendingGroupConflict(
+                    f"in-flight group transaction holds slot(s) {pending} at "
+                    f"{self.path}: delete would shadow the group's update to "
+                    "this member; retry after it commits or aborts"
+                )
             base_v = self.latest_visible_version()
             slot = self.latest_version() + 1
             m = self.manifest(base_v)
@@ -508,17 +574,32 @@ class TxTable:
         manifests = {v: self.manifest(v) for v in self.versions()}
         visible = [v for v, m in manifests.items() if self._is_visible(m)]
         retained = set(visible[-keep_latest:])
+        latest_slot = max(manifests) if manifests else -1
         keep: set[str] = set()
         for v, m in manifests.items():
-            # retained visible snapshots, plus EVERY group-pending version:
-            # a prepared-but-uncommitted transaction may still commit, and
-            # an aborted one must never take a visible snapshot's carried
-            # files down with it
-            if v in retained or not self._is_visible(m):
+            # retained visible snapshots, plus every PENDING group version:
+            # a prepared-but-unresolved transaction may still commit.
+            # ABORTED versions are dead (their group record says so) and
+            # their files ARE reclaimable — without this, one failed
+            # prepare would pin its staged files forever (ADVICE r6).
+            if v in retained or self._group_state(m) == "pending":
                 keep.update(m["files"])
         n_deleted = 0
         bytes_deleted = 0
         for root, _dirs, names in os.walk(os.path.join(self.path, _DATA_DIR)):
+            # In-flight writer protection (ADVICE r6): a concurrent writer
+            # stages into data/v<N>-<token>/ BEFORE publishing a manifest,
+            # so nothing references those files yet. Its N is always above
+            # every claimed slot (writers stage at latest_version()+1), so
+            # dirs with N > latest claimed slot are live stages — skip
+            # them. Dirs at-or-below the latest slot that lack a manifest
+            # reference belong to writers that already LOST their slot race
+            # (they will rebase and restage), so reclaiming those is safe.
+            base = os.path.basename(root)
+            if base.startswith("v"):
+                head = base[1:].split("-", 1)[0]
+                if head.isdigit() and int(head) > latest_slot:
+                    continue
             for name in names:
                 if not name.endswith(".parquet"):
                     continue

@@ -25,15 +25,21 @@ multi-statement transaction log / Iceberg's multi-table catalog commit:
 stage everything invisibly, then flip one conditional-put object.
 
 Concurrent SINGLE-table writers and an in-flight group serialize on the
-version slots (a pending prepare keeps its slot; later writers commit
-above it, basing on the latest VISIBLE snapshot). A group that commits
-after such a writer surfaces as the older version — the standard
-last-writer-wins outcome optimistic logs give without a global lock;
-serializing the two workloads needs the same external coordination Delta
-applications use. Aborted prepares occupy version slots permanently (like any failed Delta
-commit attempt's staged files) — a VACUUM-style sweep can reclaim the
-data dirs of pending manifests whose group record never appeared;
-readers already skip them.
+version slots. A pending prepare keeps its slot, and transactional
+single-table writers (merge / delete_range / the streaming sink) REFUSE
+to commit above it (``PendingGroupConflict``): basing on the visible
+snapshot but publishing above the claimed slot would silently shadow
+this member's group update if the group later commits — lost on one
+member, applied on the others, breaking all-or-nothing (ADVICE r6).
+
+Resolution is guaranteed because **commit and abort race on the SAME
+create-exclusive group record**: whichever creates ``<gid>.json`` first
+wins, and the record's content (``aborted`` flag) says which it was.
+``prepare`` rolls itself back — a failure on a later member aborts the
+group, instantly tombstoning every already-prepared manifest (their
+``group_record`` path now resolves to an abort record). Aborted slots
+stay in the log (auditable history) but are permanently invisible, never
+block later writers, and VACUUM reclaims their data files.
 """
 
 from __future__ import annotations
@@ -46,9 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .acid import TxTable
 
-__all__ = ["TxGroup"]
+__all__ = ["TxGroup", "GroupAborted"]
 
 _TXLOG = "_txlog"
+
+
+class GroupAborted(Exception):
+    """The group record already exists as an ABORT tombstone: this
+    transaction lost the commit/abort race (or failed its own prepare)
+    and can never become visible."""
 
 
 class TxGroup:
@@ -68,38 +80,92 @@ class TxGroup:
 
     def prepare(self, updates: list[tuple[TxTable, DataFrame]], op: str) -> str:
         """Phase 1: claim the next version of every member with a pending
-        manifest. Returns the group id; nothing is visible yet."""
+        manifest. Returns the group id; nothing is visible yet.
+
+        Self-aborting (ADVICE r6): a failure on a later member (slot
+        conflict, staging IO error) writes the group's ABORT record before
+        re-raising — every already-prepared manifest carries the record's
+        path, so all of them flip to permanently-aborted in the same
+        instant. Without this, earlier members' pending manifests would
+        block transactional writers and pin their staged files forever."""
         gid = uuid.uuid4().hex
         record = self._record_path(gid)
-        for table, df in updates:
-            v = table.latest_version() + 1
-            table._commit(  # noqa: SLF001 — coordinator is package-internal
-                df,
-                v,
-                op,
-                # the manifest carries its own commit-point location, so
-                # EVERY TxTable reader/writer (not just TxGroup) applies
-                # the visibility rule — see TxTable._is_visible
-                extra={"pending_group": gid, "group_record": record},
-            )
+        try:
+            for table, df in updates:
+                v = table.latest_version() + 1
+                table._commit(  # noqa: SLF001 — coordinator is pkg-internal
+                    df,
+                    v,
+                    op,
+                    # the manifest carries its own commit-point location, so
+                    # EVERY TxTable reader/writer (not just TxGroup) applies
+                    # the visibility rule — see TxTable._group_state
+                    extra={"pending_group": gid, "group_record": record},
+                )
+        except Exception:
+            self.abort(gid)
+            raise
         return gid
 
-    def commit(self, gid: str, members: list[str]) -> None:
-        """Phase 2 — THE commit point: create the group record atomically.
-        After this single link exists, every member's pending version is
-        visible; before it, none is."""
+    def _write_record(self, gid: str, record: dict) -> bool:
+        """Create-exclusive publication of the group record. Returns True
+        if THIS call created it; False if a record already existed (the
+        commit/abort race was already decided — read it to learn how)."""
         log_dir = os.path.join(self.group_root, _TXLOG)
         os.makedirs(log_dir, exist_ok=True)
         final = self._record_path(gid)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump({"gid": gid, "members": members}, f)
+            json.dump(record, f)
         try:
             os.link(tmp, final)  # atomic create-exclusive, as in TxTable
+            return True
         except FileExistsError:
-            pass  # recovery re-running the commit point: already committed
+            return False
         finally:
             os.unlink(tmp)
+
+    def _record(self, gid: str) -> dict:
+        with open(self._record_path(gid)) as f:
+            return json.load(f)
+
+    def commit(self, gid: str, members: list[str]) -> None:
+        """Phase 2 — THE commit point: create the group record atomically.
+        After this single link exists, every member's pending version is
+        visible; before it, none is. Raises :class:`GroupAborted` when the
+        record already exists as an abort tombstone — commit and abort
+        race on the same create-exclusive object, so exactly one wins and
+        a committed group can never be retroactively aborted (nor vice
+        versa)."""
+        if not self._write_record(gid, {"gid": gid, "members": members}):
+            if self._record(gid).get("aborted"):
+                raise GroupAborted(
+                    f"group {gid} was aborted; its prepared versions are "
+                    "tombstoned and cannot become visible"
+                )
+            # recovery re-running the commit point: already committed
+
+    def abort(self, gid: str, reason: str | None = None) -> bool:
+        """Tombstone an unresolved group: create the record with the
+        ``aborted`` flag. Every member manifest carrying this gid becomes
+        permanently invisible, stops blocking transactional writers, and
+        its files become VACUUM-reclaimable — the rollback path for failed
+        or abandoned prepares (ADVICE r6). Returns True if this call
+        decided the race; False if the group had already aborted.
+        Idempotent; raises :class:`GroupAborted`'s dual — a plain
+        ValueError — when the group already COMMITTED (an applied
+        transaction cannot be rolled back by flag-flip; use compensating
+        writes)."""
+        if self._write_record(
+            gid, {"gid": gid, "aborted": True, "reason": reason or ""}
+        ):
+            return True
+        if self._record(gid).get("aborted"):
+            return False  # already aborted: idempotent
+        raise ValueError(
+            f"group {gid} already committed; roll forward with a "
+            "compensating transaction instead"
+        )
 
     def transact(self, updates: list[tuple[TxTable, DataFrame]], op: str) -> str:
         gid = self.prepare(updates, op)

@@ -70,11 +70,15 @@ class TxTableSink:
         # group commit would then apply to the other members but not here,
         # breaking cross-table atomicity one table at a time. Failing the
         # batch is safe: foreachBatch retries it, and the epoch marker
-        # makes the retry exact-once once the transaction resolves.
-        if self.table.latest_version() != self.table.latest_visible_version():
+        # makes the retry exact-once once the transaction resolves. Only
+        # truly-PENDING slots block: an aborted group's tombstoned slot is
+        # dead and must not wedge the stream forever (ADVICE r6).
+        pending = self.table.pending_slots()
+        if pending:
             raise RuntimeError(
-                f"in-flight group transaction on {self.table.path}: "
-                "streaming append deferred until it commits or is vacuumed"
+                f"in-flight group transaction on {self.table.path} holds "
+                f"slot(s) {pending}: streaming append deferred until it "
+                "commits or aborts"
             )
         prev = self.table.manifest(self.table.latest_visible_version())
         stats = prev.get("stats", {})
