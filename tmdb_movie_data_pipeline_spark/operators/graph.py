@@ -28,7 +28,7 @@ from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from ..registry import register
-from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
+from .dedup import _MINHASH_ORACLE, lsh_pairs_staged
 
 __all__ = [
     "connected_components",
@@ -137,7 +137,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters over the MinHash-LSH pair graph: every
     document that appears in at least one near-dup pair, labeled with its
     cluster's canonical (minimum) doc_id."""
-    edges = minhash_lsh_pairs(spark, sf_dir)
+    edges = lsh_pairs_staged(spark, sf_dir)
     comp = connected_components(edges, "doc_a", "doc_b")
     return comp.select(
         F.col("v").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
@@ -275,7 +275,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     this doc from an already-reviewed doc" query a curation pipeline asks.
     The oracle walks the same graph with a recursive CTE and takes MIN(d)
     per vertex."""
-    edges = minhash_lsh_pairs(spark, sf_dir)
+    edges = lsh_pairs_staged(spark, sf_dir)
     verts = (
         edges.select(F.col("doc_a").alias("v"))
         .union(edges.select(F.col("doc_b").alias("v")))
@@ -322,7 +322,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree instead of id — same plan, hub wedges split. The edge relation
     is computed once and localCheckpoint'ed so the three join legs read a
     materialized relation instead of re-running the LSH pipeline 3x."""
-    e = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    e = lsh_pairs_staged(spark, sf_dir).localCheckpoint(eager=True)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -473,7 +473,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match gate; 1e-6 resolution is far below the per-round movement at
     round {_PR_ITERS} on this graph.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = lsh_pairs_staged(spark, sf_dir)
     sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -564,7 +564,7 @@ def _dup_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     load-bearing: the MinHash-LSH pipeline upstream is the dominant cost,
     and iterative consumers would otherwise re-run it per round (and
     composite consumers like graph_modularity once per reuse)."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = lsh_pairs_staged(spark, sf_dir)
     return (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .dedup import minhash_lsh_pairs
+from .dedup import lsh_pairs_staged
 from .text import quality_score, tokens_col
 
 __all__ = ["prepare_corpus"]
@@ -49,7 +49,7 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup drop: for each MinHash-LSH candidate pair, drop the higher id
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = lsh_pairs_staged(spark, sf_dir)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = kept.join(losers, "doc_id", "left_anti")
     return kept.select(
@@ -512,7 +512,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     comp = connected_components(
-        minhash_lsh_pairs(spark, sf_dir), "doc_a", "doc_b"
+        lsh_pairs_staged(spark, sf_dir), "doc_a", "doc_b"
     )
     dropped = comp.filter(F.col("comp") != F.col("v")).select(
         F.col("v").alias("dropped_id")

@@ -93,6 +93,16 @@ _CHANGED_THIS_ROUND: list[str] = [
     # item #1): the driver canonicalizer crashes on list cells, and the
     # r6 err row already marked the name driver-seen, so bucket 1 will
     # never re-pick it — it MUST ride this list to get its green row.
+    # LSH edge-list staging (VERDICT r6 item #4): these verified queries
+    # now read the materialized candidate-pair parquet instead of running
+    # the MinHash pipeline inline. Result sets are bit-identical (lossless
+    # 2-column round-trip) but the physical plan changed, so the driver
+    # re-verifies the most central consumers; the remaining consumers
+    # (shortest_paths, triangle_count, cluster_stats, llm funnel family)
+    # are locally hash-gated and re-confirm via bucket-3 rotation.
+    "graph_label_propagation",
+    "dedup_cluster_components",
+    "graph_pagerank",
 ]
 
 
