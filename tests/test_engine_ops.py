@@ -542,9 +542,9 @@ def test_join_cardinality_estimator_is_scaled_sample(spark, sf_dir):
 def test_modularity_contributions_are_bounded_and_sum_sane(spark, sf_dir):
     """Q = Σ q_contrib_ppm must land in [-1e6, 1e6]; per-community intra
     edges cannot exceed the community's degree sum / 2."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import all_queries, deferred_queries
 
-    rows = deferred_queries()["graph_modularity"](spark, sf_dir).collect()
+    rows = {**all_queries(), **deferred_queries()}["graph_modularity"](spark, sf_dir).collect()
     assert rows
     q = sum(r.q_contrib_ppm for r in rows)
     assert -1_000_000 <= q <= 1_000_000
@@ -554,9 +554,9 @@ def test_modularity_contributions_are_bounded_and_sum_sane(spark, sf_dir):
 
 def test_tvd_drift_halves_to_at_most_one(spark, sf_dir):
     """TVD = Σ abs_diff_ppm / 2 is a probability distance: <= 1e6."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import all_queries, deferred_queries
 
-    rows = deferred_queries()["profile_drift_tvd"](spark, sf_dir).collect()
+    rows = {**all_queries(), **deferred_queries()}["profile_drift_tvd"](spark, sf_dir).collect()
     assert sum(r.abs_diff_ppm for r in rows) // 2 <= 1_000_000
 
 
@@ -564,9 +564,9 @@ def test_markov_stationary_mass_is_conserved_up_to_truncation(spark, sf_dir):
     """Total fixed-point mass starts at |types|*S and only shrinks by
     integer-division truncation — never grows, never collapses."""
     from tmdb_movie_data_pipeline_spark.operators.events import _MK_SCALE
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import all_queries, deferred_queries
 
-    rows = deferred_queries()["events_markov_stationary"](spark, sf_dir).collect()
+    rows = {**all_queries(), **deferred_queries()}["events_markov_stationary"](spark, sf_dir).collect()
     total = sum(r.stationary_u for r in rows)
     n = len(rows)
     assert total <= n * _MK_SCALE
@@ -576,9 +576,9 @@ def test_markov_stationary_mass_is_conserved_up_to_truncation(spark, sf_dir):
 def test_auc_matches_direct_pair_count(spark, sf_dir):
     """AUC from the rank identity equals the direct P(score+ > score-)
     pair count (ties half) computed in pure Python on the fixture."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import all_queries, deferred_queries
 
-    row = deferred_queries()["ml_auc_roc"](spark, sf_dir).collect()[0]
+    row = {**all_queries(), **deferred_queries()}["ml_auc_roc"](spark, sf_dir).collect()[0]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "n_chars", "lang"
     ).collect()
@@ -587,3 +587,30 @@ def test_auc_matches_direct_pair_count(spark, sf_dir):
     two_u = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
     assert row.two_u == two_u
     assert row.auc_ppm == (500_000 * two_u) // (len(pos) * len(neg))
+
+
+def test_longest_dup_run_reports_planted_run_lengths(spark):
+    """Plant two documents sharing EXACTLY one verbatim 20-token run (the
+    rest unique): both must report longest_dup_run == 20 in one island; a
+    third document with no 15-token overlap must not appear at all."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _SUBSTR_K,
+        longest_dup_run_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))  # 20-token verbatim run
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(30)) + " " + shared),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(30))),
+            (3, " ".join(f"c{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in longest_dup_run_stats(docs).collect()}
+    assert set(rows) == {1, 2}  # doc 3 shares no window
+    for d in (1, 2):
+        assert rows[d].longest_dup_run == 20
+        assert rows[d].n_runs == 1
+        # a 20-token run yields 20 - K + 1 consecutive duplicated windows
+        assert rows[d].n_dup_windows == 20 - _SUBSTR_K + 1

@@ -485,9 +485,14 @@ def test_cumulative_distinct_two_bounded_exchanges(spark, sf_dir):
 
 
 def _deferred(name):
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    # queue entries activate in later rounds (deferred -> active), so look
+    # the name up in whichever registry currently holds it
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
 
-    return deferred_queries()[name]
+    return {**all_queries(), **deferred_queries()}[name]
 
 
 def test_grouped_order_statistics_have_no_unpartitioned_window(spark, sf_dir):

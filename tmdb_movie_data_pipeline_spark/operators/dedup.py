@@ -562,6 +562,120 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- longest duplicated run (Lee et al. 2022's reporting statistic) -----------
+
+
+@register(
+    "dedup_longest_dup_run",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), wins AS (
+        SELECT doc_id, t.i AS pos,
+               md5(array_to_string(toks[t.i:t.i+{_SUBSTR_K - 1}], ' ')) AS g
+        FROM toked,
+             UNNEST(generate_series(
+                 1, GREATEST(len(toks) - {_SUBSTR_K - 1}, 1))) AS t(i)
+    ), gstats AS (
+        SELECT g, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        FROM wins GROUP BY g
+    ), dup AS (
+        SELECT w.doc_id, w.pos
+        FROM wins w JOIN gstats s USING (g)
+        WHERE s.mn <> w.doc_id OR s.mx <> w.doc_id
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM dup
+    ), runs AS (
+        SELECT doc_id, island,
+               MAX(pos) - MIN(pos) + {_SUBSTR_K} AS run_len,
+               COUNT(*) AS nw
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(nw) AS BIGINT)       AS n_dup_windows,
+           CAST(COUNT(*) AS BIGINT)      AS n_runs,
+           CAST(MAX(run_len) AS BIGINT)  AS longest_dup_run
+    FROM runs GROUP BY doc_id
+    """,
+    deferred=True,
+)
+def longest_dup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LONGEST verbatim duplicated run, in tokens — the
+    reporting table of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022): not just WHICH documents share a
+    >= {_SUBSTR_K}-token window (dedup_exact_substring) but HOW LONG each
+    document's worst cross-document verbatim overlap is, the statistic
+    that decides whether to cut substrings or drop whole documents.
+
+    Shape — O(windows), strictly cheaper than the pair join: every
+    rolling {_SUBSTR_K}-token window keeps its START POSITION; a window
+    hash is cross-document-duplicated iff its corpus-wide (min, max)
+    doc_id bracket strays from the owner (two O(1)-state partial-
+    aggregable extrema stand in for a distinct-count — no COUNT(DISTINCT)
+    and no m^2 pair blowup on boilerplate windows shared by m docs, the
+    skew that makes the PAIR formulation need a frequency cap). Runs of
+    consecutive duplicated starts merge by gaps-and-islands (pos minus
+    per-doc rank); a maximal run of c consecutive windows spans
+    c - 1 + {_SUBSTR_K} tokens. Exchanges: one hash-agg on the window
+    hash, one join back on it, one doc-keyed window+agg — all bounded,
+    nothing quadratic anywhere.
+
+    Convention: windows shorter than {_SUBSTR_K} tokens (sub-window docs
+    get one whole-doc window) report run lengths on the window grid, so a
+    fully-duplicated short doc reports {_SUBSTR_K}; both engines share
+    the convention, and within-doc-only repeats are deliberately NOT
+    counted (min = max = owner) — this is the CROSS-document statistic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_dup_run_stats(docs)
+
+
+def longest_dup_run_stats(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """Core of ``dedup_longest_dup_run`` over any (doc_id, text) relation —
+    factored out so property tests can plant documents with KNOWN shared
+    runs and assert the reported lengths exactly."""
+    toked = docs.select(
+        "doc_id", F.split(F.expr(_NORM_SPARK), " ").alias("toks")
+    )
+    wins = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+                f" i -> struct(i AS pos,"
+                f" md5(array_join(slice(toks, i, {k}), ' ')) AS g))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    gstats = wins.groupBy("g").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    dup = (
+        wins.join(gstats, "g")
+        .filter((F.col("mn") != F.col("doc_id")) | (F.col("mx") != F.col("doc_id")))
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql import Window as W
+
+    isl = dup.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("run_len"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_dup_run"),
+    )
+
+
 # -- containment similarity (asymmetric overlap) — deferred r7 queue ----------
 
 _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
