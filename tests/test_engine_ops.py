@@ -614,3 +614,40 @@ def test_longest_dup_run_reports_planted_run_lengths(spark):
         assert rows[d].n_runs == 1
         # a 20-token run yields 20 - K + 1 consecutive duplicated windows
         assert rows[d].n_dup_windows == 20 - _SUBSTR_K + 1
+
+
+def test_minimizer_guarantee_at_threshold_run_length(spark):
+    """Winnowing guarantee: two docs sharing a verbatim run of EXACTLY
+    w + k - 1 tokens (the minimum covered length) must share at least one
+    minimizer fingerprint, for several differently-hashed planted runs;
+    disjoint docs share none."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _MZ_K,
+        _MZ_W,
+        minimizer_sets,
+    )
+
+    guarantee = _MZ_W + _MZ_K - 1
+    rows = []
+    for trial in range(5):
+        shared = " ".join(f"t{trial}s{i}" for i in range(guarantee))
+        rows.append(
+            (10 * trial, " ".join(f"t{trial}a{i}" for i in range(25)) + " " + shared)
+        )
+        rows.append(
+            (10 * trial + 1, shared + " " + " ".join(f"t{trial}b{i}" for i in range(25)))
+        )
+    rows.append((999, " ".join(f"z{i}" for i in range(60))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sels = minimizer_sets(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in sels:
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    for trial in range(5):
+        a, b = by_doc[10 * trial], by_doc[10 * trial + 1]
+        assert a & b, f"trial {trial}: guarantee-length run missed"
+    assert not (by_doc[999] & set().union(*(v for k, v in by_doc.items() if k != 999)))
+    # density sanity: winnowing keeps ~2/(w+1) of grams, far below all
+    n_grams_per_doc = 25 + guarantee - _MZ_K + 1
+    for d, hs in by_doc.items():
+        assert len(hs) < n_grams_per_doc

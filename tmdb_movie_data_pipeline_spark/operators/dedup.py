@@ -676,6 +676,122 @@ def longest_dup_run_stats(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     )
 
 
+# -- minimizer (winnowing) fingerprints — sampled long-match candidates -------
+
+_MZ_K = 5  # tokens per gram
+_MZ_W = 8  # grams per winnowing window; guarantees runs >= W + K - 1 tokens
+_MZ_MIN_SHARED = 2  # candidate pairs must share at least this many minimizers
+
+
+@register(
+    "dedup_minimizer_pairs",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), grams AS (
+        SELECT doc_id, t.i AS pos,
+               md5(array_to_string(toks[t.i:t.i+{_MZ_K - 1}], ' '))
+                   || lpad(CAST(t.i AS VARCHAR), 8, '0') AS hp,
+               GREATEST(len(toks) - {_MZ_K - 1}, 1) AS m
+        FROM toked,
+             UNNEST(generate_series(
+                 1, GREATEST(len(toks) - {_MZ_K - 1}, 1))) AS t(i)
+    ), wmin AS (
+        SELECT doc_id, pos, m,
+               MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                                      AND {_MZ_W - 1} FOLLOWING) AS sel
+        FROM grams
+    ), sels AS (
+        SELECT DISTINCT doc_id, substr(sel, 1, 32) AS h
+        FROM wmin WHERE pos <= GREATEST(m - {_MZ_W - 1}, 1)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_minimizers
+    FROM sels a JOIN sels b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_MZ_MIN_SHARED}
+    """,
+    deferred=True,
+)
+def minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / minimizer candidate pairs (Schleimer et al. 2003, the
+    MOSS fingerprint; the minimizer sampling behind every modern genome
+    and large-corpus long-match pipeline): per {_MZ_W}-gram window, keep
+    only the minimum-hash {_MZ_K}-token gram — a deterministic ~2/(w+1)
+    sample of all grams that still GUARANTEES any shared verbatim run of
+    >= {_MZ_W + _MZ_K - 1} tokens shares at least one selected
+    fingerprint. This is the scale path for exact-substring dedup:
+    dedup_exact_substring joins on EVERY window hash (O(tokens) join
+    keys); this joins on the winnowed sample (~{_MZ_W + 1}x fewer keys,
+    same recall for runs past the guarantee threshold) — the difference
+    between shuffling the corpus and shuffling a fixed fraction of it.
+
+    Determinism: winnowing's tie rule is encoded structurally — the
+    window min is taken over the STRING ``md5(gram) || lpad(pos)``, so
+    ties on repeated gram content break to the lowest position
+    identically in both engines (fixed-width hex + zero-padded position
+    makes lexicographic = (hash, pos) order). Tail starts past
+    m - w + 1 are not window starts (standard full-window winnowing);
+    sub-window docs keep one whole-doc window so nothing vanishes.
+
+    Shape: one doc-keyed sort-window for the per-start min (in-partition,
+    spill-safe), DISTINCT to the fingerprint set, then the same
+    hash-bucketed equi-join discipline as LSH banding — never all-pairs,
+    and the >= {_MZ_MIN_SHARED}-shared-minimizers floor drops the
+    single-boilerplate-hit tail the way production winnowing does."""
+    docs = load_table(spark, sf_dir, "documents")
+    sels = minimizer_sets(docs)
+    a, b = sels.alias("a"), sels.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_minimizers"))
+        .filter(F.col("n_shared_minimizers") >= _MZ_MIN_SHARED)
+    )
+
+
+def minimizer_sets(
+    docs: DataFrame, k: int = _MZ_K, w: int = _MZ_W
+) -> DataFrame:
+    """Winnowed fingerprint set (doc_id, h) — the core of
+    ``dedup_minimizer_pairs``, factored so tests can plant runs of exactly
+    the guarantee length (w + k - 1 tokens) and assert a shared
+    fingerprint exists."""
+    from pyspark.sql import Window as W
+
+    toked = docs.select(
+        "doc_id", F.split(F.expr(_NORM_SPARK), " ").alias("toks")
+    )
+    grams = toked.select(
+        "doc_id",
+        F.expr(f"greatest(size(toks) - {k - 1}, 1)").alias("m"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+                f" i -> struct(i AS pos,"
+                f" concat(md5(array_join(slice(toks, i, {k}), ' ')),"
+                f" lpad(CAST(i AS STRING), 8, '0')) AS hp))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "m", F.col("g.pos").alias("pos"), F.col("g.hp").alias("hp"))
+    wspec = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.currentRow, w - 1
+    )
+    return (
+        grams.withColumn("sel", F.min("hp").over(wspec))
+        .filter(F.col("pos") <= F.expr(f"greatest(m - {w - 1}, 1)"))
+        .select("doc_id", F.substring("sel", 1, 32).alias("h"))
+        .distinct()
+    )
+
+
 # -- containment similarity (asymmetric overlap) — deferred r7 queue ----------
 
 _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
