@@ -97,9 +97,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     )
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_COSINE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < {N_QUERIES}),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
@@ -116,8 +114,10 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
            FROM scored
          )
     SELECT * FROM ranked WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("ann_cosine_topk", oracle=_COSINE_ORACLE)
 def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K)
@@ -179,9 +179,7 @@ def _bucket_expr(vec: str, engine: str, planes: range = range(N_PLANES)) -> str:
     return " || ".join(bits) if engine == "duck" else f"concat({', '.join(bits)})"
 
 
-@register(
-    "ann_lsh_bucketed",
-    oracle=f"""
+_LSH_ORACLE = f"""
     WITH b AS (
         SELECT vec_id, embedding, {_bucket_expr("embedding", "duck")} AS bucket
         FROM embeddings
@@ -205,8 +203,10 @@ def _bucket_expr(vec: str, engine: str, planes: range = range(N_PLANES)) -> str:
         FROM scored
     )
     SELECT * FROM ranked WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_LSH_ORACLE)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-random-projection buckets: exact cosine only within the
     query's bucket. Recall is tunable by planes/probes; the plan is one
@@ -719,5 +719,112 @@ def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("true_label") == F.col("pred_label"), 1)
             .otherwise(0)
             .alias("on_diagonal"),
+        )
+    )
+
+
+# -- retrieval-quality evaluation: the ANN ladder scored against truth --------
+
+
+@register(
+    "ml_retrieval_eval",
+    oracle=f"""
+    WITH exact AS ({_COSINE_ORACLE}),
+    lsh_t AS ({_LSH_ORACLE}),
+    ivf_t AS ({_IVF_ORACLE}),
+    approx AS (
+        SELECT 'ivf' AS tier, query_id, neighbor_id, rank FROM ivf_t
+        UNION ALL
+        SELECT 'lsh' AS tier, query_id, neighbor_id, rank FROM lsh_t
+    ),
+    hits AS (
+        SELECT a.tier, a.query_id, a.rank
+        FROM approx a JOIN exact e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ),
+    agg AS (
+        SELECT tier, query_id, COUNT(*) AS n_hit, MIN(rank) AS first_hit
+        FROM hits GROUP BY 1, 2
+    ),
+    qs AS (SELECT t.tier, q.query_id
+           FROM (SELECT DISTINCT query_id FROM exact) q,
+                (VALUES ('ivf'), ('lsh')) AS t(tier))
+    SELECT q.tier, q.query_id,
+           CAST(COALESCE(a.n_hit, 0) AS BIGINT)          AS n_hit,
+           CAST((1000000 * COALESCE(a.n_hit, 0)) // {TOP_K}
+                AS BIGINT)                               AS recall_ppm,
+           CAST(COALESCE(a.first_hit, 0) AS BIGINT)      AS first_hit_rank,
+           CAST(CASE WHEN a.first_hit IS NULL THEN 0
+                     ELSE 1000000 // a.first_hit END
+                AS BIGINT)                               AS mrr_ppm
+    FROM qs q LEFT JOIN agg a
+      ON a.tier = q.tier AND a.query_id = q.query_id
+    """,
+    deferred=True,
+)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} and reciprocal rank of BOTH approximate tiers (IVF
+    and single-table sign-LSH) against the exact-cosine ground truth — the
+    estimator-vs-truth row the sketch family already carries (KMV, HLL,
+    MinHash all gate estimates beside exact counts), applied to the ANN
+    ladder: the number every probes/planes tuning decision reads. Per
+    (tier, query): hits inside the exact top-{TOP_K}, recall in exact
+    integer ppm, the approx rank of the first true neighbor, and MRR as
+    1e6 div first_hit (integer-exact convention, 0 on a whole-bucket
+    miss). On this corpus the IVF tier's probed lists land real neighbors
+    while the 8-plane single-table LSH scores zero — scoring both keeps
+    the honest zero ROW (tier quality exposed, exactly what the eval is
+    for) while the nonzero tier proves the join is live, so the gate can
+    never pass vacuously.
+
+    Shape: every tier's output is an {N_QUERIES}x{TOP_K}-bounded relation,
+    so the eval is a join of tiny frames — it rides the retrieval plans
+    (broadcast query side, bucket/list equi-joins) and adds no new corpus
+    scan. At production scale the same query runs over sampled query sets,
+    which is exactly how recall monitoring works against a live index."""
+    truth = ann_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        ann_ivf(spark, sf_dir)
+        .select(F.lit("ivf").alias("tier"), "query_id", "neighbor_id", "rank")
+        .unionByName(
+            ann_lsh(spark, sf_dir).select(
+                F.lit("lsh").alias("tier"), "query_id", "neighbor_id", "rank"
+            )
+        )
+    )
+    hits = approx.join(truth, ["query_id", "neighbor_id"])
+    agg = hits.groupBy("tier", "query_id").agg(
+        F.count(F.lit(1)).alias("n_hit_raw"),
+        F.min("rank").alias("first_hit_raw"),
+    )
+    qs = (
+        truth.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                truth.sparkSession.createDataFrame(
+                    [("ivf",), ("lsh",)], "tier string"
+                )
+            )
+        )
+    )
+    return (
+        qs.join(agg, ["tier", "query_id"], "left")
+        .select(
+            "tier",
+            "query_id",
+            F.coalesce("n_hit_raw", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(f"(1000000 * coalesce(n_hit_raw, 0)) div {TOP_K}")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.coalesce("first_hit_raw", F.lit(0))
+            .cast("long")
+            .alias("first_hit_rank"),
+            F.expr(
+                "CASE WHEN first_hit_raw IS NULL THEN 0"
+                " ELSE 1000000 div first_hit_raw END"
+            )
+            .cast("long")
+            .alias("mrr_ppm"),
         )
     )
