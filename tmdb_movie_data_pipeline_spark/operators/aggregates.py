@@ -624,9 +624,7 @@ def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- chi-square independence (event type x day of week) -----------------------
 
 
-@register(
-    "stats_chi_square",
-    oracle="""
+_CHI2_ORACLE = """
     WITH obs AS (
         SELECT event_type, CAST(strftime(ts, '%w') AS INTEGER) AS dow,
                CAST(COUNT(*) AS BIGINT) AS n_obs
@@ -653,8 +651,10 @@ def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(contrib * 1000000) AS BIGINT)) OVER ()
                 AS BIGINT) AS chi2_micro
     FROM k
-    """,
-)
+    """
+
+
+@register("stats_chi_square", oracle=_CHI2_ORACLE)
 def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of event type x day-of-week — "is
     activity mix stable across the week". Per-cell observed counts,
@@ -699,6 +699,55 @@ def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy())
         .cast("long")
         .alias("chi2_micro"),
+    )
+
+
+# -- Cramer's V effect size (rides the chi-square contingency machinery) ------
+
+
+@register(
+    "stats_cramers_v",
+    oracle=f"""
+    WITH cells AS ({_CHI2_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT)                    AS n_cells,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)  AS n_rows_dim,
+           CAST(COUNT(DISTINCT dow) AS BIGINT)         AS n_cols_dim,
+           CAST(SUM(n_obs) AS BIGINT)                  AS grand_n,
+           CAST(MAX(chi2_micro) AS BIGINT)             AS chi2_micro,
+           CAST(MAX(chi2_micro)
+                // (SUM(n_obs) *
+                    (LEAST(COUNT(DISTINCT event_type),
+                           COUNT(DISTINCT dow)) - 1)) AS BIGINT) AS v2_ppm
+    FROM cells
+    """,
+    deferred=True,
+)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the type x day-of-week contingency —
+    the NORMALIZED companion the chi-square statistic needs before anyone
+    reads it: chi2 grows with n, so "significant" says nothing about
+    strength; V^2 = chi2 / (n * (min(r,c) - 1)) lands in [0, 1] regardless
+    of table size. Reported as V^2 in exact integer ppm (sqrt-free — the
+    repo's standard: monotone transforms are the consumer's one cheap
+    step, cross-engine bit-equality is the gate's job).
+
+    Shape: one aggregate over the |types| x 7 CELL relation the
+    chi-square query already produces (chi2_micro is constant across
+    cells, so MAX reads it); dimensions come from distinct-counts over
+    the same tiny frame. Evaluation rides the existing machinery — no new
+    scan of events."""
+    cells = chi_square(spark, sf_dir)
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("event_type").cast("long").alias("n_rows_dim"),
+        F.countDistinct("dow").cast("long").alias("n_cols_dim"),
+        F.sum("n_obs").cast("long").alias("grand_n"),
+        F.max("chi2_micro").cast("long").alias("chi2_micro"),
+        F.expr(
+            "CAST(MAX(chi2_micro) div (SUM(n_obs) *"
+            " (LEAST(COUNT(DISTINCT event_type), COUNT(DISTINCT dow)) - 1))"
+            " AS BIGINT)"
+        ).alias("v2_ppm"),
     )
 
 

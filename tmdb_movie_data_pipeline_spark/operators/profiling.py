@@ -410,6 +410,108 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- t-closeness audit — the distributional member of the privacy kit ---------
+
+_TCLOSE_T_PPM = 300_000  # classes with TVD > 0.30 from the global mix violate
+
+
+@register(
+    "profile_t_closeness",
+    oracle=f"""
+    WITH q AS (
+        SELECT source, n_chars // {_KANON_LEN_BUCKET} AS len_b,
+               lang AS sensitive
+        FROM documents
+    ), classes AS (
+        SELECT source, len_b, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM q GROUP BY 1, 2
+    ), cells AS (
+        SELECT source, len_b, sensitive, CAST(COUNT(*) AS BIGINT) AS n_cv
+        FROM q GROUP BY 1, 2, 3
+    ), gdist AS (
+        SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+        FROM q GROUP BY 1
+    ), dense AS (
+        SELECT c.source, c.len_b, c.n_c, g.sensitive, g.n_v, g.n_total,
+               COALESCE(x.n_cv, 0) AS n_cv
+        FROM classes c CROSS JOIN gdist g
+        LEFT JOIN cells x
+          ON x.source = c.source AND x.len_b = c.len_b
+         AND x.sensitive = g.sensitive
+    )
+    SELECT source, CAST(len_b AS BIGINT) AS len_b,
+           CAST(MAX(n_c) AS BIGINT) AS group_size,
+           CAST((1000000 * SUM(ABS(n_cv * n_total - n_v * n_c)))
+                // (2 * MAX(n_c) * MAX(n_total)) AS BIGINT) AS tvd_ppm,
+           CAST((1000000 * SUM(ABS(n_cv * n_total - n_v * n_c)))
+                // (2 * MAX(n_c) * MAX(n_total)) > {_TCLOSE_T_PPM}
+                AS BOOLEAN) AS violates_t
+    FROM dense GROUP BY 1, 2
+    """,
+    deferred=True,
+)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""t-closeness audit — the disclosure k-anonymity AND l-diversity both
+    miss: a class can be large and diverse yet have a sensitive-value MIX
+    wildly different from the table's (90% of one lang in a class that is
+    5% globally still discloses), so the release kit's third gate bounds
+    each class's distributional distance from the global mix. Distance is
+    total variation (the equal-ground-distance Earth Mover's Distance for
+    categorical attributes — the t-closeness paper's own choice), computed
+    EXACTLY: per value, |n_cv/n_c - N_v/N| = |n_cv*N - N_v*n_c|/(n_c*N),
+    so summing the integer numerators over the common denominator makes
+    tvd_ppm = 1e6 * sum // (2*n_c*N) one integer division per class — no
+    float ever. Operand bound: 1e6 * 2N^2 stays in int64 for N up to
+    ~2.1e6 rows; past that, pre-quantize class shares to per-million
+    before differencing (same recipe as the HHI piecewise fix).
+
+    Shape: three partial-aggregable aggregates over the scan, then a
+    CROSS JOIN of the (tiny) class relation against the (tiny) sensitive
+    domain so missing (class, value) cells contribute their full
+    |0 - N_v*n_c| mass — a LEFT-join densification, never a scan of
+    anything data-sized. The release gate is all three audits green:
+    k-anonymity (re-identification), l-diversity (attribute presence),
+    t-closeness (attribute distribution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.expr(f"n_chars div {_KANON_LEN_BUCKET}").alias("len_b"),
+        F.col("lang").alias("sensitive"),
+    )
+    classes = q.groupBy("source", "len_b").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    cells = q.groupBy("source", "len_b", "sensitive").agg(
+        F.count(F.lit(1)).alias("n_cv")
+    )
+    glob = q.groupBy("sensitive").agg(F.count(F.lit(1)).alias("n_v"))
+    glob = glob.select(
+        "sensitive", "n_v", F.sum("n_v").over(W.partitionBy()).alias("n_total")
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cells, ["source", "len_b", "sensitive"], "left")
+        .select(
+            "source",
+            "len_b",
+            "n_c",
+            "n_v",
+            "n_total",
+            F.coalesce("n_cv", F.lit(0)).alias("n_cv"),
+        )
+    )
+    tvd = F.expr(
+        "(1000000 * SUM(ABS(n_cv * n_total - n_v * n_c)))"
+        " div (2 * MAX(n_c) * MAX(n_total))"
+    )
+    return dense.groupBy("source", "len_b").agg(
+        F.max("n_c").cast("long").alias("group_size"),
+        tvd.cast("long").alias("tvd_ppm"),
+        (tvd > _TCLOSE_T_PPM).alias("violates_t"),
+    )
+
+
 # -- mode imputation with ground-truth evaluation — deferred r7 queue ---------
 
 _IMP_MISS_MOD = 11  # docs with doc_id % 11 == 0 have their lang "lost"

@@ -828,3 +828,115 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mrr_ppm"),
         )
     )
+
+
+# -- NDCG: graded ranking quality of the approximate tiers --------------------
+
+#: integer discount weights 1e6 / log2(rank + 1) for ranks 1..TOP_K — exact
+#: decimal LITERALS shared by both engines, so the one transcendental in
+#: NDCG's definition never runs at query time (the repo's ln/log discipline).
+_NDCG_W = (1_000_000, 630_930, 500_000, 430_677, 386_853)
+assert len(_NDCG_W) == TOP_K
+#: ideal DCG: the exact top-K retrieved in order — grades K..1 at ranks 1..K.
+_NDCG_IDEAL = sum((TOP_K - i) * w for i, w in enumerate(_NDCG_W))
+
+
+def _ndcg_weight_case(rank_col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {rank_col} = {i + 1} THEN {w}"
+            for i, w in enumerate(_NDCG_W)
+        )
+        + " ELSE 0 END"
+    )
+
+
+@register(
+    "ml_ndcg_eval",
+    oracle=f"""
+    WITH exact AS ({_COSINE_ORACLE}),
+    lsh_t AS ({_LSH_ORACLE}),
+    ivf_t AS ({_IVF_ORACLE}),
+    approx AS (
+        SELECT 'ivf' AS tier, query_id, neighbor_id, rank FROM ivf_t
+        UNION ALL
+        SELECT 'lsh' AS tier, query_id, neighbor_id, rank FROM lsh_t
+    ),
+    graded AS (
+        SELECT a.tier, a.query_id,
+               ({TOP_K + 1} - e.rank) * ({_ndcg_weight_case("a.rank")}) AS gain
+        FROM approx a JOIN exact e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ),
+    agg AS (
+        SELECT tier, query_id, SUM(gain) AS dcg
+        FROM graded GROUP BY 1, 2
+    ),
+    qs AS (SELECT t.tier, q.query_id
+           FROM (SELECT DISTINCT query_id FROM exact) q,
+                (VALUES ('ivf'), ('lsh')) AS t(tier))
+    SELECT q.tier, q.query_id,
+           CAST(COALESCE(a.dcg, 0) AS BIGINT) AS dcg_micro,
+           CAST({_NDCG_IDEAL} AS BIGINT)      AS idcg_micro,
+           CAST((1000000 * COALESCE(a.dcg, 0)) // {_NDCG_IDEAL}
+                AS BIGINT)                    AS ndcg_ppm
+    FROM qs q LEFT JOIN agg a
+      ON a.tier = q.tier AND a.query_id = q.query_id
+    """,
+    deferred=True,
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{TOP_K} of the approximate tiers — the GRADED companion to
+    ml_retrieval_eval's recall: recall treats every true neighbor alike,
+    NDCG scores finding the BEST neighbors EARLY. Relevance grade of a
+    retrieved item = {TOP_K}+1 minus its exact-cosine rank (top truth item
+    grades {TOP_K}, item outside the exact top-{TOP_K} grades 0); rank
+    discounts are the precomputed integer literals 1e6/log2(rank+1), so
+    the metric's one transcendental never executes at query time and both
+    engines sum identical integers. The ideal DCG is the perfect-retrieval
+    constant (grades {TOP_K}..1 in order), making ndcg_ppm an exact
+    integer in [0, 1e6] comparable across queries and tiers.
+
+    Shape: identical composition to ml_retrieval_eval — tiny bounded
+    relations joined after the retrieval plans; no new corpus scan."""
+    truth = ann_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    approx = (
+        ann_ivf(spark, sf_dir)
+        .select(F.lit("ivf").alias("tier"), "query_id", "neighbor_id", "rank")
+        .unionByName(
+            ann_lsh(spark, sf_dir).select(
+                F.lit("lsh").alias("tier"), "query_id", "neighbor_id", "rank"
+            )
+        )
+    )
+    graded = approx.join(truth, ["query_id", "neighbor_id"]).select(
+        "tier",
+        "query_id",
+        F.expr(
+            f"({TOP_K + 1} - exact_rank) * ({_ndcg_weight_case('rank')})"
+        ).alias("gain"),
+    )
+    agg = graded.groupBy("tier", "query_id").agg(F.sum("gain").alias("dcg"))
+    qs = (
+        truth.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                truth.sparkSession.createDataFrame(
+                    [("ivf",), ("lsh",)], "tier string"
+                )
+            )
+        )
+    )
+    return qs.join(agg, ["tier", "query_id"], "left").select(
+        "tier",
+        "query_id",
+        F.coalesce("dcg", F.lit(0)).cast("long").alias("dcg_micro"),
+        F.lit(_NDCG_IDEAL).cast("long").alias("idcg_micro"),
+        F.expr(f"(1000000 * coalesce(dcg, 0)) div {_NDCG_IDEAL}")
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )
