@@ -2253,3 +2253,148 @@ def amount_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- collision probability: the log-free concentration statistic --------------
+
+
+@register(
+    "agg_collision_probability",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_u
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(n_u) AS BIGINT)                       AS n_events,
+           CAST(COUNT(*) AS BIGINT)                       AS n_users,
+           CAST((1000000 * SUM(n_u * (n_u - 1)))
+                // (SUM(n_u) * (SUM(n_u) - 1)) AS BIGINT) AS collision_ppm,
+           CAST((1000000 * SUM(n_u) * SUM(n_u))
+                // (SUM(n_u * n_u) * COUNT(*)) AS BIGINT) AS eff_user_share_ppm
+    FROM per_user GROUP BY 1
+    """,
+    deferred=True,
+)
+def collision_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision probability per event type — P(two random events of the
+    type belong to the SAME user), the unbiased Simpson / Renyi-2
+    concentration statistic: sum n_u(n_u-1) / (N(N-1)) in exact integer
+    ppm. This is the log-free stand-in for entropy the repo's discipline
+    prefers (exp(H2) = 1/sum p^2 — monotone in the same quantity), and
+    the activity-concentration dual of the revenue HHI: "is this event
+    type driven by a few heavy users or spread across many". The second
+    column reports the EFFECTIVE user count (inverse Simpson of the
+    per-user activity shares, N^2 / sum n_u^2) as a share of the actual
+    user count in exact ppm: a perfectly uniform type reads 1e6, heavy
+    concentration reads lower — the "how many users does this type
+    really have" number, log-free.
+
+    Operand bound: 1e6 * sum n_u^2 <= 1e6 * N^2 stays in int64 for N up
+    to ~3e6 events per type; past that, quantize per-user counts to
+    hundreds first (the HHI piecewise recipe). Shape: one partial-
+    aggregable groupBy to the (type, user) relation, one to the type —
+    two bounded exchanges, no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_u").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr(
+            "CAST((1000000 * SUM(n_u * (n_u - 1)))"
+            " div (SUM(n_u) * (SUM(n_u) - 1)) AS BIGINT)"
+        ).alias("collision_ppm"),
+        F.expr(
+            "CAST((1000000 * SUM(n_u) * SUM(n_u))"
+            " div (SUM(n_u * n_u) * COUNT(*)) AS BIGINT)"
+        ).alias("eff_user_share_ppm"),
+    )
+
+
+# -- Theil-Sen slope: the robust trend estimate -------------------------------
+
+
+@register(
+    "stats_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.event_type,
+               b.v - a.v AS dv, b.d - a.d AS dd,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+    ), ranked AS (
+        SELECT event_type, dv, dd, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope, dv, dd) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM slopes
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           CAST(dv AS BIGINT) AS med_dv, CAST(dd AS BIGINT) AS med_dd,
+           slope AS med_slope_cents_per_day
+    FROM ranked WHERE rk = (np + 1) // 2
+    """,
+    deferred=True,
+)
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend per event type: the LOWER MEDIAN of all pairwise
+    daily-revenue slopes — the robust alternative to least squares (up to
+    ~29% contamination before it budges; the estimator Mann-Kendall's
+    sign test says "there IS a trend" about, this one says how steep).
+
+    Exactness: each slope is ONE correctly-rounded IEEE division of two
+    int64s (cents over day distance), so both engines compute identical
+    doubles; the median is an ORDER STATISTIC over them (no averaging —
+    lower median, same convention as the grouped medians), tie-broken by
+    the exact integer pair (dv, dd) so equal-slope pairs rank
+    identically. The chosen pair's integers ride along as the
+    fraction-exact answer.
+
+    Scale shape: the pair join is over the per-type DAILY relation — a
+    calendar-bounded O(days^2) = O(465)-row relation per type, same
+    discipline as Mann-Kendall; the raw scan collapses first. Never a
+    pair join over events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.v") - F.col("a.v")).alias("dv"),
+        (F.col("b.d") - F.col("a.d")).alias("dd"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    ranked = slopes.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("slope", "dv", "dd"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("np"),
+    )
+    return ranked.filter(F.col("rk") == F.expr("(np + 1) div 2")).select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("dv").cast("long").alias("med_dv"),
+        F.col("dd").cast("long").alias("med_dd"),
+        F.col("slope").alias("med_slope_cents_per_day"),
+    )

@@ -1989,3 +1989,89 @@ def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATH_TOPN)
     )
+
+
+# -- burst detection: rate spikes vs the trailing baseline --------------------
+
+_BURST_W = 7  # trailing baseline length in observed days
+_BURST_NUM, _BURST_DEN = 5, 4  # burst when rate > 1.25x the trailing mean
+# (the fixture's Poisson-flat day counts top out ~1.42x at sf0.01, so a 2x
+# gate would pass vacuously there; 1.25x sits inside the upper tail at
+# BOTH fixture SFs — real deployments tune this like any alert threshold)
+
+
+@register(
+    "events_burst_detection",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, day, n,
+               CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trailing_sum,
+               CAST(COUNT(*) OVER w AS BIGINT)            AS prior_days
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_BURST_W} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+               AS epoch_day,
+           n, trailing_sum, prior_days,
+           CAST(prior_days > 0 AND
+                n * prior_days * {_BURST_DEN} > {_BURST_NUM} * trailing_sum
+                AS BOOLEAN) AS is_burst
+    FROM base
+    """,
+    deferred=True,
+)
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Rate-burst detection: a (type, day) is a burst when its event count
+    exceeds {_BURST_NUM}/{_BURST_DEN}x the mean of the trailing {_BURST_W} observed
+    days — the alerting primitive behind ops dashboards and abuse
+    detection, in the integer-exact form: the mean is never materialized
+    (n > k * trailing_sum / prior_days becomes
+    n * prior_days > k * trailing_sum, all int64). Days 1..{_BURST_W}
+    compare against however many prior days exist; day 1 (no baseline)
+    can never be a burst — the honest cold-start convention, identical in
+    both engines because the trailing frame is over OBSERVED rows.
+
+    Shape: raw events collapse to the per-(type, day) partial agg first;
+    the trailing frame is one in-partition window over that tiny series —
+    at 100 TB this is one scan plus O(types x days) window work, the same
+    discipline as the CUSUM/z-score detectors beside it."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_BURST_W, -1)
+    )
+    base = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0))
+        .cast("long")
+        .alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("prior_days"),
+    )
+    return base.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+        "n",
+        "trailing_sum",
+        "prior_days",
+        (
+            (F.col("prior_days") > 0)
+            & (
+                F.col("n") * F.col("prior_days") * _BURST_DEN
+                > _BURST_NUM * F.col("trailing_sum")
+            )
+        ).alias("is_burst"),
+    )
