@@ -2398,3 +2398,120 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd").cast("long").alias("med_dd"),
         F.col("slope").alias("med_slope_cents_per_day"),
     )
+
+
+# -- Poisson bootstrap: distributed-exact resampling uncertainty --------------
+
+_BOOT_B = 32  # bootstrap replicates
+#: cumulative Poisson(1) thresholds scaled to 1e6 — exact shared literals;
+#: the inverse-CDF of a hash-uniform against these gives each (row,
+#: replicate) its resample weight with no RNG state anywhere.
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990)
+
+
+def _boot_weight_case(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_BOOT_CDF)} END"
+
+
+@register(
+    "stats_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v,
+               md5(user_id || '|' || CAST(ts AS VARCHAR) || '|'
+                   || CAST(ROUND(value * 100) AS BIGINT)) AS rk
+        FROM events WHERE event_type = 'purchase'
+    ), weighted AS (
+        SELECT b.i AS replicate, v,
+               ({_boot_weight_case(
+                   "('0x' || substr(md5(rk || '#' || b.i), 1, 12))::BIGINT"
+                   " % 1000000")}) AS w
+        FROM base, UNNEST(generate_series(0, {_BOOT_B - 1})) AS b(i)
+    ), reps AS (
+        SELECT replicate,
+               CAST(SUM(w * v) // NULLIF(SUM(w), 0) AS BIGINT) AS m_cents
+        FROM weighted GROUP BY 1
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT)              AS n_replicates,
+           CAST(SUM(m_cents) AS BIGINT)           AS boot_mean_sum_cents,
+           CAST({_BOOT_B} * SUM(m_cents * m_cents)
+                - SUM(m_cents) * SUM(m_cents) AS BIGINT) AS var_scaled,
+           CAST(({_BOOT_B} * SUM(m_cents * m_cents)
+                 - SUM(m_cents) * SUM(m_cents))
+                // ({_BOOT_B} * ({_BOOT_B} - 1)) AS BIGINT) AS se2_cents2
+    FROM reps
+    """,
+    deferred=True,
+)
+def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Bootstrap uncertainty of the mean purchase value via the POISSON
+    bootstrap — the resampling scheme that actually works on distributed
+    data: classical bootstrap needs a global n-out-of-n multinomial draw
+    (coordination across every partition), Poisson(1) weights are
+    per-row-independent, so each (row, replicate) weight is computed
+    map-side with zero coordination — the formulation Spark/MapReduce
+    bootstrap literature settled on (e.g. the "bag of little bootstraps"
+    family). Weights are DETERMINISTIC: a hash-uniform from
+    md5(row-content # replicate) inverted through exact Poisson(1) CDF
+    literals (shared constants, scaled 1e6), so both engines draw the
+    identical resample and the gate hash-matches — no RNG state exists.
+
+    Per replicate the weighted mean lands as an integer (cents,
+    truncating div); the across-replicate variance uses the n-scaled
+    identity B*sum(m^2) - (sum m)^2 so no replicate mean is ever a
+    float; se2_cents2 is the squared standard error in cents^2 (the
+    consumer's sqrt away from an SE, per the repo's sqrt-free gate
+    discipline). Row identity for the weight hash is CONTENT-derived
+    (user|ts|cents) — byte-identical rows would share a weight;
+    acceptable for this fixture and documented, production adds a source
+    row id. Shape: the B-fold explode is map-only (the standard B-times
+    cost of bootstrap, embarrassingly parallel), then one partial-
+    aggregable groupBy per replicate and one {_BOOT_B}-row final
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        quantize(F.col("value"), MONEY_SCALE).alias("v"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("user_id"),
+                F.col("ts").cast("string"),
+                quantize(F.col("value"), MONEY_SCALE).cast("string"),
+            )
+        ).alias("rk"),
+    )
+    weighted = base.select(
+        "v",
+        "rk",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("replicate"),
+    ).withColumn(
+        "w",
+        F.expr(
+            _boot_weight_case(
+                "CAST(conv(substring(md5(concat(rk, '#', CAST(replicate"
+                " AS STRING))), 1, 12), 16, 10) AS BIGINT) % 1000000"
+            )
+        ),
+    )
+    reps = weighted.groupBy("replicate").agg(
+        F.expr("CAST(SUM(w * v) div NULLIF(SUM(w), 0) AS BIGINT)").alias(
+            "m_cents"
+        )
+    )
+    return reps.agg(
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        F.sum("m_cents").cast("long").alias("boot_mean_sum_cents"),
+        F.expr(
+            f"CAST({_BOOT_B} * SUM(m_cents * m_cents)"
+            " - SUM(m_cents) * SUM(m_cents) AS BIGINT)"
+        ).alias("var_scaled"),
+        F.expr(
+            f"CAST(({_BOOT_B} * SUM(m_cents * m_cents)"
+            " - SUM(m_cents) * SUM(m_cents))"
+            f" div ({_BOOT_B} * ({_BOOT_B} - 1)) AS BIGINT)"
+        ).alias("se2_cents2"),
+    )
