@@ -2075,3 +2075,105 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_burst"),
     )
+
+
+# -- robust anomaly detection: MAD fences instead of moments ------------------
+
+_RA_K = 3  # flag days beyond 3 MADs from the median
+
+
+@register(
+    "events_anomaly_robust",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, v AS med_v FROM (
+            SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ) WHERE rk = (n + 1) // 2
+    ), dev AS (
+        SELECT d.event_type, d.day, d.v, m.med_v,
+               ABS(d.v - m.med_v) AS ad
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ), mad AS (
+        SELECT event_type, ad AS mad_v FROM (
+            SELECT event_type, ad,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rk = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(datediff('day', DATE '1970-01-01', d.day) AS BIGINT)
+               AS epoch_day,
+           d.v AS v_cents, d.med_v AS med_cents,
+           CAST(m.mad_v AS BIGINT) AS mad_cents,
+           CAST(d.ad > {_RA_K} * m.mad_v AS BOOLEAN) AS is_anomaly
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    """,
+    deferred=True,
+)
+def anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Robust anomaly flags over daily revenue: |v - median| > {_RA_K} *
+    MAD per event type — the breakdown-resistant twin of
+    events_anomaly_zscore: ONE wild day inflates a z-score's mean AND its
+    sigma (masking itself and flagging normal days); the median/MAD
+    fences move only when half the days move, which is why monitoring
+    playbooks pair both detectors. Entirely integer: daily cents, lower
+    medians as order statistics, and the fence compare ad > k*MAD — no
+    moment, no sqrt, no float anywhere.
+
+    Shape: the raw scan collapses to the per-(type, day) relation first
+    (calendar-bounded: |types| x |days| rows); medians are rank picks
+    inside type partitions of that tiny frame — the windows never touch
+    event-sized data. The same two-chained-order-statistics recipe as
+    agg_median_abs_deviation, applied per group and joined back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
+    w_rk = W.partitionBy("event_type").orderBy("v")
+    w_n = W.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "v",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v").alias("med_v"))
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "v",
+        "med_v",
+        F.abs(F.col("v") - F.col("med_v")).alias("ad"),
+    )
+    w_rk2 = W.partitionBy("event_type").orderBy("ad")
+    mad = (
+        dev.select(
+            "event_type",
+            "ad",
+            F.row_number().over(w_rk2).alias("rk"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad_v"))
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.col("v").alias("v_cents"),
+        F.col("med_v").alias("med_cents"),
+        F.col("mad_v").cast("long").alias("mad_cents"),
+        (F.col("ad") > _RA_K * F.col("mad_v")).alias("is_anomaly"),
+    )

@@ -857,3 +857,95 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib_ppm"),
         )
     )
+
+
+# -- local clustering coefficient over the dup graph --------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH e AS ({_MINHASH_ORACLE}),
+    sym AS (
+        SELECT doc_a AS v, doc_b AS u FROM e
+        UNION ALL
+        SELECT doc_b, doc_a FROM e
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM e e1
+        JOIN e e2 ON e2.doc_a = e1.doc_b
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tv AS (
+        SELECT x.v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT a AS v FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) x
+        GROUP BY 1
+    )
+    SELECT deg.v AS doc_id, deg.d AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.d >= 2
+                     THEN (2000000 * COALESCE(tv.t, 0)) // (deg.d * (deg.d - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    """,
+    deferred=True,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per document in the near-dup graph —
+    cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) in exact integer ppm: the
+    per-vertex refinement of graph_triangle_count's global transitivity.
+    High cc marks documents inside clique-like duplicate clusters (safe
+    to collapse to one canonical); low cc with high degree marks BRIDGE
+    documents chaining unrelated near-dup groups — exactly the rows a
+    dedup pipeline must NOT transitively merge, so this is the quality
+    gate in front of connected-components canonicalization.
+
+    Shape: rides the ORIENTED staged edge list — the same two-equi-join
+    wedge closure as the triangle counter (each triangle found once,
+    credited to its three vertices by a 3-way explode of the tiny
+    triangle relation), degrees from one hash-agg over symmetrized
+    edges. Nothing is vertex-centric; all relations are edge- or
+    triangle-bounded."""
+    e = lsh_pairs_staged(spark, sf_dir).localCheckpoint(eager=True)
+    sym = e.select(F.col("doc_a").alias("v")).unionAll(
+        e.select(F.col("doc_b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tv = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tv, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN d >= 2"
+                " THEN (2000000 * COALESCE(t, 0)) div (d * (d - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )

@@ -589,3 +589,79 @@ def mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# -- one-pass column profiling: the data-quality dashboard's first screen -----
+
+#: (profile label, Spark string-projection, DuckDB string-projection) —
+#: every value is profiled THROUGH a canonical string form both engines
+#: render identically (BIGINT/date/varchar casts; money quantized to cents
+#: first — raw DOUBLE formatting differs between engines and is excluded).
+_PROF_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    (
+        "o_orderdate",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+    ),
+    (
+        "o_totalprice_cents",
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING)",
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+    ),
+]
+
+
+@register(
+    "profile_column_stats",
+    oracle="""
+    WITH vals AS (
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"SELECT '{name}' AS col, {duck} AS val FROM orders"
+        for name, _, duck in _PROF_COLS
+    )
+    + """
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM vals GROUP BY col
+    """,
+    deferred=True,
+)
+def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the orders table — per column: row
+    count, null count, exact distinct count, lexicographic min/max — the
+    first screen of every data-quality dashboard and the input to schema-
+    drift monitoring (profile_drift_tvd is the value-level follow-up).
+    Values are profiled through a CANONICAL STRING projection both engines
+    render identically (integer/date/varchar casts; money quantized to
+    cents first, because raw DOUBLE-to-string formatting is engine-
+    specific), so min/max are lexicographic over that canonical form —
+    the documented convention, deterministic everywhere.
+
+    Shape: one map-side stack (unpivot) fans each row into |cols| (col,
+    val) pairs, then ONE hash aggregate per column group carries count /
+    null-count / exact distinct / extremes — a single scan of the table
+    no matter how many columns are profiled; at 100 TB swap the exact
+    distinct for the HLL sketch the repo already ships and the plan is
+    unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = len(_PROF_COLS)
+    stack_args = ", ".join(
+        f"'{name}', {spark_expr}" for name, spark_expr, _ in _PROF_COLS
+    )
+    vals = orders.selectExpr(f"stack({n}, {stack_args}) AS (col, val)")
+    return vals.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_null"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

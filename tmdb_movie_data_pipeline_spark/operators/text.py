@@ -670,3 +670,86 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n) div n_ctx").alias("cond_ppm"),
         "rk",
     )
+
+
+# -- OOV-bigram rate: log-free LM novelty scoring ------------------------------
+
+
+@register(
+    "text_oov_bigram_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tl FROM documents
+    ), bi AS (
+        SELECT doc_id, tl[g.i] AS w1, tl[g.i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS g(i)
+    ), cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bi GROUP BY 1, 2
+    ), lm AS (
+        SELECT w1, w2 FROM (
+            SELECT w1, w2, n,
+                   CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx,
+                   ROW_NUMBER() OVER (PARTITION BY w1
+                                      ORDER BY n DESC, w2) AS rk
+            FROM cnt
+        ) WHERE rk <= {_LM_TOPN} AND n_ctx >= {_LM_MIN_CTX}
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(l.w1) AS BIGINT) AS n_in_lm
+        FROM bi b LEFT JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+        GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_in_lm,
+           CAST((1000000 * (n_bigrams - n_in_lm)) // n_bigrams AS BIGINT)
+               AS oov_ppm
+    FROM scored WHERE n_bigrams > 0
+    """,
+    deferred=True,
+)
+def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Per-document out-of-model bigram rate — the LOG-FREE perplexity
+    stand-in: score each document by the fraction of its adjacent token
+    pairs that fall OUTSIDE the corpus bigram LM (text_bigram_lm's table:
+    contexts seen >= {_LM_MIN_CTX} times, top-{_LM_TOPN} continuations).
+    High oov_ppm marks documents whose local token statistics diverge
+    from the corpus — the cheap novelty/garbage signal quality funnels
+    threshold where true perplexity would need per-token logs (and a
+    float sum the hash gate could never pin). Self-scoring against the
+    corpus's own LM is the bootstrap form; production scores new batches
+    against a FROZEN LM table, same join.
+
+    Shape: bigram extraction is the same map-only zip-against-shift as
+    the LM build (here keeping doc_id); the LM relation is vocabulary-
+    bounded and the membership probe is one equi-join on (w1, w2) —
+    broadcastable at any corpus size because the LM's row count is capped
+    by |vocab| x {_LM_TOPN}. One doc-keyed aggregate closes it out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("tl"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tl"), 1, F.greatest(F.size("tl") - 1, F.lit(0))),
+                F.expr("slice(tl, 2, greatest(size(tl) - 1, 0))"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    lm = bigram_lm(spark, sf_dir).select("w1", "w2", F.lit(1).alias("_hit"))
+    scored = (
+        bi.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count("_hit").cast("long").alias("n_in_lm"),
+        )
+    )
+    return scored.filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "n_bigrams",
+        "n_in_lm",
+        F.expr("(1000000 * (n_bigrams - n_in_lm)) div n_bigrams")
+        .cast("long")
+        .alias("oov_ppm"),
+    )
