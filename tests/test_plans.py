@@ -540,3 +540,69 @@ def test_bucketed_colocated_join_has_no_exchange_below_join(spark, sf_dir):
     ]
     assert len(ex_pos) == 1 and len(smj_pos) == 1, tree
     assert ex_pos[0] < smj_pos[0], tree  # exchange above, not feeding, the join
+
+
+# -- r7 bank plan pins --------------------------------------------------------
+
+
+def test_longest_dup_run_is_window_join_bounded(spark, sf_dir):
+    """No all-pairs anywhere: the cross-doc test is a hash-agg + equi-join
+    on the window hash, never a cartesian/NLJ; scan reads only (doc_id,
+    text)."""
+    df = _deferred("dedup_longest_dup_run")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_minimizer_pairs_join_is_equi_not_nlj(spark, sf_dir):
+    """The fingerprint pair join must be keyed on the minimizer hash (an
+    equi-join with the id inequality as a post-filter), never a nested
+    loop over doc pairs."""
+    plan = _plan(_deferred("dedup_minimizer_pairs")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin")
+        + _nodes(plan, "BroadcastHashJoin")
+        >= 1
+    )
+
+
+def test_poisson_bootstrap_is_map_only_plus_aggregates(spark, sf_dir):
+    """The B-fold resample is a map-side explode: no join, no window —
+    just the replicate aggregate (partial+final) and the final fold."""
+    plan = _plan(_deferred("stats_poisson_bootstrap")(spark, sf_dir))
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "Window",
+    ):
+        assert _nodes(plan, node) == 0, node
+    assert _nodes(plan, "HashAggregate") >= 2
+    assert _nodes(plan, "Generate") >= 1  # the explode
+
+
+def test_column_stats_scans_orders_exactly_once(spark, sf_dir):
+    """Profiling N columns must not become N scans: the stack fans out
+    map-side, so exactly one parquet scan of orders exists."""
+    plan = _plan(_deferred("profile_column_stats")(spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_oov_rate_probes_lm_via_broadcast(spark, sf_dir):
+    """The LM membership probe is vocabulary-bounded — it must reach the
+    bigram relation through a broadcast join, never a shuffled one."""
+    plan = _plan(_deferred("text_oov_bigram_rate")(spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_has_no_cartesian(spark, sf_dir):
+    """Wedge closure over oriented edges: equi-joins only."""
+    plan = _plan(_deferred("graph_clustering_coefficient")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
