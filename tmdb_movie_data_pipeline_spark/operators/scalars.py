@@ -472,3 +472,82 @@ def bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(o_orderkey, 2)").cast("long").alias("shr2"),
         F.expr("bit_count(o_orderkey)").cast("long").alias("popcount"),
     )
+
+
+# -- VARIANT battery: Spark 4's semi-structured type --------------------------
+
+#: Spark's inferred variant schema for the constructed shape — a CONSTANT
+#: for this battery, pinned as part of the contract (the oracle emits the
+#: same literal; a Spark behavior change here should fail the gate loudly).
+_VARIANT_SCHEMA = (
+    "OBJECT<meta: OBJECT<cents: BIGINT>, ok: BIGINT,"
+    " status: STRING, tags: ARRAY<STRING>>"
+)
+
+
+@register(
+    "scalar_variant_battery",
+    oracle=f"""
+    WITH js AS (
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   meta := struct_pack(
+                       cents := CAST(ROUND(o_totalprice * 100) AS BIGINT)),
+                   ok := o_orderkey,
+                   status := o_orderstatus,
+                   tags := [o_orderpriority, o_orderstatus]
+               )) AS j
+        FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(j, '$.ok') AS BIGINT)            AS ok,
+           json_extract_string(j, '$.status')                 AS status,
+           json_extract_string(j, '$.tags[0]')                AS tag0,
+           json_extract_string(j, '$.tags[1]')                AS tag1,
+           CAST(json_extract(j, '$.meta.cents') AS BIGINT)    AS cents,
+           CAST(json_extract(j, '$.missing') IS NULL
+                AS BOOLEAN)                                   AS missing_is_null,
+           '{_VARIANT_SCHEMA}'                                AS variant_schema
+    FROM js
+    """,
+    deferred=True,
+)
+def variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT scalar battery — Spark 4's semi-structured type: JSON rows
+    parse ONCE into the binary variant encoding (parse_json), then typed
+    path extraction (variant_get with target types, array indexing, nested
+    fields), missing-path null semantics, and schema_of_variant's inferred
+    shape. This is the open-table-format answer to schemaless columns —
+    shredding on read without a string re-parse per access — and the gate
+    pins its SEMANTICS against plain-JSON extraction in the oracle: every
+    typed path through the variant must equal the same path pulled from
+    the equivalent JSON text (DuckDB never sees a variant; agreement IS
+    the contract). The inferred variant schema string is constant for the
+    constructed shape and pinned as a literal, so a Spark inference change
+    fails loudly.
+
+    Shape: map-only — construct, parse, extract, zero shuffles
+    ({'{'}filter pushdown on the key modulus reaches the scan as with
+    every scalar battery{'}'}). At scale, variant columns are stored
+    pre-parsed, and this battery is exactly the read path."""
+    orders = load_table(spark, sf_dir, "orders")
+    js = orders.filter(F.col("o_orderkey") % 40 == 0).selectExpr(
+        "o_orderkey",
+        "to_json(named_struct("
+        " 'meta', named_struct('cents', CAST(ROUND(o_totalprice * 100) AS BIGINT)),"
+        " 'ok', o_orderkey,"
+        " 'status', o_orderstatus,"
+        " 'tags', array(o_orderpriority, o_orderstatus)"
+        ")) AS j",
+    )
+    return js.selectExpr("o_orderkey", "parse_json(j) AS var").selectExpr(
+        "o_orderkey",
+        "CAST(variant_get(var, '$.ok', 'bigint') AS BIGINT) AS ok",
+        "variant_get(var, '$.status', 'string') AS status",
+        "variant_get(var, '$.tags[0]', 'string') AS tag0",
+        "variant_get(var, '$.tags[1]', 'string') AS tag1",
+        "CAST(variant_get(var, '$.meta.cents', 'bigint') AS BIGINT) AS cents",
+        "CAST(variant_get(var, '$.missing', 'string') IS NULL AS BOOLEAN)"
+        " AS missing_is_null",
+        "schema_of_variant(var) AS variant_schema",
+    )

@@ -88,3 +88,115 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pagesize", PAGE_SIZE)
         .load()
     )
+
+
+# -- streaming Python DataSource: the readStream half of the API --------------
+
+STREAM_PAGES = 4
+STREAM_PAGE_SIZE = 50
+
+
+def _make_stream_datasource():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class PagedStreamReader(SimpleDataSourceStreamReader):
+        """Bounded paged stream: each micro-batch serves one page; once the
+        last page is served, read() returns an empty batch with an
+        unchanged offset, so processAllAvailable() terminates — the
+        bounded-backfill shape (a REST cursor, a changelog tail) expressed
+        through Spark's streaming offset contract. readBetweenOffsets is
+        the REPLAY path: after a crash, Spark re-asks for committed offset
+        ranges, and determinism of that replay is exactly what the oracle
+        hash-checks."""
+
+        def __init__(self, options):
+            self.n_pages = int(options.get("npages", STREAM_PAGES))
+            self.page_size = int(options.get("pagesize", STREAM_PAGE_SIZE))
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def _page_rows(self, page):
+            # a concrete LIST, not a generator: the engine's prefetch cache
+            # shallow-copies the returned iterator for replay, and
+            # generators are not copyable (TypeError at planPartitions)
+            import hashlib
+
+            base = page * self.page_size
+            return [
+                (rid, page, hashlib.md5(str(rid).encode()).hexdigest())
+                for rid in range(base, base + self.page_size)
+            ]
+
+        def read(self, start):
+            page = start["page"]
+            if page >= self.n_pages:
+                return iter([]), start
+            return iter(self._page_rows(page)), {"page": page + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for page in range(start["page"], end["page"]):
+                out.extend(self._page_rows(page))
+            return iter(out)
+
+    class PagedStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "paged_synthetic_stream"
+
+        def schema(self) -> str:
+            return "id BIGINT, page INT, payload STRING"
+
+        def simpleStreamReader(self, schema):
+            return PagedStreamReader(self.options)
+
+    return PagedStreamDataSource
+
+
+@register(
+    "source_python_stream_scan",
+    oracle=f"""
+    SELECT range AS id,
+           CAST(range // {STREAM_PAGE_SIZE} AS INT) AS page,
+           md5(CAST(range AS VARCHAR)) AS payload
+    FROM range({STREAM_PAGES * STREAM_PAGE_SIZE})
+    """,
+    deferred=True,
+)
+def python_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream through a custom Python streaming source
+    (SimpleDataSourceStreamReader, the streaming half of the Spark 4
+    Python DataSource API the batch scan already exercises):
+    {STREAM_PAGES} micro-batches of {STREAM_PAGE_SIZE} rows each, driven
+    to completion into a memory sink. The reference's paged ingest loop
+    (/root/reference/src/movie.py:98-129) is exactly this shape — a
+    cursor over pages with resume — but here the OFFSET LOG is Spark's:
+    the source declares its position, micro-batch planning and replay
+    come from the engine, and the oracle regenerating the corpus
+    relationally proves rows arrive byte-identical through the streaming
+    Arrow path (including across the empty-batch termination).
+    ``sf_dir`` is unused — the source is the data."""
+    import tempfile
+    import uuid as _uuid
+
+    spark.dataSource.register(_make_stream_datasource())
+    df = (
+        spark.readStream.format("paged_synthetic_stream")
+        .option("npages", STREAM_PAGES)
+        .option("pagesize", STREAM_PAGE_SIZE)
+        .load()
+    )
+    name = "snk_pystream_" + _uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pystream_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
