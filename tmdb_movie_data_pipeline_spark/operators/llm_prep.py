@@ -820,3 +820,106 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- quality-aware canonical dedup: keep the BEST doc per cluster -------------
+
+
+@register(
+    "llm_quality_canonical_dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+        SELECT v AS root, v AS node FROM verts
+        UNION
+        SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT root AS doc_id, CAST(MIN(node) AS BIGINT) AS component_id
+        FROM reach GROUP BY root
+    ),
+    scored AS (
+        SELECT c.component_id, c.doc_id,
+               CAST(({_QUALITY_PRED}) AS INTEGER) AS q,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY component_id
+                   ORDER BY q DESC, n_tokens DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT component_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END)          AS canonical_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_tokens END)
+                AS BIGINT)                                AS canonical_tokens,
+           CAST(COUNT(*) AS BIGINT)                       AS n_members,
+           CAST(SUM(q) AS BIGINT)                         AS n_quality_pass
+    FROM ranked GROUP BY component_id
+    """,
+    deferred=True,
+)
+def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization of near-dup clusters: instead of the
+    min-doc_id convention (dedup_cluster_components, llm_prepare_corpus's
+    drop-the-higher-id rule), each cluster keeps its BEST member — ranked
+    by quality pass, then token count, then id as the total tie-break.
+    This is what production corpus prep actually does: the lowest id is
+    arbitrary; the longest passing member preserves the most signal when
+    the cluster collapses to one row. Per cluster: the chosen canonical,
+    its length, the member count, and how many members pass quality — the
+    four numbers a dedup review dashboard shows.
+
+    Shape: components over the STAGED pair list (driver-bounded label
+    propagation, the shared materialization every graph kernel reads);
+    quality is the map-side predicate; election is one rank window over
+    the cluster-member relation (cluster-sized partitions). The ranking
+    key is all-integer, so the election is deterministic cross-engine
+    with no float ordering anywhere."""
+    from pyspark.sql.window import Window as W
+
+    from ..io import load_table
+    from .dedup import lsh_pairs_staged
+    from .graph import connected_components
+    from .text import quality_score, tokens_col
+
+    comp = connected_components(
+        lsh_pairs_staged(spark, sf_dir), "doc_a", "doc_b"
+    ).select(
+        F.col("v").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", F.col("passes_quality").cast("int").alias("q")
+    )
+    scored = (
+        comp.join(docs.select("doc_id", tokens_col("text").alias("_t")), "doc_id")
+        .join(q, "doc_id")
+        .select(
+            "component_id",
+            "doc_id",
+            "q",
+            F.size("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("q"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("component_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("canonical_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_tokens")))
+        .cast("long")
+        .alias("canonical_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("q").cast("long").alias("n_quality_pass"),
+    )

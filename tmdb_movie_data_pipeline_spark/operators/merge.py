@@ -1125,3 +1125,101 @@ def scd2_late_arriving_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",
     )
+
+
+# -- clustered-layout OPTIMIZE: file-skipping as a gated contract -------------
+
+_CL_FILES = 8
+# probe range: [10%, 20%] of the max l_orderkey — RELATIVE so the range
+# covers ~10% of the key domain at every SF (each clustered file covers
+# 1/8 = 12.5%, so a 10% probe straddles at most one boundary)
+
+
+@register(
+    "delta_clustered_layout_pruning",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (
+               l_orderkey BETWEEN (SELECT MAX(l_orderkey) FROM lineitem) // 10
+                              AND (SELECT 2 * MAX(l_orderkey) FROM lineitem) // 10
+               ) AS BIGINT) AS rows_in_range,
+           CAST({_CL_FILES} AS BIGINT) AS n_files,
+           TRUE  AS pruning_improved,
+           TRUE  AS clustered_touches_at_most_2,
+           TRUE  AS contents_identical
+    FROM lineitem
+    """,
+    deferred=True,
+)
+def clustered_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""OPTIMIZE CLUSTERED BY as a gated CONTRACT, not just an API: a
+    TxTable of lineitem is first written hash-shuffled ({_CL_FILES}
+    files, every file spanning ~the whole l_orderkey domain — the layout
+    ingestion naturally produces), then rewritten with
+    ``optimize_clustered`` (range-partitioned + sorted, Delta's
+    ZORDER/liquid-clustering essence in one dimension). The query emits
+    what a layout audit needs: exact row counts (oracle-checked against
+    the source relation), and three gate booleans the ORACLE pins as
+    literals — pruning improved (clustered touches fewer files than the
+    hash layout for the probe range), the clustered layout touches <= 2
+    files (disjoint ranges: the probe straddles at most one boundary),
+    and the rewrite changed no row (full contents re-aggregated across
+    versions). If Spark's range partitioner or the manifest stats ever
+    degrade, a literal flips and the hash gate fails loudly.
+
+    Scale story: the probe uses manifest-only stats (zero data IO) — the
+    same per-file [min, max] that file-prunes MERGE/DELETE; clustering
+    turns those stats from useless (every file spans everything) into
+    exact range indexes, which is why layout OPTIMIZE is the highest-
+    leverage maintenance command a 100 TB table has."""
+    from ..io import scratch_dir
+    from ..plans.acid import TxTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    root = scratch_dir("clust_")
+    t = TxTable.create(
+        spark,
+        root + "/t",
+        li.repartition(_CL_FILES),  # hash layout: files span the domain
+        stats_key="l_orderkey",
+    )
+    max_key = li.agg(F.max("l_orderkey")).collect()[0][0]
+    lo, hi = max_key // 10, (2 * max_key) // 10
+    touched_before, files_before = t.files_touched_by_range(
+        "l_orderkey", lo, hi
+    )
+    before = t.read()
+    sum_before = before.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("l_orderkey * 13 + l_partkey")).alias("chk"),
+    ).collect()[0]
+    t.optimize_clustered("l_orderkey", target_files=_CL_FILES)
+    touched_after, files_after = t.files_touched_by_range(
+        "l_orderkey", lo, hi
+    )
+    after = t.read()
+    sum_after = after.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("l_orderkey * 13 + l_partkey")).alias("chk"),
+    ).collect()[0]
+    n_rows = after.count()
+    rows_in_range = after.filter(
+        F.col("l_orderkey").between(lo, hi)
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                rows_in_range,
+                files_after,
+                touched_after < touched_before,
+                touched_after <= 2,
+                (sum_before.n, sum_before.chk) == (sum_after.n, sum_after.chk),
+            )
+        ],
+        "n_rows bigint, rows_in_range bigint, n_files bigint,"
+        " pruning_improved boolean, clustered_touches_at_most_2 boolean,"
+        " contents_identical boolean",
+    )

@@ -1173,3 +1173,143 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_bp"),
         )
     )
+
+
+# -- Bloom filter membership sketch: measured false-positive rate --------------
+
+_BF_WORDS = 16  # bitmap words
+_BF_BITS = _BF_WORDS * 63  # 63 usable bits/word keeps shifts in signed int64
+_BF_K = 3  # hash functions
+_BF_PROBE_BASE = 1_000_000  # probe keys live far outside the user-id domain
+_BF_PROBES = 1_000
+
+
+def _bf_pos_sql(key: str, i: int, engine: str) -> str:
+    """Bit position i for a key: an md5 slice per hash function, identical
+    in both engines (disjoint 10-hex-digit slices, far below 2^63)."""
+    start = 1 + 10 * i
+    if engine == "spark":
+        h = (
+            f"CAST(conv(substring(md5(CAST({key} AS STRING)),"
+            f" {start}, 10), 16, 10) AS BIGINT)"
+        )
+    else:
+        h = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), {start}, 10))::BIGINT"
+    return f"({h} % {_BF_BITS})"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT user_id FROM events
+    ), probes AS (
+        SELECT range AS probe_key
+        FROM range({_BF_PROBE_BASE}, {_BF_PROBE_BASE + _BF_PROBES})
+    ), member_bits AS (
+        SELECT DISTINCT pos FROM members, UNNEST([
+            {", ".join(_bf_pos_sql("user_id", i, "duck") for i in range(_BF_K))}
+        ]) AS t(pos)
+    ), bitmap AS (
+        SELECT pos // 63 AS w, bit_or(1::BIGINT << (pos % 63)) AS bits
+        FROM member_bits GROUP BY 1
+    ), probe_bits AS (
+        SELECT p.probe_key, t.pos
+        FROM probes p, UNNEST([
+            {", ".join(_bf_pos_sql("probe_key", i, "duck") for i in range(_BF_K))}
+        ]) AS t(pos)
+    ), probe_hits AS (
+        SELECT p.probe_key,
+               CAST(COUNT(*) FILTER (
+                   b.w IS NOT NULL
+                   AND (b.bits & (1::BIGINT << (p.pos % 63))) <> 0
+               ) AS BIGINT) AS n_hit
+        FROM probe_bits p LEFT JOIN bitmap b ON b.w = p.pos // 63
+        GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT)    AS n_members,
+           CAST(COUNT(*) AS BIGINT)                          AS n_probes,
+           CAST(COUNT(*) FILTER (n_hit = {_BF_K}) AS BIGINT) AS n_false_pos,
+           CAST((1000000 * COUNT(*) FILTER (n_hit = {_BF_K}))
+                // COUNT(*) AS BIGINT)                       AS fpr_ppm
+    FROM probe_hits
+    """,
+    deferred=True,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Bloom filter as a RELATIONAL sketch with its own measured error —
+    the membership member of the sketch family (HLL: cardinality, CMS:
+    frequency, KMV: set algebra; this: "have we seen this key"). The
+    distinct-user set folds into a {_BF_WORDS}-word bitmap ({_BF_K}
+    md5-slice hash functions, 63 usable bits per word so shifts stay in
+    signed int64 — the agg_bitmap_distinct convention); {_BF_PROBES}
+    DISJOINT synthetic keys (offset far outside the user-id domain) probe
+    it, and a probe hitting all {_BF_K} bits is a certain false
+    positive — measured FPR in exact ppm, the estimator-vs-truth contract
+    every sketch here ships. The filter is deliberately small so the
+    driver-scale fixture measures a LIVE error (~5% at sf0.01); at the
+    tiny SF the honest measurement may be 0 of {_BF_PROBES} (expected
+    ~1e-4) — the parameters, not the probe, decide that.
+
+    Mergeability is the scale story: the bitmap is a bit_or aggregate, so
+    per-partition bitmaps combine map-side and the whole filter is
+    {_BF_WORDS} BIGINTs riding a broadcast — the shape behind
+    join_bloom_prefilter, here as a first-class gate-checked artifact.
+    All arithmetic is integer; both engines build bit-identical bitmaps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select("user_id").distinct()
+    probes = spark.range(_BF_PROBE_BASE, _BF_PROBE_BASE + _BF_PROBES).select(
+        F.col("id").alias("probe_key")
+    )
+    member_pos = ", ".join(
+        _bf_pos_sql("user_id", i, "spark") for i in range(_BF_K)
+    )
+    probe_pos = ", ".join(
+        _bf_pos_sql("probe_key", i, "spark") for i in range(_BF_K)
+    )
+    member_bits = members.selectExpr(
+        f"explode(array({member_pos})) AS pos"
+    ).distinct()
+    bitmap = member_bits.groupBy(F.expr("pos div 63").alias("w")).agg(
+        F.expr("bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))").alias(
+            "bits"
+        )
+    )
+    probe_bits = probes.selectExpr(
+        "probe_key", f"explode(array({probe_pos})) AS pos"
+    )
+    probe_hits = (
+        probe_bits.join(F.broadcast(bitmap), F.expr("w = pos div 63"), "left")
+        .groupBy("probe_key")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "w IS NOT NULL AND"
+                        " (bits & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)))"
+                        " != 0"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_hit")
+        )
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        probe_hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("n_hit") == _BF_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .select(
+            "n_members",
+            "n_probes",
+            "n_false_pos",
+            F.expr("(1000000 * n_false_pos) div n_probes")
+            .cast("long")
+            .alias("fpr_ppm"),
+        )
+    )
