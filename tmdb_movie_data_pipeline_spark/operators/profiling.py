@@ -665,3 +665,88 @@ def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+# -- referential-integrity audit: the cross-table constraint ------------------
+
+#: (edge label, child table, child key, parent table, parent key, parent
+#: predicate or None). The conditional edge is the business-rule variant —
+#: "orders must reference customers in good standing" — and on this fixture
+#: it has REAL violations at both SFs, so the audit's anti-join is proven
+#: live rather than green-on-clean-data (the structural edges all pass,
+#: which is itself the correct answer for this referentially-clean corpus).
+_FK_EDGES = [
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey", None),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey", None),
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey", None),
+    ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey", None),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey", None),
+    ("orders.o_custkey -> customer[c_acctbal >= 0]", "orders", "o_custkey",
+     "customer", "c_custkey", "c_acctbal >= 0"),
+]
+
+
+@register(
+    "profile_fk_integrity",
+    oracle="""
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{label}' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+           CAST((SELECT COUNT(*) FROM {child}
+                 WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent}
+                                      WHERE {pkey} IS NOT NULL
+                                        AND ({pred or "TRUE"}))
+                   AND {ckey} IS NOT NULL) AS BIGINT)     AS n_orphans,
+           CAST((SELECT COUNT(*) FILTER ({ckey} IS NULL) FROM {child})
+                AS BIGINT)                                AS n_null_keys"""
+        for label, child, ckey, parent, pkey, pred in _FK_EDGES
+    ),
+    deferred=True,
+)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the CROSS-TABLE constraint the
+    single-table audit (quality_constraint_audit) cannot see: every
+    declared foreign-key edge reports its child row count, orphan count
+    (non-null child keys with no parent), and null-key count. Lakehouse
+    tables don't enforce FKs at write time, so this audit IS the
+    enforcement — run after ingest, gate the downstream joins on zero
+    orphans (an orphaned fact row silently vanishes from every inner
+    join that should have carried it).
+
+    Shape: one LEFT ANTI equi-join per edge (broadcast when the parent is
+    a dim, shuffle-partitioned fact-fact otherwise) plus O(1)-state
+    counts; edges evaluate independently and union at the end, so the
+    audit parallelizes across edges and scans each child exactly once per
+    edge it participates in."""
+    out = None
+    for label, child, ckey, parent, pkey, pred in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        par_tbl = load_table(spark, sf_dir, parent)
+        if pred is not None:
+            par_tbl = par_tbl.filter(F.expr(pred))
+        par = par_tbl.select(
+            F.col(pkey).alias("_pk")
+        ).filter(F.col("_pk").isNotNull()).distinct()
+        orphans = (
+            c.filter(F.col(ckey).isNotNull())
+            .join(par, F.col(ckey) == F.col("_pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        totals = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        )
+        row = (
+            totals.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+                "n_null_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
