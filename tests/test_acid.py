@@ -478,27 +478,37 @@ def test_vacuum_reclaims_aborted_group_files(spark, tmp_path):
 
 
 def test_vacuum_spares_inflight_staging_dir(spark, tmp_path):
-    """Files staged above every claimed slot belong to a writer that has
-    not published yet — VACUUM must not delete them (ADVICE r6: the racing
-    writer would otherwise publish a manifest pointing at deleted files).
-    Unreferenced files at-or-below the latest slot are losers of a slot
-    race and ARE reclaimed."""
+    """Never-published files are protected two ways: a version token above
+    every claimed slot is certainly a live stage, and ANY young
+    unreferenced file is spared by the grace window (a competitor can
+    publish the same slot while the loser still writes — review r7, so
+    slot number alone cannot prove a file dead). Old unreferenced files
+    are lost-race debris and ARE reclaimed."""
     import os
 
     g, a, b = _tiers(spark, tmp_path)
-    # simulate an in-flight stage for the NEXT slot (latest is 0)
+    # in-flight stage for the NEXT slot (latest is 0): spared by version
     live = os.path.join(a.path, "data", "v1-inflight0000")
     os.makedirs(live)
     with open(os.path.join(live, "part-0.parquet"), "wb") as f:
         f.write(b"stub-bytes")
-    # and a lost-race leftover at the CURRENT slot
+    # in-flight stage at the CURRENT slot (its writer lost the race but
+    # may still be mid-write): young -> spared by the grace window
+    racing = os.path.join(a.path, "data", "v0-racing000000")
+    os.makedirs(racing)
+    with open(os.path.join(racing, "part-0.parquet"), "wb") as f:
+        f.write(b"stub-bytes")
+    # old lost-race debris at the current slot: reclaimed
     lost = os.path.join(a.path, "data", "v0-lostrace0000")
     os.makedirs(lost)
-    with open(os.path.join(lost, "part-0.parquet"), "wb") as f:
+    lost_file = os.path.join(lost, "part-0.parquet")
+    with open(lost_file, "wb") as f:
         f.write(b"stub-bytes")
+    os.utime(lost_file, (1, 1))  # ancient mtime: past any grace window
     a.vacuum(keep_latest=1)
     assert os.path.exists(os.path.join(live, "part-0.parquet"))
-    assert not os.path.exists(os.path.join(lost, "part-0.parquet"))
+    assert os.path.exists(os.path.join(racing, "part-0.parquet"))
+    assert not os.path.exists(lost_file)
     assert sorted(r.k for r in a.read().collect()) == list(range(10))
 
 
@@ -632,3 +642,49 @@ def test_merge_rejects_schema_drift(spark, tmp_path):
         t.merge(drifted, "k")
     assert t.latest_visible_version() == 0  # nothing committed
     assert t.read().count() == 10
+
+
+def test_every_write_path_refuses_pending_group(spark, tmp_path):
+    """The pending-slot refusal lives in _commit (review r7) — so EVERY
+    transactional writer refuses over a prepared group slot, including the
+    ones the first cut missed: optimize, optimize_clustered, RESTORE, and
+    a SECOND group's prepare on a shared member (whose self-abort then
+    rolls back its own earlier members)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tmdb_movie_data_pipeline_spark.plans.acid import (
+        PendingGroupConflict,
+        TxTable,
+    )
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import TxGroup
+
+    g, a, b = _tiers(spark, tmp_path)
+    a._commit(g.read(a), 1, "APPEND")  # noqa: SLF001 — a restore target
+    gid = g.prepare([(a, g.read(a).filter(F.col("k") < 3))], "IN_FLIGHT")
+    with pytest.raises(PendingGroupConflict):
+        a.optimize()
+    with pytest.raises(PendingGroupConflict):
+        a.optimize_clustered("k", target_files=2)
+    with pytest.raises(PendingGroupConflict):
+        a.restore(0)
+    # a second coordinator sharing member `a` must refuse and self-abort:
+    # its FIRST member (c) gets a pending manifest, which the abort then
+    # tombstones so c is not wedged either
+    c = TxTable.create(
+        spark, str(tmp_path / "c"), spark.range(50, 60).withColumnRenamed("id", "k")
+    )
+    g2 = TxGroup(spark, str(tmp_path / "g2"))
+    with pytest.raises(PendingGroupConflict):
+        g2.prepare(
+            [
+                (c, spark.range(70, 75).withColumnRenamed("id", "k")),
+                (a, g.read(a).filter(F.col("k") >= 5)),
+            ],
+            "SECOND_GROUP",
+        )
+    assert c.pending_slots() == []  # rolled back, not wedged
+    # the first group resolves; writers proceed
+    g.abort(gid)
+    a.optimize()
+    assert sorted(r.k for r in a.read().collect()) == list(range(10))

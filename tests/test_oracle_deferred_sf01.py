@@ -15,7 +15,7 @@ from tmdb_movie_data_pipeline_spark.registry import (
     deferred_queries,
 )
 
-SF_MEDIUM = "/root/testdata/sf0.01"
+from conftest import SF_MEDIUM  # noqa: E402
 from test_oracle import _assert_atomic_schema, _canon_frame, _duck  # noqa: E402
 
 DEFERRED = deferred_queries()

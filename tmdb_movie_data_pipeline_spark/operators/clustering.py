@@ -973,10 +973,12 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently wraps in non-ANSI Spark once |o*n - row*col| > ~3.0e6 (the
     # oracle's 128-bit SUM sails on — latent engine divergence). DECIMAL(19,0)
     # casts widen each product to DECIMAL(38,0), so every operand up to
-    # 1e6*dev^2 <= 1e6*n^4 stays exact for n <= ~3e8 rows per feature —
-    # beyond that, pre-bucket fval (the oracle's HUGEINT bound is higher
-    # still, so Spark's decimal ceiling binds first and fails loudly via
-    # decimal overflow -> NULL sum, never a silent wrap). dev^2 >= 0 and the
+    # 1e6*dev^2 <= 1e6*n^4 stays exact for n up to ~1e8 rows per feature
+    # (1e6 * n^4 < 10^38). Past that ceiling non-ANSI Spark NULLs the
+    # overflowed cell — and SUM would silently SKIP it (review r7), so the
+    # aggregate nulls the whole statistic when any cell overflowed: a NULL
+    # result row hash-mismatches the oracle's exact HUGEINT value, making
+    # the failure loud instead of an undercount. dev^2 >= 0 and the
     # denominator > 0, so Spark's truncating `div` == DuckDB's floor `//`.
     contrib = F.expr(
         "(CAST(1000000 AS DECIMAL(38,0))"
@@ -987,5 +989,10 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         margins.select("feature", contrib.alias("c"))
         .groupBy("feature")
-        .agg(F.sum("c").cast("long").alias("chi2_micro_n"))
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN COUNT(*) != COUNT(c) THEN NULL"
+                " ELSE SUM(c) END AS BIGINT)"
+            ).alias("chi2_micro_n")
+        )
     )

@@ -191,20 +191,48 @@ def lsh_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc)
+    # the fingerprint must cover every SEMANTIC input to the pair list, not
+    # just the data file: a retuned normalizer/shingler/hash-derivation
+    # with an unchanged fixture would otherwise serve stale pairs from a
+    # previous code version's cache (review r7)
+    semantics = "|".join(
+        (
+            _NORM_SPARK,
+            _TOKENS_SPARK,
+            _SHINGLES_SPARK,
+            str(NUM_HASHES),
+            str(BANDS),
+            str(ROWS_PER_BAND),
+        )
+    )
     fp = hashlib.md5(
         f"{os.path.abspath(doc)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|{NUM_HASHES}|{BANDS}".encode()
+        f"|{semantics}".encode()
     ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_lsh_stage")
+    # per-user base dir: a shared /tmp would let another user's cache
+    # collide with (or poison) ours
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lsh_stage-{os.getuid()}"
+    )
     final = os.path.join(base, fp)
-    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+    done = os.path.join(final, "_SUCCESS")
+    if not os.path.exists(done):
         os.makedirs(base, exist_ok=True)
+        if os.path.exists(final):
+            # crashed previous build (dir without _SUCCESS): clear it so
+            # the rename below can land — never read a partial stage
+            shutil.rmtree(final, ignore_errors=True)
         tmp = os.path.join(base, f".tmp-{_uuid.uuid4().hex[:12]}")
-        minhash_lsh_pairs(spark, sf_dir).write.parquet(tmp)
         try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+            minhash_lsh_pairs(spark, sf_dir).write.parquet(tmp)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                if not os.path.exists(done):
+                    raise  # NOT a lost race (EXDEV/permissions): surface it
+                # else: a concurrent builder won — use theirs
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(final)
 
 

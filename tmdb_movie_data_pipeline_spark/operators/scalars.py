@@ -527,8 +527,8 @@ def variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails loudly.
 
     Shape: map-only — construct, parse, extract, zero shuffles
-    ({'{'}filter pushdown on the key modulus reaches the scan as with
-    every scalar battery{'}'}). At scale, variant columns are stored
+    (filter pushdown on the key modulus reaches the scan as with
+    every scalar battery). At scale, variant columns are stored
     pre-parsed, and this battery is exactly the read path."""
     orders = load_table(spark, sf_dir, "orders")
     js = orders.filter(F.col("o_orderkey") % 40 == 0).selectExpr(

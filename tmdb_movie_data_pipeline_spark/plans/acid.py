@@ -56,8 +56,14 @@ class PendingGroupConflict(CommitConflict):
     above the visible head. Committing above it would shadow this member's
     group update if the group later commits — applied on the other members,
     silently lost here (ADVICE r6). Retry after the group commits or
-    aborts; a failed prepare tombstones itself (TxGroup.abort), so the
-    wait is bounded by the coordinator, never forever."""
+    aborts. A prepare that fails MID-PREPARE tombstones itself
+    (TxGroup.abort); a coordinator that crashes BETWEEN prepare and
+    commit leaves the classic 2PC in-doubt state — writers keep refusing
+    until an operator (or a lease/watchdog policy) resolves it via
+    ``TxTable.pending_groups()`` + ``TxGroup.commit``/``abort``. That
+    wait is deliberate: an automatic timeout abort could roll back a
+    merely-slow coordinator that then commits, resurrecting the lost
+    update this exception exists to prevent."""
 
 
 def _manifest_name(version: int) -> str:
@@ -136,13 +142,45 @@ class TxTable:
         """Version slots above the visible head held by PREPARED-but-
         unresolved group transactions. Transactional writers must refuse
         to commit while this is non-empty (see PendingGroupConflict);
-        aborted slots are excluded — they are dead and never block."""
-        head = self.latest_visible_version()
+        aborted slots are excluded — they are dead and never block.
+        Empty-table tolerant (a CREATE has nothing to conflict with)."""
+        try:
+            head = self.latest_visible_version()
+        except FileNotFoundError:
+            return []
         return [
             v
             for v in self.versions()
             if v > head and self._group_state(self.manifest(v)) == "pending"
         ]
+
+    def pending_groups(self) -> list[tuple[int, str, str]]:
+        """(version, gid, group-record path) for every pending slot — the
+        IN-DOUBT transaction list. This is the recovery hook when a
+        coordinator crashed between prepare and commit: an operator (or a
+        watchdog applying a lease policy) inspects these and resolves each
+        via TxGroup.commit or TxGroup.abort; until then writers keep
+        refusing, which is 2PC's deliberate in-doubt behavior — an
+        automatic timeout abort could kill a merely-slow coordinator."""
+        return [
+            (
+                v,
+                self.manifest(v).get("pending_group", ""),
+                self.manifest(v).get("group_record", ""),
+            )
+            for v in self.pending_slots()
+        ]
+
+    def _refuse_pending(self, op: str) -> None:
+        pending = self.pending_slots()
+        if pending:
+            gids = [g for _, g, _ in self.pending_groups()]
+            raise PendingGroupConflict(
+                f"in-flight group transaction(s) {gids} hold slot(s) "
+                f"{pending} at {self.path}: {op} would shadow the group's "
+                "update to this member; retry after the group commits or "
+                "aborts (recovery: TxTable.pending_groups + TxGroup.abort)"
+            )
 
     def _abs(self, rel: str) -> str:
         """Manifest file entries are normally RELATIVE to the table root;
@@ -250,7 +288,19 @@ class TxTable:
         """Stage ``df``, then publish a manifest holding the staged files
         plus any ``carry`` files referenced (not rewritten) from a previous
         version. When ``stats_key`` is set, each staged file gets footer
-        min/max stats for that column, enabling file-pruned MERGE."""
+        min/max stats for that column, enabling file-pruned MERGE.
+
+        Pending-slot refusal is enforced HERE, at the one choke point
+        every write path shares (create/merge/delete/optimize/
+        optimize_clustered/the streaming sink/TxGroup.prepare itself) —
+        the first cut guarded only merge/delete call-sites, and the two
+        unguarded writers each reconstructed the lost-update hole
+        (review r7). TxGroup.prepare needs no opt-out: each member table
+        appears once per group, so the only pending slots it can see
+        belong to OTHER transactions — exactly the coordinator-vs-
+        coordinator shadowing that must also refuse (prepare's
+        self-abort then rolls back its earlier members)."""
+        self._refuse_pending(op)
         staged = self._stage(df, version)
         files = list(staged)
         stats: dict[str, dict | None] = {}
@@ -527,6 +577,10 @@ class TxTable:
                 f" e.g. {missing[0]}"
             )
         for _ in range(max_retries + 1):
+            # RESTORE publishes without _commit's staging path, so it makes
+            # its own pending-slot refusal: re-heading above a prepared
+            # group slot would shadow the group exactly like a data write
+            self._refuse_pending(f"RESTORE v{version}")
             manifest = {
                 "version": self.latest_version() + 1,
                 "op": f"RESTORE v{version}",
@@ -595,7 +649,7 @@ class TxTable:
         )
         return touched, len(files)
 
-    def vacuum(self, keep_latest: int = 1) -> dict:
+    def vacuum(self, keep_latest: int = 1, grace_seconds: float = 600.0) -> dict:
         """Physically delete data files referenced ONLY by versions older
         than the ``keep_latest`` most recent — Delta's VACUUM with a
         version-count retention instead of a wall-clock one (deterministic
@@ -612,31 +666,44 @@ class TxTable:
         their reads fail once their files are gone — exactly Delta's
         behavior past the retention window.
 
+        ``grace_seconds`` protects CONCURRENTLY-STAGING writers: a file no
+        manifest has ever referenced is either a live in-flight stage or
+        debris from a lost slot race — and the version token alone cannot
+        tell them apart (a competitor can publish the same slot number
+        while the loser is still mid-write, review r7), so unreferenced
+        files younger than the grace window are always skipped (Delta's
+        retention-age guard applied to stages). Files some manifest DOES
+        reference were fully published — age is irrelevant for them, so
+        aborted-group and expired-snapshot files reclaim immediately and
+        the deterministic tests stay deterministic.
+
         Returns {"n_deleted", "n_kept", "bytes_deleted"}."""
+        import time as _time
+
         manifests = {v: self.manifest(v) for v in self.versions()}
         visible = [v for v, m in manifests.items() if self._is_visible(m)]
         retained = set(visible[-keep_latest:])
         latest_slot = max(manifests) if manifests else -1
         keep: set[str] = set()
+        referenced: set[str] = set()
         for v, m in manifests.items():
             # retained visible snapshots, plus every PENDING group version:
             # a prepared-but-unresolved transaction may still commit.
             # ABORTED versions are dead (their group record says so) and
             # their files ARE reclaimable — without this, one failed
             # prepare would pin its staged files forever (ADVICE r6).
+            referenced.update(m["files"])
             if v in retained or self._group_state(m) == "pending":
                 keep.update(m["files"])
         n_deleted = 0
         bytes_deleted = 0
+        now = _time.time()
         for root, _dirs, names in os.walk(os.path.join(self.path, _DATA_DIR)):
             # In-flight writer protection (ADVICE r6): a concurrent writer
-            # stages into data/v<N>-<token>/ BEFORE publishing a manifest,
-            # so nothing references those files yet. Its N is always above
-            # every claimed slot (writers stage at latest_version()+1), so
-            # dirs with N > latest claimed slot are live stages — skip
-            # them. Dirs at-or-below the latest slot that lack a manifest
-            # reference belong to writers that already LOST their slot race
-            # (they will rebase and restage), so reclaiming those is safe.
+            # stages into data/v<N>-<token>/ BEFORE publishing a manifest.
+            # Dirs with N above every claimed slot are certainly live
+            # stages (writers stage at latest_version()+1) — skip without
+            # looking at mtimes.
             base = os.path.basename(root)
             if base.startswith("v"):
                 head = base[1:].split("-", 1)[0]
@@ -647,10 +714,20 @@ class TxTable:
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.path)
-                if rel not in keep:
-                    bytes_deleted += os.path.getsize(full)
-                    os.remove(full)
-                    n_deleted += 1
+                if rel in keep:
+                    continue
+                if rel not in referenced:
+                    # never published: live stage vs lost-race debris is
+                    # decided by age, not slot number (see docstring)
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # vanished mid-walk: its writer owns it
+                    if age < grace_seconds:
+                        continue
+                bytes_deleted += os.path.getsize(full)
+                os.remove(full)
+                n_deleted += 1
         # prune now-empty staging dirs so the layout stays clean
         for root, dirs, names in list(os.walk(os.path.join(self.path, _DATA_DIR), topdown=False)):
             if not dirs and not names and os.path.basename(root) != _DATA_DIR:
