@@ -2177,3 +2177,131 @@ def anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad_v").cast("long").alias("mad_cents"),
         (F.col("ad") > _RA_K * F.col("mad_v")).alias("is_anomaly"),
     )
+
+
+# -- recency-decayed engagement: the log-free half-life score -----------------
+
+_DE_HALF_LIFE_DAYS = 7
+_DE_SCALE = 1_048_576  # 2^20: weights are SCALE >> halvings, exact powers of 2
+
+
+@register(
+    "events_decayed_engagement",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events
+    ), scored AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               datediff('day', CAST(ts AS DATE), (SELECT as_of FROM mx))
+                   // {_DE_HALF_LIFE_DAYS} AS halvings
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents,
+           CAST(SUM(cents * ({_DE_SCALE} >> LEAST(halvings, 62)))
+                // {_DE_SCALE} AS BIGINT) AS decayed_cents
+    FROM scored GROUP BY user_id
+    """,
+    deferred=True,
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Recency-decayed engagement score with a {_DE_HALF_LIFE_DAYS}-day
+    half-life — the ranking signal behind "active customer" lists, made
+    EXACTLY computable: instead of the float pow(2, -age/h) that no hash
+    gate could pin, age quantizes to whole half-lives and the weight is a
+    RIGHT SHIFT of a power-of-two scale ({_DE_SCALE} >> halvings) — exact
+    integers end to end, one final integer division, and the decay
+    semantics every scoring consumer actually wants (stepwise half-life
+    decay is how production decay scores are usually bucketed anyway,
+    because smooth decay re-scores every row every day). The as-of
+    instant is the data's max date, so the fixture stays deterministic;
+    shifts clamp at 62 so ancient events weight to zero without
+    undefined-shift hazards.
+
+    Shape: one scan, map-side weight, one partial-aggregable groupBy —
+    the raw and decayed totals ride the same aggregate, so the
+    comparison column costs nothing extra."""
+    ev = load_table(spark, sf_dir, "events")
+    as_of = ev.agg(F.max(F.col("ts").cast("date")).alias("as_of"))
+    scored = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(as_of))
+        .select(
+            "user_id",
+            quantize(F.col("value"), MONEY_SCALE).alias("cents"),
+            F.expr(
+                "datediff(as_of, CAST(ts AS DATE))"
+                f" div {_DE_HALF_LIFE_DAYS}"
+            ).alias("halvings"),
+        )
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.expr(
+            f"CAST(SUM(cents * shiftright({_DE_SCALE},"
+            " CAST(LEAST(halvings, 62) AS INT)))"
+            f" div {_DE_SCALE} AS BIGINT)"
+        ).alias("decayed_cents"),
+    )
+
+
+# -- inter-arrival histogram: the sessionization-threshold evidence -----------
+
+
+@register(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, user_id, ts,
+               LAG(ts) OVER (PARTITION BY event_type, user_id
+                             ORDER BY ts, value) AS prev_ts
+        FROM events
+    ), gaps AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 AS gap_s
+        FROM seq WHERE prev_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(CASE WHEN gap_s <= 0 THEN 0
+                     ELSE length(bin(gap_s)) END AS BIGINT) AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps GROUP BY 1, 2
+    """,
+    deferred=True,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap histogram on power-of-two second
+    buckets — the EVIDENCE behind a sessionization threshold: the
+    session-gap constant every pipeline hardcodes (events_sessionize's
+    30 min) should come from the valley of exactly this bimodal
+    distribution (within-session seconds vs between-session hours).
+    Buckets via length(bin(gap)) = floor(log2)+1 — the pow2-histogram
+    trick, zero floats (float log2 flips at boundaries); the LAG
+    tie-break on (ts, value) makes same-instant event order
+    deterministic, so gap values are engine-identical.
+
+    Shape: one user-keyed window for LAG (the sessionize Exchange), then
+    a partial-aggregable count on the ~60-bucket domain — the histogram
+    adds nothing to sessionization's own cost."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type", "user_id").orderBy("ts", "value")
+    seq = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    gaps = seq.select(
+        "event_type",
+        (
+            F.expr("unix_micros(ts) div 1000000")
+            - F.expr("unix_micros(prev_ts) div 1000000")
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(CASE WHEN gap_s <= 0 THEN 0"
+            " ELSE length(bin(gap_s)) END AS BIGINT)"
+        ).alias("gap_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))

@@ -586,3 +586,117 @@ def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_M) - F.col("n_regs")).cast("long").alias("v_zero"),
         est,
     )
+
+
+# -- watermark late-data drops: the semantics pinned end to end ----------------
+
+#: staged micro-batch day slices: on-time history, two watermark advancers,
+#: then the LATE slice. Two advancer batches matter: Spark's late filter
+#: uses the PREVIOUS batch's watermark (the one-batch lag of its
+#: two-watermark design), so late data must arrive two batches after the
+#: advancer to be measurably dropped.
+_WM_SLICES = [
+    ("b0_ontime", "dom <= 10"),
+    ("b1_advance", "dom BETWEEN 20 AND 25"),
+    ("b2_advance", "dom >= 26"),
+    ("b3_late", "dom BETWEEN 11 AND 19"),
+]
+_WM_DELAY = "1 hour"
+
+
+@register(
+    "stream_watermark_late_drop",
+    # the oracle replays the contract relationally: late-slice days are
+    # dropped (their windows were finalized before they arrived), and only
+    # windows whose END the final watermark passed are emitted in append
+    # mode — day 30's window stays open forever on this bounded input
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    daily AS (
+        SELECT date_trunc('day', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events
+        WHERE dayofmonth(CAST(ts AS DATE)) NOT BETWEEN 11 AND 19
+        GROUP BY 1
+    )
+    SELECT epoch_us(window_start) AS window_start_us, n_events, total_cents
+    FROM daily
+    WHERE window_start + INTERVAL 1 DAY
+          <= (SELECT max_ts - INTERVAL 1 HOUR FROM mx)
+    """,
+    deferred=True,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics as a gated contract — not just
+    windows over a well-ordered stream (the other streaming queries) but
+    what happens when data arrives AFTER its window was finalized: the
+    events table replays as four micro-batches (days 1-10, then two
+    watermark-advancing slices from the month's end, then days 11-19
+    DELIVERED LAST). By the time the middle days arrive, the watermark
+    sits at the month's end, their windows were closed, and append-mode
+    aggregation DROPS every row — the emitted result carries days 1-10
+    and 20-29 exactly (day 30's window never closes on bounded input:
+    its end is past the final watermark), with the dropped days absent.
+    The oracle reproduces both rules relationally, so the gate pins the
+    drop AND the finalization boundary, bit-exactly, including the
+    one-batch watermark lag (late data lands two batches after the
+    advancer — the design this repo had to discover empirically: a
+    single advancer batch is NOT enough for a drop).
+
+    Shape: staging writes the four slices once per call into scratch
+    (mtime-ordered, one file per trigger); the stream itself is the
+    standard watermarked tumbling aggregate. At scale this is the exact
+    topology of a backfill racing a live tail — the query documents what
+    the pipeline LOSES when late deliveries miss the lateness budget."""
+    import os
+    import time as _time
+
+    from ..io import scratch_dir
+
+    batch_ev = _load_events_batch(spark, sf_dir)
+    d = scratch_dir("wmdrop_")
+    base_t = _time.time() - 10_000
+    for i, (name, pred) in enumerate(_WM_SLICES):
+        df = batch_ev.filter(
+            F.expr(pred.replace("dom", "dayofmonth(CAST(ts AS DATE))"))
+        )
+        path = os.path.join(d, f"{name}.parquet")
+        df.coalesce(1).write.parquet(path)
+        t = base_t + i * 100
+        for root, _dirs, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (t, t))
+        os.utime(path, (t, t))
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    out = _run_to_completion(agg, "append")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n_events",
+        "total_cents",
+    )
+
+
+def _load_events_batch(spark: SparkSession, sf_dir: str):
+    """Batch events with a plain TIMESTAMP ts + value — the staging input
+    for the late-drop replay (re-written parquet, so the nanos quirk of
+    the raw fixture never reaches the file stream source)."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.col("ts").cast("timestamp").alias("ts"), "value")
