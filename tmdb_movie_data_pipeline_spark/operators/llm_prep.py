@@ -923,3 +923,100 @@ def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("q").cast("long").alias("n_quality_pass"),
     )
+
+
+# -- dataset card: the corpus summary a release ships with --------------------
+
+
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               len({_TOKENS_SQL}) AS n_toks,
+               CAST(({_QUALITY_PRED}) AS INTEGER) AS q,
+               md5({_NORM_SQL}) AS h
+        FROM documents
+    ), dup_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM ({_MINHASH_ORACLE.strip()})
+            UNION ALL
+            SELECT doc_b FROM ({_MINHASH_ORACLE.strip()})
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT)           AS n_langs,
+           CAST(SUM(n_toks) AS BIGINT)                    AS total_ws_tokens,
+           CAST((1000000 * SUM(q)) // COUNT(*) AS BIGINT) AS quality_pass_ppm,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT h)))
+                // COUNT(*) AS BIGINT)                    AS exact_dup_ppm,
+           CAST((1000000 * (SELECT COUNT(*) FROM dup_docs))
+                // COUNT(*) AS BIGINT)                    AS near_dup_doc_ppm
+    FROM base
+    """,
+    deferred=True,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card's quantitative block in ONE gated row — the
+    summary every corpus release ships (size, language breadth, token
+    budget, quality pass rate, exact- and near-duplication rates, all in
+    exact integer ppm). Every number is a composition of operators the
+    registry already verifies individually (quality predicate, normalized
+    content hash, staged LSH pair list); the card pins that the COMPOSED
+    pipeline agrees too — the last-mile aggregation where a silent
+    definition drift between components would otherwise hide.
+
+    Shape: one scan for the per-doc features + two O(1)-state aggregates;
+    the near-dup membership reads the staged pair parquet. Nothing here
+    adds a shuffle beyond the components themselves."""
+    from ..io import load_table
+    from .dedup import lsh_pairs_staged
+    from .text import quality_score, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", F.col("passes_quality").cast("int").alias("q")
+    )
+    from .text import norm_text_col
+
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(tokens_col("text")).cast("long").alias("n_toks"),
+            F.md5(norm_text_col("text")).alias("h"),
+        )
+        .join(q, "doc_id")
+    )
+    pairs = lsh_pairs_staged(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    return (
+        base.agg(
+            F.count(F.lit(1)).alias("n_docs_raw"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_toks").cast("long").alias("total_ws_tokens"),
+            F.sum("q").alias("q_sum"),
+            F.countDistinct("h").alias("h_distinct"),
+        )
+        .crossJoin(F.broadcast(dup_docs))
+        .select(
+            F.col("n_docs_raw").cast("long").alias("n_docs"),
+            "n_langs",
+            "total_ws_tokens",
+            F.expr("CAST((1000000 * q_sum) div n_docs_raw AS BIGINT)").alias(
+                "quality_pass_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * (n_docs_raw - h_distinct))"
+                " div n_docs_raw AS BIGINT)"
+            ).alias("exact_dup_ppm"),
+            F.expr(
+                "CAST((1000000 * n_dup_docs) div n_docs_raw AS BIGINT)"
+            ).alias("near_dup_doc_ppm"),
+        )
+    )

@@ -750,3 +750,130 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- join-key skew advisor: measure before you salt ---------------------------
+
+_SKEWP_RATIO = 10  # flag when the top key exceeds 10x the mean group size
+
+#: (label, DuckDB key projection) — the third relation reuses the skew
+#: exhibit's hot-key mapping (operators/skew.py), so the advisor provably
+#: FLAGS a genuinely skewed key while the organic keys pass.
+_SKEWP_SOURCES = [
+    ("lineitem.l_orderkey", "SELECT l_orderkey AS k FROM lineitem"),
+    ("events.user_id", "SELECT user_id AS k FROM events"),
+    (
+        "skew_exhibit.k",
+        "SELECT CASE WHEN l_linenumber % 7 != 0 THEN 0"
+        " ELSE l_orderkey % 1000 END AS k FROM lineitem",
+    ),
+]
+
+
+@register(
+    "profile_join_key_skew",
+    oracle=f"""
+    WITH keys AS (
+        {" UNION ALL ".join(f"SELECT '{label}' AS src, k FROM ({proj})" for label, proj in _SKEWP_SOURCES)}
+    ), groups AS (
+        SELECT src, k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keys GROUP BY 1, 2
+    ), hist AS (
+        SELECT src, cnt, CAST(COUNT(*) AS BIGINT) AS nk
+        FROM groups GROUP BY 1, 2
+    ), cum AS (
+        SELECT src, cnt, nk,
+               CAST(SUM(nk) OVER (PARTITION BY src ORDER BY cnt) AS BIGINT)
+                   AS cum_nk,
+               CAST(SUM(nk) OVER (PARTITION BY src) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt * nk) OVER (PARTITION BY src) AS BIGINT)
+                   AS n_rows,
+               CAST(MAX(cnt) OVER (PARTITION BY src) AS BIGINT) AS max_group
+        FROM hist
+    )
+    SELECT src,
+           MAX(n_rows)                                   AS n_rows,
+           MAX(n_keys)                                   AS n_keys,
+           MAX(max_group)                                AS max_group,
+           CAST(MIN(CASE WHEN 2 * cum_nk >= n_keys
+                         THEN cnt END) AS BIGINT)        AS p50_group,
+           CAST(MIN(CASE WHEN 100 * cum_nk >= 99 * n_keys
+                         THEN cnt END) AS BIGINT)        AS p99_group,
+           CAST((1000000 * MAX(max_group)) // MAX(n_rows)
+                AS BIGINT)                               AS top_share_ppm,
+           CAST(MAX(max_group) * MAX(n_keys)
+                > {_SKEWP_RATIO} * MAX(n_rows) AS BOOLEAN) AS salt_recommended
+    FROM cum GROUP BY src
+    """,
+    deferred=True,
+)
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Join-key skew advisor — MEASURE before you salt: per candidate key,
+    the group-size distribution every shuffle-planning decision needs
+    (rows, keys, max group, exact p50/p99 group sizes, top-key share in
+    ppm) plus the recommendation bit: salt when the hottest key exceeds
+    {_SKEWP_RATIO}x the mean group size (max_group * n_keys >
+    {_SKEWP_RATIO} * n_rows — the integer cross-multiplied form). The
+    skew exhibit's hot-key mapping (operators/skew.py: ~6/7 of rows on
+    one key) is profiled alongside the organic keys, so the advisor
+    demonstrably FLAGS real skew while healthy keys pass — the
+    quantitative front end to salted_agg / skew_join_salted / AQE's
+    runtime splitting.
+
+    Shape: per-key counts (one partial-aggregable shuffle per source),
+    then all statistics come from the SIZE HISTOGRAM — (group size, #keys
+    at that size), a relation bounded by the distinct sizes — so the
+    exact percentiles are cumulative-sum picks over a tiny frame, never a
+    sort of the key population (the bucket_offsets discipline applied to
+    group cardinalities)."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = (
+        li.select(
+            F.lit("lineitem.l_orderkey").alias("src"),
+            F.col("l_orderkey").alias("k"),
+        )
+        .unionByName(
+            ev.select(
+                F.lit("events.user_id").alias("src"),
+                F.col("user_id").cast("long").alias("k"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("skew_exhibit.k").alias("src"),
+                F.expr(
+                    "CAST(CASE WHEN l_linenumber % 7 != 0 THEN 0"
+                    " ELSE l_orderkey % 1000 END AS BIGINT)"
+                ).alias("k"),
+            )
+        )
+    )
+    groups = keyed.groupBy("src", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = groups.groupBy("src", "cnt").agg(F.count(F.lit(1)).alias("nk"))
+    w_cum = W.partitionBy("src").orderBy("cnt")
+    w_all = W.partitionBy("src")
+    cum = hist.select(
+        "src",
+        "cnt",
+        F.sum("nk").over(w_cum).alias("cum_nk"),
+        F.sum("nk").over(w_all).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("nk")).over(w_all).alias("n_rows"),
+        F.max("cnt").over(w_all).alias("max_group"),
+    )
+    return cum.groupBy("src").agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("max_group").cast("long").alias("max_group"),
+        F.min(F.when(2 * F.col("cum_nk") >= F.col("n_keys"), F.col("cnt")))
+        .cast("long")
+        .alias("p50_group"),
+        F.min(F.when(100 * F.col("cum_nk") >= 99 * F.col("n_keys"), F.col("cnt")))
+        .cast("long")
+        .alias("p99_group"),
+        F.expr("CAST((1000000 * MAX(max_group)) div MAX(n_rows) AS BIGINT)")
+        .alias("top_share_ppm"),
+        F.expr(
+            f"MAX(max_group) * MAX(n_keys) > {_SKEWP_RATIO} * MAX(n_rows)"
+        ).alias("salt_recommended"),
+    )
