@@ -2200,18 +2200,18 @@ _DE_SCALE = 1_048_576  # 2^20: weights are SCALE >> halvings, exact powers of 2
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(SUM(cents) AS BIGINT) AS raw_cents,
-           CAST(SUM(cents * ({_DE_SCALE} >> LEAST(halvings, 62)))
+           CAST(SUM(cents * ({_DE_SCALE}::BIGINT >> LEAST(halvings, 62)))
                 // {_DE_SCALE} AS BIGINT) AS decayed_cents
     FROM scored GROUP BY user_id
     """,
     deferred=True,
 )
 def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Recency-decayed engagement score with a {_DE_HALF_LIFE_DAYS}-day
+    """Recency-decayed engagement score with a 7-day
     half-life — the ranking signal behind "active customer" lists, made
     EXACTLY computable: instead of the float pow(2, -age/h) that no hash
     gate could pin, age quantizes to whole half-lives and the weight is a
-    RIGHT SHIFT of a power-of-two scale ({_DE_SCALE} >> halvings) — exact
+    RIGHT SHIFT of a power-of-two scale (2^20 >> halvings) — exact
     integers end to end, one final integer division, and the decay
     semantics every scoring consumer actually wants (stepwise half-life
     decay is how production decay scores are usually bucketed anyway,
@@ -2240,8 +2240,12 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("cents").cast("long").alias("raw_cents"),
+        # shiftright needs an explicitly-BIGINT base: an INT literal masks
+        # the shift count mod 32 (Java semantics), so halvings in [32, 62]
+        # would yield large bogus weights instead of 0 (review r7 #2 —
+        # latent until the fixture spans > ~224 days)
         F.expr(
-            f"CAST(SUM(cents * shiftright({_DE_SCALE},"
+            f"CAST(SUM(cents * shiftright(CAST({_DE_SCALE} AS BIGINT),"
             " CAST(LEAST(halvings, 62) AS INT)))"
             f" div {_DE_SCALE} AS BIGINT)"
         ).alias("decayed_cents"),

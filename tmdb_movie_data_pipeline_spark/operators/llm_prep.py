@@ -937,11 +937,12 @@ def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(({_QUALITY_PRED}) AS INTEGER) AS q,
                md5({_NORM_SQL}) AS h
         FROM documents
-    ), dup_docs AS (
+    ), pairs AS ({_MINHASH_ORACLE.strip()}),
+    dup_docs AS (
         SELECT DISTINCT doc_id FROM (
-            SELECT doc_a AS doc_id FROM ({_MINHASH_ORACLE.strip()})
+            SELECT doc_a AS doc_id FROM pairs
             UNION ALL
-            SELECT doc_b FROM ({_MINHASH_ORACLE.strip()})
+            SELECT doc_b FROM pairs
         )
     )
     SELECT CAST(COUNT(*) AS BIGINT)                       AS n_docs,
@@ -971,22 +972,34 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds a shuffle beyond the components themselves."""
     from ..io import load_table
     from .dedup import lsh_pairs_staged
-    from .text import quality_score, tokens_col
+    from .text import norm_text_col, tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_score(spark, sf_dir).select(
-        "doc_id", F.col("passes_quality").cast("int").alias("q")
-    )
-    from .text import norm_text_col
+    # the quality bit is a pure per-row expression (the same predicate
+    # text.quality_score builds), so it computes INLINE on the one scan —
+    # a quality_score join would rescan and re-tokenize documents and add
+    # a doc_id exchange for nothing (review r7 #2)
+    from .text import _marker_count
 
-    base = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.size(tokens_col("text")).cast("long").alias("n_toks"),
-            F.md5(norm_text_col("text")).alias("h"),
+    toks = tokens_col("text")
+    n_toks = F.size(toks)
+    stop_cnt = _marker_count(
+        toks, ["the", "a", "and", "of", "is", "to", "in"]
+    )
+    q = (
+        n_toks.between(20, 1000)
+        & (
+            stop_cnt.cast("double")
+            / F.nullif(n_toks, F.lit(0)).cast("double")
+            >= 0.01
         )
-        .join(q, "doc_id")
+    ).cast("int")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_toks.cast("long").alias("n_toks"),
+        F.md5(norm_text_col("text")).alias("h"),
+        q.alias("q"),
     )
     pairs = lsh_pairs_staged(spark, sf_dir)
     dup_docs = (

@@ -756,16 +756,22 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKEWP_RATIO = 10  # flag when the top key exceeds 10x the mean group size
 
-#: (label, DuckDB key projection) — the third relation reuses the skew
-#: exhibit's hot-key mapping (operators/skew.py), so the advisor provably
-#: FLAGS a genuinely skewed key while the organic keys pass.
+#: (label, table, key expression) — ONE list feeds both the Spark builder
+#: and the oracle (the expressions are valid in both engines), so the two
+#: sides cannot drift apart. The third relation reuses the skew exhibit's
+#: hot-key mapping (operators/skew.py — its dimension count imported, the
+#: %7 hot-row rule mirrored), so the advisor provably FLAGS a genuinely
+#: skewed key while the organic keys pass.
+from .skew import _SKEW_DIM_N as _SKEWP_DIM_N  # noqa: E402
+
 _SKEWP_SOURCES = [
-    ("lineitem.l_orderkey", "SELECT l_orderkey AS k FROM lineitem"),
-    ("events.user_id", "SELECT user_id AS k FROM events"),
+    ("lineitem.l_orderkey", "lineitem", "CAST(l_orderkey AS BIGINT)"),
+    ("events.user_id", "events", "CAST(user_id AS BIGINT)"),
     (
         "skew_exhibit.k",
-        "SELECT CASE WHEN l_linenumber % 7 != 0 THEN 0"
-        " ELSE l_orderkey % 1000 END AS k FROM lineitem",
+        "lineitem",
+        "CAST(CASE WHEN l_linenumber % 7 != 0 THEN 0"
+        f" ELSE l_orderkey % {_SKEWP_DIM_N} END AS BIGINT)",
     ),
 ]
 
@@ -774,7 +780,7 @@ _SKEWP_SOURCES = [
     "profile_join_key_skew",
     oracle=f"""
     WITH keys AS (
-        {" UNION ALL ".join(f"SELECT '{label}' AS src, k FROM ({proj})" for label, proj in _SKEWP_SOURCES)}
+        {" UNION ALL ".join(f"SELECT '{label}' AS src, {expr} AS k FROM {table}" for label, table, expr in _SKEWP_SOURCES)}
     ), groups AS (
         SELECT src, k, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM keys GROUP BY 1, 2
@@ -808,12 +814,12 @@ _SKEWP_SOURCES = [
     deferred=True,
 )
 def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Join-key skew advisor — MEASURE before you salt: per candidate key,
+    """Join-key skew advisor — MEASURE before you salt: per candidate key,
     the group-size distribution every shuffle-planning decision needs
     (rows, keys, max group, exact p50/p99 group sizes, top-key share in
     ppm) plus the recommendation bit: salt when the hottest key exceeds
-    {_SKEWP_RATIO}x the mean group size (max_group * n_keys >
-    {_SKEWP_RATIO} * n_rows — the integer cross-multiplied form). The
+    10x the mean group size (max_group * n_keys > 10 * n_rows — the
+    integer cross-multiplied form, _SKEWP_RATIO). The
     skew exhibit's hot-key mapping (operators/skew.py: ~6/7 of rows on
     one key) is profiled alongside the organic keys, so the advisor
     demonstrably FLAGS real skew while healthy keys pass — the
@@ -826,29 +832,12 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentiles are cumulative-sum picks over a tiny frame, never a
     sort of the key population (the bucket_offsets discipline applied to
     group cardinalities)."""
-    ev = load_table(spark, sf_dir, "events")
-    li = load_table(spark, sf_dir, "lineitem")
-    keyed = (
-        li.select(
-            F.lit("lineitem.l_orderkey").alias("src"),
-            F.col("l_orderkey").alias("k"),
+    keyed = None
+    for label, table, expr in _SKEWP_SOURCES:
+        part = load_table(spark, sf_dir, table).select(
+            F.lit(label).alias("src"), F.expr(expr).alias("k")
         )
-        .unionByName(
-            ev.select(
-                F.lit("events.user_id").alias("src"),
-                F.col("user_id").cast("long").alias("k"),
-            )
-        )
-        .unionByName(
-            li.select(
-                F.lit("skew_exhibit.k").alias("src"),
-                F.expr(
-                    "CAST(CASE WHEN l_linenumber % 7 != 0 THEN 0"
-                    " ELSE l_orderkey % 1000 END AS BIGINT)"
-                ).alias("k"),
-            )
-        )
-    )
+        keyed = part if keyed is None else keyed.unionByName(part)
     groups = keyed.groupBy("src", "k").agg(F.count(F.lit(1)).alias("cnt"))
     hist = groups.groupBy("src", "cnt").agg(F.count(F.lit(1)).alias("nk"))
     w_cum = W.partitionBy("src").orderBy("cnt")

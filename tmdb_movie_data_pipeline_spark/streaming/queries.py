@@ -26,7 +26,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import UNIT_SCALE, qavg, qavg_sql, qsum, qsum_sql
+from ..functions import (
+    MONEY_SCALE,
+    UNIT_SCALE,
+    qavg,
+    qavg_sql,
+    qsum,
+    qsum_sql,
+    quantize,
+)
 from ..registry import register
 
 EVENTS_DDL_NANOS_AS_LONG = (
@@ -679,7 +687,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            F.sum(quantize(F.col("value"), MONEY_SCALE))
             .cast("long")
             .alias("total_cents"),
         )
