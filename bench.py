@@ -249,7 +249,8 @@ def main() -> None:
                     "runs_per_query": RUNS_PER_QUERY,
                     "timing": (
                         f"min of {RUNS_PER_QUERY} "
-                        "(steady state; run 1 pays codegen JIT)"
+                        "(steady state; run 1 pays codegen JIT); skew pair: "
+                        "median of 5, variants interleaved (VERDICT r7 #2)"
                     ),
                     "inputs": f"repartitioned temp copy, {COPY_FILES} files/table",
                     # end-to-end micro-batch pipelines (1 run each), not in

@@ -720,7 +720,6 @@ def chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                            COUNT(DISTINCT dow)) - 1)) AS BIGINT) AS v2_ppm
     FROM cells
     """,
-    deferred=True,
 )
 def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramer's V effect size for the type x day-of-week contingency —
@@ -1165,7 +1164,6 @@ def median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cnt
     ) WHERE rk = 1
     """,
-    deferred=True,
 )
 def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group mode (most frequent order priority per market
@@ -1352,7 +1350,6 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below
     FROM runs GROUP BY 1
     """,
-    deferred=True,
 )
 def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald–Wolfowitz runs test per event type: how many RUNS of
@@ -1593,7 +1590,6 @@ _BENFORD_PPM = {
            ON c.digit = e.digit
     CROSS JOIN tot t
     """,
-    deferred=True,
 )
 def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of order totals: observed vs
@@ -1718,7 +1714,6 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v WHERE cents > 0
     GROUP BY 1
     """,
-    deferred=True,
 )
 def pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two (HdrHistogram-style) value histogram of order totals:
@@ -1771,7 +1766,6 @@ _WINS_LO_PCT, _WINS_HI_PCT = 5, 95
     FROM s CROSS JOIN n CROSS JOIN lo CROSS JOIN hi
     GROUP BY n.n, lo.lo_v, hi.hi_v
     """,
-    deferred=True,
 )
 def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean: clamp every value into the exact [p05, p95]
@@ -1858,10 +1852,9 @@ _ACF_MAX_LAG = 7
            n * sll - sl * sl AS var_l_num
     FROM per_lag
     """,
-    deferred=True,
 )
 def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Autocorrelation ingredients at lags 1..{_ACF_MAX_LAG} over the
+    """Autocorrelation ingredients at lags 1..{_ACF_MAX_LAG} over the
     daily revenue series — the diagnostic that quantifies what the runs
     test flags and CUSUM localizes: per lag, the n-scaled covariance and
     variance NUMERATORS (n·Σxy − ΣxΣy etc.), all exact int64, so
@@ -1914,6 +1907,7 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+autocorrelation.__doc__ = autocorrelation.__doc__.format(_ACF_MAX_LAG=_ACF_MAX_LAG)  # real docstring (ADVICE r7)
 
 
 # -- Mann–Kendall trend test — deferred queue ----------------------------------
@@ -1937,7 +1931,6 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.event_type = b.event_type AND b.d > a.d
     GROUP BY 1
     """,
-    deferred=True,
 )
 def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Kendall trend statistic per event type: S = Σ_{i<j}
@@ -2014,7 +2007,6 @@ def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS uplift_ppm
     FROM strata
     """,
-    deferred=True,
 )
 def uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified uplift: per-weekday difference in daily conversion rate
@@ -2097,7 +2089,6 @@ def uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS region_pct_of_total_ppm
     FROM rev JOIN reg USING (region) CROSS JOIN grand g
     """,
-    deferred=True,
 )
 def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent down the region→nation hierarchy: each nation's
@@ -2157,7 +2148,6 @@ def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus), ())
     """,
-    deferred=True,
 )
 def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with grouping_id: the marker that tells a NULL that
@@ -2206,7 +2196,6 @@ def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY cents
     HAVING COUNT(*) > 1
     """,
-    deferred=True,
 )
 def amount_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-amount collision audit: every cent value occurring more than
@@ -2268,13 +2257,14 @@ def amount_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(SUM(n_u) AS BIGINT)                       AS n_events,
            CAST(COUNT(*) AS BIGINT)                       AS n_users,
-           CAST((1000000 * SUM(n_u * (n_u - 1)))
-                // (SUM(n_u) * (SUM(n_u) - 1)) AS BIGINT) AS collision_ppm,
-           CAST((1000000 * SUM(n_u) * SUM(n_u))
-                // (SUM(n_u * n_u) * COUNT(*)) AS BIGINT) AS eff_user_share_ppm
+           CAST((1000000 * SUM(CAST(n_u AS HUGEINT) * (n_u - 1)))
+                // (CAST(SUM(n_u) AS HUGEINT) * (SUM(n_u) - 1))
+                AS BIGINT) AS collision_ppm,
+           CAST((1000000 * CAST(SUM(n_u) AS HUGEINT) * SUM(n_u))
+                // (SUM(CAST(n_u AS HUGEINT) * n_u) * COUNT(*))
+                AS BIGINT) AS eff_user_share_ppm
     FROM per_user GROUP BY 1
     """,
-    deferred=True,
 )
 def collision_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collision probability per event type — P(two random events of the
@@ -2290,11 +2280,14 @@ def collision_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration reads lower — the "how many users does this type
     really have" number, log-free.
 
-    Operand bound: 1e6 * sum n_u^2 <= 1e6 * N^2 stays in int64 for N up
-    to ~3e6 events per type; past that, quantize per-user counts to
-    hundreds first (the HHI piecewise recipe). Shape: one partial-
-    aggregable groupBy to the (type, user) relation, one to the type —
-    two bounded exchanges, no window, no sort."""
+    Arithmetic runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+    chi2_feature_selection recipe (ADVICE r7): the all-BIGINT form wrapped
+    silently in non-ANSI Spark once 1e6·N² passed ~9.2e18 (N ≈ 3e6 events
+    per type) while DuckDB's 128-bit SUM sailed on — a latent cross-engine
+    divergence, now exact to N ≈ 7e15 and LOUDLY NULL (decimal overflow)
+    past that instead of wrong. Shape: one partial-aggregable groupBy to
+    the (type, user) relation, one to the type — two bounded exchanges,
+    no window, no sort."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_u")
@@ -2303,12 +2296,16 @@ def collision_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_u").cast("long").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.expr(
-            "CAST((1000000 * SUM(n_u * (n_u - 1)))"
-            " div (SUM(n_u) * (SUM(n_u) - 1)) AS BIGINT)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * SUM(CAST(n_u AS DECIMAL(19,0)) * (n_u - 1)))"
+            " div (CAST(SUM(n_u) AS DECIMAL(19,0)) * (SUM(n_u) - 1))"
+            " AS BIGINT)"
         ).alias("collision_ppm"),
         F.expr(
-            "CAST((1000000 * SUM(n_u) * SUM(n_u))"
-            " div (SUM(n_u * n_u) * COUNT(*)) AS BIGINT)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * CAST(SUM(n_u) AS DECIMAL(19,0)) * SUM(n_u))"
+            " div (SUM(CAST(n_u AS DECIMAL(19,0)) * n_u) * COUNT(*))"
+            " AS BIGINT)"
         ).alias("eff_user_share_ppm"),
     )
 
@@ -2343,7 +2340,6 @@ def collision_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
            slope AS med_slope_cents_per_day
     FROM ranked WHERE rk = (np + 1) // 2
     """,
-    deferred=True,
 )
 def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen trend per event type: the LOWER MEDIAN of all pairwise
@@ -2445,10 +2441,9 @@ def _boot_weight_case(u: str) -> str:
                 // ({_BOOT_B} * ({_BOOT_B} - 1)) AS BIGINT) AS se2_cents2
     FROM reps
     """,
-    deferred=True,
 )
 def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Bootstrap uncertainty of the mean purchase value via the POISSON
+    """Bootstrap uncertainty of the mean purchase value via the POISSON
     bootstrap — the resampling scheme that actually works on distributed
     data: classical bootstrap needs a global n-out-of-n multinomial draw
     (coordination across every partition), Poisson(1) weights are
@@ -2515,3 +2510,4 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ({_BOOT_B} * ({_BOOT_B} - 1)) AS BIGINT)"
         ).alias("se2_cents2"),
     )
+poisson_bootstrap.__doc__ = poisson_bootstrap.__doc__.format(_BOOT_B=_BOOT_B)  # real docstring (ADVICE r7)

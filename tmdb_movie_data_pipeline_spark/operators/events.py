@@ -1377,7 +1377,6 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS index_ppm
     FROM dows d JOIN tot t USING (event_type)
     """,
-    deferred=True,
 )
 def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality index per event type: mean daily revenue on
@@ -1463,7 +1462,6 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.cum_cents // s.cohort_users AS ltv_cents
     FROM cum c JOIN csize s USING (cym)
     """,
-    deferred=True,
 )
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: for each signup cohort (epoch WEEK
@@ -1657,7 +1655,7 @@ def _markov_oracle() -> str:
     return "".join(parts)
 
 
-@register("events_markov_stationary", oracle=_markov_oracle(), deferred=True)
+@register("events_markov_stationary", oracle=_markov_oracle())
 def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the clickstream Markov chain — where the
     transition matrix (events_transition_matrix) says a random session
@@ -1727,7 +1725,6 @@ _BT_TRAIN_DAYS = 23  # first 23 days train, remaining days test
     JOIN model m ON m.event_type = t.event_type AND m.dow = t.dow
     WHERE t.d >= cut.split_d
     """,
-    deferred=True,
 )
 def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast backtest with a temporal train/test split: the
@@ -1943,10 +1940,9 @@ _PATH_TOPN = 15
     ORDER BY n_users DESC, path
     LIMIT {_PATH_TOPN}
     """,
-    deferred=True,
 )
 def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Top paths to conversion: for every converting user, the ordered
+    """Top paths to conversion: for every converting user, the ordered
     event-type sequence of the last {_PATH_MAX_STEPS} steps ENDING at the
     first purchase, counted across users — the "which journeys convert"
     view funnels flatten away (a funnel fixes the step order; paths
@@ -1989,6 +1985,7 @@ def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATH_TOPN)
     )
+conversion_paths.__doc__ = conversion_paths.__doc__.format(_PATH_MAX_STEPS=_PATH_MAX_STEPS)  # real docstring (ADVICE r7)
 
 
 # -- burst detection: rate spikes vs the trailing baseline --------------------
@@ -2024,10 +2021,9 @@ _BURST_NUM, _BURST_DEN = 5, 4  # burst when rate > 1.25x the trailing mean
                 AS BOOLEAN) AS is_burst
     FROM base
     """,
-    deferred=True,
 )
 def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Rate-burst detection: a (type, day) is a burst when its event count
+    """Rate-burst detection: a (type, day) is a burst when its event count
     exceeds {_BURST_NUM}/{_BURST_DEN}x the mean of the trailing {_BURST_W} observed
     days — the alerting primitive behind ops dashboards and abuse
     detection, in the integer-exact form: the mean is never materialized
@@ -2075,6 +2071,7 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_burst"),
     )
+burst_detection.__doc__ = burst_detection.__doc__.format(_BURST_NUM=_BURST_NUM, _BURST_DEN=_BURST_DEN, _BURST_W=_BURST_W)  # real docstring (ADVICE r7)
 
 
 # -- robust anomaly detection: MAD fences instead of moments ------------------
@@ -2116,10 +2113,9 @@ _RA_K = 3  # flag days beyond 3 MADs from the median
            CAST(d.ad > {_RA_K} * m.mad_v AS BOOLEAN) AS is_anomaly
     FROM dev d JOIN mad m ON m.event_type = d.event_type
     """,
-    deferred=True,
 )
 def anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Robust anomaly flags over daily revenue: |v - median| > {_RA_K} *
+    """Robust anomaly flags over daily revenue: |v - median| > {_RA_K} *
     MAD per event type — the breakdown-resistant twin of
     events_anomaly_zscore: ONE wild day inflates a z-score's mean AND its
     sigma (masking itself and flagging normal days); the median/MAD
@@ -2177,6 +2173,7 @@ def anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad_v").cast("long").alias("mad_cents"),
         (F.col("ad") > _RA_K * F.col("mad_v")).alias("is_anomaly"),
     )
+anomaly_robust.__doc__ = anomaly_robust.__doc__.format(_RA_K=_RA_K)  # real docstring (ADVICE r7)
 
 
 # -- recency-decayed engagement: the log-free half-life score -----------------
@@ -2204,7 +2201,6 @@ _DE_SCALE = 1_048_576  # 2^20: weights are SCALE >> halvings, exact powers of 2
                 // {_DE_SCALE} AS BIGINT) AS decayed_cents
     FROM scored GROUP BY user_id
     """,
-    deferred=True,
 )
 def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-decayed engagement score with a 7-day
@@ -2274,7 +2270,6 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_gaps
     FROM gaps GROUP BY 1, 2
     """,
-    deferred=True,
 )
 def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival gap histogram on power-of-two second

@@ -892,7 +892,6 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 0 END AS BIGINT) AS cc_ppm
     FROM deg LEFT JOIN tv ON tv.v = deg.v
     """,
-    deferred=True,
 )
 def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per document in the near-dup graph —

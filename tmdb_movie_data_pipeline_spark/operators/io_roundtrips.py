@@ -504,7 +504,7 @@ _CSV_BAD_MOD = 10  # every 10th staged line is malformed
     """
 )
 def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""PERMISSIVE-mode corrupt-record handling: a staged CSV where every
+    """PERMISSIVE-mode corrupt-record handling: a staged CSV where every
     {_CSV_BAD_MOD}th line is malformed (a non-numeric key) must neither
     crash the read (FAILFAST's behavior) nor silently vanish rows —
     PERMISSIVE routes each bad line into ``_corrupt_record`` with NULLs
@@ -544,6 +544,7 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("good")
         .alias("kind")
     ).groupBy("kind").agg(F.count(F.lit(1)).alias("n_rows"))
+csv_corrupt_records.__doc__ = csv_corrupt_records.__doc__.format(_CSV_BAD_MOD=_CSV_BAD_MOD)  # real docstring (ADVICE r7)
 
 
 # -- dynamic partition overwrite — deferred queue -----------------------------

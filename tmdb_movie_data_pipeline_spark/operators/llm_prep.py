@@ -794,7 +794,7 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Vocabulary coverage of the BPE merge candidates: what fraction of
+    """Vocabulary coverage of the BPE merge candidates: what fraction of
     ALL adjacent character-pair occurrences the top-{_BPE_TOPN} merges
     (llm_bpe_pair_counts' output) would absorb — the "is this vocab big
     enough" curve tokenizer training reads after each merge round, one
@@ -820,6 +820,7 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+bpe_vocab_coverage.__doc__ = bpe_vocab_coverage.__doc__.format(_BPE_TOPN=_BPE_TOPN)  # real docstring (ADVICE r7)
 
 
 # -- quality-aware canonical dedup: keep the BEST doc per cluster -------------
@@ -866,7 +867,6 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(q) AS BIGINT)                         AS n_quality_pass
     FROM ranked GROUP BY component_id
     """,
-    deferred=True,
 )
 def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonicalization of near-dup clusters: instead of the
@@ -955,7 +955,6 @@ def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // COUNT(*) AS BIGINT)                    AS near_dup_doc_ppm
     FROM base
     """,
-    deferred=True,
 )
 def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card's quantitative block in ONE gated row — the

@@ -1149,10 +1149,9 @@ _CL_FILES = 8
            TRUE  AS contents_identical
     FROM lineitem
     """,
-    deferred=True,
 )
 def clustered_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""OPTIMIZE CLUSTERED BY as a gated CONTRACT, not just an API: a
+    """OPTIMIZE CLUSTERED BY as a gated CONTRACT, not just an API: a
     TxTable of lineitem is first written hash-shuffled ({_CL_FILES}
     files, every file spanning ~the whole l_orderkey domain — the layout
     ingestion naturally produces), then rewritten with
@@ -1223,3 +1222,4 @@ def clustered_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         " pruning_improved boolean, clustered_touches_at_most_2 boolean,"
         " contents_identical boolean",
     )
+clustered_layout_pruning.__doc__ = clustered_layout_pruning.__doc__.format(_CL_FILES=_CL_FILES)  # real docstring (ADVICE r7)

@@ -333,7 +333,7 @@ _KANON_LEN_BUCKET = 200  # n_chars quasi-identifier coarsening
     """
 )
 def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""k-anonymity audit over the quasi-identifier tuple (lang, source,
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
     coarsened length): every equivalence class with its size and a
     violates-k={_KANON_K} flag — the privacy gate a release pipeline runs
     BEFORE publishing (classes smaller than k re-identify their members;
@@ -357,6 +357,7 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < _KANON_K).alias("violates_k"),
     )
+k_anonymity.__doc__ = k_anonymity.__doc__.format(_KANON_K=_KANON_K)  # real docstring (ADVICE r7)
 
 
 # -- l-diversity audit — deferred r7 queue ------------------------------------
@@ -383,7 +384,7 @@ _LDIV_L = 2  # each quasi-identifier class needs >= 2 distinct sensitive values
     """
 )
 def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""l-diversity audit — the attack k-anonymity misses: a class can be
+    """l-diversity audit — the attack k-anonymity misses: a class can be
     large yet have ONE sensitive value (here: lang as the sensitive
     attribute, (source, coarsened length) as the quasi-identifiers), so
     membership alone discloses it. Every class is emitted with its size,
@@ -408,6 +409,7 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sensitive",
         (F.col("n_sensitive") < _LDIV_L).alias("violates_l"),
     )
+l_diversity.__doc__ = l_diversity.__doc__.format(_LDIV_L=_LDIV_L)  # real docstring (ADVICE r7)
 
 
 # -- t-closeness audit — the distributional member of the privacy kit ---------
@@ -442,17 +444,20 @@ _TCLOSE_T_PPM = 300_000  # classes with TVD > 0.30 from the global mix violate
     )
     SELECT source, CAST(len_b AS BIGINT) AS len_b,
            CAST(MAX(n_c) AS BIGINT) AS group_size,
-           CAST((1000000 * SUM(ABS(n_cv * n_total - n_v * n_c)))
-                // (2 * MAX(n_c) * MAX(n_total)) AS BIGINT) AS tvd_ppm,
-           CAST((1000000 * SUM(ABS(n_cv * n_total - n_v * n_c)))
-                // (2 * MAX(n_c) * MAX(n_total)) > {_TCLOSE_T_PPM}
+           CAST((1000000 * SUM(ABS(CAST(n_cv AS HUGEINT) * n_total
+                                   - CAST(n_v AS HUGEINT) * n_c)))
+                // (2 * CAST(MAX(n_c) AS HUGEINT) * MAX(n_total))
+                AS BIGINT) AS tvd_ppm,
+           CAST((1000000 * SUM(ABS(CAST(n_cv AS HUGEINT) * n_total
+                                   - CAST(n_v AS HUGEINT) * n_c)))
+                // (2 * CAST(MAX(n_c) AS HUGEINT) * MAX(n_total))
+                > {_TCLOSE_T_PPM}
                 AS BOOLEAN) AS violates_t
     FROM dense GROUP BY 1, 2
     """,
-    deferred=True,
 )
 def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""t-closeness audit — the disclosure k-anonymity AND l-diversity both
+    """t-closeness audit — the disclosure k-anonymity AND l-diversity both
     miss: a class can be large and diverse yet have a sensitive-value MIX
     wildly different from the table's (90% of one lang in a class that is
     5% globally still discloses), so the release kit's third gate bounds
@@ -462,9 +467,10 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY: per value, |n_cv/n_c - N_v/N| = |n_cv*N - N_v*n_c|/(n_c*N),
     so summing the integer numerators over the common denominator makes
     tvd_ppm = 1e6 * sum // (2*n_c*N) one integer division per class — no
-    float ever. Operand bound: 1e6 * 2N^2 stays in int64 for N up to
-    ~2.1e6 rows; past that, pre-quantize class shares to per-million
-    before differencing (same recipe as the HHI piecewise fix).
+    float ever. Intermediates run in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB), the chi2_feature_selection recipe (ADVICE r7): exact to
+    N ≈ 2e15 rows and loudly NULL (decimal overflow) past that, instead
+    of the old int64 silent wrap at N ≈ 2.1e6.
 
     Shape: three partial-aggregable aggregates over the scan, then a
     CROSS JOIN of the (tiny) class relation against the (tiny) sensitive
@@ -501,9 +507,15 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cv", F.lit(0)).alias("n_cv"),
         )
     )
+    # DECIMAL(38,0)/HUGEINT intermediates (ADVICE r7, the chi2 recipe):
+    # the BIGINT form wrapped silently past 1e6·2N² ≈ 9.2e18 (N ≈ 2.1e6
+    # rows) in non-ANSI Spark while DuckDB's 128-bit SUM did not — now
+    # exact to N ≈ 2e15 and LOUDLY NULL (decimal overflow) past that.
     tvd = F.expr(
-        "(1000000 * SUM(ABS(n_cv * n_total - n_v * n_c)))"
-        " div (2 * MAX(n_c) * MAX(n_total))"
+        "(CAST(1000000 AS DECIMAL(38,0))"
+        " * SUM(ABS(CAST(n_cv AS DECIMAL(19,0)) * n_total"
+        "           - CAST(n_v AS DECIMAL(19,0)) * n_c)))"
+        " div (2 * CAST(MAX(n_c) AS DECIMAL(19,0)) * MAX(n_total))"
     )
     return dense.groupBy("source", "len_b").agg(
         F.max("n_c").cast("long").alias("group_size"),
@@ -633,7 +645,6 @@ _PROF_COLS = [
            MIN(val) AS min_val, MAX(val) AS max_val
     FROM vals GROUP BY col
     """,
-    deferred=True,
 )
 def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling of the orders table — per column: row
@@ -702,7 +713,6 @@ _FK_EDGES = [
                 AS BIGINT)                                AS n_null_keys"""
         for label, child, ckey, parent, pkey, pred in _FK_EDGES
     ),
-    deferred=True,
 )
 def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the CROSS-TABLE constraint the
@@ -811,7 +821,6 @@ _SKEWP_SOURCES = [
                 > {_SKEWP_RATIO} * MAX(n_rows) AS BOOLEAN) AS salt_recommended
     FROM cum GROUP BY src
     """,
-    deferred=True,
 )
 def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew advisor — MEASURE before you salt: per candidate key,

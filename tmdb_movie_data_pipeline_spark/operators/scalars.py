@@ -510,7 +510,6 @@ _VARIANT_SCHEMA = (
            '{_VARIANT_SCHEMA}'                                AS variant_schema
     FROM js
     """,
-    deferred=True,
 )
 def variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT scalar battery — Spark 4's semi-structured type: JSON rows

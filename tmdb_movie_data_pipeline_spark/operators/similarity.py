@@ -760,7 +760,6 @@ def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM qs q LEFT JOIN agg a
       ON a.tier = q.tier AND a.query_id = q.query_id
     """,
-    deferred=True,
 )
 def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOP_K} and reciprocal rank of BOTH approximate tiers (IVF
@@ -884,7 +883,6 @@ def _ndcg_weight_case(rank_col: str) -> str:
     FROM qs q LEFT JOIN agg a
       ON a.tier = q.tier AND a.query_id = q.query_id
     """,
-    deferred=True,
 )
 def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@{TOP_K} of the approximate tiers — the GRADED companion to

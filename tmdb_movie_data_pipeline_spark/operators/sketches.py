@@ -1234,10 +1234,9 @@ def _bf_pos_sql(key: str, i: int, engine: str) -> str:
                 // COUNT(*) AS BIGINT)                       AS fpr_ppm
     FROM probe_hits
     """,
-    deferred=True,
 )
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Bloom filter as a RELATIONAL sketch with its own measured error —
+    """Bloom filter as a RELATIONAL sketch with its own measured error —
     the membership member of the sketch family (HLL: cardinality, CMS:
     frequency, KMV: set algebra; this: "have we seen this key"). The
     distinct-user set folds into a {_BF_WORDS}-word bitmap ({_BF_K}
@@ -1313,3 +1312,4 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fpr_ppm"),
         )
     )
+bloom_membership.__doc__ = bloom_membership.__doc__.format(_BF_WORDS=_BF_WORDS, _BF_K=_BF_K, _BF_PROBES=_BF_PROBES)  # real docstring (ADVICE r7)

@@ -209,8 +209,15 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_skew_pair(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Time unsalted vs salted under the conditions salting exists for:
-    no broadcast, no AQE skew-join splitting. Returns seconds per variant
-    (min of 2, matching bench.py's steady-state convention)."""
+    no broadcast, no AQE skew-join splitting. Returns seconds per variant.
+
+    MEDIAN of 5 with the two variants interleaved (VERDICT r7 #2: min-of-2
+    on a 9.6 M-row shuffle join with AQE off is GC-sensitive — r7 published
+    an inverted exhibit, salted 3.36 s vs unsalted 3.14 s, purely from a
+    noisy pair of samples while the plan was byte-unchanged; interleaving
+    spreads JIT/GC drift evenly across both variants and the median
+    rejects a single stalled run)."""
+    import statistics
     import time
 
     saved = {
@@ -224,15 +231,20 @@ def bench_skew_pair(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try:
-        out: dict[str, float] = {}
-        for label, salt in (("skew_join_unsalted", None), ("skew_join_salted", _SKEW_SALT)):
-            best = float("inf")
-            for _ in range(2):
+        variants = (
+            ("skew_join_unsalted", None),
+            ("skew_join_salted", _SKEW_SALT),
+        )
+        samples: dict[str, list[float]] = {label: [] for label, _ in variants}
+        for _ in range(5):  # interleaved A,B,A,B,... rounds
+            for label, salt in variants:
                 t0 = time.perf_counter()
                 skew_join_plan(spark, sf_dir, salt).count()
-                best = min(best, time.perf_counter() - t0)
-            out[label] = round(best, 3)
-        return out
+                samples[label].append(time.perf_counter() - t0)
+        return {
+            label: round(statistics.median(ts), 3)
+            for label, ts in samples.items()
+        }
     finally:
         for key, val in saved.items():
             spark.conf.set(key, val)

@@ -706,10 +706,9 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS oov_ppm
     FROM scored WHERE n_bigrams > 0
     """,
-    deferred=True,
 )
 def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Per-document out-of-model bigram rate — the LOG-FREE perplexity
+    """Per-document out-of-model bigram rate — the LOG-FREE perplexity
     stand-in: score each document by the fraction of its adjacent token
     pairs that fall OUTSIDE the corpus bigram LM (text_bigram_lm's table:
     contexts seen >= {_LM_MIN_CTX} times, top-{_LM_TOPN} continuations).
@@ -753,3 +752,4 @@ def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_ppm"),
     )
+oov_bigram_rate.__doc__ = oov_bigram_rate.__doc__.format(_LM_MIN_CTX=_LM_MIN_CTX, _LM_TOPN=_LM_TOPN)  # real docstring (ADVICE r7)

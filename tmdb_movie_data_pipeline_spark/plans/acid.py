@@ -677,8 +677,20 @@ class TxTable:
         aborted-group and expired-snapshot files reclaim immediately and
         the deterministic tests stay deterministic.
 
+        The grace comparison runs entirely in the FILESYSTEM's clock
+        domain (ADVICE r7): "now" is the mtime of a probe file written at
+        vacuum start, not the local wall clock — on NFS or between
+        containers the vacuuming host's clock can run ahead of the clock
+        that stamped a concurrent writer's stage files, which would make
+        a freshly staged file look older than ``grace_seconds`` and get
+        deleted. Comparing an FS-stamped mtime against another FS-stamped
+        mtime removes the local clock from the decision; if the probe
+        cannot be written the local clock is the (documented, same-host
+        only) fallback.
+
         Returns {"n_deleted", "n_kept", "bytes_deleted"}."""
         import time as _time
+        import uuid as _uuid
 
         manifests = {v: self.manifest(v) for v in self.versions()}
         visible = [v for v, m in manifests.items() if self._is_visible(m)]
@@ -697,7 +709,21 @@ class TxTable:
                 keep.update(m["files"])
         n_deleted = 0
         bytes_deleted = 0
-        now = _time.time()
+        # fs-clock "now" (see docstring): stamp a probe next to the log
+        # (outside the data dir, so the walk below never sees it) and use
+        # ITS mtime as the reference the stage-file mtimes compare against
+        probe = os.path.join(self.path, f".vacuum-probe-{_uuid.uuid4().hex[:12]}")
+        try:
+            with open(probe, "w"):
+                pass
+            now = os.path.getmtime(probe)
+        except OSError:
+            now = _time.time()  # unwritable table root: same-host fallback
+        finally:
+            try:
+                os.remove(probe)
+            except OSError:
+                pass
         for root, _dirs, names in os.walk(os.path.join(self.path, _DATA_DIR)):
             # In-flight writer protection (ADVICE r6): a concurrent writer
             # stages into data/v<N>-<token>/ BEFORE publishing a manifest.

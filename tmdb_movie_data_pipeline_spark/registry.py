@@ -88,21 +88,23 @@ def deferred_oracles() -> dict[str, str]:
 
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
-    # slots at the head of the rotation. Entries below are r7 rewrites.
-    "text_inverted_index",  # postings flattened array->string (VERDICT r6
-    # item #1): the driver canonicalizer crashes on list cells, and the
-    # r6 err row already marked the name driver-seen, so bucket 1 will
-    # never re-pick it — it MUST ride this list to get its green row.
-    # LSH edge-list staging (VERDICT r6 item #4): these verified queries
-    # now read the materialized candidate-pair parquet instead of running
-    # the MinHash pipeline inline. Result sets are bit-identical (lossless
-    # 2-column round-trip) but the physical plan changed, so the driver
-    # re-verifies the most central consumers; the remaining consumers
-    # (shortest_paths, triangle_count, cluster_stats, llm funnel family)
-    # are locally hash-gated and re-confirm via bucket-3 rotation.
-    "graph_label_propagation",
-    "dedup_cluster_components",
-    "graph_pagerank",
+    # slots at the head of the rotation. Entries below are r8 rewrites.
+    # VERDICT r7 item #1 (raw-shingle Zipfian self-join, O(df²) per hot
+    # shingle at 100 TB). Three rewrites, oracles rewritten identically:
+    # - dedup_ngram_jaccard + dedup_minhash_jaccard_estimate now compute
+    #   the exact intersection KEYED ON the staged LSH candidate pair
+    #   (cand ⋈ shingles(doc_a) on doc_id, probe shingles(doc_b) on
+    #   (doc_b, shingle) — per-key fan-out 1, skew-proof); the Jaccard
+    #   verifier thereby becomes the production band→verify stage and its
+    #   row set narrows to candidate pairs.
+    # - dedup_containment_pairs keeps its all-pairs reach (containment
+    #   must see pairs Jaccard-LSH never proposes) but drops shingles
+    #   with document frequency > _CONTAIN_DF_CAP on both sides — the
+    #   same per-key cap the inverted index applies per term; worst join
+    #   key now fans out ≤ cap² rows.
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_minhash_jaccard_estimate",
 ]
 
 

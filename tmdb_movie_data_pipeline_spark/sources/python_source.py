@@ -162,7 +162,6 @@ def _make_stream_datasource():
            md5(CAST(range AS VARCHAR)) AS payload
     FROM range({STREAM_PAGES * STREAM_PAGE_SIZE})
     """,
-    deferred=True,
 )
 def python_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream through a custom Python streaming source
@@ -200,3 +199,4 @@ def python_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+python_stream_scan.__doc__ = python_stream_scan.__doc__.format(STREAM_PAGES=STREAM_PAGES, STREAM_PAGE_SIZE=STREAM_PAGE_SIZE)  # real docstring (ADVICE r7)

@@ -634,7 +634,6 @@ _WM_DELAY = "1 hour"
     WHERE window_start + INTERVAL 1 DAY
           <= (SELECT max_ts - INTERVAL 1 HOUR FROM mx)
     """,
-    deferred=True,
 )
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA semantics as a gated contract — not just
