@@ -2511,3 +2511,195 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("se2_cents2"),
     )
 poisson_bootstrap.__doc__ = poisson_bootstrap.__doc__.format(_BOOT_B=_BOOT_B)  # real docstring (ADVICE r7)
+
+
+# -- two-sample distribution tests: KS + Mann-Whitney -------------------------
+#
+# Both read one densified ECDF grid: per (event_type, quantized cent value)
+# the ≤x and <x cumulative counts, evaluated at EVERY distinct pooled value
+# (a LEFT-join densification against the distinct-value spine, so each
+# type's step function is comparable point-for-point). Grid size is
+# |types| × |distinct cents| — bounded by the metric's quantized DOMAIN,
+# not the event volume, so the windows and the pair join stay calendar/
+# domain-sized at any scale (the daily-relation argument, applied to the
+# value axis).
+
+_ECDF_GRID_SQL = """
+    vals AS (
+        SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events
+    ), cnt AS (
+        SELECT et, x, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+    ), ets AS (
+        SELECT et, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ), xs AS (
+        SELECT DISTINCT x FROM vals
+    ), grid AS (
+        SELECT e.et, e.n, xs.x, COALESCE(c.c, 0) AS c
+        FROM ets e CROSS JOIN xs
+        LEFT JOIN cnt c ON c.et = e.et AND c.x = xs.x
+    ), cum AS (
+        SELECT et, n, x, c,
+               SUM(c) OVER (PARTITION BY et ORDER BY x) AS cum_le,
+               SUM(c) OVER (PARTITION BY et ORDER BY x) - c AS cum_lt
+        FROM grid
+    )"""
+
+
+def _ecdf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(et, n, x, c, cum_le, cum_lt): the densified per-type ECDF grid the
+    SQL CTE above describes, as a DataFrame."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("et"),
+        quantize(F.col("value"), MONEY_SCALE).alias("x"),
+    )
+    cnt = vals.groupBy("et", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ets = cnt.groupBy("et").agg(F.sum("c").cast("long").alias("n"))
+    xs = vals.select("x").distinct()
+    grid = (
+        F.broadcast(ets)
+        .crossJoin(xs)
+        .join(cnt, ["et", "x"], "left")
+        .select("et", "n", "x", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    w = W.partitionBy("et").orderBy("x")
+    return grid.select(
+        "et",
+        "n",
+        "x",
+        "c",
+        F.sum("c").over(w).alias("cum_le"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_lt"),
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH {_ECDF_GRID_SQL}
+    SELECT a.et AS type_a, b.et AS type_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_a,
+           CAST(MAX(b.n) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(CAST(a.cum_le AS HUGEINT) * b.n
+                        - CAST(b.cum_le AS HUGEINT) * a.n)) AS BIGINT) AS ks_num,
+           CAST((1000000 * MAX(ABS(CAST(a.cum_le AS HUGEINT) * b.n
+                                   - CAST(b.cum_le AS HUGEINT) * a.n)))
+                // (CAST(MAX(a.n) AS HUGEINT) * MAX(b.n)) AS BIGINT) AS ks_ppm
+    FROM cum a JOIN cum b ON a.x = b.x AND a.et < b.et
+    GROUP BY 1, 2
+    """,
+    deferred=True,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for every event-type pair:
+    D = max_x |F_a(x) - F_b(x)| over the pooled quantized values — the
+    distribution-shift gate ("did the value distribution of clicks drift
+    away from views") data-quality monitoring runs between snapshots.
+
+    Exact rational arithmetic over the common denominator n_a*n_b: the
+    max runs over integer |cum_a*n_b - cum_b*n_a| and only the final ppm
+    report divides (DECIMAL(38,0)/HUGEINT intermediates, loud-overflow
+    per the chi2 recipe — exact past any int64 sample-size bound). The
+    supremum over ALL reals equals the max over pooled sample points
+    because both ECDFs are constant between them and right-continuous at
+    them, so the densified grid IS the complete candidate set.
+    """
+    cum = _ecdf_grid(spark, sf_dir)
+    a = cum.select(
+        F.col("et").alias("type_a"), F.col("x"),
+        F.col("n").alias("na"), F.col("cum_le").alias("ca"),
+    )
+    b = cum.select(
+        F.col("et").alias("type_b"), F.col("x"),
+        F.col("n").alias("nb"), F.col("cum_le").alias("cb"),
+    )
+    diff = F.expr(
+        "ABS(CAST(ca AS DECIMAL(19,0)) * nb - CAST(cb AS DECIMAL(19,0)) * na)"
+    )
+    return (
+        a.join(b, "x")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("d", diff)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max("d").cast("long").alias("ks_num"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * MAX(d))"
+                " div (CAST(MAX(na) AS DECIMAL(19,0)) * MAX(nb)) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH {_ECDF_GRID_SQL}
+    SELECT a.et AS type_a, b.et AS type_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_a,
+           CAST(MAX(b.n) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(a.c AS HUGEINT)
+                    * (2 * (a.cum_lt + b.cum_lt) + a.c + b.c + 1))
+                - CAST(MAX(a.n) AS HUGEINT) * (MAX(a.n) + 1)
+                AS BIGINT) AS u_a_doubled,
+           CAST((1000000 * (SUM(CAST(a.c AS HUGEINT)
+                                * (2 * (a.cum_lt + b.cum_lt) + a.c + b.c + 1))
+                            - CAST(MAX(a.n) AS HUGEINT) * (MAX(a.n) + 1)))
+                // (2 * CAST(MAX(a.n) AS HUGEINT) * MAX(b.n))
+                AS BIGINT) AS auc_ppm
+    FROM cum a JOIN cum b ON a.x = b.x AND a.et < b.et
+    GROUP BY 1, 2
+    """,
+    deferred=True,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) statistic for every event-type pair, with
+    its common-language effect size U/(n_a*n_b) = P(X_a > X_b) + P(X_a =
+    X_b)/2 in exact ppm — the nonparametric "are a's values stochastically
+    larger" companion to the KS shape test (KS asks IF the distributions
+    differ; U says in WHICH DIRECTION).
+
+    Tie handling is the textbook average-rank rule, kept integral by
+    doubling: an element of a at value x has doubled pooled rank
+    2*(pooled count < x) + (pooled ties at x) + 1, so R_a_doubled sums
+    c_a(x) * that over the shared ECDF grid and U_a_doubled = R_a_doubled
+    - n_a*(n_a+1). U is bounded by [0, 2*n_a*n_b] so the ppm division's
+    operands are non-negative — truncation equals floor cross-engine.
+    DECIMAL(38,0)/HUGEINT intermediates, loud on overflow.
+    """
+    cum = _ecdf_grid(spark, sf_dir)
+    a = cum.select(
+        F.col("et").alias("type_a"), F.col("x"),
+        F.col("n").alias("na"), F.col("c").alias("ca"),
+        F.col("cum_lt").alias("lta"),
+    )
+    b = cum.select(
+        F.col("et").alias("type_b"), F.col("x"),
+        F.col("n").alias("nb"), F.col("c").alias("cb"),
+        F.col("cum_lt").alias("ltb"),
+    )
+    r_term = F.expr(
+        "CAST(ca AS DECIMAL(19,0)) * (2 * (lta + ltb) + ca + cb + 1)"
+    )
+    return (
+        a.join(b, "x")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("rt", r_term)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(SUM(rt) - CAST(MAX(na) AS DECIMAL(19,0)) * (MAX(na) + 1)"
+                " AS BIGINT)"
+            ).alias("u_a_doubled"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (SUM(rt) - CAST(MAX(na) AS DECIMAL(19,0)) * (MAX(na) + 1)))"
+                " div (2 * CAST(MAX(na) AS DECIMAL(19,0)) * MAX(nb)) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )

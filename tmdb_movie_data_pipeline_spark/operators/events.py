@@ -2304,3 +2304,180 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE length(bin(gap_s)) END AS BIGINT)"
         ).alias("gap_bucket"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+
+
+# -- weekly cohort retention + growth accounting ------------------------------
+#
+# Both read the distinct (user, week) activity relation: week = epoch-day
+# div 7 (a pure integer truncation, identical cross-engine — no ISO-week
+# locale semantics to disagree on). The relation is |users| x |weeks
+# active| — the per-user collapse happens FIRST (partial agg), so the
+# window/lag machinery below runs on user-week grain, never event grain.
+
+_UW_SQL = """
+    uw AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) // 7 AS w
+        FROM events
+    )"""
+
+
+def _user_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " div 7"
+        ).alias("w"),
+    ).distinct()
+
+
+@register(
+    "events_retention_triangle",
+    oracle=f"""
+    WITH {_UW_SQL},
+    cohort AS (
+        SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1
+    ), sizes AS (
+        SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY 1
+    )
+    SELECT c.cw AS cohort_week,
+           CAST(u.w - c.cw AS BIGINT) AS offset_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(MAX(s.n_cohort) AS BIGINT) AS n_cohort,
+           CAST((1000000 * COUNT(*)) // MAX(s.n_cohort) AS BIGINT)
+               AS retention_ppm
+    FROM uw u
+    JOIN cohort c ON c.user_id = u.user_id
+    JOIN sizes s ON s.cw = c.cw
+    GROUP BY 1, 2
+    """,
+    deferred=True,
+)
+def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly cohort retention triangle: users grouped by their FIRST
+    active week, each later week's active share of that cohort in exact
+    ppm — the canonical "are newer cohorts stickier" product-analytics
+    table (read along a row: one cohort's decay curve; down a diagonal:
+    one calendar week across cohorts).
+
+    Shape: cohort assignment is a per-user MIN (partial-aggregable), the
+    cohort-size relation is |cohorts|-sized and broadcastable, and the
+    triangle itself is one groupBy over the user-week relation — no
+    window, no self-join, three bounded exchanges at any event volume.
+    """
+    uw = _user_weeks(spark, sf_dir)
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        uw.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cw")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).cast("long").alias("offset_weeks"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.max("n_cohort").cast("long").alias("n_cohort"),
+            F.expr("CAST((1000000 * COUNT(*)) div MAX(n_cohort) AS BIGINT)")
+            .alias("retention_ppm"),
+        )
+    )
+
+
+@register(
+    "events_growth_accounting",
+    oracle=f"""
+    WITH {_UW_SQL},
+    flagged AS (
+        SELECT user_id, w,
+               LAG(w)  OVER (PARTITION BY user_id ORDER BY w) AS pw,
+               LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS nw,
+               MIN(w)  OVER (PARTITION BY user_id) AS fw
+        FROM uw
+    ), active_side AS (
+        SELECT w AS week,
+               CAST(SUM(CASE WHEN w = fw THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(SUM(CASE WHEN pw = w - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retained,
+               CAST(SUM(CASE WHEN pw IS NOT NULL AND pw < w - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM flagged GROUP BY 1
+    ), churn_side AS (
+        SELECT w + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM flagged WHERE nw IS NULL OR nw > w + 1
+        GROUP BY 1
+    )
+    SELECT COALESCE(a.week, c.week) AS week,
+           COALESCE(a.n_new, 0) AS n_new,
+           COALESCE(a.n_retained, 0) AS n_retained,
+           COALESCE(a.n_resurrected, 0) AS n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM active_side a FULL OUTER JOIN churn_side c ON a.week = c.week
+    """,
+    deferred=True,
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first-ever week), RETAINED (also active the week before) or
+    RESURRECTED (returning after a gap), plus the week's CHURN (users
+    active at w-1 with no activity at w) — the active(w) = new +
+    retained + resurrected and active(w) = active(w-1) - churned(w) +
+    new + resurrected identities growth dashboards are built on.
+
+    Churn attribution is relational and window-end-honest: a user churns
+    at w+1 exactly when their activity-week sequence has no w+1 entry
+    (LEAD gap or sequence end), so the final observed week's actives
+    produce a churn row one week past the data window — consumers trim
+    it, the identity above still holds for every interior week.
+
+    Shape: LAG/LEAD/MIN windows over the user-week relation partitioned
+    by user (one shuffle, per-user state stays in its partition), then
+    two week-grain aggregates joined on the |weeks|-sized spine.
+    """
+    uw = _user_weeks(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy("w")
+    flagged = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(wu).alias("pw"),
+        F.lead("w").over(wu).alias("nw"),
+        F.min("w").over(W.partitionBy("user_id")).alias("fw"),
+    )
+    active_side = flagged.groupBy(F.col("w").alias("week")).agg(
+        F.sum(F.when(F.col("w") == F.col("fw"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("pw") == F.col("w") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("pw").isNotNull() & (F.col("pw") < F.col("w") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn_side = (
+        flagged.filter(F.col("nw").isNull() | (F.col("nw") > F.col("w") + 1))
+        .groupBy((F.col("w") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        active_side.join(churn_side, "week", "full_outer")
+        .select(
+            "week",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

@@ -1032,3 +1032,228 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near_dup_doc_ppm"),
         )
     )
+
+
+# -- Gopher-style quality rule gate -------------------------------------------
+
+_GR_STOPWORDS = ("the", "a", "and", "of", "is", "to", "in")
+_GR_MIN_WORDS, _GR_MAX_WORDS = 20, 100_000
+_GR_MWL_LO, _GR_MWL_HI = 4, 10  # mean word length bounds (Gopher uses 3–10;
+# the floor is raised to 4 so the rule FIRES on this corpus — its mean word
+# lengths span 3.7–5.3, and a never-failing rule would gate nothing)
+_GR_TOP_SHARE_DEN = 5  # most-common-token share must be <= 1/5 (0.2)
+_GR_MIN_STOP = 2  # >= 2 distinct English stopwords present
+
+
+@register(
+    "llm_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                            ' ') AS toks
+        FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_distinct(list_filter(toks,
+                    x -> x IN ({", ".join(f"'{w}'" for w in _GR_STOPWORDS)}))))
+                    AS BIGINT) AS n_stop
+        FROM t
+    ), tok AS (
+        SELECT doc_id, UNNEST(toks) AS tok FROM t
+    ), rep AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c
+        FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_words,
+           (b.n_words BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS})
+               AS ok_word_count,
+           (b.sum_len >= {_GR_MWL_LO} * b.n_words
+            AND b.sum_len <= {_GR_MWL_HI} * b.n_words) AS ok_mean_word_len,
+           ({_GR_TOP_SHARE_DEN} * r.top_c <= b.n_words) AS ok_top_token,
+           (b.n_stop >= {_GR_MIN_STOP}) AS ok_stopwords,
+           ((b.n_words BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS})
+            AND b.sum_len >= {_GR_MWL_LO} * b.n_words
+            AND b.sum_len <= {_GR_MWL_HI} * b.n_words
+            AND {_GR_TOP_SHARE_DEN} * r.top_c <= b.n_words
+            AND b.n_stop >= {_GR_MIN_STOP}) AS passes
+    FROM base b JOIN rep r ON r.doc_id = b.doc_id
+    """,
+    deferred=True,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al.'s repetition/
+    composition filters, the rule battery corpus pipelines run BEFORE any
+    model-based scoring): per document, word-count bounds, mean-word-
+    length bounds, most-common-token share cap, and a minimum distinct-
+    stopword presence — each reported as its own flag plus the AND of all
+    four, so downstream consumers can loosen one rule without recomputing
+    the scan.
+
+    Every rule is an integer comparison (mean word length via cross-
+    multiplication: lo*n <= sum_len <= hi*n — no division, no floats).
+    The only non-map-side piece is the most-common-token count, a
+    (doc, token) groupBy whose key cardinality is the vocabulary of one
+    document — partial-aggregable and skew-free (keys are doc-scoped).
+    """
+    from ..io import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    stop_list = ", ".join(f"'{w}'" for w in _GR_STOPWORDS)
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(transform(toks, x -> CAST(length(x) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sum_len"),
+        F.expr(
+            f"CAST(size(array_distinct(filter(toks, x -> x IN ({stop_list}))))"
+            " AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    rep = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_c"))
+    )
+    ok_wc = F.col("n_words").between(_GR_MIN_WORDS, _GR_MAX_WORDS)
+    ok_mwl = (F.col("sum_len") >= _GR_MWL_LO * F.col("n_words")) & (
+        F.col("sum_len") <= _GR_MWL_HI * F.col("n_words")
+    )
+    ok_top = _GR_TOP_SHARE_DEN * F.col("top_c") <= F.col("n_words")
+    ok_stop = F.col("n_stop") >= _GR_MIN_STOP
+    return base.join(rep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_top.alias("ok_top_token"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_top & ok_stop).alias("passes"),
+    )
+
+
+# -- exact stratified split (largest remainder) --------------------------------
+
+_SPLIT_WEIGHTS = (("train", 1, 8), ("validation", 2, 1), ("test", 3, 1))
+# (name, priority, weight in tenths) — 80/10/10
+
+
+@register(
+    "llm_stratified_split_exact",
+    oracle=f"""
+    WITH strata AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), quota0 AS (
+        SELECT s.lang, s.n, v.split, v.prio,
+               (v.w * s.n) // 10 AS q,
+               (v.w * s.n) % 10  AS r
+        FROM strata s CROSS JOIN (VALUES
+            {", ".join(f"('{nm}', {p}, {w})" for nm, p, w in _SPLIT_WEIGHTS)}
+        ) v(split, prio, w)
+    ), quota AS (
+        SELECT lang, split, prio,
+               q + CASE WHEN ROW_NUMBER() OVER (PARTITION BY lang
+                                                ORDER BY r DESC, prio)
+                        <= n - SUM(q) OVER (PARTITION BY lang)
+                        THEN 1 ELSE 0 END AS q
+        FROM quota0
+    ), bounds AS (
+        SELECT lang, split,
+               SUM(q) OVER (PARTITION BY lang ORDER BY prio) AS hi,
+               SUM(q) OVER (PARTITION BY lang ORDER BY prio) - q AS lo
+        FROM quota
+    ), ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, b.split
+    FROM ranked r
+    JOIN bounds b ON b.lang = r.lang AND r.rn > b.lo AND r.rn <= b.hi
+    """,
+    deferred=True,
+)
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/validation/test split with EXACT per-stratum
+    quotas via largest-remainder apportionment — the guarantee the
+    existing hash split (llm_train_val_test_split) deliberately trades
+    away: Fibonacci hashing gives each doc an independent 80/10/10 coin
+    flip (stateless, stable under corpus growth), while evaluation
+    protocols that need every language represented at an exact ratio
+    require floor(w*n/10) per (stratum, split) plus the leftovers going
+    to the largest fractional remainders (ties broken train > validation
+    > test). Within a stratum, docs are ordered by md5(doc_id) — a
+    deterministic shuffle both engines compute identically — and sliced
+    at the quota boundaries.
+
+    Shape: the quota relation is |strata| x 3 rows (driver-tiny, windows
+    trivial); the per-doc work is one rank window partitioned by stratum
+    and a broadcast range join against the 15-row bounds table. At 100 TB
+    the rank-within-stratum is the only big shuffle — one exchange on a
+    low-cardinality key, mitigated the usual way (pre-bucket by stratum).
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    splits = spark.createDataFrame(
+        list(_SPLIT_WEIGHTS), "split string, prio int, w int"
+    )
+    quota0 = strata.crossJoin(F.broadcast(splits)).select(
+        "lang",
+        "n",
+        "split",
+        "prio",
+        F.expr("(w * n) div 10").alias("q"),
+        F.expr("(w * n) % 10").alias("r"),
+    )
+    w_lang = W.partitionBy("lang")
+    quota = quota0.select(
+        "lang",
+        "split",
+        "prio",
+        (
+            F.col("q")
+            + F.when(
+                F.row_number().over(w_lang.orderBy(F.desc("r"), F.asc("prio")))
+                <= F.col("n") - F.sum("q").over(w_lang),
+                1,
+            ).otherwise(0)
+        ).alias("q"),
+    )
+    w_cum = w_lang.orderBy("prio")
+    bounds = quota.select(
+        "lang",
+        "split",
+        F.sum("q").over(w_cum).alias("hi"),
+        (F.sum("q").over(w_cum) - F.col("q")).alias("lo"),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            w_lang.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        )
+        .alias("rn"),
+    )
+    return ranked.join(
+        F.broadcast(bounds),
+        (ranked["lang"] == bounds["lang"])
+        & (F.col("rn") > F.col("lo"))
+        & (F.col("rn") <= F.col("hi")),
+    ).select(ranked["doc_id"], ranked["lang"], bounds["split"])

@@ -669,3 +669,115 @@ def chunk_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(gc_agg))
         .select("n_stored", "n_referenced", "n_gc", "bytes_reclaimed")
     )
+
+
+# -- perceptual near-dup: difference hash + hamming banding --------------------
+
+_DH_ROWS, _DH_COLS = 8, 8  # 8x8 "pixel" grid -> 8 rows x 7 comparisons = 56
+# bits (the classic dHash is 8x9 -> 64; 56 keeps the sketch in a POSITIVE
+# int64 so both engines' bigint arithmetic agrees without unsigned tricks)
+_DH_BITS = _DH_ROWS * (_DH_COLS - 1)
+_DH_BANDS = 8  # 8 disjoint 7-bit bands
+_DH_BAND_BITS = _DH_BITS // _DH_BANDS
+_DH_MAX_HAMMING = 6  # <= 6 < 8 bands => pigeonhole: some band matches exactly
+
+
+def _dhash_bits(sub: "callable", asc: str) -> str:
+    """The 56-bit dHash sum-of-bits expression; ``sub(pos)`` renders the
+    1-based character access and ``asc`` names the code-point function
+    (both engines spell these identically here)."""
+    terms = []
+    for r in range(_DH_ROWS):
+        for c in range(_DH_COLS - 1):
+            pos = r * _DH_COLS + c + 1
+            terms.append(
+                f"(CASE WHEN {asc}({sub(pos)}) < {asc}({sub(pos + 1)})"
+                f" THEN CAST({1 << (r * (_DH_COLS - 1) + c)} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+    return " + ".join(terms)
+
+
+_DH_SPARK = _dhash_bits(
+    lambda p: f"substring(px, {p}, 1)", "ascii"
+)
+_DH_DUCK = _dhash_bits(lambda p: f"substr(px, {p}, 1)", "ascii")
+
+
+@register(
+    "multimodal_dhash_pairs",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, rpad(text, {_DH_ROWS * _DH_COLS + 1}, ' ') AS px
+        FROM documents
+    ), dh AS (
+        SELECT doc_id, CAST({_DH_DUCK} AS BIGINT) AS h FROM px
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {_DH_MAX_HAMMING}
+    """,
+    deferred=True,
+)
+def dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs via difference hash (dHash): the
+    image-dedup sketch — bit (r,c) records whether "pixel" (r,c) is
+    darker than its right neighbor on a fixed 8x8 grid, so the 56-bit
+    fingerprint survives re-encoding/brightness shifts that break
+    byte-exact dedup, and near-dups sit within a small Hamming radius.
+    The grid here reads the binary payload stand-in (the document's
+    code points, attach_binary_payload's contract); a real decoder swaps
+    the grid source for resized pixel intensities under the SAME
+    expression tree and banding plan.
+
+    The ENGINE plan is the scale shape: 8 disjoint 7-bit bands, band
+    equi-join for candidates, exact popcount verify (bit_count(a^b) <=
+    6). By pigeonhole, Hamming <= 6 over 8 disjoint bands forces at
+    least one band to match exactly — so banding has PERFECT recall at
+    the radius, which the gate PROVES by comparing against the oracle's
+    brute-force all-pairs form: any pair the banded plan missed would
+    hash-mismatch. Band width is log2-of-corpus tunable (wider bands /
+    multi-index probing as n grows — Norouzi et al.'s MIH); 7 bits is
+    sized to this fixture.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dh = docs.select(
+        "doc_id",
+        F.expr(f"rpad(text, {_DH_ROWS * _DH_COLS + 1}, ' ')").alias("px"),
+    ).select("doc_id", F.expr(f"CAST({_DH_SPARK} AS BIGINT)").alias("h"))
+    band_structs = [
+        F.struct(
+            F.lit(t).alias("band"),
+            F.expr(f"(h div {1 << (t * _DH_BAND_BITS)}) % {1 << _DH_BAND_BITS}")
+            .alias("bucket"),
+        )
+        for t in range(_DH_BANDS)
+    ]
+    bands = dh.select(
+        "doc_id", "h", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "h", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= _DH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -938,3 +938,101 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_ppm"),
     )
+
+
+# -- SemDeDup: semantic dedup over the IVF partition ---------------------------
+
+
+def _semdedup_oracle() -> str:
+    q_cols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * {DUP_QUANT_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(DIM)
+    )
+    n2 = "(" + " + ".join(f"q{i} * q{i}" for i in range(DIM)) + ")"
+    dotq = "(" + " + ".join(f"qa.q{i} * qb.q{i}" for i in range(DIM)) + ")"
+    return f"""
+    WITH {IVF_ROUTE_SQL},
+    qn AS (
+        SELECT *, {n2} AS n2 FROM (SELECT vec_id, {q_cols} FROM embeddings)
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS vb
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN qn qa ON qa.vec_id = a.vec_id
+        JOIN qn qb ON qb.vec_id = b.vec_id
+        WHERE CAST({dotq} AS DOUBLE)
+                  / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+              >= {DUP_COSINE_THRESHOLD}
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+           (vec_id IN (SELECT vb FROM dropped)) AS dropped
+    FROM assign
+    """
+
+
+def _semdedup_cluster(pdf):
+    """One IVF cluster: mark every member that has a LOWER-id member with
+    quantized cosine >= DUP_COSINE_THRESHOLD (keep-first per duplicate
+    group). Same integer-Gram discipline as _score_bucket — the
+    quantized cosine is bit-identical to the oracle's 64-term SQL chain,
+    so the drop decision can't straddle the threshold differently per
+    engine."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    cid = pdf["cid"].to_numpy()
+    if len(pdf) < 2:
+        return pd.DataFrame(
+            {"vec_id": ids, "cid": cid, "dropped": np.zeros(len(ids), bool)}
+        )
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    s = mat * DUP_QUANT_SCALE
+    q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+    norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    cos = (q @ q.T).astype(np.float64) / np.outer(norms, norms)
+    # ids are sorted ascending: strictly-lower triangle = earlier members
+    dup = np.tril(cos >= DUP_COSINE_THRESHOLD, k=-1).any(axis=1)
+    return pd.DataFrame({"vec_id": ids, "cid": cid, "dropped": dup})
+
+
+@register("dedup_semdedup_prune", oracle=_semdedup_oracle(), deferred=True)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication that finds
+    near-duplicate MEANINGS, not near-duplicate bytes — cluster the
+    embedding space coarsely, then compare pairs only WITHIN a cluster
+    and keep one representative per duplicate relation. Pairs in
+    different clusters are never compared: that is the paper's central
+    cost reduction (O(sum k_i^2) instead of O(n^2)), and the clusters
+    here are the SAME inverted lists the IVF ANN tier routes with
+    (ivf_route) — one partitioning serves search and dedup.
+
+    Keep rule: a vector is DROPPED when a lower-id member of its cluster
+    has quantized cosine >= the corpus near-dup threshold
+    (DUP_COSINE_THRESHOLD, shared with dedup_embedding_cosine) — the
+    deterministic keep-first analogue of the paper's keep-one-per-group;
+    its "keep the member farthest from the centroid" variant swaps the
+    id order key for centroid distance without touching the plan.
+
+    Physical shape — the dedup_embedding_cosine lesson applied: one
+    shuffle (hash by cid), then one applyInPandas per cluster scoring
+    the cluster's pairs with a vectorized integer Gram over ONLY that
+    cluster's vectors (per-worker memory O(|cluster|*DIM)); a pure-SQL
+    64-column self-join form compiled into a pathological codegen plan.
+    Quantized integer Gram == the oracle's SQL chain bit-for-bit, which
+    is what lets a numpy re-score be oracle-exact at all. At 100 TB the
+    lists are partitions (partitionBy(cid)): cluster scoring runs
+    partition-local, and list-size balance — which the IVF tier already
+    depends on for probe latency — bounds the per-group pair count.
+    """
+    assign, _ = ivf_route(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = assign.join(emb, "vec_id").select("cid", "vec_id", "embedding")
+    return (
+        members.groupBy("cid")
+        .applyInPandas(_semdedup_cluster, "vec_id long, cid long, dropped boolean")
+        .select("vec_id", F.col("cid").cast("long").alias("cid"), "dropped")
+    )

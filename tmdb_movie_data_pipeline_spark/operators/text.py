@@ -753,3 +753,127 @@ def oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("oov_ppm"),
     )
 oov_bigram_rate.__doc__ = oov_bigram_rate.__doc__.format(_LM_MIN_CTX=_LM_MIN_CTX, _LM_TOPN=_LM_TOPN)  # real docstring (ADVICE r7)
+
+
+# -- Cohen's kappa: classifier-vs-label agreement ------------------------------
+
+_KAPPA_SCORED_SQL = f"""
+    scored AS (
+        SELECT lang AS lab,
+               CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+                    WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_de THEN 'es'
+                    ELSE 'de' END AS pred
+        FROM (
+            SELECT lang,
+                   {_marker_count_sql(LANG_MARKERS["en"])} AS s_en,
+                   {_marker_count_sql(LANG_MARKERS["es"])} AS s_es,
+                   {_marker_count_sql(LANG_MARKERS["de"])} AS s_de
+            FROM documents
+        )
+    )"""
+
+
+@register(
+    "ml_cohen_kappa",
+    oracle=f"""
+    WITH {_KAPPA_SCORED_SQL},
+    cm AS (
+        SELECT lab, pred, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lab = pred THEN c ELSE 0 END) AS BIGINT)
+                   AS diag
+        FROM cm
+    ), pe AS (
+        SELECT CAST(COALESCE(SUM(CAST(r.rc AS HUGEINT) * c.cc), 0) AS HUGEINT)
+                   AS pe_num
+        FROM (SELECT lab AS k, SUM(c) AS rc FROM cm GROUP BY 1) r
+        JOIN (SELECT pred AS k, SUM(c) AS cc FROM cm GROUP BY 1) c
+          ON c.k = r.k
+    )
+    SELECT t.n, t.diag AS n_agree, CAST(p.pe_num AS BIGINT) AS pe_num,
+           CAST(CASE WHEN CAST(t.n AS HUGEINT) * t.diag >= p.pe_num
+                     THEN (1000000 * (CAST(t.n AS HUGEINT) * t.diag - p.pe_num))
+                          // (CAST(t.n AS HUGEINT) * t.n - p.pe_num)
+                     ELSE -((1000000 * (p.pe_num - CAST(t.n AS HUGEINT) * t.diag))
+                            // (CAST(t.n AS HUGEINT) * t.n - p.pe_num))
+                END AS BIGINT) AS kappa_ppm
+    FROM tot t CROSS JOIN pe p
+    """,
+    deferred=True,
+)
+def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the marker-word language classifier
+    (text_lang_id's exact decision rule) and the stored lang label —
+    chance-corrected agreement, the honest upgrade over raw accuracy
+    when classes are imbalanced (a classifier that always answers the
+    majority language scores high accuracy but kappa ~= 0).
+
+    kappa = (p_o - p_e)/(1 - p_e) computed as one exact integer rational:
+    1e6*(n*diag - sum_k row_k*col_k) over (n^2 - sum_k row_k*col_k),
+    marginals joined on the category union (one-sided categories
+    contribute zero expected mass). The numerator CAN be negative
+    (worse-than-chance), and Spark's `div` truncates while DuckDB's `//`
+    floors — so the division runs on the absolute value with the sign
+    re-applied, making both engines agree bit-for-bit on either side of
+    zero. DECIMAL(38,0)/HUGEINT intermediates per the chi2 recipe.
+
+    Shape: the confusion matrix is a |labels| x |predictions| aggregate
+    of one scan; everything after is driver-tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    scored = docs.select(
+        F.col("lang").alias("lab"),
+        _marker_count(toks, LANG_MARKERS["en"]).alias("s_en"),
+        _marker_count(toks, LANG_MARKERS["es"]).alias("s_es"),
+        _marker_count(toks, LANG_MARKERS["de"]).alias("s_de"),
+    ).select(
+        "lab",
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_es") == 0) & (F.col("s_de") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("pred"),
+    )
+    cm = scored.groupBy("lab", "pred").agg(F.count(F.lit(1)).alias("c"))
+    tot = cm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("lab") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    rows_m = cm.groupBy(F.col("lab").alias("k")).agg(F.sum("c").alias("rc"))
+    cols_m = cm.groupBy(F.col("pred").alias("k")).agg(F.sum("c").alias("cc"))
+    pe = rows_m.join(cols_m, "k").agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(rc AS DECIMAL(19,0)) * cc), 0)"
+            " AS DECIMAL(38,0))"
+        ).alias("pe_num")
+    )
+    return (
+        tot.crossJoin(pe)
+        .select(
+            "n",
+            F.col("diag").alias("n_agree"),
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.expr(
+                "CAST(CASE WHEN CAST(n AS DECIMAL(19,0)) * diag >= pe_num"
+                " THEN (CAST(1000000 AS DECIMAL(38,0))"
+                "       * (CAST(n AS DECIMAL(19,0)) * diag - pe_num))"
+                "      div (CAST(n AS DECIMAL(19,0)) * n - pe_num)"
+                " ELSE -((CAST(1000000 AS DECIMAL(38,0))"
+                "         * (pe_num - CAST(n AS DECIMAL(19,0)) * diag))"
+                "        div (CAST(n AS DECIMAL(19,0)) * n - pe_num))"
+                " END AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
