@@ -94,6 +94,15 @@ BENCH_QUERIES = [
     "multimodal_chunk_store_gc",
     "delta_multi_table_tx",
     "graph_link_prediction",
+    # r8 activations: heaviest of the 43 queries promoted from the deferred
+    # queue this round (same policy: iterative kernels excluded; the
+    # clustering coefficient is a single wedge-closure join)
+    "ml_retrieval_eval",
+    "stats_theil_sen",
+    "events_markov_stationary",
+    "profile_join_key_skew",
+    "dedup_minimizer_pairs",
+    "graph_clustering_coefficient",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

@@ -651,3 +651,61 @@ def test_minimizer_guarantee_at_threshold_run_length(spark):
     n_grams_per_doc = 25 + guarantee - _MZ_K + 1
     for d, hs in by_doc.items():
         assert len(hs) < n_grams_per_doc
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """active(w) = new + retained + resurrected for every week, and
+    active(w) = active(w-1) - churned(w) + new(w) + resurrected(w) for
+    every interior week — the algebra growth dashboards depend on."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _user_weeks,
+        growth_accounting,
+    )
+
+    uw = _user_weeks(spark, sf_dir)
+    active = {
+        r["w"]: r["n"]
+        for r in uw.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = {r["week"]: r.asDict() for r in growth_accounting(spark, sf_dir).collect()}
+    for w, n in active.items():
+        r = rows[w]
+        assert n == r["n_new"] + r["n_retained"] + r["n_resurrected"], w
+    for w in active:
+        if w - 1 in active:
+            r = rows[w]
+            assert active[w] == (
+                active[w - 1] - r["n_churned"] + r["n_new"] + r["n_resurrected"]
+            ), w
+
+
+def test_stratified_split_quotas_are_exact(spark, sf_dir):
+    """Per-stratum split sizes equal the largest-remainder quotas: they
+    sum to the stratum size, train gets floor-or-ceil of 80%, and the
+    val/test sizes differ by at most 1 (ties broken toward validation)."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        stratified_split_exact,
+    )
+
+    out = stratified_split_exact(spark, sf_dir)
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    strata = {}
+    for (lang, split), n in counts.items():
+        strata.setdefault(lang, {})[split] = n
+    assert strata, "no strata produced"
+    for lang, by_split in strata.items():
+        n = sum(by_split.values())
+        tr = by_split.get("train", 0)
+        va = by_split.get("validation", 0)
+        te = by_split.get("test", 0)
+        assert tr in (8 * n // 10, 8 * n // 10 + 1), (lang, by_split)
+        assert va in (n // 10, n // 10 + 1), (lang, by_split)
+        assert te in (n // 10, n // 10 + 1), (lang, by_split)
+        assert va >= te, ("tie must favor validation", lang, by_split)
+        # assignment is a partition: every doc appears exactly once
+    total = out.count()
+    distinct_docs = out.select("doc_id").distinct().count()
+    assert total == distinct_docs

@@ -142,3 +142,87 @@ def test_weighted_median_crossing_value_is_permutation_invariant(rows, seed):
         rng.shuffle(shuffled)
         # stable sort by value only — tie order follows the shuffle
         assert crossing_value(sorted(shuffled, key=lambda r: r[0])) == base
+
+
+# -- r8 additions: SemDeDup cluster scorer (pure pandas, no Spark) ------------
+
+
+def test_semdedup_cluster_keep_first_on_planted_duplicates():
+    """A cluster with two identical vectors drops exactly the higher id;
+    an orthogonal third member survives; a singleton cluster survives."""
+    import numpy as np
+    import pandas as pd
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DIM,
+        _semdedup_cluster,
+    )
+
+    v = np.zeros(DIM); v[0] = 1.0
+    w = np.zeros(DIM); w[1] = 1.0  # orthogonal to v
+    pdf = pd.DataFrame(
+        {
+            "cid": [3, 3, 3],
+            "vec_id": [11, 7, 20],  # deliberately unsorted
+            "embedding": [list(v), list(v), list(w)],
+        }
+    )
+    out = _semdedup_cluster(pdf).set_index("vec_id")["dropped"]
+    assert not out[7], "lowest id of the duplicate pair must be kept"
+    assert out[11], "higher id of an identical pair must be dropped"
+    assert not out[20], "orthogonal member must survive"
+
+    single = pd.DataFrame({"cid": [1], "vec_id": [5], "embedding": [list(v)]})
+    out1 = _semdedup_cluster(single)
+    assert list(out1["dropped"]) == [False]
+
+
+def test_semdedup_chain_drops_all_but_first():
+    """Transitive duplicate chains collapse to the single lowest id —
+    every later member sees the first member above threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DIM,
+        _semdedup_cluster,
+    )
+
+    v = np.zeros(DIM); v[0] = 1.0
+    pdf = pd.DataFrame(
+        {
+            "cid": [0] * 4,
+            "vec_id": [40, 10, 30, 20],
+            "embedding": [list(v)] * 4,
+        }
+    )
+    out = _semdedup_cluster(pdf).set_index("vec_id")["dropped"]
+    assert not out[10] and out[20] and out[30] and out[40]
+
+
+def test_dhash_banding_is_lossless_at_radius():
+    """Pigeonhole: flipping <= _DH_MAX_HAMMING bits of a 56-bit hash always
+    leaves at least one of the 8 disjoint 7-bit bands intact — the
+    property that lets the banded engine plan equal the brute-force
+    oracle. Checked exhaustively-at-random over adversarial flip sets."""
+    import itertools
+    import random
+
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+        _DH_BAND_BITS,
+        _DH_BANDS,
+        _DH_BITS,
+        _DH_MAX_HAMMING,
+    )
+
+    assert _DH_BANDS * _DH_BAND_BITS == _DH_BITS
+    assert _DH_MAX_HAMMING < _DH_BANDS  # the pigeonhole precondition
+    rng = random.Random(8)
+    for _ in range(2000):
+        flips = rng.sample(range(_DH_BITS), _DH_MAX_HAMMING)
+        touched = {b // _DH_BAND_BITS for b in flips}
+        assert len(touched) < _DH_BANDS, "some band must remain exact"
+    # and the guarantee genuinely FAILS one past the radius for a crafted
+    # flip set (one bit per band) — the radius is tight, not slack
+    crafted = [b * _DH_BAND_BITS for b in range(_DH_BANDS)]
+    assert len({b // _DH_BAND_BITS for b in crafted}) == _DH_BANDS

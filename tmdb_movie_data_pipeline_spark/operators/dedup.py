@@ -954,13 +954,20 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
     )
     exploded0 = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    rare = (
+    # The cap is enforced by ANTI-joining the HOT set (df > cap), not by
+    # inner-joining the rare set: Zipf means the hot set is tiny (the whole
+    # point of the cap), so it broadcasts and the filter stays map-side,
+    # while the rare-set inner join would shuffle the full exploded
+    # relation a second time (sf0.1: 3.65 s inner-join form, 3.44 s this
+    # form, 1.98 s the uncapped r7 plan — the ~1.5 s is the price of the
+    # df pass itself, accepted as the Zipf guard's local cost).
+    hot = (
         exploded0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .filter(F.col("df") > _CONTAIN_DF_CAP)
         .select("shingle")
     )
-    exploded = exploded0.join(rare, "shingle")
+    exploded = exploded0.join(F.broadcast(hot), "shingle", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
