@@ -877,3 +877,64 @@ def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+# -- tokenizer fertility per language ------------------------------------------
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+                    AS BIGINT) AS n_subwords,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+           CAST((1000000 * SUM(n_subwords)) // SUM(n_words) AS BIGINT)
+               AS fertility_ppm,
+           CAST((1000000 * SUM(n_bpe_est)) // SUM(n_words) AS BIGINT)
+               AS bpe_fertility_ppm
+    FROM per_doc GROUP BY 1
+    """,
+    deferred=True,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per word in exact
+    ppm — the per-language cost metric training-data budgets are priced
+    in (a language whose tokenizer emits 2.1 tokens/word consumes 2.1×
+    the context of one at 1.0; fertility imbalance is how multilingual
+    models end up undertrained on high-fertility languages). Reported for
+    both the word-regex pre-tokenizer and the chars/4 BPE budget
+    estimate, over text_token_count's exact same token definitions so the
+    per-doc and per-language views can never disagree.
+
+    Shape: one scan, one |langs|-sized partial+final aggregate; the ppm
+    divisions happen per GROUP, never per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens_col()).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_subwords"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.expr("CAST((1000000 * SUM(n_subwords)) div SUM(n_words) AS BIGINT)")
+        .alias("fertility_ppm"),
+        F.expr("CAST((1000000 * SUM(n_bpe_est)) div SUM(n_words) AS BIGINT)")
+        .alias("bpe_fertility_ppm"),
+    )
