@@ -103,6 +103,15 @@ BENCH_QUERIES = [
     "profile_join_key_skew",
     "dedup_minimizer_pairs",
     "graph_clustering_coefficient",
+    # r9: heaviest newly-green r8 activations that missed the r8 headline
+    # (VERDICT r8 #8) + heaviest of the r9 activations (SemDeDup's
+    # per-cluster Gram, the dHash banded join, the retention triangle)
+    "events_cohort_ltv",
+    "stats_poisson_bootstrap",
+    "llm_quality_canonical_dedup",
+    "dedup_semdedup_prune",
+    "multimodal_dhash_pairs",
+    "events_retention_triangle",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -156,6 +165,12 @@ REBUILD_PER_RUN = {
 #: meaningfully tightens the min estimator.
 RUNS_PER_QUERY = 3
 
+#: hard budget for the single printed JSON line. The driver tail-captures
+#: the last 2000 bytes of stdout; Spark may append shutdown chatter after
+#: our line, so stay comfortably below (VERDICT r8 #3 — the r8 line hit
+#: ~2.6 KB and the driver's parse failed, losing the headline total).
+MAX_FINAL_LINE_BYTES = 1500
+
 
 def calibration_seconds(spark, copy_dir: str, runs: int = 5) -> float:
     """Fixed-plan noise probe: min seconds for a hash-agg count over
@@ -202,15 +217,38 @@ def make_parallel_copy(spark, sf_dir: str) -> str:
     return dst
 
 
+def _round_token() -> int:
+    from tmdb_movie_data_pipeline_spark.registry import _round_token as rt
+
+    return rt()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # bench runs alone on the box: keep the larger heap (the 6g session
+    # default is the driver-verify coexistence setting — VERDICT r8 #5)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark(app_name="bench")
 
     copy_dir = make_parallel_copy(spark, sf_dir)  # also warms JVM + footers
     try:
         cal_pre = calibration_seconds(spark, copy_dir)
         qs = all_queries()
+
+        # Cold staged-LSH build cost (VERDICT r7 #6 / r8 #6): the candidate
+        # pair stage is cached per fixture fingerprint, so its build cost is
+        # invisible inside the min-of-3 query timings (run 1 builds, runs
+        # 2-3 hit). copy_dir is a fresh temp dir — its fingerprint has never
+        # been built — so this first call IS the cold build, timed here
+        # explicitly before any dedup/graph consumer runs.
+        from tmdb_movie_data_pipeline_spark.operators.dedup import (
+            lsh_pairs_staged,
+        )
+
+        t0 = time.perf_counter()
+        lsh_pairs_staged(spark, copy_dir).count()
+        lsh_stage_build = round(time.perf_counter() - t0, 3)
         timings: dict[str, float] = {}
         total = 0.0
         for name in BENCH_QUERIES:
@@ -247,34 +285,74 @@ def main() -> None:
             streaming[name] = round(time.perf_counter() - t0, 3)
 
         cal_post = calibration_seconds(spark, copy_dir)
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_runtime",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf),
-                    "runs_per_query": RUNS_PER_QUERY,
-                    "timing": (
-                        f"min of {RUNS_PER_QUERY} "
-                        "(steady state; run 1 pays codegen JIT); skew pair: "
-                        "median of 5, variants interleaved (VERDICT r7 #2)"
-                    ),
-                    "inputs": f"repartitioned temp copy, {COPY_FILES} files/table",
-                    # end-to-end micro-batch pipelines (1 run each), not in
-                    # "value" — see the STREAMING_BENCH policy note
-                    "streaming_queries": streaming,
-                    "streaming_total_sec": round(sum(streaming.values()), 3),
-                    # fixed-plan noise probe (see calibration_seconds): this
-                    # query never changes across rounds, so divide any
-                    # cross-round timing comparison by the calibration ratio
-                    # before reading it as a regression.
-                    "calibration_sec_pre": cal_pre,
-                    "calibration_sec_post": cal_post,
-                }
-            )
+
+        # Full per-query detail goes to a repo FILE the snapshot commit
+        # picks up; the PRINTED line is kept compact. VERDICT r8 #3: the
+        # driver tail-captures only the last 2000 bytes of stdout, and the
+        # r8 single-line output (~2.6 KB with 56 per-query timings) was
+        # truncated from the head — losing the headline total. The final
+        # line below carries totals + the slowest queries only and is
+        # asserted under the budget (tests/test_bench_contract.py).
+        detail = {
+            "metric": "headline_queries_total_runtime",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "runs_per_query": RUNS_PER_QUERY,
+            "timing": (
+                f"min of {RUNS_PER_QUERY} "
+                "(steady state; run 1 pays codegen JIT); skew pair: "
+                "median of 5, variants interleaved (VERDICT r7 #2)"
+            ),
+            "inputs": f"repartitioned temp copy, {COPY_FILES} files/table",
+            # end-to-end micro-batch pipelines (1 run each), not in
+            # "value" — see the STREAMING_BENCH policy note
+            "streaming_queries": streaming,
+            "streaming_total_sec": round(sum(streaming.values()), 3),
+            # cold candidate-pair stage build (cache guaranteed cold: the
+            # temp copy's fingerprint is fresh) — the cost every dedup/graph
+            # consumer amortizes via the per-fixture cache
+            "lsh_stage_build_sec": lsh_stage_build,
+            # fixed-plan noise probe (see calibration_seconds): this
+            # query never changes across rounds, so divide any
+            # cross-round timing comparison by the calibration ratio
+            # before reading it as a regression.
+            "calibration_sec_pre": cal_pre,
+            "calibration_sec_post": cal_post,
+        }
+        detail_name = f"BENCH_DETAIL_r{_round_token()}.json"
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), detail_name
         )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        )
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "runs_per_query": RUNS_PER_QUERY,
+                "streaming_total_sec": round(sum(streaming.values()), 3),
+                "lsh_stage_build_sec": lsh_stage_build,
+                "calibration_sec_pre": cal_pre,
+                "calibration_sec_post": cal_post,
+                "slowest_sec": slowest,
+                "detail_file": detail_name,
+            },
+            separators=(",", ":"),
+        )
+        assert len(line.encode()) <= MAX_FINAL_LINE_BYTES, (
+            f"final bench line {len(line.encode())} B exceeds the "
+            f"{MAX_FINAL_LINE_BYTES} B driver tail-capture budget"
+        )
+        print(line)
     finally:
         shutil.rmtree(copy_dir, ignore_errors=True)
     spark.stop()

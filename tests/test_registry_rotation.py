@@ -107,6 +107,86 @@ def test_changed_this_round_reset_discipline():
     )
 
 
+def test_errd_driver_row_is_unverified():
+    """VERDICT r8 item #2: an err'd / mismatched driver row must NOT count
+    as verified — only a fully green latest row does — so oracle-environment
+    failures automatically re-enter priority bucket 1 next round instead of
+    waiting up to ~⌈N/50⌉ rounds in the re-confirmation rotation."""
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 5,
+        "oracle_rows": 5,
+        "err": None,
+    }
+    assert registry._row_is_green(green)
+    # the literal shape the r8 DuckDB OOM burst wrote:
+    errd = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 5,
+        "oracle_rows": None,
+        "err": "duckdb.duckdb.OutOfMemoryException: Out of Memory Error",
+    }
+    assert not registry._row_is_green(errd)
+    assert not registry._row_is_green({**green, "hash_match": False})
+    assert not registry._row_is_green({**green, "rows_match": False})
+    assert not registry._row_is_green({**green, "err": "boom"})
+    assert not registry._row_is_green(None)
+
+
+def test_latest_row_wins_for_verified_names():
+    """A name green in r07 but err'd in r08 must be unverified (and vice
+    versa: an err that later re-greens counts). Checked against the real
+    CORRECTNESS files: the r8 err rows must not be in the verified set."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r8 = root / "CORRECTNESS_r08.json"
+    if not r8.exists():
+        pytest.skip("no r8 correctness record")
+    data = json.loads(r8.read_text())
+    errd = {n for n, row in data.items() if row.get("err")}
+    if not errd:
+        pytest.skip("no err rows in r8")
+    verified = registry._driver_verified_names()
+    leak = errd & verified
+    assert not leak, f"err'd rows counted as verified: {sorted(leak)}"
+
+
+def test_reconfirmation_completeness_bound():
+    """Every green-and-unchanged name must re-enter the first
+    RECONFIRM_STRIDE bucket-3 slots within ceil(N / RECONFIRM_STRIDE)
+    consecutive rounds — the deterministic re-confirmation bound the
+    cyclic-shift rotation exists to provide (VERDICT r7 #7 / r8 #6)."""
+    import math
+
+    names = sorted(registry.all_queries())
+    verified = registry._driver_verified_names()
+    head = {n for n in names if n not in verified} | set(
+        registry._CHANGED_THIS_ROUND
+    )
+    rest_all = {n for n in names if n not in head}
+    if not rest_all:
+        pytest.skip("no green-and-unchanged names")
+    rounds_needed = math.ceil(len(rest_all) / registry.RECONFIRM_STRIDE)
+    for start in (1, 9, 17):  # bound must hold from ANY starting round
+        covered: set[str] = set()
+        for t in range(start, start + rounds_needed):
+            order = registry.verification_order(names, round_token=t)
+            rest = [n for n in order if n in rest_all]
+            covered.update(rest[: registry.RECONFIRM_STRIDE])
+        missing = rest_all - covered
+        assert not missing, (
+            f"{len(missing)} names not re-confirmed within "
+            f"{rounds_needed} rounds from token {start}: "
+            f"{sorted(missing)[:5]}"
+        )
+
+
 def test_every_registered_query_appears_in_coverage_doc():
     """COVERAGE.md is the judge-facing operator inventory — every
     registered query (active or deferred) must have a backticked mention,

@@ -2589,7 +2589,6 @@ def _ecdf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cum a JOIN cum b ON a.x = b.x AND a.et < b.et
     GROUP BY 1, 2
     """,
-    deferred=True,
 )
 def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic for every event-type pair:
@@ -2653,7 +2652,6 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cum a JOIN cum b ON a.x = b.x AND a.et < b.et
     GROUP BY 1, 2
     """,
-    deferred=True,
 )
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (rank-sum) statistic for every event-type pair, with
@@ -2703,3 +2701,6 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc_ppm"),
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

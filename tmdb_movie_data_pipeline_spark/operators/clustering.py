@@ -995,3 +995,6 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_micro_n")
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

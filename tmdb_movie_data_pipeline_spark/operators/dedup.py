@@ -162,7 +162,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_pairs_staged(
+    spark: SparkSession, sf_dir: str, _retry: bool = True
+) -> DataFrame:
     """The MinHash-LSH candidate pair list, MATERIALIZED once per fixture
     and shared by every downstream consumer (graph kernels, the corpus
     funnel, the Jaccard verifiers) — VERDICT r6 #4: each consumer paid the
@@ -242,13 +244,13 @@ def lsh_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(final) and not os.path.exists(done):
             # crashed previous build (dir without _SUCCESS): steal it
             # aside ATOMICALLY, then delete the junk. Of concurrent
-            # racers exactly one rename succeeds; and re-checking
-            # _SUCCESS immediately before the steal closes the ADVICE r7
-            # TOCTOU (a builder publishing between the top-level check
-            # and the cleanup would otherwise lose its just-valid cache
-            # to rmtree). A reader that resolved `final` before a steal
-            # re-reads after its builder republishes — benign-rebuild
-            # race, same fingerprint, identical bytes.
+            # racers exactly one rename succeeds; re-checking _SUCCESS
+            # immediately before the steal NARROWS (not closes — ADVICE
+            # r8) the TOCTOU window in which a builder publishes between
+            # the re-check and the rename: a reader that loses that race
+            # retries the final read once below, re-entering the build
+            # path if the cache vanished mid-read. Same fingerprint,
+            # identical bytes either way.
             junk = os.path.join(base, f".junk-{_uuid.uuid4().hex[:12]}")
             try:
                 if not os.path.exists(done):
@@ -267,7 +269,18 @@ def lsh_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # else: a concurrent builder won — use theirs
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(final)
+    try:
+        return spark.read.parquet(final)
+    except Exception:
+        # ADVICE r8: a concurrent steal can remove `final` between our
+        # done-check and this read (the narrowed-but-open TOCTOU above).
+        # ONE retry re-enters the build path if the cache vanished; a
+        # second failure is a real error and surfaces.
+        if not _retry:
+            raise
+        if os.path.exists(done):
+            return spark.read.parquet(final)
+        return lsh_pairs_staged(spark, sf_dir, _retry=False)
 
 
 @register(
@@ -955,19 +968,24 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded0 = shingled.select("doc_id", F.explode("sh").alias("shingle"))
     # The cap is enforced by ANTI-joining the HOT set (df > cap), not by
-    # inner-joining the rare set: Zipf means the hot set is tiny (the whole
-    # point of the cap), so it broadcasts and the filter stays map-side,
-    # while the rare-set inner join would shuffle the full exploded
-    # relation a second time (sf0.1: 3.65 s inner-join form, 3.44 s this
-    # form, 1.98 s the uncapped r7 plan — the ~1.5 s is the price of the
-    # df pass itself, accepted as the Zipf guard's local cost).
+    # inner-joining the rare set: the rare-set inner join would shuffle the
+    # full exploded relation a second time (sf0.1: 3.65 s inner-join form,
+    # 3.44 s anti-join form, 1.98 s the uncapped r7 plan — the ~1.5 s is
+    # the price of the df pass itself, accepted as the Zipf guard's local
+    # cost). The broadcast decision is left to AQE, NOT forced (ADVICE r8):
+    # under Zipf the count of shingles above a FIXED cap grows with corpus
+    # size, so a forced broadcast of the hot set is a latent executor OOM
+    # at 100 TB unless _CONTAIN_DF_CAP scales with the corpus; AQE sees the
+    # hot set's runtime size and broadcasts exactly when it is actually
+    # small (which it is at every test SF), falling back to a shuffled
+    # anti-join when it is not.
     hot = (
         exploded0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > _CONTAIN_DF_CAP)
         .select("shingle")
     )
-    exploded = exploded0.join(F.broadcast(hot), "shingle", "left_anti")
+    exploded = exploded0.join(hot, "shingle", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -1091,3 +1109,6 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

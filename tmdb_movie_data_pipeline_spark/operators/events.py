@@ -2354,7 +2354,6 @@ def _user_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes s ON s.cw = c.cw
     GROUP BY 1, 2
     """,
-    deferred=True,
 )
 def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weekly cohort retention triangle: users grouped by their FIRST
@@ -2420,7 +2419,6 @@ def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(c.n_churned, 0) AS n_churned
     FROM active_side a FULL OUTER JOIN churn_side c ON a.week = c.week
     """,
-    deferred=True,
 )
 def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting: every active user classified as NEW
@@ -2481,3 +2479,6 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -948,3 +948,6 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1102,3 +1102,6 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh.alias("is_fresh"),
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1083,7 +1083,6 @@ _GR_MIN_STOP = 2  # >= 2 distinct English stopwords present
             AND b.n_stop >= {_GR_MIN_STOP}) AS passes
     FROM base b JOIN rep r ON r.doc_id = b.doc_id
     """,
-    deferred=True,
 )
 def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate (Rae et al.'s repetition/
@@ -1183,7 +1182,6 @@ _SPLIT_WEIGHTS = (("train", 1, 8), ("validation", 2, 1), ("test", 3, 1))
     FROM ranked r
     JOIN bounds b ON b.lang = r.lang AND r.rn > b.lo AND r.rn <= b.hi
     """,
-    deferred=True,
 )
 def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/validation/test split with EXACT per-stratum
@@ -1257,3 +1255,6 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("rn") > F.col("lo"))
         & (F.col("rn") <= F.col("hi")),
     ).select(ranked["doc_id"], ranked["lang"], bounds["split"])
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1223,3 +1223,6 @@ def clustered_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         " contents_identical boolean",
     )
 clustered_layout_pruning.__doc__ = clustered_layout_pruning.__doc__.format(_CL_FILES=_CL_FILES)  # real docstring (ADVICE r7)
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

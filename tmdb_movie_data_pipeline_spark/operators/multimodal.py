@@ -718,7 +718,6 @@ _DH_DUCK = _dhash_bits(lambda p: f"substr(px, {p}, 1)", "ascii")
     FROM dh a JOIN dh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.h, b.h)) <= {_DH_MAX_HAMMING}
     """,
-    deferred=True,
 )
 def dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate pairs via difference hash (dHash): the
@@ -781,3 +780,6 @@ def dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _DH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -875,3 +875,6 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"MAX(max_group) * MAX(n_keys) > {_SKEWP_RATIO} * MAX(n_rows)"
         ).alias("salt_recommended"),
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -166,3 +166,6 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(win).cast("long"))
         .filter(F.col("rk") <= _PRI_K)
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -295,7 +295,8 @@ def _dedup_cosine_oracle() -> str:
     FROM cand
     JOIN qn qa ON qa.vec_id = cand.vec_a
     JOIN qn qb ON qb.vec_id = cand.vec_b
-    WHERE CAST({dotq} AS DOUBLE)
+    WHERE qa.n2 > 0 AND qb.n2 > 0  -- zero-norm vectors never pair (both engines)
+      AND CAST({dotq} AS DOUBLE)
               / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
           >= {DUP_COSINE_THRESHOLD}
     """
@@ -330,7 +331,14 @@ def _score_bucket(pdf):
     q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
     norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
     gram = q @ q.T  # exact int64 — no accumulation-order sensitivity
-    cos = gram.astype(np.float64) / np.outer(norms, norms)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = gram.astype(np.float64) / np.outer(norms, norms)
+    # Degenerate (all-zero after quantization) embeddings have no defined
+    # cosine: 0/0 is NaN here but DuckDB orders NaN above every number, so
+    # leaving it to the comparison diverges cross-engine (ADVICE r8).
+    # Deterministic rule on BOTH sides: zero-norm vectors never pair.
+    cos[norms == 0, :] = -2.0
+    cos[:, norms == 0] = -2.0
     ia, ib = np.triu_indices(len(ids), k=1)
     keep = cos[ia, ib] >= DUP_COSINE_THRESHOLD
     if not keep.any():
@@ -962,7 +970,8 @@ def _semdedup_oracle() -> str:
           ON a.cid = b.cid AND a.vec_id < b.vec_id
         JOIN qn qa ON qa.vec_id = a.vec_id
         JOIN qn qb ON qb.vec_id = b.vec_id
-        WHERE CAST({dotq} AS DOUBLE)
+        WHERE qa.n2 > 0 AND qb.n2 > 0  -- zero-norm vectors never pair (both engines)
+          AND CAST({dotq} AS DOUBLE)
                   / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
               >= {DUP_COSINE_THRESHOLD}
     )
@@ -993,13 +1002,20 @@ def _semdedup_cluster(pdf):
     s = mat * DUP_QUANT_SCALE
     q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
     norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
-    cos = (q @ q.T).astype(np.float64) / np.outer(norms, norms)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (q @ q.T).astype(np.float64) / np.outer(norms, norms)
+    # Zero-norm (degenerate) embeddings are deterministically KEPT and
+    # never cause a drop — 0/0 cosine is NaN and DuckDB orders NaN above
+    # every number, so deciding at the comparison diverges cross-engine
+    # (ADVICE r8). Same rule as _score_bucket, mirrored in the oracle.
+    cos[norms == 0, :] = -2.0
+    cos[:, norms == 0] = -2.0
     # ids are sorted ascending: strictly-lower triangle = earlier members
     dup = np.tril(cos >= DUP_COSINE_THRESHOLD, k=-1).any(axis=1)
     return pd.DataFrame({"vec_id": ids, "cid": cid, "dropped": dup})
 
 
-@register("dedup_semdedup_prune", oracle=_semdedup_oracle(), deferred=True)
+@register("dedup_semdedup_prune", oracle=_semdedup_oracle())
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication that finds
     near-duplicate MEANINGS, not near-duplicate bytes — cluster the
@@ -1036,3 +1052,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_semdedup_cluster, "vec_id long, cid long, dropped boolean")
         .select("vec_id", F.col("cid").cast("long").alias("cid"), "dropped")
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

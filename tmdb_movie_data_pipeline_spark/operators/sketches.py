@@ -1313,3 +1313,6 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 bloom_membership.__doc__ = bloom_membership.__doc__.format(_BF_WORDS=_BF_WORDS, _BF_K=_BF_K, _BF_PROBES=_BF_PROBES)  # real docstring (ADVICE r7)
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

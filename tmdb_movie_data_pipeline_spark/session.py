@@ -64,7 +64,22 @@ def get_spark(
         # src/movie.py:277-278).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Memory-pressure audit (VERDICT r8 #5): the r8 driver verify saw a
+        # burst of DuckDB OOMs while Spark and the oracle shared the box.
+        # Two residual-footprint levers:
+        # * 6g default heap (was 8g) — sf0.01 verify and sf0.1 bench both
+        #   fit comfortably; bench overrides via SPARK_GRAFT_DRIVER_MEM.
+        # * cap the idle Python-worker pool: pandas-UDF queries fork up to
+        #   one worker per core, workers are reused across queries, and a
+        #   pandas worker never returns freed heap to the OS — after a
+        #   Gram/kNN battery that is cores × 100s-of-MB held for the rest
+        #   of the run. Retaining at most 8 idle workers bounds the
+        #   resident set while keeping warm-worker reuse for the common
+        #   sequential case; evicted workers re-fork in ~tens of ms.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "8")
+        .config("spark.python.worker.idleTimeoutSeconds", "120")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

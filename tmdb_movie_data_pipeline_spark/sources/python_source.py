@@ -200,3 +200,6 @@ def python_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return spark.table(name)
 python_stream_scan.__doc__ = python_stream_scan.__doc__.format(STREAM_PAGES=STREAM_PAGES, STREAM_PAGE_SIZE=STREAM_PAGE_SIZE)  # real docstring (ADVICE r7)
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

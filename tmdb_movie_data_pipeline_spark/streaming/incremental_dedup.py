@@ -240,3 +240,6 @@ def _register_query() -> None:
 
 
 _register_query()
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
