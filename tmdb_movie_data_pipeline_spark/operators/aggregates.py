@@ -2702,5 +2702,181 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- Spearman rank correlation (integer-exact, series-sized) ------------------
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), r AS (
+        SELECT 2 * RANK() OVER (ORDER BY n_events)
+                 + COUNT(*) OVER (PARTITION BY n_events) - 1 AS arx2,
+               2 * RANK() OVER (ORDER BY rev_cents)
+                 + COUNT(*) OVER (PARTITION BY rev_cents) - 1 AS ary2
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM((arx2 - ary2) * (arx2 - ary2)) AS BIGINT) AS sum_d2_x4,
+           CAST(1000000
+                - (1500000 * SUM((arx2 - ary2) * (arx2 - ary2)))
+                  // (COUNT(*) * (COUNT(*) * COUNT(*) - 1))
+                AS BIGINT) AS rho_ppm
+    FROM r
+    """,
+)
+def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily purchase VOLUME and daily
+    purchase REVENUE — the monotone-association test that completes the
+    correlation kit (Pearson assumes linearity, Mann–Kendall tests trend
+    against time; Spearman tests any monotone coupling between two
+    series). Tie-averaged ranks are kept integral by doubling (the
+    stats_mann_whitney device: 2·avg_rank = 2·RANK + ties − 1), so
+    Σd² arrives ×4 and ρ = 1 − 6Σd²/(n(n²−1)) becomes the exact integer
+    rho_ppm = 1e6 − ⌊1.5e6·sum_d2_x4 / (n(n²−1))⌋ — no float ever exists.
+
+    Shape: the raw scan collapses to the DAILY series first (partial+final
+    agg), so the ranking windows run over a bounded value-DOMAIN relation
+    (days), never over events — same discipline as the KS/ECDF battery.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(quantize(F.col("value"), MONEY_SCALE))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    arx2 = (
+        2 * F.rank().over(W.orderBy("n_events"))
+        + F.count(F.lit(1)).over(W.partitionBy("n_events"))
+        - 1
+    )
+    ary2 = (
+        2 * F.rank().over(W.orderBy("rev_cents"))
+        + F.count(F.lit(1)).over(W.partitionBy("rev_cents"))
+        - 1
+    )
+    r = daily.select(arx2.alias("arx2"), ary2.alias("ary2"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum((F.col("arx2") - F.col("ary2")) * (F.col("arx2") - F.col("ary2")))
+        .cast("long")
+        .alias("sum_d2_x4"),
+    ).select(
+        "n_days",
+        "sum_d2_x4",
+        F.expr(
+            "CAST(1000000 - (1500000 * sum_d2_x4)"
+            " div (n_days * (n_days * n_days - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+# -- Welch's t-squared (exact rational, DECIMAL(38) cross-multiplied) ---------
+
+
+@register(
+    "stats_welch_t2",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), m AS (
+        SELECT
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS HUGEINT)     AS n2,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) AS HUGEINT) AS s1,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN v ELSE 0 END) AS HUGEINT)     AS s2,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN v * v ELSE 0 END) AS HUGEINT) AS q1,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN v * v ELSE 0 END) AS HUGEINT)     AS q2
+        FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(s1 * n2 - s2 * n1 AS BIGINT) AS mean_diff_num,
+           CAST((1000000 * ((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1))
+                 * ((n1 - 1) * (n2 - 1)))
+                // ((n1 * q1 - s1 * s1) * (n2 * n2 * (n2 - 1))
+                    + (n2 * q2 - s2 * s2) * (n1 * n1 * (n1 - 1)))
+                AS BIGINT) AS t2_ppm
+    FROM m
+    """,
+)
+def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (purchase vs view values),
+    reported as t² in exact ppm — the parametric counterpart of
+    stats_mann_whitney on the same two samples. Cross-multiplying the
+    textbook form t² = (m̄1−m̄2)² / (s1²/n1 + s2²/n2) into one integer
+    rational removes every division and square root:
+
+        t² = (S1·n2 − S2·n1)²·(n1−1)(n2−1)
+             / [ (n1·Q1 − S1²)·n2²(n2−1) + (n2·Q2 − S2²)·n1²(n1−1) ]
+
+    over the integer sums S=Σv, Q=Σv² of UNIT-quantized values (whole
+    units, not cents: the exact rational grows as n⁴·v², and whole units
+    keep the 128-bit digit budget safe to ~10⁶ samples per group; past
+    that, recenter v by a first-pass integer mean or drop to the float
+    path — documented, not silent). Both engines compute in 128-bit
+    integer types (Spark DECIMAL(38,0), DuckDB HUGEINT) — exact,
+    order-free, and bit-identical; mean_diff_num carries the sign the
+    squared statistic discards.
+
+    Shape: one scan, one 1-row partial+final aggregate (six sums); the
+    rational arithmetic happens once on the driver-side single row."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type", quantize(F.col("value"), 1).alias("v")
+    )
+    m = s.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+        .cast("long")
+        .alias("mean_diff_num"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * ((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1))"
+            " * ((n1 - 1) * (n2 - 1)))"
+            " div ((n1 * q1 - s1 * s1) * (n2 * n2 * (n2 - 1))"
+            "      + (n2 * q2 - s2 * s2) * (n1 * n1 * (n1 - 1)))"
+            " AS BIGINT)"
+        ).alias("t2_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -2480,5 +2480,83 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- power-user concentration (Lorenz curve) ----------------------------------
+
+
+@register(
+    "events_lorenz_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ), hist AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY 1
+    ), cum AS (
+        SELECT k, n_users,
+               CAST(SUM(n_users) OVER w AS BIGINT)     AS cum_users,
+               CAST(SUM(k * n_users) OVER w AS BIGINT) AS cum_events
+        FROM hist
+        WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+        SELECT CAST(SUM(n_users) AS BIGINT)     AS tot_users,
+               CAST(SUM(k * n_users) AS BIGINT) AS tot_events
+        FROM hist
+    )
+    SELECT k AS events_per_user, n_users, cum_users, cum_events,
+           CAST((1000000 * cum_users) // tot_users AS BIGINT)
+               AS cum_users_ppm,
+           CAST((1000000 * cum_events) // tot_events AS BIGINT)
+               AS cum_events_ppm
+    FROM cum CROSS JOIN tot
+    """,
+)
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Lorenz) curve over per-user event counts —
+    the full curve behind agg_gini_coefficient's scalar: each row is one
+    activity level k with the cumulative share of users at ≤ k activity
+    vs the cumulative share of events they generate, both in exact ppm.
+    Reading (cum_users_ppm, cum_events_ppm) pairs off the curve answers
+    the power-user questions product teams actually ask ("the bottom 50%
+    of users produce what share of events?") without fixing decile
+    boundaries in advance.
+
+    Shape: per-user counts are one partial+final hash-agg; the curve then
+    lives on the COUNT-VALUE HISTOGRAM (distinct activity levels — tiny,
+    bounded by max per-user activity, not by users), so the only window
+    runs over that histogram and no per-user ranking exists in the plan.
+    Totals ride along via one broadcastable 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    hist = per_user.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col("k").alias("events_per_user"),
+        "n_users",
+        F.sum("n_users").over(w).cast("long").alias("cum_users"),
+        F.sum(F.col("k") * F.col("n_users")).over(w).cast("long").alias("cum_events"),
+    )
+    tot = hist.agg(
+        F.sum("n_users").cast("long").alias("tot_users"),
+        F.sum(F.col("k") * F.col("n_users")).cast("long").alias("tot_events"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "events_per_user",
+        "n_users",
+        "cum_users",
+        "cum_events",
+        F.expr("CAST((1000000 * cum_users) div tot_users AS BIGINT)").alias(
+            "cum_users_ppm"
+        ),
+        F.expr("CAST((1000000 * cum_events) div tot_events AS BIGINT)").alias(
+            "cum_events_ppm"
+        ),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -949,5 +949,82 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- two-hop reach ------------------------------------------------------------
+
+_REACH_TOPN = 25
+
+
+@register(
+    "graph_two_hop_reach",
+    oracle=f"""
+    WITH e AS ({_MINHASH_ORACLE}),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM e
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM e
+    ),
+    direct AS (SELECT DISTINCT src, dst FROM sym),
+    two_hop AS (
+        SELECT DISTINCT a.src, b.dst
+        FROM sym a JOIN sym b ON b.src = a.dst
+        WHERE b.dst <> a.src
+    ),
+    pure AS (
+        SELECT t.src, t.dst FROM two_hop t
+        LEFT JOIN direct d ON d.src = t.src AND d.dst = t.dst
+        WHERE d.src IS NULL
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM direct GROUP BY 1),
+    reach AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS hop2 FROM pure GROUP BY 1)
+    SELECT CAST(d.src AS BIGINT) AS doc_id, d.degree,
+           COALESCE(r.hop2, 0) AS hop2_reach
+    FROM deg d LEFT JOIN reach r ON r.src = d.src
+    ORDER BY hop2_reach DESC, d.degree DESC, doc_id
+    LIMIT {_REACH_TOPN}
+    """,
+)
+def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach over the near-dup graph: for each document, how many
+    documents are exactly two hops away (neighbors-of-neighbors that are
+    neither the doc itself nor its direct neighbors) — the transitive-
+    contamination radar for dedup: a doc with small degree but large
+    2-hop reach sits one merge decision away from a big duplicate
+    cluster, so collapsing its edge transitively would over-merge (the
+    same bridge-risk clustering_coefficient flags, measured as blast
+    radius instead of density). Top {_REACH_TOPN} by reach, ties broken
+    by degree then id so the limit is deterministic.
+
+    Shape: symmetrize the staged candidate edges (|E|-bounded), one
+    self-equi-join on the shared endpoint for the 2-hop pairs, distinct,
+    anti-join the direct edges, count — every relation is edge- or
+    wedge-bounded and keyed, never vertex-adjacency materialized; the
+    final TakeOrderedAndProject keeps {_REACH_TOPN} rows."""
+    e = lsh_pairs_staged(spark, sf_dir)
+    sym = e.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    direct = sym.distinct()
+    a, b = sym.alias("a"), sym.alias("b")
+    two_hop = (
+        a.join(b, F.col("b.src") == F.col("a.dst"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )
+    pure = two_hop.join(direct, ["src", "dst"], "left_anti")
+    deg = direct.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    reach = pure.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("hop2"))
+    return (
+        deg.join(reach, "src", "left")
+        .select(
+            F.col("src").cast("long").alias("doc_id"),
+            "degree",
+            F.coalesce("hop2", F.lit(0)).cast("long").alias("hop2_reach"),
+        )
+        .orderBy(F.desc("hop2_reach"), F.desc("degree"), "doc_id")
+        .limit(_REACH_TOPN)
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1256,5 +1256,99 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("rn") <= F.col("hi")),
     ).select(ranked["doc_id"], ranked["lang"], bounds["split"])
 
+# -- token-budget quota allocation (largest remainder) ------------------------
+
+_TB_BUDGET = 100_000  # training-token budget to allocate across languages
+
+
+@register(
+    "llm_token_budget_quota",
+    oracle=f"""
+    WITH avail AS (
+        SELECT lang, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total FROM avail
+    ), q AS (
+        SELECT lang, avail_tokens,
+               CAST(({_TB_BUDGET} * avail_tokens) // total AS BIGINT)
+                   AS floor_quota,
+               CAST(({_TB_BUDGET} * avail_tokens) % total AS BIGINT) AS rem
+        FROM avail CROSS JOIN tot
+    ), r AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS BIGINT)
+                   AS rem_rank,
+               CAST({_TB_BUDGET} - SUM(floor_quota) OVER () AS BIGINT)
+                   AS leftover
+        FROM q
+    )
+    SELECT lang, avail_tokens, floor_quota, rem_rank,
+           CAST(floor_quota
+                + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r
+    """,
+)
+def token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder allocation of a {_TB_BUDGET}-token training budget
+    across languages, proportional to available tokens — the exact-sum
+    companion to domain_mix_resample (which picks DOCUMENTS
+    probabilistically, never hitting the budget exactly): floor quotas
+    ⌊B·aᵢ/Σa⌋ underfill by at most |langs|−1 tokens, and the leftover
+    goes +1 each to the largest remainders (tie: lang asc) — so
+    Σ quota == B exactly, the property mixture configs and epoch
+    schedulers need. Same quota discipline as
+    llm_stratified_split_exact, applied to token accounting instead of
+    row splitting; all quantities exact integers.
+
+    Shape: one token-count aggregate (|langs| rows), one 1-row total
+    broadcast back, and windows over the |langs|-sized quota relation —
+    the corpus is scanned once and never shuffled."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens_col())).cast("long").alias("avail_tokens")
+    )
+    tot = avail.agg(F.sum("avail_tokens").cast("long").alias("total"))
+    q = avail.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "avail_tokens",
+        F.expr(f"CAST(({_TB_BUDGET} * avail_tokens) div total AS BIGINT)").alias(
+            "floor_quota"
+        ),
+        F.expr(f"CAST(({_TB_BUDGET} * avail_tokens) % total AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    r = q.select(
+        "lang",
+        "avail_tokens",
+        "floor_quota",
+        F.row_number()
+        .over(W.orderBy(F.desc("rem"), "lang"))
+        .cast("long")
+        .alias("rem_rank"),
+        (F.lit(_TB_BUDGET) - F.sum("floor_quota").over(W.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return r.select(
+        "lang",
+        "avail_tokens",
+        "floor_quota",
+        "rem_rank",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
