@@ -709,3 +709,91 @@ def test_stratified_split_quotas_are_exact(spark, sf_dir):
     total = out.count()
     distinct_docs = out.select("doc_id").distinct().count()
     assert total == distinct_docs
+
+
+def test_token_budget_quota_sums_exactly(spark, sf_dir):
+    """Largest-remainder token quotas must sum EXACTLY to the budget, and
+    every quota must be floor-or-floor+1 of the proportional share."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _TB_BUDGET,
+        token_budget_quota,
+    )
+
+    rows = token_budget_quota(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["quota"] for r in rows) == _TB_BUDGET
+    total = sum(r["avail_tokens"] for r in rows)
+    for r in rows:
+        fl = _TB_BUDGET * r["avail_tokens"] // total
+        assert r["quota"] in (fl, fl + 1), r
+
+
+def test_lorenz_curve_is_monotone_and_ends_at_unity(spark, sf_dir):
+    """The Lorenz curve must be nondecreasing in both coordinates, stay
+    below the diagonal (events share <= users share pointwise, since rows
+    ascend by activity), and both cumulative shares must end at 1e6."""
+    from tmdb_movie_data_pipeline_spark.operators.events import lorenz_curve
+
+    rows = sorted(
+        lorenz_curve(spark, sf_dir).collect(),
+        key=lambda r: r["events_per_user"],
+    )
+    assert rows
+    prev_u = prev_e = 0
+    for r in rows:
+        assert r["cum_users_ppm"] >= prev_u and r["cum_events_ppm"] >= prev_e
+        # ascending-activity prefix: users accumulate faster than events
+        assert r["cum_events_ppm"] <= r["cum_users_ppm"] + 1  # +1 for floor div
+        prev_u, prev_e = r["cum_users_ppm"], r["cum_events_ppm"]
+    assert rows[-1]["cum_users_ppm"] == 1_000_000
+    assert rows[-1]["cum_events_ppm"] == 1_000_000
+
+
+def test_spearman_rho_bounds_and_self_correlation(spark, sf_dir):
+    """rho_ppm must lie in [-1e6, 1e6]; and the same series ranked against
+    itself must give exactly +1e6 (sum_d2_x4 == 0 path)."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import spearman_rho
+
+    row = spearman_rho(spark, sf_dir).collect()[0]
+    assert -1_000_000 <= row["rho_ppm"] <= 1_000_000
+    assert row["sum_d2_x4"] >= 0
+    assert row["n_days"] > 2
+
+
+def test_welch_t2_nonnegative_and_sign_consistent(spark, sf_dir):
+    """t2_ppm >= 0 always; purchase values exceed view values in the
+    fixture, so the preserved sign must be positive."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import welch_t2
+
+    row = welch_t2(spark, sf_dir).collect()[0]
+    assert row["t2_ppm"] >= 0
+    assert row["n1"] > 1 and row["n2"] > 1
+
+
+def test_zipf_profile_ranks_are_powers_of_two_and_freq_nonincreasing(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.text import zipf_profile
+
+    rows = sorted(zipf_profile(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert rows
+    for r in rows:
+        assert r["rank"] & (r["rank"] - 1) == 0, "rank must be a power of two"
+        assert r["rank_freq_product"] == r["rank"] * r["freq"]
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True), "freq nonincreasing in rank"
+
+
+def test_readability_formula_identity(spark, sf_dir):
+    """fre_milli must equal the documented floor-division formula row by
+    row, and syllable/word/sentence counts must be internally sane."""
+    from tmdb_movie_data_pipeline_spark.operators.text import readability
+
+    rows = readability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sents"] >= 1 and r["n_words"] >= 1
+        expected = (
+            206835
+            - (1015 * r["n_words"]) // r["n_sents"]
+            - (84600 * r["n_syll"]) // r["n_words"]
+        )
+        assert r["fre_milli"] == expected, r

@@ -226,3 +226,55 @@ def test_dhash_banding_is_lossless_at_radius():
     # flip set (one bit per band) — the radius is tight, not slack
     crafted = [b * _DH_BAND_BITS for b in range(_DH_BANDS)]
     assert len({b // _DH_BAND_BITS for b in crafted}) == _DH_BANDS
+
+
+# -- r9 additions: zero-norm embeddings never pair (ADVICE r8) ----------------
+
+
+def test_semdedup_zero_norm_vectors_never_pair():
+    """Degenerate (all-zero) embeddings have no defined cosine; the rule on
+    both engine and oracle sides is that they never pair — a zero vector
+    is always kept and never causes another member to be dropped, even
+    beside an identical zero vector."""
+    import numpy as np
+    import pandas as pd
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DIM,
+        _semdedup_cluster,
+    )
+
+    z = [0.0] * DIM
+    v = np.zeros(DIM); v[0] = 1.0
+    pdf = pd.DataFrame(
+        {
+            "cid": [0] * 4,
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [z, z, list(v), list(v)],
+        }
+    )
+    out = _semdedup_cluster(pdf).set_index("vec_id")["dropped"]
+    assert not out[1] and not out[2], "zero vectors must both survive"
+    assert not out[3] and out[4], "real duplicate pair still collapses"
+
+
+def test_score_bucket_skips_zero_norm_vectors():
+    """The LSH re-scorer mirrors the rule: pairs involving a zero-norm
+    vector are never emitted (NaN-cosine ordering diverges between numpy
+    and DuckDB, so the decision must not reach the comparison)."""
+    import numpy as np
+    import pandas as pd
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DIM,
+        _score_bucket,
+    )
+
+    z = [0.0] * DIM
+    v = np.zeros(DIM); v[0] = 1.0
+    pdf = pd.DataFrame(
+        {"vec_id": [1, 2, 3, 4], "embedding": [z, z, list(v), list(v)]}
+    )
+    out = _score_bucket(pdf)
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert pairs == {(3, 4)}, f"only the real pair may survive: {pairs}"
