@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "dedup_semdedup_prune",
     "multimodal_dhash_pairs",
     "events_retention_triangle",
+    # r9 new operators worth watching: the two-stage ANN (windowed top-k
+    # over a broadcast cross product ×2) and the chunk-df join
+    "ann_truncated_rerank",
+    "dedup_chunk_dupshare",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

@@ -1110,5 +1110,85 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- C4-style duplicated-content share (chunk granularity) --------------------
+
+_CHUNK_W = 8  # words per non-overlapping chunk ("line" proxy for this corpus)
+
+
+@register(
+    "dedup_chunk_dupshare",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), chunked AS (
+        SELECT doc_id,
+               UNNEST([array_to_string(toks[({_CHUNK_W}*i+1):({_CHUNK_W}*i+{_CHUNK_W})], ' ')
+                       for i in range(0, len(toks) // {_CHUNK_W})]) AS chunk
+        FROM toked
+    ), df AS (
+        SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunked GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST((1000000 * SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_share_ppm
+    FROM chunked c JOIN df USING (chunk)
+    GROUP BY 1
+    """,
+)
+def chunk_dupshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-content SHARE per document: chop each doc into
+    non-overlapping {_CHUNK_W}-word chunks (the corpus has no newline/
+    sentence structure, so fixed-width chunks stand in for C4's lines),
+    count how many of a doc's chunks also occur in at least one OTHER
+    document, and report the share in exact ppm. This is the REMOVAL
+    metric behind C4's famous three-sentence-span dedup: the pair
+    operators (exact_substring/minimizers) say WHICH docs overlap; this
+    says HOW MUCH of each doc is boilerplate — the number quality
+    pipelines threshold on before dropping or trimming a page.
+
+    Shape: one token scan → chunk explosion (≤ tokens/{_CHUNK_W} rows per
+    doc) → chunk-keyed distinct-doc count (partial+final agg) → one
+    equi-join back on the chunk hash → per-doc agg. Chunk document
+    frequency is naturally capped by Zipf at the chunk level (full
+    {_CHUNK_W}-word spans repeat far less than single shingles), and the
+    join key fans out only to each chunk's occurrence list — never a
+    pair product. docs with fewer than {_CHUNK_W} words emit no chunks
+    and are absent, matching the oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = (
+        docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks")
+        .selectExpr(
+            "doc_id",
+            f"""explode(
+                CASE WHEN size(toks) >= {_CHUNK_W}
+                     THEN transform(sequence(0, size(toks) div {_CHUNK_W} - 1),
+                                    i -> concat_ws(' ', slice(toks, {_CHUNK_W}*i+1, {_CHUNK_W})))
+                     ELSE array()
+                END) AS chunk""",
+        )
+    )
+    df_counts = chunked.groupBy("chunk").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        chunked.join(df_counts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("dup_share_ppm"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
