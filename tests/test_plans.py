@@ -606,3 +606,37 @@ def test_clustering_coefficient_has_no_cartesian(spark, sf_dir):
     plan = _plan(_deferred("graph_clustering_coefficient")(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_readability_is_pure_projection(spark, sf_dir):
+    """fre_milli is one codegen projection: no Exchange (shuffle) may
+    appear anywhere in the plan."""
+    plan = _plan(all_queries()["text_readability"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 0
+    assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_token_budget_scans_documents_once(spark, sf_dir):
+    """The quota table derives from ONE corpus scan; totals ride back via
+    a broadcast, windows run over the |langs| relation only."""
+    plan = _plan(all_queries()["llm_token_budget_quota"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_profile_has_no_global_sort_over_vocab(spark, sf_dir):
+    """Vocabulary ranking must come from the frequency-histogram offsets;
+    the only Sort nodes may be window-operator locals, never a global
+    range-partitioned ordering of the term-frequency relation."""
+    plan = _plan(all_queries()["text_zipf_profile"](spark, sf_dir))
+    assert "rangepartitioning(freq" not in plan.lower().replace(" ", "")
+    # TakeOrderedAndProject absent too: the profile filters, never top-Ks
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_truncated_rerank_broadcasts_queries(spark, sf_dir):
+    """Both passes hang off the broadcast query set; the corpus is never
+    shuffled for the coarse scan."""
+    plan = _plan(all_queries()["ann_truncated_rerank"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastNestedLoopJoin") >= 1  # broadcast cross join
+    assert _nodes(plan, "Scan parquet") <= 2  # queries + corpus, no extra passes

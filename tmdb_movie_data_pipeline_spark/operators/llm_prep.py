@@ -1311,8 +1311,15 @@ def token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = docs.groupBy("lang").agg(
         F.sum(F.size(tokens_col())).cast("long").alias("avail_tokens")
     )
-    tot = avail.agg(F.sum("avail_tokens").cast("long").alias("total"))
-    q = avail.crossJoin(F.broadcast(tot)).select(
+    from pyspark.sql.window import Window as W
+
+    # the grand total comes from a window over the |langs|-sized quota
+    # relation, NOT a separate aggregate of `avail` — a second aggregate
+    # re-executes the corpus scan (DataFrame reuse is recomputation, not
+    # sharing), turning a one-scan operator into two at 100 TB.
+    q = avail.withColumn(
+        "total", F.sum("avail_tokens").over(W.partitionBy()).cast("long")
+    ).select(
         "lang",
         "avail_tokens",
         F.expr(f"CAST(({_TB_BUDGET} * avail_tokens) div total AS BIGINT)").alias(
@@ -1322,8 +1329,6 @@ def token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rem"
         ),
     )
-    from pyspark.sql.window import Window as W
-
     r = q.select(
         "lang",
         "avail_tokens",
