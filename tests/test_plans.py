@@ -640,3 +640,10 @@ def test_truncated_rerank_broadcasts_queries(spark, sf_dir):
     plan = _plan(all_queries()["ann_truncated_rerank"](spark, sf_dir))
     assert _nodes(plan, "BroadcastNestedLoopJoin") >= 1  # broadcast cross join
     assert _nodes(plan, "Scan parquet") <= 2  # queries + corpus, no extra passes
+
+
+def test_lorenz_curve_scans_events_once(spark, sf_dir):
+    """Totals come from a window over the activity histogram — a second
+    aggregate of the per-user relation would re-scan the corpus."""
+    plan = _plan(all_queries()["events_lorenz_curve"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1

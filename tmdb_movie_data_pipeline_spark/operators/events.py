@@ -2534,17 +2534,19 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
     w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    # totals via an unbounded window over the SAME histogram relation — a
+    # separate aggregate + crossJoin would re-derive `hist` from the raw
+    # events (DataFrame reuse is recomputation), doubling the corpus scan
+    w_all = W.partitionBy()
     cum = hist.select(
         F.col("k").alias("events_per_user"),
         "n_users",
         F.sum("n_users").over(w).cast("long").alias("cum_users"),
         F.sum(F.col("k") * F.col("n_users")).over(w).cast("long").alias("cum_events"),
+        F.sum("n_users").over(w_all).cast("long").alias("tot_users"),
+        F.sum(F.col("k") * F.col("n_users")).over(w_all).cast("long").alias("tot_events"),
     )
-    tot = hist.agg(
-        F.sum("n_users").cast("long").alias("tot_users"),
-        F.sum(F.col("k") * F.col("n_users")).cast("long").alias("tot_events"),
-    )
-    return cum.crossJoin(F.broadcast(tot)).select(
+    return cum.select(
         "events_per_user",
         "n_users",
         "cum_users",

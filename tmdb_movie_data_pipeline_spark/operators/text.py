@@ -984,6 +984,13 @@ def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t") != "")
         .groupBy(F.col("t").alias("term"))
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        # the tf relation feeds BOTH the frequency histogram and the rank
+        # probe; without materialization each branch would re-run the
+        # corpus explode+agg (DataFrame reuse is recomputation). The
+        # vocabulary is explode-output collapsed to distinct terms —
+        # orders of magnitude smaller than the corpus — so staging it is
+        # the graph.py edge-list pattern, not a corpus cache.
+        .localCheckpoint(eager=False)
     )
     # terms with strictly higher frequency: cumulative counts over the
     # descending distinct-frequency histogram (value-domain-sized)
