@@ -647,3 +647,60 @@ def test_lorenz_curve_scans_events_once(spark, sf_dir):
     aggregate of the per-user relation would re-scan the corpus."""
     plan = _plan(all_queries()["events_lorenz_curve"](spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_ewma_is_one_bounded_explode_no_recurrence(spark, sf_dir):
+    """The closed-form EWMA is an explode + hash agg: no window operator
+    (a sequential recurrence would appear as a global-sort window), no
+    pair product; the weights arrive via broadcast."""
+    plan = _plan(all_queries()["events_ewma_smoothing"](spark, sf_dir))
+    assert _nodes(plan, "Window") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "Exchange") <= 2
+
+
+def test_kruskal_window_runs_over_histogram_only(spark, sf_dir):
+    """Tie-averaged doubled ranks come from ONE window over the whole-unit
+    value histogram; orders are never pool-sorted."""
+    plan = _plan(all_queries()["stats_kruskal_mean_ranks"](spark, sf_dir))
+    assert _nodes(plan, "Sort") == 1  # the single histogram-window local
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_char_diversity_is_single_scan_two_aggs(spark, sf_dir):
+    """Fixed-prefix char explosion → (doc, char) agg → per-doc rollup:
+    exactly one corpus scan and two aggregation exchanges."""
+    plan = _plan(all_queries()["text_char_diversity"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Exchange") == 2
+    assert _nodes(plan, "Window") == 0
+
+
+def test_source_tvd_joins_only_shared_terms(spark, sf_dir):
+    """The pair relation is a term-keyed equi self-join of the staged
+    (source, term) counts — no cartesian pair product anywhere, totals
+    ride broadcasts."""
+    plan = _plan(all_queries()["text_source_tvd"](spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_fd_discovery_scans_each_candidate_once(spark, sf_dir):
+    """One scan per FD candidate (the config-bounded union), each pruned
+    to its two columns; no joins exist at all."""
+    from tmdb_movie_data_pipeline_spark.operators.profiling import _FD_CANDIDATES
+
+    plan = _plan(all_queries()["profile_fd_discovery"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == len(_FD_CANDIDATES)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert _nodes(plan, j) == 0
+
+
+def test_silhouette_centroids_come_back_broadcast(spark, sf_dir):
+    """The |labels|×dim centroid relation joins back as a BROADCAST hash
+    join keyed on dim; no pairwise vector product exists."""
+    plan = _plan(all_queries()["ml_silhouette_centroid"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "SortMergeJoin") == 0

@@ -2878,5 +2878,99 @@ def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Kruskal-style k-sample mean ranks -----------------------------------------
+
+
+@register(
+    "stats_kruskal_mean_ranks",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS v
+        FROM orders
+    ),
+    h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+    r AS (
+        SELECT v,
+               2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS ar2
+        FROM h
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ar2) AS BIGINT) AS rank_sum_x2
+        FROM s JOIN r USING (v) GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM s)
+    SELECT grp, n, rank_sum_x2,
+           CAST((1000 * rank_sum_x2) // (2 * n) AS BIGINT) AS mean_rank_milli,
+           CAST(500 * (n_total + 1) AS BIGINT) AS expected_milli,
+           CAST((1000 * rank_sum_x2) // (2 * n) - 500 * (n_total + 1)
+                AS BIGINT) AS dev_milli
+    FROM g, t
+    """,
+)
+def kruskal_mean_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis-style k-sample rank comparison: per-group mean rank of
+    order totals across the five order priorities, against the global
+    expected mid-rank (N+1)/2. This is the k-group extension of
+    stats_mann_whitney — under the null every group's mean rank sits at
+    the mid-rank; dev_milli is the signed exact-milli displacement that
+    feeds the H statistic. Tie-averaged ranks stay integral via the
+    doubling device (2·avgrank = 2·n_below + ties + 1), values are
+    quantized to whole units, and every emitted number is an exact
+    integer — mean_rank_milli divides two positive integers, dev_milli is
+    a DIFFERENCE of exact integers (so its sign never meets an engine-
+    specific division convention).
+
+    Shape: the order scan collapses to a value-domain histogram (distinct
+    whole-unit totals); the only window runs over that histogram, and the
+    doubled-rank lookup joins back to the (grp, v) relation — broadcast-
+    sized right side, no pooled sort over orders at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # collapse the scan ONCE to the (grp, value) contingency relation —
+    # |groups| × |distinct whole-unit totals|, value-domain-bounded — and
+    # derive the histogram, the per-group sums, and the grand total from
+    # it, so the orders scan is single-pass
+    sv = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            quantize(F.col("o_totalprice"), 1).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    h = sv.groupBy("v").agg(F.sum("m").cast("long").alias("cnt"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    r = h.select(
+        "v",
+        (
+            2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1
+        ).alias("ar2"),
+    )
+    g = (
+        sv.join(F.broadcast(r), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("m").cast("long").alias("n"),
+            F.sum(F.col("m") * F.col("ar2")).cast("long").alias("rank_sum_x2"),
+        )
+    )
+    t = sv.agg(F.sum("m").cast("long").alias("n_total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "grp",
+        "n",
+        "rank_sum_x2",
+        F.expr("CAST((1000 * rank_sum_x2) div (2 * n) AS BIGINT)").alias(
+            "mean_rank_milli"
+        ),
+        F.expr("CAST(500 * (n_total + 1) AS BIGINT)").alias("expected_milli"),
+        F.expr(
+            "CAST((1000 * rank_sum_x2) div (2 * n) - 500 * (n_total + 1)"
+            " AS BIGINT)"
+        ).alias("dev_milli"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

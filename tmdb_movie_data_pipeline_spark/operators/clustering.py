@@ -996,5 +996,126 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- centroid silhouette (clustering quality, integer-exact) --------------------
+
+#: shift+scale for the silhouette quantization: components live in (-1, 1),
+#: so (x + 1) * 1000 is a NONNEGATIVE integer in [0, 2000] — and with all
+#: inputs nonnegative, integer division (truncation) IS floor division in
+#: both engines, so the quantized centroid is deterministic cross-engine.
+_SIL_SCALE = 1000
+
+
+@register(
+    "ml_silhouette_centroid",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               CAST(UNNEST(range(0, {DIM})) AS BIGINT) AS dim,
+               UNNEST([CAST(ROUND((CAST(x AS DOUBLE) + 1.0) * {_SIL_SCALE})
+                            AS BIGINT) FOR x IN embedding]) AS qv
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(SUM(qv) // COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT q.vec_id, q.label AS own, cent.c_label AS cand,
+               CAST(SUM((qv - c) * (qv - c)) AS BIGINT) AS d2
+        FROM q JOIN cent ON cent.dim = q.dim
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, own,
+               MAX(CASE WHEN cand = own THEN d2 END) AS a,
+               MIN(CASE WHEN cand <> own THEN d2 END) AS b
+        FROM d GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT own AS label,
+               CASE WHEN GREATEST(a, b) = 0 THEN 0
+                    WHEN b >= a THEN (1000000 * (b - a)) // GREATEST(a, b)
+                    ELSE -((1000000 * (a - b)) // GREATEST(a, b)) END AS s_ppm
+        FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,
+           CAST(CASE WHEN SUM(s_ppm) >= 0 THEN SUM(s_ppm) // COUNT(*)
+                     ELSE -((-SUM(s_ppm)) // COUNT(*)) END AS BIGINT)
+               AS mean_s_ppm
+    FROM s GROUP BY 1
+    """,
+)
+def silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid silhouette of the embedding space — the standard
+    clustering-quality score in its scalable 'simplified silhouette' form:
+    a = squared distance to the OWN label centroid, b = squared distance to
+    the nearest OTHER centroid, s = (b − a)/max(a, b) in exact signed ppm
+    (positive = separated, negative = the label bleeds into a neighbor).
+    The classic pairwise-silhouette is O(n²) and dead at corpus scale;
+    against centroids it is one broadcast join — the textbook trade
+    (Hartigan) and the one every large-scale clustering eval makes.
+    Components are shift-quantized to nonnegative ints so the floor
+    centroid, the distances, and both signed divisions (handled by
+    explicit sign splits) are bit-identical cross-engine.
+
+    Shape: posexplode to (vec, dim, component); centroids are a
+    |labels|×{DIM} partial+final agg (map-side combine collapses each
+    partition before the shuffle) and come back as a BROADCAST join keyed
+    on dim — the candidate fan-out per row is |labels|, a config-scale
+    constant. No window, no pairwise vector join anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round((F.col("v").cast("double") + 1.0) * _SIL_SCALE, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    cent = ex.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.expr("CAST(SUM(qv) div COUNT(*) AS BIGINT)").alias("c")
+    )
+    d = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy(
+            "vec_id",
+            F.col("label").alias("own"),
+            F.col("c_label").alias("cand"),
+        )
+        .agg(
+            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    ab = d.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cand") == F.col("own"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("d2"))).alias("b"),
+    )
+    s = ab.select(
+        F.col("own").alias("label"),
+        F.expr(
+            "CASE WHEN GREATEST(a, b) = 0 THEN 0"
+            " WHEN b >= a THEN (1000000 * (b - a)) div GREATEST(a, b)"
+            " ELSE -((1000000 * (a - b)) div GREATEST(a, b)) END"
+        ).alias("s_ppm"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("s_ppm").cast("long").alias("sum_s_ppm"),
+        F.expr(
+            "CAST(CASE WHEN SUM(s_ppm) >= 0 THEN SUM(s_ppm) div COUNT(*)"
+            " ELSE -((-SUM(s_ppm)) div COUNT(*)) END AS BIGINT)"
+        ).alias("mean_s_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

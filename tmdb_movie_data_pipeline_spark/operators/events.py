@@ -2560,5 +2560,93 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- EWMA smoothing (closed-form, integer-exact) --------------------------------
+
+#: EWMA decay: alpha = 1/4, so the lag-k weight is (3/4)^k; scaling by 4^L
+#: makes every weight the exact integer 3^k * 4^(L-k).
+_EWMA_LAGS = 20
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+        SELECT d + CAST(lag AS INT) AS anchor, x,
+               CAST(POWER(3, lag) AS HUGEINT)
+                 * CAST(POWER(4, {_EWMA_LAGS} - lag) AS HUGEINT) AS w
+        FROM daily CROSS JOIN generate_series(0, {_EWMA_LAGS}) t(lag)
+    ),
+    a AS (
+        SELECT anchor,
+               CAST(SUM(CAST(x AS HUGEINT) * w) AS HUGEINT) AS num,
+               CAST(SUM(w) AS HUGEINT) AS den,
+               CAST(COUNT(*) AS BIGINT) AS n_lags
+        FROM c GROUP BY 1
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day, daily.x AS rev_cents,
+           CAST(num // den AS BIGINT) AS ewma_cents, n_lags
+    FROM daily JOIN a ON a.anchor = daily.d
+    """,
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily purchase revenue,
+    closed-form and integer-exact: with alpha = 1/4 the lag-k weight
+    (3/4)^k scaled by 4^{_EWMA_LAGS} is the exact integer
+    3^k * 4^({_EWMA_LAGS}-k), truncated at {_EWMA_LAGS} lags (the dropped
+    tail mass is (3/4)^21 < 0.3 %). ewma_cents = floor(sum(w_k * x_(t-k)) /
+    sum(w_k)) over the days PRESENT in the window, so gaps in the series
+    renormalize instead of decaying toward zero. No recursion, no float:
+    the usual sequential-recurrence form is unparallelizable, this
+    windowed-rational form is one equi-join.
+
+    Shape: the corpus collapses to the daily series first; each day then
+    emits {_EWMA_LAGS}+1 (anchor, weight) contributions via an explode —
+    bounded fan-out, equi-joined and hash-aggregated on the anchor day.
+    Weights arrive as an exact integer literal table (broadcast); products
+    run in DECIMAL(38,0)/HUGEINT so a 100-TB daily total cannot overflow.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(quantize(F.col("value"), 100)).cast("long").alias("x"))
+        # feeds both the contribution explode and the final readback join;
+        # staging the day-sized series keeps the corpus scan single-pass
+        .localCheckpoint(eager=False)
+    )
+    weights = spark.createDataFrame(
+        [(k, 3**k * 4 ** (_EWMA_LAGS - k)) for k in range(_EWMA_LAGS + 1)],
+        "lag int, w long",
+    )
+    contrib = (
+        daily.select(
+            "d", "x", F.explode(F.sequence(F.lit(0), F.lit(_EWMA_LAGS))).alias("lag")
+        )
+        .join(F.broadcast(weights), "lag")
+        .select(
+            F.date_add("d", F.col("lag")).alias("anchor"),
+            (F.col("x").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)"))
+            .alias("xw"),
+            F.col("w").cast("decimal(38,0)").alias("wd"),
+        )
+    )
+    agg = contrib.groupBy("anchor").agg(
+        F.sum("xw").alias("num"),
+        F.sum("wd").alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+    )
+    return daily.join(agg, daily["d"] == agg["anchor"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("rev_cents"),
+        F.expr("CAST(num div den AS BIGINT)").alias("ewma_cents"),
+        "n_lags",
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

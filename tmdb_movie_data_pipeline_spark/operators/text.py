@@ -1138,5 +1138,187 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- character diversity (Simpson / Rényi-2, integer-exact) --------------------
+
+#: chars of normalized text examined per document — a fixed prefix, the way
+#: production quality classifiers sample documents instead of scanning 100 MB
+#: outliers end to end
+_DIVERSITY_PREFIX = 256
+
+
+@register(
+    "text_char_diversity",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id,
+               UNNEST(string_split(substr({_NORM_SQL}, 1, {_DIVERSITY_PREFIX}),
+                                   '')) AS ch
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ch WHERE ch <> '' GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars_pfx,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_chars_pfx, distinct_chars,
+           CAST((1000000 * coll) // (n_chars_pfx * (n_chars_pfx - 1))
+                AS BIGINT) AS simpson_ppm
+    FROM d WHERE n_chars_pfx >= 2
+    """,
+)
+def char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Simpson collision index per document over the first
+    {_DIVERSITY_PREFIX} normalized chars: simpson_ppm = 1e6 · Σc(c−1) /
+    n(n−1), the probability two sampled character positions collide. This
+    is the integer-exact Rényi-2 cousin of Shannon character entropy (which
+    is transcendental and therefore not bit-stable cross-engine): near the
+    uniform floor marks encrypted/binary junk, near 1e6 marks degenerate
+    repeated-char documents — both ends are corpus-quality kill rules.
+
+    Shape: per-doc char explosion over a FIXED prefix (bounded fan-out per
+    row regardless of document size), (doc, char) partial+final count, then
+    a per-doc rollup — no window, no join, nothing floats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.substring(norm_text_col(), 1, _DIVERSITY_PREFIX), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    c = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_pfx"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+    )
+    return d.filter(F.col("n_chars_pfx") >= 2).select(
+        "doc_id",
+        "n_chars_pfx",
+        "distinct_chars",
+        F.expr(
+            "CAST((1000000 * coll) div (n_chars_pfx * (n_chars_pfx - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+# -- source-pair total-variation drift ------------------------------------------
+
+
+@register(
+    "text_source_tvd",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST({_TOKENS_SQL}) AS t FROM documents)
+        WHERE t <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_terms,
+               CAST(SUM(a.c) AS BIGINT) AS ca_shared,
+               CAST(SUM(b.c) AS BIGINT) AS cb_shared,
+               CAST(SUM(ABS(CAST(a.c AS HUGEINT) * tb.n
+                            - CAST(b.c AS HUGEINT) * ta.n)) AS HUGEINT)
+                   AS shared_abs
+        FROM tf a
+        JOIN tf b ON a.term = b.term AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_terms,
+           CAST((1000000 * (shared_abs
+                            + CAST(ta.n - ca_shared AS HUGEINT) * tb.n
+                            + CAST(tb.n - cb_shared AS HUGEINT) * ta.n))
+                // (2 * CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT) AS tvd_ppm
+    FROM shared
+    JOIN tot ta ON ta.source = source_a
+    JOIN tot tb ON tb.source = source_b
+    """,
+)
+def source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the unigram term distributions of
+    every SOURCE pair, in exact ppm — the pairwise corpus-drift matrix
+    (which scrape sources write like each other, which one went off the
+    rails after a crawler change). TVD = ½ Σ_t |p_a(t) − p_b(t)| over the
+    VOCABULARY UNION, kept integer by cross-multiplying with the corpus
+    totals: ½ Σ |c_a·N_b − c_b·N_a| / (N_a·N_b). Terms present in only one
+    source contribute without being enumerated: their lump sum is
+    (N_a − Σ_shared c_a)·N_b (+ symmetric), so the pair join touches only
+    SHARED terms and the union semantics still hold exactly. Pairs sharing
+    zero terms are out of scope (every real source pair shares stopwords).
+
+    Shape: one token explosion → (source, term) partial+final count; the
+    pair relation is a term-keyed equi self-join whose per-term fan-out is
+    bounded by #sources² (source count is a config-scale constant, never
+    data-scale), then a |pairs|-sized agg. Products run in
+    DECIMAL(38,0)/HUGEINT so corpus-scale token totals cannot overflow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # feeds both self-join sides and the totals — staging the
+        # (source, term) relation (vocab-scaled, ≪ corpus) keeps the
+        # token explosion single-pass (measured: 6 scans without it)
+        .localCheckpoint(eager=False)
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = tf.alias("a")
+    b = tf.alias("b")
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    shared = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .join(F.broadcast(ta), F.col("ta.source") == F.col("a.source"))
+        .join(F.broadcast(tb), F.col("tb.source") == F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+            F.sum("a.c").cast("long").alias("ca_shared"),
+            F.sum("b.c").cast("long").alias("cb_shared"),
+            F.sum(
+                F.abs(dec("a.c") * dec("tb.n") - dec("b.c") * dec("ta.n"))
+            ).alias("shared_abs"),
+        )
+    )
+    return (
+        shared.join(
+            F.broadcast(tot.alias("xa")), F.col("xa.source") == F.col("source_a")
+        )
+        .join(F.broadcast(tot.alias("xb")), F.col("xb.source") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "shared_terms",
+            F.expr(
+                "CAST((1000000 * (shared_abs"
+                " + CAST(xa.n - ca_shared AS DECIMAL(38,0)) * xb.n"
+                " + CAST(xb.n - cb_shared AS DECIMAL(38,0)) * xa.n))"
+                " div (2 * CAST(xa.n AS DECIMAL(38,0)) * xb.n) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
