@@ -704,3 +704,38 @@ def test_silhouette_centroids_come_back_broadcast(spark, sf_dir):
     assert _nodes(plan, "BroadcastHashJoin") >= 1
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_kendall_pair_join_is_day_bounded(spark, sf_dir):
+    """The pair product runs over the STAGED daily series (scan count 0
+    post-checkpoint): the only non-equi joins are the bounded day-pair
+    nested loop and the 1-row totals broadcast."""
+    plan = _plan(all_queries()["stats_kendall_tau"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 0  # daily series staged once
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 2
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_burstiness_topk_is_heap_not_sort(spark, sf_dir):
+    """The top-N selection must plan as TakeOrderedAndProject (per-
+    partition heaps), never a global Sort over the vocabulary."""
+    plan = _plan(all_queries()["text_term_burstiness"](spark, sf_dir))
+    assert _nodes(plan, "TakeOrderedAndProject") == 1
+    assert _nodes(plan, "Sort") == 0
+
+
+def test_lift_curve_windows_run_over_score_histogram(spark, sf_dir):
+    """One corpus scan to the score histogram; cumulative windows over
+    that domain-sized relation only."""
+    plan = _plan(all_queries()["ml_lift_gains_curve"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Sort") <= 1  # the single histogram-window local
+
+
+def test_dbscan_counts_reuse_the_staged_pair_relation(spark, sf_dir):
+    """Both endpoint branches read the staged pair relation — the grid
+    join must not appear twice (scan count 0 post-checkpoint) and no
+    pair product exists outside it."""
+    plan = _plan(all_queries()["spatial_dbscan_core"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 0
+    assert _nodes(plan, "CartesianProduct") == 0

@@ -2878,6 +2878,92 @@ def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Kendall rank correlation (tau-a, integer-exact) ----------------------------
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days,
+           CAST(SUM(con) AS BIGINT) AS concordant,
+           CAST(SUM(dis) AS BIGINT) AS discordant,
+           CAST(COUNT(*) - SUM(con) - SUM(dis) AS BIGINT) AS tied,
+           CAST(CASE WHEN SUM(con) >= SUM(dis)
+                     THEN (2000000 * (SUM(con) - SUM(dis)))
+                          // (n_days * (n_days - 1))
+                     ELSE -((2000000 * (SUM(dis) - SUM(con)))
+                          // (n_days * (n_days - 1))) END
+                AS BIGINT) AS tau_a_ppm
+    FROM p, t GROUP BY n_days
+    """,
+)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between daily purchase volume and daily revenue —
+    the pair-concordance view of monotone association that completes the
+    correlation kit beside Pearson (linear) and Spearman (rank): tau
+    counts, over every day pair, whether the two series move the same way.
+    tau_a = (C − D) / (n(n−1)/2), emitted in exact signed ppm with the
+    division sign-split so truncation is engine-identical; concordant /
+    discordant / tied pair counts ride along as exact integers.
+
+    Shape: the corpus collapses to the DAILY series first, so the pair
+    join is day²-bounded — it grows with the calendar, never with event
+    volume (a year is ~66 k pairs; the inversion-counting merge-sort form
+    is only worth its complexity at decade×minute granularity). Same
+    staging discipline as stats_spearman_rho on the same series: one scan,
+    and the pair product never sees raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(quantize(F.col("value"), 100)).cast("long").alias("y"),
+        )
+        # feeds both self-join sides and the n_days total: one corpus scan
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    p = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("con"),
+        F.when(prod < 0, 1).otherwise(0).alias("dis"),
+    )
+    t = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .groupBy("n_days")
+        .agg(
+            F.sum("con").cast("long").alias("concordant"),
+            F.sum("dis").cast("long").alias("discordant"),
+            (F.count(F.lit(1)) - F.sum("con") - F.sum("dis"))
+            .cast("long")
+            .alias("tied"),
+            F.expr(
+                "CAST(CASE WHEN SUM(con) >= SUM(dis)"
+                " THEN (2000000 * (SUM(con) - SUM(dis)))"
+                "      div (n_days * (n_days - 1))"
+                " ELSE -((2000000 * (SUM(dis) - SUM(con)))"
+                "      div (n_days * (n_days - 1))) END AS BIGINT)"
+            ).alias("tau_a_ppm"),
+        )
+    )
+
+
 # -- Kruskal-style k-sample mean ranks -----------------------------------------
 
 

@@ -996,6 +996,100 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- lift / gains curve over the score domain ------------------------------------
+
+#: the integer classifier score behind the lift curve: count of English
+#: marker stopwords among a document's tokens (predicting lang = 'en')
+_LIFT_MARKERS = ("the", "a", "and", "of", "is")
+_LIFT_MARKERS_SQL = "(" + ", ".join(f"'{m}'" for m in _LIFT_MARKERS) + ")"
+
+
+@register(
+    "ml_lift_gains_curve",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(len(list_filter({_TOKENS_SQL},
+                    t -> t IN {_LIFT_MARKERS_SQL})) AS BIGINT) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    h AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    c AS (
+        SELECT score, n_docs, n_pos,
+               SUM(n_docs) OVER (ORDER BY score DESC) AS cum_docs,
+               SUM(n_pos) OVER (ORDER BY score DESC) AS cum_pos,
+               SUM(n_docs) OVER () AS tot_docs,
+               SUM(n_pos) OVER () AS tot_pos
+        FROM h
+    )
+    SELECT score, n_docs, n_pos,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST((1000000 * cum_pos) // tot_pos AS BIGINT) AS recall_ppm,
+           CAST((1000000 * cum_pos * tot_docs) // (cum_docs * tot_pos)
+                AS BIGINT) AS lift_ppm
+    FROM c
+    """,
+)
+def lift_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve of the integer marker-count classifier
+    (score = English stopword hits, positive = lang 'en'), evaluated at
+    every DISTINCT SCORE cutoff descending — the campaign-targeting /
+    triage eval: "screening everything scoring ≥ s, what share of the
+    positives do I catch (recall_ppm) and how much better than random am I
+    (lift_ppm, 1e6 = chance)?" Working on the score domain instead of
+    fixed deciles keeps every number an exact integer (no quantile
+    interpolation) and handles ties by construction — a decile table is
+    one GROUP BY over this relation.
+
+    Shape: one corpus scan to the (score, label) histogram — score-domain-
+    sized, tiny — then cumulative windows OVER THAT HISTOGRAM only. The
+    scan never sorts; nothing floats.
+    """
+    from .text import _marker_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        _marker_count(tokens_col(), list(_LIFT_MARKERS))
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    h = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    c = h.select(
+        "score",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        F.sum("n_docs").over(w_all).cast("long").alias("tot_docs"),
+        F.sum("n_pos").over(w_all).cast("long").alias("tot_pos"),
+    )
+    return c.select(
+        "score",
+        "n_docs",
+        "n_pos",
+        "cum_docs",
+        "cum_pos",
+        F.expr("CAST((1000000 * cum_pos) div tot_pos AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * cum_pos * tot_docs) div (cum_docs * tot_pos)"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
 # -- centroid silhouette (clustering quality, integer-exact) --------------------
 
 #: shift+scale for the silhouette quantization: components live in (-1, 1),

@@ -143,3 +143,67 @@ def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan stays an equi-join (shuffle keyed on cells, never n^2 rows).
     """
     return grid_distance_self_join(grid_points(load_table(spark, sf_dir, "customer")))
+
+
+#: DBSCAN core threshold: a point is core when >= MINPTS OTHER points lie
+#: within RADIUS (the textbook minPts excludes the point itself here)
+_DBSCAN_MINPTS = 3
+
+
+@register(
+    "spatial_dbscan_core",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS pkey,
+               {_coord_sql('sx')} AS x,
+               {_coord_sql('sy')} AS y
+        FROM customer
+    ),
+    prs AS (
+        SELECT a.pkey AS pa, b.pkey AS pb
+        FROM pts a JOIN pts b ON a.pkey < b.pkey
+        WHERE (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= {_R2}
+    ),
+    ends AS (SELECT pa AS pkey FROM prs UNION ALL SELECT pb FROM prs)
+    SELECT pkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(COUNT(*) >= {_DBSCAN_MINPTS} AS BOOLEAN) AS is_core
+    FROM ends GROUP BY 1
+    """,
+)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's expensive half — per-point epsilon-neighborhood counts and
+    the core/non-core verdict (core = at least {_DBSCAN_MINPTS} other
+    points within RADIUS) — distributed via the SAME 3x3 grid join the
+    pair query proves lossless. Given core flags, the clustering itself is
+    connected components over core-core edges (graph.py's CC kernel);
+    this operator is the density scan that dominates DBSCAN's runtime at
+    scale. Points with zero neighbors are noise by definition and are not
+    materialized (the pair relation never sees them).
+
+    Shape: the grid equi-join bounds candidates by local density (never
+    n² rows), then each qualifying pair feeds BOTH endpoints through one
+    unionAll + hash agg — no second neighborhood pass. The oracle is the
+    exact all-pairs count, so the grid path's completeness is re-proven
+    per run at fixture scale.
+    """
+    pairs = grid_distance_self_join(
+        grid_points(load_table(spark, sf_dir, "customer"))
+    # both unionAll branches read the pair relation — staged (density-
+    # bounded, ≪ points²) so the grid join runs once, not twice
+    ).localCheckpoint(eager=False)
+    ends = pairs.select(F.col("custkey_a").alias("pkey")).unionAll(
+        pairs.select(F.col("custkey_b").alias("pkey"))
+    )
+    return ends.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    ).select(
+        F.col("pkey").alias("custkey"),
+        "n_neighbors",
+        (F.col("n_neighbors") >= _DBSCAN_MINPTS).alias("is_core"),
+    )
+
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

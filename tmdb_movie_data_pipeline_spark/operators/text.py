@@ -1209,6 +1209,84 @@ def char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- term burstiness (Church–Gale variance-to-mean, integer-exact) --------------
+
+#: how many top-frequency terms the burstiness profile reports
+_BURST_TOPN = 50
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tf AS (
+        SELECT t AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, UNNEST({_TOKENS_SQL}) AS t FROM documents)
+        WHERE t <> '' GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    per_term AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        FROM tf GROUP BY 1
+    )
+    SELECT term, df, tf,
+           CAST((1000 * (CAST(n_docs AS HUGEINT) * sum_c2
+                         - CAST(tf AS HUGEINT) * tf))
+                // (CAST(n_docs AS HUGEINT) * tf) AS BIGINT) AS vmr_milli
+    FROM per_term, n
+    ORDER BY tf DESC, term LIMIT {_BURST_TOPN}
+    """,
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness of the {_BURST_TOPN} most frequent terms:
+    the variance-to-mean ratio of per-document counts WITH zero-docs
+    included — VMR = (N·Σc² − T²) / (N·T) in exact milli. A Poisson
+    (content-free) term sits at 1000; function words hover near it while
+    topical terms run far above (they arrive in bursts, many mentions in
+    few documents) — the classic signal separating keywords from glue
+    words without any stopword list. Zero-count documents enter through N
+    alone, so only (term, doc) pairs that OCCUR are ever materialized;
+    the numerator N·Σc² − T² is a population variance scaled by N²·T,
+    hence provably nonnegative and safe for unsigned floor division.
+
+    Shape: one token explosion → (term, doc) partial+final count → a
+    vocab-sized per-term rollup; the top-{_BURST_TOPN} selection is
+    orderBy().limit() which Spark plans as TakeOrderedAndProject (per-
+    partition heaps, no global sort). The doc total is a 1-row broadcast;
+    cross-products run in DECIMAL(38,0)/HUGEINT.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy(F.col("t").alias("term"), "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.expr(
+                "CAST((1000 * (CAST(n_docs AS DECIMAL(38,0)) * sum_c2"
+                " - CAST(tf AS DECIMAL(38,0)) * tf))"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * tf) AS BIGINT)"
+            ).alias("vmr_milli"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(_BURST_TOPN)
+    )
+
+
 # -- source-pair total-variation drift ------------------------------------------
 
 
