@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     # over a broadcast cross product ×2) and the chunk-df join
     "ann_truncated_rerank",
     "dedup_chunk_dupshare",
+    # r9 session-2 additions: heaviest of the new batch — the source-pair
+    # TVD self-join over the staged (source, term) relation, the broadcast
+    # centroid-distance silhouette, and the grid-join neighborhood counts
+    "text_source_tvd",
+    "ml_silhouette_centroid",
+    "spatial_dbscan_core",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
