@@ -688,3 +688,83 @@ def test_every_write_path_refuses_pending_group(spark, tmp_path):
     g.abort(gid)
     a.optimize()
     assert sorted(r.k for r in a.read().collect()) == list(range(10))
+
+
+# -- merge-on-read deletion vectors -------------------------------------------
+
+
+def test_dv_delete_rewrites_nothing_and_read_subtracts(spark, tmp_path):
+    """delete_range_dv commits a position sidecar: the data-file list is
+    byte-identical across DV commits, reads subtract the positions, and a
+    second DV accumulates on the first. Time travel still sees v0 whole."""
+    base = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    ).repartitionByRange(8, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base, stats_key="k")
+    m0 = t.manifest(0)
+    t.delete_range_dv("k", 10, 20)
+    t.delete_range_dv("k", 500, 520)
+    m2 = t.manifest(2)
+    assert m2["files"] == m0["files"], "DV delete must not restage data"
+    assert len(m2["dvs"]) >= 2  # both sidecars accumulated
+    got = {r.k for r in t.read().collect()}
+    assert got == {
+        k for k in range(800) if not (10 <= k <= 20 or 500 <= k <= 520)
+    }
+    assert t.read(0).count() == 800  # snapshot isolation
+    # schema-authority read path applies DVs too
+    assert t.read(use_log_schema=True).count() == 800 - 11 - 21
+
+
+def test_dv_purged_by_next_data_rewrite_without_resurrection(spark, tmp_path):
+    """A data-writing commit after a DV delete must (a) NOT take the
+    raw-file pruned path (which would resurrect DV-deleted rows) and
+    (b) publish a DV-free manifest — Delta's compaction cadence."""
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base, stats_key="k")
+    t.delete_range_dv("k", 0, 49)
+    src = spark.createDataFrame([(395, 1.0), (2_000, 2.0)], "k long, v double")
+    t.merge(src, "k")
+    m = t.manifest(t.latest_visible_version())
+    assert not m.get("dvs"), "merge after DV delete must purge the DVs"
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert (0, 0.0) not in got and (49, 98.0) not in got  # no resurrection
+    assert (395, 1.0) in got and (2_000, 2.0) in got
+    # delete_range (copy-on-write) likewise reads through DVs
+    t2 = TxTable.create(
+        spark,
+        str(tmp_path / "tbl2"),
+        base,
+        stats_key="k",
+    )
+    t2.delete_range_dv("k", 0, 49)
+    t2.delete_range("k", 100, 149)
+    assert {r.k for r in t2.read().collect()} == {
+        k for k in range(400) if k >= 50 and not (100 <= k <= 149)
+    }
+    assert not t2.manifest(t2.latest_visible_version()).get("dvs")
+
+
+def test_dv_survives_restore_clone_and_vacuum(spark, tmp_path):
+    """DVs are snapshot state: RESTORE re-references them, SHALLOW_CLONE
+    carries them (absolute), and VACUUM treats retained DV sidecars as
+    live while reclaiming unretained ones."""
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    ).repartitionByRange(2, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base, stats_key="k")
+    t.delete_range_dv("k", 0, 9)  # v1
+    t.optimize(1)  # v2: DV-free rewrite
+    t.restore(1)  # v3: re-references v1's files + DVs
+    m3 = t.manifest(3)
+    assert m3.get("dvs"), "restore must carry the snapshot's DVs"
+    assert t.read().count() == 190
+    clone = TxTable.shallow_clone(spark, str(tmp_path / "clone"), t)
+    assert clone.read().count() == 190
+    assert all(os.path.isabs(rel) for rel in clone.manifest(0)["dvs"])
+    # vacuum with the DV-bearing head retained keeps its sidecars readable
+    t.vacuum(keep_latest=1, grace_seconds=0.0)
+    assert t.read().count() == 190

@@ -739,3 +739,30 @@ def test_dbscan_counts_reuse_the_staged_pair_relation(spark, sf_dir):
     plan = _plan(all_queries()["spatial_dbscan_core"](spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 0
     assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_rolling_mau_explodes_the_collapsed_relation(spark, sf_dir):
+    """The contribution explode runs on distinct (user, day) — one scan,
+    and the two-level distinct agg plans as hash aggregates with no
+    window and no join beyond the 1-row bound broadcast."""
+    plan = _plan(all_queries()["events_rolling_mau"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 2  # active relation + max-date bound
+    assert _nodes(plan, "Window") == 0
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_relational_division_is_two_level_agg(spark, sf_dir):
+    """Division = per-group distinct count vs a broadcast universe count:
+    partial+final hash aggregates, no correlated anti-join pair."""
+    plan = _plan(all_queries()["join_relational_division"](spark, sf_dir))
+    assert _nodes(plan, "HashAggregate") >= 4  # two distinct aggs, partial+final
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_harmonic_centrality_has_no_cartesian(spark, sf_dir):
+    """The three hop legs are equi-joins on the staged edge relation;
+    anti-join peeling must not degrade to a nested-loop pair product."""
+    plan = _plan(all_queries()["graph_harmonic_centrality"](spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0

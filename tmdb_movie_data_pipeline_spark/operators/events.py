@@ -2560,6 +2560,70 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- rolling 28-day distinct actives --------------------------------------------
+
+#: rolling window length in days (the "monthly active" convention)
+_MAU_WINDOW = 28
+
+
+@register(
+    "events_rolling_mau",
+    oracle=f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT MAX(d) AS max_d FROM active),
+    c AS (
+        SELECT d + CAST(off AS INT) AS wday, user_id, off
+        FROM active CROSS JOIN generate_series(0, {_MAU_WINDOW} - 1) t(off)
+    )
+    SELECT strftime(wday, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau28,
+           CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS BIGINT)
+               AS dau
+    FROM c, bounds WHERE wday <= max_d
+    GROUP BY 1
+    """,
+)
+def rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_MAU_WINDOW}-day distinct active users for every day of the
+    observed range (trailing window), with same-day DAU alongside — the
+    MAU/DAU pair product dashboards report. Distinct-over-overlapping-
+    windows cannot partial-aggregate directly; the scalable form is the
+    CONTRIBUTION EXPLODE: each (user, active-day) row claims the
+    {_MAU_WINDOW} window-days it makes that user active in, then one
+    two-level distinct count per window-day. Fan-out is a fixed constant
+    on the already-collapsed (user, day) relation — never on raw events —
+    and the double-counting a per-event explode would need to dedup
+    disappears up front.
+
+    Shape: one scan → distinct (user, day) → ×{_MAU_WINDOW} explode →
+    (window-day, user) dedup agg → per-day count; the max-date bound rides
+    a 1-row broadcast. All counts exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = active.agg(F.max("d").alias("max_d"))
+    c = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MAU_WINDOW - 1))).alias("off"),
+        "d",
+    ).select("user_id", "off", F.date_add("d", F.col("off")).alias("wday"))
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday") <= F.col("max_d"))
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("mau28"),
+            F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+        )
+    )
+
+
 # -- EWMA smoothing (closed-form, integer-exact) --------------------------------
 
 #: EWMA decay: alpha = 1/4, so the lag-k weight is (3/4)^k; scaling by 4^L

@@ -1103,5 +1103,55 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- relational division ---------------------------------------------------------
+
+
+@register(
+    "join_relational_division",
+    oracle="""
+    WITH req AS (
+        SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_req
+        FROM orders
+    ),
+    cov AS (
+        SELECT o_custkey,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey AS c_custkey, n_orders
+    FROM cov, req WHERE n_prio = n_req
+    """,
+)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — Codd's eighth operator, the 'for ALL' query
+    SQL famously lacks syntax for: customers whose orders cover EVERY
+    order priority that exists in the data. The divisor is derived from
+    the data itself (a 1-row distinct count), so the query stays correct
+    when the dimension gains members — the set-coverage formulation
+    (per-group distinct count == universe count) instead of the textbook
+    double-NOT-EXISTS, because it is one partial+final aggregate where the
+    nested-NOT-EXISTS form plans as two correlated anti-joins.
+
+    Shape: two-level agg on (custkey, priority) — map-side combine
+    collapses each partition to the distinct pair relation before the
+    shuffle — plus a 1-row broadcast for the universe size. At 100 TB the
+    pair relation is |customers|×|priorities|-bounded, never order-bounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    req = orders.agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("n_req")
+    )
+    cov = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prio"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        cov.crossJoin(F.broadcast(req))
+        .filter(F.col("n_prio") == F.col("n_req"))
+        .select(F.col("o_custkey").alias("c_custkey"), "n_orders")
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

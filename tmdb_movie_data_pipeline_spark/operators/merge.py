@@ -1224,5 +1224,60 @@ def clustered_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 clustered_layout_pruning.__doc__ = clustered_layout_pruning.__doc__.format(_CL_FILES=_CL_FILES)  # real docstring (ADVICE r7)
 
+# -- merge-on-read deletion vectors ---------------------------------------------
+
+_DV_LO1, _DV_HI1 = 50, 200  # first DV delete slice
+_DV_LO2, _DV_HI2 = 700, 820  # second slice: proves DV accumulation
+
+
+@register(
+    "delta_deletion_vectors",
+    oracle=f"""
+    WITH v AS (
+        SELECT c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        WHERE c_custkey NOT BETWEEN {_DV_LO1} AND {_DV_HI1}
+          AND c_custkey NOT BETWEEN {_DV_LO2} AND {_DV_HI2}
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM v GROUP BY c_mktsegment
+    """,
+)
+def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: CREATE the customer base
+    as 8 range-partitioned files with key stats, run TWO DV deletes
+    (TxTable.delete_range_dv) that commit position sidecars WITHOUT
+    rewriting any data file, and read back through the DV anti-join. The
+    query asserts the MoR contract inline — both DV commits must leave the
+    manifest's data-file list byte-identical to v0's — then proves the
+    read subtracts exactly the deleted key ranges against the oracle.
+    (Compaction behavior — the next merge/optimize purging the DVs — is
+    pinned in tests/test_acid.py.)
+
+    Scale shape: each DV build scans only the files whose footer [min,max]
+    intersects the delete range and emits (file_name, row_index) positions
+    — O(matching rows) written, zero data rewritten; the read-side DV
+    relation is deleted-rows-sized and broadcasts."""
+    from ..plans.acid import TxTable
+
+    base = _tx_base(spark, sf_dir).repartitionByRange(8, "c_custkey")
+    t = TxTable.create(spark, _tx_table_path(), base, stats_key="c_custkey")
+    files_v0 = t.manifest(0)["files"]
+    t.delete_range_dv("c_custkey", _DV_LO1, _DV_HI1)
+    t.delete_range_dv("c_custkey", _DV_LO2, _DV_HI2)
+    m = t.manifest(t.latest_visible_version())
+    assert m["files"] == files_v0, "DV delete must not rewrite data files"
+    assert m.get("dvs"), "DV delete must record position sidecars"
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

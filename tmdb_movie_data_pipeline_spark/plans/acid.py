@@ -216,8 +216,36 @@ class TxTable:
         if not files:
             return self.spark.createDataFrame([], m["schema_ddl"])
         if use_log_schema:
-            return self.spark.read.schema(m["schema_ddl"]).parquet(*files)
-        return self.spark.read.parquet(*files)
+            df = self.spark.read.schema(m["schema_ddl"]).parquet(*files)
+        else:
+            df = self.spark.read.parquet(*files)
+        dvs = m.get("dvs") or []
+        if dvs:
+            # merge-on-read: subtract deletion-vector positions. Staged part
+            # file names carry a per-write uuid, so (file_name, row_index)
+            # addresses a row uniquely within the table; the DV relation is
+            # deleted-rows-sized and broadcasts (Delta's DV bitmap reduced
+            # to its relational essence — the scan itself is untouched,
+            # which is the whole point of MoR deletes).
+            from pyspark.sql import functions as F
+
+            dv = (
+                self.spark.read.parquet(*[self._abs(rel) for rel in dvs])
+                .select("file_name", "row_index")
+                .distinct()
+            )
+            src = df.select(
+                F.col("_metadata.file_name").alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+                "*",
+            )
+            df = src.join(
+                F.broadcast(dv),
+                (src["_dv_file"] == dv["file_name"])
+                & (src["_dv_pos"] == dv["row_index"]),
+                "left_anti",
+            ).drop("_dv_file", "_dv_pos")
+        return df
 
     # -- write ----------------------------------------------------------
 
@@ -377,6 +405,8 @@ class TxTable:
             "files": [source._abs(rel) for rel in m["files"]],  # noqa: SLF001
             "schema_ddl": m["schema_ddl"],
         }
+        if m.get("dvs"):  # deletion vectors travel with the snapshot
+            manifest["dvs"] = [source._abs(rel) for rel in m["dvs"]]  # noqa: SLF001
         if "stats_key" in m:
             manifest["stats_key"] = m["stats_key"]
             manifest["stats"] = {
@@ -401,6 +431,12 @@ class TxTable:
         from pyspark.sql import functions as F
 
         if manifest.get("stats_key") != key:
+            return None
+        if manifest.get("dvs"):
+            # deletion vectors pending: the pruned path reads raw files,
+            # which would resurrect DV-deleted rows in BOTH the touched
+            # rewrite and the carried-by-reference files. Fall back to the
+            # full DV-applied read (whose commit also purges the DVs).
             return None
         stats = manifest.get("stats") or {}
         files = manifest["files"]
@@ -521,7 +557,12 @@ class TxTable:
             stats_key = m.get("stats_key")
             stats = m.get("stats") or {}
             files = m["files"]
-            usable = stats_key == key and all(stats.get(rel) for rel in files)
+            usable = (
+                stats_key == key
+                and all(stats.get(rel) for rel in files)
+                and not m.get("dvs")  # see _touched_files: raw-file reads
+                # would resurrect DV-deleted rows
+            )
             if usable:
                 touched = [
                     rel
@@ -552,6 +593,89 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases at {self.path}")
 
+    def delete_range_dv(
+        self, key: str, lo: int, hi: int, max_retries: int = 3
+    ) -> int:
+        """DELETE WHERE ``key BETWEEN lo AND hi`` as a MERGE-ON-READ
+        transaction: instead of rewriting data files (:meth:`delete_range`,
+        copy-on-write), commit a DELETION-VECTOR sidecar — the set of
+        (file_name, row_index) positions the predicate hits — and leave
+        every data file untouched (Delta deletion vectors / Iceberg
+        position deletes). :meth:`read` subtracts the positions via a
+        broadcast anti-join; the next data-rewriting commit (merge /
+        delete_range / optimize) reads through the DVs and publishes a
+        DV-free manifest, which is exactly Delta's DV-compaction cadence.
+
+        The trade this implements: a delete costs O(matching rows) instead
+        of O(files touched × file size) — at 100 TB a GDPR-style scattered
+        delete rewrites nothing — paid for by one tiny anti-join per read
+        until the next compaction. Positions come from the scan-time
+        ``_metadata.row_index`` column, so no row-id column pollutes the
+        schema. Footer stats still bound WHICH files are scanned for
+        positions. Refuses over pending group slots like every writer."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries + 1):
+            pending = self.pending_slots()
+            if pending:
+                raise PendingGroupConflict(
+                    f"in-flight group transaction holds slot(s) {pending} at "
+                    f"{self.path}: DV delete would shadow the group's update "
+                    "to this member; retry after it commits or aborts"
+                )
+            base_v = self.latest_visible_version()
+            slot = self.latest_version() + 1
+            m = self.manifest(base_v)
+            self._refuse_pending(f"DELETE DV {key} IN [{lo}, {hi}]")
+            stats = m.get("stats") or {}
+            files = m["files"]
+            if m.get("stats_key") == key and all(stats.get(rel) for rel in files):
+                probe = [
+                    rel
+                    for rel in files
+                    if stats[rel]["min"] <= hi and stats[rel]["max"] >= lo
+                ]
+            else:
+                probe = list(files)
+            dv_rels: list[str] = []
+            if probe:
+                dv_df = (
+                    self.spark.read.parquet(*[self._abs(rel) for rel in probe])
+                    .select(
+                        F.col("_metadata.file_name").alias("file_name"),
+                        F.col("_metadata.row_index").alias("row_index"),
+                        F.col(key).alias("_k"),
+                    )
+                    .filter(F.col("_k").between(lo, hi))
+                    .select("file_name", "row_index")
+                )
+                token = uuid.uuid4().hex[:12]
+                rel_dir = os.path.join(_DATA_DIR, f"v{slot}-{token}")
+                dv_df.write.mode("error").parquet(os.path.join(self.path, rel_dir))
+                dv_rels = [
+                    os.path.join(rel_dir, name)
+                    for name in sorted(
+                        os.listdir(os.path.join(self.path, rel_dir))
+                    )
+                    if name.endswith(".parquet")
+                ]
+            manifest = {
+                "version": slot,
+                "op": f"DELETE DV {key} IN [{lo}, {hi}]",
+                "files": list(files),
+                "schema_ddl": m["schema_ddl"],
+                "dvs": list(m.get("dvs") or []) + dv_rels,
+            }
+            if "stats_key" in m:
+                manifest["stats_key"] = m["stats_key"]
+                manifest["stats"] = dict(stats)
+            try:
+                self._publish(manifest)
+                return slot
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} rebases at {self.path}")
+
     def restore(self, version: int, max_retries: int = 3) -> int:
         """RESTORE: make an old snapshot the new head — a metadata-only
         commit whose manifest re-references ``version``'s exact files
@@ -570,7 +694,11 @@ class TxTable:
             raise ValueError(
                 f"cannot restore v{version}: pending group transaction"
             )
-        missing = [rel for rel in m["files"] if not os.path.exists(self._abs(rel))]
+        missing = [
+            rel
+            for rel in [*m["files"], *(m.get("dvs") or [])]
+            if not os.path.exists(self._abs(rel))
+        ]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore v{version}: {len(missing)} file(s) vacuumed,"
@@ -587,6 +715,8 @@ class TxTable:
                 "files": list(m["files"]),
                 "schema_ddl": m["schema_ddl"],
             }
+            if m.get("dvs"):
+                manifest["dvs"] = list(m["dvs"])
             if "stats_key" in m:
                 manifest["stats_key"] = m["stats_key"]
                 manifest["stats"] = dict(m.get("stats") or {})
@@ -704,9 +834,13 @@ class TxTable:
             # ABORTED versions are dead (their group record says so) and
             # their files ARE reclaimable — without this, one failed
             # prepare would pin its staged files forever (ADVICE r6).
+            # DV sidecars are table state exactly like data files: an
+            # unretained DV is reclaimable, a retained one must survive
             referenced.update(m["files"])
+            referenced.update(m.get("dvs") or [])
             if v in retained or self._group_state(m) == "pending":
                 keep.update(m["files"])
+                keep.update(m.get("dvs") or [])
         n_deleted = 0
         bytes_deleted = 0
         # fs-clock "now" (see docstring): stamp a probe next to the log
