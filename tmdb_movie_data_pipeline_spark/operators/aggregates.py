@@ -2878,6 +2878,87 @@ def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Wilcoxon signed-rank (paired, integer-exact) --------------------------------
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    deferred=True,
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    diffs AS (
+        SELECT x - LAG(x) OVER (ORDER BY d) AS dx FROM daily
+    ),
+    nz AS (SELECT dx, ABS(dx) AS adx FROM diffs WHERE dx IS NOT NULL AND dx <> 0),
+    h AS (SELECT adx, CAST(COUNT(*) AS BIGINT) AS cnt FROM nz GROUP BY 1),
+    r AS (
+        SELECT adx,
+               2 * (SUM(cnt) OVER (ORDER BY adx) - cnt) + cnt + 1 AS ar2
+        FROM h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN dx > 0 THEN ar2 ELSE 0 END) AS BIGINT) AS w2_plus,
+           CAST(SUM(CASE WHEN dx < 0 THEN ar2 ELSE 0 END) AS BIGINT) AS w2_minus,
+           CAST(COUNT(*) * (COUNT(*) + 1) // 2 AS BIGINT) AS e_w2,
+           CAST(SUM(CASE WHEN dx > 0 THEN ar2 ELSE 0 END)
+                - COUNT(*) * (COUNT(*) + 1) // 2 AS BIGINT) AS dev
+    FROM nz JOIN r USING (adx)
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on consecutive-day revenue changes — the
+    PAIRED counterpart of stats_mann_whitney_u (is tomorrow systematically
+    different from today, robust to outliers?). Zero differences drop per
+    the textbook procedure; tie-averaged ranks of |Δ| stay integral via
+    the doubling device, so W⁺ (doubled), its exact null expectation
+    n(n+1)/2, and the signed deviation are all exact integers — the
+    deviation is a SUBTRACTION, never a signed division.
+
+    Shape: corpus → daily series (one scan); the lag runs over the
+    calendar-bounded series, the rank window over the |Δ| value-domain
+    histogram; nothing event-sized is ever sorted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(quantize(F.col("value"), 100)).cast("long").alias("x"))
+    )
+    wd = W.orderBy("d")
+    nz = (
+        daily.select((F.col("x") - F.lag("x").over(wd)).alias("dx"))
+        .filter(F.col("dx").isNotNull() & (F.col("dx") != 0))
+        .select("dx", F.abs(F.col("dx")).alias("adx"))
+        .localCheckpoint(eager=False)  # feeds the histogram AND the probe join
+    )
+    h = nz.groupBy("adx").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wr = W.orderBy("adx").rowsBetween(W.unboundedPreceding, 0)
+    r = h.select(
+        "adx",
+        (2 * (F.sum("cnt").over(wr) - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "ar2"
+        ),
+    )
+    return nz.join(F.broadcast(r), "adx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dx") > 0, F.col("ar2")).otherwise(0))
+        .cast("long")
+        .alias("w2_plus"),
+        F.sum(F.when(F.col("dx") < 0, F.col("ar2")).otherwise(0))
+        .cast("long")
+        .alias("w2_minus"),
+        F.expr("CAST(COUNT(*) * (COUNT(*) + 1) div 2 AS BIGINT)").alias("e_w2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN dx > 0 THEN ar2 ELSE 0 END)"
+            " - COUNT(*) * (COUNT(*) + 1) div 2 AS BIGINT)"
+        ).alias("dev"),
+    )
+
+
 # -- Kendall rank correlation (tau-a, integer-exact) ----------------------------
 
 

@@ -996,6 +996,95 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- Matthews correlation (deferred: r10 activation) ------------------------------
+
+
+@register(
+    "ml_matthews_corr",
+    deferred=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN len(list_filter({_TOKENS_SQL},
+                    t -> t IN ('the','a','and','of','is'))) >= 1
+               THEN 1 ELSE 0 END AS pred,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual
+        FROM documents
+    ),
+    m AS (
+        SELECT
+          CAST(SUM(pred * actual) AS HUGEINT) AS tp,
+          CAST(SUM(pred * (1 - actual)) AS HUGEINT) AS fp,
+          CAST(SUM((1 - pred) * actual) AS HUGEINT) AS fn,
+          CAST(SUM((1 - pred) * (1 - actual)) AS HUGEINT) AS tn
+        FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN tp * tn >= fp * fn THEN 1 ELSE -1 END AS INT)
+               AS mcc_sign,
+           CAST(CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0
+                ELSE (1000000 * (tp*tn - fp*fn) * (tp*tn - fp*fn))
+                     // ((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END AS BIGINT)
+               AS mcc2_ppm
+    FROM m
+    """,
+)
+def matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the marker-threshold language
+    classifier (predict 'en' when ≥1 English marker stopword appears) —
+    the single-number binary-classifier score that stays honest under
+    class imbalance, where accuracy and even F1 mislead. The square root
+    in MCC = (TP·TN − FP·FN)/√(margins) breaks integer exactness, so the
+    gate carries MCC² in exact ppm plus the sign separately — the same
+    sign-split device as ml_cohen_kappa; MCC is recoverable to any
+    precision downstream while the gate stays bit-exact. Degenerate
+    margins (an empty row/column) emit 0 by the standard convention.
+
+    Shape: one scan, one 1-row partial+final aggregate of four counts;
+    the rational arithmetic happens once on the single row in 128-bit
+    integers (margins each ≤ n, so the product is safe to n ≈ 10⁹ docs;
+    past that, divide two margins out first — documented, not silent).
+    """
+    from .text import _marker_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (
+            _marker_count(tokens_col(), ["the", "a", "and", "of", "is"]) >= 1
+        )
+        .cast("int")
+        .alias("pred"),
+        (F.col("lang") == "en").cast("int").alias("actual"),
+    )
+    m = scored.agg(
+        F.sum(F.col("pred") * F.col("actual")).cast("decimal(38,0)").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("actual")))
+        .cast("decimal(38,0)")
+        .alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("actual"))
+        .cast("decimal(38,0)")
+        .alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("actual")))
+        .cast("decimal(38,0)")
+        .alias("tn"),
+    )
+    return m.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr(
+            "CAST(CASE WHEN tp * tn >= fp * fn THEN 1 ELSE -1 END AS INT)"
+        ).alias("mcc_sign"),
+        F.expr(
+            "CAST(CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0"
+            " ELSE (CAST(1000000 AS DECIMAL(38,0)) * (tp*tn - fp*fn)"
+            " * (tp*tn - fp*fn))"
+            " div ((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END AS BIGINT)"
+        ).alias("mcc2_ppm"),
+    )
+
+
 # -- lift / gains curve over the score domain ------------------------------------
 
 #: the integer classifier score behind the lift curve: count of English

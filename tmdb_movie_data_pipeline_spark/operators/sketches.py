@@ -1314,5 +1314,104 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 bloom_membership.__doc__ = bloom_membership.__doc__.format(_BF_WORDS=_BF_WORDS, _BF_K=_BF_K, _BF_PROBES=_BF_PROBES)  # real docstring (ADVICE r7)
 
+# -- AMS second-moment sketch (deferred: r10 activation) -------------------------
+
+#: independent ±1 hash rows; the AMS estimator averages (or medians) X_j²
+_AMS_ROWS = 8
+
+
+@register(
+    "sketch_ams_f2",
+    deferred=True,
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+    ),
+    f2 AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2 FROM c),
+    rows_ AS (
+        SELECT j,
+               CAST(SUM(CASE WHEN ('0x' || substr(md5(j || '_' ||
+                              CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                         THEN cnt ELSE -cnt END) AS BIGINT) AS sketch_sum
+        FROM c CROSS JOIN generate_series(0, {_AMS_ROWS - 1}) t(j)
+        GROUP BY 1
+    )
+    SELECT CAST(j AS INT) AS j, sketch_sum,
+           CAST(sketch_sum * sketch_sum AS BIGINT) AS est_f2,
+           exact_f2,
+           CAST((1000000 * ABS(sketch_sum * sketch_sum - exact_f2))
+                // exact_f2 AS BIGINT) AS err_ppm
+    FROM rows_, f2
+    """,
+)
+def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F₂) sketch of the per-user event frequency vector
+    (Alon–Matias–Szegedy '96): each of {_AMS_ROWS} rows keeps ONE integer
+    X_j = Σ s_j(u)·c_u under a ±1 hash; E[X_j²] = F₂ = Σ c_u², the
+    self-join size / repeat-rate moment behind join-size estimation and
+    skew detection. Like the KMV battery, the hash is md5-derived and
+    engine-identical, so the ESTIMATE (not just the exact answer) is
+    bit-reproducible cross-engine and its per-row error is part of the
+    gated result. F₂ completes the frequency-moment kit: F₀ = KMV/HLL,
+    F₁ = COUNT, F₂ = AMS.
+
+    Shape: the per-user count relation fans out ×{_AMS_ROWS} and partial-
+    aggregates to {_AMS_ROWS} integers — the sketch state is mergeable by
+    addition (any partition order), which is exactly what makes AMS a
+    one-pass distributed sketch at 100 TB. Exact F₂ rides the same scan
+    for the error gate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # feeds the sketch fan-out AND the exact-F2 gate: one corpus scan
+        .localCheckpoint(eager=False)
+    )
+    f2 = c.agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_f2"))
+    sign_even = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit("_"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    rows = (
+        c.select(
+            "user_id",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_ROWS - 1))).alias("j"),
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(F.when(sign_even, F.col("cnt")).otherwise(-F.col("cnt")))
+            .cast("long")
+            .alias("sketch_sum")
+        )
+    )
+    return rows.crossJoin(F.broadcast(f2)).select(
+        F.col("j").cast("int").alias("j"),
+        "sketch_sum",
+        (F.col("sketch_sum") * F.col("sketch_sum")).cast("long").alias("est_f2"),
+        "exact_f2",
+        F.expr(
+            "CAST((1000000 * ABS(sketch_sum * sketch_sum - exact_f2))"
+            " div exact_f2 AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1398,5 +1398,100 @@ def source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- RAKE word scores (deferred: r10 activation) --------------------------------
+
+#: RAKE stopword delimiter set (the en marker set + connectives — the point
+#: is the PHRASE-SEGMENTATION shape, not stopword completeness)
+_RAKE_STOPS = ("the", "a", "and", "of", "is", "to", "in")
+_RAKE_STOPS_SQL = "(" + ", ".join(f"'{s}'" for s in _RAKE_STOPS) + ")"
+_RAKE_TOPN = 50
+
+
+@register(
+    "text_rake_word_scores",
+    deferred=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   UNNEST(l) AS tok,
+                   UNNEST(range(1, len(l) + 1)) AS pos
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS l FROM documents)
+        ) WHERE tok <> ''
+    ),
+    marked AS (
+        SELECT doc_id, tok, pos,
+               SUM(CASE WHEN tok IN {_RAKE_STOPS_SQL} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+               tok IN {_RAKE_STOPS_SQL} AS is_stop
+        FROM toks
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id, tok,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT)
+                   AS phrase_len
+        FROM marked WHERE NOT is_stop
+    )
+    SELECT tok AS word,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(phrase_len) AS BIGINT) AS degree,
+           CAST((1000 * SUM(phrase_len)) // COUNT(*) AS BIGINT) AS rake_milli
+    FROM phrases GROUP BY 1
+    ORDER BY freq DESC, word LIMIT {_RAKE_TOPN}
+    """,
+)
+def rake_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword word scores (Rose et al.): segment each document into
+    candidate phrases at stopword boundaries, then score every content
+    word by degree/frequency — freq counts occurrences, degree sums the
+    length of each containing phrase (self included), and deg/freq > 1
+    marks words that live inside multi-word keyphrases rather than alone.
+    rake_milli is the exact integer ratio; top {_RAKE_TOPN} by frequency
+    with a word tie-break.
+
+    Shape: one token explosion with positions; phrase ids are a cumulative
+    stopword count PER DOCUMENT (windows partitioned by doc over its own
+    token positions — bounded by document length, embarrassingly
+    parallel), phrase lengths a per-(doc, phrase) count window, then one
+    vocabulary-sized agg and a TakeOrderedAndProject. No joins at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    stops = list(_RAKE_STOPS)
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "tok",
+        F.sum(F.col("tok").isin(stops).cast("int"))
+        .over(wdoc)
+        .alias("phrase_id"),
+        F.col("tok").isin(stops).alias("is_stop"),
+    )
+    wphrase = W.partitionBy("doc_id", "phrase_id")
+    phrases = marked.filter(~F.col("is_stop")).select(
+        "tok",
+        F.count(F.lit(1)).over(wphrase).cast("long").alias("phrase_len"),
+    )
+    return (
+        phrases.groupBy(F.col("tok").alias("word"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("phrase_len").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("CAST((1000 * degree) div freq AS BIGINT)").alias(
+                "rake_milli"
+            ),
+        )
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_RAKE_TOPN)
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
