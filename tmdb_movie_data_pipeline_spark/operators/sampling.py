@@ -167,5 +167,75 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PRI_K)
     )
 
+# -- join-consistent (correlated) sampling (deferred: r10 activation) ------------
+
+#: keep a user when md5(user) mod DEN < NUM — a ~25% universe sample
+_JC_NUM, _JC_DEN = 1, 4
+
+
+@register(
+    "sample_join_consistent",
+    deferred=True,
+    oracle=f"""
+    WITH keep AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_JC_DEN} < {_JC_NUM}
+    ),
+    se AS (
+        SELECT e.user_id, e.event_type,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN keep USING (user_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) * {_JC_DEN} AS BIGINT) AS cents_scaled_up
+    FROM se GROUP BY 1
+    """,
+)
+def join_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-consistent (correlated / universe) sampling: keep a user iff
+    md5(user) mod {_JC_DEN} < {_JC_NUM}, so EVERY table sampled with the
+    same predicate keeps the SAME users and join/sessionization structure
+    survives intact — independent Bernoulli samples of two tables keep
+    only rate² of their join pairs, which is why per-table sampling
+    silently destroys funnel and LTV estimates. This is the universe
+    sampling of Vengerov et al. / the correlated sampling join-synopsis
+    literature, and the 100 TB debugging workflow: develop on the 25%
+    slice, scale estimates by the known inverse rate (cents_scaled_up),
+    ship the same query against the full data.
+
+    The hash is the engine-pinned md5 family, so the kept-user SET — not
+    just its size — is deterministic and cross-engine identical; no RNG,
+    no seed drift between runs or engines.
+
+    Shape: the keep-set is a semi-join on the hash predicate — at scale a
+    map-side filter (the predicate needs no shuffle at all; the DISTINCT
+    here only serves the oracle's set form), then ordinary partial+final
+    aggregation on the surviving quarter of the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % _JC_DEN
+        < _JC_NUM
+    )
+    se = ev.filter(hashed).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return se.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+        (F.sum("cents") * _JC_DEN).cast("long").alias("cents_scaled_up"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1398,6 +1398,112 @@ def source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Kneser–Ney continuation statistics (deferred: r10 activation) ---------------
+
+_KN_TOPN = 30
+
+
+@register(
+    "text_kn_continuation",
+    deferred=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_TOKENS_SQL} AS tl FROM documents
+    ), bi AS (
+        SELECT tl[g.i] AS w1, tl[g.i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS g(i)
+    ), bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS bigram_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM bc
+    ),
+    w AS (
+        SELECT w2 AS word,
+               CAST(COUNT(*) AS BIGINT) AS cont_count,
+               CAST(SUM(c) AS BIGINT) AS freq
+        FROM bc GROUP BY 1
+    ),
+    r AS (SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS right_div
+          FROM bc GROUP BY 1)
+    SELECT w.word, cont_count, freq,
+           CAST(COALESCE(right_div, 0) AS BIGINT) AS right_div,
+           bigram_types, n1, n2,
+           CAST((1000 * n1) // (n1 + 2 * n2) AS BIGINT) AS discount_milli
+    FROM w LEFT JOIN r ON r.word = w.word, cc
+    ORDER BY cont_count DESC, w.word LIMIT {_KN_TOPN}
+    """,
+)
+def kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothing statistics — the integer SUFFICIENT STATISTICS
+    of the best count-based LM smoother, which is exactly the part a
+    distributed engine should compute (the smoothed probabilities are
+    driver-side arithmetic over these): per word, its CONTINUATION count
+    (distinct left contexts — KN's insight that 'Francisco' is frequent
+    but predictable) vs its raw frequency, its right-diversity, and the
+    global count-of-counts n1/n2 with the absolute discount
+    D = n1/(n1+2n2) in exact milli. Top {_KN_TOPN} words by continuation
+    count; the cont/freq contrast ranks glue words above burst words —
+    the opposite ranking from text_term_burstiness, by design.
+
+    Shape: bigrams come from the same map-only zip as text_bigram_lm; the
+    (w1, w2) type relation is vocabulary²-bounded (far below corpus) and
+    every downstream relation is one partial+final agg over it; top-N is
+    a heap, count-of-counts a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("tl"))
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tl"), 1, F.greatest(F.size("tl") - 1, F.lit(0))),
+                F.expr("slice(tl, 2, greatest(size(tl) - 1, 0))"),
+            )
+        ).alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # feeds count-of-counts, continuation counts, and right-diversity:
+        # one bigram extraction, three vocabulary-bounded consumers
+        .localCheckpoint(eager=False)
+    )
+    cc = bc.agg(
+        F.count(F.lit(1)).cast("long").alias("bigram_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    w = bc.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_count"),
+        F.sum("c").cast("long").alias("freq"),
+    )
+    r = bc.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("right_div")
+    )
+    return (
+        w.join(r, "word", "left")
+        .fillna(0, ["right_div"])
+        .crossJoin(F.broadcast(cc))
+        .select(
+            "word",
+            "cont_count",
+            "freq",
+            F.col("right_div").cast("long").alias("right_div"),
+            "bigram_types",
+            "n1",
+            "n2",
+            F.expr("CAST((1000 * n1) div (n1 + 2 * n2) AS BIGINT)").alias(
+                "discount_milli"
+            ),
+        )
+        .orderBy(F.desc("cont_count"), F.asc("word"))
+        .limit(_KN_TOPN)
+    )
+
+
 # -- RAKE word scores (deferred: r10 activation) --------------------------------
 
 #: RAKE stopword delimiter set (the en marker set + connectives — the point
