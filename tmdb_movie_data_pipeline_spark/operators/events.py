@@ -2624,11 +2624,108 @@ def rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- EWMA smoothing (closed-form, integer-exact) --------------------------------
+# -- EWMA one-step-ahead backtest (deferred: r10 activation) ---------------------
 
 #: EWMA decay: alpha = 1/4, so the lag-k weight is (3/4)^k; scaling by 4^L
-#: makes every weight the exact integer 3^k * 4^(L-k).
+#: makes every weight the exact integer 3^k * 4^(L-k). Shared by the
+#: smoother below and the walk-forward backtest here.
 _EWMA_LAGS = 20
+
+
+@register(
+    "events_backtest_ewma",
+    deferred=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+        SELECT d + CAST(lag AS INT) AS anchor, x,
+               CAST(POWER(3, lag - 1) AS HUGEINT)
+                 * CAST(POWER(4, {_EWMA_LAGS} - lag + 1) AS HUGEINT) AS w
+        FROM daily CROSS JOIN generate_series(1, {_EWMA_LAGS} + 1) t(lag)
+    ),
+    f AS (
+        SELECT anchor,
+               CAST(SUM(CAST(x AS HUGEINT) * w) AS HUGEINT) AS num,
+               CAST(SUM(w) AS HUGEINT) AS den,
+               CAST(COUNT(*) AS BIGINT) AS n_hist
+        FROM c GROUP BY 1
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+           daily.x AS actual_cents,
+           CAST(num // den AS BIGINT) AS forecast_cents,
+           CAST(ABS(daily.x - num // den) AS BIGINT) AS abs_err_cents,
+           CAST((1000000 * ABS(daily.x - num // den))
+                // GREATEST(daily.x, 1) AS BIGINT) AS ape_ppm,
+           n_hist
+    FROM daily JOIN f ON f.anchor = daily.d
+    """,
+)
+def backtest_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast backtest: for each day, forecast
+    today's purchase revenue from STRICTLY PRIOR days only (the lag range
+    shifts to 1..{_EWMA_LAGS}+1, so the weight on yesterday is the alpha
+    mass and today never leaks into its own forecast), then score the
+    absolute error and APE in exact integer cents/ppm. This is the
+    walk-forward evaluation loop every forecasting pipeline runs —
+    events_backtest_seasonal_naive with the EWMA forecaster instead of
+    the seasonal-naive one, sharing its integer-exact error discipline.
+
+    Shape: identical to events_ewma_smoothing — daily collapse, bounded
+    explode to (anchor, weight) contributions, equi-join on the anchor —
+    because the shifted-window closed form IS the recurrence-free EWMA;
+    no sequential state, no window operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(quantize(F.col("value"), 100)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # contributions + readback join
+    )
+    weights = spark.createDataFrame(
+        [
+            (k, 3 ** (k - 1) * 4 ** (_EWMA_LAGS - k + 1))
+            for k in range(1, _EWMA_LAGS + 2)
+        ],
+        "lag int, w long",
+    )
+    contrib = (
+        daily.select(
+            "d",
+            "x",
+            F.explode(F.sequence(F.lit(1), F.lit(_EWMA_LAGS + 1))).alias("lag"),
+        )
+        .join(F.broadcast(weights), "lag")
+        .select(
+            F.date_add("d", F.col("lag")).alias("anchor"),
+            (F.col("x").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)"))
+            .alias("xw"),
+            F.col("w").cast("decimal(38,0)").alias("wd"),
+        )
+    )
+    f = contrib.groupBy("anchor").agg(
+        F.sum("xw").alias("num"),
+        F.sum("wd").alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_hist"),
+    )
+    return daily.join(f, daily["d"] == f["anchor"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("actual_cents"),
+        F.expr("CAST(num div den AS BIGINT)").alias("forecast_cents"),
+        F.expr("CAST(ABS(x - num div den) AS BIGINT)").alias("abs_err_cents"),
+        F.expr(
+            "CAST((1000000 * ABS(x - num div den)) div GREATEST(x, 1)"
+            " AS BIGINT)"
+        ).alias("ape_ppm"),
+        "n_hist",
+    )
+
+
+# -- EWMA smoothing (closed-form, integer-exact) --------------------------------
 
 
 @register(

@@ -958,5 +958,133 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# -- numeric quantile drift (deferred: r10 activation) ---------------------------
+
+
+@register(
+    "profile_quantile_drift",
+    deferred=True,
+    oracle="""
+    WITH b AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) <= d0 + CAST(
+                    date_diff('day', d0, d1) // 2 AS INT) THEN 0 ELSE 1 END
+                   AS half,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events, b
+    ),
+    h AS (
+        SELECT event_type, half, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT event_type, half, cents,
+               SUM(cnt) OVER (PARTITION BY event_type, half
+                              ORDER BY cents) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type, half) AS n
+        FROM h
+    ),
+    q AS (
+        SELECT event_type, half,
+               MAX(n) AS n,
+               MIN(CASE WHEN 2 * cum >= n THEN cents END) AS p50,
+               MIN(CASE WHEN 10 * cum >= 9 * n THEN cents END) AS p90
+        FROM c GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(MAX(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_a,
+           CAST(MAX(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_b,
+           CAST(MAX(CASE WHEN half = 0 THEN p50 END) AS BIGINT) AS p50_a,
+           CAST(MAX(CASE WHEN half = 1 THEN p50 END) AS BIGINT) AS p50_b,
+           CAST(MAX(CASE WHEN half = 0 THEN p90 END) AS BIGINT) AS p90_a,
+           CAST(MAX(CASE WHEN half = 1 THEN p90 END) AS BIGINT) AS p90_b,
+           CAST(ABS(MAX(CASE WHEN half = 1 THEN p50 END)
+                  - MAX(CASE WHEN half = 0 THEN p50 END)) AS BIGINT)
+               AS p50_shift_cents,
+           CAST(ABS(MAX(CASE WHEN half = 1 THEN p90 END)
+                  - MAX(CASE WHEN half = 0 THEN p90 END)) AS BIGINT)
+               AS p90_shift_cents
+    FROM q GROUP BY 1
+    """,
+)
+def quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-distribution drift per event type between the first and
+    second half of the observed time range: exact p50/p90 on each side
+    and the absolute quantile shifts in cents — the NUMERIC sibling of
+    profile_drift_tvd's categorical gate and the check a feature-quality
+    monitor runs before every model refresh (median drift = payments
+    shifted; p90 drift = the tail moved, watch fraud/outliers). Exact
+    order statistics, no interpolation: p_q = the smallest value whose
+    cumulative count reaches ⌈q·n⌉, written q_den·cum ≥ q_num·n so no
+    float exists on either engine.
+
+    Shape: one scan to the (type, half, value) histogram — value-DOMAIN-
+    sized — then cumulative windows over that histogram partitioned by
+    (type, half); the time midpoint rides a 1-row broadcast. The two
+    halves pivot back together with conditional aggregation, not a join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    s = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(
+            F.to_date("ts")
+            <= F.expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    h = s.groupBy("event_type", "half", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = (
+        W.partitionBy("event_type", "half")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy("event_type", "half")
+    c = h.select(
+        "event_type",
+        "half",
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    q = c.groupBy("event_type", "half").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
+            "p50"
+        ),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cents"))
+        ).alias("p90"),
+    )
+    half = lambda col, hv: F.max(  # noqa: E731
+        F.when(F.col("half") == hv, F.col(col))
+    )
+    return q.groupBy("event_type").agg(
+        half("n", 0).cast("long").alias("n_a"),
+        half("n", 1).cast("long").alias("n_b"),
+        half("p50", 0).cast("long").alias("p50_a"),
+        half("p50", 1).cast("long").alias("p50_b"),
+        half("p90", 0).cast("long").alias("p90_a"),
+        half("p90", 1).cast("long").alias("p90_b"),
+        F.abs(half("p50", 1) - half("p50", 0)).cast("long").alias(
+            "p50_shift_cents"
+        ),
+        F.abs(half("p90", 1) - half("p90", 0)).cast("long").alias(
+            "p90_shift_cents"
+        ),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
