@@ -1355,5 +1355,104 @@ def token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE merge application (deferred: r10 activation) ----------------------------
+
+_BPE_MERGES = 10  #: ranked merges applied (one-shot list, see docstring)
+_BPE_WORDS = 30  #: most-frequent words whose tokenization is emitted
+
+
+def _bpe_apply_oracle() -> str:
+    """Nested-replace oracle: the merge list is data-derived, so each rank
+    arrives via a scalar subquery; a missing rank degrades to a
+    never-matching chr(1) pattern so short alphabets no-op instead of
+    NULLing the string."""
+    s = "' ' || regexp_replace(term, '(.)', '\\1 ', 'g')"
+    for k in range(1, _BPE_MERGES + 1):
+        pat = (
+            f"COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM merges"
+            f" WHERE rnk = {k}), chr(1))"
+        )
+        rep = (
+            f"COALESCE((SELECT ' ' || a || b || ' ' FROM merges"
+            f" WHERE rnk = {k}), chr(1))"
+        )
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH merges AS (
+        SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+               ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+        FROM {_BPE_PAIR_COUNTS_SQL} pc
+        QUALIFY rnk <= {_BPE_MERGES}
+    ),
+    tf AS (
+        SELECT t.term AS term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+        WHERE length(t.term) >= 2 GROUP BY 1
+    )
+    SELECT term AS word, freq,
+           trim({s}) AS tokenization,
+           CAST(len(string_split(trim({s}), ' ')) AS BIGINT) AS n_pieces
+    FROM tf
+    ORDER BY freq DESC, term LIMIT {_BPE_WORDS}
+    """
+
+
+@register("llm_bpe_apply_merges", deferred=True, oracle=_bpe_apply_oracle())
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE tokenizer story: take the top-{_BPE_MERGES}
+    ranked character-pair merges (llm_bpe_pair_counts' training output) and
+    fold them, in rank order, over the {_BPE_WORDS} most frequent words —
+    emitting each word's piece sequence and piece count. Simplification,
+    stated: the merge list is ONE-SHOT (ranked from the unmerged pair
+    counts, not retrained between merges) and replacement is the engines'
+    shared non-overlapping left-to-right scan — deterministic and
+    bit-identical cross-engine, which is what the gate pins; a production
+    tokenizer trains iteratively but APPLIES merges with exactly this kind
+    of ranked fold. Patterns are space-padded (" a b " in the space-
+    separated char form), so a merge never fires across a previously
+    merged piece's boundary — the token-awareness that plain substring
+    replacement lacks.
+
+    Shape: the merge list is a {_BPE_MERGES}-row TakeOrdered collect —
+    bounded METADATA, the tfidf-n_docs pattern, and the price of turning a
+    data-derived vocabulary into literal fold steps. The word relation is
+    one partial+final count + TakeOrdered; the fold itself is a pure
+    codegen projection (chained literal replaces), map-only at any scale.
+    """
+    from ..io import load_table
+
+    merges = (
+        _bpe_pair_counts_frame(spark, sf_dir)
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_MERGES)
+        .collect()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .filter(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(F.col("term"), "(.)", "$1 ")
+    )
+    for r in merges:
+        a, b = r["pair"][0], r["pair"][1]
+        spaced = F.replace(
+            spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+    return (
+        tf.select(
+            F.col("term").alias("word"),
+            "freq",
+            F.trim(spaced).alias("tokenization"),
+            F.size(F.split(F.trim(spaced), " ")).cast("long").alias("n_pieces"),
+        )
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_BPE_WORDS)
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
