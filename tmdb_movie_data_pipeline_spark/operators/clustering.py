@@ -996,6 +996,124 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- multivariate OLS via normal equations (deferred: r10 activation) ------------
+
+#: shared Cramer's-rule formulas over the nine normal-equation sums
+#: (n, sq, sd, sqq, sqd, sdd, sy, sqy, sdy) — identical text is embedded in
+#: the DuckDB oracle and the Spark projection, so the two engines compute
+#: the SAME 128-bit integer expression tree.
+_OLS_DET = (
+    "(n * (sqq * sdd - sqd * sqd)"
+    " - sq * (sq * sdd - sqd * sd)"
+    " + sd * (sq * sqd - sqq * sd))"
+)
+_OLS_NUM0 = (
+    "(sy * (sqq * sdd - sqd * sqd)"
+    " - sq * (sqy * sdd - sqd * sdy)"
+    " + sd * (sqy * sqd - sqq * sdy))"
+)
+_OLS_NUM1 = (
+    "(n * (sqy * sdd - sqd * sdy)"
+    " - sy * (sq * sdd - sqd * sd)"
+    " + sd * (sq * sdy - sqy * sd))"
+)
+_OLS_NUM2 = (
+    "(n * (sqq * sdy - sqy * sqd)"
+    " - sq * (sq * sdy - sqy * sd)"
+    " + sy * (sq * sqd - sqq * sd))"
+)
+
+
+def _ols_beta_sql(num: str, alias: str) -> str:
+    """Sign-safe exact-milli coefficient: 1000·num/det with the division
+    split on the sign so truncation is engine-identical either side of 0."""
+    d = _OLS_DET
+    # same-sign via sign comparison, never num*det (that product overflows
+    # 128-bit integers even at fixture scale)
+    return (
+        f"CAST(CASE WHEN {d} = 0 THEN 0"
+        f" WHEN (({num}) >= 0) = ({d} >= 0)"
+        f" THEN (1000 * ABS({num})) // ABS({d})"
+        f" ELSE -((1000 * ABS({num})) // ABS({d})) END AS BIGINT) AS {alias}"
+    )
+
+
+@register(
+    "ml_ols_normal_equations",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS q,
+               CAST(ROUND(l_discount * 1000) AS HUGEINT) AS d,
+               CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(d) AS HUGEINT) AS sd,
+               CAST(SUM(q * q) AS HUGEINT) AS sqq,
+               CAST(SUM(q * d) AS HUGEINT) AS sqd,
+               CAST(SUM(d * d) AS HUGEINT) AS sdd,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(q * y) AS HUGEINT) AS sqy,
+               CAST(SUM(d * y) AS HUGEINT) AS sdy
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(SIGN({_OLS_DET}) AS INT) AS det_sign,
+           {_ols_beta_sql(_OLS_NUM0, "beta0_milli")},
+           {_ols_beta_sql(_OLS_NUM1, "beta1_milli")},
+           {_ols_beta_sql(_OLS_NUM2, "beta2_milli")}
+    FROM m
+    """,
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS — extended price regressed on (1, quantity,
+    discount) — solved DISTRIBUTED by the normal equations: one scan
+    accumulates the nine integer moments of XᵀX and Xᵀy (all partial-
+    aggregable, the only corpus-sized work), then Cramer's rule on the
+    3×3 system turns each coefficient into an exact integer rational —
+    emitted in sign-safe exact milli, with the determinant's sign as the
+    singularity/orientation witness (det = 0 ⇒ collinear features ⇒
+    coefficients emitted as 0, flagged by det_sign). This is
+    ml_grouped_ols's single-feature slope generalized to a true
+    multi-feature solve, with zero matrix libraries and zero floats: both
+    engines evaluate the SAME shared 128-bit expression tree (the formula
+    strings are embedded verbatim in oracle and projection).
+
+    Digit budget: entries are ≤ n·max|q·d| — at sf0.1 ≈ 3e9, det terms
+    ≈ 2.7e28, comfortably inside HUGEINT/DECIMAL(38); past ~1e10 rows,
+    recenter the features by first-pass integer means first (documented,
+    not silent — the welch_t2 contract).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.round(F.col("l_quantity"), 0).cast("decimal(38,0)").alias("q"),
+        F.round(F.col("l_discount") * 1000, 0).cast("decimal(38,0)").alias("d"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("y")).alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"CAST(SIGN({_OLS_DET}) AS INT) AS det_sign",
+        _ols_beta_sql(_OLS_NUM0, "beta0_milli").replace("//", "div"),
+        _ols_beta_sql(_OLS_NUM1, "beta1_milli").replace("//", "div"),
+        _ols_beta_sql(_OLS_NUM2, "beta2_milli").replace("//", "div"),
+    )
+
+
 # -- Matthews correlation (deferred: r10 activation) ------------------------------
 
 
