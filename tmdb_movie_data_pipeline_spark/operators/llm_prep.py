@@ -1355,6 +1355,86 @@ def token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- RAG chunking with overlap (deferred: r10 activation) ------------------------
+
+_RAG_CHUNK = 64  #: tokens per retrieval chunk
+_RAG_STRIDE = 48  #: stride between chunk starts (overlap = CHUNK - STRIDE)
+
+
+@register(
+    "llm_rag_chunk_overlap",
+    deferred=True,
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((g.s - 1) // {_RAG_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(g.s AS BIGINT) AS start_token,
+               toks[g.s:g.s + {_RAG_CHUNK} - 1] AS ck
+        FROM toked,
+             UNNEST(generate_series(1, GREATEST(len(toks), 1),
+                                    {_RAG_STRIDE})) AS g(s)
+    )
+    SELECT doc_id, chunk_idx, start_token,
+           CAST(len(ck) AS BIGINT) AS n_tokens,
+           ck[1] AS first_token,
+           ck[len(ck)] AS last_token,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM chunks WHERE len(ck) > 0
+    """,
+)
+def rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style retrieval chunking: every document sliced into
+    {_RAG_CHUNK}-token chunks on a {_RAG_STRIDE}-token stride (so
+    consecutive chunks overlap by {_RAG_CHUNK} − {_RAG_STRIDE} tokens —
+    the overlap that keeps answers spanning a boundary retrievable), each
+    chunk carrying a stable content address (md5 of its joined tokens)
+    plus provenance (doc, index, start offset). The content hash is what
+    makes downstream chunk-level dedup, cache keys, and incremental
+    re-embedding (only re-embed chunks whose hash changed) work — the
+    multimodal CDC chunk store's contract applied to text retrieval.
+    Distinct from llm_sequence_packing by construction: packing
+    concatenates ACROSS documents for training throughput; RAG chunking
+    slices WITHIN a document, preserving provenance, for retrieval.
+
+    Shape: map-only — a per-document sequence explode (fan-out
+    ⌈len/stride⌉, proportional to document size) and pure projections;
+    no shuffle exists in the whole plan, which is the right shape for a
+    100 TB re-chunking pass.
+    """
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
+    chunks = toked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks"), F.lit(1)),
+                F.lit(_RAG_STRIDE),
+            )
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_RAG_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_token"),
+        F.expr(f"slice(toks, s, {_RAG_CHUNK})").alias("ck"),
+    )
+    return chunks.filter(F.size("ck") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        F.size("ck").cast("long").alias("n_tokens"),
+        F.expr("ck[0]").alias("first_token"),
+        F.expr("element_at(ck, -1)").alias("last_token"),
+        F.md5(F.array_join("ck", " ")).alias("chunk_hash"),
+    )
+
+
 # -- BPE merge application (deferred: r10 activation) ----------------------------
 
 _BPE_MERGES = 10  #: ranked merges applied (one-shot list, see docstring)
