@@ -2560,6 +2560,180 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- velocity fraud flags (deferred: r10 activation) -----------------------------
+
+_VEL_WINDOW_SEC = 86400  #: trailing window for the velocity rule (24 h)
+_VEL_MIN_COUNT = 3  #: purchases within the window (self included) that flag
+
+
+@register(
+    "events_velocity_flags",
+    deferred=True,
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT user_id, ts, cents,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN {_VEL_WINDOW_SEC} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_window
+        FROM p
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+           cents, n_window
+    FROM w WHERE n_window >= {_VEL_MIN_COUNT}
+    """,
+)
+def velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity fraud rule: flag every purchase that is the
+    {_VEL_MIN_COUNT}rd-or-later purchase by the same user within a
+    trailing {_VEL_WINDOW_SEC}-second window — the burst-of-activity
+    detector every payments pipeline runs inline (production tightens the
+    window to minutes; the fixture's purchase density makes 24 h the
+    smallest window where the rule FIRES at both gate scales — a rule
+    that never fires gates nothing, the amount-collision-audit lesson). A RANGE frame over
+    epoch seconds (not a ROWS frame) so simultaneous events count each
+    other symmetrically, and the rule is self-inclusive, matching the
+    'N swipes in M minutes' phrasing auditors use.
+
+    Shape: one shuffle on user_id, per-user ordered frames — identical
+    physical shape to sessionization; per-user state never leaves its
+    partition. Epochs are floored to whole seconds on both engines
+    (truncation = floor for positive epochs) so frame boundaries are
+    bit-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").cast("long").alias("sec"),
+        quantize(F.col("value"), 100).alias("cents"),
+    )
+    wv = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_VEL_WINDOW_SEC, 0)
+    )
+    w = p.select(
+        "user_id",
+        "ts",
+        "cents",
+        F.count(F.lit(1)).over(wv).cast("long").alias("n_window"),
+    )
+    return w.filter(F.col("n_window") >= _VEL_MIN_COUNT).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+        "cents",
+        "n_window",
+    )
+
+
+# -- additive seasonal decomposition (deferred: r10 activation) -------------------
+
+
+@register(
+    "events_seasonal_decompose",
+    deferred=True,
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT d, dow, x,
+               CAST(SUM(x) OVER w AS BIGINT) AS s7,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT d, dow, x, x - s7 // 7 AS det_c, s7 // 7 AS trend_cents
+        FROM tr WHERE n7 = 7
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(CASE WHEN SUM(det_c) >= 0
+                    THEN SUM(det_c) // COUNT(*)
+                    ELSE -((-SUM(det_c)) // COUNT(*)) END AS BIGINT)
+                   AS seasonal_cents
+        FROM det GROUP BY 1
+    )
+    SELECT strftime(det.d, '%Y-%m-%d') AS day,
+           det.x AS rev_cents,
+           CAST(det.trend_cents AS BIGINT) AS trend_cents,
+           seas.seasonal_cents,
+           CAST(det.x - det.trend_cents - seas.seasonal_cents AS BIGINT)
+               AS residual_cents
+    FROM det JOIN seas USING (dow)
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily purchase revenue — the
+    classical STL-lite: trend = centered 7-day moving average (only days
+    with a FULL window qualify, so the series edges never fake a trend),
+    seasonal = per-day-of-week mean of the detrended series (sign-safe
+    integer division), residual = the exact integer remainder. The three
+    components sum back to the observation by construction — the
+    decomposition identity is auditable row by row, which a float STL
+    cannot offer a hash gate.
+
+    Shape: corpus → daily series; the only windows run over the
+    calendar-bounded series (one ordered 7-row frame) and the seasonal
+    means over the 7-row dow relation; nothing event-sized shuffles
+    twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.dayofweek(F.to_date("ts")).cast("long").alias("dow"),
+        )
+        .agg(F.sum(quantize(F.col("value"), 100)).cast("long").alias("x"))
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "dow",
+        "x",
+        F.sum("x").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
+    )
+    det = (
+        tr.filter(F.col("n7") == 7)
+        .select(
+            "d",
+            "dow",
+            "x",
+            (F.col("x") - F.expr("s7 div 7")).alias("det_c"),
+            F.expr("s7 div 7").alias("trend_cents"),
+        )
+        .localCheckpoint(eager=False)  # feeds the dow means AND the readback
+    )
+    seas = det.groupBy("dow").agg(
+        F.expr(
+            "CAST(CASE WHEN SUM(det_c) >= 0 THEN SUM(det_c) div COUNT(*)"
+            " ELSE -((-SUM(det_c)) div COUNT(*)) END AS BIGINT)"
+        ).alias("seasonal_cents")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("rev_cents"),
+        F.col("trend_cents").cast("long").alias("trend_cents"),
+        "seasonal_cents",
+        (F.col("x") - F.col("trend_cents") - F.col("seasonal_cents"))
+        .cast("long")
+        .alias("residual_cents"),
+    )
+
+
 # -- rolling 28-day distinct actives --------------------------------------------
 
 #: rolling window length in days (the "monthly active" convention)
