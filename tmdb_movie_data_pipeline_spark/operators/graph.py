@@ -1026,6 +1026,98 @@ def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- degree assortativity (deferred: r10 activation) ------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    deferred=True,
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS HUGEINT) AS d
+            FROM edges GROUP BY 1),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS me,
+               CAST(SUM(du.d) AS HUGEINT) AS sx,
+               CAST(SUM(du.d * du.d) AS HUGEINT) AS sxx,
+               CAST(SUM(du.d * dv.d) AS HUGEINT) AS sxy
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST(me AS BIGINT) AS n_edges_directed,
+           CAST(sx AS BIGINT) AS sum_deg,
+           CAST(sxy AS BIGINT) AS sum_xy,
+           CAST(SIGN(me * sxy - sx * sx) AS INT) AS r_sign,
+           CAST(CASE WHEN me * sxx - sx * sx = 0 THEN 0
+                ELSE (1000000 * (me * sxy - sx * sx) * (me * sxy - sx * sx))
+                     // ((me * sxx - sx * sx) * (me * sxx - sx * sx)) END
+                AS BIGINT) AS r2_ppm
+    FROM m
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-duplicate pair graph (Newman):
+    the Pearson correlation of endpoint degrees over every directed edge
+    — positive means heavy duplicators link to heavy duplicators
+    (template farms forming cores), negative means hub-and-spoke (one
+    canonical doc with many one-off copies), and the answer drives which
+    dedup canonicalization policy is safe. On the SYMMETRIZED edge list
+    the x and y marginals coincide, so r = (MΣxy − Sx²)/(MΣxx − Sx²)
+    exactly — a ratio of two integers — and r² in exact ppm plus the
+    separate sign (the kappa/MCC device) keeps the gate bit-exact with
+    no square root.
+
+    Shape: degrees are one partial+final count over the staged edge
+    list; the moment pass joins each edge to its two endpoint degrees
+    (vertex-keyed equi-joins on a degree relation that broadcasts), then
+    ONE 1-row aggregate. 128-bit integers throughout; the digit budget
+    is M·maxdeg² — recenter degrees first past ~1e9 edges (documented,
+    not silent).
+    """
+    pairs = lsh_pairs_staged(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=False)  # degree pass + moment pass share it
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    m = (
+        edges.join(F.broadcast(du), F.col("du.node") == F.col("u"))
+        .join(F.broadcast(dv), F.col("dv.node") == F.col("v"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("me"),
+            F.sum("du.d").alias("sx"),
+            F.sum(F.col("du.d") * F.col("du.d")).alias("sxx"),
+            F.sum(F.col("du.d") * F.col("dv.d")).alias("sxy"),
+        )
+    )
+    return m.selectExpr(
+        "CAST(me AS BIGINT) AS n_edges_directed",
+        "CAST(sx AS BIGINT) AS sum_deg",
+        "CAST(sxy AS BIGINT) AS sum_xy",
+        "CAST(SIGN(me * sxy - sx * sx) AS INT) AS r_sign",
+        "CAST(CASE WHEN me * sxx - sx * sx = 0 THEN 0"
+        " ELSE (CAST(1000000 AS DECIMAL(38,0))"
+        " * (me * sxy - sx * sx) * (me * sxy - sx * sx))"
+        " div ((me * sxx - sx * sx) * (me * sxx - sx * sx)) END"
+        " AS BIGINT) AS r2_ppm",
+    )
+
+
 # -- truncated harmonic centrality ----------------------------------------------
 
 #: harmonic radius: distances beyond 3 hops contribute <= 1/4 each and the
