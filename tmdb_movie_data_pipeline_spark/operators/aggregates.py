@@ -2878,6 +2878,102 @@ def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- equi-depth histogram (optimizer statistics form; deferred) -------------------
+
+_EQD_BUCKETS = 8
+
+
+@register(
+    "agg_equi_depth_histogram",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v FROM orders
+    ),
+    h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+    c AS (
+        SELECT v, cnt,
+               SUM(cnt) OVER (ORDER BY v) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM h
+    ),
+    b AS (
+        SELECT t.j,
+               MIN(CASE WHEN {_EQD_BUCKETS} * (cum - cnt) < t.j * n
+                         AND {_EQD_BUCKETS} * cum > (t.j - 1) * n
+                    THEN v END) AS lo,
+               MAX(CASE WHEN {_EQD_BUCKETS} * (cum - cnt) < t.j * n
+                         AND {_EQD_BUCKETS} * cum > (t.j - 1) * n
+                    THEN v END) AS hi,
+               SUM(CASE WHEN {_EQD_BUCKETS} * (cum - cnt) < t.j * n
+                         AND {_EQD_BUCKETS} * cum > (t.j - 1) * n
+                    THEN cnt ELSE 0 END) AS gross_rows,
+               COUNT(CASE WHEN {_EQD_BUCKETS} * (cum - cnt) < t.j * n
+                           AND {_EQD_BUCKETS} * cum > (t.j - 1) * n
+                      THEN 1 END) AS n_distinct
+        FROM c CROSS JOIN generate_series(1, {_EQD_BUCKETS}) t(j)
+        GROUP BY 1
+    )
+    SELECT CAST(j AS INT) AS bucket,
+           CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+           CAST(gross_rows AS BIGINT) AS gross_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM b
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals in {_EQD_BUCKETS} buckets —
+    the optimizer statistic ANALYZE TABLE builds (equi-depth bounds give
+    selectivity estimates a constant relative error where the existing
+    equi-width sketch_quantile_histogram degrades on skewed tails). A
+    distinct value v belongs to bucket j when its rank span
+    (cum−cnt, cum] overlaps ((j−1)·n/k, j·n/k] — written with
+    cross-multiplied integers so no division exists; heavy values
+    spanning multiple depth boundaries appear in EACH bucket they
+    overlap (gross_rows can exceed n/k — exactly how per-bucket
+    ndv/rowcount stats handle heavy hitters, and why the per-bucket
+    distinct count rides along).
+
+    Shape: the scan collapses to the whole-unit value histogram; the
+    cumulative window runs over that value-domain relation, and the
+    bucket assignment is a constant ×{_EQD_BUCKETS} fan-out over it.
+    Nothing order-sized is ever sorted.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(quantize(F.col("o_totalprice"), 1).alias("v"))
+    h = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy()
+    c = h.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    k = _EQD_BUCKETS
+    hit = (k * (F.col("cum") - F.col("cnt")) < F.col("j") * F.col("n")) & (
+        k * F.col("cum") > (F.col("j") - 1) * F.col("n")
+    )
+    return (
+        c.select(
+            "v",
+            "cnt",
+            "cum",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .groupBy(F.col("j").cast("int").alias("bucket"))
+        .agg(
+            F.min(F.when(hit, F.col("v"))).cast("long").alias("lo"),
+            F.max(F.when(hit, F.col("v"))).cast("long").alias("hi"),
+            F.sum(F.when(hit, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("gross_rows"),
+            F.count(F.when(hit, F.lit(1))).cast("long").alias("n_distinct"),
+        )
+    )
+
+
 # -- Wilcoxon signed-rank (paired, integer-exact) --------------------------------
 
 
