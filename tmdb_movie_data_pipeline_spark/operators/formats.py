@@ -148,3 +148,33 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _slice(spark, sf_dir).write.mode("overwrite").orc(path)
     back = spark.read.schema(_SLICE_SCHEMA).orc(path)
     return _agg(back)
+
+
+@register("sink_parquet_codec_matrix", deferred=True, oracle=_ORACLE)
+def parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec matrix: the same slice written as zstd AND
+    snappy parquet, read back through one multi-path scan, aggregated —
+    pins that codec choice changes bytes on disk but NEVER values (the
+    invariance a 100 TB lake relies on when it re-encodes cold data from
+    snappy to zstd for the ~30 % footprint cut; a reader must not care
+    which codec a file carries, including MIXED codecs in one dataset,
+    which the single read here exercises). The aggregate divides each
+    metric by two writes via the modulo split, so a dropped or doubled
+    file surfaces as a value mismatch, not just a row-count change.
+
+    Scale note: codec is per-file metadata — mixing codecs in one
+    dataset is exactly how incremental re-encoding rolls through a
+    table without a stop-the-world rewrite.
+    """
+    base = scratch_dir("fmt_codec_")
+    half_a = os.path.join(base, "zstd")
+    half_b = os.path.join(base, "snappy")
+    s = _slice(spark, sf_dir)
+    s.filter(F.col("l_orderkey") % 2 == 0).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(half_a)
+    s.filter(F.col("l_orderkey") % 2 == 1).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(half_b)
+    back = spark.read.schema(_SLICE_SCHEMA).parquet(half_a, half_b)
+    return _agg(back)

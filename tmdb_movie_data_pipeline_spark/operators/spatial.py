@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from ..registry import register
@@ -202,6 +203,85 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pkey").alias("custkey"),
         "n_neighbors",
         (F.col("n_neighbors") >= _DBSCAN_MINPTS).alias("is_core"),
+    )
+
+
+#: neighbors reported per point by the radius-bounded kNN
+_KNN_K = 3
+
+
+@register(
+    "spatial_knn_within_radius",
+    deferred=True,
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS pkey,
+               {_coord_sql('sx')} AS x,
+               {_coord_sql('sy')} AS y
+        FROM customer
+    ),
+    prs AS (
+        SELECT a.pkey AS pa, b.pkey AS pb,
+               CAST((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+        FROM pts a JOIN pts b ON a.pkey < b.pkey
+        WHERE (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= {_R2}
+    ),
+    sym AS (
+        SELECT pa AS pkey, pb AS nbr, dist_sq FROM prs
+        UNION ALL
+        SELECT pb, pa, dist_sq FROM prs
+    ),
+    ranked AS (
+        SELECT pkey, nbr, dist_sq,
+               ROW_NUMBER() OVER (PARTITION BY pkey
+                                  ORDER BY dist_sq, nbr) AS rk
+        FROM sym
+    )
+    SELECT pkey AS custkey, CAST(rk AS INT) AS rank,
+           nbr AS neighbor_custkey, dist_sq
+    FROM ranked WHERE rk <= {_KNN_K}
+    """,
+)
+def knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point k-nearest neighbors WITHIN the search radius — the
+    geo-recommendation / nearest-facility query ("the {_KNN_K} closest
+    depots within delivery range of each customer"), answered from the
+    SAME lossless 3x3 grid join as the pair and DBSCAN queries: radius-
+    bounded kNN is the variant that stays an equi-join at scale, because
+    unbounded kNN cannot prune cells (an isolated point's nearest
+    neighbor may be arbitrarily far — that needs ring-expansion search,
+    a different algorithm). Deterministic ties on (dist_sq, neighbor id).
+
+    Shape: staged pair relation → symmetrize → per-point top-{_KNN_K}
+    window, partitioned by the point (frame bounded by local density);
+    no new distance computation and no second spatial pass.
+    """
+    pairs = grid_distance_self_join(
+        grid_points(load_table(spark, sf_dir, "customer"))
+    ).localCheckpoint(eager=False)  # both directions read the same join
+    sym = pairs.select(
+        F.col("custkey_a").alias("pkey"),
+        F.col("custkey_b").alias("nbr"),
+        "dist_sq",
+    ).unionAll(
+        pairs.select(
+            F.col("custkey_b").alias("pkey"),
+            F.col("custkey_a").alias("nbr"),
+            "dist_sq",
+        )
+    )
+    wk = W.partitionBy("pkey").orderBy("dist_sq", "nbr")
+    return (
+        sym.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KNN_K)
+        .select(
+            F.col("pkey").alias("custkey"),
+            F.col("rk").cast("int").alias("rank"),
+            F.col("nbr").alias("neighbor_custkey"),
+            "dist_sq",
+        )
     )
 
 
