@@ -201,5 +201,132 @@ def python_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 python_stream_scan.__doc__ = python_stream_scan.__doc__.format(STREAM_PAGES=STREAM_PAGES, STREAM_PAGE_SIZE=STREAM_PAGE_SIZE)  # real docstring (ADVICE r7)
 
+# -- Python DataSource WRITER half (deferred: r10 activation) --------------------
+
+
+def _make_write_datasource():
+    """Custom batch SINK via the same SPIP: per-task jsonl part files with
+    tmp-write + rename publication, a typed WriterCommitMessage per task,
+    and a driver-side commit() that records the manifest — the
+    two-phase task/driver commit shape every real connector sink has."""
+    import dataclasses
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclasses.dataclass
+    class PartCommit(WriterCommitMessage):
+        path: str
+        n_rows: int
+
+    class JsonlBatchWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            token = uuid.uuid4().hex
+            tmp = os.path.join(self.path, f".tmp-{token}.jsonl")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                    n += 1
+            final = os.path.join(self.path, f"part-{token}.jsonl")
+            os.rename(tmp, final)  # publish atomically, like a committer
+            return PartCommit(path=final, n_rows=n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "n_rows": sum(m.n_rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages or []:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    class JsonlBatchSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_batch_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlBatchWriter(self.options)
+
+    return JsonlBatchSink
+
+
+@register(
+    "sink_python_datasource_write",
+    deferred=True,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python DataSource API — the engine surface a
+    custom POST-batch / message-queue / vendor-API sink is built on,
+    completing the module's reader + streaming-reader coverage: each
+    Spark task streams its partition through ``DataSourceWriter.write``
+    into an atomically-renamed jsonl part file and returns a typed
+    commit message; the driver's ``commit()`` writes the manifest (the
+    task/driver two-phase shape of every real committer, with ``abort``
+    cleaning up failed attempts). The gate writes the orders slice
+    through the sink, reads the published parts back, and must reproduce
+    the source aggregate exactly — proving rows survive the Python
+    writer path byte-identical (integers only; json text round-trips of
+    doubles are exactly the hazard the integer discipline avoids).
+
+    Shape: the sink write is map-only (one task per input partition, no
+    shuffle); the readback is an ordinary distributed json scan with an
+    explicit schema.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..io import load_table, scratch_dir
+
+    spark.dataSource.register(_make_write_datasource())
+    out = scratch_dir("pysink_")
+    sl = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    sl.write.format("jsonl_batch_sink").mode("append").option(
+        "path", out
+    ).save()
+    back = spark.read.schema(
+        "o_orderkey long, o_orderpriority string, cents long"
+    ).json(os.path.join(out, "part-*.jsonl"))
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
