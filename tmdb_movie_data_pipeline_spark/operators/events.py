@@ -2571,20 +2571,21 @@ _VEL_MIN_COUNT = 3  #: purchases within the window (self included) that flag
     deferred=True,
     oracle=f"""
     WITH p AS (
-        SELECT user_id, ts,
+        SELECT event_id, user_id, ts,
                CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
                CAST(ROUND(value * 100) AS BIGINT) AS cents
         FROM events WHERE event_type = 'purchase'
     ),
     w AS (
-        SELECT user_id, ts, cents,
+        SELECT event_id, user_id, ts, cents,
                CAST(COUNT(*) OVER (
                    PARTITION BY user_id ORDER BY sec
                    RANGE BETWEEN {_VEL_WINDOW_SEC} PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_window
         FROM p
     )
-    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
            cents, n_window
     FROM w WHERE n_window >= {_VEL_MIN_COUNT}
     """,
@@ -2609,6 +2610,7 @@ def velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
         "user_id",
         "ts",
         F.col("ts").cast("long").alias("sec"),
@@ -2620,12 +2622,14 @@ def velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-_VEL_WINDOW_SEC, 0)
     )
     w = p.select(
+        "event_id",
         "user_id",
         "ts",
         "cents",
         F.count(F.lit(1)).over(wv).cast("long").alias("n_window"),
     )
     return w.filter(F.col("n_window") >= _VEL_MIN_COUNT).select(
+        "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
         "cents",

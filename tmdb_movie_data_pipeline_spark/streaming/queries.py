@@ -707,3 +707,164 @@ def _load_events_batch(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     return ev.select(F.col("ts").cast("timestamp").alias("ts"), "value")
+
+
+# -- streaming velocity alerts (deferred: r10 activation) ------------------------
+
+_SVA_WINDOW_SEC = 86400  # mirror of operators.events._VEL_WINDOW_SEC
+_SVA_MIN_COUNT = 3
+
+
+@register(
+    "stream_velocity_alerts",
+    deferred=True,
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+        SELECT event_id, user_id, ts, cents,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN {_SVA_WINDOW_SEC} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_window
+        FROM p
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+           cents, n_window
+    FROM w WHERE n_window >= {_SVA_MIN_COUNT}
+    """,
+)
+def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_velocity_flags: the trailing-window
+    velocity rule maintained ACROSS micro-batches with
+    ``applyInPandasWithState`` — per-user state holds the purchase events
+    seen so far, and every batch re-evaluates the rule over the full
+    per-user history, re-emitting any event whose window count grew (a
+    trailing-window flag is RETROACTIVE: a later batch can push an
+    earlier event over the threshold, so update-mode re-emission +
+    last-write-wins by event id is the only correct streaming shape —
+    exactly the CDC upsert discipline, applied to alerts). Purchases
+    replay as 10-day-block micro-batches, so the retroactive path
+    genuinely executes; the oracle is the batch form, and matching it
+    proves the incremental alert stream converges to the batch truth.
+    State is the per-user event list (production evicts entries older
+    than watermark − window; the fixture's per-user volume is bounded so
+    the eviction is documented, not simulated)."""
+    import glob
+    import shutil
+    import time
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..io import load_table, scratch_dir
+
+    root = scratch_dir("velstream_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("sec"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    block = F.expr(f"sec div {10 * 86400}")
+    blocks = [
+        r.b for r in ev.select(block.alias("b")).distinct().orderBy("b").collect()
+    ]  # fixture staging only: |blocks| rows, never data-scale
+    t0 = time.time() - 600
+    for b, blk in enumerate(blocks):
+        stage = os.path.join(root, f"stage_{b}")
+        ev.filter(block == blk).coalesce(1).write.mode("overwrite").parquet(stage)
+        [src] = glob.glob(os.path.join(stage, "*.parquet"))
+        dst = os.path.join(in_dir, f"batch_{b}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (t0 + b * 60, t0 + b * 60))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, sec long, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("sec", LongType()),
+            StructField("cents", LongType()),
+            StructField("n_window", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("entries", StringType())])
+
+    def update_user(key, pdf_iter, state: GroupState):
+        # state: ';'-joined 'event_id:sec:cents' entries — the full per-user
+        # purchase history (see docstring for the production eviction note)
+        entries = []
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                entries = [
+                    tuple(int(x) for x in item.split(":"))
+                    for item in blob.split(";")
+                ]
+        for pdf in pdf_iter:
+            entries.extend(
+                zip(
+                    pdf["event_id"].astype(int),
+                    pdf["sec"].astype(int),
+                    pdf["cents"].astype(int),
+                )
+            )
+        state.update(
+            (";".join(f"{e}:{s}:{c}" for e, s, c in entries),)
+        )
+        secs = [s for _, s, _ in entries]
+        rows = [
+            (e, key[0], s, c, n)
+            for (e, s, c) in entries
+            if (n := sum(1 for s2 in secs if s - _SVA_WINDOW_SEC <= s2 <= s))
+            >= _SVA_MIN_COUNT
+        ]
+        import pandas as pd
+
+        yield pd.DataFrame(
+            rows, columns=["event_id", "user_id", "sec", "cents", "n_window"]
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_completion(updates, "update")
+    # last write wins per event: n_window only grows as later batches land
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_id").orderBy(F.desc("n_window"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format(F.timestamp_seconds("sec"), "yyyy-MM-dd HH:mm:ss")
+            .alias("event_time"),
+            "cents",
+            "n_window",
+        )
+    )
