@@ -313,3 +313,76 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# -- PQ distortion (codec quality; deferred: r10 activation) ---------------------
+
+
+def _distortion_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"""SELECT CAST({b} AS BIGINT) AS block,
+                  CAST(ROUND(MIN({_block_dist("v._e", "c._c", b)})
+                             * {_QSCALE}) AS BIGINT) AS d_micro
+        FROM fv v, fc c GROUP BY v.vec_id"""
+        for b in range(PQ_M)
+    )
+    return f"""
+    WITH fv AS (SELECT vec_id, {{flat_v}} FROM embeddings),
+    fc AS (SELECT vec_id - {_CB_BASE} AS cid, {{flat_c}}
+           FROM embeddings
+           WHERE vec_id >= {_CB_BASE} AND vec_id < {_CB_BASE + PQ_K}),
+    per_vec AS ({branches})
+    SELECT block,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d_micro) AS BIGINT) AS total_dist_micro,
+           CAST(SUM(d_micro) // COUNT(*) AS BIGINT) AS mean_dist_micro,
+           CAST(MAX(d_micro) AS BIGINT) AS max_dist_micro
+    FROM per_vec GROUP BY 1
+    """.replace("{flat_v}", _sql_flat("embeddings", "_e")).replace(
+        "{flat_c}", _sql_flat("embeddings", "_c")
+    )
+
+
+@register("ml_pq_distortion", deferred=True, oracle=_distortion_oracle())
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codec quality: per-block quantization distortion — each vector's
+    squared distance to its ASSIGNED sub-centroid (the min over the
+    codebook), aggregated to total / mean / worst-case micro-units per
+    block. This is the number a PQ deployment watches per training round:
+    distortion concentrated in one block means that subspace's centroids
+    are under-fit and recall will sag exactly there; ann_pq_adc_topk
+    gates the RANKING the codes produce, this gates the GEOMETRY they
+    lost. Distances are the module's shared expression text, so the
+    doubles are bit-identical cross-engine and their micro-unit rounding
+    hashes exactly.
+
+    Shape: corpus × broadcast(16-row codebook) with all M block-minima
+    taken in ONE aggregate pass (one map-side-combined shuffle carrying
+    one row per vector), then an M-row rollup. No window, no pair join.
+    """
+    vecs = _flat(load_table(spark, sf_dir, "embeddings"), "_e", "vec_id")
+    cb = _codebook(spark, sf_dir)
+    paired = vecs.crossJoin(F.broadcast(cb))
+    min_aggs = [
+        F.min(F.expr(f"({_block_dist('_e', '_c', b)})")).alias(f"d_{b}")
+        for b in range(PQ_M)
+    ]
+    per_vec = paired.groupBy("vec_id").agg(*min_aggs)
+    exploded = per_vec.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.round(F.col(f"d_{b}") * _QSCALE, 0).cast("long")
+                    for b in range(PQ_M)
+                ]
+            )
+        ).alias("block", "d_micro")
+    ).select(F.col("block").cast("long").alias("block"), "d_micro")
+    return exploded.groupBy("block").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d_micro").cast("long").alias("total_dist_micro"),
+        F.expr("CAST(SUM(d_micro) div COUNT(*) AS BIGINT)").alias(
+            "mean_dist_micro"
+        ),
+        F.max("d_micro").cast("long").alias("max_dist_micro"),
+    )
