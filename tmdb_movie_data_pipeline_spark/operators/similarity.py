@@ -1170,5 +1170,137 @@ def ann_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- hybrid dense+sparse retrieval via RRF (deferred: r10 activation) ------------
+
+_RRF_DEPTH = 20  #: candidates taken from each retriever before fusion
+_RRF_K = 60  #: the standard RRF smoothing constant (Cormack et al.)
+_RRF_TOP = 5  #: fused results emitted per query
+
+
+@register(
+    "ml_hybrid_rrf_fusion",
+    deferred=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+    dense AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {_dot_duck("q_emb", "c_emb")}
+                            / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")})
+                            DESC, neighbor_id) AS BIGINT) AS rank_dense
+        FROM q, c WHERE query_id <> neighbor_id
+        QUALIFY rank_dense <= {_RRF_DEPTH}
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                         ' '))) AS tok
+        FROM documents
+    ),
+    ov AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+               CAST(COUNT(*) AS BIGINT) AS overlap
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    sparse AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY overlap DESC, neighbor_id) AS BIGINT) AS rank_sparse
+        FROM ov QUALIFY rank_sparse <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+               COALESCE(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+               COALESCE(d.rank_dense, 0) AS rank_dense,
+               COALESCE(s.rank_sparse, 0) AS rank_sparse,
+               CAST(CASE WHEN d.rank_dense IS NULL THEN 0
+                    ELSE 1000000 // ({_RRF_K} + d.rank_dense) END
+                  + CASE WHEN s.rank_sparse IS NULL THEN 0
+                    ELSE 1000000 // ({_RRF_K} + s.rank_sparse) END
+                  AS BIGINT) AS rrf_ppm
+        FROM dense d FULL OUTER JOIN sparse s
+          ON s.query_id = d.query_id AND s.neighbor_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_dense, rank_sparse, rrf_ppm,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_ppm DESC, neighbor_id) AS BIGINT) AS fused_rank
+    FROM fused QUALIFY fused_rank <= {_RRF_TOP}
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused by Reciprocal Rank Fusion
+    (Cormack–Clarke–Buettcher): the DENSE list is exact cosine top-
+    {_RRF_DEPTH} over the embeddings, the SPARSE list is distinct-token
+    overlap top-{_RRF_DEPTH} over the paired documents (vec_id and doc_id
+    share the fixture's id space), and each candidate's fused score is
+    Σ 1e6/({_RRF_K}+rank) over the lists that returned it — integer
+    division, so the score is exact and the fused top-{_RRF_TOP} is
+    hash-stable. RRF is THE production hybrid-search combiner precisely
+    because it needs no score calibration between retrievers — only
+    ranks — which is also what makes it integer-exact here; absent-list
+    ranks surface as 0, not NULL, so the row set is canonicalizable.
+
+    Shape: the dense side is the broadcast query×corpus scan the exact
+    tier already uses; the sparse side is a token-keyed equi-join (query
+    tokens × corpus postings — at scale the inverted-index route);
+    fusion is one full-outer equi-join on (query, candidate) over two
+    {_RRF_DEPTH}-deep lists — |queries|×{_RRF_DEPTH}-bounded, trivially
+    broadcastable — and a per-query top-{_RRF_TOP} window.
+    """
+    from .text import tokens_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, _RRF_DEPTH)
+        .select("query_id", "neighbor_id", F.col("rank").alias("rank_dense"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.array_distinct(tokens_col())).alias("tok")
+    )
+    a = toks.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    b = toks.select(F.col("doc_id").alias("neighbor_id"), "tok")
+    ws = W.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("neighbor_id"))
+    sparse = (
+        a.join(b, "tok")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .withColumn("rank_sparse", F.row_number().over(ws).cast("long"))
+        .filter(F.col("rank_sparse") <= _RRF_DEPTH)
+        .select("query_id", "neighbor_id", "rank_sparse")
+    )
+    fused = (
+        dense.join(sparse, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce("rank_dense", F.lit(0)).cast("long").alias("rank_dense"),
+            F.coalesce("rank_sparse", F.lit(0)).cast("long").alias("rank_sparse"),
+            (
+                F.when(F.col("rank_dense").isNull(), 0).otherwise(
+                    F.expr(f"1000000 div ({_RRF_K} + rank_dense)")
+                )
+                + F.when(F.col("rank_sparse").isNull(), 0).otherwise(
+                    F.expr(f"1000000 div ({_RRF_K} + rank_sparse)")
+                )
+            )
+            .cast("long")
+            .alias("rrf_ppm"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
