@@ -996,6 +996,184 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- k-fold centroid-classifier cross-validation (deferred: r10 activation) ------
+
+_CV_FOLDS = 5
+_CV_SCALE = 1000  # shift+scale quantization shared with the silhouette
+
+
+@register(
+    "ml_kfold_centroid_cv",
+    deferred=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, CAST(vec_id % {_CV_FOLDS} AS BIGINT) AS fold,
+               CAST(UNNEST(range(0, {DIM})) AS BIGINT) AS dim,
+               UNNEST([CAST(ROUND((CAST(x AS DOUBLE) + 1.0) * {_CV_SCALE})
+                            AS BIGINT) FOR x IN embedding]) AS qv
+        FROM embeddings
+    ),
+    fold_sums AS (
+        SELECT fold, label, dim,
+               CAST(SUM(qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT label, dim, CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(n) AS BIGINT) AS nt
+        FROM fold_sums GROUP BY 1, 2
+    ),
+    cent AS (
+        -- leave-one-fold-out centroid by subtraction: one pass, all folds
+        SELECT f.fold, t.label AS c_label, t.dim,
+               CAST((t.st - COALESCE(fs.s, 0))
+                    // (t.nt - COALESCE(fs.n, 0)) AS BIGINT) AS c
+        FROM (SELECT DISTINCT fold FROM fold_sums) f
+        JOIN tot t ON TRUE
+        LEFT JOIN fold_sums fs
+          ON fs.fold = f.fold AND fs.label = t.label AND fs.dim = t.dim
+        WHERE t.nt - COALESCE(fs.n, 0) > 0
+    ),
+    d AS (
+        SELECT q.vec_id, q.label AS actual, q.fold, cent.c_label,
+               CAST(SUM((qv - c) * (qv - c)) AS BIGINT) AS d2
+        FROM q JOIN cent ON cent.fold = q.fold AND cent.dim = q.dim
+        GROUP BY 1, 2, 3, 4
+    ),
+    pred AS (
+        SELECT vec_id, actual, fold, c_label AS predicted
+        FROM (
+            SELECT vec_id, actual, fold, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c_label) AS rk
+            FROM d
+        ) WHERE rk = 1
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((1000000 * SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM pred GROUP BY 1
+    """,
+)
+def kfold_centroid_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_CV_FOLDS}-fold cross-validated nearest-class-centroid accuracy —
+    the honest eval the single-split classifiers don't give (one split's
+    accuracy is a point estimate; the fold spread is the variance). The
+    scale trick: leave-one-fold-out centroids come from ONE pass by
+    SUBTRACTION — total per-(label, dim) sums minus the held fold's sums
+    — so {_CV_FOLDS}-fold CV costs one aggregation, not {_CV_FOLDS}
+    re-trainings (the streaming-algebra property that makes CV viable on
+    a 100 TB training set at all). Components are shift-quantized to
+    nonnegative ints (the silhouette device), so centroids, distances,
+    and the argmin are bit-exact cross-engine; folds are deterministic
+    id-modulo. Honesty note: the fixture's labels are not geometrically
+    clustered, so fold accuracies sit at chance (7–13 % across folds vs
+    10 % for 10 labels) — and that SPREAD is precisely the
+    point-estimate variance CV exists to expose; the operator under test
+    is the machinery.
+
+    Shape: one posexplode pass → (fold, label, dim) partial sums → tiny
+    centroid relation (folds×labels×dim) broadcast back keyed on
+    (fold, dim); the argmin window runs per vector over |labels| rows;
+    the rollup is {_CV_FOLDS} rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % _CV_FOLDS).cast("long").alias("fold"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "fold",
+        F.col("dim").cast("long").alias("dim"),
+        F.round((F.col("v").cast("double") + 1.0) * _CV_SCALE, 0)
+        .cast("long")
+        .alias("qv"),
+    # feeds the fold sums AND the distance join: one explosion
+    ).localCheckpoint(eager=False)
+    fold_sums = q.groupBy("fold", "label", "dim").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = fold_sums.groupBy("label", "dim").agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    folds = fold_sums.select("fold").distinct()
+    cent = (
+        folds.crossJoin(tot)
+        .join(
+            fold_sums.select(
+                F.col("fold").alias("f2"),
+                F.col("label").alias("l2"),
+                F.col("dim").alias("d2col"),
+                "s",
+                "n",
+            ),
+            (F.col("f2") == F.col("fold"))
+            & (F.col("l2") == F.col("label"))
+            & (F.col("d2col") == F.col("dim")),
+            "left",
+        )
+        .select(
+            "fold",
+            F.col("label").alias("c_label"),
+            "dim",
+            F.expr(
+                "CAST((st - COALESCE(s, 0)) div (nt - COALESCE(n, 0))"
+                " AS BIGINT)"
+            ).alias("c"),
+            (F.col("nt") - F.coalesce(F.col("n"), F.lit(0))).alias("n_train"),
+        )
+        .filter(F.col("n_train") > 0)
+        .drop("n_train")
+    )
+    cent_r = cent.select(
+        F.col("fold").alias("cfold"),
+        "c_label",
+        F.col("dim").alias("cdim"),
+        "c",
+    )
+    d = (
+        q.join(
+            F.broadcast(cent_r),
+            (F.col("cfold") == F.col("fold")) & (F.col("cdim") == F.col("dim")),
+        )
+        .groupBy(
+            "vec_id",
+            F.col("label").alias("actual"),
+            "fold",
+            F.col("c_label"),
+        )
+        .agg(
+            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    wp = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    pred = (
+        d.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("fold", "actual", F.col("c_label").alias("predicted"))
+    )
+    return pred.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("actual") == F.col("predicted")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN actual = predicted THEN 1 ELSE 0"
+            " END)) div COUNT(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )
+
+
 # -- multivariate OLS via normal equations (deferred: r10 activation) ------------
 
 #: shared Cramer's-rule formulas over the nine normal-equation sums
