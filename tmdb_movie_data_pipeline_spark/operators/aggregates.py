@@ -2878,6 +2878,148 @@ def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- difference-in-differences (deferred: r10 activation) -------------------------
+
+
+@register(
+    "stats_diff_in_diff",
+    deferred=True,
+    oracle="""
+    WITH b AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    pop AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+        FROM events
+    ),
+    rev AS (
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) <= d0 + CAST(
+                    date_diff('day', d0, d1) // 2 AS INT) THEN 0 ELSE 1 END
+                   AS period,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events, b WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT pop.treated, p.period,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(COALESCE(rev.cents, 0)) AS BIGINT) AS sum_cents
+        FROM pop CROSS JOIN (VALUES (0), (1)) p(period)
+        LEFT JOIN rev ON rev.user_id = pop.user_id AND rev.period = p.period
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT
+          MAX(CASE WHEN treated = 1 AND period = 0 THEN sum_cents END) AS st0,
+          MAX(CASE WHEN treated = 1 AND period = 1 THEN sum_cents END) AS st1,
+          MAX(CASE WHEN treated = 0 AND period = 0 THEN sum_cents END) AS sc0,
+          MAX(CASE WHEN treated = 0 AND period = 1 THEN sum_cents END) AS sc1,
+          MAX(CASE WHEN treated = 1 THEN n_users END) AS nt,
+          MAX(CASE WHEN treated = 0 THEN n_users END) AS nc
+        FROM cells
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           CAST(st0 AS BIGINT) AS treat_pre_cents,
+           CAST(st1 AS BIGINT) AS treat_post_cents,
+           CAST(sc0 AS BIGINT) AS ctrl_pre_cents,
+           CAST(sc1 AS BIGINT) AS ctrl_post_cents,
+           CAST(CASE WHEN (1000 * (st1 - st0) * nc
+                           - 1000 * (sc1 - sc0) * nt) >= 0
+                THEN (1000 * (st1 - st0) * nc - 1000 * (sc1 - sc0) * nt)
+                     // (nt * nc)
+                ELSE -((-(1000 * (st1 - st0) * nc
+                          - 1000 * (sc1 - sc0) * nt)) // (nt * nc)) END
+                AS BIGINT) AS did_milli_cents
+    FROM m
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the canonical quasi-experimental
+    estimate: per-user purchase revenue, split pre/post at the time-range
+    midpoint and treated/control by deterministic id parity, with the
+    effect (Δtreated − Δcontrol) in sign-safe exact milli-cents per user.
+    The population is ALL users observed in events (a user with no
+    purchases in a period contributes an explicit 0 — dropping them is
+    the classic DiD composition bug, avoided here by the population ×
+    period grid), so per-group denominators are period-invariant and the
+    estimate reduces to one exact integer rational. Completes the causal
+    kit beside stats_uplift_stratified (conversion uplift, no time
+    axis) and events_backtest_* (forecast counterfactuals).
+
+    Shape: events collapse to (user, period) revenue; the grid is
+    |users|×2 via a 2-row cross join; four cells and the estimate are a
+    1-row conditional aggregate. Nothing bigger than the user relation
+    ever shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    pop = ev.select(
+        "user_id", (F.col("user_id") % 2 == 0).cast("long").alias("treated")
+    ).distinct()
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.to_date("ts")
+                <= F.expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"),
+                0,
+            )
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(F.sum(quantize(F.col("value"), 100)).cast("long").alias("cents"))
+    )
+    periods = ev.sparkSession.createDataFrame([(0,), (1,)], "period long")
+    cells = (
+        pop.crossJoin(F.broadcast(periods))
+        .join(rev, ["user_id", "period"], "left")
+        .groupBy("treated", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("period") == p),
+               F.col("sum_cents"))
+    )
+    grp = lambda t: F.max(  # noqa: E731
+        F.when(F.col("treated") == t, F.col("n_users"))
+    )
+    m = cells.agg(
+        cell(1, 0).alias("st0"),
+        cell(1, 1).alias("st1"),
+        cell(0, 0).alias("sc0"),
+        cell(0, 1).alias("sc1"),
+        grp(1).alias("nt"),
+        grp(0).alias("nc"),
+    )
+    return m.selectExpr(
+        "CAST(nt AS BIGINT) AS n_treat",
+        "CAST(nc AS BIGINT) AS n_ctrl",
+        "CAST(st0 AS BIGINT) AS treat_pre_cents",
+        "CAST(st1 AS BIGINT) AS treat_post_cents",
+        "CAST(sc0 AS BIGINT) AS ctrl_pre_cents",
+        "CAST(sc1 AS BIGINT) AS ctrl_post_cents",
+        "CAST(CASE WHEN (1000 * (st1 - st0) * nc - 1000 * (sc1 - sc0) * nt)"
+        " >= 0"
+        " THEN (1000 * (st1 - st0) * nc - 1000 * (sc1 - sc0) * nt)"
+        "      div (nt * nc)"
+        " ELSE -((-(1000 * (st1 - st0) * nc - 1000 * (sc1 - sc0) * nt))"
+        "      div (nt * nc)) END AS BIGINT) AS did_milli_cents",
+    )
+
+
 # -- equi-depth histogram (optimizer statistics form; deferred) -------------------
 
 _EQD_BUCKETS = 8
