@@ -2560,6 +2560,133 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- session-scoped funnel (deferred: r10 activation) -----------------------------
+
+
+@register(
+    "events_session_funnel",
+    deferred=True,
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM seq
+    ),
+    s AS (
+        SELECT user_id, session_seq,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS t3
+        FROM sess GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        FROM s
+    )
+    SELECT 1 AS step, 'view' AS step_type, n_sessions, s1 AS n_reached,
+           CAST(1000000 AS BIGINT) AS conv_ppm FROM agg
+    UNION ALL
+    SELECT 2, 'click', n_sessions, s2,
+           CAST((1000000 * s2) // s1 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 3, 'purchase', n_sessions, s3,
+           CAST((1000000 * s3) // s1 AS BIGINT) FROM agg
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The view→click→purchase funnel at SESSION grain: a step counts only
+    when it happens later than the previous step INSIDE the same
+    {SESSION_GAP_MIN}-minute-gap session — the intent-completion question
+    ("did this visit convert?") that the user-grain funnel
+    (events_funnel_steps) answers too optimistically, since a click next
+    week still counts there. Conversion per step in exact ppm of
+    step-1-reaching sessions.
+
+    Shape: sessionization's one user-keyed Exchange and ordered scan (the
+    shared ``sessionize`` helper — the oracle replicates its exact
+    gap/tie rule), then a (user, session) rollup of three MIN-per-type
+    timestamps and a 1-row funnel aggregate; the step logic never leaves
+    the session row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("t1"),
+            F.min(
+                F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+            ).alias("t2"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("t3"),
+        )
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("t1").isNotNull().cast("long")).cast("long").alias("s1"),
+        F.sum(
+            (F.col("t1").isNotNull() & (F.col("t2") > F.col("t1"))).cast("long")
+        )
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            (
+                F.col("t1").isNotNull()
+                & (F.col("t2") > F.col("t1"))
+                & (F.col("t3") > F.col("t2"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s3"),
+    ).localCheckpoint(eager=False)  # three step rows read the 1-row agg
+    steps = []
+    for step, name, col, prev in (
+        (1, "view", "s1", None),
+        (2, "click", "s2", "s1"),
+        (3, "purchase", "s3", "s1"),
+    ):
+        conv = (
+            F.lit(1000000).cast("long")
+            if prev is None
+            else F.expr(f"CAST((1000000 * {col}) div {prev} AS BIGINT)")
+        )
+        steps.append(
+            agg.select(
+                F.lit(step).alias("step"),
+                F.lit(name).alias("step_type"),
+                "n_sessions",
+                F.col(col).alias("n_reached"),
+                conv.alias("conv_ppm"),
+            )
+        )
+    out = steps[0]
+    for p in steps[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # -- velocity fraud flags (deferred: r10 activation) -----------------------------
 
 _VEL_WINDOW_SEC = 86400  #: trailing window for the velocity rule (24 h)
