@@ -1025,9 +1025,9 @@ _MJ_SIG_MATCH_SQL = " + ".join(
 )
 
 
-@register(
-    "dedup_minhash_jaccard_estimate",
-    oracle=f"""
+#: complete estimator-vs-truth oracle — shared by the per-pair contract
+#: query below AND the threshold sweep built over the same relation
+_MJ_EST_ORACLE = f"""
     WITH {_CAND_INTER_SQL}, sigs AS (
         SELECT doc_id,
                {", ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(NUM_HASHES))}
@@ -1048,7 +1048,9 @@ _MJ_SIG_MATCH_SQL = " + ".join(
     JOIN sizes za ON za.doc_id = c.doc_a
     JOIN sizes zb ON zb.doc_id = c.doc_b
     """
-)
+
+
+@register("dedup_minhash_jaccard_estimate", oracle=_MJ_EST_ORACLE)
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash accuracy contract, pinned per pair: for every LSH candidate
     the estimated Jaccard (matching signature fraction of {NUM_HASHES},
@@ -1192,3 +1194,98 @@ def chunk_dupshare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
+
+
+# -- banding-threshold sweep (deferred: r10 activation) --------------------------
+
+#: Jaccard cutoffs swept, in ppm — the operating points a dedup pipeline
+#: chooses between
+_SWEEP_TAUS = (250_000, 375_000, 500_000, 625_000, 750_000)
+
+
+@register(
+    "dedup_threshold_sweep",
+    deferred=True,
+    oracle=f"""
+    WITH est AS ({_MJ_EST_ORACLE}),
+    sweep AS (
+        SELECT t.tau, est.est_jaccard_ppm, est.exact_jaccard_ppm
+        FROM est CROSS JOIN (VALUES {", ".join(f"({t})" for t in _SWEEP_TAUS)})
+             t(tau)
+    )
+    SELECT CAST(tau AS BIGINT) AS tau_ppm,
+           CAST(SUM(CASE WHEN est_jaccard_ppm >= tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN est_jaccard_ppm >= tau
+                          AND exact_jaccard_ppm >= tau
+                    THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+           CAST(SUM(CASE WHEN est_jaccard_ppm >= tau
+                          AND exact_jaccard_ppm < tau
+                    THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+           CAST(SUM(CASE WHEN est_jaccard_ppm < tau
+                          AND exact_jaccard_ppm >= tau
+                    THEN 1 ELSE 0 END) AS BIGINT) AS missed_in_candidates,
+           CAST(CASE WHEN SUM(CASE WHEN est_jaccard_ppm >= tau
+                                   THEN 1 ELSE 0 END) = 0 THEN 1000000
+                ELSE (1000000 * SUM(CASE WHEN est_jaccard_ppm >= tau
+                                          AND exact_jaccard_ppm >= tau
+                                    THEN 1 ELSE 0 END))
+                     // SUM(CASE WHEN est_jaccard_ppm >= tau
+                              THEN 1 ELSE 0 END) END AS BIGINT)
+               AS precision_ppm
+    FROM sweep GROUP BY 1
+    """,
+)
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the MinHash dedup gate: for each Jaccard
+    cutoff τ, how many candidate pairs the ESTIMATOR keeps, how many of
+    those the exact Jaccard confirms (precision in exact ppm; empty kept
+    set reports a vacuous 1e6), and how many true-τ pairs the estimator
+    under-scores (missed_in_candidates — the estimator's own misses; the
+    BANDING's recall lives in the dHash-style lossless proofs, all-pairs
+    recall being unmeasurable without the all-pairs join this family
+    exists to avoid). This is the table a pipeline owner reads to pick τ:
+    precision rises with τ while kept-volume falls, and the elbow is the
+    operating point.
+
+    Shape: one pass over the staged estimator-vs-truth pair relation
+    (dedup_minhash_jaccard_estimate's output — signatures and pair-keyed
+    intersections, never raw-shingle self-joins), a ×{len(_SWEEP_TAUS)}
+    constant fan-out, and a |τ|-row conditional aggregate.
+    """
+    est = minhash_jaccard_estimate(spark, sf_dir)
+    taus = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau long")
+    sweep = est.crossJoin(F.broadcast(taus))
+    kept = F.sum((F.col("est_jaccard_ppm") >= F.col("tau")).cast("long"))
+    tp = F.sum(
+        (
+            (F.col("est_jaccard_ppm") >= F.col("tau"))
+            & (F.col("exact_jaccard_ppm") >= F.col("tau"))
+        ).cast("long")
+    )
+    fp = F.sum(
+        (
+            (F.col("est_jaccard_ppm") >= F.col("tau"))
+            & (F.col("exact_jaccard_ppm") < F.col("tau"))
+        ).cast("long")
+    )
+    fn = F.sum(
+        (
+            (F.col("est_jaccard_ppm") < F.col("tau"))
+            & (F.col("exact_jaccard_ppm") >= F.col("tau"))
+        ).cast("long")
+    )
+    return sweep.groupBy(F.col("tau").cast("long").alias("tau_ppm")).agg(
+        kept.cast("long").alias("kept"),
+        tp.cast("long").alias("true_pos"),
+        fp.cast("long").alias("false_pos"),
+        fn.cast("long").alias("missed_in_candidates"),
+        F.expr(
+            "CAST(CASE WHEN SUM(CASE WHEN est_jaccard_ppm >= tau THEN 1"
+            " ELSE 0 END) = 0 THEN 1000000"
+            " ELSE (1000000 * SUM(CASE WHEN est_jaccard_ppm >= tau AND"
+            " exact_jaccard_ppm >= tau THEN 1 ELSE 0 END))"
+            " div SUM(CASE WHEN est_jaccard_ppm >= tau THEN 1 ELSE 0 END)"
+            " END AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
