@@ -227,18 +227,35 @@ def make_parallel_copy(spark, sf_dir: str) -> str:
     return dst
 
 
-def _round_token() -> int:
+def _accompanies_round() -> int:
+    """The round number whose BENCH_r{N}/CORRECTNESS_r{N} records this bench
+    run accompanies = the HIGHEST existing CORRECTNESS round. The driver
+    writes CORRECTNESS_r{N}.json before it runs bench, so at driver time this
+    is N; the r9 scheme used the registry's ``_round_token()`` (= next round)
+    and filed the r9 driver detail as BENCH_DETAIL_r10.json (VERDICT r9 #4).
+    Mid-round session runs happen before the round's CORRECTNESS file exists
+    and would collide with the PREVIOUS driver detail — set
+    SPARK_GRAFT_BENCH_TAG to divert those to BENCH_DETAIL_<tag>.json."""
     from tmdb_movie_data_pipeline_spark.registry import _round_token as rt
 
-    return rt()
+    return rt() - 1
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    # bench runs alone on the box: keep the larger heap (the 6g session
-    # default is the driver-verify coexistence setting — VERDICT r8 #5)
+    # bench runs alone on the box: keep the larger heap and the FULL idle
+    # Python-worker pool (the 6g heap / 8-worker cap session defaults are
+    # driver-verify coexistence settings — VERDICT r8 #5 / r9 #3). With the
+    # cap, every mapInPandas stage after the first pays ~cores-8 worker
+    # re-forks + pandas re-imports: A/B'd at 1.7x on
+    # multimodal_cdc_chunk_dedup, 1.5x on chunk_store_gc (NOTES_r10).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    os.environ.setdefault(
+        "SPARK_GRAFT_PY_IDLE_WORKERS", cpus if cpus.isdigit() else "32"
+    )
+    os.environ.setdefault("SPARK_GRAFT_PY_KILL_IDLE", "false")
     spark = get_spark(app_name="bench")
 
     copy_dir = make_parallel_copy(spark, sf_dir)  # also warms JVM + footers
@@ -305,6 +322,9 @@ def main() -> None:
         # asserted under the budget (tests/test_bench_contract.py).
         detail = {
             "metric": "headline_queries_total_runtime",
+            # the round whose BENCH_r{N}/CORRECTNESS_r{N} this accompanies
+            # (embedded per VERDICT r9 #4 so the filename is auditable)
+            "accompanies_round": _accompanies_round(),
             "value": round(total, 3),
             "unit": "sec",
             "queries": timings,
@@ -331,7 +351,12 @@ def main() -> None:
             "calibration_sec_pre": cal_pre,
             "calibration_sec_post": cal_post,
         }
-        detail_name = f"BENCH_DETAIL_r{_round_token()}.json"
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+        detail_name = (
+            f"BENCH_DETAIL_{tag}.json"
+            if tag
+            else f"BENCH_DETAIL_r{_accompanies_round():02d}.json"
+        )
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), detail_name
         )

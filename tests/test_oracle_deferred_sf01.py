@@ -1,9 +1,11 @@
-"""Second-scale gate for the DEFERRED queue (ADVICE r6): until a deferred
-query has a driver CORRECTNESS row, its only verification is local — so it
-must be hash-gated at BOTH fixture scales, including sf0.01, the scale the
-driver will actually run it at on activation. Active queries get their
-sf0.01 check from the driver itself; this module covers the queue only, so
-the extra cost stays bounded by the queue size.
+"""Second-scale gate for every query WITHOUT a driver CORRECTNESS row
+(ADVICE r6, widened r10): until a query has a green driver row, its only
+verification is local — so it must be hash-gated at BOTH fixture scales,
+including sf0.01, the scale the driver actually runs. That set is the
+deferred queue PLUS never-verified active queries (activation rounds are
+exactly when sf0.01-only failures like the r8 DuckDB-OOM burst would
+surface). Driver-verified actives get their sf0.01 check from the driver
+itself, so the extra cost here stays bounded by the unverified frontier.
 """
 
 from __future__ import annotations
@@ -11,6 +13,9 @@ from __future__ import annotations
 import pytest
 
 from tmdb_movie_data_pipeline_spark.registry import (
+    _driver_verified_names,
+    all_oracles,
+    all_queries,
     deferred_oracles,
     deferred_queries,
 )
@@ -18,13 +23,20 @@ from tmdb_movie_data_pipeline_spark.registry import (
 from conftest import SF_MEDIUM  # noqa: E402
 from test_oracle import _assert_atomic_schema, _canon_frame, _duck  # noqa: E402
 
-DEFERRED = deferred_queries()
-ORACLES = deferred_oracles()
+_verified = _driver_verified_names()
+QUERIES = {
+    **deferred_queries(),
+    **{n: f for n, f in all_queries().items() if n not in _verified},
+}
+ORACLES = {**deferred_oracles(), **all_oracles()}
+#: names with no oracle (rows-only driver check) still deserve an sf0.01
+#: smoke execution so activation can't crash on scale-dependent code paths
+_NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
 
 
-@pytest.mark.parametrize("name", sorted(DEFERRED))
-def test_deferred_query_matches_oracle_at_sf01(spark, name):
-    out = DEFERRED[name](spark, SF_MEDIUM)
+@pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))
+def test_unverified_query_matches_oracle_at_sf01(spark, name):
+    out = QUERIES[name](spark, SF_MEDIUM)
     _assert_atomic_schema(name, out.schema)
     spark_df = out.toPandas()
     con = _duck(SF_MEDIUM)
@@ -39,3 +51,10 @@ def test_deferred_query_matches_oracle_at_sf01(spark, name):
     assert _canon_frame(spark_df) == _canon_frame(duck_df), (
         f"{name}@sf0.01: value mismatch"
     )
+
+
+@pytest.mark.parametrize("name", _NO_ORACLE)
+def test_unverified_oracleless_query_runs_at_sf01(spark, name):
+    out = QUERIES[name](spark, SF_MEDIUM)
+    _assert_atomic_schema(name, out.schema)
+    assert out.count() >= 0

@@ -138,23 +138,66 @@ def test_errd_driver_row_is_unverified():
 
 
 def test_latest_row_wins_for_verified_names():
-    """A name green in r07 but err'd in r08 must be unverified (and vice
-    versa: an err that later re-greens counts). Checked against the real
-    CORRECTNESS files: the r8 err rows must not be in the verified set."""
+    """LATEST-row semantics against the real CORRECTNESS files: a name is
+    verified iff its most recent driver row is green — an err that later
+    re-greens counts (the r8 DuckDB-OOM burst all re-greened in r9), and a
+    green that later errs drops out. The r10 predecessor of this test froze
+    the r8 snapshot ("every r8 err name is unverified"), which became false
+    the moment the driver wrote CORRECTNESS_r09.json re-greening them
+    (VERDICT r9 item #1) — assert the invariant, never a round's state."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    r8 = root / "CORRECTNESS_r08.json"
-    if not r8.exists():
-        pytest.skip("no r8 correctness record")
-    data = json.loads(r8.read_text())
-    errd = {n for n, row in data.items() if row.get("err")}
-    if not errd:
-        pytest.skip("no err rows in r8")
+    rounds = sorted(
+        (int(m.group(1)), p)
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    )
+    if not rounds:
+        pytest.skip("no driver correctness records")
+    latest: dict[str, dict] = {}
+    for _, path in rounds:
+        latest.update(json.loads(path.read_text()))
     verified = registry._driver_verified_names()
-    leak = errd & verified
-    assert not leak, f"err'd rows counted as verified: {sorted(leak)}"
+    for name, row in latest.items():
+        if registry._row_is_green(row):
+            assert name in verified, (
+                f"{name!r}: latest driver row is green but the registry "
+                "treats it as unverified — a re-green after an err must count"
+            )
+        else:
+            assert name not in verified, (
+                f"{name!r}: latest driver row is non-green "
+                f"(err={row.get('err')!r}) but the registry counts it "
+                "verified — it must re-enter priority bucket 1"
+            )
+
+
+def test_latest_row_wins_synthetic_supersession(tmp_path, monkeypatch):
+    """The supersession rule itself, independent of what the real files
+    happen to contain this round: green→err drops out, err→green re-enters."""
+    import json
+
+    (tmp_path / "tmdb_movie_data_pipeline_spark").mkdir()
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1, "err": None}
+    e = {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": 1, "oracle_rows": None, "err": "boom"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": g, "b": e})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": e, "b": g})
+    )
+    monkeypatch.setattr(
+        registry, "__file__",
+        str(tmp_path / "tmdb_movie_data_pipeline_spark" / "registry.py"),
+    )
+    verified = registry._driver_verified_names()
+    assert "b" in verified, "err in r1, green in r2 → latest green counts"
+    assert "a" not in verified, "green in r1, err in r2 → latest err wins"
 
 
 def test_reconfirmation_completeness_bound():

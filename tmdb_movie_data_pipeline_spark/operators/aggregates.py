@@ -2883,7 +2883,6 @@ def welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_diff_in_diff",
-    deferred=True,
     oracle="""
     WITH b AS (
         SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
@@ -3027,7 +3026,6 @@ _EQD_BUCKETS = 8
 
 @register(
     "agg_equi_depth_histogram",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v FROM orders
@@ -3121,7 +3119,6 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_wilcoxon_signed_rank",
-    deferred=True,
     oracle="""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS d,

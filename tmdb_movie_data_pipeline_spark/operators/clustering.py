@@ -1004,7 +1004,6 @@ _CV_SCALE = 1000  # shift+scale quantization shared with the silhouette
 
 @register(
     "ml_kfold_centroid_cv",
-    deferred=True,
     oracle=f"""
     WITH q AS (
         SELECT vec_id, label, CAST(vec_id % {_CV_FOLDS} AS BIGINT) AS fold,
@@ -1218,7 +1217,6 @@ def _ols_beta_sql(num: str, alias: str) -> str:
 
 @register(
     "ml_ols_normal_equations",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS q,
@@ -1297,7 +1295,6 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_matthews_corr",
-    deferred=True,
     oracle=f"""
     WITH scored AS (
         SELECT CASE WHEN len(list_filter({_TOKENS_SQL},

@@ -1205,7 +1205,6 @@ _SWEEP_TAUS = (250_000, 375_000, 500_000, 625_000, 750_000)
 
 @register(
     "dedup_threshold_sweep",
-    deferred=True,
     oracle=f"""
     WITH est AS ({_MJ_EST_ORACLE}),
     sweep AS (

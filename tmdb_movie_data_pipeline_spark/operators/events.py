@@ -2565,7 +2565,6 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_session_funnel",
-    deferred=True,
     oracle=f"""
     WITH seq AS (
         SELECT user_id, event_id, ts, event_type,
@@ -2695,7 +2694,6 @@ _VEL_MIN_COUNT = 3  #: purchases within the window (self included) that flag
 
 @register(
     "events_velocity_flags",
-    deferred=True,
     oracle=f"""
     WITH p AS (
         SELECT event_id, user_id, ts,
@@ -2769,7 +2767,6 @@ def velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_seasonal_decompose",
-    deferred=True,
     oracle="""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS d,
@@ -2939,7 +2936,6 @@ _EWMA_LAGS = 20
 
 @register(
     "events_backtest_ewma",
-    deferred=True,
     oracle=f"""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS d,

@@ -150,7 +150,7 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
-@register("sink_parquet_codec_matrix", deferred=True, oracle=_ORACLE)
+@register("sink_parquet_codec_matrix", oracle=_ORACLE)
 def parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-codec matrix: the same slice written as zstd AND
     snappy parquet, read back through one multi-path scan, aggregated —

@@ -1031,7 +1031,6 @@ def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_degree_assortativity",
-    deferred=True,
     oracle=f"""
     WITH pairs AS (
         SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})

@@ -1363,7 +1363,6 @@ _RAG_STRIDE = 48  #: stride between chunk starts (overlap = CHUNK - STRIDE)
 
 @register(
     "llm_rag_chunk_overlap",
-    deferred=True,
     oracle=f"""
     WITH toked AS (
         SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
@@ -1477,7 +1476,7 @@ def _bpe_apply_oracle() -> str:
     """
 
 
-@register("llm_bpe_apply_merges", deferred=True, oracle=_bpe_apply_oracle())
+@register("llm_bpe_apply_merges", oracle=_bpe_apply_oracle())
 def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of the BPE tokenizer story: take the top-{_BPE_MERGES}
     ranked character-pair merges (llm_bpe_pair_counts' training output) and

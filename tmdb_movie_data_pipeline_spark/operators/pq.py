@@ -343,7 +343,7 @@ def _distortion_oracle() -> str:
     )
 
 
-@register("ml_pq_distortion", deferred=True, oracle=_distortion_oracle())
+@register("ml_pq_distortion", oracle=_distortion_oracle())
 def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codec quality: per-block quantization distortion — each vector's
     squared distance to its ASSIGNED sub-centroid (the min over the

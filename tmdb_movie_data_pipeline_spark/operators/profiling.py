@@ -963,7 +963,6 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_quantile_drift",
-    deferred=True,
     oracle="""
     WITH b AS (
         SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1

@@ -175,7 +175,6 @@ _JC_NUM, _JC_DEN = 1, 4
 
 @register(
     "sample_join_consistent",
-    deferred=True,
     oracle=f"""
     WITH keep AS (
         SELECT DISTINCT user_id FROM events

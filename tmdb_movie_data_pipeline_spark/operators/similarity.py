@@ -1179,7 +1179,6 @@ _RRF_TOP = 5  #: fused results emitted per query
 
 @register(
     "ml_hybrid_rrf_fusion",
-    deferred=True,
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < {N_QUERIES}),

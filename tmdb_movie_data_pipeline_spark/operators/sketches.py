@@ -1322,7 +1322,6 @@ _AMS_ROWS = 8
 
 @register(
     "sketch_ams_f2",
-    deferred=True,
     oracle=f"""
     WITH c AS (
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1

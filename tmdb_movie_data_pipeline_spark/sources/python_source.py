@@ -276,7 +276,6 @@ def _make_write_datasource():
 
 @register(
     "sink_python_datasource_write",
-    deferred=True,
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,

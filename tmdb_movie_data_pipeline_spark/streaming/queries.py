@@ -717,7 +717,6 @@ _SVA_MIN_COUNT = 3
 
 @register(
     "stream_velocity_alerts",
-    deferred=True,
     oracle=f"""
     WITH p AS (
         SELECT event_id, user_id, ts,
