@@ -3374,5 +3374,241 @@ def kruskal_mean_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- McNemar's paired test (integer-exact) ------------------------------------
+
+
+@register(
+    "stats_mcnemar_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view'
+                         AND EXTRACT(DAY FROM ts) <= 15 THEN 1 ELSE 0 END) AS x,
+               MAX(CASE WHEN event_type = 'view'
+                         AND EXTRACT(DAY FROM ts) > 15 THEN 1 ELSE 0 END)  AS y
+        FROM events GROUP BY user_id
+    ), t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+               CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_disc
+        FROM u
+    )
+    SELECT n_users, b_disc, c_disc,
+           CAST((1000000 * (b_disc - c_disc) * (b_disc - c_disc))
+                // NULLIF(b_disc + c_disc, 0) AS BIGINT) AS chi2_ppm
+    FROM t
+    """,
+)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes — did each user view in the
+    first half of the month vs the second half? Only the DISCORDANT pairs
+    carry signal: b = (yes, no), c = (no, yes), χ² = (b−c)²/(b+c). The
+    whole statistic is one integer rational, reported in exact ppm — no
+    float exists anywhere (same discipline as stats_welch_t2).
+
+    Shape: one scan → per-user partial+final MAX aggregate (pairing is a
+    groupBy, never a self-join) → one 1-row count aggregate. At 100 TB the
+    per-user relation shuffles once on user_id and the final row is a
+    map-side-combined count — nothing grows with events except the first
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "view") & (F.dayofmonth("ts") <= 15), 1
+            ).otherwise(0)
+        ).alias("x"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "view") & (F.dayofmonth("ts") > 15), 1
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    t = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b_disc"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c_disc"),
+    )
+    return t.select(
+        "n_users",
+        "b_disc",
+        "c_disc",
+        F.expr(
+            "CAST((1000000 * (b_disc - c_disc) * (b_disc - c_disc))"
+            " div NULLIF(b_disc + c_disc, 0) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+# -- one-way ANOVA (fixed-order IEEE over exact integer moments) --------------
+
+#: the five event types, pinned in a FIXED order: the F statistic is computed
+#: by one literal arithmetic expression over per-type exact integer moments,
+#: so both engines execute the identical IEEE operation sequence — the only
+#: way a k-group sum of double terms can be order-free across engines.
+_ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _anova_f_sql() -> str:
+    """The shared Spark/DuckDB arithmetic over columns n1..n5, s1..s5, q:
+    SSB = Σ s_g²/n_g − S²/N, SSW = Q − Σ s_g²/n_g, F = (SSB/(k−1))/(SSW/(N−k)).
+    Every operand is CAST to DOUBLE first (the exact integer moments), and
+    the expression text is byte-identical on both sides."""
+    sg = " + ".join(
+        f"(CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE))"
+        for i in range(1, 6)
+    )
+    s = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(1, 6))
+    n = " + ".join(f"CAST(n{i} AS DOUBLE)" for i in range(1, 6))
+    return (
+        f"ROUND((((({sg}) - ({s}) * ({s}) / ({n})) / 4.0)"
+        f" / ((CAST(q AS DOUBLE) - ({sg})) / (({n}) - 5.0))), 6)"
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle=f"""
+    WITH m AS (
+        SELECT
+          {", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i+1}, "
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s{i+1}"
+            for i, t in enumerate(_ANOVA_TYPES)
+          )},
+          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                   * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS q
+        FROM events
+    )
+    SELECT (n1 + n2 + n3 + n4 + n5) AS n_total,
+           {_anova_f_sql()} AS f_stat
+    FROM m
+    """,
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over event values by type (k=5 groups) — the
+    parametric k-sample generalization of stats_welch_t2, companion to the
+    rank-based stats_kruskal_mean_ranks on the same grouping.
+
+    Cross-engine determinism: the integer moments (per-type count, cent-sum,
+    global Σv²) are exact, order-free partial+final aggregates; the final F
+    is ONE literal expression over those integers with the five group terms
+    written in a pinned order, so Spark and DuckDB execute the identical
+    IEEE sequence — bit-equal without any integer-rational blowup (the exact
+    rational form needs Π n_g ~ n⁵ digits and overflows DECIMAL(38) past
+    sf0.1; the fixed-order double form scales to any n).
+
+    Shape: one scan, one 1-row aggregate (11 sums), constant-size output."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for i, t in enumerate(_ANOVA_TYPES, start=1):
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("event_type") == t, quantize(F.col("value"), MONEY_SCALE)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias(f"s{i}")
+        )
+    v = quantize(F.col("value"), MONEY_SCALE)
+    aggs.append(F.sum(v * v).cast("long").alias("q"))
+    m = ev.agg(*aggs)
+    return m.select(
+        F.expr("n1 + n2 + n3 + n4 + n5").alias("n_total"),
+        F.expr(_anova_f_sql()).alias("f_stat"),
+    )
+
+
+# -- Benjamini-Hochberg step-up FDR control (integer-exact) -------------------
+
+#: deterministic pseudo p-values in ppm (Knuth multiplicative hash of the
+#: hypothesis id) — the OPERATOR under test is the step-up procedure, which
+#: is exactly checkable because every comparison is integer: reject rank i
+#: iff i <= k* where k* = max{ i : p_(i) * m <= i * alpha_scaled }.
+_BH_ALPHA_PPM = 50_000  # alpha = 0.05
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 10 = 0
+                         THEN 2501 + (doc_id * 2654435761) % 500
+                         ELSE 1 + (doc_id * 2654435761) % 1000000
+                    END AS BIGINT) AS p_ppm,
+               (SELECT COUNT(*) FROM documents) AS m
+        FROM documents
+    ), r AS (
+        SELECT doc_id, p_ppm, m,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, doc_id) AS BIGINT) AS rnk
+        FROM p
+    ), k AS (
+        SELECT r.*,
+               MAX(CASE WHEN p_ppm * m <= rnk * {_BH_ALPHA_PPM}
+                        THEN rnk END) OVER () AS k_star
+        FROM r
+    )
+    SELECT doc_id, p_ppm, rnk, k_star
+    FROM k WHERE rnk <= k_star
+    """,
+)
+def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control at alpha=0.05 over one
+    deterministic p-value per document: sort p ascending, find the LARGEST
+    rank k* with p_(k*) <= k*·alpha/m, reject every hypothesis ranked <= k*
+    (including ones whose own inequality fails — the step-up property naive
+    per-row thresholding gets wrong). All comparisons are cross-multiplied
+    integers (p_ppm·m vs rank·alpha_ppm), so the rejection set is exact.
+
+    Shape: the ranking runs over the HYPOTHESIS relation (one row per test,
+    never per observation), which is small by construction — a global sort
+    of m rows plus one whole-relation MAX window. At 100 TB the p-values
+    arrive from per-hypothesis aggregates; m stays in the thousands and the
+    single-partition window is a deliberate, bounded choice."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.count()  # hypothesis count: bounded, one job over footers
+    # a 10% planted-signal fraction clustered at 2501-3000 ppm: k* lands at
+    # the top of the signal block, and the ~27 low-rank signals whose OWN
+    # inequality fails (p_(i) > i*alpha/m) are rejected only via step-up —
+    # a naive per-row threshold provably diverges from this oracle
+    p = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            2501 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(500),
+        )
+        .otherwise(1 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+    r = p.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy("p_ppm", "doc_id")).cast("long"),
+    )
+    k = r.withColumn(
+        "k_star",
+        F.max(
+            F.when(
+                F.col("p_ppm") * m <= F.col("rnk") * _BH_ALPHA_PPM,
+                F.col("rnk"),
+            )
+        ).over(W.partitionBy()),
+    )
+    return k.filter(F.col("rnk") <= F.col("k_star")).select(
+        "doc_id", "p_ppm", "rnk", "k_star"
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1153,5 +1153,60 @@ def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- skyline (Pareto frontier) via one window pass -----------------------------
+
+
+@register(
+    "join_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT p.p_partkey, p.price_cents, p.size
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price_cents < p.price_cents AND q.size < p.size
+    )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts under strict 2-D dominance:
+    keep every part for which no other part is strictly cheaper AND
+    strictly smaller. The oracle states the semantics as the quadratic
+    NOT EXISTS self-join; the engine computes the identical set with ONE
+    window pass — sort by price, track the running minimum size over all
+    strictly-cheaper points (a RANGE frame excluding price ties), and keep
+    a point unless that minimum strictly undercuts it. O(n log n) vs the
+    oracle's O(n²): the classic 2-D skyline sweep, expressed declaratively.
+
+    Scale shape: one global sort (range-partitioned by Spark's window
+    exchange). At 100 TB: local per-partition skylines first (each
+    partition's frontier is tiny), then the sweep over the unioned
+    frontiers — same operator, prefixed by a mapPartitions-free
+    groupBy-less local filter; the window form here IS the merge step."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    # all strictly-cheaper points = RANGE frame ending 1 cent before current
+    min_cheaper = F.min("size").over(
+        W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("min_size_cheaper", min_cheaper)
+        .filter(
+            F.col("min_size_cheaper").isNull()
+            | (F.col("min_size_cheaper") >= F.col("size"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1533,5 +1533,83 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- DPO/RLHF preference-pair construction -------------------------------------
+
+
+@register(
+    "llm_dpo_pair_builder",
+    oracle="""
+    WITH scored AS (
+        SELECT source, lang, doc_id, CAST(n_chars AS BIGINT) AS reward,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn_best,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY n_chars ASC, doc_id) AS rn_worst
+        FROM documents
+    )
+    SELECT b.source, b.lang,
+           b.doc_id AS chosen_doc_id,
+           w.doc_id AS rejected_doc_id,
+           b.reward - w.reward AS reward_gap
+    FROM scored b
+    JOIN scored w ON b.source = w.source AND b.lang = w.lang
+                 AND b.rn_best = 1 AND w.rn_worst = 1
+    WHERE b.doc_id <> w.doc_id AND b.reward - w.reward >= 1
+    """,
+)
+def dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each prompt group
+    (source x lang here — in production, a prompt hash over N sampled
+    completions), emit ONE (chosen, rejected) pair — the highest- and
+    lowest-reward completions — provided the pair is distinct and the
+    reward margin clears a floor (>= 1; degenerate all-equal groups emit
+    nothing, the silent failure mode of naive min/max pairing). Ties break
+    on doc_id so the pair set is deterministic.
+
+    Shape: two ROW_NUMBER windows over the same (source, lang) partitioning
+    — one shuffle, both ranks computed in a single exchange — then a
+    group-key self-join of two rank-1 relations, each |groups| rows, never
+    |docs|. At 100 TB the completion relation shuffles once by prompt hash;
+    every downstream relation is bounded by the prompt count. Reward here
+    is the document length; in production, plug the reward-model score
+    column in unchanged."""
+    from ..io import load_table
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = W.partitionBy("source", "lang")
+    scored = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("reward"),
+        F.row_number()
+        .over(grp.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn_best"),
+        F.row_number()
+        .over(grp.orderBy(F.col("n_chars").asc(), F.col("doc_id")))
+        .alias("rn_worst"),
+    )
+    best = scored.filter(F.col("rn_best") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("reward").alias("chosen_reward"),
+    )
+    worst = scored.filter(F.col("rn_worst") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("reward").alias("rejected_reward"),
+    )
+    return (
+        best.join(worst, ["source", "lang"])
+        .withColumn("reward_gap", F.col("chosen_reward") - F.col("rejected_reward"))
+        .filter(
+            (F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+            & (F.col("reward_gap") >= 1)
+        )
+        .select("source", "lang", "chosen_doc_id", "rejected_doc_id", "reward_gap")
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
