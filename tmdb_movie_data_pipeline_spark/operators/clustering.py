@@ -1593,5 +1593,188 @@ def silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Brier score decomposition (integer-exact, per calibration bin) -----------
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+    WITH f AS (
+        SELECT CAST((event_id * 2654435761) % 1000001 AS BIGINT) AS p_ppm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    )
+    SELECT CAST(LEAST(p_ppm // 100000, 9) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+           CAST(SUM((p_ppm - y * 1000000) * (p_ppm - y * 1000000)) AS BIGINT)
+               AS brier_num,
+           CAST(((SUM(p_ppm) - SUM(y) * 1000000)
+                 * (SUM(p_ppm) - SUM(y) * 1000000)) // COUNT(*) AS BIGINT)
+               AS reliability_num
+    FROM f GROUP BY 1
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier-score decomposition over decile calibration bins — the
+    probabilistic-forecast counterpart of ml_calibration_bins: per bin,
+    the raw Brier numerator Σ(p−y)² and the reliability numerator
+    n_k·(p̄_k−ō_k)² = (Σp − 1e6·Σy)²/n_k, both as EXACT integers in ppm²
+    (global Brier = Σ brier_num / (1e12·N); reliability = Σ reliability_num
+    likewise — Murphy 1973's REL term, the part a recalibration map can
+    remove). Forecasts are a deterministic ppm hash of the event id; labels
+    are the purchase indicator — the DECOMPOSITION arithmetic is the
+    operator under test, exactly mirrorable because no float ever exists.
+
+    Shape: one scan, one 10-group partial+final aggregate; every output is
+    a count or an integer rational of counts. brier_num peaks at 1e12 per
+    row — DECIMAL(38,0)/HUGEINT accumulators hold to ~1e26 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(1000001))
+        .cast("long")
+        .alias("p_ppm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    e = (F.col("p_ppm") - F.col("y") * 1000000).cast("decimal(38,0)")
+    g = f.groupBy(
+        F.least(F.floor(F.col("p_ppm") / 100000), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p_ppm").cast("long").alias("sum_p_ppm"),
+        F.sum(e * e).cast("long").alias("brier_num"),
+    )
+    return g.select(
+        "bin", "n", "n_pos", "sum_p_ppm", "brier_num",
+        F.expr(
+            "CAST((CAST(sum_p_ppm - n_pos * 1000000 AS DECIMAL(38,0))"
+            " * CAST(sum_p_ppm - n_pos * 1000000 AS DECIMAL(38,0))) div n"
+            " AS BIGINT)"
+        ).alias("reliability_num"),
+    )
+
+
+# -- OLS residual diagnostics: R² + Durbin-Watson, exact rationals ------------
+
+
+@register(
+    "ml_ols_residual_diagnostics",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS HUGEINT) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM daily
+    ), r AS (
+        SELECT d.x,
+               m.n * (m.n * m.sxx - m.sx * m.sx) * d.y
+                 - (m.n * m.sxx - m.sx * m.sx) * m.sy
+                 + (m.n * m.sxy - m.sx * m.sy) * m.sx
+                 - m.n * (m.n * m.sxy - m.sx * m.sy) * d.x AS rnum,
+               m.n AS n, m.n * m.sxx - m.sx * m.sx AS det,
+               m.n * m.syy - m.sy * m.sy AS sst_s
+        FROM daily d, m
+    ), s AS (
+        SELECT MAX(n) AS n, MAX(det) AS det, MAX(sst_s) AS sst_s,
+               SUM(rnum * rnum) AS sse_s,
+               SUM(CASE WHEN x > 0 THEN (rnum - lag_rnum) * (rnum - lag_rnum)
+                        ELSE 0 END) AS dw_num
+        FROM (SELECT x, rnum, n, det, sst_s,
+                     LAG(rnum) OVER (ORDER BY x) AS lag_rnum
+              FROM r)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(1000000 - (1000000 * sse_s) // (n * det * det * sst_s)
+                AS BIGINT) AS r2_ppm,
+           CAST((1000000 * dw_num) // sse_s AS BIGINT) AS dw_ppm
+    FROM s
+    """,
+)
+def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS residual diagnostics for daily purchase revenue vs day index:
+    R² and the Durbin-Watson serial-correlation statistic, both EXACT.
+    Scaling every residual by n·det (det = nΣx²−(Σx)²) makes it an integer:
+
+        R_i = n·det·y_i − det·Σy + b_num·Σx − n·b_num·x_i
+        R²  = 1 − ΣR_i² / (n·det²·(nΣy²−(Σy)²))      (scale factors cancel)
+        DW  = Σ(R_i−R_{i−1})² / ΣR_i²                 (common scale cancels)
+
+    so both statistics are single integer rationals in ppm — bit-exact
+    across engines with 128-bit accumulators (fits DECIMAL(38) to ~3e4
+    days at cent-scale daily sums; beyond that, recenter y first).
+    Complements ml_ols_normal_equations (the fit) and stats_autocorrelation
+    (the model-free lag-1 statistic) with the fitted-model residual check.
+
+    Shape: raw scan collapses to the DAILY relation first; the lag window
+    and both 1-row aggregates run over days, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("y")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    r = daily.crossJoin(F.broadcast(m)).select(
+        "x",
+        F.expr(
+            "n * (n * sxx - sx * sx) * y"
+            " - (n * sxx - sx * sx) * sy"
+            " + (n * sxy - sx * sy) * sx"
+            " - n * (n * sxy - sx * sy) * x"
+        ).alias("rnum"),
+        F.col("n"),
+        F.expr("n * sxx - sx * sx").alias("det"),
+        F.expr("n * syy - sy * sy").alias("sst_s"),
+    )
+    lagged = r.withColumn("lag_rnum", F.lag("rnum").over(W.orderBy("x")))
+    s = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("det").alias("det"),
+        F.max("sst_s").alias("sst_s"),
+        F.sum(F.col("rnum") * F.col("rnum")).alias("sse_s"),
+        F.sum(
+            F.when(
+                F.col("x") > 0,
+                (F.col("rnum") - F.col("lag_rnum"))
+                * (F.col("rnum") - F.col("lag_rnum")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("dw_num"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0)) * sse_s)"
+            " div (n * det * det * sst_s) AS BIGINT)"
+        ).alias("r2_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * dw_num) div sse_s AS BIGINT)"
+        ).alias("dw_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

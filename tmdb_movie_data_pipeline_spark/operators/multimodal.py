@@ -959,5 +959,85 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- audio: PCM decode + framed energy ----------------------------------------
+
+_PCM_SAMPLES = 512  # samples per synthetic clip
+_PCM_FRAME = 128  # samples per analysis frame -> 4 frames/clip
+
+
+def decode_pcm_s16le(payload: bytes) -> "np.ndarray":
+    """Decode raw signed-16-bit little-endian PCM — the audio counterpart
+    of decode_image. Real containers (WAV) add a 44-byte RIFF header; raw
+    PCM is the post-header payload every audio pipeline normalizes to."""
+    if len(payload) % 2:
+        raise ValueError("odd byte count for 16-bit PCM")
+    return np.frombuffer(payload, dtype="<i2").astype(np.int64)
+
+
+def _pcm_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize each doc's PCM clip (sample i = ((d*31+i) % 4096) − 2048),
+    encode to s16le bytes, decode back, and reduce each {_PCM_FRAME}-sample
+    frame to Σs² (exact int64) and max |s| — the VAD/loudness front-end."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "energy": [], "peak_abs": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = ((d * 31 + np.arange(_PCM_SAMPLES, dtype=np.int64)) % 4096) - 2048
+            payload = samples.astype("<i2").tobytes()  # encode: real s16le bytes
+            s = decode_pcm_s16le(payload)
+            frames = s.reshape(-1, _PCM_FRAME)
+            energy = (frames * frames).sum(axis=1)
+            peak = np.abs(frames).max(axis=1)
+            for i in range(frames.shape[0]):
+                out["doc_id"].append(d)
+                out["frame_idx"].append(i)
+                out["energy"].append(int(energy[i]))
+                out["peak_abs"].append(int(peak[i]))
+        yield pd.DataFrame(out)
+
+
+PCM_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_pcm_frame_energy",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(t.k // {_PCM_FRAME} AS INTEGER) AS frame_idx,
+           CAST(SUM(((doc_id * 31 + t.k) % 4096 - 2048)
+                    * ((doc_id * 31 + t.k) % 4096 - 2048)) AS BIGINT) AS energy,
+           CAST(MAX(ABS((doc_id * 31 + t.k) % 4096 - 2048)) AS BIGINT) AS peak_abs
+    FROM documents, generate_series(0, {_PCM_SAMPLES - 1}) t(k)
+    GROUP BY doc_id, frame_idx
+    """,
+)
+def pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing, made real: every document carries a
+    deterministic {_PCM_SAMPLES}-sample signed-16-bit PCM clip, ENCODED to
+    little-endian bytes and DECODED back by decode_pcm_s16le inside one
+    mapInPandas, then reduced to per-{_PCM_FRAME}-sample-frame energy
+    (Σs², exact int64 — max {_PCM_FRAME}·2048² ≈ 5.4e8/frame) and peak
+    amplitude — the framing/energy front-end of VAD, loudness
+    normalization, and silence trimming. The oracle knows only the sample
+    formula, never the bytes: a green row proves the byte-level
+    encode/decode round-trip (endianness, signedness, width) is lossless.
+
+    Shape: map-only (encode+decode+frame-reduce per row, vectorized numpy
+    per Arrow batch), no shuffle; output is 4 rows/clip independent of
+    clip length. Compressed audio (MP3/FLAC) plugs a codec in front of
+    decode_pcm_s16le exactly like PIL plugs into decode_image."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        _pcm_energy_batches, schema=PCM_ENERGY_SCHEMA
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

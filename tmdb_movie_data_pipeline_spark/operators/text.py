@@ -1744,5 +1744,108 @@ def rake_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- segment-level (paragraph-level) dedup with document reassembly -----------
+
+_SEG_TOKENS = 8  # tokens per segment (stands in for a paragraph boundary)
+#: static ceiling on segments/doc so the ORACLE can cross-join a fixed
+#: series (DuckDB generate_series rejects lateral column bounds); pinned
+#: with margin over the corpus max (text <= ~3000 chars -> < 512 tokens)
+_SEG_MAX = 64
+
+
+@register(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, t.j,
+               array_to_string(
+                   list_slice(string_split(text, ' '),
+                              t.j * {_SEG_TOKENS} + 1,
+                              t.j * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ') AS seg
+        FROM documents, generate_series(0, {_SEG_MAX - 1}) t(j)
+        WHERE t.j * {_SEG_TOKENS} < len(string_split(text, ' '))
+    ), kept AS (
+        SELECT doc_id, j, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, j) AS occ
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN occ = 1 THEN seg END, ' '
+                                   ORDER BY j), '')) AS kept_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document REASSEMBLY (the
+    RefinedWeb/C4 preprocessing step document-level dedup can't express):
+    split every document into fixed {_SEG_TOKENS}-token segments (the
+    deterministic stand-in for paragraph boundaries — the testdata corpus
+    has no newlines), keep only each distinct segment's FIRST corpus-wide
+    occurrence (ordered by doc_id, then position), and re-emit per document
+    the surviving-segment count plus the md5 of the reassembled text — so
+    the oracle checks the reconstruction order, not just the counts.
+
+    Shape: explode to the segment relation (rows x ~len/{_SEG_TOKENS}),
+    ONE shuffle on the segment hash for the keep-first window, one shuffle
+    back on doc_id for ordered reassembly. No self-join: dedup is a window
+    over the segment partitioning, so the worst key (a segment repeated
+    millions of times) is a single partition's sort, which AQE skew-split
+    handles. At 100 TB this is exactly suffix-array-free paragraph dedup as
+    deployed: hash-partition segments, keep-first, reassemble."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(F.split(F.col("text"), " ")) / _SEG_TOKENS)
+                    .cast("int")
+                    - 1,
+                ),
+                lambda j: F.array_join(
+                    F.slice(
+                        F.split(F.col("text"), " "),
+                        j * _SEG_TOKENS + 1,
+                        _SEG_TOKENS,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("j", "seg"),
+    )
+    kept = segs.withColumn(
+        "occ",
+        F.row_number().over(W.partitionBy("seg").orderBy("doc_id", "j")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("occ") == 1,
+                                    F.struct(F.col("j"), F.col("seg")),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("seg"),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_md5"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
