@@ -954,51 +954,52 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the Jaccard verifier (which verifies the staged LSH candidate
     list), containment must reach pairs LSH never proposes — Jaccard-tuned
     banding misses high-containment/low-Jaccard pairs by design — so the
-    shingle self-join survives here, made skew-proof the other way
+    all-pairs reach survives here, made skew-proof by the df cap
     (VERDICT r7 #1): shingles with document frequency > _CONTAIN_DF_CAP
-    are dropped on BOTH engine and oracle sides before the join, the same
-    per-key cap the inverted index applies per term. Numerator and both
-    denominators use the capped sets, so C(A,A) stays exactly 1.0 and the
-    worst join key fans out ≤ cap² rows. Containment reported as exact
-    integer ppm, so no IEEE division exists at all.
+    are dropped on BOTH engine and oracle sides, the same per-key cap the
+    inverted index applies per term. Numerator and both denominators use
+    the capped sets, so C(A,A) stays exactly 1.0 and the worst shingle
+    expands to ≤ cap·(cap−1)/2 pairs map-side. Containment reported as
+    exact integer ppm, so no IEEE division exists at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
         "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
     )
     exploded0 = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    # The cap is enforced by ANTI-joining the HOT set (df > cap), not by
-    # inner-joining the rare set: the rare-set inner join would shuffle the
-    # full exploded relation a second time (sf0.1: 3.65 s inner-join form,
-    # 3.44 s anti-join form, 1.98 s the uncapped r7 plan — the ~1.5 s is
-    # the price of the df pass itself, accepted as the Zipf guard's local
-    # cost). The broadcast decision is left to AQE, NOT forced (ADVICE r8):
-    # under Zipf the count of shingles above a FIXED cap grows with corpus
-    # size, so a forced broadcast of the hot set is a latent executor OOM
-    # at 100 TB unless _CONTAIN_DF_CAP scales with the corpus; AQE sees the
-    # hot set's runtime size and broadcasts exactly when it is actually
-    # small (which it is at every test SF), falling back to a shuffled
-    # anti-join when it is not.
-    hot = (
+    # GroupBy-once pair expansion (r10, replacing the r8 hot-set anti-join
+    # + shingle self-join): ONE shuffle groups each shingle's doc list, the
+    # df cap becomes a size filter ON that grouped row (no second pass, no
+    # anti-join, no AQE broadcast decision needed at all), and pairs are
+    # expanded MAP-SIDE by a nested array transform — the worst key emits
+    # ≤ cap·(cap−1)/2 structs from one row, the Zipf guard by construction.
+    # The old plan re-scanned and re-shingled the corpus for the df pass,
+    # both self-join sides, and the sizes relation; this form scans once.
+    # sf0.1 A/B, min of 3 on the bench copy: 3.83 s (old) → 1.36 s (new),
+    # identical result sets at sf0.01 and sf0.1 (NOTES_r10).
+    grouped = (
         exploded0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _CONTAIN_DF_CAP)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _CONTAIN_DF_CAP)
     )
-    exploded = exploded0.join(hot, "shingle", "left_anti")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size("docs")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     )
     return (
         inter.join(

@@ -287,3 +287,74 @@ def time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(quantize(F.col("value"), MONEY_SCALE)).over(w).alias("trailing_1h_cents"),
     )
+
+
+# -- rolling exact median (order statistics over a moving frame) ---------------
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), w AS (
+        SELECT day, rev_cents,
+               list_sort(list(rev_cents) OVER
+                   (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM daily
+    )
+    SELECT day, rev_cents,
+           CAST(len(win) AS BIGINT) AS n_in_window,
+           CAST(win[(len(win) + 1) // 2] + win[len(win) // 2 + 1] AS BIGINT)
+               AS median_x2_cents
+    FROM w
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of daily purchase revenue over a trailing
+    7-day RANGE frame — the order statistic neither engine offers as a
+    window aggregate, built from first principles: collect the frame,
+    sort, and take lower+upper middle. Reported as median×2 (lo + hi) so
+    the even-count case stays an exact integer — no IEEE average exists.
+    Ramp-up days use their true shorter frame (RANGE, not ROWS, so gap
+    days shrink the window rather than silently widening the horizon).
+
+    Shape: the raw scan collapses to the DAILY relation first, so the
+    collect_list window holds at most 7 integers per row regardless of
+    event volume — O(days × 7) state, one exchange. At 100 TB with a
+    high-cardinality frame (trailing 90 days × per-user) the same query
+    swaps collect+sort for the two-pass histogram-offset rank the
+    percentile battery uses; for calendar-bounded frames this form is
+    both exact and cheaper."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = W.orderBy("day").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("win", F.array_sort(F.collect_list("rev_cents").over(w)))
+        .select(
+            "day",
+            "rev_cents",
+            F.size("win").cast("long").alias("n_in_window"),
+            (
+                F.element_at("win", ((F.size("win") + 1) / 2).cast("int"))
+                + F.element_at("win", (F.size("win") / 2).cast("int") + 1)
+            )
+            .cast("long")
+            .alias("median_x2_cents"),
+        )
+    )

@@ -88,11 +88,11 @@ def deferred_oracles() -> dict[str, str]:
 
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
-    # slots at the head of the rotation. The r8 entries (dedup_ngram_jaccard,
-    # dedup_containment_pairs, dedup_minhash_jaccard_estimate) were driver-
-    # re-verified green in r8 and are cleared. The 10 r8 oracle-environment
-    # err rows need NO entry here: with `_row_is_green` in effect their
-    # latest driver row is non-green, so they re-enter bucket 1 on their own.
+    # slots at the head of the rotation.
+    # r10: physical plan rewritten (groupBy-once map-side pair expansion
+    # replacing the hot-set anti-join + shingle self-join; 2.8x on the
+    # sf0.1 bench copy, result set unchanged and locally re-hash-gated).
+    "dedup_containment_pairs",
 ]
 
 
