@@ -774,9 +774,7 @@ def test_harmonic_centrality_has_no_cartesian(spark, sf_dir):
 def test_rag_chunking_is_map_only(spark, sf_dir):
     """Chunk slicing is a pure per-row transform: ZERO exchanges in the
     whole plan — the shape a 100 TB re-chunking pass needs."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
-
-    plan = _plan(deferred_queries()["llm_rag_chunk_overlap"](spark, sf_dir))
+    plan = _plan(_deferred("llm_rag_chunk_overlap")(spark, sf_dir))
     assert _nodes(plan, "Exchange") == 0
     assert _nodes(plan, "Scan parquet") == 1
 
@@ -785,9 +783,7 @@ def test_ols_normal_equations_is_one_scan_one_agg(spark, sf_dir):
     """The multivariate solve is nine partial-aggregable moments: one
     scan, one aggregation exchange, and driver-free rational arithmetic
     on the single row."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
-
-    plan = _plan(deferred_queries()["ml_ols_normal_equations"](spark, sf_dir))
+    plan = _plan(_deferred("ml_ols_normal_equations")(spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 1
     assert _nodes(plan, "Exchange") == 1
     assert _nodes(plan, "Sort") == 0
@@ -796,9 +792,7 @@ def test_ols_normal_equations_is_one_scan_one_agg(spark, sf_dir):
 def test_equi_depth_histogram_windows_over_value_domain(spark, sf_dir):
     """One scan to the value histogram; the only Sort is the cumulative
     window's local over that domain-sized relation."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
-
-    plan = _plan(deferred_queries()["agg_equi_depth_histogram"](spark, sf_dir))
+    plan = _plan(_deferred("agg_equi_depth_histogram")(spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 1
     assert _nodes(plan, "Sort") <= 1
     assert _nodes(plan, "CartesianProduct") == 0
@@ -807,9 +801,7 @@ def test_equi_depth_histogram_windows_over_value_domain(spark, sf_dir):
 def test_assortativity_has_no_pair_product(spark, sf_dir):
     """Degree joins are vertex-keyed equi-joins; no cartesian or
     sort-merge pair product anywhere."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
-
-    plan = _plan(deferred_queries()["graph_degree_assortativity"](spark, sf_dir))
+    plan = _plan(_deferred("graph_degree_assortativity")(spark, sf_dir))
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "SortMergeJoin") == 0
 
@@ -817,8 +809,6 @@ def test_assortativity_has_no_pair_product(spark, sf_dir):
 def test_spatial_knn_reuses_staged_pairs(spark, sf_dir):
     """Top-k per point runs over the staged pair relation (no re-scan);
     the Sorts are the per-point window locals."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
-
-    plan = _plan(deferred_queries()["spatial_knn_within_radius"](spark, sf_dir))
+    plan = _plan(_deferred("spatial_knn_within_radius")(spark, sf_dir))
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "Sort") <= 2
