@@ -122,6 +122,22 @@ BENCH_QUERIES = [
     "text_source_tvd",
     "ml_silhouette_centroid",
     "spatial_dbscan_core",
+    # r10 (VERDICT r9 #9): heavy r9 first-time-green families not yet in a
+    # BENCH record — rank-pair stats, Zipf rank windows, the Lorenz
+    # contribution explode, harmonic centrality's bounded BFS joins, and
+    # the deletion-vector merge-on-read path
+    "stats_kendall_tau",
+    "text_zipf_profile",
+    "events_lorenz_curve",
+    "graph_harmonic_centrality",
+    "delta_deletion_vectors",
+    # r10 new operators worth watching: segment-level dedup (two corpus
+    # shuffles + md5 gate), the equi-depth histogram activation, the
+    # consistent-sample join, and the trigram language-ID lift join
+    "text_segment_dedup",
+    "agg_equi_depth_histogram",
+    "sample_join_consistent",
+    "text_char_trigram_langid",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -357,6 +373,25 @@ def main() -> None:
             if tag
             else f"BENCH_DETAIL_r{_accompanies_round():02d}.json"
         )
+        # No-clobber guard: an UNTAGGED run whose round-named detail file is
+        # already git-TRACKED is a mid-round session run about to overwrite a
+        # committed driver record (it happened once in r10 before this guard
+        # existed) — divert it to the session name. The driver itself is
+        # never diverted: its round's detail file doesn't exist yet when it
+        # runs (CORRECTNESS_r{N}.json is written first, so the name advances
+        # past every committed record).
+        if not tag:
+            import subprocess
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            tracked = subprocess.run(
+                ["git", "-C", here, "ls-files", "--error-unmatch", detail_name],
+                capture_output=True,
+            ).returncode == 0
+            if tracked:
+                detail_name = detail_name.replace(
+                    "BENCH_DETAIL_", "BENCH_DETAIL_session_"
+                )
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), detail_name
         )

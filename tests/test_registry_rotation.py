@@ -201,10 +201,13 @@ def test_latest_row_wins_synthetic_supersession(tmp_path, monkeypatch):
 
 
 def test_reconfirmation_completeness_bound():
-    """Every green-and-unchanged name must re-enter the first
-    RECONFIRM_STRIDE bucket-3 slots within ceil(N / RECONFIRM_STRIDE)
-    consecutive rounds — the deterministic re-confirmation bound the
-    cyclic-shift rotation exists to provide (VERDICT r7 #7 / r8 #6)."""
+    """Every green-and-unchanged name must re-enter the current round's
+    bucket-3 window within the rounds it takes the per-round strides to
+    sum to N — at most ceil(N / RECONFIRM_STRIDE) planning-default rounds
+    plus the recorded below-default rounds (VERDICT r7 #7 / r8 #6 / r9 #8).
+    The windows tile by construction (round k+1's shift starts exactly
+    where round k's stride-wide window ended), so coverage is exact, not
+    probabilistic — this test walks the windows and checks the union."""
     import math
 
     names = sorted(registry.all_queries())
@@ -215,19 +218,73 @@ def test_reconfirmation_completeness_bound():
     rest_all = {n for n in names if n not in head}
     if not rest_all:
         pytest.skip("no green-and-unchanged names")
-    rounds_needed = math.ceil(len(rest_all) / registry.RECONFIRM_STRIDE)
+    n = len(rest_all)
+    # recorded rounds may contribute less than the planning default, and
+    # the scheme cutover deliberately re-covers part of the last fixed
+    # window (one extra round); the worst-case bound grows by exactly those
+    shortfall_rounds = sum(
+        1
+        for s in registry._ROUND_STRIDES.values()
+        if s < registry.RECONFIRM_STRIDE
+    )
+    max_rounds = (
+        math.ceil(n / registry.RECONFIRM_STRIDE) + shortfall_rounds + 1
+    )
     for start in (1, 9, 17):  # bound must hold from ANY starting round
         covered: set[str] = set()
-        for t in range(start, start + rounds_needed):
+        t = start
+        while covered != rest_all:
+            assert t - start < max_rounds, (
+                f"{len(rest_all - covered)} names not re-confirmed within "
+                f"{max_rounds} rounds from token {start}: "
+                f"{sorted(rest_all - covered)[:5]}"
+            )
+            stride = registry.reconfirm_stride(t)
             order = registry.verification_order(names, round_token=t)
-            rest = [n for n in order if n in rest_all]
-            covered.update(rest[: registry.RECONFIRM_STRIDE])
-        missing = rest_all - covered
-        assert not missing, (
-            f"{len(missing)} names not re-confirmed within "
-            f"{rounds_needed} rounds from token {start}: "
-            f"{sorted(missing)[:5]}"
-        )
+            rest = [m for m in order if m in rest_all]
+            covered.update(rest[:stride])
+            t += 1
+
+
+def test_round_strides_recorded_and_continuous():
+    """The dynamic-stride ledger (VERDICT r9 #8) must stay honest:
+
+    * the CURRENT round's stride is recorded (the rotation never relies on
+      the planning default for a round that actually runs);
+    * the recorded value equals the driver-budget arithmetic
+      ``max(0, DRIVER_CAP_FLOOR - |bucket1| - |bucket2|)`` for the live
+      registry — so activating queries without updating the ledger fails CI;
+    * the cutover is continuous: the cumulative shift at the dynamic base
+      round equals the historic fixed-formula shift of its predecessor, so
+      no bucket-3 position was skipped across the scheme change.
+    """
+    token = registry._round_token()
+    assert token in registry._ROUND_STRIDES, (
+        f"round {token} has no recorded stride — add it to _ROUND_STRIDES"
+    )
+    names = list(registry.all_queries())
+    verified = registry._driver_verified_names()
+    never = [m for m in names if m not in verified]
+    changed = [
+        m
+        for m in registry._CHANGED_THIS_ROUND
+        if m in set(names) and m in verified
+    ]
+    expect = max(
+        0, registry.DRIVER_CAP_FLOOR - len(never) - len(changed)
+    )
+    assert registry._ROUND_STRIDES[token] == expect, (
+        f"recorded stride {registry._ROUND_STRIDES[token]} for round "
+        f"{token} != cap arithmetic {expect} "
+        f"(head = {len(never)} never + {len(changed)} changed)"
+    )
+    for r, s in registry._ROUND_STRIDES.items():
+        assert r >= registry._DYNAMIC_BASE
+        assert 0 <= s <= registry.DRIVER_CAP_FLOOR
+    assert (
+        registry._cumulative_shift(registry._DYNAMIC_BASE)
+        == (registry._DYNAMIC_BASE - 1) * registry.RECONFIRM_STRIDE
+    )
 
 
 def test_every_registered_query_appears_in_coverage_doc():

