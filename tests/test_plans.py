@@ -812,3 +812,59 @@ def test_spatial_knn_reuses_staged_pairs(spark, sf_dir):
     plan = _plan(_deferred("spatial_knn_within_radius")(spark, sf_dir))
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "Sort") <= 2
+
+
+def test_allen_algebra_is_banded_not_nested_loop(spark, sf_dir):
+    """The 13-way classification must reach pairs through the hour-band
+    equi-join (same discipline as join_interval_overlap), never a
+    BroadcastNestedLoopJoin over the session cross product."""
+    plan = _plan(_deferred("join_allen_interval_algebra")(spark, sf_dir))
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_weighted_jaccard_stays_pair_keyed(spark, sf_dir):
+    """The IDF-weighted verify must keep the r7 skew discipline: the
+    intersection is keyed on the staged candidate pair / (doc, shingle) —
+    no cartesian anywhere, and no join keyed on the bare Zipfian shingle
+    that isn't an equi-probe with per-value cardinality 1."""
+    plan = _plan(_deferred("dedup_weighted_jaccard_pairs")(spark, sf_dir))
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_pmi_pair_generation_is_map_side(spark, sf_dir):
+    """Collocation pairs expand via the nested array transform BEFORE any
+    exchange — the only joins in the plan attach the vocabulary-sized
+    unigram relation and the 1-row total, after both groupBys."""
+    plan = _plan(_deferred("text_pmi_lift_pairs")(spark, sf_dir))
+    # pair pass + staged unigram pass; the total derives from the staged
+    # unigrams, so it costs no third corpus scan
+    assert _nodes(plan, "Scan parquet") <= 2
+    assert _nodes(plan, "CartesianProduct") == 0
+    # exactly one nested-loop node is allowed: the broadcast of the 1-row
+    # token total (no join condition exists for a scalar attach)
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_isotonic_fit_is_histogram_bounded(spark, sf_dir):
+    """Everything after the score histogram is O(B2) on a broadcast-sized
+    frame: one corpus scan feeds the staged histogram (whose checkpoint
+    hides it from downstream plans), the span enumeration joins
+    broadcast-side over the B-row frame, and no corpus-sized shuffle or
+    cartesian exists anywhere."""
+    plan = _plan(_deferred("ml_isotonic_calibration")(spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") <= 1
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "SortMergeJoin") == 0
+    # theta-joins over the B-row frame broadcast by design
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_rolling_ols_single_window_pass(spark, sf_dir):
+    """Five frame sums share ONE window operator over the daily relation
+    (Catalyst shares the frame buffer): one exchange for the daily rollup,
+    one for the per-type window, one Sort feeding it."""
+    plan = _plan(_deferred("window_rolling_ols_slope")(spark, sf_dir))
+    assert _nodes(plan, "Window") == 1
+    assert _nodes(plan, "Sort") <= 1

@@ -405,3 +405,62 @@ def test_bpe_fold_preserves_characters_and_shrinks_pieces(word):
     pieces = s.split()
     assert "".join(pieces) == word
     assert len(pieces) <= n_before
+
+
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(1, 500), st.integers(0, 500)).map(
+            lambda t: (t[0] + t[1], t[1])  # (n, pos) with pos <= n
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_isotonic_minimax_matches_pav_within_rounding(bins):
+    """ml_isotonic_calibration computes PAV via the minimax identity
+    fitted(k) = max_{i<=k} min_{j>=i} rate(i..j) with every span rate
+    ppm-ROUNDED (integer div) before the minimax. Two invariants for any
+    bin histogram: the fit is non-decreasing, and it sits within 1 ppm of
+    the exact pool-adjacent-violators solution (each span rate moves < 1
+    ppm under truncation, and min/max are 1-Lipschitz in their inputs)."""
+    n = [b[0] for b in bins]
+    p = [b[1] for b in bins]
+    B = len(bins)
+    # ppm-rounded minimax, exactly as the query computes it
+    cum_n = [sum(n[: k + 1]) for k in range(B)]
+    cum_p = [sum(p[: k + 1]) for k in range(B)]
+
+    def rate_ppm(i, j):  # span [i..j], 0-indexed
+        dn = cum_n[j] - (cum_n[i - 1] if i else 0)
+        dp = cum_p[j] - (cum_p[i - 1] if i else 0)
+        return (1_000_000 * dp) // dn
+
+    fitted = []
+    for k in range(B):
+        fitted.append(
+            max(min(rate_ppm(i, j) for j in range(i, B)) for i in range(k + 1))
+        )
+    assert all(a <= b for a, b in zip(fitted, fitted[1:])), "monotone fit"
+    # classic stack PAV on the exact rational rates
+    pools: list[tuple[int, int]] = []  # (n, pos) per pool
+    for k in range(B):
+        pools.append((n[k], p[k]))
+        while len(pools) > 1 and (
+            pools[-2][1] * pools[-1][0] > pools[-1][1] * pools[-2][0]
+        ):
+            b2, a2 = pools.pop(), pools.pop()
+            pools.append((a2[0] + b2[0], a2[1] + b2[1]))
+    # expand pool means back to per-bin positions (pools partition the
+    # bins in order; walk bin counts to recover each pool's span)
+    expanded: list[float] = []
+    idx = 0
+    for pn, pp in pools:
+        acc = 0
+        while acc < pn:
+            acc += n[idx]
+            expanded.append(1_000_000 * pp / pn)
+            idx += 1
+    assert len(expanded) == B
+    for f, e in zip(fitted, expanded):
+        assert abs(f - e) <= 1.0 + 1e-9, (fitted, expanded, bins)

@@ -3610,5 +3610,90 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Hellinger distance between two behavioural distributions ------------------
+
+
+@register(
+    "stats_hellinger_distance",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c2) AS BIGINT) AS t2
+        FROM c
+    ),
+    terms AS (
+        SELECT event_type, c1, c2,
+               CAST(FLOOR(1000000 * SQRT(
+                        CAST(c1 * c2 AS DOUBLE) / CAST(t1 * t2 AS DOUBLE)))
+                    AS BIGINT) AS term_ppm
+        FROM c, t
+    )
+    SELECT event_type, c1, c2, term_ppm,
+           CAST(SUM(term_ppm) OVER () AS BIGINT) AS bc_ppm,
+           CAST(1000000 - SUM(term_ppm) OVER () AS BIGINT) AS h2_ppm
+    FROM terms
+    """,
+)
+def hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the event-type distributions of two user
+    cohorts (even vs odd user ids) — the bounded, symmetric
+    distribution-shift metric that completes the drift shelf beside total
+    variation (profile_drift_tvd) and the KS statistic: H² = 1 − Σ√(p·q),
+    reported as the Bhattacharyya coefficient and H² in ppm, with the
+    per-type √(p·q) term riding along.
+
+    Determinism: ln is libm-dependent (banned house-wide), but IEEE 754
+    REQUIRES correctly-rounded sqrt, division and multiplication — so the
+    fixed expression floor(1e6·sqrt((c1·c2)/(t1·t2))) over exact integer
+    counts is bit-identical on both engines, and each term is quantized
+    to an integer BEFORE the cross-term sum, making the total immune to
+    summation order. Counts stay under 2⁵³ (exact as doubles) through
+    sf1000.
+
+    Shape: one partial-aggregable conditional groupBy over the scan (the
+    two cohorts share it — no second pass), a 1-row total broadcast, and
+    an O(|types|) window. Nothing scales with anything but the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c2").cast("long").alias("t2"),
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "c1",
+        "c2",
+        F.expr(
+            "CAST(FLOOR(1000000 * SQRT("
+            " CAST(c1 * c2 AS DOUBLE) / CAST(t1 * t2 AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("term_ppm"),
+    )
+    w = W.partitionBy()
+    return terms.select(
+        "event_type",
+        "c1",
+        "c2",
+        "term_ppm",
+        F.sum("term_ppm").over(w).cast("long").alias("bc_ppm"),
+        (F.lit(1000000) - F.sum("term_ppm").over(w)).cast("long").alias("h2_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

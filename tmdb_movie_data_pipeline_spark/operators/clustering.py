@@ -812,6 +812,109 @@ def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- isotonic (PAV) calibration over the shared bins --------------------------
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), binned AS (
+        SELECT ((n_chars - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin,
+               CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos
+        FROM documents CROSS JOIN mm
+    ), bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY 1
+    ), cum AS (
+        SELECT bin, n, n_pos,
+               SUM(n)     OVER (ORDER BY bin) AS cn,
+               SUM(n_pos) OVER (ORDER BY bin) AS cp
+        FROM bins
+    ), spans AS (
+        -- rate of every contiguous bin span [i..j] from the cumulative
+        -- sums, rounded to ppm BEFORE the minimax (both engines integer-div
+        -- the same integers, so the PAV runs on identical inputs)
+        SELECT i.bin AS i, j.bin AS j,
+               (1000000 * (j.cp - i.cp + i.n_pos))
+                   // (j.cn - i.cn + i.n) AS rate_ppm
+        FROM cum i JOIN cum j ON i.bin <= j.bin
+    ), suffix_min AS (
+        SELECT i, CAST(MIN(rate_ppm) AS BIGINT) AS min_rate FROM spans
+        GROUP BY i
+    )
+    SELECT b.bin, b.n, b.n_pos,
+           CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS raw_rate_ppm,
+           CAST(MAX(s.min_rate) AS BIGINT) AS fitted_rate_ppm
+    FROM bins b JOIN suffix_min s ON s.i <= b.bin
+    GROUP BY b.bin, b.n, b.n_pos
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (pool-adjacent-violators) of the binned
+    reliability curve: the monotone non-decreasing fit of positive rate on
+    score bin, via the minimax identity fitted(k) = max_{{i<=k}} min_{{j>=i}}
+    rate(i..j) — the calibration-map counterpart of ml_calibration_bins
+    (raw rates) that production scorers actually apply to model outputs
+    (Zadrozny & Elkan '02; Spark MLlib ships the same fit as
+    IsotonicRegression, re-expressed here as set-oriented DataFrame ops so
+    the oracle can pin it).
+
+    Every span rate is an exact integer ppm ((P_j−P_{{i−1}})·1e6 div
+    (N_j−N_{{i−1}}) over cumulative counts), rounded BEFORE the minimax, so
+    both engines run PAV on identical integers — no float ever exists.
+
+    Shape: the corpus collapses to the SAME {_CAL_BINS}-bin histogram as
+    ml_calibration_bins (one partial-aggregable groupBy); everything after
+    is O(B²)={_CAL_BINS}² span enumeration over a broadcast-sized frame —
+    the data-scale cost is one scan, the fit itself is constant work. At
+    100 TB the histogram is still {_CAL_BINS} rows; only the scan grows.
+    """
+    bins = (
+        _calibration_binned(load_table(spark, sf_dir, "documents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        # feeds the span self-join twice plus the final join: tiny frame,
+        # evaluate once
+        .localCheckpoint(eager=False)
+    )
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n_pos").over(wc).alias("cp"),
+    )
+    i, j = cum.alias("i"), cum.alias("j")
+    spans = i.join(j, F.col("i.bin") <= F.col("j.bin")).select(
+        F.col("i.bin").alias("i"),
+        F.expr(
+            "(1000000 * (j.cp - i.cp + i.n_pos)) div (j.cn - i.cn + i.n)"
+        ).alias("rate_ppm"),
+    )
+    suffix_min = spans.groupBy("i").agg(
+        F.min("rate_ppm").cast("long").alias("min_rate")
+    )
+    return (
+        bins.join(F.broadcast(suffix_min), F.col("i") <= F.col("bin"))
+        .groupBy("bin", "n", "n_pos")
+        .agg(F.max("min_rate").cast("long").alias("fitted_rate_ppm"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(1000000 * n_pos) div n").alias("raw_rate_ppm"),
+            "fitted_rate_ppm",
+        )
+    )
+
+
 # -- feature hashing (the hashing trick) — deferred queue ---------------------
 
 _FH_DIM = 64  # feature space dimension (buckets)

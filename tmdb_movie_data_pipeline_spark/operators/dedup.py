@@ -450,6 +450,113 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_weighted_jaccard_pairs",
+    oracle=f"""
+    WITH {_CAND_INTER_SQL},
+    sdf AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM exploded
+        GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wt AS (
+        SELECT shingle,
+               CAST((1000000 * (n_docs + 1)) // (df + 1) AS BIGINT) AS w
+        FROM sdf, nn
+    ),
+    wtot AS (
+        SELECT doc_id, CAST(SUM(w) AS BIGINT) AS w_doc
+        FROM exploded JOIN wt USING (shingle) GROUP BY 1
+    ),
+    wint AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               CAST(SUM(wt.w) AS BIGINT) AS w_inter
+        FROM cand c
+        JOIN exploded ea ON ea.doc_id = c.doc_a
+        JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        JOIN wt ON wt.shingle = ea.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, w_inter,
+           wa.w_doc AS w_a, wb.w_doc AS w_b,
+           CAST((1000000 * w_inter)
+                // (wa.w_doc + wb.w_doc - w_inter) AS BIGINT)
+               AS wjaccard_ppm
+    FROM wint
+    JOIN wtot wa ON wa.doc_id = doc_a
+    JOIN wtot wb ON wb.doc_id = doc_b
+    """,
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard VERIFY stage over the staged LSH candidate
+    pairs: Σ_{{s∈A∩B}} w_s / Σ_{{s∈A∪B}} w_s with the log-free rational
+    IDF weight w_s = 1e6·(N+1) div (df_s+1) — the similarity near-dup
+    pipelines reach for when boilerplate shingles (headers, license
+    blocks, navigation chrome) dominate plain Jaccard: a shared
+    stop-phrase contributes almost nothing, a shared rare shingle almost
+    everything. All-integer (weights are exact ppm rationals; sums and
+    the final division are BIGINT), so the cross-engine hash is exact.
+
+    Shape: identical skew-proof discipline to dedup_ngram_jaccard — the
+    intersection is keyed on the CANDIDATE PAIR (work Σ_pairs |A|, never
+    df²); the shingle-weight relation is vocabulary-sized and joins onto
+    the exploded stream by its natural key (AQE broadcasts it when it
+    fits); per-doc total weights are one partial-aggregable rollup of the
+    same exploded relation. The union weight is computed as
+    w_A + w_B − w_inter, so no union set is ever materialized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_pairs_staged(spark, sf_dir)
+    shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
+    )
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    n_docs = docs.count()  # scalar dimension; fine to evaluate eagerly
+    wt = exploded.groupBy("shingle").agg(
+        F.expr(f"CAST((1000000 * ({n_docs} + 1)) div (COUNT(*) + 1) AS BIGINT)")
+        .alias("w")
+    )
+    wtot = (
+        exploded.join(wt, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("w_doc"))
+    )
+    ea = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    wint = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .join(wt, "shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter"),
+            F.sum("w").cast("long").alias("w_inter"),
+        )
+    )
+    return (
+        wint.join(
+            wtot.select(F.col("doc_id").alias("doc_a"), F.col("w_doc").alias("w_a")),
+            "doc_a",
+        )
+        .join(
+            wtot.select(F.col("doc_id").alias("doc_b"), F.col("w_doc").alias("w_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "w_inter",
+            "w_a",
+            "w_b",
+            F.expr("(1000000 * w_inter) div (w_a + w_b - w_inter)")
+            .cast("long")
+            .alias("wjaccard_ppm"),
+        )
+    )
+
+
 HAMMING_MAX = 6
 _N_BANDS_SH = 4  # 4 bytes of the 32-bit sketch; hamming ≤ 6 < 8 ⇒ by
 # pigeonhole at least one byte matches exactly → byte-equality candidates

@@ -658,6 +658,161 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Allen's interval algebra classification -----------------------------------
+
+
+@register(
+    "join_allen_interval_algebra",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq,
+               epoch_us(ts) AS us
+        FROM seq
+    ),
+    iv AS (
+        SELECT user_id, session_seq, MIN(us) AS s, MAX(us) AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    a AS (SELECT * FROM iv WHERE user_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE user_id % 2 = 1),
+    p AS (
+        SELECT CASE
+                 WHEN a.e < b.s THEN 'precedes'
+                 WHEN a.e = b.s THEN 'meets'
+                 WHEN b.e < a.s THEN 'preceded_by'
+                 WHEN b.e = a.s THEN 'met_by'
+                 WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                 WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+                 WHEN a.s = b.s THEN 'started_by'
+                 WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+                 WHEN a.e = b.e THEN 'finished_by'
+                 WHEN a.s > b.s AND a.e < b.e THEN 'during'
+                 WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+                 WHEN a.s < b.s THEN 'overlaps'
+                 ELSE 'overlapped_by' END AS relation,
+               a.user_id AS a_user
+        FROM a JOIN b
+          ON a.s // 3600000000 <= b.e // 3600000000
+         AND b.s // 3600000000 <= a.e // 3600000000
+    )
+    SELECT relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a_user) AS BIGINT) AS n_a_users
+    FROM p GROUP BY 1
+    """,
+)
+def allen_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over session pairs: every even-user ×
+    odd-user session pair landing in a shared hour band, classified into
+    the 13 mutually-exclusive Allen relations (precedes/meets/overlaps/
+    starts/during/finishes, their inverses, equals) — the temporal-join
+    vocabulary (Allen '83) that plain overlap joins collapse into one bit.
+    Schedulers, process miners and conflict detectors branch on exactly
+    these distinctions (meets vs overlaps = clean handoff vs contention).
+
+    Shape: the same banded discipline as join_interval_overlap — each
+    interval explodes to its covered hour bands (gap-bounded sessions ⇒
+    bounded fanout), pairs form on the band equi-key, duplicates from
+    multi-band pairs collapse via DISTINCT, and the 13-way CASE is a
+    map-side expression on the pair. Disjoint-but-near pairs (precedes/
+    meets within a shared hour) are classified too — the relation set is
+    band-LOCAL by construction, which is what bounds the output at scale
+    (a global before/after classification would be |A|·|B|). The oracle
+    reproduces the identical pair set with a floor-div hour-range
+    intersection predicate — same semantics, no explode.
+    """
+    from .events import sessionize
+
+    _HOUR_US = 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+    )
+    banded = iv.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _HOUR_US).cast("long"),
+                (F.col("e") / _HOUR_US).cast("long"),
+            )
+        ),
+    )
+    a = banded.filter(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_seq").alias("a_seq"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.col("band").alias("band"),
+    )
+    b = banded.filter(F.col("user_id") % 2 == 1).select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_seq").alias("b_seq"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        F.col("band").alias("band"),
+    )
+    pairs = (
+        a.join(b, "band")
+        .select("a_user", "a_seq", "a_s", "a_e", "b_user", "b_seq", "b_s", "b_e")
+        .distinct()
+    )
+    relation = (
+        F.when(F.col("a_e") < F.col("b_s"), "precedes")
+        .when(F.col("a_e") == F.col("b_s"), "meets")
+        .when(F.col("b_e") < F.col("a_s"), "preceded_by")
+        .when(F.col("b_e") == F.col("a_s"), "met_by")
+        .when(
+            (F.col("a_s") == F.col("b_s")) & (F.col("a_e") == F.col("b_e")),
+            "equals",
+        )
+        .when(
+            (F.col("a_s") == F.col("b_s")) & (F.col("a_e") < F.col("b_e")),
+            "starts",
+        )
+        .when(F.col("a_s") == F.col("b_s"), "started_by")
+        .when(
+            (F.col("a_e") == F.col("b_e")) & (F.col("a_s") > F.col("b_s")),
+            "finishes",
+        )
+        .when(F.col("a_e") == F.col("b_e"), "finished_by")
+        .when(
+            (F.col("a_s") > F.col("b_s")) & (F.col("a_e") < F.col("b_e")),
+            "during",
+        )
+        .when(
+            (F.col("a_s") < F.col("b_s")) & (F.col("a_e") > F.col("b_e")),
+            "contains",
+        )
+        .when(F.col("a_s") < F.col("b_s"), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        pairs.select(relation.alias("relation"), "a_user")
+        .groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("a_user").cast("long").alias("n_a_users"),
+        )
+    )
+
+
 # -- Bloom-filter semi-join prefilter -----------------------------------------
 #
 # The runtime-filter pattern Spark's own InjectRuntimeFilter applies under

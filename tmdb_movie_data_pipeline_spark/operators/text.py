@@ -1847,5 +1847,211 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- windowed co-occurrence lift (PMI-ranked collocations) ---------------------
+
+_PMI_WINDOW = 4  # co-occurrence horizon: each token pairs with <= 4 followers
+_PMI_MIN_PAIR = 20  # support floor (drops singleton noise pairs)
+_PMI_MIN_LIFT_PPM = 4_000_000  # keep pairs >= 4x independence
+
+
+@register(
+    "text_pmi_lift_pairs",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS pos
+        FROM toked
+    ), pr AS (
+        SELECT LEAST(a.term, b.term) AS w1, GREATEST(a.term, b.term) AS w2
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND b.pos BETWEEN a.pos + 1 AND a.pos + {_PMI_WINDOW}
+    ), pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM pr GROUP BY 1, 2
+    ), uni AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pos)
+    SELECT w1, w2, c_pair,
+           u1.c AS c_w1, u2.c AS c_w2,
+           CAST((1000000 * c_pair * t) // (u1.c * u2.c) AS BIGINT)
+               AS lift_ppm
+    FROM pc
+    JOIN uni u1 ON u1.term = pc.w1
+    JOIN uni u2 ON u2.term = pc.w2, tot
+    WHERE c_pair >= {_PMI_MIN_PAIR}
+      AND (1000000 * c_pair * t) // (u1.c * u2.c) >= {_PMI_MIN_LIFT_PPM}
+    """,
+)
+def pmi_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: word pairs co-occurring within a
+    {_PMI_WINDOW}-token window far more often than independence predicts —
+    the PMI-style association score phrase detectors (word2vec's phrase
+    pass, Gensim Phrases) gate on. Ranking/thresholding uses the log-free
+    lift c(x,y)·T / (c(x)·c(y)) in exact integer ppm: identical ordering
+    to windowed PMI up to a pair-constant factor, with no libm ln to
+    poison the cross-engine hash. Support ({_PMI_MIN_PAIR}+) and lift
+    ({_PMI_MIN_LIFT_PPM} ppm) floors bound the output to real signal.
+
+    Shape: pair generation is MAP-SIDE — each document's token array
+    expands to at most {_PMI_WINDOW}·len(toks) (w1,w2) structs via a
+    nested array transform, linear in document length (never the
+    quadratic all-within-doc-pairs explode), then one partial-aggregable
+    groupBy per relation. The unigram side is vocabulary-sized; its join
+    onto pair counts is the classic small-dim pattern (AQE broadcasts it
+    when it fits). Worst BIGINT term 1e6·c_pair·T stays under 2⁶³ through
+    sf0.1 by >10³; a petabyte corpus lifts the same expression to
+    DECIMAL(38,0) unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col().alias("toks"))
+    pairs = toked.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - 1, 1)), i ->"
+                    f" transform(slice(toks, i + 1, {_PMI_WINDOW}), y ->"
+                    f" struct(least(toks[i-1], y) AS w1,"
+                    f" greatest(toks[i-1], y) AS w2)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    pos = toked.select(F.explode("toks").alias("term"))
+    uni = (
+        pos.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # feeds the w1 probe, the w2 probe AND the total below: stage the
+        # vocabulary-sized relation once instead of re-scanning the corpus
+        # per reference
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("t"))
+    return (
+        pc.filter(F.col("c_pair") >= _PMI_MIN_PAIR)
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_ppm",
+            F.expr("(1000000 * c_pair * t) div (c_w1 * c_w2)").cast("long"),
+        )
+        .filter(F.col("lift_ppm") >= _PMI_MIN_LIFT_PPM)
+        .select("w1", "w2", "c_pair", "c_w1", "c_w2", "lift_ppm")
+    )
+
+
+# -- bigram-LM surprisal gate (CCNet-style perplexity filter, log-free) --------
+
+_SURP_TAU_PPM = 24_000  # a bigram is "surprising" if p(w2|w1) < 2.4%
+_SURP_KEEP_MAX_PPM = 90_000  # keep docs with <= 9% surprising bigrams
+
+
+@register(
+    "text_lm_surprisal_gate",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM toked, UNNEST(range(1, len(toks))) AS r(i)
+    ), c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+    ), scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN (1000000 * c12.c12) // c1.c1 < {_SURP_TAU_PPM}
+                    THEN 1 ELSE 0 END AS surprising
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(surprising) AS BIGINT) AS n_surprising,
+           CAST((1000000 * SUM(surprising)) // COUNT(*) AS BIGINT)
+               AS surprisal_ppm,
+           (1000000 * SUM(surprising)) // COUNT(*) <= {_SURP_KEEP_MAX_PPM}
+               AS keep
+    FROM scored GROUP BY 1
+    """,
+)
+def lm_surprisal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality gate, log-free: score every
+    document by the fraction of its bigrams that the corpus's own bigram
+    LM finds surprising (conditional probability p(w2|w1) below
+    {_SURP_TAU_PPM} ppm), and keep documents under {_SURP_KEEP_MAX_PPM}
+    ppm surprising mass. This is the perplexity-filter step of the CCNet /
+    RefinedWeb pipelines with the monotone substitution that makes it
+    hash-pinnable: instead of mean log-prob (libm ln, engine-dependent),
+    the gate counts probability-threshold exceedances — each comparison is
+    one exact integer division, and a threshold-count gate separates the
+    same junk tail (every surprising bigram is surprising under both
+    formulations; only the aggregation differs).
+
+    Shape: bigrams expand map-side (one struct per adjacent pair, linear);
+    the model IS the (w1,w2) count relation derived from the same explode —
+    one groupBy for c12, a second vocabulary-sized rollup for the c1
+    marginal; scoring re-joins the model onto the bigram stream by its
+    natural key, then one per-doc rollup. Train and apply are the same
+    scan, as in production (the LM table would be a broadcast-able side
+    artifact at 100 TB — vocabulary², not corpus, sized).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 1)), i ->"
+                    " CASE WHEN i < size(toks)"
+                    " THEN struct(toks[i-1] AS w1, toks[i] AS w2) END)"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.when(
+                F.expr("(1000000 * c12) div c1") < _SURP_TAU_PPM, 1
+            )
+            .otherwise(0)
+            .alias("surprising"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("surprising").cast("long").alias("n_surprising"),
+        F.expr("(1000000 * SUM(surprising)) div COUNT(*)")
+        .cast("long")
+        .alias("surprisal_ppm"),
+        (
+            F.expr("(1000000 * SUM(surprising)) div COUNT(*)")
+            <= _SURP_KEEP_MAX_PPM
+        ).alias("keep"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -358,3 +358,99 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("median_x2_cents"),
         )
     )
+
+
+# -- rolling OLS slope (trailing regression per key) ---------------------------
+
+_ROLS_DAYS = 14  # trailing RANGE horizon (days, inclusive of current)
+
+
+@register(
+    "window_rolling_ols_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT)) AS BIGINT) AS rev
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, day, rev,
+               CAST(COUNT(*)        OVER w AS BIGINT) AS n,
+               CAST(SUM(day)        OVER w AS BIGINT) AS sx,
+               CAST(SUM(rev)        OVER w AS BIGINT) AS sy,
+               CAST(SUM(day * rev)  OVER w AS BIGINT) AS sxy,
+               CAST(SUM(day * day)  OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN {_ROLS_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, rev, n,
+           CAST(CASE WHEN n < 2 THEN NULL
+                     WHEN n * sxy - sx * sy >= 0
+                     THEN (1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                     ELSE -((1000000 * (sx * sy - n * sxy))
+                          // (n * sxx - sx * sx)) END
+                AS BIGINT) AS slope_ppm
+    FROM s
+    """,
+)
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {_ROLS_DAYS}-day OLS trend slope of daily revenue, per
+    event type — the rolling-regression window every monitoring stack
+    derives "trend" from, joining the moving-average/median members of
+    the rolling family with an actual least-squares fit:
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), emitted as exact signed ppm
+    with the division sign-split so truncation is engine-identical.
+    Ramp-up days regress over their true shorter frame (RANGE, not ROWS);
+    single-point frames emit NULL (slope undefined, den = 0).
+
+    x is the day offset from a fixed epoch (slope is shift-invariant, and
+    the small ordinate keeps every moment far inside BIGINT: at daily
+    revenue ≤ ~1e8 units the worst term 1e6·n·Σxy is ~1e19/2⁶³-safe by
+    three orders; a deployment with larger ordinates re-centers x per
+    window start or widens to DECIMAL(38)).
+
+    Shape: identical staging to window_rolling_median — the corpus
+    collapses to the (type, day) relation first, so the five frame sums
+    hold O({_ROLS_DAYS}) integers per row regardless of event volume; one
+    exchange on event_type, one sort, five running sums in one window
+    pass (Catalyst shares the frame buffer across same-frame aggregates).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value")).cast("long")).cast("long").alias("rev"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(_ROLS_DAYS - 1), 0)
+    )
+    s = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("day").over(w).cast("long").alias("sx"),
+        F.sum("rev").over(w).cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("rev")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(w).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        "rev",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n < 2 THEN NULL"
+            " WHEN n * sxy - sx * sy >= 0"
+            " THEN (1000000 * (n * sxy - sx * sy))"
+            "      div (n * sxx - sx * sx)"
+            " ELSE -((1000000 * (sx * sy - n * sxy))"
+            "      div (n * sxx - sx * sx)) END AS BIGINT)"
+        ).alias("slope_ppm"),
+    )

@@ -188,10 +188,11 @@ DRIVER_CAP_FLOOR = 45
 #: bucket-3 coverage the driver's budget provably reaches that round —
 #: and the cumulative shift advances by it, so consecutive windows TILE
 #: the cycle with no gaps and no reliance on unverified slots.
-#: r10: 37 never-verified + 1 changed = head 38 → stride 7. KEEP IN SYNC
-#: when activating queries this round — test_round_strides_recorded_and_
+#: r10: 44 never-verified + 1 changed = head 45 → stride 0 (the round's
+#: driver budget is spent on first-time coverage; rotation resumes r11).
+#: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 7}
+_ROUND_STRIDES: dict[int, int] = {10: 0}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
