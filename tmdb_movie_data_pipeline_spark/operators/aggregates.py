@@ -3695,5 +3695,312 @@ def hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Cohen's d effect size (r11 queue) -----------------------------------------
+
+
+def _cohens_d_sql() -> str:
+    """Shared Spark/DuckDB arithmetic over n1,s1,q1,n2,s2,q2 (exact integer
+    moments): d = (m1−m2)/s_pooled, one byte-identical fixed-order IEEE
+    expression (same discipline as stats_anova_oneway)."""
+    ssw = (
+        "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE))"
+        " + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE)))"
+    )
+    return (
+        "ROUND(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+        f" / SQRT({ssw}"
+        " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)"
+    )
+
+
+@register(
+    "stats_cohens_d",
+    deferred=True,
+    oracle=f"""
+    WITH m AS (
+        SELECT
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN user_id % 2 = 0
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS s1,
+          CAST(SUM(CASE WHEN user_id % 2 = 0
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                             * CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS q1,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(SUM(CASE WHEN user_id % 2 = 1
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS s2,
+          CAST(SUM(CASE WHEN user_id % 2 = 1
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                             * CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS q2
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT n1, n2, {_cohens_d_sql()} AS cohens_d
+    FROM m
+    """,
+)
+def cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the purchase-value distributions of
+    the two user cohorts (even vs odd ids) — the standardized mean
+    difference that turns stats_ab_ttest's significance into MAGNITUDE
+    (the number a power analysis or an experiment readout actually
+    reports).
+
+    Determinism: the six moments (per-cohort count, cent-sum, cent-Σv²)
+    are exact order-free integers; d is ONE literal expression over them
+    with every operand cast to double in a pinned order — IEEE sqrt and
+    division are correctly rounded, so both engines produce the identical
+    double (same discipline as stats_anova_oneway).
+
+    Shape: one scan, one 1-row conditional aggregate, constant output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = quantize(F.col("value"), MONEY_SCALE)
+    even = F.col("user_id") % 2 == 0
+    m = ev.agg(
+        F.sum(F.when(even, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(even, v).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(even, v * v).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(~even, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~even, v).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(~even, v * v).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("q2"),
+    )
+    return m.select("n1", "n2", F.expr(_cohens_d_sql()).alias("cohens_d"))
+
+
+# -- two-proportion z-test (r11 queue) ------------------------------------------
+
+
+@register(
+    "stats_ztest_two_proportions",
+    deferred=True,
+    oracle="""
+    WITH m AS (
+        SELECT
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+          CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS HUGEINT) AS k1,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS HUGEINT) AS k2
+        FROM events
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+           CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
+           CAST((1000000 * (k1 * n2 - k2 * n1) * (k1 * n2 - k2 * n1)
+                 * (n1 + n2))
+                // (n1 * n2 * (k1 + k2) * (n1 + n2 - k1 - k2))
+                AS BIGINT) AS z2_ppm
+    FROM m
+    """,
+)
+def ztest_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test between the purchase RATES of the two
+    user cohorts — the conversion-rate A/B readout (stats_ab_ttest compares
+    means; this compares binomial proportions). Reported as z² in exact
+    integer ppm: the whole statistic collapses to ONE rational,
+    z² = (k1·n2 − k2·n1)²·N / (n1·n2·K·(N−K)), cross-multiplied so no
+    float ever exists — the intermediate products exceed 2⁶³ at sf0.1, so
+    both engines compute in their exact wide-integer type (DECIMAL(38) /
+    HUGEINT) and integer-divide down to a BIGINT ppm.
+
+    Shape: one scan, one 1-row conditional aggregate, constant output."""
+    ev = load_table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    is_p = F.col("event_type") == "purchase"
+    m = ev.agg(
+        F.sum(F.when(even, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(even & is_p, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("k1"),
+        F.sum(F.when(~even, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+        F.sum(F.when(~even & is_p, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("k2"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("k1").cast("long").alias("k1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("k2").cast("long").alias("k2"),
+        F.expr(
+            "CAST((1000000 * (k1 * n2 - k2 * n1) * (k1 * n2 - k2 * n1)"
+            " * (n1 + n2))"
+            " div (n1 * n2 * (k1 + k2) * (n1 + n2 - k1 - k2))"
+            " AS BIGINT)"
+        ).alias("z2_ppm"),
+    )
+
+
+# -- heavy-tail ratio profile (r11 queue) ---------------------------------------
+
+_TAIL_THRESHOLDS = (10, 20, 40, 80)
+
+
+@register(
+    "stats_tail_ratio_profile",
+    deferred=True,
+    oracle=f"""
+    WITH g AS (
+        SELECT UNNEST([{", ".join(str(t) for t in _TAIL_THRESHOLDS)}]) AS x
+    )
+    SELECT CAST(g.x AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN value > g.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gt_x,
+           CAST(SUM(CASE WHEN value > 2 * g.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gt_2x,
+           CAST((1000000 * SUM(CASE WHEN value > 2 * g.x THEN 1 ELSE 0 END))
+                // SUM(CASE WHEN value > g.x THEN 1 ELSE 0 END)
+                AS BIGINT) AS tail_ratio_ppm
+    FROM events, g GROUP BY 1
+    """,
+)
+def tail_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free heavy-tail diagnostic: P(X > 2x)/P(X > x) across a doubling
+    threshold grid — for a Pareto(α) tail this ratio is the constant 2^−α,
+    so the profile reads the tail index directly without the libm-banned
+    log-log regression (Hill estimator) and flags where the power-law
+    regime starts (ratios stabilizing across the grid). Exact integer
+    counts, ratio in integer ppm.
+
+    Shape: the grid is a {len(_TAIL_THRESHOLDS)}-row broadcast crossed into
+    the scan (each event evaluates {len(_TAIL_THRESHOLDS)} comparisons
+    map-side), then one partial-aggregable groupBy over
+    {len(_TAIL_THRESHOLDS)} groups. One pass, no sort, nothing scales with
+    anything but the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = spark.createDataFrame(
+        [(t,) for t in _TAIL_THRESHOLDS], "x long"
+    )
+    return (
+        ev.crossJoin(F.broadcast(grid))
+        .groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("x"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gt_x"),
+            F.sum(F.when(F.col("value") > 2 * F.col("x"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gt_2x"),
+        )
+        .select(
+            "x",
+            "n_gt_x",
+            "n_gt_2x",
+            F.expr("(1000000 * n_gt_2x) div n_gt_x").alias("tail_ratio_ppm"),
+        )
+    )
+
+
+# -- Brown-Forsythe variance homogeneity (r11 queue) ----------------------------
+
+
+@register(
+    "stats_brown_forsythe",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), ranked AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM s
+    ), med AS (
+        SELECT event_type, v AS med FROM ranked WHERE rk = (n + 1) // 2
+    ), z AS (
+        SELECT s.event_type, ABS(s.v - med.med) AS z
+        FROM s JOIN med USING (event_type)
+    ), m AS (
+        SELECT
+          {", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{{t}}' THEN 1 ELSE 0 END) AS BIGINT) AS n{{i}}, "
+            f"CAST(SUM(CASE WHEN event_type = '{{t}}' THEN z ELSE 0 END) AS BIGINT) AS s{{i}}"
+            .format(t=t, i=i + 1)
+            for i, t in enumerate(_ANOVA_TYPES)
+          )},
+          CAST(SUM(z * z) AS BIGINT) AS q
+        FROM z
+    )
+    SELECT (n1 + n2 + n3 + n4 + n5) AS n_total,
+           {{F_SQL}} AS f_stat
+    FROM m
+    """.replace("{F_SQL}", _anova_f_sql()),
+)
+def brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the k=5 event
+    types: one-way ANOVA on the absolute deviations from each group's
+    MEDIAN — the robust Levene variant that checks the equal-variance
+    assumption stats_anova_oneway itself rests on. The location estimate
+    is the exact lower median (rank ⌈n/2⌉), so every deviation is an
+    exact integer and the only float is the final fixed-order F
+    expression shared verbatim with the ANOVA (identical IEEE sequence on
+    both engines).
+
+    Shape: per-group medians come from the same histogram-offset rank
+    discipline as agg_grouped_median (no per-group sort of raw rows); the
+    5-row median relation broadcasts back onto the scan for the deviation
+    map, then one 1-row conditional aggregate — two passes total, both
+    partial-aggregable."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", quantize(F.col("value"), MONEY_SCALE).alias("v")
+    )
+    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    off = bucket_offsets(b, "_b", {"c": F.lit(1)}, partition_by=["event_type"])
+    tot = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_loc = W.partitionBy("event_type", "_b").orderBy("v")
+    med = (
+        b.join(F.broadcast(off), ["event_type", "_b"])
+        .withColumn("_rk", F.col("_off_c") + F.row_number().over(w_loc))
+        .join(F.broadcast(tot), "event_type")
+        .filter(F.col("_rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v").alias("med"))
+    )
+    z = s.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    aggs = []
+    for i, t in enumerate(_ANOVA_TYPES, start=1):
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("event_type") == t, F.col("z")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias(f"s{i}")
+        )
+    aggs.append(F.sum(F.col("z") * F.col("z")).cast("long").alias("q"))
+    m = z.agg(*aggs)
+    return m.select(
+        F.expr("n1 + n2 + n3 + n4 + n5").alias("n_total"),
+        F.expr(_anova_f_sql()).alias("f_stat"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -915,6 +915,73 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- average precision (PR-curve summary) — r11 queue ---------------------------
+
+
+@register(
+    "ml_average_precision",
+    deferred=True,
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), binned AS (
+        SELECT ((n_chars - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin,
+               CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos
+        FROM documents CROSS JOIN mm
+    ), bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY 1
+    ), cums AS (
+        SELECT bin, n_pos,
+               SUM(n)     OVER (ORDER BY bin DESC) AS pred_pos,
+               SUM(n_pos) OVER (ORDER BY bin DESC) AS tp
+        FROM bins
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS all_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(((1000000 * tp) // pred_pos) * n_pos) // SUM(n_pos)
+                AS BIGINT) AS ap_ppm
+    FROM cums
+    """,
+)
+def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision — the scalar PR-curve summary (the area ranking
+    teams actually compare): AP = Σ_k precision(k)·Δrecall(k) over
+    descending score thresholds, completing the eval family next to
+    ml_pr_curve (the full curve) and ml_auc_roc (the ROC area). Computed
+    at bin granularity over the SAME {_CAL_BINS}-bin histogram as the
+    rest of the calibration shelf: Δrecall at threshold k is the bin's
+    positive count over all positives, so
+    AP_ppm = Σ(prec_ppm_k · n_pos_k) div all_pos with prec_ppm_k itself an
+    integer division — a pinned two-stage integer rounding identical on
+    both engines, no float anywhere.
+
+    Shape: one scan collapses to the {_CAL_BINS}-row histogram; the
+    descending cumulative is a window over that tiny frame; output is one
+    row. Nothing scales with anything but the scan.
+    """
+    binned = _calibration_binned(load_table(spark, sf_dir, "documents"))
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wd = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, 0)
+    cums = bins.select(
+        "n_pos",
+        F.sum("n").over(wd).cast("long").alias("pred_pos"),
+        F.sum("n_pos").over(wd).cast("long").alias("tp"),
+    )
+    return cums.agg(
+        F.sum("n_pos").cast("long").alias("all_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr(
+            "CAST(SUM(((1000000 * tp) div pred_pos) * n_pos) div SUM(n_pos)"
+            " AS BIGINT)"
+        ).alias("ap_ppm"),
+    )
+
+
 # -- feature hashing (the hashing trick) — deferred queue ---------------------
 
 _FH_DIM = 64  # feature space dimension (buckets)

@@ -557,6 +557,110 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- b-bit MinHash (1-bit signatures) — r11 queue -------------------------------
+
+_BBIT_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.sig_{i} % 2 = sb.sig_{i} % 2 THEN 1 ELSE 0 END"
+    for i in range(NUM_HASHES)
+)
+
+
+@register(
+    "dedup_bbit_minhash_estimate",
+    deferred=True,
+    oracle=f"""
+    WITH {{CAND_INTER}}, sigs AS (
+        SELECT doc_id,
+               {", ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(NUM_HASHES))}
+        FROM (SELECT doc_id, list_transform({{SHINGLES}}, s -> md5(s)) AS md5s
+              FROM toked)
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_BBIT_MATCH_SQL} AS BIGINT) AS n_bit_match,
+           CAST(GREATEST(
+                    (2000000 * ({_BBIT_MATCH_SQL})) // {NUM_HASHES} - 1000000,
+                    0) AS BIGINT) AS bbit_est_ppm,
+           CAST((1000000 * i.inter)
+                // (za.n_sh + zb.n_sh - i.inter) AS BIGINT)
+               AS exact_jaccard_ppm
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    JOIN pair_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """.replace("{CAND_INTER}", _CAND_INTER_SQL).replace(
+        "{SHINGLES}", "list_distinct(" + _SHINGLES_SQL + ")"
+    ),
+)
+def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (b=1, Li & König '10) accuracy contract per staged
+    candidate pair: keep only the LOWEST BIT of each of the {NUM_HASHES}
+    MinHash slots — a 16× signature-storage cut, the economics that let
+    petabyte dedup keep signatures in memory — and pin its estimator
+    J ≈ 2·(bit-match fraction) − 1 (the b=1 collision identity at
+    negligible marginal bit bias, clamped at 0) NEXT TO the exact
+    shingle Jaccard, exactly as dedup_minhash_jaccard_estimate does for
+    the full-width sketch. A consumer reads this table to decide when the
+    1-bit economy is worth the extra variance (the two estimate columns
+    diverge hardest on mid-similarity pairs).
+
+    Shape: identical to the full-width contract query — shared hash-once
+    min-agg signatures, map-side {NUM_HASHES}-term bit compare on the
+    candidate-keyed join, pair-keyed exact intersection. All integer ppm.
+    Cites the estimator-vs-truth pattern of sketches.py and reference
+    parity of the dedup shelf (grknc/tmdb-movie-data-pipeline has no sketch surface;
+    this extends SURVEY.md §2.9's north-star dedup battery).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_pairs_staged(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") % 2 == F.col(f"b_{i}") % 2, 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    inter = _candidate_intersections(spark, sf_dir).withColumnRenamed(
+        "inter", "n_inter"
+    )
+    sizes = _doc_shingle_sizes(spark, sf_dir)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_bit_match", n_match.cast("long"))
+        .join(inter, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("za")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("zb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bit_match",
+            F.greatest(
+                F.expr(f"(2000000 * n_bit_match) div {NUM_HASHES} - 1000000"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("bbit_est_ppm"),
+            F.expr("(1000000 * n_inter) div (za + zb - n_inter)")
+            .cast("long")
+            .alias("exact_jaccard_ppm"),
+        )
+    )
+
+
 HAMMING_MAX = 6
 _N_BANDS_SH = 4  # 4 bytes of the 32-bit sketch; hamming ≤ 6 < 8 ⇒ by
 # pigeonhole at least one byte matches exactly → byte-equality candidates

@@ -3110,5 +3110,84 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- engagement-tier migration matrix (r11 queue) -------------------------------
+
+_MIG_SPLIT = "2024-01-16"  # fixed period boundary (fixture spans Jan 2024)
+#: purchase-count tier edges: 0 -> absent, 1-2 -> low, 3-5 -> mid, 6+ -> high
+_MIG_TIER_SQL = (
+    "CASE WHEN {c} IS NULL OR {c} = 0 THEN 'absent'"
+    " WHEN {c} <= 2 THEN 'low'"
+    " WHEN {c} <= 5 THEN 'mid'"
+    " ELSE 'high' END"
+)
+
+
+@register(
+    "events_rfm_migration_matrix",
+    deferred=True,
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               CASE WHEN ts < TIMESTAMP '{_MIG_SPLIT}' THEN 1 ELSE 2 END AS half
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM p GROUP BY 1
+    )
+    SELECT {_MIG_TIER_SQL.format(c="c1")} AS tier_from,
+           {_MIG_TIER_SQL.format(c="c2")} AS tier_to,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c2 - c1) AS BIGINT) AS net_purchase_delta
+    FROM c GROUP BY 1, 2
+    """,
+)
+def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-tier migration matrix: each purchasing user is tiered by
+    purchase count in the first and second half of the period (absent /
+    low / mid / high on fixed edges) and the matrix counts users per
+    (from, to) cell with the net purchase delta riding along — the
+    lifecycle view growth teams act on (who upgraded, who lapsed),
+    complementing events_growth_accounting (presence only, no intensity
+    tiers) and events_transition_matrix (event-type Markov chain, not
+    users). Fixed tier edges keep every cell an exact integer — no
+    quantile coupling between the two halves.
+
+    Shape: one scan with the half tag computed map-side; ONE
+    partial-aggregable per-user conditional rollup (both halves share it
+    — never two scans + a full-outer join, the naive form); the 4×4-max
+    matrix is a second tiny groupBy. User-count scale-out is the
+    groupBy's hash partitioning — no window, no skew key (user_id is the
+    key, purchases per user are bounded)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit(_MIG_SPLIT).cast("timestamp"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c1"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit(_MIG_SPLIT).cast("timestamp"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c2"),
+    )
+    return (
+        c.select(
+            F.expr(_MIG_TIER_SQL.format(c="c1")).alias("tier_from"),
+            F.expr(_MIG_TIER_SQL.format(c="c2")).alias("tier_to"),
+            (F.col("c2") - F.col("c1")).alias("delta"),
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("delta").cast("long").alias("net_purchase_delta"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -360,6 +360,109 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Hampel filter (rolling median/MAD outlier flags) ---------------------------
+
+
+@register(
+    "window_hampel_outliers",
+    deferred=True,
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), w AS (
+        SELECT day, rev_cents,
+               list_sort(list(rev_cents) OVER
+                   (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+                   AS win
+        FROM daily
+    ), m AS (
+        SELECT day, rev_cents, win,
+               win[(len(win) + 1) // 2] + win[len(win) // 2 + 1] AS med2
+        FROM w
+    ), d AS (
+        SELECT day, rev_cents, med2,
+               CAST(len(win) AS BIGINT) AS n_in_window,
+               list_sort(list_transform(win,
+                   v -> abs(2 * v - med2))) AS devs
+        FROM m
+    )
+    SELECT day, rev_cents, n_in_window,
+           CAST(med2 AS BIGINT) AS med2_cents,
+           CAST(devs[(len(devs) + 1) // 2] + devs[len(devs) // 2 + 1]
+                AS BIGINT) AS mad4_cents,
+           2 * abs(2 * rev_cents - med2)
+               > 3 * (devs[(len(devs) + 1) // 2] + devs[len(devs) // 2 + 1])
+               AS is_outlier
+    FROM d
+    """,
+)
+def hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily purchase revenue: flag days whose value
+    sits more than 3 robust sigmas (MAD) from the trailing 7-day rolling
+    MEDIAN — the outlier detector monitoring pipelines prefer over
+    z-scores because one spike can't drag its own threshold (the mean AND
+    the stdev both chase the spike; the median and MAD ignore it).
+
+    Exactness: medians are reported as lo+hi doubled values (med×2, and
+    MAD×4 = lo+hi over |2v − med2|, which is exactly 2·|v − med| per
+    member), so the 3-sigma test |x − med| > 3·MAD becomes the pure
+    integer comparison 2·|2x − med2| > 3·mad4 — no IEEE anywhere.
+
+    Shape: same staging as window_rolling_median — the corpus collapses
+    to the daily relation first, so the collected frame holds ≤ 7
+    integers per row and the deviation re-sort is O(7 log 7) per row,
+    calendar-bounded. At a 90-day × per-user horizon the same test runs
+    on the two-pass histogram-offset rank form instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = W.orderBy("day").rangeBetween(-6, 0)
+    m = daily.withColumn(
+        "win", F.array_sort(F.collect_list("rev_cents").over(w))
+    ).withColumn(
+        "med2",
+        F.element_at("win", ((F.size("win") + 1) / 2).cast("int"))
+        + F.element_at("win", (F.size("win") / 2).cast("int") + 1),
+    )
+    d = m.withColumn(
+        "devs",
+        F.array_sort(
+            F.transform("win", lambda v: F.abs(2 * v - F.col("med2")))
+        ),
+    ).withColumn(
+        "mad4",
+        F.element_at("devs", ((F.size("devs") + 1) / 2).cast("int"))
+        + F.element_at("devs", (F.size("devs") / 2).cast("int") + 1),
+    )
+    return d.select(
+        "day",
+        "rev_cents",
+        F.size("win").cast("long").alias("n_in_window"),
+        F.col("med2").cast("long").alias("med2_cents"),
+        F.col("mad4").cast("long").alias("mad4_cents"),
+        (
+            2 * F.abs(2 * F.col("rev_cents") - F.col("med2"))
+            > 3 * F.col("mad4")
+        ).alias("is_outlier"),
+    )
+
+
 # -- rolling OLS slope (trailing regression per key) ---------------------------
 
 _ROLS_DAYS = 14  # trailing RANGE horizon (days, inclusive of current)
