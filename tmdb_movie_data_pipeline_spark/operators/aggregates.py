@@ -3610,6 +3610,92 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Holm-Bonferroni step-down FWER control (r11 queue) --------------------------
+
+
+@register(
+    "stats_holm_bonferroni",
+    deferred=True,
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 10 = 5
+                         THEN 1 + (doc_id * 2654435761) % 90
+                         WHEN doc_id % 10 = 0
+                         THEN 2501 + (doc_id * 2654435761) % 500
+                         ELSE 1 + (doc_id * 2654435761) % 1000000
+                    END AS BIGINT) AS p_ppm,
+               (SELECT COUNT(*) FROM documents) AS m
+        FROM documents
+    ), r AS (
+        SELECT doc_id, p_ppm, m,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, doc_id) AS BIGINT) AS rnk
+        FROM p
+    ), k AS (
+        SELECT r.*,
+               COALESCE(MIN(CASE WHEN p_ppm * (m - rnk + 1) > {_BH_ALPHA_PPM}
+                                 THEN rnk END) OVER (),
+                        m + 1) AS k_stop
+        FROM r
+    )
+    SELECT doc_id, p_ppm, rnk, k_stop
+    FROM k WHERE rnk < k_stop
+    """,
+)
+def holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-DOWN FWER control at alpha=0.05 over the same
+    deterministic p-value generator family as stats_benjamini_hochberg,
+    extended with a STRONG-signal tier (p < 100 ppm, doc_id % 10 = 5) —
+    the other half of the multiple-testing shelf: walk ranks ascending,
+    STOP at the first rank whose p_(k) > alpha/(m−k+1), reject everything
+    strictly before it. Family-wise error is stricter than BH's FDR: Holm
+    rejects only the strong tier, while BH's step-up bar would also
+    absorb the marginal 2501-3000 ppm tier — the load-bearing distinction
+    this query pins. All comparisons are
+    cross-multiplied integers (p_ppm·(m−rank+1) vs alpha_ppm·1e6/1e6), so
+    the rejection set is exact; a no-failure family rejects all m
+    (k_stop = m+1).
+
+    Shape: identical to the BH query — ranking over the HYPOTHESIS
+    relation (one row per test, small by construction), one global sort
+    plus one whole-relation MIN window, both deliberate and bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.count()  # hypothesis count: bounded, one job over footers
+    p = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 5,
+            1 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(90),
+        )
+        .when(
+            F.col("doc_id") % 10 == 0,
+            2501 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(500),
+        )
+        .otherwise(1 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+    r = p.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy("p_ppm", "doc_id")).cast("long"),
+    )
+    k = r.withColumn(
+        "k_stop",
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("p_ppm") * (m - F.col("rnk") + 1) > _BH_ALPHA_PPM,
+                    F.col("rnk"),
+                )
+            ).over(W.partitionBy()),
+            F.lit(m + 1),
+        ).cast("long"),
+    )
+    return k.filter(F.col("rnk") < F.col("k_stop")).select(
+        "doc_id", "p_ppm", "rnk", "k_stop"
+    )
+
+
 # -- Hellinger distance between two behavioural distributions ------------------
 
 

@@ -1611,5 +1611,85 @@ def dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- padding-waste-minimizing batch assembly (r11 queue) -------------------------
+
+_PAD_BUCKET_TOKENS = 16  # length-bucket width (tokens)
+_PAD_BATCH_SIZE = 8  # sequences per batch
+
+
+@register(
+    "llm_padding_waste_batching",
+    deferred=True,
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               n_tokens // {_PAD_BUCKET_TOKENS} AS bucket,
+               (ROW_NUMBER() OVER (PARTITION BY n_tokens // {_PAD_BUCKET_TOKENS}
+                                   ORDER BY n_tokens, doc_id) - 1)
+                   // {_PAD_BATCH_SIZE} AS batch_idx
+        FROM toked
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(batch_idx AS BIGINT) AS batch_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste,
+           CAST((1000000 * (COUNT(*) * MAX(n_tokens) - SUM(n_tokens)))
+                // (COUNT(*) * MAX(n_tokens)) AS BIGINT) AS waste_ppm
+    FROM b GROUP BY 1, 2
+    """,
+)
+def padding_waste_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly with exact padding accounting — the
+    inference/serving counterpart of llm_sequence_packing (which
+    concatenates for TRAINING): sequences batch only with near-equal
+    lengths (buckets of {_PAD_BUCKET_TOKENS} tokens, {_PAD_BATCH_SIZE} per
+    batch in deterministic (length, id) order), and each batch reports
+    the tokens the pad-to-max collation burns — the number dynamic
+    batching systems minimize. All integers; waste ratio
+    in exact ppm.
+
+    Shape: the length relation is one map-side projection; the only sort
+    is the ROW_NUMBER within each length BUCKET — partitioned, never a
+    global sort, so at corpus scale each bucket sorts independently
+    (bucket count is max_len/{_PAD_BUCKET_TOKENS}, fixed; rows per bucket
+    shard by the partitioned window). One groupBy per (bucket, batch)
+    closes it."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    b = toked.withColumn(
+        "bucket", F.expr(f"n_tokens div {_PAD_BUCKET_TOKENS}")
+    ).withColumn(
+        "batch_idx",
+        F.expr(
+            f"(ROW_NUMBER() OVER (PARTITION BY n_tokens div {_PAD_BUCKET_TOKENS}"
+            f" ORDER BY n_tokens, doc_id) - 1) div {_PAD_BATCH_SIZE}"
+        ),
+    )
+    return b.groupBy("bucket", "batch_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_waste"),
+        F.expr(
+            "(1000000 * (COUNT(*) * MAX(n_tokens) - SUM(n_tokens)))"
+            " div (COUNT(*) * MAX(n_tokens))"
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

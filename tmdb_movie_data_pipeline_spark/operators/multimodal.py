@@ -1039,5 +1039,117 @@ def pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- byte-level RLE over decoded rasters (r11 queue) ----------------------------
+
+#: RLE fixture pixel rule: byte i of doc d = (d*11 + (i div L)*13) % 256
+#: with block length L = 1 + d % 4 — adjacent blocks always differ (step 13
+#: is invertible mod 256), so the decoded stream's run structure is
+#: CLOSED-FORM (runs == blocks) while the Spark side derives it from the
+#: real container bytes.
+_RLE_MAX_RUNS = 3 * 8 * 6  # <= n_bytes at the largest 8x6 image
+
+
+def rle_encode(raw: "np.ndarray") -> "np.ndarray":
+    """Byte-level run-length encode: (len, value) pairs, runs capped at
+    255 so both fields stay one byte — the PackBits/TGA/BMP-RLE family's
+    core loop, vectorized (boundary indices via diff, no Python loop)."""
+    if raw.size == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    bounds = np.flatnonzero(np.diff(raw.astype(np.int16)) != 0) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [raw.size]))
+    runs = []
+    for s, e in zip(starts, ends):
+        ln = int(e - s)
+        while ln > 255:  # cap: emit saturated chunks
+            runs.append((255, int(raw[s])))
+            ln -= 255
+        runs.append((ln, int(raw[s])))
+    return np.asarray(runs, dtype=np.int64)
+
+
+def _rle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "container": [], "n_bytes": [], "n_runs": [],
+            "encoded_len": [], "ratio_ppm": [], "run_value_sum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 2 + d % 7, 2 + d % 5
+            blk = 1 + d % 4
+            n = 3 * w * h
+            i = np.arange(n, dtype=np.int64)
+            rgb = ((d * 11 + (i // blk) * 13) % 256).astype(np.uint8).tobytes()
+            payload = encode_bmp(w, h, rgb) if d % 2 == 0 else encode_ppm(w, h, rgb)
+            img = decode_image(payload)
+            raw = np.frombuffer(img["pixels"], dtype=np.uint8)
+            runs = rle_encode(raw)
+            out["doc_id"].append(d)
+            out["container"].append("bmp" if d % 2 == 0 else "ppm")
+            out["n_bytes"].append(n)
+            out["n_runs"].append(int(runs.shape[0]))
+            out["encoded_len"].append(int(2 * runs.shape[0]))
+            out["ratio_ppm"].append(int(1_000_000 * 2 * runs.shape[0] // n))
+            out["run_value_sum"].append(int(runs[:, 1].sum()))
+        yield pd.DataFrame(out)
+
+
+RLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_runs", T.LongType(), False),
+        T.StructField("encoded_len", T.LongType(), False),
+        T.StructField("ratio_ppm", T.LongType(), False),
+        T.StructField("run_value_sum", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_rle_compression",
+    deferred=True,
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS container,
+               CAST(3 * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS n_bytes,
+               CAST(1 + doc_id % 4 AS BIGINT) AS blk
+        FROM documents
+    )
+    SELECT d.doc_id, d.container, d.n_bytes,
+           CAST((d.n_bytes + d.blk - 1) // d.blk AS BIGINT) AS n_runs,
+           CAST(2 * ((d.n_bytes + d.blk - 1) // d.blk) AS BIGINT) AS encoded_len,
+           CAST((1000000 * 2 * ((d.n_bytes + d.blk - 1) // d.blk)) // d.n_bytes
+                AS BIGINT) AS ratio_ppm,
+           CAST(SUM(CASE WHEN t.j < (d.n_bytes + d.blk - 1) // d.blk
+                         THEN (d.doc_id * 11 + t.j * 13) % 256 ELSE 0 END)
+                AS BIGINT) AS run_value_sum
+    FROM dims d, generate_series(0, {_RLE_MAX_RUNS - 1}) t(j)
+    GROUP BY ALL
+    """,
+)
+def multimodal_rle_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression audit over DECODED rasters: each document's
+    synthetic image (block-constant pixel rule, block length 1 + d%4)
+    round-trips through its real container (BMP even / PPM odd), the
+    decoded byte stream RLE-encodes into capped (len, value) pairs, and
+    the row reports run count, encoded size, compression ratio ppm and
+    the sum of run values. The oracle knows only the closed-form block
+    rule — never the container bytes or the RLE code — so a green row
+    proves decode + run detection end-to-end (a stride/padding bug splits
+    or merges runs; a value bug shifts the run sum).
+
+    Shape: map-only mapInPandas (encode→decode→vectorized RLE per row, a
+    numpy diff/flatnonzero — no Python byte loop on the hot path), no
+    shuffle, 7 scalars/doc out. This is the plumbing a multimodal lake
+    uses to decide raster storage encodings; swapping the synthetic rule
+    for real scan-lines only changes the fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(_rle_batches, schema=RLE_SCHEMA)
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

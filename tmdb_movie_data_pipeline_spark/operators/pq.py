@@ -386,3 +386,100 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("d_micro").cast("long").alias("max_dist_micro"),
     )
+
+
+# -- int8 scalar quantization error audit (r11 queue) ----------------------------
+
+_SQ_LEVELS = 255  # int8 code range 0..255
+_SQ_ERRSCALE = "1e12"  # squared-error pico-units (errors ~1e-5 at this data)
+
+#: shared expression text over columns (x, mn, mx) — both engines compile
+#: the identical IEEE sequence (sub, mul, div, floor, least)
+_SQ_CODE_EXPR = (
+    f"CAST(LEAST(FLOOR((x - mn) * {_SQ_LEVELS}.0 / (mx - mn)),"
+    f" {_SQ_LEVELS}) AS BIGINT)"
+)
+#: reconstruction error over (x, mn, mx, code), rounded to integer
+#: pico-units BEFORE any cross-row sum (order-free integer aggregation)
+_SQ_ERR_EXPR = (
+    f"CAST(ROUND((x - (mn + code * (mx - mn) / {_SQ_LEVELS}.0))"
+    f" * (x - (mn + code * (mx - mn) / {_SQ_LEVELS}.0))"
+    f" * {_SQ_ERRSCALE}, 0) AS BIGINT)"
+)
+
+
+@register(
+    "ml_scalar_quantization_error",
+    deferred=True,
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), mm AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY 1
+    ), coded AS (
+        SELECT vec_id, pos, x, mn, mx, {_SQ_CODE_EXPR} AS code
+        FROM flat JOIN mm USING (pos)
+    ), err AS (
+        SELECT vec_id, pos, code, {_SQ_ERR_EXPR} AS err_pico
+        FROM coded
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(err_pico) AS BIGINT) AS total_err_pico,
+           CAST(SUM(err_pico) // COUNT(*) AS BIGINT) AS mean_err_pico,
+           CAST(MAX(err_pico) AS BIGINT) AS max_err_pico,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used
+    FROM err GROUP BY 1
+    """,
+)
+def scalar_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (per-dimension min/max affine codes, the
+    SQ8 tier every vector store ships below PQ) with its reconstruction-
+    error audit: per dimension, the summed/mean/worst squared error the
+    4x compression costs, plus how much of the 256-level budget the
+    dimension actually uses — under-used code ranges mean a skewed
+    dimension wants a quantile (not affine) grid. Completes the
+    compression shelf: PQ (ml_pq_distortion) gates subspace geometry,
+    this gates per-dimension affine fidelity.
+
+    Determinism: codes and errors are fixed IEEE expression text shared
+    verbatim by both engines (float32 inputs widen exactly to double;
+    sub/mul/div/floor are correctly rounded), and every error quantizes
+    to integer pico-units BEFORE the per-dimension sums, so aggregation
+    is order-free BIGINT.
+
+    Shape: one explode to the (vec, dim) relation (map-side), a
+    DIM-row min/max rollup broadcast back, then one partial-aggregable
+    groupBy per dimension. No window, no pair join; everything scales as
+    one scan of the flattened relation.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    flat = vecs.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "_x")
+    ).select("vec_id", "pos", F.col("_x").cast("double").alias("x"))
+    mm = flat.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = flat.join(F.broadcast(mm), "pos").withColumn(
+        "code", F.expr(_SQ_CODE_EXPR)
+    )
+    err = coded.withColumn("err_pico", F.expr(_SQ_ERR_EXPR))
+    return err.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("err_pico").cast("long").alias("total_err_pico"),
+        F.expr("CAST(SUM(err_pico) div COUNT(*) AS BIGINT)").alias(
+            "mean_err_pico"
+        ),
+        F.max("err_pico").cast("long").alias("max_err_pico"),
+        F.countDistinct("code").cast("long").alias("codes_used"),
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        "n_vecs",
+        "total_err_pico",
+        "mean_err_pico",
+        "max_err_pico",
+        "codes_used",
+    )

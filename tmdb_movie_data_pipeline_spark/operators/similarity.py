@@ -1301,5 +1301,206 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- IVF probe-count recall sweep (r11 queue) -----------------------------------
+
+_SWEEP_PROBES = (1, 2, 4, 8)  # nprobe grid
+_SWEEP_MAX = max(_SWEEP_PROBES)
+
+_SWEEP_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id - {{CB}} AS cid, embedding AS c_emb FROM embeddings
+        WHERE vec_id >= {{CB}} AND vec_id < {{CB}} + {{NC}}
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_dot_duck("v.embedding", "cent.c_emb")}
+                                / ({_norm_duck("v.embedding")} * {_norm_duck("cent.c_emb")})
+                                DESC, cent.cid) AS rn
+            FROM embeddings v, cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid, rn FROM (
+            SELECT q.vec_id AS query_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_dot_duck("q.embedding", "cent.c_emb")}
+                                / ({_norm_duck("q.embedding")} * {_norm_duck("cent.c_emb")})
+                                DESC, cent.cid) AS rn
+            FROM embeddings q, cent WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {_SWEEP_MAX}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.rn,
+               {_dot_duck("q.embedding", "c.embedding")}
+                   / ({_norm_duck("q.embedding")} * {_norm_duck("c.embedding")})
+                   AS cosine
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = a.vec_id
+    ),
+    grid AS (SELECT UNNEST([{", ".join(str(p) for p in _SWEEP_PROBES)}]) AS nprobe),
+    approx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT g.nprobe, s.query_id, s.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY g.nprobe, s.query_id
+                                      ORDER BY s.cosine DESC, s.neighbor_id)
+                       AS arank
+            FROM scored s JOIN grid g ON s.rn <= g.nprobe
+        ) WHERE arank <= {TOP_K}
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_dot_duck("q.embedding", "c.embedding")}
+                                / ({_norm_duck("q.embedding")} * {_norm_duck("c.embedding")})
+                                DESC, c.vec_id) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT CAST(g.nprobe AS BIGINT) AS nprobe,
+           gt.query_id,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((1000000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)) // {TOP_K}
+                AS BIGINT) AS recall_ppm
+    FROM gt CROSS JOIN grid g
+    LEFT JOIN approx a ON a.nprobe = g.nprobe
+                      AND a.query_id = gt.query_id
+                      AND a.neighbor_id = gt.neighbor_id
+    GROUP BY 1, 2
+    """.replace("{CB}", str(CENTROID_BASE)).replace("{NC}", str(N_CENTROIDS))
+
+
+@register("ann_ivf_probe_sweep", deferred=True, oracle=_SWEEP_ORACLE)
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: recall@{TOP_K} against exact-cosine ground
+    truth for every probe count in {_SWEEP_PROBES}, per query — the
+    recall-vs-cost curve an ANN deployment reads to pick nprobe (each
+    +probe multiplies scan cost by ~1/{N_CENTROIDS} of the corpus; this
+    table says what recall it buys). ann_ivf_topk pins ONE operating
+    point; the sweep pins the whole curve, including the monotonicity a
+    routing bug would break (recall can only grow with nprobe — the
+    candidate set is nested).
+
+    Shape: centroid ranking is queries×K (trivial); candidates come from
+    the probed inverted lists at the LARGEST grid point once, each tagged
+    with the rank of its list (a vector belongs to exactly one list, so
+    reachability at nprobe=p is the map-side predicate rn <= p — the grid
+    re-ranks the SAME scored relation four ways, never re-scanning). The
+    only corpus-scale joins are the list-keyed candidate join and the
+    exact ground-truth eval slice (broadcast queries x corpus — the same
+    deliberate cost ann_cosine_topk already pays as the accuracy bar).
+    Output is integer hits/ppm — no float leaves the plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_flat = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_e{i}")
+            for i in range(DIM)
+        ],
+    ).withColumn(
+        "nrm_e",
+        F.expr("sqrt(" + " + ".join(f"_e{i} * _e{i}" for i in range(DIM)) + ")"),
+    )
+    cent_flat = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+        )
+        .select(
+            (F.col("vec_id") - CENTROID_BASE).alias("cid"),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_c{i}")
+                for i in range(DIM)
+            ],
+        )
+        .withColumn(
+            "nrm_c",
+            F.expr(
+                "sqrt(" + " + ".join(f"_c{i} * _c{i}" for i in range(DIM)) + ")"
+            ),
+        )
+    )
+    dot_ec = "(" + " + ".join(f"_e{i} * _c{i}" for i in range(DIM)) + ")"
+    w_probe = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    probes = (
+        emb_flat.crossJoin(F.broadcast(cent_flat))
+        .withColumn("cos", F.expr(dot_ec) / (F.col("nrm_e") * F.col("nrm_c")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _SWEEP_MAX)
+        .select(F.col("vec_id").alias("query_id"), "cid", "rn")
+    )
+    assign, _ = ivf_route(spark, sf_dir)
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rn")
+    )
+
+    def side(tag: str, key: str) -> DataFrame:
+        # fresh scan per side (the ann_ivf_topk analyzer-blowup lesson)
+        e = load_table(spark, sf_dir, "embeddings")
+        d = e.select(
+            F.col("vec_id").alias(key),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_{tag}{i}")
+                for i in range(DIM)
+            ],
+        )
+        nrm = "sqrt(" + " + ".join(f"_{tag}{i} * _{tag}{i}" for i in range(DIM)) + ")"
+        return d.withColumn(f"nrm_{tag}", F.expr(nrm))
+
+    qs, cs = side("q", "query_id"), side("v", "neighbor_id")
+    dot_qv = "(" + " + ".join(f"_q{i} * _v{i}" for i in range(DIM)) + ")"
+    scored = (
+        cand.join(F.broadcast(qs), "query_id")
+        .join(cs, "neighbor_id")
+        .withColumn(
+            "cosine", F.expr(dot_qv) / (F.col("nrm_q") * F.col("nrm_v"))
+        )
+        .select("query_id", "neighbor_id", "rn", "cosine")
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in _SWEEP_PROBES], "nprobe long"
+    )
+    wa = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored.join(F.broadcast(grid), F.col("rn") <= F.col("nprobe"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    gt = cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        gt.crossJoin(F.broadcast(grid))
+        .join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                f"(1000000 * SUM(COALESCE(hit, 0))) div {TOP_K}"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -867,3 +867,108 @@ def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_window",
         )
     )
+
+
+# -- AvailableNow backfill with exactly-once file tracking (r11 queue) ----------
+
+
+@register(
+    "stream_availablenow_file_backfill",
+    deferred=True,
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS run,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(ROUND(value) AS BIGINT)) AS BIGINT) AS value_units
+    FROM events
+    UNION ALL
+    SELECT 2, 0, 0, 0
+    """,
+)
+def availablenow_file_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow backfill semantics, pinned end-to-end: a
+    multi-file copy of the events table streams through
+    ``trigger(availableNow=True)`` + ``foreachBatch`` — the modern form of
+    the reference's month-loop backfill + JSON checkpoint
+    (reference src/movie.py:208-222): process EVERYTHING currently
+    available in bounded micro-batches, then stop on your own. Run 1 must
+    ingest every row exactly once across its micro-batches; run 2 —
+    the SAME checkpoint, same input — must ingest zero (the source's file
+    tracking is the WAL, replacing the reference's hand-rolled
+    ``checkpoint.json``). The oracle row (2, 0, 0, 0) IS the exactly-once
+    claim.
+
+    Shape: per micro-batch, foreachBatch reduces to a 5-row per-type
+    count/sum (partial-aggregable; nothing driver-side scales with rows);
+    run totals are integer sums of those bounded rows. In production the
+    same query runs nightly against an object-store prefix — AvailableNow
+    gives bounded-lag catchup with rate control (maxFilesPerTrigger),
+    which processAllAvailable-style always-on triggers don't."""
+    import tempfile
+
+    from ..io import load_table
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_anow_")
+    src = os.path.join(stage, "in")
+    ckpt = os.path.join(stage, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", quantize(F.col("value"), 1).alias("units")
+    )
+    # 4 files -> >= 4 micro-batches at maxFilesPerTrigger=1 (content split
+    # is irrelevant to the totals; range partitioning keeps files balanced)
+    ev.repartitionByRange(4, "event_id").write.parquet(src)
+
+    totals: dict[int, dict[str, int]] = {}
+    types: dict[int, set] = {}
+
+    def run_once(run: int) -> None:
+        totals[run] = {"rows": 0, "units": 0}
+        types[run] = set()
+
+        def sink(batch_df: DataFrame, _bid: int) -> None:
+            # bounded: one row per event_type per micro-batch
+            for r in (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("units").alias("u"),
+                )
+                .collect()
+            ):
+                totals[run]["rows"] += r["n"]
+                totals[run]["units"] += r["u"]
+                types[run].add(r["event_type"])
+
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, event_type STRING, units BIGINT"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # AvailableNow terminates ITSELF once the snapshot drains — this
+        # returns without stop(), which is the trigger's contract
+        q.awaitTermination()
+
+    run_once(1)
+    run_once(2)
+    import shutil
+
+    # the result below is literal rows — nothing lazy reads the stage
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                run,
+                totals[run]["rows"],
+                len(types[run]),
+                totals[run]["units"],
+            )
+            for run in (1, 2)
+        ],
+        "run long, n_rows long, n_types long, value_units long",
+    )
