@@ -3696,6 +3696,122 @@ def holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Cochran-Mantel-Haenszel stratified 2x2 test (r11 queue) ---------------------
+
+_CMH_STRATA = 7  # day-of-week strata
+
+
+def _cmh_sql() -> str:
+    """Shared Spark/DuckDB arithmetic over n1_s,k1_s,n2_s,k2_s (exact
+    integer moments, s in 0..6): CMH = (Σ(k1_s − n1_s·K_s/N_s))² /
+    Σ(n1_s·n2_s·K_s·(N_s−K_s) / (N_s²·(N_s−1))), strata in pinned order —
+    the same fixed-order IEEE discipline as stats_anova_oneway."""
+
+    def d(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    devs, vars_ = [], []
+    for s in range(_CMH_STRATA):
+        n1, k1, n2, k2 = f"n1_{s}", f"k1_{s}", f"n2_{s}", f"k2_{s}"
+        ns = f"({d(n1)} + {d(n2)})"
+        ks = f"({d(k1)} + {d(k2)})"
+        devs.append(f"({d(k1)} - {d(n1)} * {ks} / {ns})")
+        vars_.append(
+            f"({d(n1)} * {d(n2)} * {ks} * ({ns} - {ks})"
+            f" / ({ns} * {ns} * ({ns} - 1.0)))"
+        )
+    dev = " + ".join(devs)
+    var = " + ".join(vars_)
+    return f"ROUND((({dev}) * ({dev})) / ({var}), 6)"
+
+
+@register(
+    "stats_cmh_stratified",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                   AS stratum,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS success
+        FROM events
+    ), m AS (
+        SELECT
+          {", ".join(
+            f"CAST(SUM(CASE WHEN stratum = {s} AND grp1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_{s}, "
+            f"CAST(SUM(CASE WHEN stratum = {s} AND grp1 = 1 THEN success ELSE 0 END) AS BIGINT) AS k1_{s}, "
+            f"CAST(SUM(CASE WHEN stratum = {s} AND grp1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2_{s}, "
+            f"CAST(SUM(CASE WHEN stratum = {s} AND grp1 = 0 THEN success ELSE 0 END) AS BIGINT) AS k2_{s}"
+            for s in range(_CMH_STRATA)
+          )}
+        FROM s
+    )
+    SELECT ({" + ".join(f"n1_{s} + n2_{s}" for s in range(_CMH_STRATA))})
+               AS n_total,
+           {{CMH}} AS cmh_stat
+    FROM m
+    """.replace("{CMH}", _cmh_sql()),
+)
+def cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the cohort→purchase association
+    ACROSS day-of-week strata — the stratified 2×2 method that answers
+    "is the conversion lift real once you control for the day mix?",
+    closing the Simpson's-paradox hole a pooled two-proportion z-test
+    (stats_ztest_two_proportions) leaves open. Strata are the 7 weekdays
+    (day offset mod 7, engine-neutral); each contributes its exact
+    2×2 integer moments, and the statistic is ONE fixed-order IEEE
+    expression over the 28 integers (same determinism discipline as
+    stats_anova_oneway — the exact rational form would carry Π N_s²
+    denominators far past DECIMAL(38)).
+
+    Shape: one scan, one 1-row conditional aggregate (28 sums, all
+    partial-aggregable), constant output."""
+    ev = load_table(spark, sf_dir, "events")
+    stratum = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) % 7
+    ).alias("stratum")
+    s = ev.select(
+        stratum,
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("grp1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "success"
+        ),
+    )
+    aggs = []
+    for st in range(_CMH_STRATA):
+        in_s = F.col("stratum") == st
+        aggs.append(
+            F.sum(F.when(in_s & (F.col("grp1") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n1_{st}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(in_s & (F.col("grp1") == 1), F.col("success")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"k1_{st}")
+        )
+        aggs.append(
+            F.sum(F.when(in_s & (F.col("grp1") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n2_{st}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(in_s & (F.col("grp1") == 0), F.col("success")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"k2_{st}")
+        )
+    m = s.agg(*aggs)
+    n_total = " + ".join(f"n1_{st} + n2_{st}" for st in range(_CMH_STRATA))
+    return m.select(
+        F.expr(n_total).alias("n_total"),
+        F.expr(_cmh_sql()).alias("cmh_stat"),
+    )
+
+
 # -- Hellinger distance between two behavioural distributions ------------------
 
 

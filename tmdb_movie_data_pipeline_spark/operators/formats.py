@@ -178,3 +178,28 @@ def parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(half_b)
     back = spark.read.schema(_SLICE_SCHEMA).parquet(half_a, half_b)
     return _agg(back)
+
+
+@register("sink_xml_roundtrip", deferred=True, oracle=_ORACLE)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the slice as XML (Spark 4.0's built-in XML source — no
+    spark-xml package), read it back with an explicit schema and rowTag,
+    aggregate — extends the sink-format matrix (parquet/CSV/JSON/ORC) to
+    the one interchange format enterprise feeds still mandate. The
+    roundtrip pins element naming, type coercion on re-read, and that
+    the hierarchical container preserves the integer slice exactly.
+
+    Scale note: XML is a row-major text format like CSV/JSON — splittable
+    by row tag, no pushdown or pruning; the matrix documents it as the
+    interchange tier, never the analytics tier."""
+    path = os.path.join(scratch_dir("fmt_xml_"), "slice")
+    _slice(spark, sf_dir).write.mode("overwrite").option(
+        "rowTag", "item"
+    ).format("xml").save(path)
+    back = (
+        spark.read.schema(_SLICE_SCHEMA)
+        .option("rowTag", "item")
+        .format("xml")
+        .load(path)
+    )
+    return _agg(back)

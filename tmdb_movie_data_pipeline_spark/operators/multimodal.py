@@ -1151,5 +1151,194 @@ def multimodal_rle_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_rle_batches, schema=RLE_SCHEMA)
 
 
+# -- audio silence trim (r11 queue) ----------------------------------------------
+
+#: silence-trim fixture: 4 frames of {_PCM_FRAME} samples; frame f of doc d
+#: is QUIET (|s| <= 4: sample = ((d + i) % 9) - 4) when f < d % 2 (lead) or
+#: f >= 4 - ((d div 2) % 2) (tail), LOUD otherwise (the PCM energy rule).
+#: At least two loud frames always remain.
+_TRIM_FRAMES = 4
+_TRIM_THRESH = _PCM_FRAME * 100  # frame Sum(s^2) below this is silence
+
+
+def _silence_trim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "n_frames": [], "lead_trimmed": [],
+            "tail_trimmed": [], "kept_energy": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            lead, tail = d % 2, (d // 2) % 2
+            i = np.arange(_TRIM_FRAMES * _PCM_FRAME, dtype=np.int64)
+            f = i // _PCM_FRAME
+            quiet = (f < lead) | (f >= _TRIM_FRAMES - tail)
+            samples = np.where(
+                quiet, (d + i) % 9 - 4, (d * 31 + i) % 4096 - 2048
+            )
+            payload = samples.astype("<i2").tobytes()
+            s = decode_pcm_s16le(payload)
+            frames = s.reshape(-1, _PCM_FRAME)
+            energy = (frames * frames).sum(axis=1)
+            loud = np.flatnonzero(energy >= _TRIM_THRESH)
+            first, last = int(loud.min()), int(loud.max())
+            out["doc_id"].append(d)
+            out["n_frames"].append(_TRIM_FRAMES)
+            out["lead_trimmed"].append(first)
+            out["tail_trimmed"].append(_TRIM_FRAMES - 1 - last)
+            out["kept_energy"].append(int(energy[first : last + 1].sum()))
+        yield pd.DataFrame(out)
+
+
+TRIM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("lead_trimmed", T.LongType(), False),
+        T.StructField("tail_trimmed", T.LongType(), False),
+        T.StructField("kept_energy", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_pcm_silence_trim",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               t.k // {_PCM_FRAME} AS f,
+               CASE WHEN t.k // {_PCM_FRAME} < doc_id % 2
+                         OR t.k // {_PCM_FRAME}
+                            >= {_TRIM_FRAMES} - (doc_id // 2) % 2
+                    THEN (doc_id + t.k) % 9 - 4
+                    ELSE (doc_id * 31 + t.k) % 4096 - 2048 END AS v
+        FROM documents,
+             generate_series(0, {_TRIM_FRAMES * _PCM_FRAME - 1}) t(k)
+    ), e AS (
+        SELECT doc_id, f, SUM(v * v) AS energy FROM s GROUP BY 1, 2
+    ), b AS (
+        SELECT doc_id,
+               MIN(CASE WHEN energy >= {_TRIM_THRESH} THEN f END) AS first_loud,
+               MAX(CASE WHEN energy >= {_TRIM_THRESH} THEN f END) AS last_loud
+        FROM e GROUP BY 1
+    )
+    SELECT e.doc_id,
+           CAST({_TRIM_FRAMES} AS BIGINT) AS n_frames,
+           CAST(b.first_loud AS BIGINT) AS lead_trimmed,
+           CAST({_TRIM_FRAMES} - 1 - b.last_loud AS BIGINT) AS tail_trimmed,
+           CAST(SUM(CASE WHEN e.f BETWEEN b.first_loud AND b.last_loud
+                         THEN e.energy ELSE 0 END) AS BIGINT) AS kept_energy
+    FROM e JOIN b USING (doc_id)
+    GROUP BY 1, 3, 4
+    """,
+)
+def pcm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming — the first real transform every speech pipeline
+    applies after decode: frames whose energy sits under a threshold are
+    stripped from the clip's head and tail, and the row reports how many
+    frames each side lost plus the energy the kept span retains. The clip
+    plants deterministic quiet lead/tail frames (|s| <= 4) around the
+    loud PCM body, round-trips through real s16le bytes, and the oracle
+    recomputes everything from the sample rule alone — so the byte-level
+    decode AND the trim-boundary scan are both under the hash.
+
+    Shape: map-only mapInPandas (decode + frame energies + argmin/argmax
+    over {_TRIM_FRAMES} frames per row, vectorized), no shuffle, 5
+    scalars/doc. Interior quiet frames are kept (trim is head/tail only),
+    exactly like production VAD pre-trim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        _silence_trim_batches, schema=TRIM_SCHEMA
+    )
+
+
+# -- video scene-change detection (r11 queue) -------------------------------------
+
+_VID_PIXELS = 16  # grayscale pixels per frame
+_VID_MAX_FRAMES = 7  # frames per clip: 4 + d % 4 in [4, 7]
+
+
+def _scene_change_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "diff_abs_sum": [], "is_change": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n_f = 4 + d % 4
+            seg = 2 + d % 3
+            f = np.arange(n_f, dtype=np.int64)[:, None]
+            p = np.arange(_VID_PIXELS, dtype=np.int64)[None, :]
+            frames = ((d * 7 + (f // seg) * 50 + p) % 256).astype(np.uint8)
+            payload = frames.tobytes()  # the raw "video": n_f x P rasters
+            raw = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            vid = raw.reshape(n_f, _VID_PIXELS)
+            diffs = np.abs(vid[1:] - vid[:-1]).sum(axis=1)
+            for k in range(1, n_f):
+                out["doc_id"].append(d)
+                out["frame_idx"].append(k)
+                out["diff_abs_sum"].append(int(diffs[k - 1]))
+                out["is_change"].append(bool(diffs[k - 1] > 0))
+        yield pd.DataFrame(out)
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("diff_abs_sum", T.LongType(), False),
+        T.StructField("is_change", T.BooleanType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_scene_change_detect",
+    deferred=True,
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               4 + doc_id % 4 AS n_f,
+               2 + doc_id % 3 AS seg
+        FROM documents
+    ), fp AS (
+        SELECT doc_id, t.f, u.p,
+               (doc_id * 7 + (t.f // g.seg) * 50 + u.p) % 256 AS cur,
+               (doc_id * 7 + ((t.f - 1) // g.seg) * 50 + u.p) % 256 AS prev
+        FROM g,
+             generate_series(1, {_VID_MAX_FRAMES - 1}) t(f),
+             generate_series(0, {_VID_PIXELS - 1}) u(p)
+        WHERE t.f < g.n_f
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(SUM(ABS(cur - prev)) AS BIGINT) AS diff_abs_sum,
+           SUM(ABS(cur - prev)) > 0 AS is_change
+    FROM fp GROUP BY 1, 2
+    """,
+)
+def scene_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over a synthetic video: each document
+    carries a clip of 4-7 grayscale {_VID_PIXELS}-pixel frames in
+    constant-scene segments (segment length 2 + d%3, inter-scene pixel
+    shift +50 mod 256); the detector decodes the raw frame bytes and
+    flags every frame whose absolute-difference energy against its
+    predecessor is nonzero — the shot-boundary primitive video ingest
+    pipelines run before frame sampling (multimodal_frame_sample picks
+    WHICH frames; this finds WHERE the content actually cuts). The
+    oracle recomputes per-pixel |cur − prev| from the closed-form frame
+    rule, so byte layout, frame stride and the diff reduction are all
+    under the hash — including the wrap-around pixels where the +50
+    shift crosses 256 and |a−b| becomes 206, which a naive
+    modular-difference detector gets wrong.
+
+    Shape: map-only mapInPandas (frame-matrix diff per row, vectorized),
+    no shuffle; output rows = frames−1 per clip regardless of pixel
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        _scene_change_batches, schema=SCENE_SCHEMA
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -326,6 +326,7 @@ def _ensure_loaded() -> None:
         sketches,
         skew,
         spatial,
+        sql_surface,
         subqueries,
         text,
         tpch_extra,
