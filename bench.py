@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "agg_equi_depth_histogram",
     "sample_join_consistent",
     "text_char_trigram_langid",
+    # r10 session-2 new actives: the two heaviest (staged-pair weighted
+    # verify; banded interval pair classification)
+    "dedup_weighted_jaccard_pairs",
+    "join_allen_interval_algebra",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

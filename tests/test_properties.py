@@ -464,3 +464,28 @@ def test_isotonic_minimax_matches_pav_within_rounding(bins):
     assert len(expanded) == B
     for f, e in zip(fitted, expanded):
         assert abs(f - e) <= 1.0 + 1e-9, (fitted, expanded, bins)
+
+
+@given(
+    data=st.lists(st.integers(0, 255), min_size=0, max_size=1200),
+)
+@settings(max_examples=150, deadline=None)
+def test_rle_roundtrip_reconstructs_any_byte_stream(data):
+    """multimodal_rle_compression's encoder must be lossless for ANY byte
+    stream — including runs past the 255 cap, which emit saturated
+    chunks — and every emitted run must be 1..255 long with adjacent
+    runs either differing in value or saturated."""
+    import numpy as np
+
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import rle_encode
+
+    raw = np.asarray(data, dtype=np.uint8)
+    runs = rle_encode(raw)
+    decoded = np.concatenate(
+        [np.full(int(ln), int(v), dtype=np.uint8) for ln, v in runs]
+    ) if len(runs) else np.zeros(0, dtype=np.uint8)
+    assert np.array_equal(decoded, raw)
+    for ln, _v in runs:
+        assert 1 <= ln <= 255
+    for (l1, v1), (l2, v2) in zip(runs, runs[1:]):
+        assert v1 != v2 or l1 == 255, "mergeable adjacent runs"
