@@ -3696,6 +3696,107 @@ def holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- delta-method CI for a ratio metric (r11 queue) -------------------------------
+
+
+def _ratio_ci_sql() -> str:
+    """Shared arithmetic over (n, sx, sy, sxx, syy, sxy): R = Σy/Σx and
+    the delta-method standard error
+    se = sqrt((Syy − 2R·Sxy + R²·Sxx) / n) / x̄ with S the sample
+    (co)variances — one pinned-order IEEE expression per output."""
+
+    def d(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    n, sx, sy = d("n"), d("sx"), d("sy")
+    r = f"({sy} / {sx})"
+    # sample covariance building blocks: S_ab = (Σab − ΣaΣb/n)/(n−1)
+    syy = f"(({d('syy')} - {sy} * {sy} / {n}) / ({n} - 1.0))"
+    sxx = f"(({d('sxx')} - {sx} * {sx} / {n}) / ({n} - 1.0))"
+    sxy = f"(({d('sxy')} - {sx} * {sy} / {n}) / ({n} - 1.0))"
+    xbar = f"({sx} / {n})"
+    se = (
+        f"(SQRT((({syy}) - 2.0 * {r} * ({sxy}) + {r} * {r} * ({sxx}))"
+        f" / {n}) / {xbar})"
+    )
+    return [
+        f"ROUND({r}, 6) AS ratio",
+        f"ROUND({se}, 6) AS se",
+        f"ROUND({r} - 1.96 * {se}, 6) AS ci_lo",
+        f"ROUND({r} + 1.96 * {se}, 6) AS ci_hi",
+    ]
+
+
+@register(
+    "stats_ratio_metric_delta_ci",
+    deferred=True,
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM u GROUP BY 1
+    )
+    SELECT cohort, n, sx, sy, {", ".join(_ratio_ci_sql())}
+    FROM m
+    """,
+)
+def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    event, per cohort) — the experimentation-platform workhorse: a ratio
+    of sums is NOT a mean of independent units, so a naive t-interval on
+    per-event values is wrong; the delta method linearizes R = Σy/Σx
+    around the user-level (x, y) moments and the interval comes out of
+    six exact integer sums (Deng et al. '18 is the standard A/B
+    treatment). Per-user aggregation is the variance-correct unit of
+    analysis — the same reason stats_ab_ttest clusters by user.
+
+    Determinism: moments are exact order-free integer aggregates; ratio,
+    se and the ±1.96 bounds are single pinned-order IEEE expressions
+    (sqrt/div correctly rounded — the anova discipline).
+
+    Shape: one scan → per-user conditional rollup (partial-aggregable,
+    user-keyed, no skew) → 2-group moment rollup → constant output."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("cohort"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                quantize(F.col("value"), MONEY_SCALE),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.selectExpr("cohort", "n", "sx", "sy", *_ratio_ci_sql())
+
+
 # -- Cochran-Mantel-Haenszel stratified 2x2 test (r11 queue) ---------------------
 
 _CMH_STRATA = 7  # day-of-week strata

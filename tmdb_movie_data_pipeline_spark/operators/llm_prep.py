@@ -1611,6 +1611,109 @@ def dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- temperature-weighted mixture quotas (r11 queue) ------------------------------
+
+_TMQ_BUDGET = 1_000_000  # tokens to allocate across sources
+_TMQ_WSCALE = 1_000_000  # per-source weight quantization (pre-allocation)
+
+
+@register(
+    "llm_temperature_mix_quota",
+    deferred=True,
+    oracle=f"""
+    WITH avail AS (
+        SELECT source, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY 1
+    ), wq AS (
+        SELECT source, avail_tokens,
+               CAST(FLOOR({_TMQ_WSCALE} * SQRT(CAST(avail_tokens AS DOUBLE)))
+                    AS BIGINT) AS w
+        FROM avail
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM wq),
+    q AS (
+        SELECT source, avail_tokens, w,
+               CAST(({_TMQ_BUDGET} * w) // total_w AS BIGINT) AS floor_quota,
+               CAST(({_TMQ_BUDGET} * w) % total_w AS BIGINT) AS rem
+        FROM wq CROSS JOIN tot
+    ), r AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+                   AS rem_rank,
+               CAST({_TMQ_BUDGET} - SUM(floor_quota) OVER () AS BIGINT)
+                   AS leftover
+        FROM q
+    )
+    SELECT source, avail_tokens, w,
+           CAST(floor_quota
+                + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r
+    """,
+)
+def temperature_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture quotas (τ = 0.5): a {_TMQ_BUDGET}-token
+    budget allocated across sources proportional to availability^τ — the
+    multilingual/multi-domain UPSAMPLING rule (mT5, XLM-R, the Pile all
+    mix by n^τ) that flattens the head sources and boosts the tail,
+    where llm_token_budget_quota's τ = 1 allocation just mirrors the
+    corpus skew. τ = 0.5 is the one temperature with a libm-free exact
+    weight: w = √n is IEEE-correctly-rounded, quantized to an integer
+    per SOURCE (never summed as floats), and the allocation is the same
+    largest-remainder integer discipline — Σ quota == budget exactly.
+    (Other temperatures need pow(), which is not correctly rounded;
+    deployments wanting τ = 0.7 accept the engine-specific ulp or ship a
+    rational-exponent weight table.)
+
+    Shape: one token-count aggregate (|sources| rows), a 1-row weight
+    total, windows over the |sources|-sized relation. One scan."""
+    from pyspark.sql.window import Window as W
+
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.select(
+        "source", F.size(tokens_col()).cast("long").alias("n_toks")
+    ).groupBy("source").agg(F.sum("n_toks").cast("long").alias("avail_tokens"))
+    wq = avail.withColumn(
+        "w",
+        F.expr(
+            f"CAST(FLOOR({_TMQ_WSCALE} * SQRT(CAST(avail_tokens AS DOUBLE)))"
+            " AS BIGINT)"
+        ),
+    )
+    tot = wq.agg(F.sum("w").cast("long").alias("total_w"))
+    q = wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        "w",
+        F.expr(f"CAST(({_TMQ_BUDGET} * w) div total_w AS BIGINT)").alias(
+            "floor_quota"
+        ),
+        F.expr(f"CAST(({_TMQ_BUDGET} * w) % total_w AS BIGINT)").alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("rem"), F.asc("source")))
+        .cast("long")
+        .alias("rem_rank"),
+        (F.lit(_TMQ_BUDGET) - F.sum("floor_quota").over(W.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "avail_tokens",
+        "w",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
 # -- padding-waste-minimizing batch assembly (r11 queue) -------------------------
 
 _PAD_BUCKET_TOKENS = 16  # length-bucket width (tokens)
