@@ -511,7 +511,12 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.selectExpr("doc_id", f"{_TOKENS_SPARK} AS toks").selectExpr(
         "doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh"
     )
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    exploded = (
+        shingled.select("doc_id", F.explode("sh").alias("shingle"))
+        # feeds the weight build, the per-doc totals AND both pair-probe
+        # sides: shingle the corpus once, not four times
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.count()  # scalar dimension; fine to evaluate eagerly
     wt = exploded.groupBy("shingle").agg(
         F.expr(f"CAST((1000000 * ({n_docs} + 1)) div (COUNT(*) + 1) AS BIGINT)")
