@@ -868,3 +868,26 @@ def test_rolling_ols_single_window_pass(spark, sf_dir):
     plan = _plan(_deferred("window_rolling_ols_slope")(spark, sf_dir))
     assert _nodes(plan, "Window") == 1
     assert _nodes(plan, "Sort") <= 1
+
+
+def test_modality_transforms_are_map_only(spark, sf_dir):
+    """RLE, silence trim and scene-change detection are per-row decode
+    pipelines: ZERO exchanges — the shape a 100 TB modality re-encode
+    pass needs (mapInPandas over the scan, nothing else)."""
+    for name in (
+        "multimodal_rle_compression",
+        "multimodal_pcm_silence_trim",
+        "multimodal_scene_change_detect",
+    ):
+        plan = _plan(_deferred(name)(spark, sf_dir))
+        assert _nodes(plan, "Exchange") == 0, name
+        assert _nodes(plan, "Scan parquet") == 1, name
+
+
+def test_probe_sweep_reuses_one_scored_relation(spark, sf_dir):
+    """The nprobe grid re-ranks ONE scored candidate relation (grid join
+    is a broadcast theta on the tiny grid); no cartesian product, and the
+    ground-truth side is the same deliberate broadcast Qxcorpus the exact
+    baseline pays."""
+    plan = _plan(_deferred("ann_ivf_probe_sweep")(spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
