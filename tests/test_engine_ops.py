@@ -823,3 +823,34 @@ def test_readability_formula_identity(spark, sf_dir):
             - (84600 * r["n_syll"]) // r["n_words"]
         )
         assert r["fre_milli"] == expected, r
+
+
+def test_shapley_attribution_efficiency_identity():
+    """Shapley axioms on the registered oracle itself: the per-channel
+    credits must sum EXACTLY to 24·(v(full) − v(∅)) — conversions the
+    channels collectively explain, in the integer ×24 units. Any weight,
+    lattice, or marginal-pair bug breaks this identity."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import deferred_oracles
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    rows = con.execute(
+        deferred_oracles()["events_shapley_attribution"]
+    ).fetchall()
+    v_full, v_empty = con.execute(
+        """
+        WITH conv AS (SELECT user_id, MIN(ts) AS fp FROM events
+                      WHERE event_type = 'purchase' GROUP BY 1),
+        touch AS (SELECT e.user_id FROM events e JOIN conv c USING (user_id)
+                  WHERE e.ts < c.fp AND e.event_type <> 'purchase' GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM conv),
+               (SELECT COUNT(*) FROM conv) - (SELECT COUNT(*) FROM touch)
+        """
+    ).fetchone()
+    assert sum(r[1] for r in rows) == 24 * (v_full - v_empty)
+    assert len(rows) == 4

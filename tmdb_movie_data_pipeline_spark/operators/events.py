@@ -3110,6 +3110,137 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact Shapley-value channel attribution (r11 queue) --------------------------
+
+#: fixed channel -> bit mapping (alphabetical; 'purchase' is the conversion)
+_SHAP_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+_SHAP_N = 4
+#: |S|!·(n−|S|−1)! for n=4, scaled by n!=24: index = |S|
+_SHAP_W24 = (6, 2, 2, 6)
+
+
+@register(
+    "events_shapley_attribution",
+    deferred=True,
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, MIN(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), touch AS (
+        SELECT e.user_id,
+               CAST(COALESCE(SUM(DISTINCT
+                   CASE e.event_type
+                        {" ".join(f"WHEN '{c}' THEN {b}" for c, b in _SHAP_CHANNELS)}
+                   END), 0) AS BIGINT) AS mask
+        FROM events e JOIN conv c USING (user_id)
+        WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'
+        GROUP BY 1
+    ), allconv AS (
+        SELECT c.user_id, CAST(COALESCE(t.mask, 0) AS BIGINT) AS mask
+        FROM conv c LEFT JOIN touch t USING (user_id)
+    ), em AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS e FROM allconv GROUP BY 1
+    ), subsets AS (
+        SELECT UNNEST(range(0, {1 << _SHAP_N})) AS s
+    ), v AS (
+        SELECT s, CAST(COALESCE(SUM(CASE WHEN (em.mask & s) = em.mask
+                                         THEN em.e END), 0) AS BIGINT) AS v
+        FROM subsets LEFT JOIN em ON (em.mask & s) = em.mask
+        GROUP BY 1
+    ), ch AS (
+        SELECT UNNEST(['{_SHAP_CHANNELS[0][0]}', '{_SHAP_CHANNELS[1][0]}',
+                       '{_SHAP_CHANNELS[2][0]}', '{_SHAP_CHANNELS[3][0]}'])
+                   AS channel,
+               UNNEST([{_SHAP_CHANNELS[0][1]}, {_SHAP_CHANNELS[1][1]},
+                       {_SHAP_CHANNELS[2][1]}, {_SHAP_CHANNELS[3][1]}]) AS b
+    )
+    SELECT ch.channel,
+           CAST(SUM(CASE bit_count(va.s)
+                    {" ".join(f"WHEN {k} THEN {w}" for k, w in enumerate(_SHAP_W24))}
+                    END * (vb.v - va.v)) AS BIGINT) AS phi_x24
+    FROM ch
+    JOIN v va ON (va.s & ch.b) = 0
+    JOIN v vb ON vb.s = (va.s | ch.b)
+    GROUP BY 1
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution across the four
+    non-purchase channels — the game-theoretic credit split (data-driven
+    attribution in ads platforms) that last-touch
+    (events_attribution_last_touch) approximates: channel i's credit is
+    its average marginal contribution over every coalition ordering,
+    φ_i = Σ_{{S∌i}} |S|!(n−|S|−1)!/n! · (v(S∪i) − v(S)) with coalition
+    value v(S) = converters reachable touching only channels in S.
+    n = {_SHAP_N} keeps the lattice exact — 2^{_SHAP_N} subsets, factorial
+    weights scaled by 4! so every output is an INTEGER (φ×24); the
+    efficiency identity Σφ_i = v(full) − v(∅) holds exactly in these
+    units.
+
+    Shape: the corpus collapses to one mask per CONVERTER (first-purchase
+    anti-window via a min-ts join, then a distinct-channel bit sum — two
+    partial-aggregable rollups); everything after runs on the 16-row
+    subset lattice (subset-sum via a bit-containment join, marginal pairs
+    via the (S, S∪i) equi-join). At any corpus size the lattice stays 16
+    rows — attribution cost is one scan plus constants. More channels
+    grow the lattice 2^n: the exact form is for marketing-sized n; past
+    ~20 channels production samples permutations instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bit = None
+    for c, b in _SHAP_CHANNELS:
+        expr = F.when(F.col("event_type") == c, b)
+        bit = expr if bit is None else bit.when(F.col("event_type") == c, b)
+    touch = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", bit.alias("b"))
+        .groupBy("user_id")
+        .agg(F.sum_distinct(F.col("b")).cast("long").alias("mask"))
+    )
+    allconv = conv.join(touch, "user_id", "left").select(
+        "user_id", F.coalesce(F.col("mask"), F.lit(0)).alias("mask")
+    )
+    em = allconv.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("e"))
+    subsets = spark.range(1 << _SHAP_N).select(F.col("id").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(em),
+            (F.col("mask").bitwiseAND(F.col("s"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("v"))
+        # feeds both sides of the marginal pair join: 16 rows, stage once
+        .localCheckpoint(eager=False)
+    )
+    ch = spark.createDataFrame(
+        list(_SHAP_CHANNELS), "channel string, b long"
+    )
+    w24 = F.when(F.expr("bit_count(va.s)") == 0, _SHAP_W24[0])
+    for k in range(1, _SHAP_N):
+        w24 = w24.when(F.expr("bit_count(va.s)") == k, _SHAP_W24[k])
+    va, vb = v.alias("va"), v.alias("vb")
+    return (
+        ch.join(va, F.expr("(va.s & b) = 0"))
+        .join(vb, F.expr("vb.s = (va.s | b)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(w24 * (F.col("vb.v") - F.col("va.v")))
+            .cast("long")
+            .alias("phi_x24")
+        )
+    )
+
+
 # -- engagement-tier migration matrix (r11 queue) -------------------------------
 
 _MIG_SPLIT = "2024-01-16"  # fixed period boundary (fixture spans Jan 2024)
