@@ -982,6 +982,109 @@ def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Qini curve (cumulative uplift by targeting decile) — r11 queue --------------
+
+_QINI_DECILES = 10
+
+
+@register(
+    "ml_qini_curve",
+    deferred=True,
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+               CAST(COUNT(*) AS BIGINT) AS score,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT treated, converted,
+               CAST(NTILE({_QINI_DECILES})
+                        OVER (ORDER BY score DESC, user_id) AS BIGINT)
+                   AS decile
+        FROM u
+    ), cum AS (
+        SELECT decile,
+               CAST(SUM(SUM(treated)) OVER w AS BIGINT) AS n_t,
+               CAST(SUM(SUM(1 - treated)) OVER w AS BIGINT) AS n_c,
+               CAST(SUM(SUM(treated * converted)) OVER w AS BIGINT) AS conv_t,
+               CAST(SUM(SUM((1 - treated) * converted)) OVER w AS BIGINT)
+                   AS conv_c
+        FROM d GROUP BY decile
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, n_t, n_c, conv_t, conv_c,
+           CAST(CASE WHEN conv_t * n_c >= conv_c * n_t
+                     THEN (1000 * (conv_t * n_c - conv_c * n_t)) // n_c
+                     ELSE -((1000 * (conv_c * n_t - conv_t * n_c)) // n_c)
+                END AS BIGINT) AS qini_milli
+    FROM cum
+    """,
+)
+def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve — the uplift-model evaluation standard: rank users by a
+    targeting score (activity volume as the deterministic proxy), walk
+    the ranking in deciles, and report the CUMULATIVE incremental
+    conversions the treatment (even-id cohort) buys over the scaled
+    control at each depth: Qini(k) = conv_t(k) − conv_c(k)·n_t(k)/n_c(k).
+    The curve's shape is the model's worth (steep head = the score finds
+    the persuadables); stats_uplift_stratified gives one number, this
+    gives the targeting-depth tradeoff. Emitted as exact milli-units via
+    the cross-multiplied rational (conv_t·n_c − conv_c·n_t)/n_c with the
+    division sign-split, so both engines agree on either side of zero.
+
+    Shape: one per-user conditional rollup (partial-aggregable), an
+    NTILE over the USER relation (the one global sort, user-sized — at
+    petabyte user counts the percentile battery's histogram-offset rank
+    replaces it), then cumulative windows over 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        ).alias("treated"),
+        F.count(F.lit(1)).cast("long").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    d = u.select(
+        "treated",
+        "converted",
+        F.ntile(_QINI_DECILES)
+        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
+        .cast("long")
+        .alias("decile"),
+    )
+    per = d.groupBy("decile").agg(
+        F.sum("treated").alias("t"),
+        F.sum(1 - F.col("treated")).alias("c"),
+        F.sum(F.col("treated") * F.col("converted")).alias("ct"),
+        F.sum((1 - F.col("treated")) * F.col("converted")).alias("cc"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("t").over(wc).cast("long").alias("n_t"),
+        F.sum("c").over(wc).cast("long").alias("n_c"),
+        F.sum("ct").over(wc).cast("long").alias("conv_t"),
+        F.sum("cc").over(wc).cast("long").alias("conv_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            "CAST(CASE WHEN conv_t * n_c >= conv_c * n_t"
+            " THEN (1000 * (conv_t * n_c - conv_c * n_t)) div n_c"
+            " ELSE -((1000 * (conv_c * n_t - conv_t * n_c)) div n_c)"
+            " END AS BIGINT)"
+        ).alias("qini_milli"),
+    )
+
+
 # -- feature hashing (the hashing trick) — deferred queue ---------------------
 
 _FH_DIM = 64  # feature space dimension (buckets)
