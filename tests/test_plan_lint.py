@@ -74,3 +74,12 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, name):
         f"{name} plans {n} CartesianProduct node(s) — a non-broadcast "
         "pair product; rewrite as an equi/banded/broadcast join"
     )
+    # row-at-a-time Python evaluation (BatchEvalPython) is the 10-100x
+    # slow path; the one deliberate exhibit lives in operators/udfs.py,
+    # outside this lint's scope. Arrow-vectorized nodes (ArrowEvalPython,
+    # mapInPandas/FlatMapGroupsInPandas) remain allowed.
+    b = len(re.findall(r"\(\d+\) BatchEvalPython\b", plan))
+    assert b == 0, (
+        f"{name} plans {b} BatchEvalPython node(s) — a row-at-a-time "
+        "Python UDF on the hot path; use builtins or a pandas_udf"
+    )
