@@ -3696,6 +3696,127 @@ def holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- rescaled-range (R/S) profile (r11 queue) --------------------------------------
+
+_RS_WINDOWS = (8, 16, 32)  # dyadic window sizes over the daily series
+
+
+@register(
+    "stats_rescaled_range",
+    deferred=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), g AS (
+        SELECT UNNEST([{", ".join(str(w) for w in _RS_WINDOWS)}]) AS w
+    ), seg AS (
+        SELECT g.w, d.day // g.w AS seg_id, d.day, d.x
+        FROM daily d, g
+    ), stats AS (
+        SELECT w, seg_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM seg GROUP BY 1, 2
+    ), dev AS (
+        -- cumulative deviation from the segment mean, scaled by n so it
+        -- stays integer: D_k = n*Σ_{{i<=k}}x_i − k_count*Σx
+        SELECT s.w, s.seg_id, s.n, s.sx, s.sxx,
+               MAX(cum.d_scaled) - MIN(cum.d_scaled) AS range_scaled
+        FROM stats s JOIN (
+            SELECT w, seg_id,
+                   n * SUM(x) OVER (PARTITION BY w, seg_id ORDER BY day)
+                     - CAST(ROW_NUMBER() OVER (PARTITION BY w, seg_id
+                                               ORDER BY day) AS BIGINT) * sxt
+                       AS d_scaled
+            FROM (SELECT seg.*, st.n, st.sx AS sxt FROM seg
+                  JOIN stats st USING (w, seg_id))
+        ) cum USING (w, seg_id)
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(FLOOR(1000000.0 * (CAST(range_scaled AS DOUBLE) / CAST(n AS DOUBLE))
+                    / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE))) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS rs_ppm_sum
+    FROM dev WHERE n = w
+    GROUP BY 1
+    """,
+)
+def rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) profile of daily purchase revenue across
+    dyadic window sizes — Hurst's long-memory diagnostic with the libm
+    log-log fit REMOVED: the profile reports Σ R/S per window size in ppm
+    (a consumer fits H offline; the engine's job is the exact R and S).
+    R is the spread of cumulative deviations from the segment mean, kept
+    INTEGER by scaling with n (D_k·n = n·ΣX_{{≤k}} − k·ΣX); S is the
+    population-σ from exact moments via one pinned IEEE expression per
+    segment, floor-quantized to ppm BEFORE the cross-segment sum (order-free).
+    Ragged tail segments (n < w) are excluded so every segment's R/S is
+    comparable.
+
+    Shape: the corpus collapses to the daily relation; the window grid
+    explodes it |grid|× (3 rows per day); per-segment moments are one
+    partial-aggregable rollup and the cumulative-deviation window is
+    partitioned per (w, segment) — nothing global, nothing pairwise."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).cast("long").alias("x"))
+    )
+    grid = spark.createDataFrame([(w,) for w in _RS_WINDOWS], "w long")
+    seg = daily.crossJoin(F.broadcast(grid)).withColumn(
+        "seg_id", F.expr("day div w")
+    )
+    stats = seg.groupBy("w", "seg_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    wseg = W.partitionBy("w", "seg_id").orderBy("day")
+    cum = (
+        seg.join(stats.select("w", "seg_id", "n", F.col("sx").alias("sxt")),
+                 ["w", "seg_id"])
+        .withColumn(
+            "d_scaled",
+            F.col("n") * F.sum("x").over(wseg)
+            - F.row_number().over(wseg).cast("long") * F.col("sxt"),
+        )
+        .groupBy("w", "seg_id")
+        .agg(
+            (F.max("d_scaled") - F.min("d_scaled")).alias("range_scaled")
+        )
+    )
+    dev = stats.join(cum, ["w", "seg_id"])
+    rs = F.expr(
+        "CASE WHEN n * sxx - sx * sx > 0 THEN"
+        " CAST(FLOOR(1000000.0 * (CAST(range_scaled AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+        " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / CAST(n AS DOUBLE))) AS BIGINT)"
+        " ELSE 0 END"
+    )
+    return (
+        dev.filter(F.col("n") == F.col("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(rs).cast("long").alias("rs_ppm_sum"),
+        )
+    )
+
+
 # -- delta-method CI for a ratio metric (r11 queue) -------------------------------
 
 

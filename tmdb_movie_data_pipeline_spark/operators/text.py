@@ -2053,5 +2053,100 @@ def lm_surprisal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- repeated-n-gram truncation (generation degeneration guard) — r11 queue -----
+
+_TRUNC_N = 4  # n-gram order watched for repetition
+
+
+@register(
+    "text_repeated_ngram_truncation",
+    deferred=True,
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               t.i AS pos,
+               toks[t.i] || ' ' || toks[t.i + 1] || ' ' || toks[t.i + 2]
+                   || ' ' || toks[t.i + 3] AS gram
+        FROM toked, UNNEST(range(1, len(toks) - {_TRUNC_N - 2})) AS t(i)
+    ), dup AS (
+        SELECT doc_id, gram, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY pos)
+                   AS occ
+        FROM grams
+    )
+    SELECT g.doc_id,
+           CAST(MAX(g.n_toks) AS BIGINT) AS n_toks,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(MIN(CASE WHEN d.occ >= 2 THEN d.pos END) AS BIGINT)
+               AS truncate_at,
+           CAST((1000000 * COALESCE(
+                     MIN(CASE WHEN d.occ >= 2 THEN d.pos END) - 1
+                         + {_TRUNC_N - 1},
+                     MAX(g.n_toks))) // MAX(g.n_toks) AS BIGINT)
+               AS kept_ppm
+    FROM grams g JOIN dup d ON d.doc_id = g.doc_id AND d.pos = g.pos
+                           AND d.gram = g.gram
+    GROUP BY 1
+    """,
+)
+def repeated_ngram_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-degeneration guard: find the first position where a
+    {_TRUNC_N}-gram the document already produced REPEATS, and report
+    where a repetition-aware consumer would truncate plus the fraction of
+    tokens kept — the cut LLM serving stacks and synthetic-data filters
+    apply to looping outputs (text_repetition_filter scores repetition
+    density; this finds the exact first loop point). Documents whose
+    grams never repeat keep 100%.
+
+    Truncation keeps everything BEFORE the repeat plus the n−1 tokens the
+    repeated gram shares with its prefix; all arithmetic exact integers.
+
+    Shape: map-side n-gram expansion (linear in doc length), one window
+    partitioned by (doc, gram) to mark second occurrences — per-key
+    cardinality is occurrences-of-one-gram-in-one-doc, so no skew key
+    exists — then one per-doc rollup. Two exchanges total, both on keys
+    that shard with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {_TRUNC_N - 1}, 1)),"
+                    f" i -> CASE WHEN i <= size(toks) - {_TRUNC_N - 1}"
+                    " THEN struct(i AS pos,"
+                    " concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2])"
+                    " AS gram) END)"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", "n_toks", "g.pos", "g.gram")
+    )
+    occ = grams.withColumn(
+        "occ",
+        F.row_number().over(
+            W.partitionBy("doc_id", "gram").orderBy("pos")
+        ),
+    )
+    return occ.groupBy("doc_id").agg(
+        F.max("n_toks").cast("long").alias("n_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.min(F.when(F.col("occ") >= 2, F.col("pos")))
+        .cast("long")
+        .alias("truncate_at"),
+        F.expr(
+            f"CAST((1000000 * COALESCE("
+            f" MIN(CASE WHEN occ >= 2 THEN pos END) - 1 + {_TRUNC_N - 1},"
+            " MAX(n_toks))) div MAX(n_toks) AS BIGINT)"
+        ).alias("kept_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
