@@ -1611,6 +1611,119 @@ def dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- T5-style span corruption (r11 queue) ------------------------------------------
+
+_SPAN_LEN = 3  # tokens per corrupted span
+_SPAN_STRIDE = 20  # span starts every 20 tokens -> 15% corruption rate
+
+
+@register(
+    "llm_span_corruption",
+    deferred=True,
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, doc_id % {_SPAN_STRIDE} AS r, {_TOKENS_SQL} AS toks
+        FROM documents
+    ), built AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(range(0, len(toks)), q ->
+                   (q + {_SPAN_STRIDE} - r) % {_SPAN_STRIDE} = 0
+                   AND q + {_SPAN_LEN - 1} <= len(toks) - 1)) AS BIGINT)
+                   AS n_spans,
+               list_aggregate(list_filter(list_transform(range(0, len(toks)), q ->
+                   CASE WHEN (q + {_SPAN_STRIDE} - r) % {_SPAN_STRIDE} = 0
+                             AND q + {_SPAN_LEN - 1} <= len(toks) - 1
+                        THEN '<extra_id_' || CAST((q - r) // {_SPAN_STRIDE} AS VARCHAR) || '>'
+                        WHEN (q + {_SPAN_STRIDE} - r) % {_SPAN_STRIDE} < {_SPAN_LEN}
+                             AND (q - (q + {_SPAN_STRIDE} - r) % {_SPAN_STRIDE})
+                                 + {_SPAN_LEN - 1} <= len(toks) - 1
+                        THEN NULL
+                        ELSE toks[q + 1] END),
+                   x -> x IS NOT NULL), 'string_agg', ' ') AS corrupted,
+               list_aggregate(list_filter(list_transform(range(0, len(toks)), q ->
+                   CASE WHEN (q + {_SPAN_STRIDE} - r) % {_SPAN_STRIDE} = 0
+                             AND q + {_SPAN_LEN - 1} <= len(toks) - 1
+                        THEN '<extra_id_' || CAST((q - r) // {_SPAN_STRIDE} AS VARCHAR)
+                             || '> ' || toks[q + 1] || ' ' || toks[q + 2]
+                             || ' ' || toks[q + 3]
+                        END),
+                   x -> x IS NOT NULL), 'string_agg', ' ') AS target
+        FROM toked
+    )
+    SELECT doc_id, n_tokens, n_spans,
+           CAST((1000000 * {_SPAN_LEN} * n_spans) // n_tokens AS BIGINT)
+               AS corrupt_ppm,
+           md5(COALESCE(corrupted, '')) AS corrupted_md5,
+           md5(COALESCE(target, '')) AS target_md5
+    FROM built
+    """,
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption — the denoising-objective preprocessing
+    that turns raw documents into (corrupted input, sentinel target)
+    pairs: deterministic {_SPAN_LEN}-token spans every {_SPAN_STRIDE}
+    tokens (≈15% corruption, the T5 default) are replaced by numbered
+    <extra_id_k> sentinels in the input, and the target strings the
+    dropped spans behind their sentinels. Both reconstructed strings are
+    md5-gated, so the sentinel numbering, span boundaries, tail handling
+    (spans that would overflow the document are not selected) and token
+    order are all under the hash — not just counts.
+
+    Shape: pure per-document array expressions (transform/filter/join) —
+    map-only, zero Python, zero shuffle; the output is 6 scalars/doc.
+    Production randomizes span starts with a seeded hash per doc — the
+    doc_id-mod phase here is exactly that with the simplest hash."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    S, L = _SPAN_STRIDE, _SPAN_LEN
+    corrupted = (
+        f"array_join(filter(transform(sequence(0, size(toks) - 1), q ->"
+        f" CASE WHEN (q + {S} - r) % {S} = 0"
+        f" AND q + {L - 1} <= size(toks) - 1"
+        f" THEN concat('<extra_id_', CAST((q - r) div {S} AS STRING), '>')"
+        f" WHEN (q + {S} - r) % {S} < {L}"
+        f" AND (q - (q + {S} - r) % {S}) + {L - 1} <= size(toks) - 1"
+        f" THEN NULL ELSE toks[q] END),"
+        f" x -> x IS NOT NULL), ' ')"
+    )
+    target = (
+        f"array_join(filter(transform(sequence(0, size(toks) - 1), q ->"
+        f" CASE WHEN (q + {S} - r) % {S} = 0"
+        f" AND q + {L - 1} <= size(toks) - 1"
+        f" THEN concat('<extra_id_', CAST((q - r) div {S} AS STRING), '> ',"
+        f" toks[q], ' ', toks[q + 1], ' ', toks[q + 2]) END),"
+        f" x -> x IS NOT NULL), ' ')"
+    )
+    n_spans = (
+        f"CAST(size(filter(sequence(0, size(toks) - 1), q ->"
+        f" (q + {S} - r) % {S} = 0"
+        f" AND q + {L - 1} <= size(toks) - 1)) AS BIGINT)"
+    )
+    built = docs.select(
+        "doc_id",
+        (F.col("doc_id") % S).alias("r"),
+        tokens_col().alias("toks"),
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        f"{n_spans} AS n_spans",
+        f"md5(COALESCE({corrupted}, '')) AS corrupted_md5",
+        f"md5(COALESCE({target}, '')) AS target_md5",
+    )
+    return built.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.expr(f"(1000000 * {L} * n_spans) div n_tokens")
+        .cast("long")
+        .alias("corrupt_ppm"),
+        "corrupted_md5",
+        "target_md5",
+    )
+
+
 # -- temperature-weighted mixture quotas (r11 queue) ------------------------------
 
 _TMQ_BUDGET = 1_000_000  # tokens to allocate across sources

@@ -286,3 +286,94 @@ def knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
+
+
+# -- point-in-convex-polygon classification (r11 queue) --------------------------
+
+#: convex test hexagon: center (2^19, 2^19), radius 2^20/3, vertices CCW,
+#: rounded to integers once (literals shared by both engines)
+_HEX_VERTS = (
+    (873813, 524288),
+    (699051, 826986),
+    (349526, 826986),
+    (174763, 524288),
+    (349525, 221590),
+    (699050, 221590),
+)
+
+
+def _hex_edge_terms(xcol: str, ycol: str) -> list[str]:
+    """Cross-product sign terms, one per CCW edge: s_i >= 0 for all i <=>
+    point inside-or-on (convexity); identical text on both engines."""
+    out = []
+    for i in range(len(_HEX_VERTS)):
+        xi, yi = _HEX_VERTS[i]
+        xj, yj = _HEX_VERTS[(i + 1) % len(_HEX_VERTS)]
+        out.append(
+            f"(({xj} - {xi}) * ({ycol} - {yi})"
+            f" - ({yj} - {yi}) * ({xcol} - {xi}))"
+        )
+    return out
+
+
+@register(
+    "spatial_point_in_polygon",
+    deferred=True,
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS pkey,
+               {_coord_sql("sx")} AS x,
+               {_coord_sql("sy")} AS y
+        FROM customer
+    ), cls AS (
+        SELECT pkey, x, y,
+               CASE
+                 WHEN {" AND ".join(f"{t} > 0" for t in _hex_edge_terms("x", "y"))}
+                     THEN 'inside'
+                 WHEN {" AND ".join(f"{t} >= 0" for t in _hex_edge_terms("x", "y"))}
+                     THEN 'boundary'
+                 ELSE 'outside' END AS verdict
+        FROM pts
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(MIN(pkey) AS BIGINT) AS min_pkey
+    FROM cls GROUP BY 1
+    """,
+)
+def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon classification — the geofencing primitive
+    (is this point inside the delivery zone / census tract / geofence):
+    every customer's hash-plane point is tested against a fixed convex
+    hexagon with the CCW cross-product sign rule — strictly positive on
+    every edge = inside, non-negative with a zero = on the boundary,
+    else outside. All-integer arithmetic (coordinates < 2^20, products
+    < 2^41), so the verdict set hashes exactly; the per-verdict
+    coordinate sums pin MEMBERSHIP, not just counts — one misclassified
+    point moves them.
+
+    Shape: six cross products per point, map-side, one conditional
+    groupBy over 3 groups — embarrassingly parallel, nothing but the
+    scan scales. A polygon TABLE generalizes this to a grid-banded join
+    (candidate cells via the polygon's bounding boxes, exact test on the
+    survivors — the join_spatial_grid discipline); the exact per-edge
+    test here is that verify stage."""
+    pts = grid_points(load_table(spark, sf_dir, "customer"))
+    terms = _hex_edge_terms("x", "y")
+    verdict = (
+        F.when(F.expr(" AND ".join(f"{t} > 0" for t in terms)), "inside")
+        .when(F.expr(" AND ".join(f"{t} >= 0" for t in terms)), "boundary")
+        .otherwise("outside")
+    )
+    return (
+        pts.select(verdict.alias("verdict"), "x", "y", "pkey")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.min("pkey").cast("long").alias("min_pkey"),
+        )
+    )
