@@ -854,3 +854,41 @@ def test_shapley_attribution_efficiency_identity():
     ).fetchone()
     assert sum(r[1] for r in rows) == 24 * (v_full - v_empty)
     assert len(rows) == 4
+
+
+def test_jonckheere_terpstra_matches_brute_force():
+    """The histogram-window JT formula vs literal pairwise counting at
+    sf0.001 — a shared-formula bug between the Spark query and its oracle
+    (both use the doubled exceedance identity) cannot hide from this."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import deferred_oracles
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    rows = con.execute(
+        """
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    jt2 = 0
+    for i in range(7):
+        for j in range(i + 1, 7):
+            for x in groups.get(i, []):
+                for y in groups.get(j, []):
+                    jt2 += 2 if x < y else (1 if x == y else 0)
+    n_total, got_jt2, e_jt_x4 = con.execute(
+        deferred_oracles()["stats_jonckheere_terpstra"]
+    ).fetchone()
+    assert got_jt2 == jt2
+    assert n_total == len(rows)
+    ns = [len(groups.get(g, [])) for g in range(7)]
+    assert e_jt_x4 == sum(ns) ** 2 - sum(n * n for n in ns)

@@ -3696,6 +3696,123 @@ def holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Jonckheere-Terpstra ordered-alternative test (r11 queue) -----------------------
+
+_JT_GROUPS = 7  # ordered groups: weekday index 0..6
+
+
+def _jt_pair_terms(prefix_c: str, prefix_cum: str) -> str:
+    """Σ_{i<j} (2·c_j·cum_i + c_j·c_i) over the k=7 ordered groups —
+    the doubled pairwise-exceedance contribution of one value row."""
+    terms = []
+    for i in range(_JT_GROUPS):
+        for j in range(i + 1, _JT_GROUPS):
+            terms.append(
+                f"(2 * {prefix_c}{j} * {prefix_cum}{i}"
+                f" + {prefix_c}{j} * {prefix_c}{i})"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "stats_jonckheere_terpstra",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS g,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), h AS (
+        SELECT v,
+               {", ".join(
+                 f"CAST(SUM(CASE WHEN g = {g} THEN 1 ELSE 0 END) AS BIGINT) AS c{g}"
+                 for g in range(_JT_GROUPS))}
+        FROM s GROUP BY 1
+    ), w AS (
+        SELECT v,
+               {", ".join(f"c{g}" for g in range(_JT_GROUPS))},
+               {", ".join(
+                 f"CAST(COALESCE(SUM(c{g}) OVER (ORDER BY v"
+                 f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+                 f" AS BIGINT) AS m{g}"
+                 for g in range(_JT_GROUPS))}
+        FROM h
+    ), t AS (
+        SELECT {", ".join(
+            f"CAST(SUM(c{g}) AS BIGINT) AS n{g}" for g in range(_JT_GROUPS))}
+        FROM h
+    )
+    SELECT ({" + ".join(f"n{g}" for g in range(_JT_GROUPS))}) AS n_total,
+           CAST((SELECT SUM({_jt_pair_terms("c", "m")}) FROM w) AS BIGINT)
+               AS jt_x2,
+           CAST(({" + ".join(f"n{g}" for g in range(_JT_GROUPS))})
+                * ({" + ".join(f"n{g}" for g in range(_JT_GROUPS))})
+                - ({" + ".join(f"n{g} * n{g}" for g in range(_JT_GROUPS))})
+                AS BIGINT) AS e_jt_x4
+    FROM t
+    """,
+)
+def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative — "does
+    purchase value trend monotonically across the week?" — the
+    order-aware k-sample test stats_kruskal_mean_ranks (unordered
+    alternatives) cannot express: JT = Σ_{{i<j}} U_ij counts pairwise
+    exceedances between every earlier/later weekday pair, with ties at
+    half weight. Reported doubled (jt_x2) so ties stay integer, next to
+    the exact null mean ×4 (N² − Σn_g²) for the consumer's z — all
+    integers, zero floats.
+
+    Shape: the corpus collapses to the VALUE HISTOGRAM with per-group
+    counts (one partial-aggregable groupBy over distinct cent values);
+    the below-cumulative per group is one window pass over that domain
+    (the Mann-Whitney discipline, k-column); the 21 pair terms are one
+    map-side expression per histogram row. Never a pair join — work is
+    O(distinct values × k²)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    s = ev.select(
+        (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) % 7).alias(
+            "g"
+        ),
+        quantize(F.col("value"), MONEY_SCALE).alias("v"),
+    )
+    h = s.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{g}")
+            for g in range(_JT_GROUPS)
+        ]
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    w = h.select(
+        "v",
+        *[F.col(f"c{g}") for g in range(_JT_GROUPS)],
+        *[
+            F.coalesce(F.sum(f"c{g}").over(wv), F.lit(0))
+            .cast("long")
+            .alias(f"m{g}")
+            for g in range(_JT_GROUPS)
+        ],
+    )
+    jt = w.agg(
+        F.sum(F.expr(_jt_pair_terms("c", "m"))).cast("long").alias("jt_x2")
+    )
+    t = h.agg(
+        *[F.sum(f"c{g}").cast("long").alias(f"n{g}") for g in range(_JT_GROUPS)]
+    )
+    n_sum = " + ".join(f"n{g}" for g in range(_JT_GROUPS))
+    n_sq = " + ".join(f"n{g} * n{g}" for g in range(_JT_GROUPS))
+    return t.crossJoin(F.broadcast(jt)).select(
+        F.expr(n_sum).cast("long").alias("n_total"),
+        "jt_x2",
+        F.expr(f"CAST(({n_sum}) * ({n_sum}) - ({n_sq}) AS BIGINT)").alias(
+            "e_jt_x4"
+        ),
+    )
+
+
 # -- rescaled-range (R/S) profile (r11 queue) --------------------------------------
 
 _RS_WINDOWS = (8, 16, 32)  # dyadic window sizes over the daily series

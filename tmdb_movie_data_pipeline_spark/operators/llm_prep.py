@@ -1611,6 +1611,67 @@ def dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- KV prefix-cache economics (r11 queue) ------------------------------------------
+
+_PFX_TOKENS = 8  # shared-prefix length credited to the KV cache
+
+
+@register(
+    "llm_prefix_cache_stats",
+    deferred=True,
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), pfx AS (
+        SELECT doc_id,
+               array_to_string(toks[1:{_PFX_TOKENS}], ' ') AS prefix
+        FROM toked WHERE len(toks) >= {_PFX_TOKENS}
+    )
+    SELECT md5(prefix) AS prefix_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST((COUNT(*) - 1) * {_PFX_TOKENS} AS BIGINT) AS saved_tokens
+    FROM pfx GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV prefix-cache economics: group prompts by their first
+    {_PFX_TOKENS} tokens and report, per shared prefix, how many prompts
+    hit it and the decode tokens a prefix cache saves ((n−1)·len) — the
+    number an inference platform reads to size its cache and order its
+    batches (vLLM-style automatic prefix caching; shared system prompts
+    make this distribution extremely heavy-tailed in production). Only
+    multi-hit prefixes emit (singletons save nothing), bounding output
+    by actual sharing.
+
+    Shape: one map-side prefix projection, one partial-aggregable
+    groupBy on the prefix hash. Nothing but the scan scales; the skew of
+    a hot system prompt lands in ONE group whose aggregate is a counter,
+    not a list."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= _PFX_TOKENS)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", 1, _PFX_TOKENS), " ").alias("prefix"),
+        )
+    )
+    return (
+        pfx.groupBy(F.md5("prefix").alias("prefix_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prompts"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            ((F.count(F.lit(1)) - 1) * _PFX_TOKENS)
+            .cast("long")
+            .alias("saved_tokens"),
+        )
+        .filter(F.col("n_prompts") >= 2)
+    )
+
+
 # -- T5-style span corruption (r11 queue) ------------------------------------------
 
 _SPAN_LEN = 3  # tokens per corrupted span
