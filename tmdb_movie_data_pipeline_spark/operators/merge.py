@@ -1279,5 +1279,103 @@ def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- bitemporal as-of join (r11 queue) ----------------------------------------------
+
+_BT_VALID_AS_OF = "1996-06-30"  # the valid-time question: state on this date
+_BT_KNOWN_T1 = "1996-06-30"  # ...as the system knew it that same day
+_BT_KNOWN_T2 = "1996-12-31"  # ...vs after late arrivals landed
+
+
+@register(
+    "join_bitemporal_asof",
+    deferred=True,
+    oracle=f"""
+    WITH bt AS (
+        -- bitemporal fact: each order observes the customer's state at
+        -- VALID time o_orderdate, RECORDED (tx time) 0-2 days later —
+        -- the deterministic late-arrival skew (o_orderkey % 3 days)
+        SELECT o_custkey AS custkey, o_orderkey,
+               o_orderdate AS valid_d,
+               o_orderdate + INTERVAL (o_orderkey % 3) DAY AS tx_d,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS units
+        FROM orders
+    ), t1 AS (
+        SELECT custkey, units FROM (
+            SELECT custkey, units,
+                   ROW_NUMBER() OVER (PARTITION BY custkey
+                       ORDER BY valid_d DESC, tx_d DESC, o_orderkey DESC)
+                       AS rn
+            FROM bt WHERE valid_d <= DATE '{_BT_VALID_AS_OF}'
+                      AND tx_d <= DATE '{_BT_KNOWN_T1}'
+        ) WHERE rn = 1
+    ), t2 AS (
+        SELECT custkey, units FROM (
+            SELECT custkey, units,
+                   ROW_NUMBER() OVER (PARTITION BY custkey
+                       ORDER BY valid_d DESC, tx_d DESC, o_orderkey DESC)
+                       AS rn
+            FROM bt WHERE valid_d <= DATE '{_BT_VALID_AS_OF}'
+                      AND tx_d <= DATE '{_BT_KNOWN_T2}'
+        ) WHERE rn = 1
+    )
+    SELECT t2.custkey,
+           CAST(t1.units AS BIGINT) AS known_t1,
+           CAST(t2.units AS BIGINT) AS known_t2,
+           t1.units IS DISTINCT FROM t2.units AS revised
+    FROM t2 LEFT JOIN t1 ON t1.custkey = t2.custkey
+    """,
+)
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of join — the two-clock question SCD2 alone cannot
+    answer: "what was each customer's state at VALID time V, as the
+    system KNEW it at transaction time T?" Facts carry both clocks
+    (valid = o_orderdate; tx = recorded 0-2 days later, the deterministic
+    late-arrival skew), and the same V is answered at two knowledge
+    cutoffs — T1 = V itself and T2 = six months later — so the `revised`
+    flag isolates exactly the answers late arrivals changed: the audit
+    ("what did we report THEN?") vs restated ("what do we know NOW?")
+    distinction regulatory reporting runs on. join_scd2_point_in_time
+    covers one clock; this is the second.
+
+    Shape: both knowledge cutoffs resolve in ONE partial-aggregable pass
+    — max_by over the composite (valid, tx, key) ordering with per-cutoff
+    FILTERs — no window, no self-join, one exchange keyed on the entity.
+    The tie-break triple makes the picked row unique, so the hash is
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    bt = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_d"),
+        F.date_add(
+            F.col("o_orderdate"), (F.col("o_orderkey") % 3).cast("int")
+        ).alias("tx_d"),
+        F.round(F.col("o_totalprice")).cast("long").alias("units"),
+    )
+    ordkey = F.struct(
+        F.col("valid_d"), F.col("tx_d"), F.col("o_orderkey")
+    )
+    in_t1 = (F.col("valid_d") <= F.lit(_BT_VALID_AS_OF).cast("date")) & (
+        F.col("tx_d") <= F.lit(_BT_KNOWN_T1).cast("date")
+    )
+    in_t2 = (F.col("valid_d") <= F.lit(_BT_VALID_AS_OF).cast("date")) & (
+        F.col("tx_d") <= F.lit(_BT_KNOWN_T2).cast("date")
+    )
+    pick = bt.groupBy("custkey").agg(
+        F.max_by(F.when(in_t1, F.col("units")), F.when(in_t1, ordkey))
+        .cast("long")
+        .alias("known_t1"),
+        F.max_by(F.when(in_t2, F.col("units")), F.when(in_t2, ordkey))
+        .cast("long")
+        .alias("known_t2"),
+    )
+    return pick.filter(F.col("known_t2").isNotNull()).select(
+        "custkey",
+        "known_t1",
+        "known_t2",
+        (~F.col("known_t1").eqNullSafe(F.col("known_t2"))).alias("revised"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1301,6 +1301,79 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- semantic decontamination (r11 queue) -----------------------------------------
+
+_SDECON_TAU_PPM = 900_000  # cosine >= 0.9 against any eval vector = leak
+
+
+@register(
+    "llm_semantic_decontaminate",
+    deferred=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS eval_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding AS c_emb FROM embeddings
+               WHERE vec_id >= {N_QUERIES}),
+         scored AS (
+           SELECT c.vec_id, q.eval_id,
+                  CAST(FLOOR(1000000 * ({_dot_duck("q_emb", "c_emb")}
+                      / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")})))
+                      AS BIGINT) AS cos_ppm
+           FROM c, q
+         )
+    SELECT vec_id,
+           CAST(MAX(cos_ppm) AS BIGINT) AS max_cos_ppm,
+           CAST(MIN(CASE WHEN cos_ppm >= {_SDECON_TAU_PPM}
+                         THEN eval_id END) AS BIGINT) AS leaked_from,
+           MAX(cos_ppm) >= {_SDECON_TAU_PPM} AS contaminated
+    FROM scored GROUP BY 1
+    """,
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    counterpart of llm_decontaminate's 8-gram overlap (which paraphrases
+    evade): every training vector is scored against the full eval slice
+    and flagged when any cosine clears {_SDECON_TAU_PPM} ppm, with the
+    lowest-id offending eval vector named for audit. Per-pair cosines
+    floor-quantize to ppm BEFORE the per-vector max, so the verdict set
+    hashes exactly (the module's shared expression text keeps the doubles
+    bit-identical first).
+
+    Shape: broadcast(eval slice) × corpus — ONE pass, the same deliberate
+    eval-cost shape as ann_cosine_topk; at corpus scale the eval slice is
+    constant-sized, so this is a map-side flat expression over the scan
+    (at very large eval sets, route through the IVF lists first and pay
+    the probe-sweep recall tradeoff measured by ann_ivf_probe_sweep)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "cos_ppm",
+            F.expr(
+                f"CAST(FLOOR(1000000 * (({_dot_spark('q_emb', 'c_emb')})"
+                f" / ({_norm_spark('q_emb')} * {_norm_spark('c_emb')})))"
+                " AS BIGINT)"
+            ),
+        )
+        .select("vec_id", "eval_id", "cos_ppm")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("cos_ppm").cast("long").alias("max_cos_ppm"),
+        F.min(
+            F.when(F.col("cos_ppm") >= _SDECON_TAU_PPM, F.col("eval_id"))
+        )
+        .cast("long")
+        .alias("leaked_from"),
+        (F.max("cos_ppm") >= _SDECON_TAU_PPM).alias("contaminated"),
+    )
+
+
 # -- IVF probe-count recall sweep (r11 queue) -----------------------------------
 
 _SWEEP_PROBES = (1, 2, 4, 8)  # nprobe grid
