@@ -3696,6 +3696,70 @@ def holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mean-excess (peaks-over-threshold) profile (r11 queue) -------------------------
+
+_ME_THRESHOLDS = (100, 150, 200, 250)  # value units
+
+
+@register(
+    "stats_mean_excess_profile",
+    deferred=True,
+    oracle=f"""
+    WITH g AS (
+        SELECT UNNEST([{", ".join(str(u) for u in _ME_THRESHOLDS)}]) AS u
+    )
+    SELECT CAST(g.u AS BIGINT) AS u,
+           CAST(SUM(CASE WHEN value > g.u THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exceed,
+           CAST(SUM(CASE WHEN value > g.u
+                         THEN CAST(ROUND(value * 100) AS BIGINT) - 100 * g.u
+                         ELSE 0 END) AS BIGINT) AS excess_cents,
+           CAST(SUM(CASE WHEN value > g.u
+                         THEN CAST(ROUND(value * 100) AS BIGINT) - 100 * g.u
+                         ELSE 0 END)
+                // GREATEST(SUM(CASE WHEN value > g.u THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS mean_excess_cents
+    FROM events, g GROUP BY 1
+    """,
+)
+def mean_excess_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess (peaks-over-threshold) profile — extreme-value
+    theory's model-selection diagnostic, log-free: E[X − u | X > u]
+    across a rising threshold grid. A generalized-Pareto tail makes this
+    LINEAR in u (slope ξ/(1−ξ) reads the shape parameter); exponential
+    tails go flat, bounded tails slope down — the plot risk teams draw
+    before fitting any EVT model, complementing stats_tail_ratio_profile
+    (tail INDEX) with tail SHAPE. Exceedance counts and cent-exact excess
+    sums are pure integers; the mean is one integer division.
+
+    Shape: a {len(_ME_THRESHOLDS)}-row broadcast grid crossed into the
+    scan, one conditional groupBy over {len(_ME_THRESHOLDS)} groups — one
+    pass, no sort, nothing scales but the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = spark.createDataFrame([(u,) for u in _ME_THRESHOLDS], "u long")
+    exceed = F.when(F.col("value") > F.col("u"), 1).otherwise(0)
+    excess = F.when(
+        F.col("value") > F.col("u"),
+        quantize(F.col("value"), MONEY_SCALE) - 100 * F.col("u"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ev.crossJoin(F.broadcast(grid))
+        .groupBy("u")
+        .agg(
+            F.sum(exceed).cast("long").alias("n_exceed"),
+            F.sum(excess).cast("long").alias("excess_cents"),
+        )
+        .select(
+            "u",
+            "n_exceed",
+            "excess_cents",
+            F.expr("excess_cents div GREATEST(n_exceed, 1)")
+            .cast("long")
+            .alias("mean_excess_cents"),
+        )
+    )
+
+
 # -- Jonckheere-Terpstra ordered-alternative test (r11 queue) -----------------------
 
 _JT_GROUPS = 7  # ordered groups: weekday index 0..6
