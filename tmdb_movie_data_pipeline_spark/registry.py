@@ -212,7 +212,17 @@ def reconfirm_stride(
     pre-r10 rounds → the historic fixed ``RECONFIRM_STRIDE``; otherwise
     derived live from the head size (``DRIVER_CAP_FLOOR - |head|``,
     floored at 0) for the current round, or the planning default for
-    hypothetical future tokens where the head is unknowable."""
+    hypothetical future tokens where the head is unknowable.
+
+    A PAST dynamic-scheme round missing from the ledger would silently
+    fall back to the planning default and mis-tile every later window
+    (ADVICE r10 item 2). That completeness is enforced by CI
+    (tests/test_registry_rotation.py::test_round_strides_recorded_and_
+    continuous asserts every round in [_DYNAMIC_BASE, current) is
+    recorded) rather than by raising here: this function sits on the
+    driver's ``queries()`` path, and a raise would turn a bookkeeping
+    omission into a zero-row driver round — strictly worse than one
+    mis-tiled re-confirmation window that CI flags the same day."""
     token = _round_token() if round_token is None else round_token
     if token in _ROUND_STRIDES:
         return _ROUND_STRIDES[token]
