@@ -892,3 +892,46 @@ def test_jonckheere_terpstra_matches_brute_force():
     assert n_total == len(rows)
     ns = [len(groups.get(g, [])) for g in range(7)]
     assert e_jt_x4 == sum(ns) ** 2 - sum(n * n for n in ns)
+
+
+def test_scalar_quantization_constant_dimension_guard(spark):
+    """ADVICE r10 item 3: a constant embedding dimension (mx == mn) must
+    quantize to code 0 with zero error in BOTH engines — the unguarded
+    (x - mn) / (mx - mn) is NaN, which ANSI DuckDB refuses to CAST to
+    BIGINT (erroring the whole oracle) while non-ANSI Spark silently
+    nulls. The guard lives in the shared expression text; evaluate that
+    exact text in both engines over a constant dimension and a normal
+    one."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.pq import (
+        _SQ_CODE_EXPR,
+        _SQ_ERR_EXPR,
+    )
+
+    rows = [
+        (0.5, 0.5, 0.5),   # constant dimension: mn == mx == x
+        (0.25, 0.0, 1.0),  # normal dimension mid-range
+        (1.0, 0.0, 1.0),   # top of range (LEAST clamp path)
+    ]
+    df = spark.createDataFrame(rows, "x double, mn double, mx double")
+    got = [
+        (r.code, r.err_pico)
+        for r in df.withColumn("code", F.expr(_SQ_CODE_EXPR))
+        .withColumn("err_pico", F.expr(_SQ_ERR_EXPR))
+        .collect()
+    ]
+    con = duckdb.connect()
+    try:
+        duck_rows = con.execute(
+            f"""
+            WITH t(x, mn, mx) AS (VALUES {', '.join(str(r) for r in rows)}),
+            coded AS (SELECT x, mn, mx, {_SQ_CODE_EXPR} AS code FROM t)
+            SELECT code, {_SQ_ERR_EXPR} AS err_pico FROM coded
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert got == [(int(c), int(e)) for c, e in duck_rows]
+    assert got[0] == (0, 0), "constant dimension must be code 0 / err 0"
+    assert got[2][0] == 255, "full-range value must clamp to the top code"

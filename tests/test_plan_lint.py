@@ -45,7 +45,12 @@ _LAZY_MODULES = {
     "similarity",
     "sketches",
     "spatial",
-    "sql_surface",
+    # sql_surface is NOT lazy (ADVICE r10 item 4): scripting_block runs
+    # its BEGIN/WHILE loop on call, execute_immediate executes
+    # DECLARE/SET VAR plus the dynamic query, and the rest mutate session
+    # temp views — the "building the DataFrame only constructs a plan"
+    # premise doesn't hold. Its five queries are exercised end-to-end by
+    # the oracle suite like the other imperative families.
     "subqueries",
     "text",
     "tpch_extra",

@@ -394,17 +394,25 @@ _SQ_LEVELS = 255  # int8 code range 0..255
 _SQ_ERRSCALE = "1e12"  # squared-error pico-units (errors ~1e-5 at this data)
 
 #: shared expression text over columns (x, mn, mx) — both engines compile
-#: the identical IEEE sequence (sub, mul, div, floor, least)
+#: the identical IEEE sequence (sub, mul, div, floor, least). A CONSTANT
+#: dimension (mx = mn) is guarded explicitly (ADVICE r10 item 3): the
+#: unguarded division yields NaN/Inf, which ANSI DuckDB refuses to CAST
+#: to BIGINT while non-ANSI Spark silently nulls — a data-dependent
+#: cross-engine split. A constant dimension quantizes losslessly to
+#: code 0 with zero reconstruction error.
 _SQ_CODE_EXPR = (
-    f"CAST(LEAST(FLOOR((x - mn) * {_SQ_LEVELS}.0 / (mx - mn)),"
-    f" {_SQ_LEVELS}) AS BIGINT)"
+    f"CAST(CASE WHEN mx = mn THEN 0 ELSE"
+    f" LEAST(FLOOR((x - mn) * {_SQ_LEVELS}.0 / (mx - mn)),"
+    f" {_SQ_LEVELS}) END AS BIGINT)"
 )
 #: reconstruction error over (x, mn, mx, code), rounded to integer
-#: pico-units BEFORE any cross-row sum (order-free integer aggregation)
+#: pico-units BEFORE any cross-row sum (order-free integer aggregation);
+#: same constant-dimension guard (reconstruction = mn = x exactly)
 _SQ_ERR_EXPR = (
-    f"CAST(ROUND((x - (mn + code * (mx - mn) / {_SQ_LEVELS}.0))"
+    f"CAST(CASE WHEN mx = mn THEN 0 ELSE"
+    f" ROUND((x - (mn + code * (mx - mn) / {_SQ_LEVELS}.0))"
     f" * (x - (mn + code * (mx - mn) / {_SQ_LEVELS}.0))"
-    f" * {_SQ_ERRSCALE}, 0) AS BIGINT)"
+    f" * {_SQ_ERRSCALE}, 0) END AS BIGINT)"
 )
 
 
