@@ -82,3 +82,36 @@ def test_zorder_layout_prunes_two_dims(spark, tmp_path):
     assert z_spans[len(z_spans) // 2] <= 128, z_spans
     # layout changes must never change content
     assert spark.read.parquet(zp).count() == 256 * 256
+
+
+def test_catalog_static_fields_match_registry():
+    """CATALOG.json (VERDICT r10 #8) must stay in sync with the live
+    registry on its REGISTRY-STATIC fields: same name set, same
+    module:line, category, oracle flag, and active/queued split — so
+    registering a query without regenerating the catalog reds CI.
+
+    History fields (first/last green round, bench appearances) are a
+    snapshot stamped as_of_round and are deliberately NOT compared: the
+    driver writing CORRECTNESS_r{N}.json / BENCH_DETAIL_r{N}.json between
+    sessions must never red CI (the r8-r10 design rule — assert
+    invariants, not a round's file state)."""
+    import json
+    from pathlib import Path
+
+    from tmdb_movie_data_pipeline_spark.catalog import (
+        STATIC_FIELDS,
+        build_catalog,
+    )
+
+    path = Path(__file__).resolve().parent.parent / "CATALOG.json"
+    checked_in = json.loads(path.read_text())
+    live = build_catalog()
+    assert set(checked_in["queries"]) == set(live["queries"]), (
+        "CATALOG.json name set diverged from the registry — regenerate "
+        "with python -m tmdb_movie_data_pipeline_spark.catalog"
+    )
+    for name, row in live["queries"].items():
+        for f in STATIC_FIELDS:
+            assert checked_in["queries"][name][f] == row[f], (
+                f"CATALOG.json stale on {name}.{f} — regenerate"
+            )

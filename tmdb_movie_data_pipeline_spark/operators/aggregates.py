@@ -3615,7 +3615,6 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_holm_bonferroni",
-    deferred=True,
     oracle=f"""
     WITH p AS (
         SELECT doc_id,
@@ -3703,7 +3702,6 @@ _ME_THRESHOLDS = (100, 150, 200, 250)  # value units
 
 @register(
     "stats_mean_excess_profile",
-    deferred=True,
     oracle=f"""
     WITH g AS (
         SELECT UNNEST([{", ".join(str(u) for u in _ME_THRESHOLDS)}]) AS u
@@ -3780,7 +3778,6 @@ def _jt_pair_terms(prefix_c: str, prefix_cum: str) -> str:
 
 @register(
     "stats_jonckheere_terpstra",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS g,
@@ -3884,7 +3881,6 @@ _RS_WINDOWS = (8, 16, 32)  # dyadic window sizes over the daily series
 
 @register(
     "stats_rescaled_range",
-    deferred=True,
     oracle=f"""
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -4031,7 +4027,6 @@ def _ratio_ci_sql() -> str:
 
 @register(
     "stats_ratio_metric_delta_ci",
-    deferred=True,
     oracle=f"""
     WITH u AS (
         SELECT user_id,
@@ -4130,7 +4125,6 @@ def _cmh_sql() -> str:
 
 @register(
     "stats_cmh_stratified",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
@@ -4323,7 +4317,6 @@ def _cohens_d_sql() -> str:
 
 @register(
     "stats_cohens_d",
-    deferred=True,
     oracle=f"""
     WITH m AS (
         SELECT
@@ -4392,7 +4385,6 @@ def cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_ztest_two_proportions",
-    deferred=True,
     oracle="""
     WITH m AS (
         SELECT
@@ -4462,7 +4454,6 @@ _TAIL_THRESHOLDS = (10, 20, 40, 80)
 
 @register(
     "stats_tail_ratio_profile",
-    deferred=True,
     oracle=f"""
     WITH g AS (
         SELECT UNNEST([{", ".join(str(t) for t in _TAIL_THRESHOLDS)}]) AS x
@@ -4520,7 +4511,6 @@ def tail_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_brown_forsythe",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events

@@ -920,7 +920,6 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_average_precision",
-    deferred=True,
     oracle=f"""
     WITH mm AS (
         SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
@@ -989,7 +988,6 @@ _QINI_DECILES = 10
 
 @register(
     "ml_qini_curve",
-    deferred=True,
     oracle=f"""
     WITH u AS (
         SELECT user_id,

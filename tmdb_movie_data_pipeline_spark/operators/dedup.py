@@ -572,7 +572,6 @@ _BBIT_MATCH_SQL = " + ".join(
 
 @register(
     "dedup_bbit_minhash_estimate",
-    deferred=True,
     oracle=f"""
     WITH {{CAND_INTER}}, sigs AS (
         SELECT doc_id,

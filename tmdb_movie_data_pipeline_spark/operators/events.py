@@ -3121,7 +3121,6 @@ _SHAP_W24 = (6, 2, 2, 6)
 
 @register(
     "events_shapley_attribution",
-    deferred=True,
     oracle=f"""
     WITH conv AS (
         SELECT user_id, MIN(ts) AS first_purchase
@@ -3255,7 +3254,6 @@ _MIG_TIER_SQL = (
 
 @register(
     "events_rfm_migration_matrix",
-    deferred=True,
     oracle=f"""
     WITH p AS (
         SELECT user_id,

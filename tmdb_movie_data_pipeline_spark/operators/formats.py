@@ -180,7 +180,7 @@ def parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
-@register("sink_xml_roundtrip", deferred=True, oracle=_ORACLE)
+@register("sink_xml_roundtrip", oracle=_ORACLE)
 def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the slice as XML (Spark 4.0's built-in XML source — no
     spark-xml package), read it back with an explicit schema and rowTag,

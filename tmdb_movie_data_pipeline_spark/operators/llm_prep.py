@@ -1618,7 +1618,6 @@ _PFX_TOKENS = 8  # shared-prefix length credited to the KV cache
 
 @register(
     "llm_prefix_cache_stats",
-    deferred=True,
     oracle=f"""
     WITH toked AS (
         SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
@@ -1680,7 +1679,6 @@ _SPAN_STRIDE = 20  # span starts every 20 tokens -> 15% corruption rate
 
 @register(
     "llm_span_corruption",
-    deferred=True,
     oracle=f"""
     WITH toked AS (
         SELECT doc_id, doc_id % {_SPAN_STRIDE} AS r, {_TOKENS_SQL} AS toks
@@ -1793,7 +1791,6 @@ _TMQ_WSCALE = 1_000_000  # per-source weight quantization (pre-allocation)
 
 @register(
     "llm_temperature_mix_quota",
-    deferred=True,
     oracle=f"""
     WITH avail AS (
         SELECT source, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
@@ -1896,7 +1893,6 @@ _PAD_BATCH_SIZE = 8  # sequences per batch
 
 @register(
     "llm_padding_waste_batching",
-    deferred=True,
     oracle=f"""
     WITH toked AS (
         SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens

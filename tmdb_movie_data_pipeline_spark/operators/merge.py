@@ -1288,7 +1288,6 @@ _BT_KNOWN_T2 = "1996-12-31"  # ...vs after late arrivals landed
 
 @register(
     "join_bitemporal_asof",
-    deferred=True,
     oracle=f"""
     WITH bt AS (
         -- bitemporal fact: each order observes the customer's state at

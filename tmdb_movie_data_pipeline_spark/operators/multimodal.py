@@ -1110,7 +1110,6 @@ RLE_SCHEMA = T.StructType(
 
 @register(
     "multimodal_rle_compression",
-    deferred=True,
     oracle=f"""
     WITH dims AS (
         SELECT doc_id,
@@ -1203,7 +1202,6 @@ TRIM_SCHEMA = T.StructType(
 
 @register(
     "multimodal_pcm_silence_trim",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT doc_id,
@@ -1293,7 +1291,6 @@ SCENE_SCHEMA = T.StructType(
 
 @register(
     "multimodal_scene_change_detect",
-    deferred=True,
     oracle=f"""
     WITH g AS (
         SELECT doc_id,

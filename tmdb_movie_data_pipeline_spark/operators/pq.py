@@ -418,7 +418,6 @@ _SQ_ERR_EXPR = (
 
 @register(
     "ml_scalar_quantization_error",
-    deferred=True,
     oracle=f"""
     WITH flat AS (
         SELECT vec_id,

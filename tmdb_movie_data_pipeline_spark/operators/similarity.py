@@ -1308,7 +1308,6 @@ _SDECON_TAU_PPM = 900_000  # cosine >= 0.9 against any eval vector = leak
 
 @register(
     "llm_semantic_decontaminate",
-    deferred=True,
     oracle=f"""
     WITH q AS (SELECT vec_id AS eval_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < {N_QUERIES}),
@@ -1452,7 +1451,7 @@ _SWEEP_ORACLE = f"""
     """.replace("{CB}", str(CENTROID_BASE)).replace("{NC}", str(N_CENTROIDS))
 
 
-@register("ann_ivf_probe_sweep", deferred=True, oracle=_SWEEP_ORACLE)
+@register("ann_ivf_probe_sweep", oracle=_SWEEP_ORACLE)
 def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF tuning table: recall@{TOP_K} against exact-cosine ground
     truth for every probe count in {_SWEEP_PROBES}, per query — the

@@ -318,7 +318,6 @@ def _hex_edge_terms(xcol: str, ycol: str) -> list[str]:
 
 @register(
     "spatial_point_in_polygon",
-    deferred=True,
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey AS pkey,

@@ -27,7 +27,6 @@ from ..registry import register
 
 @register(
     "sql_pipe_syntax_report",
-    deferred=True,
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -71,7 +70,6 @@ def pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_parameterized_query",
-    deferred=True,
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -112,7 +110,6 @@ def parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_execute_immediate",
-    deferred=True,
     oracle="""
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers
@@ -149,7 +146,6 @@ def execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_scripting_block",
-    deferred=True,
     oracle="""
     WITH RECURSIVE it(i, total) AS (
         SELECT 1, CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate
@@ -207,7 +203,6 @@ def scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "string_collation_groupby",
-    deferred=True,
     oracle="""
     WITH mixed AS (
         SELECT CASE WHEN event_id % 2 = 0 THEN UPPER(event_type)

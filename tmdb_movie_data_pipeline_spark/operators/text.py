@@ -2060,7 +2060,6 @@ _TRUNC_N = 4  # n-gram order watched for repetition
 
 @register(
     "text_repeated_ngram_truncation",
-    deferred=True,
     oracle=f"""
     WITH toked AS (
         SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents

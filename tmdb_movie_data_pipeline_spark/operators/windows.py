@@ -365,7 +365,6 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_hampel_outliers",
-    deferred=True,
     oracle="""
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

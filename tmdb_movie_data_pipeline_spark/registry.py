@@ -89,10 +89,9 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r10: physical plan rewritten (groupBy-once map-side pair expansion
-    # replacing the hot-set anti-join + shingle self-join; 2.8x on the
-    # sf0.1 bench copy, result set unchanged and locally re-hash-gated).
-    "dedup_containment_pairs",
+    # r11: no verified query's semantics or plan were rewritten this
+    # session (the ml_scalar_quantization_error guard landed BEFORE its
+    # first activation, so it is still bucket-1 never-verified).
 ]
 
 
@@ -190,9 +189,15 @@ DRIVER_CAP_FLOOR = 45
 #: the cycle with no gaps and no reliance on unverified slots.
 #: r10: 44 never-verified + 1 changed = head 45 → stride 0 (the round's
 #: driver budget is spent on first-time coverage; rotation resumes r11).
+#: r11: the full 37-query r10 deferred queue activated (VERDICT r10 #2's
+#: hard bar: >=37 first-time rows), 0 changed → stride 8. The stride-
+#: vs-activation trade (VERDICT #3 asked >=10 OR a justified decision):
+#: 37 + 10 > 45, so full activation wins and r11 registers ZERO net-new
+#: active queries — r12's head is just its own activations, letting the
+#: r12 stride rebound to ~30+ (projected full-recycle math in NOTES_r11).
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 0}
+_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative

@@ -409,7 +409,6 @@ def _make_stream_write_datasource():
 
 @register(
     "sink_python_datasource_streamwrite",
-    deferred=True,
     oracle=f"""
     SELECT CAST(range // {STREAM_PAGE_SIZE} AS INT) AS page,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

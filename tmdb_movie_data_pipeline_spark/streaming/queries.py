@@ -874,7 +874,6 @@ def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_availablenow_file_backfill",
-    deferred=True,
     oracle="""
     SELECT CAST(1 AS BIGINT) AS run,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
