@@ -142,6 +142,25 @@ BENCH_QUERIES = [
     # verify; banded interval pair classification)
     "dedup_weighted_jaccard_pairs",
     "join_allen_interval_algebra",
+    # r11 (VERDICT r10 #5): the r10 first-time-green heavy families not
+    # yet in any BENCH record — the mapInPandas image decode, the PCM
+    # frame-energy decode, the DPO chosen/rejected pair join, the BH
+    # step-up FDR rank pass, the dominance skyline join, and the exact
+    # rolling median window
+    "multimodal_decode_stats",
+    "multimodal_pcm_frame_energy",
+    "llm_dpo_pair_builder",
+    "stats_benjamini_hochberg",
+    "join_skyline_pareto",
+    "window_rolling_median",
+    # r11 activations worth watching: the 4-curve IVF probe sweep (one
+    # assignment relation scored at four nprobe tiers), the embedding
+    # leak semi-join decontaminator, the two-clock as-of join, and the
+    # per-frame scene-change differencer
+    "ann_ivf_probe_sweep",
+    "llm_semantic_decontaminate",
+    "join_bitemporal_asof",
+    "multimodal_scene_change_detect",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -314,6 +333,18 @@ def main() -> None:
             timings[name] = dt
             total += dt
 
+        # VERDICT r10 #6: delta_cdc_feed_commits is a per-commit manifest
+        # loop (constant driver overhead per commit, data never loops) but
+        # its commit count is fixture-fixed — record commits alongside
+        # seconds so any future growth in its timing is attributable to
+        # commits x per-commit cost, not mistaken for a data regression.
+        cdc_commits = int(
+            qs["delta_cdc_feed_commits"](spark, copy_dir)
+            .select("commit_version")
+            .distinct()
+            .count()
+        )
+
         # skewed-shuffle-join pair: same result (oracle-checked as
         # skew_salted_join), different physical plan — demonstrates the
         # static salting win when broadcast/AQE-skew aren't available
@@ -360,6 +391,12 @@ def main() -> None:
             # "value" — see the STREAMING_BENCH policy note
             "streaming_queries": streaming,
             "streaming_total_sec": round(sum(streaming.values()), 3),
+            # distinct commit versions PRESENT in the CDC feed output this
+            # run (the exhibit always diffs versions()[1:]; a version whose
+            # change set is empty at this SF contributes no rows): seconds
+            # scale as commits x (2 anti-joins + 1 join) — compare timings
+            # across rounds only at equal counts
+            "delta_cdc_feed_commits_n_commits": cdc_commits,
             # cold candidate-pair stage build (cache guaranteed cold: the
             # temp copy's fingerprint is fresh) — the cost every dedup/graph
             # consumer amortizes via the per-fixture cache
