@@ -4597,5 +4597,324 @@ def brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- seeded permutation test (r12 queue) ------------------------------------------
+
+#: permutations; p-value resolution is 1/(B+1) = 0.5 %
+_PERM_B = 199
+#: Knuth multiplicative constant (shared with sampling.py's hash splits)
+_PERM_KNUTH = 2654435761
+#: per-permutation offset multiplier (any odd constant != KNUTH)
+_PERM_STEP = 7919
+#: group bit taken from the hash's MIDDLE bits: with an odd multiplier,
+#: bit 0 of event_id * K is just the parity of event_id (constant across
+#: permutations); div 2^20 reaches bits the multiply actually mixed.
+#: Same integer sequence in both engines; only the integer-division
+#: spelling differs (Spark ``div``, DuckDB ``//``).
+_PERM_GROUP_T = (
+    f"((((event_id + b * {_PERM_STEP}) * {_PERM_KNUTH}) {{DIV}} 1048576) % 2)"
+)
+_PERM_GROUP = _PERM_GROUP_T.format(DIV="div")
+_PERM_GROUP_DUCK = _PERM_GROUP_T.format(DIV="//")
+
+
+@register(
+    "stats_permutation_diff_test",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), obs AS (
+        SELECT
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN v ELSE 0 END) AS HUGEINT) AS s1,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN v ELSE 0 END) AS HUGEINT) AS s2
+        FROM s
+    ), perms AS (
+        SELECT b,
+          CAST(SUM(CASE WHEN {_PERM_GROUP_DUCK} = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1b,
+          CAST(SUM(CASE WHEN {_PERM_GROUP_DUCK} = 0 THEN v ELSE 0 END) AS HUGEINT) AS s1b,
+          CAST(SUM(CASE WHEN {_PERM_GROUP_DUCK} = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2b,
+          CAST(SUM(CASE WHEN {_PERM_GROUP_DUCK} = 1 THEN v ELSE 0 END) AS HUGEINT) AS s2b
+        FROM s CROSS JOIN (SELECT UNNEST(range(1, {_PERM_B} + 1)) AS b)
+        GROUP BY b
+    )
+    SELECT CAST({_PERM_B} AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN ABS(s1b * n2b - s2b * n1b) * (obs.n1 * obs.n2)
+                          >= ABS(obs.s1 * obs.n2 - obs.s2 * obs.n1)
+                             * (n1b * n2b)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST((1000000 * (1 + SUM(CASE WHEN
+                    ABS(s1b * n2b - s2b * n1b) * (obs.n1 * obs.n2)
+                    >= ABS(obs.s1 * obs.n2 - obs.s2 * obs.n1) * (n1b * n2b)
+                    THEN 1 ELSE 0 END))) // ({_PERM_B} + 1) AS BIGINT)
+               AS p_value_ppm
+    FROM perms CROSS JOIN obs
+    """,
+)
+def permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded permutation test for the even-vs-odd cohort difference in
+    purchase-value MEANS — the assumption-free companion to
+    stats_ab_ttest/stats_cohens_d: under H0 the labels are exchangeable,
+    so the observed |mean gap| is ranked against {_PERM_B} deterministic
+    relabelings and p = (1 + #extreme) / (B + 1).
+
+    Determinism: permutation b assigns each row via the integer hash
+    (middle bits of (event_id + b·{_PERM_STEP}) · Knuth — bit 0 of an
+    odd-multiplier product is just the row's parity, constant across b,
+    so the group bit comes from div 2^20). The mean comparison never
+    divides: |s1·n2 − s2·n1| cross-multiplied by the other side's n1·n2,
+    computed in DECIMAL(38)/HUGEINT because the triple products pass 2^63
+    at sf0.1. No float exists anywhere.
+
+    Shape: the filtered scan explodes x{_PERM_B} (map-only lit array), one
+    partial-aggregable groupBy(b) producing a {_PERM_B}-row relation, the
+    1-row observed aggregate broadcast-joined on. At 100 TB the explode is
+    the cost knob: B scales the map output linearly, nothing shuffles more
+    than B rows of moments."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            quantize(F.col("value"), MONEY_SCALE).alias("v"),
+        )
+    )
+    obs = s.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    g = F.expr(_PERM_GROUP)
+    perms = (
+        s.withColumn(
+            "b", F.explode(F.array(*[F.lit(i) for i in range(1, _PERM_B + 1)]))
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(g == 0, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("n1b"),
+            F.sum(F.when(g == 0, F.col("v")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s1b"),
+            F.sum(F.when(g == 1, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("n2b"),
+            F.sum(F.when(g == 1, F.col("v")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s2b"),
+        )
+    )
+    extreme = F.expr(
+        "CASE WHEN ABS(s1b * n2b - s2b * n1b) * (n1 * n2)"
+        " >= ABS(s1 * n2 - s2 * n1) * (n1b * n2b) THEN 1 ELSE 0 END"
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(F.sum(extreme).cast("long").alias("_ne"))
+        .select(
+            F.lit(_PERM_B).cast("long").alias("n_perms"),
+            F.col("_ne").alias("n_extreme"),
+            F.expr(f"CAST((1000000 * (1 + _ne)) div ({_PERM_B} + 1) AS BIGINT)")
+            .alias("p_value_ppm"),
+        )
+    )
+
+
+# -- Friedman rank test (r12 queue) ------------------------------------------------
+
+_FRIED_BLOCKS = 12  # complete blocks: user_id % 12 x the 5 event types
+
+
+@register(
+    "stats_friedman_test",
+    deferred=True,
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % {_FRIED_BLOCKS} AS blk, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cv
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT blk, event_type, cv,
+               CAST(2 * RANK() OVER (PARTITION BY blk ORDER BY cv)
+                    + COUNT(*) OVER (PARTITION BY blk, cv) - 1 AS BIGINT)
+                   AS rank2
+        FROM cells
+    ), coltot AS (
+        SELECT event_type, CAST(SUM(rank2) AS BIGINT) AS r2j,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY 1
+    ), k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM coltot)
+    SELECT event_type, n_blocks, r2j,
+           CAST((1000000 * (3 * (SELECT SUM(r2j * r2j) FROM coltot)
+                 - 3 * n_blocks * n_blocks * k.k * (k.k + 1) * (k.k + 1)))
+                // (n_blocks * k.k * (k.k + 1)) AS BIGINT) AS chi2_ppm
+    FROM coltot CROSS JOIN k
+    """,
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the k=5 event types over
+    {_FRIED_BLOCKS} complete user-bucket blocks: each block ranks its
+    per-type value totals, and χ²_F asks whether any treatment
+    consistently out-ranks the others — the non-parametric repeated-
+    measures ANOVA (pairs with stats_jonckheere_terpstra, which needs an
+    ORDERED alternative; Friedman does not).
+
+    Determinism: cell values are exact cent sums, so ranks are exact;
+    ties carry the average rank kept INTEGER by doubling (2·avg =
+    2·min_rank + ties − 1). With doubled column totals R2_j, χ²_F =
+    [3·ΣR2_j² − 3n²k(k+1)²] / (n·k·(k+1)) — one integer rational per
+    output row, ppm-floored identically in both engines. (No tie
+    correction term, as with the classic statistic; the oracle computes
+    the same definition.)
+
+    Shape: one partial-aggregable groupBy to the {_FRIED_BLOCKS}x5 cell
+    relation, ranks inside 12-row partitions, then a 5-row rollup — after
+    the first aggregate everything is constant-size regardless of SF."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % _FRIED_BLOCKS).alias("blk"), "event_type"
+        )
+        .agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("cv"))
+    )
+    w_rk = W.partitionBy("blk").orderBy("cv")
+    w_tie = W.partitionBy("blk", "cv")
+    ranked = cells.withColumn(
+        "rank2",
+        (
+            2 * F.rank().over(w_rk)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).cast("long"),
+    )
+    coltot = ranked.groupBy("event_type").agg(
+        F.sum("rank2").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    k = coltot.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r2j") * F.col("r2j")).cast("long").alias("sum_r2j_sq"),
+    )
+    return coltot.crossJoin(F.broadcast(k)).select(
+        "event_type",
+        "n_blocks",
+        "r2j",
+        F.expr(
+            "CAST((1000000 * (3 * sum_r2j_sq"
+            " - 3 * n_blocks * n_blocks * k * (k + 1) * (k + 1)))"
+            " div (n_blocks * k * (k + 1)) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+# -- Cochran's Q (r12 queue) --------------------------------------------------------
+
+_COCHRAN_BLOCKS = 16
+
+
+@register(
+    "stats_cochran_q",
+    deferred=True,
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % {_COCHRAN_BLOCKS} AS blk, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), mean_cell AS (
+        SELECT CAST(SUM(cnt) // ({_COCHRAN_BLOCKS} * COUNT(DISTINCT event_type))
+                    AS BIGINT) AS mc
+        FROM cells
+    ), x AS (
+        SELECT blk, event_type,
+               CASE WHEN cnt > (SELECT mc FROM mean_cell) THEN 1 ELSE 0 END AS xij
+        FROM cells
+    ), rows_ AS (
+        SELECT blk, CAST(SUM(xij) AS BIGINT) AS ri FROM x GROUP BY 1
+    ), cols AS (
+        SELECT event_type, CAST(SUM(xij) AS BIGINT) AS cj FROM x GROUP BY 1
+    ), m AS (
+        SELECT (SELECT COUNT(*) FROM cols) AS k,
+               (SELECT SUM(cj) FROM cols) AS n_tot,
+               (SELECT SUM(cj * cj) FROM cols) AS sum_cj_sq,
+               (SELECT SUM(ri) FROM rows_) AS sum_ri,
+               (SELECT SUM(ri * ri) FROM rows_) AS sum_ri_sq
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_tot AS BIGINT) AS n_successes,
+           CAST((1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot))
+                // (k * sum_ri - sum_ri_sq) AS BIGINT) AS q_ppm
+    FROM m
+    """,
+)
+def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over a {_COCHRAN_BLOCKS}x5 binary design: block i
+    "succeeds" on treatment j iff its event count for type j exceeds the
+    global mean cell count — did any event type light up across user
+    buckets more consistently than chance? Q = (k−1)[kΣC_j² − N²] /
+    [kΣR_i − ΣR_i²], the k>2 generalization of McNemar (stats_mcnemar
+    is the k=2 special case; Friedman generalizes further to ordinal).
+
+    Determinism: cell counts, the floored mean-cell threshold, and both
+    marginal sums are exact integers; Q is one integer rational floored
+    to ppm identically in both engines.
+
+    Shape: one partial-aggregable groupBy to the 80-cell relation; every
+    later step is constant-size. The binarization threshold is a 1-row
+    broadcast."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % _COCHRAN_BLOCKS).alias("blk"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    mc = cells.agg(
+        F.expr(
+            f"CAST(SUM(cnt) div ({_COCHRAN_BLOCKS}"
+            " * COUNT(DISTINCT event_type)) AS BIGINT)"
+        ).alias("mc")
+    )
+    x = cells.crossJoin(F.broadcast(mc)).select(
+        "blk",
+        "event_type",
+        F.when(F.col("cnt") > F.col("mc"), 1).otherwise(0).alias("xij"),
+    )
+    rows_ = x.groupBy("blk").agg(F.sum("xij").cast("long").alias("ri"))
+    cols = x.groupBy("event_type").agg(F.sum("xij").cast("long").alias("cj"))
+    m = cols.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("cj").cast("long").alias("n_tot"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sum_cj_sq"),
+    ).crossJoin(
+        F.broadcast(
+            rows_.agg(
+                F.sum("ri").cast("long").alias("sum_ri"),
+                F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sum_ri_sq"),
+            )
+        )
+    )
+    return m.select(
+        "k",
+        F.col("n_tot").alias("n_successes"),
+        F.expr(
+            "CAST((1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot))"
+            " div (k * sum_ri - sum_ri_sq) AS BIGINT)"
+        ).alias("q_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
