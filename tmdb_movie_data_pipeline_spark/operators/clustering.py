@@ -2047,5 +2047,159 @@ def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- expected calibration error (r12 queue) ------------------------------------------
+
+
+@register(
+    "ml_expected_calibration_error",
+    deferred=True,
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), binned AS (
+        SELECT ((n_chars - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin,
+               CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos
+        FROM documents CROSS JOIN mm
+    ), bins AS (
+        SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos,
+               ABS(2 * {_CAL_BINS} * SUM(pos)
+                   - COUNT(*) * (2 * bin + 1)) AS gap_num
+        FROM binned GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST((1000000 * SUM(gap_num))
+                // (2 * {_CAL_BINS} * SUM(n)) AS BIGINT) AS ece_ppm,
+           CAST(MAX((1000000 * gap_num) // (2 * {_CAL_BINS} * n))
+                AS BIGINT) AS mce_ppm
+    FROM bins
+    """,
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the one-number summary of
+    ml_calibration_bins' reliability curve that model cards actually
+    report: ECE = Σ_b (n_b/N)·|acc_b − conf_b|, plus MCE (the worst
+    bin's gap). Confidence per bin is the bin midpoint (2·bin+1)/(2·B)
+    of the SAME equal-width histogram ml_calibration_bins uses
+    (_calibration_binned — one definition, so the curve and its summary
+    can never drift apart).
+
+    Determinism: each bin's gap is the integer |2B·n_pos − n_b(2bin+1)|
+    over the common denominator 2B·n_b; ECE folds them over 2B·N and
+    both ppm divisions floor identically in both engines — no float
+    anywhere.
+
+    Shape: the same map-only binning + B-group rollup as the curve, then
+    a 1-row fold over B bins. Nothing but the scan scales with data."""
+    binned = _calibration_binned(load_table(spark, sf_dir, "documents"))
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+    ).select(
+        "n",
+        F.expr(
+            f"ABS(2 * {_CAL_BINS} * n_pos - n * (2 * bin + 1))"
+        ).alias("gap_num"),
+    )
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("_nt"),
+        F.sum("gap_num").alias("_sg"),
+        F.max(
+            F.expr(f"(1000000 * gap_num) div (2 * {_CAL_BINS} * n)")
+        )
+        .cast("long")
+        .alias("mce_ppm"),
+    ).select(
+        "n_bins",
+        F.col("_nt").alias("n_total"),
+        F.expr(
+            f"CAST((1000000 * _sg) div (2 * {_CAL_BINS} * _nt) AS BIGINT)"
+        ).alias("ece_ppm"),
+        "mce_ppm",
+    )
+
+
+# -- cumulative gains / lift deciles (r12 queue) --------------------------------------
+
+_GAINS_DECILES = 10
+
+
+@register(
+    "ml_gains_lift_deciles",
+    deferred=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos,
+               NTILE({_GAINS_DECILES}) OVER (ORDER BY n_chars DESC, doc_id)
+                   AS decile
+        FROM documents
+    ), per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n) AS nn, SUM(n_pos) AS pp FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+           CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+           CAST((1000000 * SUM(n_pos) OVER w) // tot.pp AS BIGINT)
+               AS gain_ppm,
+           CAST((1000000 * SUM(n_pos) OVER w * tot.nn)
+                // (SUM(n) OVER w * tot.pp) AS BIGINT) AS lift_ppm
+    FROM per CROSS JOIN tot
+    WINDOW w AS (ORDER BY decile)
+    """,
+)
+def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score decile — "the top 20 % of
+    documents by the n_chars score capture X % of the '{_CAL_POS_LANG}'
+    positives, a Y× lift over random" — the campaign-targeting view of
+    the same score ml_calibration_bins grades for probability quality
+    and ml_auc_roc for ranking quality (and the PROPENSITY sibling of
+    ml_qini_curve's uplift deciles).
+
+    Determinism: deciles come from NTILE over the fully tie-broken order
+    (score desc, doc_id) — both engines fill earlier tiles first, so the
+    split is identical; gains/lift are integer rationals ppm-floored over
+    exact decile counts.
+
+    Shape: one window pass for deciles (a global sort of (score, id)
+    pairs — at 100 TB this is the one genuine sort, same budget as any
+    ranking eval), a {_GAINS_DECILES}-row rollup, then constant-size
+    cumulative windows."""
+    scored = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("pos"),
+        F.ntile(_GAINS_DECILES)
+        .over(W.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("n_pos").alias("pp")
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+        .withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            "n_pos",
+            "cum_pos",
+            F.expr("CAST((1000000 * cum_pos) div pp AS BIGINT)").alias(
+                "gain_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * cum_pos * nn) div (cum_n * pp) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1964,5 +1964,137 @@ def padding_waste_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- UniMax language-capped allocation (r12 queue) -----------------------------------
+
+#: epoch cap: no language's data is repeated more than this many times
+_UNIMAX_EPOCHS = 1
+#: training budget as a fraction of the corpus (numerator/denominator)
+_UNIMAX_B_NUM, _UNIMAX_B_DEN = 8, 10
+
+
+@register(
+    "llm_unimax_language_caps",
+    deferred=True,
+    oracle=f"""
+    WITH avail AS (
+        SELECT lang, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), w AS (
+        SELECT lang, n_tokens, {_UNIMAX_EPOCHS} * n_tokens AS cap,
+               ROW_NUMBER() OVER ord AS rn,
+               SUM({_UNIMAX_EPOCHS} * n_tokens)
+                   OVER (ord ROWS UNBOUNDED PRECEDING) AS s,
+               COUNT(*) OVER () AS l,
+               ({_UNIMAX_B_NUM} * SUM(n_tokens) OVER ()) // {_UNIMAX_B_DEN}
+                   AS b
+        FROM avail
+        WINDOW ord AS (ORDER BY {_UNIMAX_EPOCHS} * n_tokens, lang)
+    ), f AS (
+        SELECT *, CASE WHEN cap * (l - rn + 1) <= b - (s - cap)
+                       THEN 1 ELSE 0 END AS flag
+        FROM w
+    ), g AS (
+        SELECT *, SUM(flag) OVER () AS i0,
+               COALESCE(SUM(CASE WHEN flag = 1 THEN cap END) OVER (), 0)
+                   AS s_i0
+        FROM f
+    )
+    SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap,
+           CAST(CASE WHEN flag = 1 THEN cap
+                     WHEN l = i0 THEN cap
+                     ELSE (b - s_i0) // (l - i0)
+                          + CASE WHEN rn - i0 <= (b - s_i0) % (l - i0)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens,
+           CAST((1000000 * CASE WHEN flag = 1 THEN cap
+                     WHEN l = i0 THEN cap
+                     ELSE (b - s_i0) // (l - i0)
+                          + CASE WHEN rn - i0 <= (b - s_i0) % (l - i0)
+                                 THEN 1 ELSE 0 END
+                END) // n_tokens AS BIGINT) AS epochs_ppm
+    FROM g
+    """,
+)
+def unimax_language_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax multilingual budget allocation (Chung et al., ICLR 2023):
+    spread a training budget of {_UNIMAX_B_NUM}/{_UNIMAX_B_DEN} of the
+    corpus as UNIFORMLY as possible across languages, but never repeat a
+    language beyond {_UNIMAX_EPOCHS} epoch(s) — the repetition-capped
+    alternative to temperature sampling (llm_temperature_mix_quota),
+    which over-repeats tail languages at small τ. Exact integer
+    water-filling: languages ascending by capacity c=E·n, the largest
+    prefix whose members fit under an even split of what remains takes
+    c outright (these languages are fully consumed), and the remainder
+    splits evenly over the rest (floor + largest-remainder so the total
+    is exactly B). On this fixture the four smaller languages cap at one
+    epoch and English absorbs the remainder at ~half an epoch.
+
+    Determinism: every quantity (token counts, caps, the cross-multiplied
+    water-level test cap·(L−rn+1) ≤ B−S_prev, the floor/mod split) is
+    BIGINT; both engines floor identically. Σ alloc == B by construction
+    whenever B ≤ Σc.
+
+    Shape: one token-count aggregate to |langs| rows; every window after
+    that is over the |langs|-sized relation — the corpus is scanned once
+    and never shuffled."""
+    from pyspark.sql.window import Window as W
+
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens_col())).cast("long").alias("n_tokens")
+    )
+    ord_w = W.orderBy(
+        (F.lit(_UNIMAX_EPOCHS) * F.col("n_tokens")).asc(), F.col("lang").asc()
+    )
+    all_w = W.partitionBy()
+    w = avail.select(
+        "lang",
+        "n_tokens",
+        (F.lit(_UNIMAX_EPOCHS) * F.col("n_tokens")).alias("cap"),
+        F.row_number().over(ord_w).alias("rn"),
+        F.sum(F.lit(_UNIMAX_EPOCHS) * F.col("n_tokens"))
+        .over(ord_w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("s"),
+        F.count(F.lit(1)).over(all_w).alias("l"),
+        F.expr(
+            f"({_UNIMAX_B_NUM} * SUM(n_tokens) OVER ()) div {_UNIMAX_B_DEN}"
+        ).alias("b"),
+    )
+    f = w.withColumn(
+        "flag",
+        F.when(
+            F.col("cap") * (F.col("l") - F.col("rn") + 1)
+            <= F.col("b") - (F.col("s") - F.col("cap")),
+            1,
+        ).otherwise(0),
+    )
+    g = f.select(
+        "*",
+        F.sum("flag").over(all_w).alias("i0"),
+        F.coalesce(
+            F.sum(F.when(F.col("flag") == 1, F.col("cap"))).over(all_w),
+            F.lit(0),
+        ).alias("s_i0"),
+    )
+    alloc = (
+        "CASE WHEN flag = 1 THEN cap"
+        " WHEN l = i0 THEN cap"
+        " ELSE (b - s_i0) div (l - i0)"
+        " + CASE WHEN rn - i0 <= (b - s_i0) % (l - i0) THEN 1 ELSE 0 END"
+        " END"
+    )
+    return g.select(
+        "lang",
+        "n_tokens",
+        F.col("cap").cast("long").alias("cap"),
+        F.expr(f"CAST({alloc} AS BIGINT)").alias("alloc_tokens"),
+        F.expr(f"CAST((1000000 * {alloc}) div n_tokens AS BIGINT)").alias(
+            "epochs_ppm"
+        ),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
