@@ -1337,5 +1337,106 @@ def scene_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- ViT-style patch tiling (r12 queue) ------------------------------------------------
+
+_TILE_P = 2  # patch edge in pixels
+
+
+def _tile_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode->decode->tile per Arrow batch: round-trip each doc's
+    synthetic image through its real container (BMP even / PPM odd, same
+    rule as _decode_stats_batches), top-left-crop to whole patches, and
+    reduce every {_TILE_P}x{_TILE_P} patch to per-channel sums —
+    vectorized as one numpy 6-d reshape per image."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "tile_y": [], "tile_x": [],
+            "sum_r": [], "sum_g": [], "sum_b": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 2 + d % 7, 2 + d % 5
+            rgb = bytes((d * 7 + i) % 256 for i in range(3 * w * h))
+            payload = encode_bmp(w, h, rgb) if d % 2 == 0 else encode_ppm(w, h, rgb)
+            img = decode_image(payload)
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, 3)
+            ph, pw = h // _TILE_P, w // _TILE_P
+            crop = px[: ph * _TILE_P, : pw * _TILE_P, :]
+            # (ph, P, pw, P, 3) -> per-tile channel sums
+            tiles = (
+                crop.reshape(ph, _TILE_P, pw, _TILE_P, 3)
+                .astype(np.int64)
+                .sum(axis=(1, 3))
+            )
+            for ty in range(ph):
+                for tx in range(pw):
+                    out["doc_id"].append(d)
+                    out["tile_y"].append(ty)
+                    out["tile_x"].append(tx)
+                    out["sum_r"].append(int(tiles[ty, tx, 0]))
+                    out["sum_g"].append(int(tiles[ty, tx, 1]))
+                    out["sum_b"].append(int(tiles[ty, tx, 2]))
+        yield pd.DataFrame(out)
+
+
+TILE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tile_y", T.IntegerType(), False),
+        T.StructField("tile_x", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_image_tile_stats",
+    deferred=True,
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, CAST(2 + doc_id % 7 AS INTEGER) AS w,
+               CAST(2 + doc_id % 5 AS INTEGER) AS h
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST((t.k // d.w) // {_TILE_P} AS INTEGER) AS tile_y,
+           CAST((t.k % d.w) // {_TILE_P} AS INTEGER) AS tile_x,
+           CAST(SUM((d.doc_id * 7 + 3 * t.k + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 7 + 3 * t.k + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 7 + 3 * t.k + 2) % 256) AS BIGINT) AS sum_b
+    FROM dims d, generate_series(0, {_IMG_MAX_PIXELS - 1}) t(k)
+    WHERE t.k < d.w * d.h
+      AND (t.k % d.w) < {_TILE_P} * (d.w // {_TILE_P})
+      AND (t.k // d.w) < {_TILE_P} * (d.h // {_TILE_P})
+    GROUP BY ALL
+    """,
+)
+def image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tiling over REAL decoded images: each doc's
+    container round-trips through decode_image (BMP even / PPM odd, the
+    same two paths multimodal_decode_stats pins), the raster is top-left
+    cropped to whole {_TILE_P}x{_TILE_P} patches, and every patch reduces
+    to per-channel sums — the patch-embedding front door of every vision
+    transformer (patchify -> linear proj; the sums stand in for the
+    projection, which needs weights this oracle can't know).
+
+    The oracle knows only the closed-form pixel rule and the tiling
+    arithmetic (tile_y = (k div w) div P over the flattened index),
+    never the container bytes: a green row proves decode + crop + the
+    6-d reshape tile order agree with the spec per tile, not just per
+    image (a row-order or stride bug that happens to preserve whole-image
+    sums still shifts tile sums).
+
+    Shape: map-only mapInPandas (decode + one vectorized numpy reshape
+    per image), no shuffle; output rows = patches per image. At real
+    resolutions the same reshape handles 224x224/P=16 unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        _tile_stats_batches, schema=TILE_STATS_SCHEMA
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

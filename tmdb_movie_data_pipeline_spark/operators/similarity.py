@@ -1574,5 +1574,230 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- MMR diversified top-k (r12 queue) -----------------------------------------------
+
+_MMR_POOL = 12  # relevance candidates per query feeding the greedy stage
+_MMR_K = 4  # diversified picks per query
+
+
+def _mmr_cand_sql() -> str:
+    """Shared CTE text: quantized-relevance candidate pool + pairwise
+    candidate sims (DuckDB spelling; the Spark side builds the identical
+    relations with DataFrames)."""
+    return f"""
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(1000000 * ({_dot_duck("q_emb", "c_emb")}
+                    / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")})))
+                    AS BIGINT) AS rel
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    pe AS (
+        SELECT cand.query_id, cand.neighbor_id, cand.rel, e.embedding
+        FROM cand JOIN embeddings e ON e.vec_id = cand.neighbor_id
+    ),
+    pairs AS (
+        SELECT x.query_id, x.neighbor_id AS a_id, y.neighbor_id AS b_id,
+               CAST(ROUND(1000000 * ({_dot_duck("x.embedding", "y.embedding")}
+                    / ({_norm_duck("x.embedding")} * {_norm_duck("y.embedding")})))
+                    AS BIGINT) AS sim
+        FROM pe x JOIN pe y
+          ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+    )"""
+
+
+def _mmr_steps_sql() -> str:
+    """Unrolled greedy steps s1..s{_MMR_K}: argmax relevance first, then
+    argmax of (rel − max sim to selected) over the not-yet-selected."""
+    parts = [
+        """
+    s1 AS (
+        SELECT query_id, neighbor_id, rel, CAST(1 AS BIGINT) AS step,
+               rel AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, neighbor_id) AS rn
+              FROM cand) WHERE rn = 1
+    ),
+    sel1 AS (SELECT * FROM s1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(f"""
+    m{i} AS (
+        SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.sim) AS ms
+        FROM cand c
+        JOIN pairs p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+        JOIN sel{i - 1} s ON s.query_id = p.query_id
+                         AND s.neighbor_id = p.b_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} z
+                          WHERE z.query_id = c.query_id
+                            AND z.neighbor_id = c.neighbor_id)
+        GROUP BY 1, 2, 3
+    ),
+    s{i} AS (
+        SELECT query_id, neighbor_id, rel, CAST({i} AS BIGINT) AS step,
+               rel - ms AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel - ms DESC, neighbor_id)
+                        AS rn
+              FROM m{i}) WHERE rn = 1
+    ),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    return ",".join(parts)
+
+
+@register(
+    "ml_mmr_diversified_topk",
+    deferred=True,
+    oracle=f"""
+    WITH {_mmr_cand_sql()}, {_mmr_steps_sql()}
+    SELECT query_id, neighbor_id, step, rel AS rel_micro,
+           CAST(score AS BIGINT) AS score_micro
+    FROM sel{_MMR_K}
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's top-{_MMR_POOL} relevance pool, greedily pick
+    {_MMR_K} results maximizing 2·MMR_λ=½ = rel − max_sim_to_selected —
+    the diversity pass RAG retrieval stacks and dedup-aware search run
+    AFTER ann_*_topk, so near-identical chunks don't crowd the context
+    window (complements dedup_semdedup_prune, which drops near-dups from
+    the corpus; MMR tolerates them and diversifies per query).
+
+    Determinism: relevance and pairwise sims quantize to integer micro
+    BEFORE any comparison (the cosine doubles are bit-identical by this
+    module's fixed-order expressions), every argmax tie-breaks by
+    neighbor_id, and scores stay integer throughout. The oracle unrolls
+    the same {_MMR_K} greedy steps as chained CTEs.
+
+    Shape: the pool build is the same broadcast crossJoin + per-query
+    window as ann_cosine_topk; after it everything is bounded by
+    |Q|·{_MMR_POOL} rows (pairs: |Q|·{_MMR_POOL}²). The {_MMR_K}-step
+    greedy loop composes one lazy plan — bounded joins over broadcast-
+    sized relations, no iteration over data; at 100 TB only the pool
+    build scales (swap in the IVF/LSH candidate stage), the MMR stage is
+    constant-size per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "rel",
+            F.expr(
+                f"CAST(ROUND(1000000 * ({_dot_spark('q_emb', 'c_emb')}"
+                f" / ({_norm_spark('q_emb')} * {_norm_spark('c_emb')})))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    w_rel = W.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "neighbor_id", "rel")
+    )
+    pe = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    x = pe.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    y = pe.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = (
+        x.join(y, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.expr(
+                f"CAST(ROUND(1000000 * ({_dot_spark('a_emb', 'b_emb')}"
+                f" / ({_norm_spark('a_emb')} * {_norm_spark('b_emb')})))"
+                " AS BIGINT)"
+            ).alias("sim"),
+        )
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            F.lit(1).cast("long").alias("step"),
+            F.col("rel").alias("score"),
+        )
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_ids = sel.select("query_id", F.col("neighbor_id").alias("s_id"))
+        rem = cand.join(
+            sel_ids.withColumnRenamed("s_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        ms = (
+            pairs.join(
+                sel_ids,
+                (pairs.query_id == sel_ids.query_id)
+                & (pairs.b_id == sel_ids.s_id),
+            )
+            .select(pairs.query_id, "a_id", "sim")
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("ms"))
+        )
+        m = rem.join(
+            ms.withColumnRenamed("a_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).withColumn("score", F.col("rel") - F.col("ms"))
+        w_mmr = W.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        pick = (
+            m.withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                F.lit(i).cast("long").alias("step"),
+                "score",
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id",
+        "neighbor_id",
+        "step",
+        F.col("rel").alias("rel_micro"),
+        F.col("score").cast("long").alias("score_micro"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -247,3 +247,49 @@ def collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY label COLLATE UTF8_LCASE
         """
     )
+
+
+# -- GROUP BY ALL / ORDER BY ALL -----------------------------------------------------
+
+
+@register(
+    "sql_group_by_all_report",
+    deferred=True,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority, EXTRACT(YEAR FROM o_orderdate)
+    ORDER BY o_orderpriority, order_year, n_orders, total_cents
+    """,
+)
+def group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (Spark 3.4/4.0 sugar): the analyst
+    dialect where the engine infers the grouping set (every non-aggregate
+    select item) and the sort (every select item) — the fix for the
+    classic drift where a column added to SELECT is forgotten in GROUP
+    BY and the query errors, or worse, silently double-groups. The
+    oracle spells both lists explicitly (DuckDB shares the ALL dialect,
+    but pinning against ANSI is the point: the sugar must lower to the
+    identical relation with the identical partial-aggregable plan).
+
+    Shape: plain scan + partial/final hash aggregate over ~10 groups;
+    the INFERENCE path is the artifact under test."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ord_gba_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM ord_gba_v
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
