@@ -832,7 +832,12 @@ def test_shapley_attribution_efficiency_identity():
     lattice, or marginal-pair bug breaks this identity."""
     import duckdb
 
-    from tmdb_movie_data_pipeline_spark.registry import deferred_oracles
+    # activation-agnostic lookup (the query moved deferred -> active in
+    # r11; a test must never encode WHICH side of the rotation a name is on)
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_oracles,
+        deferred_oracles,
+    )
 
     con = duckdb.connect()
     con.execute(
@@ -840,7 +845,7 @@ def test_shapley_attribution_efficiency_identity():
         "read_parquet('/root/testdata/sf0.001/events.parquet')"
     )
     rows = con.execute(
-        deferred_oracles()["events_shapley_attribution"]
+        {**all_oracles(), **deferred_oracles()}["events_shapley_attribution"]
     ).fetchall()
     v_full, v_empty = con.execute(
         """
@@ -862,7 +867,11 @@ def test_jonckheere_terpstra_matches_brute_force():
     (both use the doubled exceedance identity) cannot hide from this."""
     import duckdb
 
-    from tmdb_movie_data_pipeline_spark.registry import deferred_oracles
+    # activation-agnostic lookup (the query moved deferred -> active in r11)
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_oracles,
+        deferred_oracles,
+    )
 
     con = duckdb.connect()
     con.execute(
@@ -886,7 +895,9 @@ def test_jonckheere_terpstra_matches_brute_force():
                 for y in groups.get(j, []):
                     jt2 += 2 if x < y else (1 if x == y else 0)
     n_total, got_jt2, e_jt_x4 = con.execute(
-        deferred_oracles()["stats_jonckheere_terpstra"]
+        {**all_oracles(), **deferred_oracles()}[
+            "stats_jonckheere_terpstra"
+        ]
     ).fetchone()
     assert got_jt2 == jt2
     assert n_total == len(rows)

@@ -490,3 +490,158 @@ def scalar_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_err_pico",
         "codes_used",
     )
+
+
+# -- per-dimension outlier clip audit (r12 queue) --------------------------------------
+
+_CLIP_LO_PCT, _CLIP_HI_PCT = 1, 99  # clip grid: [p1, p99]
+
+
+@register(
+    "ml_embedding_outlier_clip",
+    deferred=True,
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xm
+        FROM embeddings
+    ), hist AS (
+        SELECT pos, xm, CAST(COUNT(*) AS BIGINT) AS c
+        FROM flat GROUP BY 1, 2
+    ), cum AS (
+        SELECT pos, xm, c,
+               SUM(c) OVER (PARTITION BY pos ORDER BY xm
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER (PARTITION BY pos) AS n
+        FROM hist
+    ), bounds AS (
+        SELECT pos, MAX(n) AS n,
+               MIN(CASE WHEN cc >= ({_CLIP_LO_PCT} * n + 99) // 100
+                        THEN xm END) AS p_lo,
+               MIN(CASE WHEN cc >= ({_CLIP_HI_PCT} * n + 99) // 100
+                        THEN xm END) AS p_hi
+        FROM cum GROUP BY 1
+    )
+    SELECT h.pos, CAST(b.n AS BIGINT) AS n,
+           CAST(b.p_lo AS BIGINT) AS p_lo_micro,
+           CAST(b.p_hi AS BIGINT) AS p_hi_micro,
+           CAST(SUM(CASE WHEN h.xm < b.p_lo OR h.xm > b.p_hi
+                         THEN h.c ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(CASE WHEN h.xm > b.p_hi
+                         THEN h.c * (h.xm - b.p_hi) * (h.xm - b.p_hi)
+                         WHEN h.xm < b.p_lo
+                         THEN h.c * (b.p_lo - h.xm) * (b.p_lo - h.xm)
+                         ELSE 0 END) AS BIGINT) AS clip_energy_micro2
+    FROM hist h JOIN bounds b USING (pos)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def embedding_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension outlier-clip audit over the embedding corpus: exact
+    ordinal p{_CLIP_LO_PCT}/p{_CLIP_HI_PCT} bounds, how many values a
+    [p_lo, p_hi] clip would touch, and the squared mass it removes —
+    the preprocessing decision in front of SQ8
+    (ml_scalar_quantization_error shows affine codes wasting range on
+    outliers; this measures what clipping the grid to the inlier span
+    costs, the standard vector-DB quantile-clip recipe).
+
+    Determinism: values micro-quantize BEFORE ranking, percentile ranks
+    are ordinal ceilings ((k·n + 99) div 100) over the per-dimension
+    VALUE HISTOGRAM, and clip energies are integer micro² — both engines
+    floor identically; no float survives past the quantize.
+
+    Shape: one explode to (pos, value) (map-only), one partial-aggregable
+    histogram groupBy, windows over the (pos, distinct-value) histogram —
+    never a raw-row sort — then a broadcast of the 64-row bounds relation
+    back onto the histogram. The same discipline as
+    agg_equi_depth_histogram at 100 TB: per-dimension state is O(distinct
+    values), not O(rows)."""
+    flat = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "_x"))
+        .select(
+            "pos",
+            F.expr(
+                "CAST(ROUND(CAST(_x AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("xm"),
+        )
+    )
+    hist = flat.groupBy("pos", "xm").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        W.partitionBy("pos")
+        .orderBy("xm")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("pos")
+    cum = hist.select(
+        "pos",
+        "xm",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("pos").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.expr(f"({_CLIP_LO_PCT} * n + 99) div 100"),
+                F.col("xm"),
+            )
+        )
+        .cast("long")
+        .alias("p_lo"),
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.expr(f"({_CLIP_HI_PCT} * n + 99) div 100"),
+                F.col("xm"),
+            )
+        )
+        .cast("long")
+        .alias("p_hi"),
+    )
+    return (
+        hist.join(F.broadcast(bounds), "pos")
+        .groupBy("pos", "n", "p_lo", "p_hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xm") < F.col("p_lo"))
+                    | (F.col("xm") > F.col("p_hi")),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum(
+                F.when(
+                    F.col("xm") > F.col("p_hi"),
+                    F.col("c")
+                    * (F.col("xm") - F.col("p_hi"))
+                    * (F.col("xm") - F.col("p_hi")),
+                )
+                .when(
+                    F.col("xm") < F.col("p_lo"),
+                    F.col("c")
+                    * (F.col("p_lo") - F.col("xm"))
+                    * (F.col("p_lo") - F.col("xm")),
+                )
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("clip_energy_micro2"),
+        )
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            "n",
+            F.col("p_lo").alias("p_lo_micro"),
+            F.col("p_hi").alias("p_hi_micro"),
+            "n_clipped",
+            "clip_energy_micro2",
+        )
+    )

@@ -293,3 +293,61 @@ def group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# -- SQL scalar UDFs (CREATE FUNCTION ... RETURN) --------------------------------------
+
+
+@register(
+    "sql_scalar_udf_battery",
+    deferred=True,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bulk
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def scalar_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4.0 ``CREATE FUNCTION ... RETURNS ... RETURN
+    expr``): business logic named INSIDE the catalog — the engine inlines
+    the body into the calling plan, so unlike Python UDFs these cost
+    nothing (stay in codegen, keep pushdown) and unlike views they
+    compose as expressions. Two functions — a money-quantizing
+    discounted-price and a CASE-based bulk-flag that CALLS the first
+    kind of boundary (UDF-inside-aggregate, UDF-inside-predicate) — are
+    exercised through one aggregate; the oracle inlines both bodies,
+    pinning that the catalog indirection changes nothing.
+
+    Shape: identical to the plain q1-style scan+agg — the plan must show
+    the inlined expressions with the shipdate filter still pushed; the
+    CATALOG path is the artifact under test."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION gj_disc_cents(
+               p DOUBLE, d DOUBLE) RETURNS BIGINT
+           RETURN CAST(ROUND(p * (1 - d) * 100) AS BIGINT)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION gj_is_bulk(q DOUBLE)
+           RETURNS INT RETURN CASE WHEN q >= 30 THEN 1 ELSE 0 END"""
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_udf_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(gj_disc_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS revenue_cents,
+               CAST(SUM(gj_is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM li_udf_v
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY l_returnflag
+        """
+    )

@@ -2147,5 +2147,69 @@ def repeated_ngram_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- feature hashing (the hashing trick) (r12 queue) -----------------------------------
+
+_FH_BUCKETS = 256  # 2^8 hashed feature dimensions
+
+
+@register(
+    "ml_feature_hashing_stats",
+    deferred=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKENS_SQL}) AS t FROM documents
+    ), hashed AS (
+        SELECT doc_id, t,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {_FH_BUCKETS}
+                   AS bucket,
+               CASE WHEN ('0x' || substr(md5(t), 17, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) AS BIGINT) AS total_tf,
+           CAST(SUM(sgn) AS BIGINT) AS net_signed,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM hashed GROUP BY 1
+    """,
+)
+def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009), audited: every token
+    maps to one of {_FH_BUCKETS} feature buckets via md5 with a ±1 sign
+    bit from a disjoint hash slice — the fixed-width featurizer
+    (fastText/Vowpal-style) that needs NO vocabulary build, broadcast, or
+    shuffle at 100 TB. Per bucket: distinct terms landing there (the
+    collision audit — E[n_terms] = vocab/{_FH_BUCKETS}), raw tf, the
+    signed net (collisions cancel in expectation under the sign bit —
+    that is the trick's unbiasedness device), and document frequency.
+
+    Determinism: bucket and sign derive from disjoint md5 substring
+    slices through the module's established conv/0x cross-engine idiom;
+    everything after is exact integer counting.
+
+    Shape: one token explode, one md5 per token, one partial-aggregable
+    groupBy to {_FH_BUCKETS} rows. The vocabulary never materializes —
+    exactly why the trick scales where dictionary featurizers need a
+    broadcast."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_col()).alias("t")
+    )
+    hashed = tok.selectExpr(
+        "doc_id",
+        "t",
+        f"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_FH_BUCKETS} AS bucket",
+        "CASE WHEN CAST(conv(substring(md5(t), 17, 1), 16, 10) AS BIGINT)"
+        " % 2 = 0 THEN 1 ELSE -1 END AS sgn",
+    )
+    return hashed.groupBy("bucket").agg(
+        F.countDistinct("t").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("total_tf"),
+        F.sum("sgn").cast("long").alias("net_signed"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
