@@ -1438,5 +1438,72 @@ def image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- PCM zero-crossing rate (r12 queue) ------------------------------------------------
+
+
+def _pcm_zcr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize->encode->decode each clip (same sample rule and s16le
+    round-trip as _pcm_energy_batches), then count sign flips between
+    CONSECUTIVE samples within each {_PCM_FRAME}-sample frame (zero
+    treated as non-negative)."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "zero_crossings": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = ((d * 31 + np.arange(_PCM_SAMPLES, dtype=np.int64)) % 4096) - 2048
+            payload = samples.astype("<i2").tobytes()
+            s = decode_pcm_s16le(payload)
+            frames = s.reshape(-1, _PCM_FRAME)
+            neg = frames < 0
+            zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+            for i in range(frames.shape[0]):
+                out["doc_id"].append(d)
+                out["frame_idx"].append(i)
+                out["zero_crossings"].append(int(zc[i]))
+        yield pd.DataFrame(out)
+
+
+PCM_ZCR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_pcm_zero_crossings",
+    deferred=True,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(t.k // {_PCM_FRAME} AS INTEGER) AS frame_idx,
+           CAST(SUM(CASE WHEN ((doc_id * 31 + t.k) % 4096 - 2048 < 0)
+                          <> ((doc_id * 31 + t.k + 1) % 4096 - 2048 < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM documents, generate_series(0, {_PCM_SAMPLES - 2}) t(k)
+    WHERE t.k % {_PCM_FRAME} <> {_PCM_FRAME - 1}
+    GROUP BY doc_id, frame_idx
+    """,
+)
+def pcm_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate per {_PCM_FRAME}-sample frame — the second half
+    of the classic VAD/voicing feature pair (with
+    multimodal_pcm_frame_energy): high energy + low ZCR reads voiced,
+    low energy + high ZCR reads fricative/noise. Counts sign flips
+    between consecutive decoded samples within a frame (zero counts as
+    non-negative, pairs never straddle frames), over the SAME s16le
+    encode/decode round-trip the energy query pins — the oracle knows
+    only the closed-form sample rule, so a byte-order or signedness bug
+    shifts the flip counts.
+
+    Shape: map-only mapInPandas, vectorized sign-diff per Arrow batch,
+    no shuffle; 4 rows/clip regardless of clip length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        _pcm_zcr_batches, schema=PCM_ZCR_SCHEMA
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

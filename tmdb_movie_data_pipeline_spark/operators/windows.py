@@ -556,3 +556,53 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      div (n * sxx - sx * sx)) END AS BIGINT)"
         ).alias("slope_ppm"),
     )
+
+
+# -- distribution window functions (r12 queue) ------------------------------------------
+
+
+@register(
+    "window_dist_functions",
+    deferred=True,
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(ROUND(1000000 * PERCENT_RANK() OVER w) AS BIGINT)
+               AS pct_rank_ppm,
+           CAST(ROUND(1000000 * CUME_DIST() OVER w) AS BIGINT)
+               AS cume_dist_ppm
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY ROUND(s_acctbal * 100) DESC, s_suppkey)
+    """,
+)
+def dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST — the distribution members completing
+    the ranking-window family (window_rank_ntile covers rank/dense_rank/
+    ntile): each supplier's within-nation balance percentile, the
+    SQL-standard normalization feature stores ship as-is. Both functions
+    are ratios of exact integers ((rank−1)/(n−1), cum/n) evaluated as one
+    correctly-rounded IEEE division, so ROUND(1e6·x) is bit-identical
+    across engines; the order fully tie-breaks on (cent-balance, key).
+
+    Shape: one shuffle on the partition key, in-partition sort —
+    the canonical window plan; nothing global."""
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.expr("ROUND(s_acctbal * 100) DESC"), F.asc("s_suppkey")
+    )
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("nation"),
+        F.expr(
+            "CAST(ROUND(1000000 * PERCENT_RANK() OVER"
+            " (PARTITION BY s_nationkey"
+            "  ORDER BY ROUND(s_acctbal * 100) DESC, s_suppkey))"
+            " AS BIGINT)"
+        ).alias("pct_rank_ppm"),
+        F.expr(
+            "CAST(ROUND(1000000 * CUME_DIST() OVER"
+            " (PARTITION BY s_nationkey"
+            "  ORDER BY ROUND(s_acctbal * 100) DESC, s_suppkey))"
+            " AS BIGINT)"
+        ).alias("cume_dist_ppm"),
+    )
