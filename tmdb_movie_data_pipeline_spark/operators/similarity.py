@@ -1574,6 +1574,147 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- rank-biased overlap between retrievers (r12 queue) --------------------------------
+
+_RBO_DEPTH = 10  # evaluation depth k
+#: RBO persistence p = 1/2 — the one DYADIC choice, which is what makes the
+#: statistic exact: truncated RBO_k = (1-p) Σ_{d<=k} p^(d-1)·|A_d|/d
+#: = Σ A_d / (d·2^d), an integer rational over D = lcm(1..k)·2^k.
+_RBO_DEN = 2520 * (2 ** _RBO_DEPTH)  # lcm(1..10) * 2^10 = 2580480
+#: per-item closed form: an item common to both lists with worst rank m
+#: contributes W(m) = Σ_{d=m..k} (lcm/d)·2^(k-d) to the numerator — the
+#: per-depth intersection sum re-indexed per item, so no depth explode.
+_RBO_W = {
+    m: sum((2520 // d) * 2 ** (_RBO_DEPTH - d) for d in range(m, _RBO_DEPTH + 1))
+    for m in range(1, _RBO_DEPTH + 1)
+}
+_RBO_W_SQL = (
+    "CASE GREATEST(rank_dense, rank_sparse) "
+    + " ".join(f"WHEN {m} THEN {w}" for m, w in _RBO_W.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "ml_rank_biased_overlap",
+    deferred=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+    dense AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {_dot_duck("q_emb", "c_emb")}
+                            / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")})
+                            DESC, neighbor_id) AS BIGINT) AS rank_dense
+        FROM q, c WHERE query_id <> neighbor_id
+        QUALIFY rank_dense <= {_RBO_DEPTH}
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                         ' '))) AS tok
+        FROM documents
+    ),
+    ov AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+               CAST(COUNT(*) AS BIGINT) AS overlap
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    sparse AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY overlap DESC, neighbor_id) AS BIGINT) AS rank_sparse
+        FROM ov QUALIFY rank_sparse <= {_RBO_DEPTH}
+    ),
+    common AS (
+        SELECT d.query_id, {_RBO_W_SQL} AS w
+        FROM dense d JOIN sparse s
+          ON s.query_id = d.query_id AND s.neighbor_id = d.neighbor_id
+    ),
+    agg AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST((1000000 * SUM(w)) // {_RBO_DEN} AS BIGINT) AS rbo_ppm
+        FROM common GROUP BY 1
+    )
+    SELECT ql.query_id, COALESCE(a.n_common, 0) AS n_common,
+           COALESCE(a.rbo_ppm, 0) AS rbo_ppm
+    FROM (SELECT DISTINCT query_id FROM dense) ql
+    LEFT JOIN agg a USING (query_id)
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the dense-cosine
+    and sparse token-overlap retrievers at depth {_RBO_DEPTH} — "how much
+    do my two retrievers agree, weighted toward the top?" — the
+    top-weighted list-similarity that tells you whether hybrid fusion
+    (ml_hybrid_rrf_fusion) is adding signal (low RBO = complementary
+    lists) or redundancy (high RBO). Persistence p = 1/2 is the one
+    DYADIC choice, making truncated RBO an exact integer rational: each
+    common item with worst rank m contributes the closed-form weight
+    W(m) = Σ over d≥m of (lcm/d)·2^(k−d), denominator lcm(1..k)·2^k — the
+    per-depth intersection sum re-indexed per ITEM, so no depth explode
+    exists in either engine. Truncation bounds RBO at 1 − 2^−k.
+
+    Fixture honesty: the embedding and document modalities are
+    INDEPENDENT synthetic data, so the two retrievers agree on almost
+    nothing (RBO ≈ 0 at both gate scales, one overlapping item at
+    sf0.01) — which is exactly the "fusion adds signal" reading; the
+    gate still pins the join, the weight table, and the zero-fill.
+
+    Shape: both ranked lists are the shared shapes from the RRF fusion
+    (broadcast query×corpus scan; token-keyed equi-join); the RBO itself
+    is one equi-join of two |Q|×{_RBO_DEPTH} lists and a |Q|-row rollup —
+    constant beyond the list builds."""
+    from .text import tokens_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, _RBO_DEPTH
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rank_dense"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens_col())).alias("tok")
+    )
+    ov = (
+        toks.filter(F.col("doc_id") < N_QUERIES)
+        .withColumnRenamed("doc_id", "query_id")
+        .join(
+            toks.withColumnRenamed("doc_id", "neighbor_id"),
+            "tok",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    w_sp = W.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("neighbor_id")
+    )
+    sparse = (
+        ov.withColumn("rank_sparse", F.row_number().over(w_sp).cast("long"))
+        .filter(F.col("rank_sparse") <= _RBO_DEPTH)
+        .select("query_id", "neighbor_id", "rank_sparse")
+    )
+    common = dense.join(sparse, ["query_id", "neighbor_id"]).select(
+        "query_id", F.expr(_RBO_W_SQL).alias("w")
+    )
+    agg = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.expr(f"CAST((1000000 * SUM(w)) div {_RBO_DEN} AS BIGINT)").alias(
+            "rbo_ppm"
+        ),
+    )
+    ql = dense.select("query_id").distinct()
+    return ql.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(F.col("rbo_ppm"), F.lit(0)).cast("long").alias("rbo_ppm"),
+    )
+
+
 # -- MMR diversified top-k (r12 queue) -----------------------------------------------
 
 _MMR_POOL = 12  # relevance candidates per query feeding the greedy stage
