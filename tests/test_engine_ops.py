@@ -946,3 +946,55 @@ def test_scalar_quantization_constant_dimension_guard(spark):
     assert got == [(int(c), int(e)) for c, e in duck_rows]
     assert got[0] == (0, 0), "constant dimension must be code 0 / err 0"
     assert got[2][0] == 255, "full-range value must clamp to the top code"
+
+
+def test_friedman_matches_brute_force():
+    """The window-rank Friedman χ² vs literal python ranking at sf0.001 —
+    a shared-identity bug between the Spark query and its oracle (both
+    use the doubled-rank formula) cannot hide from this."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_oracles,
+        deferred_oracles,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    cells = con.execute(
+        """
+        SELECT user_id % 12, event_type,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_blk: dict[int, list[tuple[str, int]]] = {}
+    for blk, et, cv in cells:
+        by_blk.setdefault(blk, []).append((et, cv))
+    # literal average ranks (fractional), classic chi2_F
+    col_r: dict[str, float] = {}
+    n_blocks = len(by_blk)
+    for blk, items in by_blk.items():
+        vals = sorted(v for _, v in items)
+        for et, v in items:
+            lo = 1 + sum(1 for x in vals if x < v)
+            hi = sum(1 for x in vals if x <= v)
+            col_r[et] = col_r.get(et, 0.0) + (lo + hi) / 2.0
+    k = len(col_r)
+    chi2 = (12.0 / (n_blocks * k * (k + 1))) * sum(
+        r * r for r in col_r.values()
+    ) - 3.0 * n_blocks * (k + 1)
+    rows = con.execute(
+        {**all_oracles(), **deferred_oracles()}["stats_friedman_test"]
+    ).fetchall()
+    con.close()
+    got_ppm = {r[3] for r in rows}
+    assert len(got_ppm) == 1, "chi2 must be identical on every output row"
+    # the query floors an exact rational to ppm; the float reference must
+    # sit within one ppm of it
+    assert abs(next(iter(got_ppm)) - chi2 * 1e6) <= 1.0, (
+        f"engine {next(iter(got_ppm))} ppm vs reference {chi2 * 1e6}"
+    )

@@ -489,3 +489,155 @@ def test_rle_roundtrip_reconstructs_any_byte_stream(data):
         assert 1 <= ln <= 255
     for (l1, v1), (l2, v2) in zip(runs, runs[1:]):
         assert v1 != v2 or l1 == 255, "mergeable adjacent runs"
+
+
+def test_rbo_weight_table_identities():
+    """The RBO per-item weight table must satisfy its two closed-form
+    identities: W(m) telescopes to the per-depth sum, and identical
+    lists score exactly 1 - 2^-k (the truncation residual)."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _RBO_DEN,
+        _RBO_DEPTH,
+        _RBO_W,
+    )
+
+    # W(m) - W(m+1) must equal depth m's own weight (lcm/m)*2^(k-m)
+    for m in range(1, _RBO_DEPTH):
+        own = (2520 // m) * 2 ** (_RBO_DEPTH - m)
+        assert _RBO_W[m] - _RBO_W[m + 1] == own
+    # identical lists: every item at rank m contributes W(m); the total
+    # over m=1..k must be D * (1 - 2^-k) exactly
+    total = sum(_RBO_W[m] for m in range(1, _RBO_DEPTH + 1))
+    assert total * (2 ** _RBO_DEPTH) == _RBO_DEN * (2 ** _RBO_DEPTH - 1)
+
+
+def test_permutation_hash_group_is_not_parity_degenerate():
+    """The permutation test's group bit must come from MIXED hash bits:
+    with an odd multiplier, bit 0 of id*K is id's parity — constant
+    across permutations, which would make every permutation identical.
+    Check that (a) assignments differ across permutation indices for the
+    same id, and (b) within one permutation the two groups are roughly
+    balanced over a contiguous id range."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _PERM_KNUTH,
+        _PERM_STEP,
+    )
+
+    def group(event_id: int, b: int) -> int:
+        return (((event_id + b * _PERM_STEP) * _PERM_KNUTH) // 1048576) % 2
+
+    ids = range(1000)
+    # (a) each id's assignment varies with b (not parity-locked)
+    varies = sum(
+        1 for i in ids if len({group(i, b) for b in range(1, 21)}) == 2
+    )
+    assert varies >= 990, f"only {varies}/1000 ids vary across permutations"
+    # (b) balance within each permutation
+    for b in range(1, 21):
+        ones = sum(group(i, b) for i in ids)
+        assert 400 <= ones <= 600, f"permutation {b} unbalanced: {ones}/1000"
+    # (c) the DEGENERATE form this guards against really is degenerate:
+    # bit 0 of (id + b*step) * K flips with (id + b*step)'s parity only
+    for i in range(100):
+        assert ((i * _PERM_KNUTH) % 2) == (i % 2)
+
+
+def test_unimax_water_filling_axioms(spark):
+    """UniMax allocation axioms on the live fixture: (a) no language
+    exceeds its epoch cap; (b) the allocations sum EXACTLY to the budget
+    whenever the budget fits under the caps; (c) uncapped languages
+    receive within 1 token of each other (uniformity up to the
+    largest-remainder +1)."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _UNIMAX_B_DEN,
+        _UNIMAX_B_NUM,
+        unimax_language_caps,
+    )
+
+    rows = unimax_language_caps(spark, "/root/testdata/sf0.001").collect()
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = (_UNIMAX_B_NUM * total_tokens) // _UNIMAX_B_DEN
+    assert all(r.alloc_tokens <= r.cap for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == budget
+    uncapped = [r.alloc_tokens for r in rows if r.alloc_tokens < r.cap]
+    if len(uncapped) > 1:
+        assert max(uncapped) - min(uncapped) <= 1
+
+
+def test_mmr_greedy_matches_bruteforce_reference(spark):
+    """The lazy-plan MMR must equal a literal Python greedy re-run from
+    the same quantized relevance/sim inputs — pinning argmax order,
+    tie-breaks, and the rel - max_sim objective at every step."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_POOL,
+        mmr_diversified_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.query_id, r.step): (r.neighbor_id, r.score_micro)
+        for r in mmr_diversified_topk(spark, sf).collect()
+    }
+    # rebuild the candidate pool + pairwise sims exactly as the operator
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _dot_duck,
+        _norm_duck,
+        N_QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    cand = con.execute(f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   CAST(ROUND(1000000 * ({_dot_duck("q_emb", "c_emb")}
+                        / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")})))
+                        AS BIGINT) AS rel
+            FROM q, c WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= {_MMR_POOL}
+    """).fetchall()
+    pools: dict[int, list[tuple[int, int]]] = {}
+    for qid, nid, rel in cand:
+        pools.setdefault(qid, []).append((nid, rel))
+    ids = sorted({nid for _, nid, _ in cand})
+    sims_rows = con.execute(f"""
+        WITH pe AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN ({",".join(map(str, ids))}))
+        SELECT x.vec_id, y.vec_id,
+               CAST(ROUND(1000000 * ({_dot_duck("x.embedding", "y.embedding")}
+                    / ({_norm_duck("x.embedding")} * {_norm_duck("y.embedding")})))
+                    AS BIGINT)
+        FROM pe x JOIN pe y ON x.vec_id <> y.vec_id
+    """).fetchall()
+    con.close()
+    sim = {(a, b): s for a, b, s in sims_rows}
+    for qid, pool in pools.items():
+        sel: list[int] = []
+        for step in range(1, _MMR_K + 1):
+            best = None
+            for nid, rel in pool:
+                if nid in sel:
+                    continue
+                score = rel if step == 1 else rel - max(
+                    sim[(nid, s)] for s in sel
+                )
+                key = (-score, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, score)
+            sel.append(best[1])
+            assert got[(qid, step)] == (best[1], best[2]), (
+                f"query {qid} step {step}: engine {got[(qid, step)]} "
+                f"!= reference {(best[1], best[2])}"
+            )
