@@ -891,3 +891,53 @@ def test_probe_sweep_reuses_one_scored_relation(spark, sf_dir):
     baseline pays."""
     plan = _plan(_deferred("ann_ivf_probe_sweep")(spark, sf_dir))
     assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_permutation_test_shuffles_only_moments(spark, sf_dir):
+    """The B=199 relabeling explode is map-side (a literal array explode,
+    never a join against a permutation relation); the only exchanges
+    carry per-permutation MOMENT rows. The observed side attaches as a
+    broadcast 1-row aggregate — no cartesian product, no extra scan-wide
+    shuffle."""
+    plan = _plan(_deferred("stats_permutation_diff_test")(spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "Generate") >= 1  # the explode IS the fan-out
+    # two aggregation exchanges (per-b moments, final fold) + the 1-row
+    # observed attach; anything beyond that means the explode shuffled
+    assert _nodes(plan, "Exchange") <= 4, plan[:2000]
+
+
+def test_mmr_greedy_composes_bounded_joins(spark, sf_dir):
+    """The 4-step greedy loop composes ONE lazy plan whose joins are all
+    over pool-bounded relations (|Q| x POOL rows); no cartesian product
+    may appear even though the plan tree is deep."""
+    plan = _plan(_deferred("ml_mmr_diversified_topk")(spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_unimax_is_single_scan(spark, sf_dir):
+    """Water-filling runs entirely over the |langs|-row relation: exactly
+    one scan of documents feeds one aggregate; every window after that is
+    constant-size."""
+    plan = _plan(_deferred("llm_unimax_language_caps")(spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_outlier_clip_ranks_over_histogram_not_rows(spark, sf_dir):
+    """The p1/p99 ranks come from the (pos, distinct-value) HISTOGRAM:
+    the plan must aggregate BEFORE any window sort (the window's input is
+    the histogram aggregate, never the raw exploded rows)."""
+    plan = _plan(_deferred("ml_embedding_outlier_clip")(spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "Window") >= 1
+    # the histogram groupBy must sit below the window: find first Window
+    # node id and assert a HashAggregate with a smaller id exists
+    import re as _re
+
+    win_ids = [int(m) for m in _re.findall(r"\((\d+)\) Window", plan)]
+    agg_ids = [int(m) for m in _re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert win_ids and agg_ids
+    # formatted-plan ids grow from the scan upward, so the histogram
+    # aggregate feeding the window has a SMALLER id than the window
+    assert min(agg_ids) < min(win_ids), (win_ids, agg_ids)
