@@ -4916,5 +4916,101 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- event-study leads/lags (r12 queue) ----------------------------------------------
+
+_ES_T0 = "2024-01-16"  # treatment date (fixture events span 2024-01)
+_ES_WEEKS = 2  # periods -2..+1 around T0 (7-day windows)
+
+
+@register(
+    "stats_event_study_leads_lags",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(((date_diff('day', DATE '{_ES_T0}', CAST(ts AS DATE))
+                      + {_ES_WEEKS * 7}) // 7) - {_ES_WEEKS} AS BIGINT)
+                   AS period,
+               user_id % 2 = 0 AS treated,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS DATE) >= DATE '{_ES_T0}' - INTERVAL {_ES_WEEKS * 7} DAY
+          AND CAST(ts AS DATE) <  DATE '{_ES_T0}' + INTERVAL {_ES_WEEKS * 7} DAY
+    ), m AS (
+        SELECT period,
+          CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          CAST(SUM(CASE WHEN treated THEN v ELSE 0 END) AS BIGINT) AS s_t,
+          CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+          CAST(SUM(CASE WHEN treated THEN 0 ELSE v END) AS BIGINT) AS s_c
+        FROM s GROUP BY 1
+    )
+    SELECT period, n_t, n_c,
+           CAST(CASE WHEN s_t * n_c - s_c * n_t >= 0
+                THEN (1000 * (s_t * n_c - s_c * n_t)) // (n_t * n_c)
+                ELSE -((1000 * (s_c * n_t - s_t * n_c)) // (n_t * n_c))
+                END AS BIGINT) AS gap_millicents
+    FROM m
+    """,
+)
+def event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study leads and lags around a treatment date: the
+    treated-vs-control purchase-value gap per 7-day relative period
+    (k = −{_ES_WEEKS}..{_ES_WEEKS}−1) — the parallel-trends DIAGNOSTIC
+    under stats_diff_in_diff's single number (pre-period gaps ≈ constant
+    is the identifying assumption; a sloping lead is the red flag every
+    referee looks for first).
+
+    Determinism: the relative period is pure nonnegative integer
+    division ((dd + {_ES_WEEKS}·7) div 7 − {_ES_WEEKS}, so truncation
+    and floor agree); the per-period gap is one cross-multiplied integer
+    rational with the SIGN-SPLIT division device (Spark div truncates
+    toward zero, DuckDB // floors — they disagree on negatives unless
+    division happens on the absolute value).
+
+    Shape: one pruned scan (date predicate pushes to parquet), one
+    partial-aggregable groupBy to 2·{_ES_WEEKS} period rows; constant
+    beyond the scan."""
+    lo = F.expr(f"DATE'{_ES_T0}' - INTERVAL {_ES_WEEKS * 7} DAY")
+    hi = F.expr(f"DATE'{_ES_T0}' + INTERVAL {_ES_WEEKS * 7} DAY")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("ts").cast("date") >= lo) & (F.col("ts").cast("date") < hi))
+        .select(
+            F.expr(
+                f"CAST(((datediff(CAST(ts AS DATE), DATE'{_ES_T0}')"
+                f" + {_ES_WEEKS * 7}) div 7) - {_ES_WEEKS} AS BIGINT)"
+            ).alias("period"),
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            quantize(F.col("value"), MONEY_SCALE).alias("v"),
+        )
+    )
+    m = ev.groupBy("period").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treated"), F.col("v")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.lit(0)).otherwise(F.col("v")))
+        .cast("long")
+        .alias("s_c"),
+    )
+    return m.select(
+        "period",
+        "n_t",
+        "n_c",
+        F.expr(
+            "CAST(CASE WHEN s_t * n_c - s_c * n_t >= 0"
+            " THEN (1000 * (s_t * n_c - s_c * n_t)) div (n_t * n_c)"
+            " ELSE -((1000 * (s_c * n_t - s_t * n_c)) div (n_t * n_c))"
+            " END AS BIGINT)"
+        ).alias("gap_millicents"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

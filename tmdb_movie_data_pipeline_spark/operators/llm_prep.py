@@ -2096,5 +2096,109 @@ def unimax_language_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- chat-template rendering with loss masks (r12 queue) --------------------------------
+
+_CHAT_SYS = "You are a helpful assistant."
+_CHAT_PROMPT_TOKENS = 8  # first N tokens of the doc act as the user turn
+
+
+@register(
+    "llm_chat_template_render",
+    deferred=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, 1, {_CHAT_PROMPT_TOKENS}),
+                               ' ') AS user_text,
+               array_to_string(list_slice(toks, {_CHAT_PROMPT_TOKENS} + 1,
+                                          len(toks)), ' ') AS asst_text,
+               LEAST(len(toks), {_CHAT_PROMPT_TOKENS}) AS prompt_tokens,
+               GREATEST(len(toks) - {_CHAT_PROMPT_TOKENS}, 0)
+                   AS response_tokens
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(prompt_tokens AS BIGINT) AS prompt_tokens,
+           CAST(response_tokens AS BIGINT) AS response_tokens,
+           md5('<|system|>{_CHAT_SYS}<|user|>' || user_text
+               || '<|assistant|>' || asst_text || '<|end|>') AS rendered_md5,
+           CAST(CASE WHEN prompt_tokens + response_tokens = 0 THEN 0
+                ELSE (1000000 * response_tokens)
+                     // (prompt_tokens + response_tokens) END AS BIGINT)
+               AS trained_ratio_ppm
+    FROM parts
+    """,
+)
+def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template assembly with loss-mask accounting — the SFT data
+    step between a raw corpus and a trainer: each document becomes a
+    (system, user, assistant) conversation (first {_CHAT_PROMPT_TOKENS}
+    normalized tokens play the user turn, the rest the assistant
+    response), rendered through a fixed special-token template and
+    md5-gated so role markers, separators, and boundary handling are
+    pinned BYTE-exactly — the class of bug (missing space, swapped role
+    order, off-by-one at the prompt/response split) that silently
+    poisons an SFT run. trained_ratio_ppm is the loss-mask economics:
+    the fraction of tokens that actually receive gradient (assistant
+    tokens only, the standard masking rule).
+
+    Shape: map-only — tokenize, slice, concat, hash per row; zero
+    shuffles, zero joins. At 100 TB this is the canonical
+    narrow-transform stage."""
+    from ..io import load_table
+
+    from .text import tokens_col
+
+    toks = F.array_compact(tokens_col())
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    parts = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("toks"), 1, _CHAT_PROMPT_TOKENS), " "
+        ).alias("user_text"),
+        F.when(
+            F.size("toks") > _CHAT_PROMPT_TOKENS,
+            F.array_join(
+                F.expr(
+                    f"slice(toks, {_CHAT_PROMPT_TOKENS + 1},"
+                    f" size(toks) - {_CHAT_PROMPT_TOKENS})"
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("asst_text"),
+        F.least(F.size("toks"), F.lit(_CHAT_PROMPT_TOKENS))
+        .cast("long")
+        .alias("prompt_tokens"),
+        F.greatest(F.size("toks") - _CHAT_PROMPT_TOKENS, F.lit(0))
+        .cast("long")
+        .alias("response_tokens"),
+    )
+    return parts.select(
+        "doc_id",
+        "prompt_tokens",
+        "response_tokens",
+        F.md5(
+            F.concat(
+                F.lit(f"<|system|>{_CHAT_SYS}<|user|>"),
+                F.col("user_text"),
+                F.lit("<|assistant|>"),
+                F.col("asst_text"),
+                F.lit("<|end|>"),
+            )
+        ).alias("rendered_md5"),
+        F.expr(
+            "CAST(CASE WHEN prompt_tokens + response_tokens = 0 THEN 0"
+            " ELSE (1000000 * response_tokens)"
+            " div (prompt_tokens + response_tokens) END AS BIGINT)"
+        ).alias("trained_ratio_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
