@@ -3320,3 +3320,84 @@ def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
+
+
+# -- A/B sample-size (power) calculator (r12 queue) --------------------------------------
+
+#: (z_{alpha/2} + z_beta)^2 for alpha=0.05 two-sided, power=0.80 — folded
+#: to one double literal in Python so both engines parse the identical
+#: constant (1.96 + 0.8416)^2.
+_POWER_Z2 = (1.96 + 0.8416) ** 2
+_POWER_MDE_BP = (100, 200, 500, 1000)  # minimum detectable effects, basis points
+
+#: shared IEEE expression text over columns (n, s, q, mde_bp) — fixed
+#: operand order, every integer cast to double explicitly, so both
+#: engines compile the identical correctly-rounded sequence.
+_POWER_N_EXPR = (
+    f"CAST(CEIL((2.0 * {_POWER_Z2!r}"
+    " * ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    "     / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))"
+    " / ((CAST(mde_bp AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    "     / 10000.0)"
+    "    * (CAST(mde_bp AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    "       / 10000.0))) AS BIGINT)"
+)
+
+
+@register(
+    "events_power_analysis",
+    deferred=True,
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS q
+        FROM events WHERE event_type = 'purchase' AND user_id % 2 = 1
+    ), grid AS (
+        SELECT UNNEST([{", ".join(map(str, _POWER_MDE_BP))}]) AS mde_bp
+    )
+    SELECT CAST(mde_bp AS BIGINT) AS mde_bp, n AS n_control_observed,
+           {_POWER_N_EXPR} AS n_required_per_arm
+    FROM grid CROSS JOIN m
+    """,
+)
+def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator from the CONTROL cohort's observed
+    variance: for each minimum-detectable-effect on the grid
+    (100/200/500/1000 basis points of the control mean), the required n
+    per arm at alpha=0.05 (two-sided) and 80 % power — n = 2(z_a+z_b)^2.var/
+    delta^2, the planning readout that belongs BEFORE
+    stats_ab_ttest/stats_cohens_d judge the experiment after the fact
+    (and beside stats_ratio_metric_delta_ci's post-hoc interval).
+
+    Determinism: the three moments are exact cent integers; the z
+    constant folds to ONE Python double literal both engines parse
+    identically; the n formula is a single fixed-order IEEE expression
+    (every division and multiply sequenced by shared text), and CEIL of
+    an identical double is identical — so the BIGINT answer matches
+    bit-for-bit with no rational arithmetic needed.
+
+    Shape: one scan to one 1-row moment aggregate, broadcast against a
+    4-row literal grid; constant output."""
+    v = quantize(F.col("value"), MONEY_SCALE)
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 1))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(v).cast("long").alias("s"),
+            F.sum(v * v).cast("long").alias("q"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(int(b),) for b in _POWER_MDE_BP], "mde_bp long"
+    )
+    return (
+        grid.crossJoin(F.broadcast(m))
+        .select(
+            "mde_bp",
+            F.col("n").alias("n_control_observed"),
+            F.expr(_POWER_N_EXPR).alias("n_required_per_arm"),
+        )
+    )

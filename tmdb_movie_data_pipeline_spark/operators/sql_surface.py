@@ -351,3 +351,57 @@ def scalar_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# -- SQL UNPIVOT clause -----------------------------------------------------------------
+
+
+@register(
+    "sql_unpivot_syntax",
+    deferred=True,
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey % 1000 = 0
+    )
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) AS val_centi
+    FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           CAST(ROUND(l_discount * 100) AS BIGINT) FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax',
+           CAST(ROUND(l_tax * 100) AS BIGINT) FROM base
+    """,
+)
+def unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (Spark 3.4+; the ANSI-flavored front door
+    over the same relational melt `unpivot_measures` expresses with
+    stack()): three wide measures become (measure, value) rows in ONE
+    single-scan operator, against the UNION ALL triple-scan oracle form.
+    A green row pins the clause's column naming, ordering, and
+    null-exclusion defaults (all three measures are non-null here, so
+    INCLUDE/EXCLUDE NULLS agree — the default is EXCLUDE).
+
+    Shape: one pruned scan, a Generate-style expand, no shuffle — vs the
+    oracle's three scans; the 3x fan-out is map-side."""
+    load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 1000 == 0
+    ).createOrReplaceTempView("li_unpivot_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure,
+               CAST(ROUND(raw_val * 100) AS BIGINT) AS val_centi
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+            FROM li_unpivot_v
+        ) UNPIVOT (
+            raw_val FOR measure IN (
+                l_quantity AS `quantity`,
+                l_discount AS `discount`,
+                l_tax AS `tax`
+            )
+        )
+        """
+    )
