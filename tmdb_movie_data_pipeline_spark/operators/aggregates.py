@@ -5014,3 +5014,106 @@ def event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
+
+
+# -- distribution-free median CI (r12 queue) ---------------------------------------------
+
+#: z_{alpha/2} for the 95% order-statistic interval
+_MCI_Z = 1.96
+
+
+@register(
+    "stats_median_ci_distribution_free",
+    deferred=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), hist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1
+    ), cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER () AS n
+        FROM hist
+    ), ranks AS (
+        SELECT n,
+               CAST(FLOOR((CAST(n AS DOUBLE)
+                    - {_MCI_Z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                    AS BIGINT) AS lo_rank,
+               n + 1 - CAST(FLOOR((CAST(n AS DOUBLE)
+                    - {_MCI_Z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                    AS BIGINT) AS hi_rank,
+               (n + 1) // 2 AS med_rank
+        FROM (SELECT MAX(n) AS n FROM cum)
+    )
+    SELECT r.n, r.lo_rank, r.hi_rank,
+           MIN(CASE WHEN cum.cc >= r.med_rank THEN cum.v END) AS median_cents,
+           MIN(CASE WHEN cum.cc >= r.lo_rank THEN cum.v END) AS ci_lo_cents,
+           MIN(CASE WHEN cum.cc >= r.hi_rank THEN cum.v END) AS ci_hi_cents
+    FROM cum CROSS JOIN ranks r
+    GROUP BY 1, 2, 3
+    """,
+)
+def median_ci_distribution_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95 % confidence interval for the median of
+    purchase values — the order-statistic interval (ranks
+    (n ± z·√n)/2, the binomial sign-count bound) that needs NO normality
+    or bootstrap resampling: the answer is two exact order statistics,
+    which is what makes it both assumption-free and engine-exact. Pairs
+    with stats_poisson_bootstrap (mean CI, resampled) and
+    agg_weighted_median.
+
+    Determinism: values are exact cents; ranks come from one
+    FLOOR((n − z√n)/2) whose sqrt/multiply/divide are correctly-rounded
+    IEEE on identical integers, and the rank→value lookups walk the
+    VALUE-HISTOGRAM cumulative counts (the module's standard
+    order-statistic discipline — no raw-row sort).
+
+    Shape: one scan to the value histogram (partial-aggregable), windows
+    over the histogram only, a 1-row rank relation broadcast back.
+    State is O(distinct values) at any corpus size."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(quantize(F.col("value"), MONEY_SCALE).alias("v"))
+    )
+    hist = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    ranks = cum.agg(F.max("n").alias("n")).select(
+        "n",
+        F.expr(
+            f"CAST(FLOOR((CAST(n AS DOUBLE)"
+            f" - {_MCI_Z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)"
+        ).alias("lo_rank"),
+        F.expr(
+            f"n + 1 - CAST(FLOOR((CAST(n AS DOUBLE)"
+            f" - {_MCI_Z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)"
+        ).alias("hi_rank"),
+        F.expr("(n + 1) div 2").alias("med_rank"),
+    )
+    return (
+        cum.select("v", "cc")  # drop cum's n: ranks carries the canonical one
+        .crossJoin(F.broadcast(ranks))
+        .groupBy("n", "lo_rank", "hi_rank")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("med_rank"), F.col("v"))
+            ).alias("median_cents"),
+            F.min(F.when(F.col("cc") >= F.col("lo_rank"), F.col("v"))).alias(
+                "ci_lo_cents"
+            ),
+            F.min(F.when(F.col("cc") >= F.col("hi_rank"), F.col("v"))).alias(
+                "ci_hi_cents"
+            ),
+        )
+        .select(
+            "n", "lo_rank", "hi_rank",
+            "median_cents", "ci_lo_cents", "ci_hi_cents",
+        )
+    )
