@@ -5047,10 +5047,15 @@ _MCI_Z = 1.96
                (n + 1) // 2 AS med_rank
         FROM (SELECT MAX(n) AS n FROM cum)
     )
-    SELECT r.n, r.lo_rank, r.hi_rank,
-           MIN(CASE WHEN cum.cc >= r.med_rank THEN cum.v END) AS median_cents,
-           MIN(CASE WHEN cum.cc >= r.lo_rank THEN cum.v END) AS ci_lo_cents,
-           MIN(CASE WHEN cum.cc >= r.hi_rank THEN cum.v END) AS ci_hi_cents
+    SELECT CAST(r.n AS BIGINT) AS n,
+           CAST(r.lo_rank AS BIGINT) AS lo_rank,
+           CAST(r.hi_rank AS BIGINT) AS hi_rank,
+           CAST(MIN(CASE WHEN cum.cc >= r.med_rank THEN cum.v END)
+                AS BIGINT) AS median_cents,
+           CAST(MIN(CASE WHEN cum.cc >= r.lo_rank THEN cum.v END)
+                AS BIGINT) AS ci_lo_cents,
+           CAST(MIN(CASE WHEN cum.cc >= r.hi_rank THEN cum.v END)
+                AS BIGINT) AS ci_hi_cents
     FROM cum CROSS JOIN ranks r
     GROUP BY 1, 2, 3
     """,
