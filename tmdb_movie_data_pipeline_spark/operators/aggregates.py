@@ -5012,9 +5012,6 @@ def event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..docfmt import format_docstrings  # noqa: E402
-format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
-
 
 # -- distribution-free median CI (r12 queue) ---------------------------------------------
 
@@ -5122,3 +5119,6 @@ def median_ci_distribution_free(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_cents", "ci_lo_cents", "ci_hi_cents",
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -3318,9 +3318,6 @@ def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..docfmt import format_docstrings  # noqa: E402
-format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
-
 
 # -- A/B sample-size (power) calculator (r12 queue) --------------------------------------
 
@@ -3401,3 +3398,6 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_POWER_N_EXPR).alias("n_required_per_arm"),
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

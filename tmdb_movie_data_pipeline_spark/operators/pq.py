@@ -645,3 +645,6 @@ def embedding_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clip_energy_micro2",
         )
     )
+
+from ..docfmt import format_docstrings  # noqa: E402
+format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
