@@ -5120,5 +5120,101 @@ def median_ci_distribution_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- Benjamini-Yekutieli FDR under dependence (r12 queue) --------------------------------
+
+
+@register(
+    "stats_benjamini_yekutieli",
+    deferred=True,
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 10 = 5
+                         THEN 1 + (doc_id * 2654435761) % 90
+                         WHEN doc_id % 10 = 0
+                         THEN 2501 + (doc_id * 2654435761) % 500
+                         ELSE 1 + (doc_id * 2654435761) % 1000000
+                    END AS BIGINT) AS p_ppm,
+               (SELECT COUNT(*) FROM documents) AS m
+        FROM documents
+    ), r AS (
+        SELECT doc_id, p_ppm, CAST(m AS BIGINT) AS m,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, doc_id) AS BIGINT) AS rnk
+        FROM p
+    ), cm AS (
+        SELECT CAST(SUM(1000000 // rnk) AS BIGINT) AS c_micro FROM r
+    ), k AS (
+        SELECT r.*, cm.c_micro,
+               MAX(CASE WHEN p_ppm * m * cm.c_micro
+                         <= rnk * {_BH_ALPHA_PPM} * 1000000
+                        THEN rnk END) OVER () AS k_star
+        FROM r CROSS JOIN cm
+    )
+    SELECT doc_id, p_ppm, rnk, CAST(k_star AS BIGINT) AS k_star,
+           c_micro
+    FROM k WHERE rnk <= k_star
+    """,
+)
+def benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli step-up FDR control — BH's guarantee under
+    ARBITRARY dependence between the tests (BH assumes independence or
+    PRDS; correlated hypotheses — the common case when tests share
+    users/days — need the harmonic penalty c(m) = Σ 1/i). Same planted
+    p-values, same step-up rule, threshold k·α/(m·c(m)): on this fixture
+    BY rejects a strictly smaller set than stats_benjamini_hochberg —
+    the price of dropping the independence assumption, visible row by
+    row.
+
+    Determinism: c(m) is quantized PER TERM to integer micro-units
+    (Σ 1000000 div i over ranks 1..m) — a defined integer surrogate both
+    engines compute identically from the live m, within m/1e6 of the
+    true 1e6·H_m (documented bias: floor makes c marginally small, the
+    anti-conservative direction, bounded by 5e-4 relative at m = 500);
+    the step-up comparison is then fully cross-multiplied BIGINT
+    (p·m·c_micro vs k·α_ppm·1e6, ≈3.5e15 max — inside int64).
+
+    Shape: identical to BH — the ranking runs over the m-row HYPOTHESIS
+    relation, plus one m-row fold for c_micro broadcast back. Bounded by
+    construction at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.count()  # hypothesis count: bounded, one job over footers
+    p = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 5,
+            1 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(90),
+        )
+        .when(
+            F.col("doc_id") % 10 == 0,
+            2501 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(500),
+        )
+        .otherwise(1 + (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+    r = p.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy("p_ppm", "doc_id")).cast("long"),
+    )
+    cm = r.agg(
+        F.sum(F.expr("1000000 div rnk")).cast("long").alias("c_micro")
+    )
+    k = r.crossJoin(F.broadcast(cm)).withColumn(
+        "k_star",
+        F.max(
+            F.when(
+                F.col("p_ppm") * F.lit(m) * F.col("c_micro")
+                <= F.col("rnk") * F.lit(_BH_ALPHA_PPM) * F.lit(1_000_000),
+                F.col("rnk"),
+            )
+        )
+        .over(W.partitionBy())
+        .cast("long"),
+    )
+    return k.filter(F.col("rnk") <= F.col("k_star")).select(
+        "doc_id", "p_ppm", "rnk", "k_star", "c_micro"
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

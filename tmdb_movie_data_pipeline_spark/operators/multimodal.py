@@ -1505,5 +1505,92 @@ def pcm_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- PCM decimation (2:1 downsample) (r12 queue) ------------------------------------------
+
+
+def _pcm_decimate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize->encode->decode each clip (the shared s16le round-trip),
+    then 2:1 decimate with pair-mean averaging (floor division — numpy //
+    floors, matching both engines' // semantics on negatives) and reduce
+    the downsampled signal to count/checksum/energy/peak."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "n_out": [], "sum_out": [],
+            "energy_out": [], "peak_abs_out": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            samples = ((d * 31 + np.arange(_PCM_SAMPLES, dtype=np.int64)) % 4096) - 2048
+            payload = samples.astype("<i2").tobytes()
+            s = decode_pcm_s16le(payload)
+            pairs = s.reshape(-1, 2)
+            dec = (pairs[:, 0] + pairs[:, 1]) // 2  # floor mean (anti-alias box)
+            out["doc_id"].append(d)
+            out["n_out"].append(int(dec.shape[0]))
+            out["sum_out"].append(int(dec.sum()))
+            out["energy_out"].append(int((dec * dec).sum()))
+            out["peak_abs_out"].append(int(np.abs(dec).max()))
+        yield pd.DataFrame(out)
+
+
+PCM_DECIMATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_out", T.LongType(), False),
+        T.StructField("sum_out", T.LongType(), False),
+        T.StructField("energy_out", T.LongType(), False),
+        T.StructField("peak_abs_out", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "multimodal_pcm_decimate",
+    deferred=True,
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_PCM_SAMPLES // 2} AS BIGINT) AS n_out,
+           CAST(SUM(CAST(FLOOR((((doc_id * 31 + 2 * t.k) % 4096 - 2048)
+                   + ((doc_id * 31 + 2 * t.k + 1) % 4096 - 2048)) / 2.0) AS BIGINT))
+                AS BIGINT) AS sum_out,
+           CAST(SUM(CAST(FLOOR((((doc_id * 31 + 2 * t.k) % 4096 - 2048)
+                    + ((doc_id * 31 + 2 * t.k + 1) % 4096 - 2048)) / 2.0) AS BIGINT)
+                  * CAST(FLOOR((((doc_id * 31 + 2 * t.k) % 4096 - 2048)
+                    + ((doc_id * 31 + 2 * t.k + 1) % 4096 - 2048)) / 2.0) AS BIGINT))
+                AS BIGINT) AS energy_out,
+           CAST(MAX(ABS(CAST(FLOOR((((doc_id * 31 + 2 * t.k) % 4096 - 2048)
+                    + ((doc_id * 31 + 2 * t.k + 1) % 4096 - 2048)) / 2.0) AS BIGINT)))
+                AS BIGINT) AS peak_abs_out
+    FROM documents, generate_series(0, {_PCM_SAMPLES // 2 - 1}) t(k)
+    GROUP BY doc_id
+    """,
+)
+def pcm_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2:1 PCM decimation with box averaging — the sample-rate
+    normalization step every audio corpus runs before feature extraction
+    (mixed 44.1/48 kHz sources → one training rate): adjacent-pair floor
+    means halve the rate while box-filtering the top octave, over the
+    SAME s16le encode/decode round-trip the energy/ZCR/trim queries pin.
+    The oracle reproduces count/checksum/energy/peak of the decimated
+    signal from the closed-form sample rule alone — an off-by-one in
+    pairing (overlapping vs disjoint pairs) or a truncating (rather than
+    flooring) mean on negative samples shifts every checksum.
+
+    Determinism: numpy's // FLOORS while both engines' integer division
+    TRUNCATES toward zero (measured: DuckDB (-5)//2 = -2, same as Spark
+    div) — so the oracle floors explicitly via FLOOR(x / 2.0) over
+    exactly-representable doubles. The fixture's samples make negative
+    odd-sum pairs common, so the distinction is load-bearing: the
+    truncating form shifts every checksum by +1 per negative odd pair.
+
+    Shape: map-only mapInPandas (decode + one vectorized reshape+mean per
+    clip), no shuffle; 1 row per clip. Real resamplers swap the box for a
+    polyphase FIR in the same slot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        _pcm_decimate_batches, schema=PCM_DECIMATE_SCHEMA
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -1085,5 +1085,85 @@ def quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sequential-id integrity audit (r12 queue) -------------------------------------------
+
+
+@register(
+    "profile_sequential_id_gaps",
+    deferred=True,
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+    gaps AS (
+        SELECT id, id - LAG(id) OVER (ORDER BY id) AS step
+        FROM ids
+    ), dup AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events
+    )
+    SELECT dup.n_rows, dup.n_distinct,
+           CAST(MIN(g.id) AS BIGINT) AS min_id,
+           CAST(MAX(g.id) AS BIGINT) AS max_id,
+           CAST(SUM(CASE WHEN g.step > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+           CAST(MAX(g.id) - MIN(g.id) + 1 - dup.n_distinct AS BIGINT)
+               AS missing_total,
+           CAST(COALESCE(MAX(CASE WHEN g.step > 1 THEN g.step - 1 END), 0)
+                AS BIGINT) AS max_gap
+    FROM gaps g CROSS JOIN dup
+    GROUP BY 1, 2
+    """,
+)
+def sequential_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-id integrity audit over ``event_id`` — the ingestion
+    data-quality primitive behind "did we drop events?": row vs distinct
+    counts (duplicate detection), the id span, how many GAPS interrupt
+    the sequence, the total missing ids (span − distinct, exact whatever
+    the gap structure), and the largest single hole. A surrogate-keyed
+    feed that suddenly grows gaps indicates upstream loss or filtered
+    replays; duplicates indicate at-least-once delivery leaking through
+    (complements profile_fk_integrity, which audits references rather
+    than the key sequence itself).
+
+    Determinism: pure integer counting over exact ids.
+
+    Shape: one distinct (partial-aggregable) to the id relation, one
+    ordered window over it for gap steps, and a 1-row rollup. The window
+    sorts ids once — at 100 TB this is the same budget as any ordered
+    integrity scan, and the distinct relation is the audit's irreducible
+    input."""
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select(F.col("event_id").alias("id")).distinct()
+    gaps = ids.withColumn(
+        "step", F.col("id") - F.lag("id").over(W.orderBy("id"))
+    )
+    dup = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct"),
+    )
+    return (
+        gaps.crossJoin(F.broadcast(dup))
+        .groupBy("n_rows", "n_distinct")
+        .agg(
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+            F.sum(F.when(F.col("step") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps"),
+            (
+                F.max("id") - F.min("id") + 1 - F.first("n_distinct")
+            )
+            .cast("long")
+            .alias("missing_total"),
+            F.coalesce(
+                F.max(F.when(F.col("step") > 1, F.col("step") - 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_gap"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
