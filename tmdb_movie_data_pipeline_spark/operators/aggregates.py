@@ -4963,9 +4963,12 @@ def event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the relative period is pure nonnegative integer
     division ((dd + {_ES_WEEKS}·7) div 7 − {_ES_WEEKS}, so truncation
     and floor agree); the per-period gap is one cross-multiplied integer
-    rational with the SIGN-SPLIT division device (Spark div truncates
-    toward zero, DuckDB // floors — they disagree on negatives unless
-    division happens on the absolute value).
+    rational with the SIGN-SPLIT division device: both engines' integer
+    division truncates toward zero (measured r11: DuckDB (-5)//2 = -2,
+    same as Spark div), but running the division on the absolute value
+    with the sign re-applied makes the result floor-free AND
+    truncation-free — well-defined regardless of either engine's
+    convention, which is the robust form for a negative numerator.
 
     Shape: one pruned scan (date predicate pushes to parquet), one
     partial-aggregable groupBy to 2·{_ES_WEEKS} period rows; constant

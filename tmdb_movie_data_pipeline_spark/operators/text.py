@@ -814,10 +814,11 @@ def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6*(n*diag - sum_k row_k*col_k) over (n^2 - sum_k row_k*col_k),
     marginals joined on the category union (one-sided categories
     contribute zero expected mass). The numerator CAN be negative
-    (worse-than-chance), and Spark's `div` truncates while DuckDB's `//`
-    floors — so the division runs on the absolute value with the sign
-    re-applied, making both engines agree bit-for-bit on either side of
-    zero. DECIMAL(38,0)/HUGEINT intermediates per the chi2 recipe.
+    (worse-than-chance); both engines' integer division in fact truncates
+    toward zero (measured r11: DuckDB (-5)//2 = -2, same as Spark div),
+    but the division still runs on the absolute value with the sign
+    re-applied — the convention-independent form, bit-identical on
+    either side of zero whatever an engine's negative-division rule. DECIMAL(38,0)/HUGEINT intermediates per the chi2 recipe.
 
     Shape: the confusion matrix is a |labels| x |predictions| aggregate
     of one scan; everything after is driver-tiny.
