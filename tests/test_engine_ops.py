@@ -998,3 +998,80 @@ def test_friedman_matches_brute_force():
     assert abs(next(iter(got_ppm)) - chi2 * 1e6) <= 1.0, (
         f"engine {next(iter(got_ppm))} ppm vs reference {chi2 * 1e6}"
     )
+
+
+def test_kruskal_wallis_matches_brute_force():
+    """The histogram-rank Kruskal-Wallis H vs literal fractional-rank
+    computation at sf0.001 — the shared doubled-rank identity cannot hide
+    a folded-constant bug from an independent float reference (one such
+    bug, a leftover /4, was caught by exactly this comparison during the
+    r11 session: both engines hash-agreed on the wrong H)."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_oracles,
+        deferred_oracles,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    vals = con.execute(
+        "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    allv = sorted(v for _, v in vals)
+    n = len(allv)
+    import bisect
+
+    def avg_rank(v: int) -> float:
+        lo = bisect.bisect_left(allv, v) + 1
+        hi = bisect.bisect_right(allv, v)
+        return (lo + hi) / 2.0
+
+    groups: dict[str, list[int]] = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(v)
+    h = (12.0 / (n * (n + 1))) * sum(
+        sum(avg_rank(v) for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3.0 * (n + 1)
+    rows = con.execute(
+        {**all_oracles(), **deferred_oracles()}["stats_kruskal_wallis"]
+    ).fetchall()
+    con.close()
+    got = {r[3] for r in rows}
+    assert len(got) == 1
+    # k per-group ppm floors put the engine value BELOW the float
+    # reference by at most k ppm (plus float slack on the reference side)
+    assert -(len(groups) + 1.0) <= next(iter(got)) - h * 1e6 <= 1.0, (
+        f"engine {next(iter(got))} ppm vs reference {h * 1e6}"
+    )
+
+
+def test_nemenyi_threshold_fold_is_exact():
+    """The Nemenyi critical-difference comparison folds to ONE integer:
+    |R2_i - R2_j|^2 * 1e5 > 20*q^2*1e5 * n with q = 2.728. Pin (a) the
+    folded constant equals the exact decimal algebra, and (b) the integer
+    rule agrees with the float CD definition on a sweep of synthetic rank
+    gaps either side of the boundary."""
+    import math
+
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _NEMENYI_Q,
+        _NEMENYI_THR,
+    )
+
+    k = 5
+    # the folded constant is the exact DECIMAL algebra (2728^2 * 20 / 1e5
+    # in micro-units); IEEE q**2 sits 4e-9 away, which is precisely why
+    # the engines compare INTEGERS and never evaluate q as a float
+    assert _NEMENYI_THR == 2728 * 2728 * 20 // 10
+    assert _NEMENYI_THR == round(20 * _NEMENYI_Q**2 * 100000)
+    for n in (5, 12, 100):
+        cd = _NEMENYI_Q * math.sqrt(k * (k + 1) / (6 * n))
+        for diff2 in range(0, 60):  # doubled-rank-sum gaps
+            # avg-rank gap = diff2 / (2n); float CD rule vs integer rule
+            float_sig = diff2 / (2 * n) > cd
+            int_sig = diff2 * diff2 * 100000 > _NEMENYI_THR * n
+            assert float_sig == int_sig, (n, diff2)

@@ -5219,5 +5219,199 @@ def benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Kruskal-Wallis rank ANOVA (r12 queue) -----------------------------------------------
+
+
+@register(
+    "stats_kruskal_wallis",
+    deferred=True,
+    oracle="""
+    WITH s AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), hist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1
+    ), rk AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1
+                   + SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS rank2
+        FROM hist
+    ), g AS (
+        SELECT s.event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n_j,
+               CAST(SUM(rk.rank2) AS HUGEINT) AS r2_j,
+               CAST((SELECT COUNT(*) FROM s) AS HUGEINT) AS n
+        FROM s JOIN rk USING (v) GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_j AS BIGINT) AS n_j,
+           CAST(r2_j AS BIGINT) AS r2_j,
+           CAST(SUM((3000000 * r2_j * r2_j)
+                    // (n_j * n * (n + 1))) OVER ()
+                - 3000000 * (n + 1) AS BIGINT) AS h_ppm
+    FROM g
+    """,
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA across the k=5 event types — the
+    INDEPENDENT-samples member completing the rank-test shelf (Friedman
+    handles blocked/repeated measures; Jonckheere-Terpstra needs an
+    ordered alternative; Mann-Whitney is the k=2 case): H =
+    12/(N(N+1))·Σ R_j²/n_j − 3(N+1) over globally tie-averaged ranks.
+
+    Determinism: doubled tie-averaged ranks come straight off the value
+    HISTOGRAM (rank2 = prev_cum + 1 + cum for each distinct cent value —
+    min+max of the tied run, exact integers, no raw-row sort); with
+    doubled rank sums the identity becomes H = Σ 3·R2_j²/(n_j·N(N+1))
+    − 3(N+1) (the 12 and the rank-doubling 4 fold to 3), evaluated as PER-GROUP ppm floors summed — a defined
+    quantization both engines compute identically (bias ≤ k ppm,
+    documented), with DECIMAL(38)/HUGEINT intermediates since R2²·3e6
+    passes 2^63 at sf0.1. No tie-correction divisor, as with the classic
+    uncorrected H; the oracle computes the same definition.
+
+    Shape: one scan to the value histogram, one window over the
+    histogram, one broadcast join of rank2 back onto the (type, value)
+    relation — partial-aggregable throughout; the k-row output carries
+    the shared H in every row."""
+    s = load_table(spark, sf_dir, "events").select(
+        "event_type", quantize(F.col("value"), MONEY_SCALE).alias("v")
+    )
+    hist = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rk = hist.select(
+        "v",
+        (
+            F.sum("c").over(w_cum) - F.col("c") + 1 + F.sum("c").over(w_cum)
+        ).alias("rank2"),
+    )
+    g = (
+        s.join(F.broadcast(rk), "v")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_j"),
+            F.sum("rank2").cast("decimal(38,0)").alias("r2_j"),
+        )
+        .crossJoin(
+            F.broadcast(
+                s.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+            )
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("n_j").cast("long").alias("n_j"),
+        F.col("r2_j").cast("long").alias("r2_j"),
+        F.expr(
+            "CAST(SUM((3000000 * r2_j * r2_j)"
+            " div (n_j * n * (n + 1))) OVER ()"
+            " - 3000000 * (n + 1) AS BIGINT)"
+        ).alias("h_ppm"),
+    )
+
+
+# -- Nemenyi post-hoc after Friedman (r12 queue) -------------------------------------------
+
+#: q_{0.05, k=5, inf} from the studentized-range/sqrt(2) table (Demšar 2006)
+_NEMENYI_Q = 2.728
+#: the whole critical-difference comparison folds to ONE exact integer:
+#: |R2_i - R2_j| > 2n·q·sqrt(k(k+1)/(6n))  ⇔  diff² · 10^5 > (20·q²·10^5)·n
+#: and 2728² · 20 div 10 = 14_883_968 — exact decimal algebra; the IEEE
+#: double 2.728² is 4e-9 away, which is why the rule stays integer.
+_NEMENYI_THR = 14_883_968
+
+
+@register(
+    "stats_nemenyi_posthoc",
+    deferred=True,
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % {_FRIED_BLOCKS} AS blk, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cv
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT blk, event_type,
+               CAST(2 * RANK() OVER (PARTITION BY blk ORDER BY cv)
+                    + COUNT(*) OVER (PARTITION BY blk, cv) - 1 AS BIGINT)
+                   AS rank2
+        FROM cells
+    ), coltot AS (
+        SELECT event_type, CAST(SUM(rank2) AS BIGINT) AS r2j,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(ABS(a.r2j - b.r2j) AS BIGINT) AS r2_diff_abs,
+           a.n_blocks AS n_blocks,
+           CAST(CASE WHEN ABS(a.r2j - b.r2j) * ABS(a.r2j - b.r2j) * 100000
+                      > {_NEMENYI_THR} * a.n_blocks
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM coltot a JOIN coltot b ON a.event_type < b.event_type
+    """,
+)
+def nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemenyi post-hoc after stats_friedman_test: WHICH event-type pairs
+    differ, once the omnibus Friedman rejects — pairwise mean-rank gaps
+    against the critical difference CD = q·√(k(k+1)/(6n)) with the
+    standard q_(0.05, k=5) = {_NEMENYI_Q} (Demšar 2006, the ML-benchmark
+    comparison recipe). The entire CD comparison folds to ONE exact
+    integer inequality: with doubled rank sums, |R2_i−R2_j|² · 10⁵ >
+    {_NEMENYI_THR}·n — the constant is the exact DECIMAL algebra
+    2728²·20/10 (IEEE q² sits 4e-9 off, which is exactly why neither
+    engine ever evaluates q as a float).
+
+    Fixture honesty: stats_friedman_test's omnibus χ² ≈ 4.9 (df = 4)
+    does not reject at either gate scale, and the post-hoc consistently
+    finds zero significant pairs — the two answers AGREE, which is the
+    property worth gating (a post-hoc that "finds" pairs under a
+    non-rejecting omnibus is the classic misuse).
+
+    Shape: the same {_FRIED_BLOCKS}-block rank relation Friedman builds,
+    then a self-join of the k-row column-total relation — 10 output pairs
+    regardless of scale."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % _FRIED_BLOCKS).alias("blk"), "event_type"
+        )
+        .agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("cv"))
+    )
+    w_rk = W.partitionBy("blk").orderBy("cv")
+    w_tie = W.partitionBy("blk", "cv")
+    ranked = cells.withColumn(
+        "rank2",
+        (2 * F.rank().over(w_rk) + F.count(F.lit(1)).over(w_tie) - 1).cast(
+            "long"
+        ),
+    )
+    coltot = ranked.groupBy("event_type").agg(
+        F.sum("rank2").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    a = coltot.select(
+        F.col("event_type").alias("type_a"),
+        F.col("r2j").alias("r2a"),
+        "n_blocks",
+    )
+    b = coltot.select(
+        F.col("event_type").alias("type_b"), F.col("r2j").alias("r2b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.abs(F.col("r2a") - F.col("r2b")).cast("long").alias(
+                "r2_diff_abs"
+            ),
+            "n_blocks",
+            F.expr(
+                "CAST(CASE WHEN ABS(r2a - r2b) * ABS(r2a - r2b) * 100000"
+                f" > {_NEMENYI_THR} * n_blocks"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("significant"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
