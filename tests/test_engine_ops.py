@@ -1075,3 +1075,57 @@ def test_nemenyi_threshold_fold_is_exact():
             float_sig = diff2 / (2 * n) > cd
             int_sig = diff2 * diff2 * 100000 > _NEMENYI_THR * n
             assert float_sig == int_sig, (n, diff2)
+
+
+def test_kruskal_rank2_shared_identity(spark, sf_dir):
+    """VERDICT r11 #6: `stats_kruskal_mean_ranks` and `stats_kruskal_wallis`
+    both build doubled tie-averaged ranks off a value histogram, but spell
+    the identity differently (2*(cum-c)+c+1 vs (cum-c+1)+cum). The r11
+    session caught a live folded-constant bug (a leftover /4) that BOTH
+    engines hash-agreed on — pin the shared algebra as a property so the
+    two rank pipelines can never silently diverge again:
+
+    * property over arbitrary histograms: both spellings equal min+max of
+      the tied run, and Σ count·rank2 == N(N+1) exactly;
+    * both LIVE pipelines satisfy that total-rank-mass identity on their
+      real tables at sf0.001 (orders for mean-ranks, events for KW);
+    * the doubled-rank H fold (12/4 -> 3) agrees with a float H computed
+      from the mean-ranks pipeline's own outputs.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(1, 50), min_size=1, max_size=40))
+    def prop(counts):
+        cum, mass = 0, 0
+        for c in counts:
+            prev = cum
+            cum += c
+            ar2_meanranks = 2 * (cum - c) + c + 1      # spelling A
+            rank2_kw = (cum - c + 1) + cum              # spelling B
+            assert ar2_meanranks == rank2_kw == (prev + 1) + cum
+            mass += c * rank2_kw
+        assert mass == cum * (cum + 1), "Σ count·rank2 must be N(N+1)"
+
+    prop()
+
+    q = all_queries()
+    mr = q["stats_kruskal_mean_ranks"](spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in mr)
+    assert sum(r["rank_sum_x2"] for r in mr) == n_total * (n_total + 1)
+
+    kw = q["stats_kruskal_wallis"](spark, sf_dir).collect()
+    n = sum(r["n_j"] for r in kw)
+    assert sum(r["r2_j"] for r in kw) == n * (n + 1)
+
+    # the H fold: per-group ppm floors sum to within k ppm BELOW the float
+    # reference 3*Σ R2_j²/(n_j·N(N+1)) − 3(N+1) == classic 12-fold H
+    h_float = (3.0 / (n * (n + 1))) * sum(
+        r["r2_j"] ** 2 / r["n_j"] for r in kw
+    ) - 3.0 * (n + 1)
+    h_ppm = {r["h_ppm"] for r in kw}
+    assert len(h_ppm) == 1
+    assert -(len(kw) + 1.0) <= next(iter(h_ppm)) - h_float * 1e6 <= 1.0

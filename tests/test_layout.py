@@ -115,3 +115,39 @@ def test_catalog_static_fields_match_registry():
             assert checked_in["queries"][name][f] == row[f], (
                 f"CATALOG.json stale on {name}.{f} — regenerate"
             )
+
+
+def test_catalog_reconfirm_debt_internally_consistent():
+    """The reconfirm_debt rollup (VERDICT r11 #7) must agree with the
+    per-query history rows IN THE SAME checked-in file. Both halves come
+    from one build_catalog() snapshot, so this pin can never be broken by
+    the driver writing a new CORRECTNESS file between sessions (the
+    never-assert-round-state rule) — it only reds when a regeneration
+    half-lands or the rollup arithmetic drifts from the row fields."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "CATALOG.json"
+    cat = json.loads(path.read_text())
+    debt = cat["reconfirm_debt"]
+    token = cat["as_of_round"]
+    assert debt["threshold_round"] == token - 1
+    active = {
+        n: row
+        for n, row in cat["queries"].items()
+        if row["driver_visible"]
+    }
+    last = {
+        n: row["last_green_round"]
+        for n, row in active.items()
+        if row["last_green_round"] is not None
+    }
+    stale = {n: r for n, r in last.items() if r < token - 1}
+    assert debt["n_active_stale"] == len(stale)
+    assert debt["n_never_verified"] == len(active) - len(last)
+    assert debt["oldest_green_round"] == (min(last.values()) if last else None)
+    assert debt["stale_by_last_green_round"] == {
+        str(r): sum(1 for v in stale.values() if v == r)
+        for r in sorted(set(stale.values()))
+    }
+    assert sum(debt["stale_by_last_green_round"].values()) == len(stale)

@@ -5,8 +5,10 @@ convey the inventory; this module generates ``CATALOG.json`` — one row
 per registered query: where it lives, its category, whether it has a
 DuckDB oracle, its driver-verification history (first-green /
 last-confirmed round), and which bench records measured it. The file is
-what makes judge audits and re-confirmation debt visible at a glance
-(``jq '[.queries[] | select(.last_green_round < 10)] | length'``).
+what makes judge audits and re-confirmation debt visible at a glance —
+the top-level ``reconfirm_debt`` rollup (VERDICT r11 #7) counts active
+names whose last green row predates the previous round, replacing the
+old jq invocation.
 
 Two kinds of fields, with different staleness rules:
 
@@ -117,11 +119,42 @@ def build_catalog() -> dict[str, Any]:
             "latest_green": h.get("latest_green", False),
             "bench_records": bench.get(name, []),
         }
+    token = _round_token()
     return {
-        "as_of_round": _round_token(),
+        "as_of_round": token,
         "n_active": len(active),
         "n_queued": len(queued),
+        "reconfirm_debt": _reconfirm_debt(rows, set(active), token),
         "queries": dict(sorted(rows.items())),
+    }
+
+
+def _reconfirm_debt(
+    rows: dict[str, Any], active: set[str], token: int
+) -> dict[str, Any]:
+    """Rollup of driver re-confirmation debt (VERDICT r11 #7): how many
+    ACTIVE names last earned a driver-green row before round ``token − 1``
+    — previously a jq invocation, now one diff away each round. Derived
+    from the same per-query history snapshot in this file, so the CI pin
+    (tests/test_layout.py::test_catalog_reconfirm_debt_internally_consistent)
+    checks INTERNAL consistency against the checked-in rows rather than
+    live round state — a driver file landing between sessions can never
+    red it (the standing never-assert-round-state rule)."""
+    last = {
+        n: rows[n]["last_green_round"]
+        for n in active
+        if rows[n]["last_green_round"] is not None
+    }
+    stale = {n: r for n, r in last.items() if r < token - 1}
+    by_round: dict[str, int] = {}
+    for r in sorted(set(stale.values())):
+        by_round[str(r)] = sum(1 for v in stale.values() if v == r)
+    return {
+        "threshold_round": token - 1,
+        "n_active_stale": len(stale),
+        "n_never_verified": len(active) - len(last),
+        "oldest_green_round": min(last.values()) if last else None,
+        "stale_by_last_green_round": by_round,
     }
 
 

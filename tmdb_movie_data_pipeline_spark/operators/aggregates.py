@@ -4609,17 +4609,23 @@ _PERM_STEP = 7919
 #: bit 0 of event_id * K is just the parity of event_id (constant across
 #: permutations); div 2^20 reaches bits the multiply actually mixed.
 #: Same integer sequence in both engines; only the integer-division
-#: spelling differs (Spark ``div``, DuckDB ``//``).
+#: spelling differs (Spark ``div``, DuckDB ``//``) — and the hash product
+#: is computed in DECIMAL(38,0)/HUGEINT (ADVICE r11): in plain BIGINT,
+#: event_id above ~2^63/K ≈ 3.4e9 silently wraps in Spark but ERRORS in
+#: DuckDB, a cross-engine divergence. Widened operands make the product
+#: exact in both engines at any realistic id scale (~2.6e21 ≪ 10^38),
+#: and at current fixture ids (< 2^63/K) the widened hash is value-
+#: identical to the old BIGINT one.
 _PERM_GROUP_T = (
-    f"((((event_id + b * {_PERM_STEP}) * {_PERM_KNUTH}) {{DIV}} 1048576) % 2)"
+    f"((((CAST(event_id AS {{WIDE}}) + b * {_PERM_STEP})"
+    f" * {_PERM_KNUTH}) {{DIV}} 1048576) % 2)"
 )
-_PERM_GROUP = _PERM_GROUP_T.format(DIV="div")
-_PERM_GROUP_DUCK = _PERM_GROUP_T.format(DIV="//")
+_PERM_GROUP = _PERM_GROUP_T.format(DIV="div", WIDE="DECIMAL(38,0)")
+_PERM_GROUP_DUCK = _PERM_GROUP_T.format(DIV="//", WIDE="HUGEINT")
 
 
 @register(
     "stats_permutation_diff_test",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS v
@@ -4663,10 +4669,12 @@ def permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: permutation b assigns each row via the integer hash
     (middle bits of (event_id + b·{_PERM_STEP}) · Knuth — bit 0 of an
     odd-multiplier product is just the row's parity, constant across b,
-    so the group bit comes from div 2^20). The mean comparison never
-    divides: |s1·n2 − s2·n1| cross-multiplied by the other side's n1·n2,
-    computed in DECIMAL(38)/HUGEINT because the triple products pass 2^63
-    at sf0.1. No float exists anywhere.
+    so the group bit comes from div 2^20). BOTH the hash product and the
+    mean comparison run in DECIMAL(38)/HUGEINT: the comparison's triple
+    products pass 2^63 at sf0.1, and the hash would wrap-vs-error
+    divergently between engines for event_id beyond ~2^63/K ≈ 3.4e9
+    (ADVICE r11). The mean comparison never divides: |s1·n2 − s2·n1|
+    cross-multiplied by the other side's n1·n2. No float exists anywhere.
 
     Shape: the filtered scan explodes x{_PERM_B} (map-only lit array), one
     partial-aggregable groupBy(b) producing a {_PERM_B}-row relation, the
@@ -4740,7 +4748,6 @@ _FRIED_BLOCKS = 12  # complete blocks: user_id % 12 x the 5 event types
 
 @register(
     "stats_friedman_test",
-    deferred=True,
     oracle=f"""
     WITH cells AS (
         SELECT user_id % {_FRIED_BLOCKS} AS blk, event_type,
@@ -4827,7 +4834,6 @@ _COCHRAN_BLOCKS = 16
 
 @register(
     "stats_cochran_q",
-    deferred=True,
     oracle=f"""
     WITH cells AS (
         SELECT user_id % {_COCHRAN_BLOCKS} AS blk, event_type,
@@ -4854,8 +4860,10 @@ _COCHRAN_BLOCKS = 16
     )
     SELECT CAST(k AS BIGINT) AS k,
            CAST(n_tot AS BIGINT) AS n_successes,
-           CAST((1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot))
-                // (k * sum_ri - sum_ri_sq) AS BIGINT) AS q_ppm
+           CAST(CASE WHEN k * sum_ri = sum_ri_sq THEN 0
+                     ELSE (1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot))
+                          // (k * sum_ri - sum_ri_sq) END
+                AS BIGINT) AS q_ppm
     FROM m
     """,
 )
@@ -4869,7 +4877,12 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: cell counts, the floored mean-cell threshold, and both
     marginal sums are exact integers; Q is one integer rational floored
-    to ppm identically in both engines.
+    to ppm identically in both engines. The denominator kΣR_i − ΣR_i² is
+    zero exactly when every block row is all-0 or all-1 (all R_i in
+    {{0, k}} — where the numerator is also identically 0), and Spark
+    ``div`` returns NULL there while DuckDB ``//`` RAISES; both engines
+    CASE the degenerate design to Q = 0 (ADVICE r11, mirroring the
+    ml_scalar_quantization_error constant-dimension guard).
 
     Shape: one partial-aggregable groupBy to the 80-cell relation; every
     later step is constant-size. The binarization threshold is a 1-row
@@ -4910,8 +4923,9 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.col("n_tot").alias("n_successes"),
         F.expr(
-            "CAST((1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot))"
-            " div (k * sum_ri - sum_ri_sq) AS BIGINT)"
+            "CAST(CASE WHEN k * sum_ri = sum_ri_sq THEN 0"
+            " ELSE (1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot))"
+            " div (k * sum_ri - sum_ri_sq) END AS BIGINT)"
         ).alias("q_ppm"),
     )
 
@@ -4924,7 +4938,6 @@ _ES_WEEKS = 2  # periods -2..+1 around T0 (7-day windows)
 
 @register(
     "stats_event_study_leads_lags",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT CAST(((date_diff('day', DATE '{_ES_T0}', CAST(ts AS DATE))
@@ -5024,7 +5037,6 @@ _MCI_Z = 1.96
 
 @register(
     "stats_median_ci_distribution_free",
-    deferred=True,
     oracle=f"""
     WITH s AS (
         SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
@@ -5128,7 +5140,6 @@ def median_ci_distribution_free(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_benjamini_yekutieli",
-    deferred=True,
     oracle=f"""
     WITH p AS (
         SELECT doc_id,
@@ -5163,10 +5174,14 @@ def benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARBITRARY dependence between the tests (BH assumes independence or
     PRDS; correlated hypotheses — the common case when tests share
     users/days — need the harmonic penalty c(m) = Σ 1/i). Same planted
-    p-values, same step-up rule, threshold k·α/(m·c(m)): on this fixture
-    BY rejects a strictly smaller set than stats_benjamini_hochberg —
-    the price of dropping the independence assumption, visible row by
-    row.
+    p-value generator as stats_holm_bonferroni (three tiers: the strong
+    doc_id % 10 = 5 block at 1..90 ppm, the marginal % 10 = 0 block, and
+    the uniform null — NOT stats_benjamini_hochberg's two-tier family,
+    which lacks the strong tier; ADVICE r11), same step-up rule,
+    threshold k·α/(m·c(m)): under the harmonic penalty BY keeps only the
+    strong tier while BH's independence threshold on ITS OWN landscape
+    admits the marginal block — the price of dropping the independence
+    assumption, visible row by row.
 
     Determinism: c(m) is quantized PER TERM to integer micro-units
     (Σ 1000000 div i over ranks 1..m) — a defined integer surrogate both
@@ -5224,7 +5239,6 @@ def benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_kruskal_wallis",
-    deferred=True,
     oracle="""
     WITH s AS (
         SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
@@ -5322,7 +5336,6 @@ _NEMENYI_THR = 14_883_968
 
 @register(
     "stats_nemenyi_posthoc",
-    deferred=True,
     oracle=f"""
     WITH cells AS (
         SELECT user_id % {_FRIED_BLOCKS} AS blk, event_type,

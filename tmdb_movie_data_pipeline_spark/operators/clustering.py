@@ -2052,7 +2052,6 @@ def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_expected_calibration_error",
-    deferred=True,
     oracle=f"""
     WITH mm AS (
         SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
@@ -2127,7 +2126,6 @@ _GAINS_DECILES = 10
 
 @register(
     "ml_gains_lift_deciles",
-    deferred=True,
     oracle=f"""
     WITH scored AS (
         SELECT CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS pos,

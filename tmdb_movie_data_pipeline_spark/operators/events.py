@@ -3343,7 +3343,6 @@ _POWER_N_EXPR = (
 
 @register(
     "events_power_analysis",
-    deferred=True,
     oracle=f"""
     WITH m AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,

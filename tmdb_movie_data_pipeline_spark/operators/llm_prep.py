@@ -1974,7 +1974,6 @@ _UNIMAX_B_NUM, _UNIMAX_B_DEN = 8, 10
 
 @register(
     "llm_unimax_language_caps",
-    deferred=True,
     oracle=f"""
     WITH avail AS (
         SELECT lang, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
@@ -2104,7 +2103,6 @@ _CHAT_PROMPT_TOKENS = 8  # first N tokens of the doc act as the user turn
 
 @register(
     "llm_chat_template_render",
-    deferred=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents

@@ -1393,7 +1393,6 @@ TILE_STATS_SCHEMA = T.StructType(
 
 @register(
     "multimodal_image_tile_stats",
-    deferred=True,
     oracle=f"""
     WITH dims AS (
         SELECT doc_id, CAST(2 + doc_id % 7 AS INTEGER) AS w,
@@ -1474,7 +1473,6 @@ PCM_ZCR_SCHEMA = T.StructType(
 
 @register(
     "multimodal_pcm_zero_crossings",
-    deferred=True,
     oracle=f"""
     SELECT doc_id,
            CAST(t.k // {_PCM_FRAME} AS INTEGER) AS frame_idx,
@@ -1546,7 +1544,6 @@ PCM_DECIMATE_SCHEMA = T.StructType(
 
 @register(
     "multimodal_pcm_decimate",
-    deferred=True,
     oracle=f"""
     SELECT doc_id,
            CAST({_PCM_SAMPLES // 2} AS BIGINT) AS n_out,

@@ -499,7 +499,6 @@ _CLIP_LO_PCT, _CLIP_HI_PCT = 1, 99  # clip grid: [p1, p99]
 
 @register(
     "ml_embedding_outlier_clip",
-    deferred=True,
     oracle=f"""
     WITH flat AS (
         SELECT vec_id,

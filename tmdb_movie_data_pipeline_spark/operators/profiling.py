@@ -1090,7 +1090,6 @@ def quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_sequential_id_gaps",
-    deferred=True,
     oracle="""
     WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
     gaps AS (

@@ -1597,7 +1597,6 @@ _RBO_W_SQL = (
 
 @register(
     "ml_rank_biased_overlap",
-    deferred=True,
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < {N_QUERIES}),
@@ -1798,7 +1797,6 @@ def _mmr_steps_sql() -> str:
 
 @register(
     "ml_mmr_diversified_topk",
-    deferred=True,
     oracle=f"""
     WITH {_mmr_cand_sql()}, {_mmr_steps_sql()}
     SELECT query_id, neighbor_id, step, rel AS rel_micro,

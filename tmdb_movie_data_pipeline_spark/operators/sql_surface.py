@@ -254,7 +254,6 @@ def collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_group_by_all_report",
-    deferred=True,
     oracle="""
     SELECT o_orderpriority,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
@@ -300,7 +299,6 @@ def group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_scalar_udf_battery",
-    deferred=True,
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -358,7 +356,6 @@ def scalar_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_unpivot_syntax",
-    deferred=True,
     oracle="""
     WITH base AS (
         SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax

@@ -2155,7 +2155,6 @@ _FH_BUCKETS = 256  # 2^8 hashed feature dimensions
 
 @register(
     "ml_feature_hashing_stats",
-    deferred=True,
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, UNNEST({_TOKENS_SQL}) AS t FROM documents

@@ -563,7 +563,6 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_dist_functions",
-    deferred=True,
     oracle="""
     SELECT s_suppkey,
            CAST(s_nationkey AS BIGINT) AS nation,
@@ -586,10 +585,10 @@ def dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines; the order fully tie-breaks on (cent-balance, key).
 
     Shape: one shuffle on the partition key, in-partition sort —
-    the canonical window plan; nothing global."""
-    w = W.partitionBy("s_nationkey").orderBy(
-        F.expr("ROUND(s_acctbal * 100) DESC"), F.asc("s_suppkey")
-    )
+    the canonical window plan; nothing global. (ADVICE r11: a dead
+    WindowSpec built with F.expr("... DESC") was removed here — inside
+    expr() that DESC parses as a column ALIAS, silently ascending; the
+    inline OVER() SQL below is the correct form.)"""
     return load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.col("s_nationkey").cast("long").alias("nation"),

@@ -89,9 +89,11 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r11: no verified query's semantics or plan were rewritten this
-    # session (the ml_scalar_quantization_error guard landed BEFORE its
-    # first activation, so it is still bucket-1 never-verified).
+    # r12: no verified query's semantics or plan were rewritten this
+    # session — the ADVICE r11 fixes (window_dist_functions dead `w`,
+    # permutation-hash DECIMAL cast, Cochran's Q zero-denominator guard,
+    # benjamini_yekutieli docstring) all touch r12-queue queries landing
+    # BEFORE their first activation, so they are still bucket-1.
 ]
 
 
@@ -195,9 +197,14 @@ DRIVER_CAP_FLOOR = 45
 #: 37 + 10 > 45, so full activation wins and r11 registers ZERO net-new
 #: active queries — r12's head is just its own activations, letting the
 #: r12 stride rebound to ~30+ (projected full-recycle math in NOTES_r11).
+#: r12: the full 25-query r11 deferred queue activated (VERDICT r11 #1),
+#: 0 changed → head 25, stride 20 — exactly the NOTES_r11 #3 projection.
+#: Per the committed taper (VERDICT r11 #2), r12 registers ≤10 net-new
+#: queries so r13's head stays small and strides rebound to 35+; updated
+#: recycle arithmetic in NOTES_r12.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8}
+_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
