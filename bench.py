@@ -161,6 +161,15 @@ BENCH_QUERIES = [
     "llm_semantic_decontaminate",
     "join_bitemporal_asof",
     "multimodal_scene_change_detect",
+    # r12 activations worth watching (VERDICT r11 #4, named in NOTES_r11):
+    # the B=199 map-side permutation explode, the greedy MMR join ladder,
+    # the decode + 6-d patch reshape, the corpus-wide token-md5 hashing
+    # audit, and the dual ranked-list RBO build
+    "stats_permutation_diff_test",
+    "ml_mmr_diversified_topk",
+    "multimodal_image_tile_stats",
+    "ml_feature_hashing_stats",
+    "ml_rank_biased_overlap",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

@@ -34,6 +34,12 @@ from typing import Any
 
 _ROOT = Path(__file__).resolve().parent.parent
 
+#: where the driver-written CORRECTNESS_r*.json / BENCH_DETAIL_*.json live.
+#: Same as _ROOT in production; split out so the driver-file simulation test
+#: (tests/test_registry_rotation.py, VERDICT r11 #5) can point the history
+#: readers at a tmpdir without breaking module-path resolution.
+_HISTORY_ROOT = _ROOT
+
 
 def _correctness_history() -> dict[str, dict[str, Any]]:
     """name -> {first_green, last_green, n_rows, latest_green} across every
@@ -43,7 +49,7 @@ def _correctness_history() -> dict[str, dict[str, Any]]:
     hist: dict[str, dict[str, Any]] = {}
     rounds = sorted(
         (int(m.group(1)), p)
-        for p in _ROOT.glob("CORRECTNESS_r*.json")
+        for p in _HISTORY_ROOT.glob("CORRECTNESS_r*.json")
         if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
     )
     for rnd, path in rounds:
@@ -74,7 +80,7 @@ def _correctness_history() -> dict[str, dict[str, Any]]:
 def _bench_appearances() -> dict[str, list[str]]:
     """name -> bench detail records (round or session tagged) that timed it."""
     out: dict[str, list[str]] = {}
-    for p in sorted(_ROOT.glob("BENCH_DETAIL_*.json")):
+    for p in sorted(_HISTORY_ROOT.glob("BENCH_DETAIL_*.json")):
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):

@@ -1816,16 +1816,25 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: relevance and pairwise sims quantize to integer micro
     BEFORE any comparison (the cosine doubles are bit-identical by this
     module's fixed-order expressions), every argmax tie-breaks by
-    neighbor_id, and scores stay integer throughout. The oracle unrolls
-    the same {_MMR_K} greedy steps as chained CTEs.
+    neighbor_id, and scores stay integer throughout — the greedy loop
+    itself runs on plain Python ints, so no float exists past the
+    quantization. The oracle unrolls the same {_MMR_K} greedy steps as
+    chained CTEs.
 
     Shape: the pool build is the same broadcast crossJoin + per-query
     window as ann_cosine_topk; after it everything is bounded by
-    |Q|·{_MMR_POOL} rows (pairs: |Q|·{_MMR_POOL}²). The {_MMR_K}-step
-    greedy loop composes one lazy plan — bounded joins over broadcast-
-    sized relations, no iteration over data; at 100 TB only the pool
-    build scales (swap in the IVF/LSH candidate stage), the MMR stage is
-    constant-size per query."""
+    |Q|·{_MMR_POOL} rows (pairs: |Q|·{_MMR_POOL}²). The greedy stage is
+    CONSTANT-SIZE per query, so it runs as ONE cogrouped applyInPandas
+    over (cand, pairs) — one shuffle on query_id, one Arrow batch per
+    query, O(k·pool) integer argmax inside. The first cut composed the
+    {_MMR_K} steps as a lazy join ladder instead; measured at sf0.001
+    it ran 11.2 s un-checkpointed (every step re-ran the corpus-scale
+    scoring), 3.5–4.4 s with cand/pairs/sel localCheckpoints (6 jobs of
+    pure scheduling overhead for 40 output rows) vs 1.5–1.8 s for this
+    cogroup, all three hash-identical — recorded in NOTES_r12 so later
+    rounds don't re-try the ladder. At 100 TB only the pool build
+    scales (swap in the IVF/LSH candidate stage); the cogroup shuffles
+    |Q|·(pool + pool²) bounded rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1849,10 +1858,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rel = W.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("neighbor_id")
     )
+    # lazy checkpoint: cand feeds BOTH the pair build (twice, as x and y)
+    # and the cogroup input — one lineage cut keeps the corpus-scale
+    # scoring single-pass
     cand = (
         scored.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= _MMR_POOL)
         .select("query_id", "neighbor_id", "rel")
+        .localCheckpoint(eager=False)
     )
     pe = cand.join(
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
@@ -1872,7 +1885,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, "query_id")
         .filter(F.col("a_id") != F.col("b_id"))
         .select(
-            "query_id",
+            # fresh alias: pairs shares cand's lineage, and cogroup's
+            # analyzer rejects the same query_id attribute on both sides
+            F.col("query_id").alias("query_id"),
             "a_id",
             "b_id",
             F.expr(
@@ -1882,53 +1897,60 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+    def _greedy(cand_pdf, pairs_pdf):  # one query's pool per Arrow batch
+        import pandas as pd
+
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "step", "rel", "score"]
+            )
+        qid = int(cand_pdf["query_id"].iloc[0])
+        # argmax rel, ties by neighbor_id ASC == max over (rel, -nid)
+        rel_of = {
+            int(n): int(r)
+            for n, r in zip(cand_pdf["neighbor_id"], cand_pdf["rel"])
+        }
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(
+                pairs_pdf["a_id"], pairs_pdf["b_id"], pairs_pdf["sim"]
+            )
+        }
+        remaining = set(rel_of)
+        out = []
+        first = max(remaining, key=lambda n: (rel_of[n], -n))
+        out.append((qid, first, 1, rel_of[first], rel_of[first]))
+        remaining.discard(first)
+        selected = [first]
+        for step in range(2, _MMR_K + 1):
+            if not remaining:
+                break
+            best, best_score = None, None
+            for n in remaining:
+                ms = max(sim[(n, s)] for s in selected)
+                score = rel_of[n] - ms
+                if (
+                    best is None
+                    or score > best_score
+                    or (score == best_score and n < best)
+                ):
+                    best, best_score = n, score
+            out.append((qid, best, step, rel_of[best], best_score))
+            remaining.discard(best)
+            selected.append(best)
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "step", "rel", "score"]
+        )
+
     sel = (
-        cand.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rel",
-            F.lit(1).cast("long").alias("step"),
-            F.col("rel").alias("score"),
+        cand.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            _greedy,
+            "query_id long, neighbor_id long, step long, rel long, score long",
         )
     )
-    for i in range(2, _MMR_K + 1):
-        sel_ids = sel.select("query_id", F.col("neighbor_id").alias("s_id"))
-        rem = cand.join(
-            sel_ids.withColumnRenamed("s_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        ms = (
-            pairs.join(
-                sel_ids,
-                (pairs.query_id == sel_ids.query_id)
-                & (pairs.b_id == sel_ids.s_id),
-            )
-            .select(pairs.query_id, "a_id", "sim")
-            .groupBy("query_id", "a_id")
-            .agg(F.max("sim").alias("ms"))
-        )
-        m = rem.join(
-            ms.withColumnRenamed("a_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-        ).withColumn("score", F.col("rel") - F.col("ms"))
-        w_mmr = W.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("neighbor_id")
-        )
-        pick = (
-            m.withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "rel",
-                F.lit(i).cast("long").alias("step"),
-                "score",
-            )
-        )
-        sel = sel.unionByName(pick)
     return sel.select(
         "query_id",
         "neighbor_id",
