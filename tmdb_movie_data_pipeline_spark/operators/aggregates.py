@@ -5426,5 +5426,198 @@ def nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Cochran-Armitage trend test (r13 queue) ---------------------------------------------
+
+
+@register(
+    "stats_cochran_armitage_trend",
+    deferred=True,
+    oracle="""
+    WITH g AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+               CAST(COUNT(*) AS HUGEINT) AS n_i,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS s_i
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT SUM(n_i) AS n, SUM(s_i) AS s,
+               SUM(dose * s_i) AS t,
+               SUM(dose * n_i) AS w1,
+               SUM(dose * dose * n_i) AS w2
+        FROM g
+    )
+    SELECT g.dose,
+           CAST(g.n_i AS BIGINT) AS n,
+           CAST(g.s_i AS BIGINT) AS successes,
+           CAST((1000000 * g.s_i) // g.n_i AS BIGINT) AS success_ppm,
+           CAST(CASE WHEN s = 0 OR s = n OR n * w2 = w1 * w1 THEN 0
+                     ELSE (1000000 * n * (n * t - s * w1) * (n * t - s * w1))
+                          // (s * (n - s) * (n * w2 - w1 * w1)) END
+                AS BIGINT) AS z2_ppm
+    FROM g CROSS JOIN m
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend-in-proportions across ORDERED dose groups —
+    the binary-outcome member of the ordered-alternative shelf (it is to
+    stats_chi_square what stats_jonckheere_terpstra is to
+    stats_kruskal_wallis): does the fulfilled rate (o_orderstatus = 'F')
+    rise or fall monotonically with order priority 1-URGENT .. 5-LOW?
+    Scores w = the priority's leading digit; z² = N·(N·T − S·W1)² /
+    [S(N−S)(N·W2 − W1²)] with T = Σw·s_i, W1 = Σw·n_i, W2 = Σw²·n_i.
+
+    Determinism: a 5-row contingency relation of exact integer counts;
+    z² is ONE integer rational floored to ppm identically in both
+    engines, in DECIMAL(38)/HUGEINT (N·num²·10⁶ ≈ 10²⁹ at sf0.1).
+    Degenerate guards mirror stats_cochran_q: S ∈ {{0, N}} or constant
+    dose (N·W2 = W1²) cases to z² = 0.
+
+    Shape: one partial-aggregable groupBy to 5 rows; the trend fold is a
+    broadcast of a 1-row moment aggregate — constant past the first
+    aggregate at any corpus size."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("dose")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_i"),
+        )
+    )
+    m = g.agg(
+        F.sum("n_i").cast("decimal(38,0)").alias("n"),
+        F.sum("s_i").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("dose") * F.col("s_i")).cast("decimal(38,0)").alias("t"),
+        F.sum(F.col("dose") * F.col("n_i")).cast("decimal(38,0)").alias("w1"),
+        F.sum(F.col("dose") * F.col("dose") * F.col("n_i"))
+        .cast("decimal(38,0)")
+        .alias("w2"),
+    )
+    return g.crossJoin(F.broadcast(m)).select(
+        "dose",
+        F.col("n_i").cast("long").alias("n"),
+        F.col("s_i").cast("long").alias("successes"),
+        F.expr("CAST((1000000 * s_i) div n_i AS BIGINT)").alias("success_ppm"),
+        F.expr(
+            "CAST(CASE WHEN s = 0 OR s = n OR n * w2 = w1 * w1 THEN 0"
+            " ELSE (1000000 * n * (n * t - s * w1) * (n * t - s * w1))"
+            " div (s * (n - s) * (n * w2 - w1 * w1)) END AS BIGINT)"
+        ).alias("z2_ppm"),
+    )
+
+
+# -- Page's L trend test (r13 queue) -----------------------------------------------------
+
+
+@register(
+    "stats_page_trend_test",
+    deferred=True,
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % {_FRIED_BLOCKS} AS blk, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cv
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT blk, event_type,
+               CAST(2 * RANK() OVER (PARTITION BY blk ORDER BY cv)
+                    + COUNT(*) OVER (PARTITION BY blk, cv) - 1 AS BIGINT)
+                   AS rank2
+        FROM cells
+    ), ord AS (
+        SELECT event_type,
+               CAST(DENSE_RANK() OVER (ORDER BY event_type) AS BIGINT) AS j,
+               CAST(SUM(rank2) AS BIGINT) AS r2j,
+               CAST(COUNT(*) AS BIGINT) AS b
+        FROM ranked GROUP BY 1
+    ), m AS (
+        SELECT SUM(j * r2j) AS l2, MAX(b) AS b,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM ord
+    )
+    SELECT ord.event_type, ord.j, ord.r2j,
+           CAST(m.l2 AS BIGINT) AS l2,
+           CAST(CASE WHEN m.l2 >= m.b * m.k * (m.k + 1) * (m.k + 1) // 2
+                     THEN (1000000 * (m.l2 - m.b * m.k * (m.k + 1) * (m.k + 1) // 2)
+                           * (m.l2 - m.b * m.k * (m.k + 1) * (m.k + 1) // 2))
+                          // ((m.b * (m.k * m.k * m.k - m.k)
+                              * (m.k * m.k * m.k - m.k)) // (36 * (m.k - 1)))
+                     ELSE -((1000000 * (m.b * m.k * (m.k + 1) * (m.k + 1) // 2 - m.l2)
+                             * (m.b * m.k * (m.k + 1) * (m.k + 1) // 2 - m.l2))
+                            // ((m.b * (m.k * m.k * m.k - m.k)
+                                * (m.k * m.k * m.k - m.k)) // (36 * (m.k - 1)))) END
+                AS BIGINT) AS signed_z2_ppm
+    FROM ord CROSS JOIN m
+    """,
+)
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (Page 1963) — the ORDERED alternative after
+    Friedman, completing the rank-test matrix: Kruskal-Wallis (unordered
+    independent) / Jonckheere-Terpstra (ordered independent) / Friedman
+    (unordered blocked) / Page (ordered blocked). Same
+    {_FRIED_BLOCKS}x5 block design and doubled tie-averaged ranks as
+    stats_friedman_test; hypothesized order = alphabetical event_type
+    (fixture-honest: an arbitrary but fixed order, so the signed
+    statistic reads as "no planted monotone trend" unless the data
+    disagrees). L = Σ j·R_j; with doubled ranks L2 = 2L, E[L2] =
+    b·k(k+1)²/2 (exact integer for k = 5), Var(L) = b(k³−k)²/(144(k−1))
+    so 4·Var = b(k³−k)²/(36(k−1)) = 100·b exactly at k = 5 — making
+    z² = (L2 − E[L2])²/(4·Var) one integer rational.
+
+    Determinism: doubled ranks are exact integers off 12-row partitions;
+    the z² fold divides integers whose divisors (2, 36(k−1)) divide
+    exactly at k = 5 — asserted by the oracle's own algebra. The SIGN of
+    L2 − E[L2] is carried on z² (positive = rank mass increasing along
+    the hypothesized order) with the same magnitude in both branches,
+    so no engine division-convention difference can appear.
+
+    Shape: identical to stats_friedman_test — one partial-aggregable
+    groupBy to the 60-cell relation, ranks inside 12-row partitions, a
+    5-row rollup, then constant-size algebra."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % _FRIED_BLOCKS).alias("blk"), "event_type"
+        )
+        .agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("cv"))
+    )
+    w_rk = W.partitionBy("blk").orderBy("cv")
+    w_tie = W.partitionBy("blk", "cv")
+    ranked = cells.withColumn(
+        "rank2",
+        (2 * F.rank().over(w_rk) + F.count(F.lit(1)).over(w_tie) - 1).cast(
+            "long"
+        ),
+    )
+    ordn = ranked.groupBy("event_type").agg(
+        F.sum("rank2").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    ordn = ordn.withColumn(
+        "j", F.dense_rank().over(W.orderBy("event_type")).cast("long")
+    )
+    m = ordn.agg(
+        F.sum(F.col("j") * F.col("r2j")).cast("long").alias("l2"),
+        F.max("b").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    e_l2 = "nb * k * (k + 1) * (k + 1) div 2"
+    var4 = "(nb * (k * k * k - k) * (k * k * k - k)) div (36 * (k - 1))"
+    return ordn.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        "j",
+        "r2j",
+        F.col("l2").alias("l2"),
+        F.expr(
+            f"CAST(CASE WHEN l2 >= {e_l2}"
+            f" THEN (1000000 * (l2 - {e_l2}) * (l2 - {e_l2})) div ({var4})"
+            f" ELSE -((1000000 * ({e_l2} - l2) * ({e_l2} - l2)) div ({var4}))"
+            " END AS BIGINT)"
+        ).alias("signed_z2_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

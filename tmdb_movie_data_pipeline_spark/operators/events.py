@@ -3398,5 +3398,153 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# -- CUPED variance reduction (r13 queue) ------------------------------------------
+
+#: pre-period / post-period boundary (fixture events span 2024-01-01..30)
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "events_cuped_variance_reduction",
+    deferred=True,
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    per AS (
+        SELECT u.user_id,
+               u.user_id % 2 = 0 AS treated,
+               COALESCE(SUM(CASE WHEN e.ts < TIMESTAMP '{_CUPED_SPLIT}'
+                    THEN CAST(ROUND(e.value) AS BIGINT) END), 0) AS x,
+               COALESCE(SUM(CASE WHEN e.ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                    THEN CAST(ROUND(e.value) AS BIGINT) END), 0) AS y
+        FROM u LEFT JOIN events e
+          ON e.user_id = u.user_id AND e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(y * y) AS HUGEINT) AS syy,
+               CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+               CAST(SUM(CASE WHEN treated THEN x ELSE 0 END) AS HUGEINT) AS sxt,
+               CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS HUGEINT) AS syt
+        FROM per
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treat,
+           CAST(n - nt AS BIGINT) AS n_ctrl,
+           CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                     THEN 0
+                     ELSE (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                          // ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+                AS BIGINT) AS rho2_ppm,
+           CAST((1000000 * (syt * (n - nt) - (sy - syt) * nt))
+                // (nt * (n - nt)) AS BIGINT) AS delta_raw_micro,
+           CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                     THEN (1000000 * (syt * (n - nt) - (sy - syt) * nt))
+                          // (nt * (n - nt))
+                     ELSE (1000000 * ((syt * (n - nt) - (sy - syt) * nt)
+                                          * (n * sxx - sx * sx)
+                                      - (n * sxy - sx * sy)
+                                          * (sxt * (n - nt) - (sx - sxt) * nt)))
+                          // (nt * (n - nt) * (n * sxx - sx * sx)) END
+                AS BIGINT) AS delta_cuped_micro
+    FROM m
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013, "Improving the sensitivity of online
+    controlled experiments"): adjust the experiment metric Y by the
+    pre-period covariate X, Ŷ = Y − θ(X − E[X]) with θ = cov(X,Y)/var(X)
+    — the industry-standard variance-reduction companion to
+    events_power_analysis (fewer users for the same MDE) and the
+    pre/post member of the A/B shelf beside stats_diff_in_diff. X is a
+    user's whole-unit purchase spend before {_CUPED_SPLIT}, Y after;
+    arms are even/odd user_id over the FULL distinct-user universe
+    (zero-purchase users legitimately carry x = y = 0).
+
+    Determinism: every moment (n, Σx, Σy, Σx², Σxy, Σy², per-arm
+    splits) is an exact integer; no division ever produces θ. The three
+    outputs are single integer rationals: ρ²_xy in ppm — the variance
+    reduction CUPED delivers, 1 − var(Ŷ)/var(Y) = ρ² — as
+    (10⁶·cov²) div (varX·varY) with the n² factors cancelling; the raw
+    arm gap cross-multiplied over nt·nc; and the CUPED-adjusted gap
+    ΔY − θ·ΔX = (ΔY·varX − cov·ΔX)/varX folded into ONE division over
+    nt·nc·varX. Products reach ~10²⁹–10³⁴ at sf0.1, inside
+    DECIMAL(38)/HUGEINT (whole-unit quantization keeps them there —
+    cents would overflow the 38-digit ceiling); both engines' integer
+    division truncates toward zero (the multimodal_pcm_decimate
+    measurement). Degenerate guards mirror stats_cochran_q: varX = 0 or
+    varY = 0 cases to ρ² = 0 / unadjusted Δ.
+
+    Shape: one events scan → per-user conditional aggregate (partial-
+    aggregable groupBy(user_id)), then ONE 1-row moment aggregate; the
+    output is constant-size. At 100 TB the per-user relation shards on
+    user_id and the moment rollup is a map-side combine — nothing about
+    the statistic needs a second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(
+            F.col("ts") < F.lit(_CUPED_SPLIT).cast("timestamp"),
+            quantize(F.col("value"), 1),
+        ).alias("xv"),
+        F.when(
+            F.col("ts") >= F.lit(_CUPED_SPLIT).cast("timestamp"),
+            quantize(F.col("value"), 1),
+        ).alias("yv"),
+    )
+    per = (
+        users.join(p, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum("xv"), F.lit(0)).cast("long").alias("x"),
+            F.coalesce(F.sum("yv"), F.lit(0)).cast("long").alias("y"),
+        )
+        .withColumn("treated", F.col("user_id") % 2 == 0)
+    )
+    d38 = "decimal(38,0)"
+    m = per.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast(d38).alias("nt"),
+        F.sum(F.when(F.col("treated"), F.col("x")).otherwise(0))
+        .cast(d38)
+        .alias("sxt"),
+        F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0))
+        .cast(d38)
+        .alias("syt"),
+    )
+    return m.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        (F.col("n") - F.col("nt")).cast("long").alias("n_ctrl"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0"
+            " THEN 0"
+            " ELSE (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS BIGINT)"
+        ).alias("rho2_ppm"),
+        F.expr(
+            "CAST((1000000 * (syt * (n - nt) - (sy - syt) * nt))"
+            " div (nt * (n - nt)) AS BIGINT)"
+        ).alias("delta_raw_micro"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) = 0"
+            " THEN (1000000 * (syt * (n - nt) - (sy - syt) * nt))"
+            " div (nt * (n - nt))"
+            " ELSE (1000000 * ((syt * (n - nt) - (sy - syt) * nt)"
+            " * (n * sxx - sx * sx)"
+            " - (n * sxy - sx * sy) * (sxt * (n - nt) - (sx - sxt) * nt)))"
+            " div (nt * (n - nt) * (n * sxx - sx * sx)) END AS BIGINT)"
+        ).alias("delta_cuped_micro"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -2198,5 +2198,122 @@ def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- DSIR importance weights (r13 queue) -----------------------------------------------
+
+_DSIR_BUCKETS = 256  # hashed-unigram feature space (DSIR hashes n-grams)
+_DSIR_TOP = 25  # selected docs reported
+
+
+@register(
+    "llm_dsir_importance_weights",
+    deferred=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST({_TOKENS_SQL}) AS t FROM documents
+    ), h AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {_DSIR_BUCKETS}
+                   AS bucket
+        FROM tok
+    ), prof AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS ct,
+               CAST(COUNT(*) AS HUGEINT) AS cs
+        FROM h GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ct) AS HUGEINT) AS nt, CAST(SUM(cs) AS HUGEINT) AS ns
+        FROM prof
+    ), lift AS (
+        SELECT bucket,
+               CAST((1000000 * (ct + 1) * (ns + {_DSIR_BUCKETS}))
+                    // ((cs + 1) * (nt + {_DSIR_BUCKETS})) AS BIGINT)
+                   AS lift_ppm
+        FROM prof CROSS JOIN tot
+    ), ds AS (
+        SELECT h.doc_id, h.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(l.lift_ppm) AS BIGINT) AS dsir_score
+        FROM h JOIN lift l USING (bucket) GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_toks, dsir_score,
+           CAST(dsir_score // n_toks AS BIGINT) AS per_tok_ppm
+    FROM ds
+    ORDER BY dsir_score // n_toks DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much it
+    resembles the TARGET distribution (here lang = 'en') under hashed
+    unigram bag-of-words language models — the principled pretraining
+    data-selection step upstream of llm_domain_mix_resample's fixed
+    quotas and llm_quality_percentile_gate's quality cut. Per-doc
+    importance = Σ over tokens of the add-one-smoothed frequency-ratio
+    lift of the token's hash bucket; the top-{_DSIR_TOP} docs by
+    per-token score are the selected slice.
+
+    Determinism: each bucket's lift is quantized to integer ppm BEFORE
+    any per-doc sum (order-free by construction, the
+    stats_hellinger_distance device); the ratio is computed cross-
+    multiplied in DECIMAL(38)/HUGEINT — (ct+1)(N_s+B)·10⁶ passes 2^63
+    well below web-corpus token counts — and per-token normalization is
+    one integer division with the standing truncation semantics. Top-k
+    fully tie-breaks on doc_id.
+
+    Shape: one token explode, one md5 per token (the
+    ml_feature_hashing_stats device — NO vocabulary broadcast at any
+    scale), one partial-aggregable groupBy to the {_DSIR_BUCKETS}-row
+    profile, a broadcast lift join back onto the token stream, a
+    per-doc partial-aggregable rollup, and a TakeOrderedAndProject
+    top-{_DSIR_TOP}. Both "language models" come from ONE scan via
+    conditional aggregation — the target profile is never a second
+    pass."""
+    from ..io import load_table
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("t")
+    )
+    h = tok.selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_DSIR_BUCKETS} AS bucket",
+    )
+    prof = h.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ct"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cs"),
+    )
+    tot = prof.agg(
+        F.sum("ct").cast("decimal(38,0)").alias("nt"),
+        F.sum("cs").cast("decimal(38,0)").alias("ns"),
+    )
+    lift = prof.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        f"CAST((1000000 * (ct + 1) * (ns + {_DSIR_BUCKETS}))"
+        f" div ((cs + 1) * (nt + {_DSIR_BUCKETS})) AS BIGINT) AS lift_ppm",
+    )
+    ds = (
+        h.join(F.broadcast(lift), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lift_ppm").cast("long").alias("dsir_score"),
+        )
+    )
+    return (
+        ds.withColumn(
+            "per_tok_ppm",
+            F.expr("CAST(dsir_score div n_toks AS BIGINT)"),
+        )
+        .orderBy(F.desc("per_tok_ppm"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+        .select("doc_id", "lang", "n_toks", "dsir_score", "per_tok_ppm")
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
