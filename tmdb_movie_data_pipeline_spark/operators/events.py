@@ -3496,12 +3496,19 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize(F.col("value"), 1),
         ).alias("yv"),
     )
+    # pre-aggregate BEFORE the user-universe join: the per-user (x, y)
+    # relation is partial-aggregable and |users|-sized, so the left join
+    # moves aggregates, never raw purchase rows
+    pxy = p.groupBy("user_id").agg(
+        F.sum("xv").cast("long").alias("x"),
+        F.sum("yv").cast("long").alias("y"),
+    )
     per = (
-        users.join(p, "user_id", "left")
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(F.sum("xv"), F.lit(0)).cast("long").alias("x"),
-            F.coalesce(F.sum("yv"), F.lit(0)).cast("long").alias("y"),
+        users.join(pxy, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
         )
         .withColumn("treated", F.col("user_id") % 2 == 0)
     )
