@@ -4879,7 +4879,7 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal sums are exact integers; Q is one integer rational floored
     to ppm identically in both engines. The denominator kΣR_i − ΣR_i² is
     zero exactly when every block row is all-0 or all-1 (all R_i in
-    {{0, k}} — where the numerator is also identically 0), and Spark
+    {0, k} — where the numerator is also identically 0), and Spark
     ``div`` returns NULL there while DuckDB ``//`` RAISES; both engines
     CASE the degenerate design to Q = 0 (ADVICE r11, mirroring the
     ml_scalar_quantization_error constant-dimension guard).
@@ -5469,7 +5469,7 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: a 5-row contingency relation of exact integer counts;
     z² is ONE integer rational floored to ppm identically in both
     engines, in DECIMAL(38)/HUGEINT (N·num²·10⁶ ≈ 10²⁹ at sf0.1).
-    Degenerate guards mirror stats_cochran_q: S ∈ {{0, N}} or constant
+    Degenerate guards mirror stats_cochran_q: S ∈ {0, N} or constant
     dose (N·W2 = W1²) cases to z² = 0.
 
     Shape: one partial-aggregable groupBy to 5 rows; the trend fold is a
