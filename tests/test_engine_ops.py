@@ -1129,3 +1129,164 @@ def test_kruskal_rank2_shared_identity(spark, sf_dir):
     h_ppm = {r["h_ppm"] for r in kw}
     assert len(h_ppm) == 1
     assert -(len(kw) + 1.0) <= next(iter(h_ppm)) - h_float * 1e6 <= 1.0
+
+
+def test_cuped_matches_numpy_reference(spark, sf_dir):
+    """The r13-queue CUPED outputs vs an independent float computation
+    (numpy covariance algebra on the same per-user relation) — the same
+    brute-force discipline that caught the Kruskal /4 fold bug: both
+    engines hash-agreeing cannot hide a wrong folded constant from an
+    independent reference."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    row = deferred_queries()["events_cuped_variance_reduction"](
+        spark, sf_dir
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    per = con.execute("""
+        WITH u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id % 2 = 0 AS treated,
+               COALESCE(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(e.value) AS BIGINT) END), 0) AS x,
+               COALESCE(SUM(CASE WHEN e.ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(e.value) AS BIGINT) END), 0) AS y
+        FROM u LEFT JOIN events e
+          ON e.user_id = u.user_id AND e.event_type = 'purchase'
+        GROUP BY u.user_id, 1
+    """).fetchall()
+    con.close()
+    xs = [float(x) for _, x, _ in per]
+    ys = [float(y) for _, _, y in per]
+    n = len(per)
+    mean = lambda v: sum(v) / len(v)
+    mx, my = mean(xs), mean(ys)
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs)
+    vy = sum((b - my) ** 2 for b in ys)
+    rho2 = cov * cov / (vx * vy)
+    assert abs(row["rho2_ppm"] - rho2 * 1e6) <= 2.0
+    t = [(x, y) for tr, x, y in per if tr]
+    c = [(x, y) for tr, x, y in per if not tr]
+    assert row["n_treat"] == len(t) and row["n_ctrl"] == len(c)
+    dy = mean([y for _, y in t]) - mean([y for _, y in c])
+    dx = mean([x for x, _ in t]) - mean([x for x, _ in c])
+    theta = cov / vx
+    assert abs(row["delta_raw_micro"] - dy * 1e6) <= 2.0
+    assert abs(row["delta_cuped_micro"] - (dy - theta * dx) * 1e6) <= 2.0
+
+
+def test_cochran_armitage_matches_float_reference(spark, sf_dir):
+    """CA trend z² vs the textbook float formula on the observed 5-row
+    contingency table."""
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    rows = deferred_queries()["stats_cochran_armitage_trend"](
+        spark, sf_dir
+    ).collect()
+    n_i = {r["dose"]: r["n"] for r in rows}
+    s_i = {r["dose"]: r["successes"] for r in rows}
+    N = sum(n_i.values())
+    S = sum(s_i.values())
+    T = sum(d * s for d, s in s_i.items())
+    W1 = sum(d * n for d, n in n_i.items())
+    W2 = sum(d * d * n for d, n in n_i.items())
+    z2 = N * (N * T - S * W1) ** 2 / (S * (N - S) * (N * W2 - W1 * W1))
+    got = {r["z2_ppm"] for r in rows}
+    assert len(got) == 1
+    assert abs(next(iter(got)) - z2 * 1e6) <= 2.0
+    for r in rows:  # per-dose ppm floors
+        assert r["success_ppm"] == 1000000 * r["successes"] // r["n"]
+
+
+def test_page_trend_matches_float_reference(spark, sf_dir):
+    """Page's signed z² vs the float L-statistic algebra (L from the
+    engine's own doubled rank sums, E and Var from Page 1963)."""
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    rows = deferred_queries()["stats_page_trend_test"](
+        spark, sf_dir
+    ).collect()
+    k = len(rows)
+    b = rows[0]["r2j"]  # recover b from identity Σ R2_j = b·k(k+1)
+    total = sum(r["r2j"] for r in rows)
+    assert total % (k * (k + 1)) == 0
+    b = total // (k * (k + 1))
+    L = sum(r["j"] * r["r2j"] for r in rows) / 2.0
+    E = b * k * (k + 1) ** 2 / 4.0
+    var = b * (k**3 - k) ** 2 / (144.0 * (k - 1))
+    z2 = (L - E) ** 2 / var
+    signed = z2 if L >= E else -z2
+    got = {r["signed_z2_ppm"] for r in rows}
+    assert len(got) == 1
+    assert abs(next(iter(got)) - signed * 1e6) <= 2.0
+
+
+def test_dsir_matches_python_reference(spark, sf_dir):
+    """DSIR per-doc scores vs an independent pure-Python implementation:
+    DuckDB only tokenizes (the shared normalization); hashing, profiles,
+    integer lift, and the top-k selection are recomputed with hashlib +
+    dict arithmetic, so a shared SQL-idiom bug cannot hide."""
+    import duckdb
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _DSIR_BUCKETS,
+        _DSIR_TOP,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = con.execute(
+        f"SELECT doc_id, lang, UNNEST({_TOKENS_SQL}) AS t FROM documents"
+    ).fetchall()
+    con.close()
+    B = _DSIR_BUCKETS
+    ct: dict[int, int] = {}
+    cs: dict[int, int] = {}
+    per_doc: dict[int, list] = {}
+    for doc_id, lang, t in toks:
+        bucket = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+        cs[bucket] = cs.get(bucket, 0) + 1
+        if lang == "en":
+            ct[bucket] = ct.get(bucket, 0) + 1
+        per_doc.setdefault(doc_id, [lang, 0, []])
+        per_doc[doc_id][1] += 1
+        per_doc[doc_id][2].append(bucket)
+    nt, ns = sum(ct.values()), sum(cs.values())
+    lift = {
+        bkt: (1000000 * (ct.get(bkt, 0) + 1) * (ns + B))
+        // ((cs[bkt] + 1) * (nt + B))
+        for bkt in cs
+    }
+    scored = sorted(
+        (
+            -(sum(lift[bkt] for bkt in buckets) // n_toks),
+            doc_id,
+            lang,
+            n_toks,
+            sum(lift[bkt] for bkt in buckets),
+        )
+        for doc_id, (lang, n_toks, buckets) in per_doc.items()
+    )[:_DSIR_TOP]
+    expect = [
+        (doc_id, lang, n_toks, score, -neg)
+        for neg, doc_id, lang, n_toks, score in scored
+    ]
+    got = [
+        tuple(r)
+        for r in deferred_queries()["llm_dsir_importance_weights"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == expect
