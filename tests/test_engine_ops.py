@@ -1290,3 +1290,166 @@ def test_dsir_matches_python_reference(spark, sf_dir):
         ).collect()
     ]
     assert got == expect
+
+
+def test_median_ci_matches_sorted_list_reference(spark, sf_dir):
+    """The histogram-walk order statistics vs a literal sorted-list
+    lookup: ranks, median, and both interval endpoints must be the exact
+    elements a naive implementation picks."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_median_ci_distribution_free"](
+        spark, sf_dir
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    vals = sorted(
+        v
+        for (v,) in con.execute(
+            "SELECT CAST(ROUND(value * 100) AS BIGINT) FROM events"
+            " WHERE event_type = 'purchase'"
+        ).fetchall()
+    )
+    con.close()
+    n = len(vals)
+    lo = math.floor((n - 1.96 * math.sqrt(n)) / 2.0)
+    hi = n + 1 - lo
+    assert row["n"] == n
+    assert row["lo_rank"] == lo and row["hi_rank"] == hi
+    assert row["median_cents"] == vals[(n + 1) // 2 - 1]
+    assert row["ci_lo_cents"] == vals[lo - 1]
+    assert row["ci_hi_cents"] == vals[hi - 1]
+    assert row["ci_lo_cents"] <= row["median_cents"] <= row["ci_hi_cents"]
+
+
+def test_unimax_closed_form_matches_iterative_waterfill(spark, sf_dir):
+    """The UniMax prefix-flag closed form vs an ITERATIVE water-filling
+    reference over hypothesis-random capacities — pins that the single
+    window-expression prefix test (cap·(L−rn+1) ≤ B−S_prev) plus
+    floor/largest-remainder split equals the loop every description of
+    the algorithm writes, and that Σ alloc == min(B, Σcap) exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _UNIMAX_B_DEN,
+        _UNIMAX_B_NUM,
+        _UNIMAX_EPOCHS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    def closed_form(caps, budget):
+        # mirror of the SQL: ascending (cap, idx); prefix flag; remainder
+        order = sorted(range(len(caps)), key=lambda i: (caps[i], i))
+        L = len(caps)
+        alloc = {}
+        s = 0
+        flags = []
+        for pos, i in enumerate(order, start=1):
+            s += caps[i]
+            flags.append(caps[i] * (L - pos + 1) <= budget - (s - caps[i]))
+        i0 = sum(flags)
+        s_i0 = sum(caps[i] for i, fl in zip(order, flags) if fl)
+        for pos, (i, fl) in enumerate(zip(order, flags), start=1):
+            if fl or L == i0:
+                alloc[i] = caps[i]
+            else:
+                q, r = divmod(budget - s_i0, L - i0)
+                alloc[i] = q + (1 if pos - i0 <= r else 0)
+        return alloc
+
+    def iterative(caps, budget):
+        order = sorted(range(len(caps)), key=lambda i: (caps[i], i))
+        alloc = {}
+        remaining, members = budget, len(caps)
+        k = 0
+        while k < len(order):
+            i = order[k]
+            if caps[i] * members <= remaining:
+                alloc[i] = caps[i]
+                remaining -= caps[i]
+                members -= 1
+                k += 1
+            else:
+                break
+        rest = order[k:]
+        if rest:
+            q, r = divmod(remaining, len(rest))
+            for j, i in enumerate(rest, start=1):
+                alloc[i] = q + (1 if j <= r else 0)
+        return alloc
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(0, 10_000), min_size=1, max_size=8),
+        st.integers(0, 100),
+    )
+    def prop(caps, pct):
+        budget = min(sum(caps) * pct // 100, sum(caps))
+        cf, it = closed_form(caps, budget), iterative(caps, budget)
+        assert cf == it, (caps, budget, cf, it)
+        assert sum(cf.values()) == min(budget, sum(caps))
+        assert all(cf[i] <= caps[i] for i in cf)
+
+    prop()
+
+    rows = all_queries()["llm_unimax_language_caps"](spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = _UNIMAX_B_NUM * total // _UNIMAX_B_DEN
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= _UNIMAX_EPOCHS * r["n_tokens"]
+    uncapped = [
+        r["alloc_tokens"]
+        for r in rows
+        if r["alloc_tokens"] < _UNIMAX_EPOCHS * r["n_tokens"]
+    ]
+    assert not uncapped or max(uncapped) - min(uncapped) <= 1
+
+
+def test_ece_matches_float_reference(spark, sf_dir):
+    """The integer-folded ECE/MCE vs the float definition
+    Σ (n_b/N)·|acc_b − conf_b| recomputed from the engine's own bins."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _CAL_BINS,
+        _CAL_POS_LANG,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_expected_calibration_error"](
+        spark, sf_dir
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    bins = con.execute(f"""
+        WITH mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx
+                    FROM documents)
+        SELECT ((n_chars - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin,
+               COUNT(*) AS n,
+               SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END)
+                   AS n_pos
+        FROM documents CROSS JOIN mm GROUP BY 1
+    """).fetchall()
+    con.close()
+    N = sum(n for _, n, _ in bins)
+    ece = sum(
+        abs(p / n - (2 * b + 1) / (2 * _CAL_BINS)) * n / N
+        for b, n, p in bins
+    )
+    mce = max(
+        abs(p / n - (2 * b + 1) / (2 * _CAL_BINS)) for b, n, p in bins
+    )
+    assert row["n_bins"] == len(bins) and row["n_total"] == N
+    assert abs(row["ece_ppm"] - ece * 1e6) <= 1.0
+    assert abs(row["mce_ppm"] - mce * 1e6) <= 1.0
