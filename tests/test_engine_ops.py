@@ -1453,3 +1453,99 @@ def test_ece_matches_float_reference(spark, sf_dir):
     assert row["n_bins"] == len(bins) and row["n_total"] == N
     assert abs(row["ece_ppm"] - ece * 1e6) <= 1.0
     assert abs(row["mce_ppm"] - mce * 1e6) <= 1.0
+
+
+def test_gains_lift_matches_sorted_list_reference(spark, sf_dir):
+    """Gains/lift deciles vs a literal sorted-list recomputation: sort
+    (score desc, doc_id) in Python, split into NTILE-rule deciles
+    (earlier tiles get the +1 remainder), accumulate positives, and
+    compare gain/lift ppm floors row by row."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _CAL_POS_LANG,
+        _GAINS_DECILES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["decile"]: r
+        for r in all_queries()["ml_gains_lift_deciles"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs = con.execute(
+        "SELECT n_chars, doc_id, lang FROM documents"
+    ).fetchall()
+    con.close()
+    ordered = sorted(docs, key=lambda t: (-t[0], t[1]))
+    N = len(ordered)
+    q, r = divmod(N, _GAINS_DECILES)
+    sizes = [q + (1 if d <= r else 0) for d in range(1, _GAINS_DECILES + 1)]
+    P = sum(1 for _, _, lang in ordered if lang == _CAL_POS_LANG)
+    idx, cum_pos, cum_n = 0, 0, 0
+    for d, size in enumerate(sizes, start=1):
+        tile = ordered[idx : idx + size]
+        idx += size
+        n_pos = sum(1 for _, _, lang in tile if lang == _CAL_POS_LANG)
+        cum_pos += n_pos
+        cum_n += size
+        row = rows[d]
+        assert row["n"] == size and row["n_pos"] == n_pos
+        assert row["cum_pos"] == cum_pos
+        assert row["gain_ppm"] == 1000000 * cum_pos // P
+        assert row["lift_ppm"] == 1000000 * cum_pos * N // (cum_n * P)
+    assert idx == N and cum_pos == P
+
+
+def test_event_study_matches_pandas_reference(spark, sf_dir):
+    """Event-study leads/lags vs a literal pandas recomputation: period
+    assignment via Python date arithmetic, per-period float mean gap,
+    compared against the sign-split millicent rational."""
+    import datetime
+
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _ES_T0,
+        _ES_WEEKS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["period"]: r
+        for r in all_queries()["stats_event_study_leads_lags"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ev = con.execute(
+        "SELECT CAST(ts AS DATE), user_id,"
+        " CAST(ROUND(value * 100) AS BIGINT)"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    con.close()
+    t0 = datetime.date.fromisoformat(_ES_T0)
+    span = _ES_WEEKS * 7
+    buckets: dict[int, list] = {}
+    for d, uid, v in ev:
+        dd = (d - t0).days
+        if -span <= dd < span:
+            buckets.setdefault(dd // 7, []).append((uid % 2 == 0, v))
+    assert set(buckets) == set(rows) == set(range(-_ES_WEEKS, _ES_WEEKS))
+    for period, rowvals in buckets.items():
+        t = [v for tr, v in rowvals if tr]
+        c = [v for tr, v in rowvals if not tr]
+        row = rows[period]
+        assert row["n_t"] == len(t) and row["n_c"] == len(c)
+        gap = sum(t) / len(t) - sum(c) / len(c)
+        assert abs(row["gap_millicents"] - gap * 1000) <= 1.0
