@@ -1549,3 +1549,97 @@ def test_event_study_matches_pandas_reference(spark, sf_dir):
         assert row["n_t"] == len(t) and row["n_c"] == len(c)
         gap = sum(t) / len(t) - sum(c) / len(c)
         assert abs(row["gap_millicents"] - gap * 1000) <= 1.0
+
+
+def test_cmh_matches_textbook_reference(spark, sf_dir):
+    """CMH statistic vs the textbook formula recomputed independently
+    from raw events (duckdb builds the per-stratum 2x2 tables, Python
+    floats do the algebra in arbitrary aggregation order) — the engines'
+    fixed-order IEEE expression must agree to float precision."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_cmh_stratified"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    tabs = con.execute("""
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7,
+               SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN user_id % 2 = 0
+                         AND event_type = 'purchase' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN user_id % 2 = 1
+                         AND event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM events GROUP BY 1
+    """).fetchall()
+    con.close()
+    dev = var = 0.0
+    n_total = 0
+    for _, n1, k1, n2, k2 in tabs:
+        N, K = n1 + n2, k1 + k2
+        n_total += N
+        dev += k1 - n1 * K / N
+        var += n1 * n2 * K * (N - K) / (N * N * (N - 1))
+    cmh = dev * dev / var
+    assert row["n_total"] == n_total
+    assert abs(row["cmh_stat"] - round(cmh, 6)) <= 1e-5
+
+
+def test_qini_matches_sorted_list_reference(spark, sf_dir):
+    """Qini deciles vs a literal per-user recomputation: build the
+    (score, converted, treated) relation in duckdb, NTILE-split it in
+    Python with the earlier-tiles-first fill rule, and compare every
+    cumulative count and sign-split milli rational."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _QINI_DECILES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["decile"]: r
+        for r in all_queries()["ml_qini_curve"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    users = con.execute("""
+        SELECT user_id, COUNT(*) AS score,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM events GROUP BY 1
+    """).fetchall()
+    con.close()
+    ordered = sorted(users, key=lambda t: (-t[1], t[0]))
+    N = len(ordered)
+    q, r = divmod(N, _QINI_DECILES)
+    sizes = [q + (1 if d <= r else 0) for d in range(1, _QINI_DECILES + 1)]
+    idx = 0
+    n_t = n_c = conv_t = conv_c = 0
+    for d, size in enumerate(sizes, start=1):
+        for uid, _, conv in ordered[idx : idx + size]:
+            if uid % 2 == 0:
+                n_t += 1
+                conv_t += conv
+            else:
+                n_c += 1
+                conv_c += conv
+        idx += size
+        row = rows[d]
+        assert (row["n_t"], row["n_c"], row["conv_t"], row["conv_c"]) == (
+            n_t, n_c, conv_t, conv_c,
+        )
+        num = conv_t * n_c - conv_c * n_t
+        expect = (
+            1000 * num // n_c if num >= 0 else -((1000 * -num) // n_c)
+        )
+        assert row["qini_milli"] == expect
+        # and the float definition agrees within the milli floor
+        qini = conv_t - conv_c * n_t / n_c
+        assert abs(row["qini_milli"] - qini * 1000) <= 1.0
