@@ -1643,3 +1643,109 @@ def test_qini_matches_sorted_list_reference(spark, sf_dir):
         # and the float definition agrees within the milli floor
         qini = conv_t - conv_c * n_t / n_c
         assert abs(row["qini_milli"] - qini * 1000) <= 1.0
+
+
+def test_rescaled_range_matches_python_reference(spark, sf_dir):
+    """R/S profile vs a literal Python walk of the daily series: segment
+    split, cumulative deviations from the segment mean, max−min range,
+    population σ from exact moments, per-segment ppm floor — mirroring
+    the engines' pinned IEEE expression tree operation-for-operation, so
+    the comparison is exact, not approximate."""
+    import math
+
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _RS_WINDOWS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["w"]: r
+        for r in all_queries()["stats_rescaled_range"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    daily = dict(
+        con.execute("""
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """).fetchall()
+    )
+    con.close()
+    for w in _RS_WINDOWS:
+        segs: dict[int, list] = {}
+        for day in sorted(daily):
+            segs.setdefault(day // w, []).append(daily[day])
+        total, n_segments = 0, 0
+        for xs in segs.values():
+            n = len(xs)
+            if n != w:
+                continue  # ragged tail excluded
+            n_segments += 1
+            sx = sum(xs)
+            sxx = sum(x * x for x in xs)
+            if n * sxx - sx * sx <= 0:
+                continue
+            cum, d = 0, []
+            for k, x in enumerate(xs, start=1):
+                cum += x
+                d.append(n * cum - k * sx)  # integer-scaled deviation
+            range_scaled = max(d) - min(d)
+            s = math.sqrt((float(sxx) - float(sx) * float(sx) / float(n))
+                          / float(n))
+            total += math.floor(
+                1000000.0 * (float(range_scaled) / float(n)) / s
+            )
+        if n_segments == 0:
+            # the fixture spans 30 days, so w = 32 has no COMPLETE
+            # segment and the engines emit no row — mirror the absence
+            assert w not in rows
+            continue
+        row = rows[w]
+        assert row["n_segments"] == n_segments
+        assert row["rs_ppm_sum"] == total, (w, row["rs_ppm_sum"], total)
+
+
+def test_mean_excess_matches_python_reference(spark, sf_dir):
+    """Mean-excess profile vs a literal Python recomputation, including
+    the deliberate asymmetry that exceedance tests the RAW float value
+    while the excess is cent-quantized."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _ME_THRESHOLDS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["u"]: r
+        for r in all_queries()["stats_mean_excess_profile"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    vals = [
+        (v, c)
+        for v, c in con.execute(
+            "SELECT value, CAST(ROUND(value * 100) AS BIGINT) FROM events"
+        ).fetchall()
+    ]
+    con.close()
+    for u in _ME_THRESHOLDS:
+        n_exceed = sum(1 for v, _ in vals if v > u)
+        excess = sum(c - 100 * u for v, c in vals if v > u)
+        row = rows[u]
+        assert row["n_exceed"] == n_exceed
+        assert row["excess_cents"] == excess
+        assert row["mean_excess_cents"] == excess // max(n_exceed, 1)
