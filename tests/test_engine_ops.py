@@ -1749,3 +1749,53 @@ def test_mean_excess_matches_python_reference(spark, sf_dir):
         assert row["n_exceed"] == n_exceed
         assert row["excess_cents"] == excess
         assert row["mean_excess_cents"] == excess // max(n_exceed, 1)
+
+
+def test_ratio_delta_ci_matches_textbook_reference(spark, sf_dir):
+    """Delta-method ratio CI vs the textbook formula recomputed with
+    numpy-free Python floats from independently rebuilt per-user
+    moments: R = Σy/Σx, se = sqrt((S_yy − 2R·S_xy + R²·S_xx)/n)/x̄ with
+    sample (co)variances — validates the pinned SQL expression tree
+    against an arbitrary-order float computation."""
+    import math
+
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["cohort"]: r
+        for r in all_queries()["stats_ratio_metric_delta_ci"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    users = con.execute("""
+        SELECT user_id % 2 = 0, COUNT(*),
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END)
+        FROM events GROUP BY user_id
+    """).fetchall()
+    con.close()
+    for cohort, even in (("even", True), ("odd", False)):
+        xs = [float(x) for e, x, _ in users if e == even]
+        ys = [float(y) for e, _, y in users if e == even]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        mx, my = sx / n, sy / n
+        r = sy / sx
+        s_xx = sum((a - mx) ** 2 for a in xs) / (n - 1)
+        s_yy = sum((b - my) ** 2 for b in ys) / (n - 1)
+        s_xy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (n - 1)
+        se = math.sqrt((s_yy - 2 * r * s_xy + r * r * s_xx) / n) / mx
+        row = rows[cohort]
+        assert row["n"] == n and row["sx"] == int(sx) and row["sy"] == int(sy)
+        assert abs(row["ratio"] - r) <= 1e-5
+        assert abs(row["se"] - se) <= 1e-5
+        assert abs(row["ci_lo"] - (r - 1.96 * se)) <= 1e-5
+        assert abs(row["ci_hi"] - (r + 1.96 * se)) <= 1e-5
