@@ -1799,3 +1799,66 @@ def test_ratio_delta_ci_matches_textbook_reference(spark, sf_dir):
         assert abs(row["se"] - se) <= 1e-5
         assert abs(row["ci_lo"] - (r - 1.96 * se)) <= 1e-5
         assert abs(row["ci_hi"] - (r + 1.96 * se)) <= 1e-5
+
+
+def _daily_series(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    rows = con.execute("""
+        SELECT event_type, CAST(ts AS DATE),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict[str, list] = {}
+    for et, d, v in rows:
+        series.setdefault(et, []).append((d.toordinal(), v))
+    return {et: sorted(s) for et, s in series.items()}
+
+
+def test_mann_kendall_matches_bruteforce_pairs(spark, sf_dir):
+    """S statistic vs a literal double loop over the daily series."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["stats_mann_kendall"](spark, sf_dir).collect()
+    }
+    for et, s in _daily_series(sf_dir).items():
+        n_pairs = s_stat = 0
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                n_pairs += 1
+                s_stat += (s[j][1] > s[i][1]) - (s[j][1] < s[i][1])
+        assert rows[et]["n_pairs"] == n_pairs
+        assert rows[et]["s_stat"] == s_stat
+
+
+def test_theil_sen_matches_bruteforce_median_slope(spark, sf_dir):
+    """The lower-median pairwise slope vs a literal sorted list of all
+    pairwise slopes with the same (slope, dv, dd) tie-break — the chosen
+    pair's exact integers must match, not just the float."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["stats_theil_sen"](spark, sf_dir).collect()
+    }
+    for et, s in _daily_series(sf_dir).items():
+        slopes = []
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                dv = s[j][1] - s[i][1]
+                dd = s[j][0] - s[i][0]
+                slopes.append((dv / dd, dv, dd))
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        row = rows[et]
+        assert row["n_pairs"] == len(slopes)
+        assert (row["med_dv"], row["med_dd"]) == (med[1], med[2])
+        assert row["med_slope_cents_per_day"] == med[0]
