@@ -1862,3 +1862,96 @@ def test_theil_sen_matches_bruteforce_median_slope(spark, sf_dir):
         assert row["n_pairs"] == len(slopes)
         assert (row["med_dv"], row["med_dd"]) == (med[1], med[2])
         assert row["med_slope_cents_per_day"] == med[0]
+
+
+def test_welch_t2_matches_float_reference(spark, sf_dir):
+    """Welch t² ppm vs the textbook float form (m̄1−m̄2)²/(s1²/n1+s2²/n2)
+    with sample variances recomputed from raw whole-unit values."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_welch_t2"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    groups = {}
+    for et in ("purchase", "view"):
+        groups[et] = [
+            v
+            for (v,) in con.execute(
+                "SELECT CAST(ROUND(value) AS BIGINT) FROM events"
+                f" WHERE event_type = '{et}'"
+            ).fetchall()
+        ]
+    con.close()
+    g1, g2 = groups["purchase"], groups["view"]
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = sum(g1) / n1, sum(g2) / n2
+    v1 = sum((x - m1) ** 2 for x in g1) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in g2) / (n2 - 1)
+    t2 = (m1 - m2) ** 2 / (v1 / n1 + v2 / n2)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["mean_diff_num"] == sum(g1) * n2 - sum(g2) * n1
+    assert abs(row["t2_ppm"] - t2 * 1e6) <= 2.0
+
+
+def test_spearman_rho_matches_float_reference(spark, sf_dir):
+    """Spearman ρ (the documented d²-on-tie-averaged-ranks definition)
+    vs a float recomputation with bisect-built average ranks."""
+    import bisect
+
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_spearman_rho"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    daily = con.execute("""
+        SELECT COUNT(*), SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    """).fetchall()
+    con.close()
+    xs = sorted(x for x, _ in daily)
+    ys = sorted(y for _, y in daily)
+
+    def avg_rank(vals, v):
+        return (bisect.bisect_left(vals, v) + 1 + bisect.bisect_right(vals, v)) / 2
+
+    n = len(daily)
+    d2 = sum(
+        (avg_rank(xs, x) - avg_rank(ys, y)) ** 2 for x, y in daily
+    )
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert row["n_days"] == n
+    assert row["sum_d2_x4"] == round(4 * d2)
+    assert abs(row["rho_ppm"] - rho * 1e6) <= 2.0
+
+
+def test_runs_test_matches_python_reference(spark, sf_dir):
+    """Run counting vs a literal Python walk of each type's daily
+    above-mean indicator (the cross-multiplied v·n > total rule)."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["stats_runs_test"](spark, sf_dir).collect()
+    }
+    for et, s in _daily_series(sf_dir).items():
+        n = len(s)
+        total = sum(v for _, v in s)
+        above = [1 if v * n > total else 0 for _, v in s]
+        n_runs = sum(
+            1 for i, a in enumerate(above) if i == 0 or above[i - 1] != a
+        )
+        row = rows[et]
+        assert row["n_above"] == sum(above)
+        assert row["n_below"] == n - sum(above)
+        assert row["n_runs"] == n_runs
