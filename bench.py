@@ -170,6 +170,12 @@ BENCH_QUERIES = [
     "multimodal_image_tile_stats",
     "ml_feature_hashing_stats",
     "ml_rank_biased_overlap",
+    # r13 activation (VERDICT r12 #4): the only r13-queue member whose
+    # cost scales with the corpus — token explode + per-token md5 (the
+    # ml_feature_hashing_stats shape) plus a second conditional-profile
+    # aggregate; CUPED/Cochran-Armitage/Page collapse to constant-size
+    # relations after one partial-aggregable scan and need no slot
+    "llm_dsir_importance_weights",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -434,14 +440,27 @@ def main() -> None:
             import subprocess
 
             here = os.path.dirname(os.path.abspath(__file__))
-            tracked = subprocess.run(
-                ["git", "-C", here, "ls-files", "--error-unmatch", detail_name],
-                capture_output=True,
-            ).returncode == 0
-            if tracked:
+
+            def _tracked(name: str) -> bool:
+                return subprocess.run(
+                    ["git", "-C", here, "ls-files", "--error-unmatch", name],
+                    capture_output=True,
+                ).returncode == 0
+
+            if _tracked(detail_name):
                 detail_name = detail_name.replace(
                     "BENCH_DETAIL_", "BENCH_DETAIL_session_"
                 )
+                # the session name can ALSO be a committed record (a prior
+                # session of the same round committed it — this bit r13:
+                # an untagged sf0.001 probe overwrote the committed
+                # BENCH_DETAIL_session_r12.json); keep probing b, c, ...
+                # until an untracked name, never clobber a tracked one
+                stem, ext = detail_name.rsplit(".", 1)
+                suffix = ord("b")
+                while _tracked(detail_name):
+                    detail_name = f"{stem}{chr(suffix)}.{ext}"
+                    suffix += 1
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), detail_name
         )

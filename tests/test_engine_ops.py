@@ -1139,9 +1139,12 @@ def test_cuped_matches_numpy_reference(spark, sf_dir):
     independent reference."""
     import duckdb
 
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
 
-    row = deferred_queries()["events_cuped_variance_reduction"](
+    row = {**all_queries(), **deferred_queries()}["events_cuped_variance_reduction"](
         spark, sf_dir
     ).collect()[0]
     con = duckdb.connect()
@@ -1181,12 +1184,76 @@ def test_cuped_matches_numpy_reference(spark, sf_dir):
     assert abs(row["delta_cuped_micro"] - (dy - theta * dx) * 1e6) <= 2.0
 
 
+def test_cuped_decimal_headroom_at_largest_sf():
+    """ADVICE r12: CUPED's DECIMAL(38,0) products must keep loud margin.
+    Spark's non-ANSI decimal overflow silently NULLs while DuckDB
+    HUGEINT raises, so an overflow would surface as a cross-engine
+    divergence, not a failure — this test recomputes every
+    numerator/denominator the query folds, in unbounded Python ints at
+    the LARGEST shipped SF, and reds if a data regen pushes the max
+    magnitude within 10 orders of the 38-digit ceiling (measured:
+    ~10^23.9 at sf0.1; the statistic scales ~n^4 in users, ceiling
+    near sf≈300)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.1/events.parquet')"
+    )
+    moments = con.execute("""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        per AS (
+            SELECT u.user_id, u.user_id % 2 = 0 AS treated,
+                   COALESCE(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(ROUND(e.value) AS BIGINT) END), 0) AS x,
+                   COALESCE(SUM(CASE WHEN e.ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(ROUND(e.value) AS BIGINT) END), 0) AS y
+            FROM u LEFT JOIN events e
+              ON e.user_id = u.user_id AND e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS HUGEINT), SUM(x), SUM(y), SUM(x*x),
+               SUM(x*y), SUM(y*y),
+               SUM(CASE WHEN treated THEN 1 ELSE 0 END),
+               SUM(CASE WHEN treated THEN x ELSE 0 END),
+               SUM(CASE WHEN treated THEN y ELSE 0 END)
+        FROM per""").fetchone()
+    con.close()
+    n, sx, sy, sxx, sxy, syy, nt, sxt, syt = map(int, moments)
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    dyterm = syt * (n - nt) - (sy - syt) * nt
+    dxterm = sxt * (n - nt) - (sx - sxt) * nt
+    mags = {
+        "rho2_num": 10**6 * cov * cov,
+        "rho2_den": varx * vary,
+        "raw_num": 10**6 * dyterm,
+        "raw_den": nt * (n - nt),
+        "cuped_num": 10**6 * (dyterm * varx - cov * dxterm),
+        "cuped_den": nt * (n - nt) * varx,
+    }
+    worst = max(mags, key=lambda k: abs(mags[k]))
+    assert abs(mags[worst]) < 10**28, (
+        f"{worst} = {mags[worst]:.3e} at sf0.1 — within 10 orders of the "
+        "DECIMAL(38) ceiling; Spark would silently NULL before DuckDB "
+        "raises. Re-derive the quantization or document a lower SF cap."
+    )
+    # the arms must be non-degenerate so the ADVICE empty-arm guard's
+    # pass-through branch (not the 0 case) is what the oracle exercises
+    assert 0 < nt < n
+
+
 def test_cochran_armitage_matches_float_reference(spark, sf_dir):
     """CA trend z² vs the textbook float formula on the observed 5-row
     contingency table."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
 
-    rows = deferred_queries()["stats_cochran_armitage_trend"](
+    rows = {**all_queries(), **deferred_queries()}["stats_cochran_armitage_trend"](
         spark, sf_dir
     ).collect()
     n_i = {r["dose"]: r["n"] for r in rows}
@@ -1207,13 +1274,17 @@ def test_cochran_armitage_matches_float_reference(spark, sf_dir):
 def test_page_trend_matches_float_reference(spark, sf_dir):
     """Page's signed z² vs the float L-statistic algebra (L from the
     engine's own doubled rank sums, E and Var from Page 1963)."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
 
-    rows = deferred_queries()["stats_page_trend_test"](
+    rows = {**all_queries(), **deferred_queries()}["stats_page_trend_test"](
         spark, sf_dir
     ).collect()
     k = len(rows)
-    b = rows[0]["r2j"]  # recover b from identity Σ R2_j = b·k(k+1)
+    # recover b from the identity Σ R2_j = b·k(k+1) (ADVICE r12: the
+    # earlier direct read of r2j here was a dead, wrong binding)
     total = sum(r["r2j"] for r in rows)
     assert total % (k * (k + 1)) == 0
     b = total // (k * (k + 1))
@@ -1240,7 +1311,10 @@ def test_dsir_matches_python_reference(spark, sf_dir):
         _DSIR_TOP,
         _TOKENS_SQL,
     )
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
 
     con = duckdb.connect()
     con.execute(
@@ -1285,7 +1359,7 @@ def test_dsir_matches_python_reference(spark, sf_dir):
     ]
     got = [
         tuple(r)
-        for r in deferred_queries()["llm_dsir_importance_weights"](
+        for r in {**all_queries(), **deferred_queries()}["llm_dsir_importance_weights"](
             spark, sf_dir
         ).collect()
     ]

@@ -348,22 +348,34 @@ def test_every_registered_query_appears_in_coverage_doc():
 
 
 def test_rotation_family_survives_next_driver_file(tmp_path, monkeypatch):
-    """VERDICT r11 #5: the r11 design rule ("never assert the current
-    round's file state") as a mechanically checked property, not a
-    convention. Simulate the driver writing ``CORRECTNESS_r{N}.json`` —
-    the exact shape it writes: green rows for the head + stride window,
-    plus one err row — into a tmpdir mirror of the repo root, then assert
-    the whole rotation/stride/catalog invariant family still holds
-    against the advanced state:
+    """VERDICT r11 #5 + r12 #1: the design rule ("never assert the
+    current round's file state") as a mechanically checked property.
+    The r12 incarnation of this test asserted the SIMULATED round's
+    stride was already in ``_ROUND_STRIDES`` — true only in the window
+    between the session recording next round's stride and the real
+    driver file landing, so the vaccine itself went red the moment
+    CORRECTNESS_r12.json arrived (the groundhog-day class, fourth
+    recurrence). Now TIME-INVARIANT by construction:
 
-    * the token advances to N+1 and every dynamic-scheme round < N+1 is
-      recorded (the new round N recorded its stride BEFORE the driver ran);
-    * the unrecorded token N+1 derives its stride live from the head;
-    * the err'd name re-enters bucket 1 (never-verified head) and the
-      head stays a contiguous block inside the driver cap;
-    * greened names leave the head; the head can only SHRINK;
-    * the catalog regenerates against the simulated files with identical
-      registry-static fields and an internally consistent reconfirm_debt.
+    * ledger membership is demanded only for rounds that actually RAN
+      (real driver files exist — the same bound the sibling
+      test_round_strides_recorded_and_continuous pins);
+    * the upcoming round asserts whichever resolution path applies:
+      recorded value == cap arithmetic when the ledger has it, else
+      the LIVE head-size derivation — never the planning default;
+    * the simulation advances TWO consecutive rounds (latest-real-file
+      state N → N+1 → N+2), so the whole invariant family provably
+      holds at every point of the round lifecycle — including
+      immediately after a driver file lands with the next stride not
+      yet recorded, the exact state that reddened the r12 test.
+
+    Per simulated round, using the exact row shape the driver writes
+    (greens for the head + window, one err): the token advances; the
+    err'd name re-enters bucket 1 and the head stays a contiguous
+    block inside the driver cap; greened names leave the head; the
+    catalog regenerates against the simulated files with identical
+    registry-static fields and an internally consistent
+    reconfirm_debt rollup.
     """
     import json
     import shutil
@@ -375,86 +387,116 @@ def test_rotation_family_survives_next_driver_file(tmp_path, monkeypatch):
     (tmp_path / "tmdb_movie_data_pipeline_spark").mkdir()
     for p in root.glob("CORRECTNESS_r*.json"):
         shutil.copy(p, tmp_path / p.name)
-
-    token = registry._round_token()
-    order = registry.verification_order()
-    verified_before = registry._driver_verified_names()
-    head_before = [n for n in order if n not in verified_before]
-    green = {"rows_match": True, "schema_match": True, "hash_match": True,
-             "spark_rows": 1, "oracle_rows": 1, "err": None}
-    errd = {"rows_match": None, "schema_match": None, "hash_match": None,
-            "spark_rows": 1, "oracle_rows": None, "err": "simulated oracle err"}
-    sampled = order[:50]  # the driver's observed budget (50 rows r1/r2/r4/r9)
-    rows: dict[str, dict] = {n: green for n in sampled}
-    err_name = sampled[-1]
-    rows[err_name] = errd
-    (tmp_path / f"CORRECTNESS_r{token:02d}.json").write_text(json.dumps(rows))
-
     monkeypatch.setattr(
         registry, "__file__",
         str(tmp_path / "tmdb_movie_data_pipeline_spark" / "registry.py"),
     )
     monkeypatch.setattr(catalog, "_HISTORY_ROOT", tmp_path)
 
-    assert registry._round_token() == token + 1
-
-    # stride ledger: complete for every round that has now RUN
+    # ledger completeness ONLY over rounds with a real driver file —
+    # the upcoming round may legitimately be unrecorded (post-driver,
+    # pre-session state); its resolution is asserted inside the loop
+    token0 = registry._round_token()
     missing = [
         r
-        for r in range(registry._DYNAMIC_BASE, token + 1)
+        for r in range(registry._DYNAMIC_BASE, token0)
         if r not in registry._ROUND_STRIDES
     ]
     assert not missing, (
-        f"simulated driver file for round {token} exposes unrecorded "
-        f"strides {missing} — the ledger must be written before the "
-        "driver runs, not after"
+        f"rounds {missing} have real driver files but no recorded "
+        "stride — the ledger must be written before the driver runs"
     )
 
-    names = list(registry.all_queries())
-    verified = registry._driver_verified_names()
-    never = [n for n in names if n not in verified]
-    changed = [
-        n
-        for n in registry._CHANGED_THIS_ROUND
-        if n in set(names) and n in verified
-    ]
-    head = len(never) + len(changed)
-    # the new, unrecorded token derives its stride live — never the default
-    assert registry.reconfirm_stride(token + 1, head_size=head) == max(
-        0, registry.DRIVER_CAP_FLOOR - head
-    )
-
-    # bucket transitions: greens left the head, the err re-entered it
-    assert err_name in never
-    assert set(never) <= set(head_before) | {err_name}
-    assert len(never) <= max(len(head_before) - len(sampled) + 1, 1)
-
-    # head block contiguity + cap (the invariant the driver depends on)
-    new_order = registry.verification_order()
-    assert new_order[: len(never)] == [n for n in new_order if n not in verified][: len(never)]
-    if never:
-        worst = max(new_order.index(n) for n in never)
-        assert worst < len(never) <= registry.DRIVER_CAP_FLOOR
-
-    # catalog: static fields identical under the simulated history; debt
-    # rollup internally consistent with the regenerated rows
-    live = catalog.build_catalog()
     checked_in = json.loads((root / "CATALOG.json").read_text())
-    assert set(live["queries"]) == set(checked_in["queries"])
-    for name, row in live["queries"].items():
-        for f in catalog.STATIC_FIELDS:
-            assert checked_in["queries"][name][f] == row[f]
-    assert live["as_of_round"] == token + 1
-    debt = live["reconfirm_debt"]
-    active = {n for n, r in live["queries"].items() if r["driver_visible"]}
-    last = {
-        n: live["queries"][n]["last_green_round"]
-        for n in active
-        if live["queries"][n]["last_green_round"] is not None
-    }
-    stale = {n: r for n, r in last.items() if r < token}
-    assert debt["threshold_round"] == token
-    assert debt["n_active_stale"] == len(stale)
-    assert debt["n_never_verified"] == len(active) - len(last)
-    # the simulation actually moved the debt: the 49 fresh greens are not stale
-    assert all(last[n] == token for n in sampled if n != err_name and n in last)
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    errd = {"rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": 1, "oracle_rows": None, "err": "simulated oracle err"}
+
+    for _ in range(2):  # two consecutive simulated driver rounds
+        token = registry._round_token()
+        order = registry.verification_order()
+        verified_before = registry._driver_verified_names()
+        never_before = [n for n in order if n not in verified_before]
+        changed_before = [
+            n
+            for n in registry._CHANGED_THIS_ROUND
+            if n in set(order) and n in verified_before
+        ]
+        head_b = len(never_before) + len(changed_before)
+        # the upcoming round's stride resolves to the cap arithmetic on
+        # BOTH resolution paths — recorded ledger value or live
+        # head-size derivation — never the planning default
+        expect = max(0, registry.DRIVER_CAP_FLOOR - head_b)
+        if token in registry._ROUND_STRIDES:
+            assert registry._ROUND_STRIDES[token] == expect, (
+                f"recorded stride {registry._ROUND_STRIDES[token]} for "
+                f"round {token} != cap arithmetic {expect}"
+            )
+        else:
+            assert registry.reconfirm_stride(token, head_size=head_b) == expect
+
+        # the driver's observed budget (50 rows r1/r2/r4/r9)
+        sampled = order[:50]
+        rows: dict[str, dict] = {n: green for n in sampled}
+        err_name = sampled[-1]
+        rows[err_name] = errd
+        (tmp_path / f"CORRECTNESS_r{token:02d}.json").write_text(
+            json.dumps(rows)
+        )
+
+        assert registry._round_token() == token + 1
+
+        names = list(registry.all_queries())
+        verified = registry._driver_verified_names()
+        never = [n for n in names if n not in verified]
+        changed = [
+            n
+            for n in registry._CHANGED_THIS_ROUND
+            if n in set(names) and n in verified
+        ]
+        head = len(never) + len(changed)
+        # the just-advanced, unrecorded token derives its stride live
+        assert registry.reconfirm_stride(token + 1, head_size=head) == max(
+            0, registry.DRIVER_CAP_FLOOR - head
+        )
+
+        # bucket transitions: greens left the head, the err re-entered it
+        assert err_name in never
+        assert set(never) <= set(never_before) | {err_name}
+        assert len(never) <= max(len(never_before) - len(sampled) + 1, 1)
+
+        # head block contiguity + cap (the invariant the driver depends on)
+        new_order = registry.verification_order()
+        assert new_order[: len(never)] == [
+            n for n in new_order if n not in verified
+        ][: len(never)]
+        if never:
+            worst = max(new_order.index(n) for n in never)
+            assert worst < len(never) <= registry.DRIVER_CAP_FLOOR
+
+        # catalog: static fields identical under the simulated history;
+        # debt rollup internally consistent with the regenerated rows
+        live = catalog.build_catalog()
+        assert set(live["queries"]) == set(checked_in["queries"])
+        for name, row in live["queries"].items():
+            for f in catalog.STATIC_FIELDS:
+                assert checked_in["queries"][name][f] == row[f]
+        assert live["as_of_round"] == token + 1
+        debt = live["reconfirm_debt"]
+        active = {
+            n for n, r in live["queries"].items() if r["driver_visible"]
+        }
+        last = {
+            n: live["queries"][n]["last_green_round"]
+            for n in active
+            if live["queries"][n]["last_green_round"] is not None
+        }
+        stale = {n: r for n, r in last.items() if r < token}
+        assert debt["threshold_round"] == token
+        assert debt["n_active_stale"] == len(stale)
+        assert debt["n_never_verified"] == len(active) - len(last)
+        # the simulation actually moved the debt: fresh greens not stale
+        assert all(
+            last[n] == token for n in sampled if n != err_name and n in last
+        )

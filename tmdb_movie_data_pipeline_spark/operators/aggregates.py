@@ -5431,7 +5431,6 @@ def nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_cochran_armitage_trend",
-    deferred=True,
     oracle="""
     WITH g AS (
         SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS dose,
@@ -5514,7 +5513,6 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_page_trend_test",
-    deferred=True,
     oracle=f"""
     WITH cells AS (
         SELECT user_id % {_FRIED_BLOCKS} AS blk, event_type,

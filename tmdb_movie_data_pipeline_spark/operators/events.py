@@ -3406,7 +3406,6 @@ _CUPED_SPLIT = "2024-01-16"
 
 @register(
     "events_cuped_variance_reduction",
-    deferred=True,
     oracle=f"""
     WITH u AS (SELECT DISTINCT user_id FROM events),
     per AS (
@@ -3439,9 +3438,12 @@ _CUPED_SPLIT = "2024-01-16"
                      ELSE (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
                           // ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
                 AS BIGINT) AS rho2_ppm,
-           CAST((1000000 * (syt * (n - nt) - (sy - syt) * nt))
-                // (nt * (n - nt)) AS BIGINT) AS delta_raw_micro,
-           CAST(CASE WHEN (n * sxx - sx * sx) = 0
+           CAST(CASE WHEN nt = 0 OR nt = n THEN 0
+                     ELSE (1000000 * (syt * (n - nt) - (sy - syt) * nt))
+                          // (nt * (n - nt)) END
+                AS BIGINT) AS delta_raw_micro,
+           CAST(CASE WHEN nt = 0 OR nt = n THEN 0
+                     WHEN (n * sxx - sx * sx) = 0
                      THEN (1000000 * (syt * (n - nt) - (sy - syt) * nt))
                           // (nt * (n - nt))
                      ELSE (1000000 * ((syt * (n - nt) - (sy - syt) * nt)
@@ -3471,12 +3473,26 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10⁶·cov²) div (varX·varY) with the n² factors cancelling; the raw
     arm gap cross-multiplied over nt·nc; and the CUPED-adjusted gap
     ΔY − θ·ΔX = (ΔY·varX − cov·ΔX)/varX folded into ONE division over
-    nt·nc·varX. Products reach ~10²⁹–10³⁴ at sf0.1, inside
-    DECIMAL(38)/HUGEINT (whole-unit quantization keeps them there —
-    cents would overflow the 38-digit ceiling); both engines' integer
-    division truncates toward zero (the multimodal_pcm_decimate
-    measurement). Degenerate guards mirror stats_cochran_q: varX = 0 or
-    varY = 0 cases to ρ² = 0 / unadjusted Δ.
+    nt·nc·varX. Exact magnitudes MEASURED at sf0.1 (unbounded-int
+    recomputation of every numerator/denominator): max ≈ 10²³·⁹
+    (the CUPED numerator), 14 orders inside DECIMAL(38)/HUGEINT —
+    whole-unit quantization keeps it there; cents would eat 10¹⁰ of
+    that margin. Both engines' integer division truncates toward zero
+    (the multimodal_pcm_decimate measurement). SF CEILING (ADVICE
+    r12): the numerators scale ~n⁴ in the user count, i.e. ~10⁴× per
+    10× SF, so the 38-digit ceiling lands near sf≈300 (~5M users) —
+    beyond that Spark's non-ANSI decimal silently NULLs while DuckDB
+    HUGEINT raises, surfacing as a cross-engine divergence rather than
+    a loud failure.
+    tests/test_engine_ops.py::test_cuped_decimal_headroom_at_largest_sf
+    recomputes the exact products in unbounded Python ints at the
+    largest shipped SF (sf0.1) and fails loudly if a data regen erodes
+    the measured margin below 10 orders. Degenerate guards mirror
+    stats_cochran_q: varX = 0 or varY = 0 cases to ρ² = 0 / unadjusted
+    Δ, and an EMPTY ARM (nt = 0 or nt = n, where nt·nc = 0) cases both
+    arm gaps to 0 in BOTH engines — Spark div would yield NULL but
+    DuckDB // RAISES on zero, the wrap-vs-error divergence class
+    (ADVICE r12).
 
     Shape: one events scan → per-user conditional aggregate (partial-
     aggregable groupBy(user_id)), then ONE 1-row moment aggregate; the
@@ -3538,11 +3554,13 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS BIGINT)"
         ).alias("rho2_ppm"),
         F.expr(
-            "CAST((1000000 * (syt * (n - nt) - (sy - syt) * nt))"
-            " div (nt * (n - nt)) AS BIGINT)"
+            "CAST(CASE WHEN nt = 0 OR nt = n THEN 0"
+            " ELSE (1000000 * (syt * (n - nt) - (sy - syt) * nt))"
+            " div (nt * (n - nt)) END AS BIGINT)"
         ).alias("delta_raw_micro"),
         F.expr(
-            "CAST(CASE WHEN (n * sxx - sx * sx) = 0"
+            "CAST(CASE WHEN nt = 0 OR nt = n THEN 0"
+            " WHEN (n * sxx - sx * sx) = 0"
             " THEN (1000000 * (syt * (n - nt) - (sy - syt) * nt))"
             " div (nt * (n - nt))"
             " ELSE (1000000 * ((syt * (n - nt) - (sy - syt) * nt)"

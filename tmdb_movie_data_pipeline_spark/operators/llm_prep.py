@@ -2206,7 +2206,6 @@ _DSIR_TOP = 25  # selected docs reported
 
 @register(
     "llm_dsir_importance_weights",
-    deferred=True,
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, lang, UNNEST({_TOKENS_SQL}) AS t FROM documents

@@ -89,11 +89,11 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r12: no verified query's semantics or plan were rewritten this
-    # session — the ADVICE r11 fixes (window_dist_functions dead `w`,
-    # permutation-hash DECIMAL cast, Cochran's Q zero-denominator guard,
-    # benjamini_yekutieli docstring) all touch r12-queue queries landing
-    # BEFORE their first activation, so they are still bucket-1.
+    # r13: no verified query's semantics or plan were rewritten this
+    # session — the ADVICE r12 fixes (CUPED empty-arm guard + headroom
+    # docstring, the Page-trend dead test binding) all touch r13-queue
+    # queries landing BEFORE their first activation, so they are still
+    # bucket-1.
 ]
 
 
@@ -202,9 +202,13 @@ DRIVER_CAP_FLOOR = 45
 #: Per the committed taper (VERDICT r11 #2), r12 registers ≤10 net-new
 #: queries so r13's head stays small and strides rebound to 35+; updated
 #: recycle arithmetic in NOTES_r12.
+#: r13: the 4-query r12 deferred queue activated (VERDICT r12 #3: CUPED,
+#: Cochran–Armitage, Page's L, DSIR), 0 changed → head 4, stride 41 —
+#: exactly the NOTES_r12 #2 projection, recorded BEFORE the driver runs
+#: per VERDICT r12 #2. Recycle arithmetic restated in NOTES_r13.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20}
+_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20, 13: 41}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
