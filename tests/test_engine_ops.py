@@ -2029,3 +2029,121 @@ def test_runs_test_matches_python_reference(spark, sf_dir):
         assert row["n_above"] == sum(above)
         assert row["n_below"] == n - sum(above)
         assert row["n_runs"] == n_runs
+
+
+def test_good_turing_matches_python_reference(spark, sf_dir):
+    """The r14-queue Good-Turing bigram missing mass vs a pure-Python
+    dict recomputation: DuckDB supplies only the token lists (the
+    shared normalization); bigram construction, type counting, the
+    frequency-of-frequencies N1/N2, and both ppm rationals are rebuilt
+    with plain Python so a shared list-lambda or aggregation-idiom bug
+    in the SQL spellings cannot survive."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
+
+    rows = {
+        r["lang"]: r
+        for r in {**all_queries(), **deferred_queries()}[
+            "llm_good_turing_missing_mass"
+        ](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs = con.execute(
+        f"SELECT lang, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    counts: dict[str, dict[str, int]] = {}
+    for lang, toks in docs:
+        if len(toks) < 2:
+            continue
+        c = counts.setdefault(lang, {})
+        for a, b in zip(toks, toks[1:]):
+            c[f"{a} {b}"] = c.get(f"{a} {b}", 0) + 1
+    assert set(rows) == set(counts)
+    for lang, c in counts.items():
+        n = sum(c.values())
+        n1 = sum(1 for r in c.values() if r == 1)
+        n2 = sum(1 for r in c.values() if r == 2)
+        row = rows[lang]
+        assert row["n_tokens"] == n
+        assert row["n_types"] == len(c)
+        assert row["n_singletons"] == n1
+        assert row["n_doubletons"] == n2
+        assert row["missing_mass_ppm"] == 1000000 * n1 // n
+        assert row["r1_star_ppm"] == (2000000 * n2 // n1 if n1 else 0)
+        # the fixture must keep the statistic LIVE (bigram singletons
+        # exist), or the exhibit silently degenerates to constant zeros
+        # like the unigram spelling did (measured: 31 closed types/lang)
+        assert n1 > 0
+
+
+def test_sprt_matches_float_reference(spark, sf_dir):
+    """The r14-queue SPRT vs a float walk with REAL logarithms: the
+    engine folds ln(p1/p0), ln((1-p1)/(1-p0)) and the Wald boundaries
+    to integer ppm literals at design time — this reference recomputes
+    the daily log-likelihood ratio with math.log and re-derives each
+    arm's first boundary crossing, so a mis-derived folded constant
+    (the exact class the Kruskal /4 catch lived in) cannot hide behind
+    the engines' hash agreement."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
+
+    rows = {
+        r["arm"]: r
+        for r in {**all_queries(), **deferred_queries()}[
+            "events_sprt_sequential"
+        ](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    daily = con.execute("""
+        SELECT user_id % 2, CAST(ts AS DATE),
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    p0, p1, alpha, beta = 0.18, 0.22, 0.05, 0.05
+    c1, c2 = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    a, b = math.log((1 - beta) / alpha), math.log(beta / (1 - alpha))
+    for arm in (0, 1):
+        series = [(s, n) for am, _, s, n in daily if am == arm]
+        cs = cf = 0
+        cross_step, llr_at_cross, llr = 0, 0.0, 0.0
+        for step, (s, n) in enumerate(series, start=1):
+            cs += s
+            cf += n - s
+            llr = cs * c1 + cf * c2
+            if cross_step == 0 and (llr >= a or llr <= b):
+                cross_step, llr_at_cross = step, llr
+        row = rows[arm]
+        assert row["n_days"] == len(series)
+        assert row["total_successes"] == cs
+        assert row["total_trials"] == cs + cf
+        # ppm fold: each of cs+cf terms contributes <= 0.5 ulp of 1e-6
+        tol = (cs + cf) * 0.5 + 2
+        assert abs(row["llr_final_ppm"] - llr * 1e6) <= tol
+        assert row["first_cross_step"] == cross_step
+        if cross_step:
+            assert abs(row["llr_at_cross_ppm"] - llr_at_cross * 1e6) <= tol
+            expect = "reject_h0" if llr_at_cross >= a else "accept_h0"
+            assert row["decision"] == expect
+        else:
+            assert row["decision"] == "continue"

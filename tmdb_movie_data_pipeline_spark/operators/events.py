@@ -3571,5 +3571,160 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SPRT sequential A/B early stopping (r14 queue) --------------------------------
+
+#: Wald SPRT design constants, folded to integer ppm literals so BOTH
+#: engines add identical integers (no libm at query time). Derivation
+#: (float math done ONCE, here, not in the query): H0 p0 = 0.18 vs
+#: H1 p1 = 0.22 (the fixture purchase share straddles them),
+#: alpha = beta = 0.05.
+_SPRT_C1 = 200671  # round(1e6 * ln(p1/p0))         = ln(0.22/0.18)
+_SPRT_C2 = -50010  # round(1e6 * ln((1-p1)/(1-p0))) = ln(0.78/0.82)
+_SPRT_A = 2944439  # round(1e6 * ln((1-beta)/alpha)) = ln(19): reject H0 at/above
+_SPRT_B = -2944439  # round(1e6 * ln(beta/(1-alpha))): accept H0 at/below
+
+
+@register(
+    "events_sprt_sequential",
+    deferred=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_day,
+               CAST(COUNT(*) AS BIGINT) AS n_day
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT arm, day,
+               ROW_NUMBER() OVER w AS step,
+               SUM(s_day) OVER w AS cs,
+               SUM(n_day) OVER w AS cn,
+               {_SPRT_C1} * SUM(s_day) OVER w
+                   + {_SPRT_C2} * (SUM(n_day) OVER w - SUM(s_day) OVER w)
+                   AS llr_ppm
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ), agg AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(cn) AS BIGINT) AS total_trials,
+               CAST(MAX(cs) AS BIGINT) AS total_successes,
+               CAST(MAX_BY(llr_ppm, step) AS BIGINT) AS llr_final_ppm,
+               MIN(CASE WHEN llr_ppm >= {_SPRT_A}
+                          OR llr_ppm <= {_SPRT_B} THEN step END)
+                   AS cross_step
+        FROM cum GROUP BY arm
+    )
+    SELECT CAST(a.arm AS BIGINT) AS arm, a.n_days, a.total_trials,
+           a.total_successes, a.llr_final_ppm,
+           CAST(COALESCE(a.cross_step, 0) AS BIGINT) AS first_cross_step,
+           CAST(COALESCE(c.llr_ppm, 0) AS BIGINT) AS llr_at_cross_ppm,
+           CASE WHEN a.cross_step IS NULL THEN 'continue'
+                WHEN c.llr_ppm >= {_SPRT_A} THEN 'reject_h0'
+                ELSE 'accept_h0' END AS decision
+    FROM agg a LEFT JOIN cum c
+      ON c.arm = a.arm AND c.step = a.cross_step
+    """,
+)
+def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) with daily
+    peeking — the early-stopping companion to events_power_analysis
+    (fixed-horizon sizing) and events_cuped_variance_reduction
+    (variance reduction): each arm's cumulative Bernoulli log-likelihood
+    ratio is monitored day by day and the experiment stops the first day
+    it leaves (B, A). Trials are events, successes are purchases, arms
+    are even/odd user_id, the peeking cadence is the calendar day —
+    the granularity real experimentation platforms monitor at.
+
+    Determinism: the per-trial log-LR increments and both Wald
+    boundaries are FOLDED to integer ppm literals at design time
+    ({_SPRT_C1}/{_SPRT_C2}/±{_SPRT_A}) — the query itself is pure
+    integer arithmetic, no libm, so llr_ppm = C1·s + C2·f is exact in
+    both engines; the first crossing is a MIN over integer steps and
+    the boundary comparison is an integer inequality. Arms that never
+    cross report decision 'continue' with step/llr 0 (COALESCE on both
+    sides, never NULL in the hash).
+
+    Shape (100 TB): the corpus-scale stage is ONE partial-aggregable
+    groupBy(arm, day) — raw events never reach the window; the
+    cumulative scan runs over the |arms|·|days| daily relation
+    (constant-bounded by the calendar), so the per-arm ordered window
+    is a 2-partition exchange of ~60 rows, and the crossing join is a
+    self-join on that same tiny relation. Sequential monitoring at
+    scale is exactly this shape: pre-aggregate to the peeking cadence,
+    then scan the bounded decision series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("s_day"),
+        F.count(F.lit(1)).cast("long").alias("n_day"),
+    )
+    w = W.partitionBy("arm").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        F.row_number().over(W.partitionBy("arm").orderBy("day")).alias(
+            "step"
+        ),
+        F.sum("s_day").over(w).alias("cs"),
+        F.sum("n_day").over(w).alias("cn"),
+    ).withColumn(
+        "llr_ppm",
+        F.lit(_SPRT_C1) * F.col("cs")
+        + F.lit(_SPRT_C2) * (F.col("cn") - F.col("cs")),
+    )
+    agg = cum.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("cn").cast("long").alias("total_trials"),
+        F.max("cs").cast("long").alias("total_successes"),
+        F.expr("CAST(MAX_BY(llr_ppm, step) AS BIGINT)").alias(
+            "llr_final_ppm"
+        ),
+        F.min(
+            F.when(
+                (F.col("llr_ppm") >= _SPRT_A) | (F.col("llr_ppm") <= _SPRT_B),
+                F.col("step"),
+            )
+        ).alias("cross_step"),
+    )
+    c = cum.select(
+        F.col("arm").alias("c_arm"),
+        F.col("step").alias("c_step"),
+        F.col("llr_ppm").alias("c_llr"),
+    )
+    return (
+        agg.join(
+            F.broadcast(c),
+            (F.col("c_arm") == F.col("arm"))
+            & (F.col("c_step") == F.col("cross_step")),
+            "left",
+        )
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_days",
+            "total_trials",
+            "total_successes",
+            "llr_final_ppm",
+            F.coalesce(F.col("cross_step"), F.lit(0))
+            .cast("long")
+            .alias("first_cross_step"),
+            F.coalesce(F.col("c_llr"), F.lit(0))
+            .cast("long")
+            .alias("llr_at_cross_ppm"),
+            F.when(F.col("cross_step").isNull(), F.lit("continue"))
+            .when(F.col("c_llr") >= _SPRT_A, F.lit("reject_h0"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)

@@ -2314,5 +2314,112 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Good-Turing missing mass (r14 queue) ------------------------------------------
+
+
+@register(
+    "llm_good_turing_missing_mass",
+    deferred=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, {_TOKENS_SQL} AS l FROM documents
+        WHERE len({_TOKENS_SQL}) >= 2
+    ), big AS (
+        SELECT lang, UNNEST(list_transform(l[:len(l)-1],
+                   (t, i) -> t || ' ' || l[i+1])) AS t
+        FROM tok
+    ), types AS (
+        SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS r
+        FROM big GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(r) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons,
+           CAST(1000000 * SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                // SUM(r) AS BIGINT) AS missing_mass_ppm,
+           CAST(CASE WHEN SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) = 0 THEN 0
+                     ELSE 2000000 * SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)
+                          // SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) END
+                AS BIGINT) AS r1_star_ppm
+    FROM types GROUP BY lang
+    """,
+)
+def good_turing_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing mass per language over BIGRAM types (Good
+    1953; Church & Gale 1991, the canonical bigram application; the
+    Simple Good-Turing framing of Gale & Sampson 1995): the total
+    probability mass of UNSEEN bigram types is estimated by the
+    singleton share P0 = N1/N, and the smoothed count for once-seen
+    types is r1* = 2·N2/N1 — the vocabulary-saturation diagnostics a
+    corpus builder reads before trusting a bigram LM's
+    (text_bigram_lm) MLE counts or `llm_bpe_vocab_coverage`'s closed
+    vocabulary: a large missing mass says the corpus has not yet seen
+    the language's tail. Bigrams, not unigrams, deliberately: the
+    fixture's unigram vocabulary is closed (~31 types/lang, zero
+    singletons — measured), which would leave every branch of the
+    statistic dead; the bigram type space carries live N1/N2 at every
+    shipped SF.
+
+    Determinism: N (bigram tokens), V (types), N1 (singletons), N2
+    (doubletons) are exact integers from two cascaded counts; the two
+    estimates are single integer ppm rationals with the standing
+    truncating division, and the N1 = 0 degenerate (every type seen
+    twice or more) cases r1* to 0 in both engines — the same
+    wrap-vs-error guard convention as stats_cochran_q. The bigram
+    build is positional (token i ++ ' ' ++ token i+1 inside the array,
+    before any explode), so no ordering is ever lost to a shuffle;
+    sub-2-token docs are filtered identically on both sides.
+
+    Shape (100 TB): ONE bigram explode feeding groupBy(lang, bigram) —
+    partial-aggregable, so each map task emits at most one row per
+    distinct (lang, bigram) and the Zipf-head types arrive at their
+    reducer as ≤ #map-tasks partial counts, never raw occurrences; the
+    per-lang rollup is a second conditional aggregation over the type
+    relation (|V| rows, corpus-sublinear by Heaps' law). No vocabulary
+    is ever broadcast or collected."""
+    from ..io import load_table
+
+    big = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", tokens_col().alias("l"))
+        .filter(F.size("l") >= 2)
+        # Spark SQL array subscript l[i] is 0-BASED (transform's i too),
+        # so l[i + 1] pairs token i with its successor; DuckDB's
+        # list_transform i is 1-based and l[i + 1] means the same pair
+        .selectExpr(
+            "lang",
+            "explode(transform(slice(l, 1, size(l) - 1),"
+            " (t, i) -> concat(t, ' ', l[i + 1]))) AS t",
+        )
+    )
+    types = big.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    return types.groupBy("lang").agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_doubletons"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)"
+            " div SUM(r) AS BIGINT)"
+        ).alias("missing_mass_ppm"),
+        F.expr(
+            "CAST(CASE WHEN SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) = 0"
+            " THEN 0"
+            " ELSE 2000000 * SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)"
+            " div SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) END AS BIGINT)"
+        ).alias("r1_star_ppm"),
+    )
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
