@@ -2147,3 +2147,256 @@ def test_sprt_matches_float_reference(spark, sf_dir):
             assert row["decision"] == expect
         else:
             assert row["decision"] == "continue"
+
+
+def test_cochran_q_matches_python_reference(spark, sf_dir):
+    """Cochran's Q vs a literal Python rebuild of the 16x5 binary
+    design: raw (bucket, event_type) rows are counted with a dict, the
+    floored mean-cell threshold, binarization, marginals and the
+    textbook Q = (k-1)[k*sum(Cj^2) - N^2]/[k*sum(Ri) - sum(Ri^2)] are
+    all plain-int recomputations — the shared conditional-aggregation
+    idiom in the two SQL spellings cannot hide."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_cochran_q"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("SELECT user_id % 16, event_type FROM events").fetchall()
+    con.close()
+    cnt: dict[tuple, int] = {}
+    types: set[str] = set()
+    for blk, et in raw:
+        cnt[(blk, et)] = cnt.get((blk, et), 0) + 1
+        types.add(et)
+    k = len(types)
+    mc = sum(cnt.values()) // (16 * k)
+    x = {
+        (blk, et): 1 if cnt.get((blk, et), 0) > mc else 0
+        for blk in range(16)
+        for et in types
+    }
+    ri = [sum(x[(blk, et)] for et in types) for blk in range(16)]
+    cj = [sum(x[(blk, et)] for blk in range(16)) for et in types]
+    n_tot = sum(cj)
+    den = k * sum(ri) - sum(r * r for r in ri)
+    q_ppm = (
+        0
+        if den == 0
+        else 1000000 * (k - 1) * (k * sum(c * c for c in cj) - n_tot * n_tot)
+        // den
+    )
+    assert row["k"] == k
+    assert row["n_successes"] == n_tot
+    assert row["q_ppm"] == q_ppm
+    assert den != 0, "fixture must keep the non-degenerate branch live"
+
+
+def test_nemenyi_matches_float_reference(spark, sf_dir):
+    """The Nemenyi integer CD inequality vs the textbook FLOAT recipe
+    (Demsar 2006): mean-rank gaps |Rbar_a - Rbar_b| against
+    CD = q * sqrt(k(k+1)/(6n)) with real sqrt and q = 2.728 — the
+    folded DECIMAL threshold (2728^2*20/10) cannot drift from the
+    statistic it encodes."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_nemenyi_posthoc"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    cells = con.execute("""
+        SELECT user_id % 12, event_type,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    by_blk: dict[int, list[tuple[str, int]]] = {}
+    for blk, et, cv in cells:
+        by_blk.setdefault(blk, []).append((et, cv))
+    n = len(by_blk)
+    col_r: dict[str, float] = {}
+    for items in by_blk.values():
+        vals = sorted(v for _, v in items)
+        for et, v in items:
+            lo = 1 + sum(1 for u in vals if u < v)
+            hi = sum(1 for u in vals if u <= v)
+            col_r[et] = col_r.get(et, 0.0) + (lo + hi) / 2.0
+    k = len(col_r)
+    cd = 2.728 * math.sqrt(k * (k + 1) / (6.0 * n))
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        gap = abs(col_r[r["type_a"]] - col_r[r["type_b"]]) / n
+        # doubled rank sums: r2_diff_abs == 2n * mean-rank gap
+        assert r["r2_diff_abs"] == round(2 * n * gap)
+        assert r["n_blocks"] == n
+        # the integer inequality must agree with the float CD except
+        # within float slop of the boundary (fixture sits far from it)
+        if abs(gap - cd) > 1e-6 * cd:
+            assert bool(r["significant"]) == (gap > cd), (
+                f"{r['type_a']}/{r['type_b']}: gap {gap} vs CD {cd}"
+            )
+
+
+def test_power_analysis_matches_inv_cdf_reference(spark, sf_dir):
+    """events_power_analysis folds z_alpha + z_beta to the textbook
+    rounded literals (1.96, 0.8416); this reference re-derives both
+    from stdlib statistics.NormalDist().inv_cdf — an INDEPENDENT
+    normal-quantile implementation — plus exact Python-int moments, so
+    a one-sided/two-sided or power mix-up (wrong quantiles entirely)
+    cannot hide behind the engines' hash agreement. The rounded
+    literals differ from the true quantiles by ~1e-5 relative, so the
+    required-n comparison carries that tolerance."""
+    import duckdb
+    from statistics import NormalDist
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["events_power_analysis"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    cents = [
+        c
+        for (c,) in con.execute("""
+            SELECT CAST(ROUND(value * 100) AS BIGINT) FROM events
+            WHERE event_type = 'purchase' AND user_id % 2 = 1
+        """).fetchall()
+    ]
+    con.close()
+    n = len(cents)
+    s = sum(cents)
+    q = sum(c * c for c in cents)
+    var = (q - s * s / n) / (n - 1)
+    mean = s / n
+    z2 = (NormalDist().inv_cdf(0.975) + NormalDist().inv_cdf(0.80)) ** 2
+    assert rows and all(r["n_control_observed"] == n for r in rows)
+    for r in rows:
+        delta = r["mde_bp"] * mean / 10000.0
+        n_ref = 2.0 * z2 * var / (delta * delta)
+        got = r["n_required_per_arm"]
+        assert abs(got - n_ref) <= max(3.0, 5e-5 * n_ref + 1), (
+            f"mde {r['mde_bp']}bp: engine {got} vs inv_cdf reference {n_ref}"
+        )
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark, sf_dir):
+    """Kendall tau-a vs a literal O(days^2) Python pair loop over the
+    daily (volume, revenue) series — the join-based concordance count
+    and the sign-safe ppm division recomputed a different way."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_kendall_tau"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("""
+        SELECT CAST(ts AS DATE), CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    daily: dict = {}
+    for d, c in raw:
+        x, y = daily.get(d, (0, 0))
+        daily[d] = (x + 1, y + c)
+    series = list(daily.values())
+    n = len(series)
+    con_ = dis = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sgn = (series[i][0] - series[j][0]) * (series[i][1] - series[j][1])
+            if sgn > 0:
+                con_ += 1
+            elif sgn < 0:
+                dis += 1
+    assert row["n_days"] == n
+    assert row["concordant"] == con_
+    assert row["discordant"] == dis
+    assert row["tied"] == n * (n - 1) // 2 - con_ - dis
+    num = 2000000 * (con_ - dis)
+    den = n * (n - 1)
+    expect = num // den if con_ >= dis else -((-num) // den)
+    assert row["tau_a_ppm"] == expect
+
+
+def test_rbo_matches_float_reference(spark, sf_dir):
+    """ml_rank_biased_overlap's exact dyadic per-item weights vs the
+    textbook truncated float RBO (Webber et al. 2010):
+    sum over d<=k of (1-p) p^(d-1) |A_:d ^ B_:d| / d at p = 1/2, with
+    both retrievals rebuilt in plain Python (left-assoc float cosine —
+    bit-identical to the engines' shared expression order — and token
+    sets), so the closed-form LCM re-indexing cannot drift from the
+    statistic it encodes."""
+    import duckdb
+    import re
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["query_id"]: r
+        for r in all_queries()["ml_rank_biased_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    embs = dict(con.execute("SELECT vec_id, embedding FROM embeddings").fetchall())
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+
+    def dot(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + float(a[i]) * float(b[i])
+        return s
+
+    toks = {
+        d: set(re.sub(r"\s+", " ", t).strip().lower().split(" "))
+        for d, t in docs
+    }
+    k = 10
+    for qid, row in rows.items():
+        qe = embs[qid]
+        qn = dot(qe, qe) ** 0.5
+        dense = sorted(
+            (
+                (-(dot(qe, embs[c]) / (qn * dot(embs[c], embs[c]) ** 0.5)), c)
+                for c in embs
+                if c != qid
+            ),
+        )[:k]
+        a = [c for _, c in dense]
+        sparse = sorted(
+            (
+                (-len(toks[qid] & toks[d]), d)
+                for d in toks
+                if d != qid and toks[qid] & toks[d]
+            ),
+        )[:k]
+        b = [d for _, d in sparse]
+        rbo = sum(
+            0.5 ** d * len(set(a[:d]) & set(b[:d])) / d
+            for d in range(1, k + 1)
+        )
+        assert row["n_common"] == len(set(a) & set(b))
+        assert abs(row["rbo_ppm"] - rbo * 1e6) <= 2.0, (
+            f"query {qid}: engine {row['rbo_ppm']} vs float {rbo * 1e6}"
+        )
