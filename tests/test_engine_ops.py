@@ -2400,3 +2400,179 @@ def test_rbo_matches_float_reference(spark, sf_dir):
         assert abs(row["rbo_ppm"] - rbo * 1e6) <= 2.0, (
             f"query {qid}: engine {row['rbo_ppm']} vs float {rbo * 1e6}"
         )
+
+
+def _planted_p_values(sf_dir: str, tiers: int) -> dict[int, int]:
+    """The deterministic p-value landscapes of the multiple-testing
+    shelf, replicated in plain Python from the doc ids (the generator
+    is the shared INPUT of engine and oracle; the procedures under
+    test are recomputed independently below). tiers=2 is the BH
+    family, tiers=3 adds the strong doc_id%10==5 block (Holm/BY)."""
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [
+        i
+        for (i,) in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    out = {}
+    for i in ids:
+        h = i * 2654435761
+        if tiers == 3 and i % 10 == 5:
+            out[i] = 1 + h % 90
+        elif i % 10 == 0:
+            out[i] = 2501 + h % 500
+        else:
+            out[i] = 1 + h % 1000000
+    return out
+
+
+def test_multiple_testing_trio_matches_textbook_walks(spark, sf_dir):
+    """BH step-up, Holm step-down, and BY step-up rejection SETS vs
+    literal textbook walks over Python-sorted p-values — the window
+    MAX/MIN encodings of k*/k_stop recomputed as explicit loops, and
+    the step-up property pinned LIVE (BH must reject hypotheses whose
+    OWN inequality fails)."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    alpha = 50_000  # ppm
+
+    # -- BH (two-tier landscape) --
+    ps = _planted_p_values(sf_dir, tiers=2)
+    m = len(ps)
+    ranked = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+    k_star = max(
+        (r for r, (_, p) in enumerate(ranked, 1) if p * m <= r * alpha),
+        default=0,
+    )
+    expect_bh = {doc for doc, _ in ranked[:k_star]}
+    got = q["stats_benjamini_hochberg"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == expect_bh
+    assert all(r["k_star"] == k_star for r in got)
+    # the step-up property is LIVE: some rejected rank fails its own test
+    assert any(
+        p * m > r * alpha for r, (_, p) in enumerate(ranked[:k_star], 1)
+    ), "fixture no longer exercises step-up vs naive thresholding"
+
+    # -- Holm (three-tier landscape, step-DOWN) --
+    ps3 = _planted_p_values(sf_dir, tiers=3)
+    ranked3 = sorted(ps3.items(), key=lambda kv: (kv[1], kv[0]))
+    k_stop = next(
+        (
+            r
+            for r, (_, p) in enumerate(ranked3, 1)
+            if p * (m - r + 1) > alpha
+        ),
+        m + 1,
+    )
+    expect_holm = {doc for doc, _ in ranked3[: k_stop - 1]}
+    got = q["stats_holm_bonferroni"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == expect_holm
+    assert all(r["k_stop"] == k_stop for r in got)
+
+    # -- BY (three-tier landscape, harmonic penalty) --
+    c_micro = sum(1_000_000 // i for i in range(1, m + 1))
+    k_by = max(
+        (
+            r
+            for r, (_, p) in enumerate(ranked3, 1)
+            if p * m * c_micro <= r * alpha * 1_000_000
+        ),
+        default=0,
+    )
+    expect_by = {doc for doc, _ in ranked3[:k_by]}
+    got = q["stats_benjamini_yekutieli"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == expect_by
+    assert all(r["c_micro"] == c_micro for r in got)
+    # the penalty must BITE on this landscape: BY strictly inside BH's
+    # own-threshold behavior at the same alpha (the shelf's exhibit)
+    assert len(expect_by) < len(
+        {doc for doc, _ in ranked3[: max((r for r, (_, p) in enumerate(ranked3, 1) if p * m <= r * alpha), default=0)]}
+    ), "harmonic penalty no longer distinguishes BY from BH"
+
+
+def test_cusum_matches_python_walk(spark, sf_dir):
+    """CUSUM change point vs a literal per-type Python walk of
+    |n*cum_i - i*total| with the day tiebreak."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["events_cusum_change_point"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    daily = con.execute("""
+        SELECT event_type, CAST(ts AS DATE),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict[str, list] = {}
+    for et, day, v in daily:
+        series.setdefault(et, []).append((day, int(v)))
+    import datetime
+
+    assert set(rows) == set(series)
+    for et, s in series.items():
+        n, tot = len(s), sum(v for _, v in s)
+        cum, best = 0, None
+        for i, (day, v) in enumerate(s, 1):
+            cum += v
+            sc = n * cum - i * tot
+            # ORDER BY abs DESC, day ASC -> strictly-greater keeps first
+            if best is None or abs(sc) > abs(best[1]):
+                best = (day, sc)
+        row = rows[et]
+        assert row["n_days"] == n
+        assert row["s_scaled"] == best[1]
+        epoch = (best[0] - datetime.date(1970, 1, 1)).days
+        assert row["change_epoch_day"] == epoch
+
+
+def test_hellinger_matches_float_reference(spark, sf_dir):
+    """Hellinger H^2 vs a float recomputation 1 - sum(sqrt(p*q)) from
+    plain Python cohort counts — each engine term floors to ppm, so the
+    float sum sits within k ppm above the engine value."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_hellinger_distance"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("SELECT event_type, user_id % 2 FROM events").fetchall()
+    con.close()
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for et, arm in raw:
+        (c1 if arm == 0 else c2)[et] = (c1 if arm == 0 else c2).get(et, 0) + 1
+    t1, t2 = sum(c1.values()), sum(c2.values())
+    bc = sum(
+        math.sqrt(c1.get(et, 0) * c2.get(et, 0) / (t1 * t2))
+        for et in set(c1) | set(c2)
+    )
+    k = len(set(c1) | set(c2))
+    got_h2 = {r["h2_ppm"] for r in rows}
+    assert len(got_h2) == 1
+    h2 = next(iter(got_h2))
+    # engine: 1e6 - sum(floor(1e6*term)); floors lose < 1 ppm per term
+    assert 0 <= h2 - (1 - bc) * 1e6 <= k + 1.0
+    for r in rows:
+        assert r["c1"] == c1.get(r["event_type"], 0)
+        assert r["c2"] == c2.get(r["event_type"], 0)
