@@ -2576,3 +2576,135 @@ def test_hellinger_matches_float_reference(spark, sf_dir):
     for r in rows:
         assert r["c1"] == c1.get(r["event_type"], 0)
         assert r["c2"] == c2.get(r["event_type"], 0)
+
+
+def test_matthews_corr_matches_float_reference(spark, sf_dir):
+    """MCC^2 ppm + sign vs a float MCC from a plain-Python confusion
+    rebuild (regex normalization + marker set + dict counts)."""
+    import duckdb
+    import math
+    import re
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_matthews_corr"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs = con.execute("SELECT text, lang FROM documents").fetchall()
+    con.close()
+    markers = {"the", "a", "and", "of", "is"}
+    tp = fp = fn = tn = 0
+    for text, lang in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        pred = sum(1 for t in toks if t in markers) >= 1
+        actual = lang == "en"
+        if pred and actual:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif actual:
+            fn += 1
+        else:
+            tn += 1
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    assert den != 0, "fixture must keep the non-degenerate branch live"
+    mcc = (tp * tn - fp * fn) / math.sqrt(den)
+    assert row["mcc_sign"] == (1 if tp * tn >= fp * fn else -1)
+    assert abs(row["mcc2_ppm"] - mcc * mcc * 1e6) <= 2.0
+
+
+def test_autocorrelation_matches_python_loop(spark, sf_dir):
+    """The n-scaled ACF numerators vs a literal per-lag Python loop over
+    the daily revenue dict — the lag self-join recomputed as index
+    arithmetic."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["lag"]: r
+        for r in all_queries()["stats_autocorrelation"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("""
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events
+    """).fetchall()
+    con.close()
+    daily: dict[int, int] = {}
+    for d, c in raw:
+        daily[d] = daily.get(d, 0) + int(c)
+    assert set(rows) == set(range(1, 8))
+    for k in range(1, 8):
+        pairs = [
+            (daily[d], daily[d - k]) for d in daily if d - k in daily
+        ]
+        n = len(pairs)
+        st = sum(t for t, _ in pairs)
+        sl = sum(l for _, l in pairs)
+        row = rows[k]
+        assert row["n"] == n
+        assert row["cov_num"] == n * sum(t * l for t, l in pairs) - st * sl
+        assert row["var_t_num"] == n * sum(t * t for t, _ in pairs) - st * st
+        assert row["var_l_num"] == n * sum(l * l for _, l in pairs) - sl * sl
+
+
+def test_permutation_diff_matches_fraction_reference(spark, sf_dir):
+    """The permutation test's cross-multiplied integer mean comparison
+    vs exact Fraction arithmetic: the hash relabeling is the shared
+    input, but |mean1b - mean2b| >= |mean1 - mean2| is re-decided with
+    fractions.Fraction per permutation — an algebraically different,
+    exact spelling that a sign or cross-multiplication slip in the
+    triple-product form cannot survive."""
+    import duckdb
+    from fractions import Fraction
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_permutation_diff_test"](
+        spark, sf_dir
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    s = con.execute("""
+        SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    K, STEP, B = 2654435761, 7919, 199
+    n1 = sum(1 for _, u, _ in s if u % 2 == 0)
+    s1 = sum(v for _, u, v in s if u % 2 == 0)
+    n2 = len(s) - n1
+    s2 = sum(v for _, _, v in s) - s1
+    obs = abs(Fraction(s1, n1) - Fraction(s2, n2))
+    n_extreme = 0
+    for b in range(1, B + 1):
+        n1b = s1b = n2b = s2b = 0
+        for eid, _, v in s:
+            g = (((eid + b * STEP) * K) // 1048576) % 2
+            if g == 0:
+                n1b += 1
+                s1b += v
+            else:
+                n2b += 1
+                s2b += v
+        if abs(Fraction(s1b, n1b) - Fraction(s2b, n2b)) >= obs:
+            n_extreme += 1
+    assert row["n_perms"] == B
+    assert row["n_extreme"] == n_extreme
+    assert row["p_value_ppm"] == 1000000 * (1 + n_extreme) // (B + 1)
