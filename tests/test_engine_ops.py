@@ -2708,3 +2708,156 @@ def test_permutation_diff_matches_fraction_reference(spark, sf_dir):
     assert row["n_perms"] == B
     assert row["n_extreme"] == n_extreme
     assert row["p_value_ppm"] == 1000000 * (1 + n_extreme) // (B + 1)
+
+
+def test_mann_whitney_u_matches_bruteforce_pairs(spark, sf_dir):
+    """U (doubled) and the common-language AUC vs a literal O(n*m)
+    comparison loop: U_a = #(a>b) + #(a==b)/2 counted pair by pair —
+    the shared-ECDF-grid rank algebra recomputed without any ranks."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_mann_whitney_u"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    con.close()
+    vals: dict[str, list[int]] = {}
+    for et, x in raw:
+        vals.setdefault(et, []).append(int(x))
+    assert len(rows) == len(vals) * (len(vals) - 1) // 2
+    for r in rows:
+        a, b = vals[r["type_a"]], vals[r["type_b"]]
+        u2 = 0
+        from collections import Counter
+
+        cb = sorted(Counter(b).items())
+        import bisect
+
+        bs = sorted(b)
+        for x in a:
+            lt = bisect.bisect_left(bs, x)
+            eq = bisect.bisect_right(bs, x) - lt
+            u2 += 2 * lt + eq
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["u_a_doubled"] == u2
+        assert r["auc_ppm"] == 1000000 * u2 // (2 * len(a) * len(b))
+
+
+def test_wilcoxon_matches_python_walk(spark, sf_dir):
+    """Wilcoxon signed-rank (doubled) vs a literal Python walk: daily
+    diffs, zeros dropped, tie-averaged ranks of |d| from a sorted list."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_wilcoxon_signed_rank"](
+        spark, sf_dir
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("""
+        SELECT CAST(ts AS DATE), CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    daily: dict = {}
+    for d, c in raw:
+        daily[d] = daily.get(d, 0) + int(c)
+    series = [v for _, v in sorted(daily.items())]
+    dx = [b - a for a, b in zip(series, series[1:]) if b - a != 0]
+    adx = sorted(abs(d) for d in dx)
+    import bisect
+
+    def rank2(v):  # doubled tie-averaged rank
+        lo = bisect.bisect_left(adx, v)
+        hi = bisect.bisect_right(adx, v)
+        return lo + hi + 1
+
+    w2p = sum(rank2(abs(d)) for d in dx if d > 0)
+    w2m = sum(rank2(abs(d)) for d in dx if d < 0)
+    n = len(dx)
+    assert row["n_pairs"] == n
+    assert row["w2_plus"] == w2p
+    assert row["w2_minus"] == w2m
+    assert row["e_w2"] == n * (n + 1) // 2
+    assert row["dev"] == w2p - n * (n + 1) // 2
+    assert w2p + w2m == 2 * n * (n + 1) // 2, "total rank mass identity"
+
+
+def test_ks_two_sample_matches_python_sweep(spark, sf_dir):
+    """KS D vs a literal Python sweep of |cum_a*n_b - cum_b*n_a| over
+    the pooled quantized values."""
+    import bisect
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_ks_two_sample"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    con.close()
+    vals: dict[str, list[int]] = {}
+    pooled = set()
+    for et, x in raw:
+        vals.setdefault(et, []).append(int(x))
+        pooled.add(int(x))
+    for v in vals.values():
+        v.sort()
+    for r in rows:
+        a, b = vals[r["type_a"]], vals[r["type_b"]]
+        na, nb = len(a), len(b)
+        ks = max(
+            abs(bisect.bisect_right(a, x) * nb - bisect.bisect_right(b, x) * na)
+            for x in pooled
+        )
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["ks_num"] == ks
+        assert r["ks_ppm"] == 1000000 * ks // (na * nb)
+
+
+def test_mcnemar_matches_python_pairing(spark, sf_dir):
+    """McNemar discordant counts vs a plain per-user dict pairing."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_mcnemar_test"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT user_id, event_type, EXTRACT(DAY FROM ts) FROM events"
+    ).fetchall()
+    con.close()
+    flags: dict[int, list[int]] = {}
+    for u, et, day in raw:
+        f = flags.setdefault(u, [0, 0])
+        if et == "view":
+            f[0 if day <= 15 else 1] = 1
+    b_disc = sum(1 for x, y in flags.values() if x == 1 and y == 0)
+    c_disc = sum(1 for x, y in flags.values() if x == 0 and y == 1)
+    assert row["n_users"] == len(flags)
+    assert row["b_disc"] == b_disc
+    assert row["c_disc"] == c_disc
+    if b_disc + c_disc:
+        assert row["chi2_ppm"] == (
+            1000000 * (b_disc - c_disc) ** 2 // (b_disc + c_disc)
+        )
