@@ -2861,3 +2861,183 @@ def test_mcnemar_matches_python_pairing(spark, sf_dir):
         assert row["chi2_ppm"] == (
             1000000 * (b_disc - c_disc) ** 2 // (b_disc + c_disc)
         )
+
+
+def test_benford_constants_and_counts_match_log10(spark, sf_dir):
+    """The folded Benford expectation table vs math.log10(1 + 1/d), and
+    the observed leading-digit counts vs a plain Python dict."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_benford_digits"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    cents = [
+        int(c)
+        for (c,) in con.execute(
+            "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM orders"
+        ).fetchall()
+    ]
+    con.close()
+    counts: dict[int, int] = {}
+    for c in cents:
+        if c > 0:
+            d = int(str(c)[0])
+            counts[d] = counts.get(d, 0) + 1
+    n_total = sum(counts.values())
+    for r in rows:
+        d = r["digit"]
+        assert abs(r["expected_ppm"] - 1e6 * math.log10(1 + 1 / d)) <= 1.0
+        assert r["n"] == counts.get(d, 0)
+        assert r["observed_ppm"] == 1000000 * counts.get(d, 0) // n_total
+        assert r["abs_diff_ppm"] == abs(
+            r["observed_ppm"] - r["expected_ppm"]
+        )
+
+
+def _chi2_cells(sf_dir: str):
+    """Observed type x day-of-week contingency rebuilt in plain Python
+    (dow = Spark's dayofweek - 1 = %w: 0=Sunday)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("SELECT event_type, CAST(ts AS DATE) FROM events").fetchall()
+    con.close()
+    obs: dict[tuple, int] = {}
+    for et, d in raw:
+        dow = (d.weekday() + 1) % 7
+        obs[(et, dow)] = obs.get((et, dow), 0) + 1
+    return obs
+
+
+def test_chi_square_and_cramers_v_match_python_contingency(spark, sf_dir):
+    """chi2_micro recomputed cell by cell in Python (same IEEE doubles,
+    same per-cell quantization — exact equality), plus V^2 = chi2 /
+    (n (min(r,c)-1)) re-derived from the rebuilt table."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    obs = _chi2_cells(sf_dir)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[int, int] = {}
+    for (et, dow), n in obs.items():
+        row_tot[et] = row_tot.get(et, 0) + n
+        col_tot[dow] = col_tot.get(dow, 0) + n
+    grand = sum(obs.values())
+    chi2_micro = 0
+    for (et, dow), n in obs.items():
+        expected = row_tot[et] * col_tot[dow] / grand
+        contrib = (n - expected) * (n - expected) / expected
+        chi2_micro += round(contrib * 1000000)
+
+    rows = q["stats_chi_square"](spark, sf_dir).collect()
+    assert len(rows) == len(obs)
+    for r in rows:
+        assert r["n_obs"] == obs[(r["event_type"], r["dow"])]
+        assert r["chi2_micro"] == chi2_micro
+
+    v = q["stats_cramers_v"](spark, sf_dir).collect()[0]
+    assert v["grand_n"] == grand
+    assert v["n_rows_dim"] == len(row_tot)
+    assert v["n_cols_dim"] == len(col_tot)
+    assert v["v2_ppm"] == chi2_micro // (
+        grand * (min(len(row_tot), len(col_tot)) - 1)
+    )
+
+
+def test_cohens_d_and_ztest_match_independent_algebra(spark, sf_dir):
+    """Cohen's d vs the float textbook formula from plain-Python
+    moments; the pooled two-proportion z^2 vs the Fraction spelling
+    (p1-p2)^2 / (p(1-p)(1/n1+1/n2)) — algebraically different from the
+    engines' cross-multiplied rational."""
+    import duckdb
+    import math
+    from fractions import Fraction
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    purch = con.execute("""
+        SELECT user_id % 2, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    arms = con.execute(
+        "SELECT user_id % 2, event_type FROM events"
+    ).fetchall()
+    con.close()
+
+    a = [int(v) for arm, v in purch if arm == 0]
+    b = [int(v) for arm, v in purch if arm == 1]
+    n1, n2 = len(a), len(b)
+    m1, m2 = sum(a) / n1, sum(b) / n2
+    ssw = sum((x - m1) ** 2 for x in a) + sum((x - m2) ** 2 for x in b)
+    d_ref = (m1 - m2) / math.sqrt(ssw / (n1 + n2 - 2))
+    row = q["stats_cohens_d"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["cohens_d"] - d_ref) <= 2e-6
+
+    N1 = sum(1 for arm, _ in arms if arm == 0)
+    K1 = sum(1 for arm, et in arms if arm == 0 and et == "purchase")
+    N2 = len(arms) - N1
+    K2 = sum(1 for _, et in arms if et == "purchase") - K1
+    p = Fraction(K1 + K2, N1 + N2)
+    z2 = (Fraction(K1, N1) - Fraction(K2, N2)) ** 2 / (
+        p * (1 - p) * (Fraction(1, N1) + Fraction(1, N2))
+    )
+    row = q["stats_ztest_two_proportions"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["k1"], row["n2"], row["k2"]) == (N1, K1, N2, K2)
+    assert row["z2_ppm"] == (1000000 * z2.numerator) // z2.denominator
+
+
+def test_brown_forsythe_matches_python_anova_on_deviations(spark, sf_dir):
+    """Brown-Forsythe F vs a Python one-way ANOVA over |v - median|
+    with the lower median replicated from a sorted list."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_brown_forsythe"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    con.close()
+    groups: dict[str, list[int]] = {}
+    for et, v in raw:
+        groups.setdefault(et, []).append(int(v))
+    zs: dict[str, list[int]] = {}
+    for et, vs in groups.items():
+        vs.sort()
+        med = vs[(len(vs) + 1) // 2 - 1]  # lower median, rank (n+1)//2
+        zs[et] = [abs(v - med) for v in vs]
+    k = len(zs)
+    n_tot = sum(len(z) for z in zs.values())
+    grand = sum(sum(z) for z in zs.values()) / n_tot
+    ssb = sum(
+        len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs.values()
+    )
+    ssw = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs.values()
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    assert row["n_total"] == n_tot
+    assert abs(row["f_stat"] - f_ref) <= max(2e-6, 1e-9 * abs(f_ref))
