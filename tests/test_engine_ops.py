@@ -3041,3 +3041,208 @@ def test_brown_forsythe_matches_python_anova_on_deviations(spark, sf_dir):
     f_ref = (ssb / (k - 1)) / (ssw / (n_tot - k))
     assert row["n_total"] == n_tot
     assert abs(row["f_stat"] - f_ref) <= max(2e-6, 1e-9 * abs(f_ref))
+
+
+def test_diff_in_diff_matches_python_cells(spark, sf_dir):
+    """DiD vs a plain-Python 2x2 rebuild: user universe, midpoint
+    split, per-cell sums, and the sign-safe milli-cent division."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_diff_in_diff"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    users = {
+        u for (u,) in con.execute("SELECT DISTINCT user_id FROM events").fetchall()
+    }
+    raw = con.execute("""
+        SELECT user_id, CAST(ts AS DATE), CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    days = [
+        d for (d,) in con.execute(
+            "SELECT CAST(ts AS DATE) FROM events"
+        ).fetchall()
+    ]
+    con.close()
+    d0, d1 = min(days), max(days)
+    mid = d0 + (d1 - d0) // 2 if False else None
+    import datetime
+
+    mid = d0 + datetime.timedelta(days=(d1 - d0).days // 2)
+    cell = {(t, p): 0 for t in (0, 1) for p in (0, 1)}
+    for u, d, c in raw:
+        t = 1 if u % 2 == 0 else 0
+        p = 0 if d <= mid else 1
+        cell[(t, p)] += int(c)
+    nt = sum(1 for u in users if u % 2 == 0)
+    nc = len(users) - nt
+    assert (row["n_treat"], row["n_ctrl"]) == (nt, nc)
+    assert row["treat_pre_cents"] == cell[(1, 0)]
+    assert row["treat_post_cents"] == cell[(1, 1)]
+    assert row["ctrl_pre_cents"] == cell[(0, 0)]
+    assert row["ctrl_post_cents"] == cell[(0, 1)]
+    num = 1000 * (cell[(1, 1)] - cell[(1, 0)]) * nc - 1000 * (
+        cell[(0, 1)] - cell[(0, 0)]
+    ) * nt
+    expect = num // (nt * nc) if num >= 0 else -((-num) // (nt * nc))
+    assert row["did_milli_cents"] == expect
+
+
+def test_ab_ttest_matches_float_welch(spark, sf_dir):
+    """Per-type Welch t + Welch-Satterthwaite dof vs plain-Python float
+    algebra over raw cents."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["stats_ab_ttest"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("""
+        SELECT event_type, user_id % 2, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events
+    """).fetchall()
+    con.close()
+    groups: dict[str, tuple[list, list]] = {}
+    for et, arm, v in raw:
+        groups.setdefault(et, ([], []))[arm].append(int(v))
+    assert set(rows) == set(groups)
+    for et, (a, b) in groups.items():
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        sea, seb = va / na, vb / nb
+        t = (ma - mb) / math.sqrt(sea + seb)
+        dof = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+        r = rows[et]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert abs(r["t_stat"] - t) <= max(2e-6, 1e-9 * abs(t))
+        assert abs(r["dof"] - dof) <= max(2e-5, 1e-9 * dof)
+
+
+def test_poisson_bootstrap_matches_hashlib_reference(spark, sf_dir):
+    """The Poisson(1) bootstrap vs a hashlib recomputation: the folded
+    CDF thresholds re-derived from math.exp (cumulative e^-1/k! in
+    ppm), every replicate weight re-hashed with hashlib.md5, and the
+    replicate means + variance rebuilt in Python ints. DuckDB supplies
+    only the row key rk (the shared identity string)."""
+    import duckdb
+    import hashlib
+    import math
+
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _BOOT_B,
+        _BOOT_CDF,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    # the folded Poisson(1) CDF in ppm vs math.exp
+    cum, fact = 0.0, 1
+    for k, thr in enumerate(_BOOT_CDF):
+        if k:
+            fact *= k
+        cum += math.exp(-1) / fact
+        assert abs(thr - 1e6 * cum) <= 1.0, f"CDF[{k}] {thr} vs {1e6 * cum}"
+
+    row = all_queries()["stats_poisson_bootstrap"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    base = con.execute("""
+        SELECT CAST(ROUND(value * 100) AS BIGINT),
+               md5(user_id || '|' || CAST(ts AS VARCHAR) || '|'
+                   || CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    means = []
+    for i in range(_BOOT_B):
+        sw = swv = 0
+        for v, rk in base:
+            u = int(hashlib.md5(f"{rk}#{i}".encode()).hexdigest()[:12], 16) % 1000000
+            w = next((k for k, t in enumerate(_BOOT_CDF) if u < t), len(_BOOT_CDF))
+            sw += w
+            swv += w * int(v)
+        means.append(swv // sw)
+    s = sum(means)
+    q = sum(m * m for m in means)
+    assert row["n_replicates"] == _BOOT_B
+    assert row["boot_mean_sum_cents"] == s
+    assert row["var_scaled"] == _BOOT_B * q - s * s
+    assert row["se2_cents2"] == (_BOOT_B * q - s * s) // (_BOOT_B * (_BOOT_B - 1))
+
+
+def test_mann_whitney_doubled_matches_pair_loop(spark, sf_dir):
+    """stats_mann_whitney (the doubled purchase-vs-view variant) vs the
+    pair identity 2*U1 = 2*#(a>b) + #(a==b)."""
+    import bisect
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_mann_whitney"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("""
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events
+        WHERE event_type IN ('purchase', 'view')
+    """).fetchall()
+    con.close()
+    a = sorted(int(v) for et, v in raw if et == "purchase")
+    b = sorted(int(v) for et, v in raw if et == "view")
+    two_u1 = 0
+    for x in a:
+        lt = bisect.bisect_left(b, x)
+        eq = bisect.bisect_right(b, x) - lt
+        two_u1 += 2 * lt + eq
+    assert (row["n1"], row["n2"]) == (len(a), len(b))
+    assert row["two_u1"] == two_u1
+    assert row["two_r1"] == two_u1 + len(a) * (len(a) + 1)
+    assert row["two_u_mean"] == len(a) * len(b)
+
+
+def test_ks_pair_matches_python_sweep(spark, sf_dir):
+    """stats_ks_test (purchase vs view) D numerator vs the Python sweep."""
+    import bisect
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_ks_test"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("""
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events
+        WHERE event_type IN ('purchase', 'view')
+    """).fetchall()
+    con.close()
+    a = sorted(int(v) for et, v in raw if et == "purchase")
+    b = sorted(int(v) for et, v in raw if et == "view")
+    n1, n2 = len(a), len(b)
+    d_num = max(
+        abs(n2 * bisect.bisect_right(a, x) - n1 * bisect.bisect_right(b, x))
+        for x in set(a) | set(b)
+    )
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["d_num"] == d_num
