@@ -3246,3 +3246,183 @@ def test_ks_pair_matches_python_sweep(spark, sf_dir):
     )
     assert (row["n1"], row["n2"]) == (n1, n2)
     assert row["d_num"] == d_num
+
+
+def test_uplift_stratified_matches_python_strata(spark, sf_dir):
+    """Per-stratum uplift vs a plain-Python rebuild of the (user, day)
+    exposure relation, conversion flags, and the ppm gap."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["dow"]: r
+        for r in all_queries()["stats_uplift_stratified"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    # shared labeling only: the distinct (user, dow-label, epoch-day)
+    ud = con.execute("""
+        SELECT DISTINCT user_id, dayofweek(CAST(ts AS DATE)) + 1,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        FROM events
+    """).fetchall()
+    conv = set(
+        con.execute("""
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            FROM events WHERE event_type = 'purchase'
+        """).fetchall()
+    )
+    con.close()
+    strata: dict[int, list[int]] = {}
+    for u, dow, d in ud:
+        t = 1 if u % 2 == 0 else 0
+        c = 1 if (u, d) in conv else 0
+        s = strata.setdefault(dow, [0, 0, 0, 0])  # n_t, n_c, conv_t, conv_c
+        if t:
+            s[0] += 1
+            s[2] += c
+        else:
+            s[1] += 1
+            s[3] += c
+    assert set(rows) == set(strata)
+    for dow, (n_t, n_c, conv_t, conv_c) in strata.items():
+        r = rows[dow]
+        assert (r["n_t"], r["n_c"], r["conv_t"], r["conv_c"]) == (
+            n_t, n_c, conv_t, conv_c,
+        )
+        assert r["uplift_ppm"] == (
+            1000000 * conv_t // n_t - 1000000 * conv_c // n_c
+        )
+
+
+def test_tail_ratio_matches_python_counts(spark, sf_dir):
+    """The doubling-threshold tail profile vs plain comparison counts."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _TAIL_THRESHOLDS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["x"]: r
+        for r in all_queries()["stats_tail_ratio_profile"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = [
+        v
+        for (v,) in con.execute(
+            f"SELECT value FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    assert set(rows) == {int(t) for t in _TAIL_THRESHOLDS}
+    for t in _TAIL_THRESHOLDS:
+        gt = sum(1 for v in vals if v > t)
+        gt2 = sum(1 for v in vals if v > 2 * t)
+        r = rows[int(t)]
+        assert (r["n_gt_x"], r["n_gt_2x"]) == (gt, gt2)
+        assert r["tail_ratio_ppm"] == 1000000 * gt2 // gt
+        assert gt > 0, "fixture must keep every threshold's tail live"
+
+
+def test_corr_matrix_matches_float_pearson(spark, sf_dir):
+    """The three lineitem Pearson correlations vs plain-Python float
+    covariance algebra."""
+    import duckdb
+    import math
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["pair"]: r["corr"]
+        for r in all_queries()["stats_corr_matrix"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    q = con.execute("""
+        SELECT CAST(l_quantity AS BIGINT),
+               CAST(ROUND(l_extendedprice) AS BIGINT),
+               CAST(ROUND(l_discount * 10000) AS BIGINT)
+        FROM lineitem
+    """).fetchall()
+    con.close()
+
+    def corr(i, j):
+        n = len(q)
+        si = sum(r[i] for r in q)
+        sj = sum(r[j] for r in q)
+        sij = sum(r[i] * r[j] for r in q)
+        sii = sum(r[i] * r[i] for r in q)
+        sjj = sum(r[j] * r[j] for r in q)
+        return (n * sij - si * sj) / (
+            math.sqrt(n * sii - si * si) * math.sqrt(n * sjj - sj * sj)
+        )
+
+    assert set(rows) == {"qty_price", "qty_discount", "price_discount"}
+    assert abs(rows["qty_price"] - corr(0, 1)) <= 1e-9
+    assert abs(rows["qty_discount"] - corr(0, 2)) <= 1e-9
+    assert abs(rows["price_discount"] - corr(1, 2)) <= 1e-9
+
+
+def test_cohen_kappa_matches_python_confusion(spark, sf_dir):
+    """kappa_ppm vs a plain-Python rebuild: the marker-argmax classifier
+    re-decided per document with dict counts, then the exact rational
+    (n*diag - sum(row*col)) / (n^2 - sum(row*col)) via Python ints."""
+    import duckdb
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.text import LANG_MARKERS
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_cohen_kappa"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs = con.execute("SELECT text, lang FROM documents").fetchall()
+    con.close()
+    cm: dict[tuple, int] = {}
+    for text, lab in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        s = {
+            k: sum(1 for t in toks if t in set(m))
+            for k, m in LANG_MARKERS.items()
+        }
+        if s["en"] == 0 and s["es"] == 0 and s["de"] == 0:
+            pred = "unknown"
+        elif s["en"] >= s["es"] and s["en"] >= s["de"]:
+            pred = "en"
+        elif s["es"] >= s["de"]:
+            pred = "es"
+        else:
+            pred = "de"
+        cm[(lab, pred)] = cm.get((lab, pred), 0) + 1
+    n = sum(cm.values())
+    diag = sum(c for (a, b), c in cm.items() if a == b)
+    rowm: dict[str, int] = {}
+    colm: dict[str, int] = {}
+    for (a, b), c in cm.items():
+        rowm[a] = rowm.get(a, 0) + c
+        colm[b] = colm.get(b, 0) + c
+    pe_num = sum(rowm[k] * colm.get(k, 0) for k in rowm)
+    assert row["n"] == n
+    assert row["n_agree"] == diag
+    assert row["pe_num"] == pe_num
+    num = 1000000 * (n * diag - pe_num)
+    den = n * n - pe_num
+    expect = num // den if num >= 0 else -((-num) // den)
+    assert row["kappa_ppm"] == expect
