@@ -3426,3 +3426,93 @@ def test_cohen_kappa_matches_python_confusion(spark, sf_dir):
     den = n * n - pe_num
     expect = num // den if num >= 0 else -((-num) // den)
     assert row["kappa_ppm"] == expect
+
+
+def test_sketches_match_hashlib_reference(spark, sf_dir):
+    """KMV, HLL, and AMS F2 sketch states rebuilt from scratch with
+    hashlib + Python bit arithmetic — the md5-derived hash pipelines,
+    order statistics, register maxima, and +/-1 sums recomputed outside
+    either SQL engine, so the ESTIMATES (not just the exact counts) are
+    pinned to an independent implementation."""
+    import duckdb
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        _AMS_ROWS,
+        KMV_K,
+        HLL_M,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute("SELECT event_type, user_id FROM events").fetchall()
+    con.close()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    users_by_type: dict[str, set[int]] = {}
+    counts: dict[int, int] = {}
+    for et, u in raw:
+        users_by_type.setdefault(et, set()).add(u)
+        counts[u] = counts.get(u, 0) + 1
+
+    # -- KMV --
+    rows = {
+        r["event_type"]: r
+        for r in q["sketch_kmv_distinct"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(users_by_type)
+    for et, us in users_by_type.items():
+        hs = sorted(h60(str(u)) for u in us)
+        r = rows[et]
+        assert r["n_exact"] == len(us)
+        if len(hs) < KMV_K:
+            assert r["est_distinct"] == float(len(us))
+        else:
+            hk = hs[KMV_K - 1]
+            assert r["est_distinct"] == (KMV_K - 1) / (hk / float(1 << 60))
+
+    # -- HLL (64 registers, w = 54 bits above the register index) --
+    rows = {
+        r["event_type"]: r
+        for r in q["sketch_hll_distinct"](spark, sf_dir).collect()
+    }
+    for et, us in users_by_type.items():
+        regs: dict[int, int] = {}
+        for u in us:
+            hv = h60(str(u))
+            reg, w = hv % HLL_M, hv // HLL_M
+            rho = 55 if w == 0 else 55 - w.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        s_int = sum(1 << (55 - mj) for mj in regs.values()) + (
+            HLL_M - len(regs)
+        ) * (1 << 55)
+        v_zero = HLL_M - len(regs)
+        est = float("2904.064") * 2.0**55 / float(s_int)
+        r = rows[et]
+        assert r["n_exact"] == len(us)
+        assert r["v_zero"] == v_zero
+        assert r["est_distinct"] == est
+
+    # -- AMS F2 --
+    rows = {
+        r["j"]: r for r in q["sketch_ams_f2"](spark, sf_dir).collect()
+    }
+    exact_f2 = sum(c * c for c in counts.values())
+    assert set(rows) == set(range(_AMS_ROWS))
+    for j in range(_AMS_ROWS):
+        x = sum(
+            (c if h60(f"{j}_{u}") % 2 == 0 else -c)
+            for u, c in counts.items()
+        )
+        r = rows[j]
+        assert r["sketch_sum"] == x
+        assert r["est_f2"] == x * x
+        assert r["exact_f2"] == exact_f2
+        assert r["err_ppm"] == 1000000 * abs(x * x - exact_f2) // exact_f2
