@@ -3516,3 +3516,77 @@ def test_sketches_match_hashlib_reference(spark, sf_dir):
         assert r["est_f2"] == x * x
         assert r["exact_f2"] == exact_f2
         assert r["err_ppm"] == 1000000 * abs(x * x - exact_f2) // exact_f2
+
+
+def test_cms_and_bloom_match_hashlib_reference(spark, sf_dir):
+    """CMS heavy hitters and the Bloom FPR exhibit rebuilt with hashlib:
+    the d x w counter grid, min-probe estimates, member/probe bit
+    positions, and the false-positive census recomputed in plain Python
+    dicts and sets."""
+    import duckdb
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        _BF_BITS,
+        _BF_K,
+        _BF_PROBE_BASE,
+        _BF_PROBES,
+        CMS_D,
+        CMS_TOPN,
+        CMS_W,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    users = [
+        u
+        for (u,) in con.execute(
+            f"SELECT user_id FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+
+    # -- CMS --
+    sketch = [[0] * CMS_W for _ in range(CMS_D)]
+    exact: dict[str, int] = {}
+    for u in users:
+        k = str(u)
+        exact[k] = exact.get(k, 0) + 1
+    pos = {
+        (i, k): int(hashlib.md5(f"{i}_{k}".encode()).hexdigest()[:15], 16)
+        % CMS_W
+        for k in exact
+        for i in range(CMS_D)
+    }
+    for k, n in exact.items():
+        for i in range(CMS_D):
+            sketch[i][pos[(i, k)]] += n
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPN]
+    rows = q["sketch_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert [(r["user_key"], r["n_exact"]) for r in rows] == top
+    for r in rows:
+        k = r["user_key"]
+        est = min(sketch[i][pos[(i, k)]] for i in range(CMS_D))
+        assert r["n_est"] == est
+        assert est >= r["n_exact"], "CMS error must be one-sided"
+
+    # -- Bloom --
+    def bits(key) -> list[int]:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [
+            int(h[10 * i : 10 * i + 10], 16) % _BF_BITS for i in range(_BF_K)
+        ]
+
+    members = set(users)
+    bitset = {p for u in members for p in bits(u)}
+    n_fp = sum(
+        1
+        for pk in range(_BF_PROBE_BASE, _BF_PROBE_BASE + _BF_PROBES)
+        if all(p in bitset for p in bits(pk))
+    )
+    row = q["sketch_bloom_membership"](spark, sf_dir).collect()[0]
+    assert row["n_members"] == len(members)
+    assert row["n_probes"] == _BF_PROBES
+    assert row["n_false_pos"] == n_fp
+    assert row["fpr_ppm"] == 1000000 * n_fp // _BF_PROBES
