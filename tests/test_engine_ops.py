@@ -3590,3 +3590,66 @@ def test_cms_and_bloom_match_hashlib_reference(spark, sf_dir):
     assert row["n_probes"] == _BF_PROBES
     assert row["n_false_pos"] == n_fp
     assert row["fpr_ppm"] == 1000000 * n_fp // _BF_PROBES
+
+
+def test_minhash_lsh_pairs_match_hashlib_pipeline(spark, sf_dir):
+    """The WHOLE MinHash-LSH pipeline rebuilt in plain Python — word
+    3-gram shingles over the normalized text, one md5 per shingle, the
+    Kirsch-Mitzenmacher h1 + i*h2 family from the two hex slices,
+    per-doc minima, band buckets, and the candidate pair set — then
+    compared pair-for-pair with the engine. The dedup/graph shelf's
+    most load-bearing shared stage, pinned to an implementation that
+    shares no SQL with either engine."""
+    import duckdb
+    import hashlib
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    buckets: dict[tuple, set] = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        shingles = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+        sigs = []
+        pairs_h = [
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+                int(hashlib.md5(s.encode()).hexdigest()[16:30], 16),
+            )
+            for s in shingles
+        ]
+        for i in range(NUM_HASHES):
+            sigs.append(min(h1 + i * h2 for h1, h2 in pairs_h))
+        for b in range(BANDS):
+            key = "|".join(
+                str(sigs[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+            )
+            bucket = hashlib.md5(key.encode()).hexdigest()
+            buckets.setdefault((b, bucket), set()).add(doc_id)
+    expect = {
+        (a, b)
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert got == expect
+    assert expect, "fixture must carry live near-dup candidate pairs"
