@@ -3653,3 +3653,63 @@ def test_minhash_lsh_pairs_match_hashlib_pipeline(spark, sf_dir):
     }
     assert got == expect
     assert expect, "fixture must carry live near-dup candidate pairs"
+
+
+def test_simhash_pairs_match_hashlib_pipeline(spark, sf_dir):
+    """SimHash sketches + hamming-ball banding rebuilt in plain Python:
+    per-token md5 hex-digit bit votes (occurrences, not distinct), the
+    32-bit majority sketch, byte-band candidates, and the popcount
+    verification - compared sketch-for-sketch and pair-for-pair."""
+    import duckdb
+    import hashlib
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _N_BANDS_SH,
+        _SIMHASH_BITS,
+        HAMMING_MAX,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sketch: dict[int, int] = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        votes = [0] * _SIMHASH_BITS
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(_SIMHASH_BITS):
+                v = int(h[j // 4], 16)
+                votes[j] += 1 if (v >> (j % 4)) & 1 else -1
+        sketch[doc_id] = sum(
+            (1 << j) for j in range(_SIMHASH_BITS) if votes[j] >= 0
+        )
+    got_sk = {
+        r["doc_id"]: r["simhash"]
+        for r in q["dedup_simhash"](spark, sf_dir).collect()
+    }
+    assert got_sk == sketch
+
+    buckets: dict[tuple, set] = {}
+    for d, sh in sketch.items():
+        for b in range(_N_BANDS_SH):
+            buckets.setdefault((b, (sh >> (8 * b)) & 255), set()).add(d)
+    expect = {
+        (a, b, bin(sketch[a] ^ sketch[b]).count("1"))
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+        and bin(sketch[a] ^ sketch[b]).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q["dedup_simhash_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
