@@ -3713,3 +3713,114 @@ def test_simhash_pairs_match_hashlib_pipeline(spark, sf_dir):
         for r in q["dedup_simhash_pairs"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_ann_cosine_topk_matches_python_bruteforce(spark, sf_dir):
+    """The flagship brute-force cosine top-k vs a plain-Python rebuild:
+    left-assoc float dot products (bit-identical to the engines' shared
+    expression order), ranked by (cosine DESC, neighbor_id), top-5 —
+    compared row-for-row including the cosine doubles."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["ann_cosine_topk"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    embs = dict(
+        con.execute(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    )
+    con.close()
+
+    def dot(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + float(a[i]) * float(b[i])
+        return s
+
+    expect = set()
+    for qid in (v for v in embs if v < N_QUERIES):
+        qn = dot(embs[qid], embs[qid]) ** 0.5
+        scored = sorted(
+            (
+                (
+                    -(dot(embs[qid], embs[c]) / (qn * dot(embs[c], embs[c]) ** 0.5)),
+                    c,
+                )
+                for c in embs
+                if c != qid
+            ),
+        )[:TOP_K]
+        for rank, (neg, c) in enumerate(scored, 1):
+            expect.add((qid, c, -neg, rank))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_bm25_topk_matches_python_scoring(spark, sf_dir):
+    """BM25 top-k vs plain-Python scoring: exact term counts, the
+    bit_length floor-log2 IDF, and the left-assoc float fold — compared
+    row-for-row including the score doubles."""
+    import duckdb
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _BM25_C0,
+        _BM25_C1,
+        _BM25_NUM,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["text_bm25_topk"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    feats = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        feats[doc_id] = (
+            len(toks),
+            [sum(1 for t in toks if t == term) for term in _BM25_TERMS],
+        )
+    n_docs = len(feats)
+    sum_dl = sum(dl for dl, _ in feats.values())
+    avgdl = sum_dl / n_docs
+    df = [
+        sum(1 for _, fs in feats.values() if fs[i] > 0)
+        for i in range(len(_BM25_TERMS))
+    ]
+    idf = [
+        float(((n_docs + 1) // (df[i] + 1)).bit_length())
+        for i in range(len(_BM25_TERMS))
+    ]
+
+    num, c0, c1 = float(_BM25_NUM), float(_BM25_C0), float(_BM25_C1)
+
+    def score(dl, fs):
+        s = None
+        for i in range(len(_BM25_TERMS)):
+            part = idf[i] * (
+                (fs[i] * num) / (fs[i] + c0 + c1 * dl / avgdl)
+            )
+            s = part if s is None else s + part
+        return s
+
+    ranked = sorted(
+        ((-score(dl, fs), d, dl) for d, (dl, fs) in feats.items()),
+    )[:_BM25_TOPK]
+    expect = [(d, dl, -neg) for neg, d, dl in ranked]
+    assert [(r["doc_id"], r["dl"], r["score"]) for r in rows] == expect
