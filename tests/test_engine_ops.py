@@ -3824,3 +3824,150 @@ def test_bm25_topk_matches_python_scoring(spark, sf_dir):
     )[:_BM25_TOPK]
     expect = [(d, dl, -neg) for neg, d, dl in ranked]
     assert [(r["doc_id"], r["dl"], r["score"]) for r in rows] == expect
+
+
+def test_sessionize_and_drawdown_match_python_walks(spark, sf_dir):
+    """Gap sessionization and max drawdown vs literal per-user Python
+    walks over (ts, event_id)-ordered rows."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        SESSION_GAP_MIN,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    rows_all = con.execute("""
+        SELECT user_id, event_id, epoch_us(ts),
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END
+        FROM events ORDER BY user_id, epoch_us(ts), event_id
+    """).fetchall()
+    con.close()
+
+    # -- sessionize --
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sessions: dict[tuple, list] = {}
+    last_ts: dict[int, int] = {}
+    seq: dict[int, int] = {}
+    for u, eid, ts_us, _ in rows_all:
+        if u not in last_ts or ts_us - last_ts[u] > gap_us:
+            seq[u] = seq.get(u, 0) + 1
+        last_ts[u] = ts_us
+        sessions.setdefault((u, seq[u]), []).append(ts_us)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start_us"], r["session_end_us"],
+        )
+        for r in q["events_sessionize"](spark, sf_dir).collect()
+    }
+    expect = {
+        k: (len(v), min(v), max(v)) for k, v in sessions.items()
+    }
+    assert got == expect
+
+    # -- max drawdown (purchases only) --
+    got = {
+        r["user_id"]: (r["max_drawdown_cents"], r["peak_cents"], r["n_points"])
+        for r in q["events_max_drawdown"](spark, sf_dir).collect()
+    }
+    walk: dict[int, tuple] = {}
+    for u, eid, ts_us, cents in rows_all:
+        if cents is None:
+            continue
+        cum, peak, dd, n = walk.get(u, (0, None, 0, 0))
+        cum += cents
+        peak = cum if peak is None else max(peak, cum)
+        dd = max(dd, peak - cum)
+        walk[u] = (cum, peak, dd, n + 1)
+    expect = {u: (dd, peak, n) for u, (cum, peak, dd, n) in walk.items()}
+    assert got == expect
+
+
+def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
+    """Interval peak concurrency vs a literal Python sweep-line with the
+    same (t, delta, event_id) tie order."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _IVL_DUR_CHOICES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["events_peak_concurrency"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT event_type, event_id, epoch_us(ts) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_type: dict[str, list] = {}
+    for et, eid, s in raw:
+        e = s + (1 + eid % _IVL_DUR_CHOICES) * 60 * 1_000_000
+        by_type.setdefault(et, []).append((s, e, eid))
+    for et, ivs in by_type.items():
+        bounds = [(s, 1, eid) for s, _, eid in ivs] + [
+            (e, -1, eid) for _, e, eid in ivs
+        ]
+        bounds.sort()
+        run = peak = 0
+        first_peak = None
+        for t, d, _ in bounds:
+            run += d
+            if run > peak:
+                peak, first_peak = run, t
+        r = rows[et]
+        assert r["peak"] == peak
+        assert r["n_intervals"] == len(ivs)
+        assert r["first_peak_us"] == first_peak
+
+
+def test_lorenz_curve_matches_python_histogram(spark, sf_dir):
+    """The Lorenz activity curve vs a plain histogram + cumulative walk."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["events_per_user"]: r
+        for r in all_queries()["events_lorenz_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    users = [
+        u
+        for (u,) in con.execute(
+            f"SELECT user_id FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    per_user: dict[int, int] = {}
+    for u in users:
+        per_user[u] = per_user.get(u, 0) + 1
+    hist: dict[int, int] = {}
+    for k in per_user.values():
+        hist[k] = hist.get(k, 0) + 1
+    tot_users = len(per_user)
+    tot_events = len(users)
+    cum_u = cum_e = 0
+    assert set(rows) == set(hist)
+    for k in sorted(hist):
+        cum_u += hist[k]
+        cum_e += k * hist[k]
+        r = rows[k]
+        assert r["n_users"] == hist[k]
+        assert r["cum_users"] == cum_u
+        assert r["cum_events"] == cum_e
+        assert r["cum_users_ppm"] == 1000000 * cum_u // tot_users
+        assert r["cum_events_ppm"] == 1000000 * cum_e // tot_events
