@@ -3971,3 +3971,77 @@ def test_lorenz_curve_matches_python_histogram(spark, sf_dir):
         assert r["cum_events"] == cum_e
         assert r["cum_users_ppm"] == 1000000 * cum_u // tot_users
         assert r["cum_events_ppm"] == 1000000 * cum_e // tot_events
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """graph_pagerank vs a plain-Python power iteration over the SAME
+    edge set, rebuilt independently: edges come from the hashlib
+    MinHash-LSH pipeline (itself pinned pair-for-pair above), degrees
+    and the fixed-point damping update teleport + (85*sum(r div d))
+    div 100 recomputed with Python ints round by round."""
+    import duckdb
+    import hashlib
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+    from tmdb_movie_data_pipeline_spark.operators.graph import (
+        _PR_ITERS,
+        _PR_SCALE,
+        _PR_TELEPORT,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: r["rank_u"]
+        for r in all_queries()["graph_pagerank"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    buckets: dict[tuple, set] = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+        hs = [
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+                int(hashlib.md5(s.encode()).hexdigest()[16:30], 16),
+            )
+            for s in shingles
+        ]
+        sigs = [min(h1 + i * h2 for h1, h2 in hs) for i in range(NUM_HASHES)]
+        for b in range(BANDS):
+            key = "|".join(
+                str(sigs[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+            )
+            buckets.setdefault(
+                (b, hashlib.md5(key.encode()).hexdigest()), set()
+            ).add(doc_id)
+    adj: dict[int, set] = {}
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    ranks = {v: _PR_SCALE for v in adj}
+    for _ in range(_PR_ITERS):
+        nxt: dict[int, int] = {}
+        for src, dsts in adj.items():
+            d = len(dsts)
+            share = ranks[src] // d  # r div d, nonneg
+            for dst in dsts:
+                nxt[dst] = nxt.get(dst, 0) + share
+        ranks = {
+            v: _PR_TELEPORT + (85 * s) // 100 for v, s in nxt.items()
+        }
+    assert got == ranks
+    assert ranks, "fixture must produce a live dup graph"
