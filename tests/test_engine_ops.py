@@ -4045,3 +4045,104 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
         }
     assert got == ranks
     assert ranks, "fixture must produce a live dup graph"
+
+
+def _rebuilt_lsh_pairs(sf_dir: str) -> set:
+    """The MinHash-LSH candidate pairs rebuilt via hashlib (the pipeline
+    pinned pair-for-pair by test_minhash_lsh_pairs_match_hashlib_pipeline);
+    shared by the graph-kernel references."""
+    import duckdb
+    import hashlib
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    buckets: dict[tuple, set] = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+        hs = [
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+                int(hashlib.md5(s.encode()).hexdigest()[16:30], 16),
+            )
+            for s in shingles
+        ]
+        sigs = [min(h1 + i * h2 for h1, h2 in hs) for i in range(NUM_HASHES)]
+        for b in range(BANDS):
+            key = "|".join(
+                str(sigs[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+            )
+            buckets.setdefault(
+                (b, hashlib.md5(key.encode()).hexdigest()), set()
+            ).add(doc_id)
+    return {
+        (a, b)
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """The hash-to-min distributed CC vs a plain union-find over the
+    hashlib-rebuilt pair graph — component id = min reachable vertex."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in all_queries()["dedup_cluster_components"](
+            spark, sf_dir
+        ).collect()
+    }
+    pairs = _rebuilt_lsh_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {}
+    for v in parent:
+        comp[v] = find(v)
+    assert got == comp
+    assert len(set(comp.values())) > 1, "fixture should have >1 cluster"
+
+
+def test_triangle_count_matches_python_wedges(spark, sf_dir):
+    """Oriented triangle counting vs a Python wedge-close loop over the
+    rebuilt low-to-high pair set."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["graph_triangle_count"](spark, sf_dir).collect()[0]
+    pairs = _rebuilt_lsh_pairs(sf_dir)
+    out: dict[int, set] = {}
+    for a, b in pairs:
+        out.setdefault(a, set()).add(b)
+    tri = sum(
+        1
+        for a, b in pairs
+        for c in out.get(b, ())
+        if c in out.get(a, ())
+    )
+    assert row["n_edges"] == len(pairs)
+    assert row["n_triangles"] == tri
