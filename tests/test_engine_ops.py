@@ -4146,3 +4146,103 @@ def test_triangle_count_matches_python_wedges(spark, sf_dir):
     )
     assert row["n_edges"] == len(pairs)
     assert row["n_triangles"] == tri
+
+
+def test_pmi_and_kn_and_hapax_match_python_rebuilds(spark, sf_dir):
+    """Three text-shelf statistics vs plain-Python dict rebuilds: PMI
+    windowed pair lifts, Kneser-Ney continuation counts + discount, and
+    the hapax ratios."""
+    import duckdb
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _KN_TOPN,
+        _PMI_MIN_LIFT_PPM,
+        _PMI_MIN_PAIR,
+        _PMI_WINDOW,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, lang, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    toks_by_doc = {
+        d: re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        for d, _, t in docs
+    }
+
+    # -- PMI lift pairs --
+    pair_c: dict[tuple, int] = {}
+    uni: dict[str, int] = {}
+    total = 0
+    for toks in toks_by_doc.values():
+        for i, t in enumerate(toks):
+            uni[t] = uni.get(t, 0) + 1
+            total += 1
+            for j in range(i + 1, min(i + 1 + _PMI_WINDOW, len(toks))):
+                k = (min(t, toks[j]), max(t, toks[j]))
+                pair_c[k] = pair_c.get(k, 0) + 1
+    expect = {}
+    for (w1, w2), c in pair_c.items():
+        if c < _PMI_MIN_PAIR:
+            continue
+        lift = 1000000 * c * total // (uni[w1] * uni[w2])
+        if lift >= _PMI_MIN_LIFT_PPM:
+            expect[(w1, w2)] = (c, uni[w1], uni[w2], lift)
+    got = {
+        (r["w1"], r["w2"]): (r["c_pair"], r["c_w1"], r["c_w2"], r["lift_ppm"])
+        for r in q["text_pmi_lift_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must carry live collocations"
+
+    # -- KN continuation --
+    bc: dict[tuple, int] = {}
+    for toks in toks_by_doc.values():
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    n1 = sum(1 for c in bc.values() if c == 1)
+    n2 = sum(1 for c in bc.values() if c == 2)
+    cont: dict[str, list] = {}
+    right: dict[str, int] = {}
+    for (a, b), c in bc.items():
+        e = cont.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += c
+        right[a] = right.get(a, 0) + 1
+    ranked = sorted(cont.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_KN_TOPN]
+    rows = q["text_kn_continuation"](spark, sf_dir).collect()
+    assert [(r["word"], r["cont_count"], r["freq"]) for r in rows] == [
+        (w, cc_, fr) for w, (cc_, fr) in ranked
+    ]
+    for r in rows:
+        assert r["right_div"] == right.get(r["word"], 0)
+        assert r["bigram_types"] == len(bc)
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert r["discount_milli"] == 1000 * n1 // (n1 + 2 * n2)
+
+    # -- hapax --
+    tf: dict[tuple, int] = {}
+    for (d, lang, _), toks in zip(docs, toks_by_doc.values()):
+        for t in toks:
+            if t:
+                tf[(lang, t)] = tf.get((lang, t), 0) + 1
+    per_lang: dict[str, list] = {}
+    for (lang, t), c in tf.items():
+        e = per_lang.setdefault(lang, [0, 0, 0])  # vocab, tokens, hapax
+        e[0] += 1
+        e[1] += c
+        e[2] += c == 1
+    rows = {
+        r["lang"]: r for r in q["text_hapax_ratio"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(per_lang)
+    for lang, (v, n, h) in per_lang.items():
+        r = rows[lang]
+        assert (r["vocab"], r["n_tokens"], r["hapax"]) == (v, n, h)
+        assert r["hapax_vocab_ppm"] == 1000000 * h // v
+        assert r["hapax_token_ppm"] == 1000000 * h // n
