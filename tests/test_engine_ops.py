@@ -4246,3 +4246,84 @@ def test_pmi_and_kn_and_hapax_match_python_rebuilds(spark, sf_dir):
         assert (r["vocab"], r["n_tokens"], r["hapax"]) == (v, n, h)
         assert r["hapax_vocab_ppm"] == 1000000 * h // v
         assert r["hapax_token_ppm"] == 1000000 * h // n
+
+
+def test_isotonic_matches_sequential_pava(spark, sf_dir):
+    """The minimax-identity isotonic fit vs a genuinely DIFFERENT
+    algorithm: the classic sequential pool-adjacent-violators walk with
+    exact Fraction block rates, floored to ppm at the end (floor
+    commutes with the max-min since floor is monotone)."""
+    import duckdb
+    from fractions import Fraction
+
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _CAL_BINS,
+        _CAL_POS_LANG,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["bin"]: r
+        for r in all_queries()["ml_isotonic_calibration"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT n_chars, lang FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    mn = min(c for c, _ in docs)
+    mx = max(c for c, _ in docs)
+    bins: dict[int, list] = {}
+    for c, lang in docs:
+        b = (c - mn) * _CAL_BINS // (mx - mn + 1)
+        e = bins.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += lang == _CAL_POS_LANG
+    # wrinkle: the engine's span rates are ppm-FLOORED before the
+    # minimax; PAVA here uses exact Fractions and floors once at the
+    # end — identical because floor is monotone in both max and min
+    blocks = []  # (n, pos) pooled blocks, left to right
+    for b in sorted(bins):
+        n, p = bins[b]
+        blocks.append([n, p, [b]])
+        while len(blocks) >= 2 and Fraction(
+            blocks[-1][1], blocks[-1][0]
+        ) < Fraction(blocks[-2][1], blocks[-2][0]):
+            n2, p2, ids2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2].extend(ids2)
+    fitted = {}
+    for n, p, ids in blocks:
+        for b in ids:
+            fitted[b] = 1000000 * p // n
+    assert set(rows) == set(bins)
+    for b, (n, p) in bins.items():
+        r = rows[b]
+        assert (r["n"], r["n_pos"]) == (n, p)
+        assert r["raw_rate_ppm"] == 1000000 * p // n
+        assert r["fitted_rate_ppm"] == fitted[b]
+    # monotone non-decreasing by construction — assert it anyway
+    fit_seq = [rows[b]["fitted_rate_ppm"] for b in sorted(rows)]
+    assert fit_seq == sorted(fit_seq)
+
+
+def test_ndcg_weights_match_log2(spark, sf_dir):
+    """The folded NDCG rank discounts vs 1e6/log2(rank+1) from
+    math.log2, and the ideal-DCG constant vs the perfect-retrieval sum."""
+    import math
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _NDCG_IDEAL,
+        _NDCG_W,
+        TOP_K,
+    )
+
+    for rank, w in enumerate(_NDCG_W, 1):
+        assert abs(w - 1e6 / math.log2(rank + 1)) <= 1.0
+    assert _NDCG_IDEAL == sum(
+        (TOP_K - i) * w for i, w in enumerate(_NDCG_W)
+    )
