@@ -4327,3 +4327,73 @@ def test_ndcg_weights_match_log2(spark, sf_dir):
     assert _NDCG_IDEAL == sum(
         (TOP_K - i) * w for i, w in enumerate(_NDCG_W)
     )
+
+
+def test_rolling_ols_and_median_match_python_windows(spark, sf_dir):
+    """Rolling OLS slope and exact rolling median vs literal Python
+    trailing-window recomputation (RANGE semantics: the window is day-
+    valued, so gap days shrink it)."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.windows import _ROLS_DAYS
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    daily_ols = con.execute("""
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+               SUM(CAST(ROUND(value) AS BIGINT))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    daily_med = con.execute("""
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    con.close()
+
+    # -- rolling OLS --
+    series: dict[str, list] = {}
+    for et, d, rev in daily_ols:
+        series.setdefault(et, []).append((int(d), int(rev)))
+    rows = {
+        (r["event_type"], r["day"]): r
+        for r in q["window_rolling_ols_slope"](spark, sf_dir).collect()
+    }
+    assert len(rows) == sum(len(s) for s in series.values())
+    for et, s in series.items():
+        for d, rev in s:
+            win = [(x, y) for x, y in s if d - (_ROLS_DAYS - 1) <= x <= d]
+            n = len(win)
+            r = rows[(et, d)]
+            assert (r["rev"], r["n"]) == (rev, n)
+            if n < 2:
+                assert r["slope_ppm"] is None
+                continue
+            sx = sum(x for x, _ in win)
+            sy = sum(y for _, y in win)
+            sxy = sum(x * y for x, y in win)
+            sxx = sum(x * x for x, _ in win)
+            num = 1000000 * (n * sxy - sx * sy)
+            den = n * sxx - sx * sx
+            expect = num // den if num >= 0 else -((-num) // den)
+            assert r["slope_ppm"] == expect
+
+    # -- rolling median --
+    med_rows = {
+        r["day"]: r
+        for r in q["window_rolling_median"](spark, sf_dir).collect()
+    }
+    s = [(int(d), int(c)) for d, c in daily_med]
+    assert set(med_rows) == {d for d, _ in s}
+    for d, c in s:
+        win = sorted(y for x, y in s if d - 6 <= x <= d)
+        n = len(win)
+        r = med_rows[d]
+        assert (r["rev_cents"], r["n_in_window"]) == (c, n)
+        assert r["median_x2_cents"] == win[(n + 1) // 2 - 1] + win[n // 2]
