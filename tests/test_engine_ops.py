@@ -4397,3 +4397,67 @@ def test_rolling_ols_and_median_match_python_windows(spark, sf_dir):
         r = med_rows[d]
         assert (r["rev_cents"], r["n_in_window"]) == (c, n)
         assert r["median_x2_cents"] == win[(n + 1) // 2 - 1] + win[n // 2]
+
+
+def test_k_anonymity_and_fd_discovery_match_python_dicts(spark, sf_dir):
+    """k-anonymity equivalence classes and the FD candidate audit vs
+    plain dict/set rebuilds over the raw rows."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.profiling import (
+        _FD_CANDIDATES,
+        _KANON_K,
+        _KANON_LEN_BUCKET,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT lang, source, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+
+    groups: dict[tuple, int] = {}
+    for lang, src, n_chars in docs:
+        k = (lang, src, n_chars // _KANON_LEN_BUCKET)
+        groups[k] = groups.get(k, 0) + 1
+    rows = {
+        (r["lang"], r["source"], r["len_b"]): r
+        for r in q["profile_k_anonymity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(groups)
+    for k, size in groups.items():
+        assert rows[k]["group_size"] == size
+        assert rows[k]["violates_k"] == (size < _KANON_K)
+    assert any(size < _KANON_K for size in groups.values()), (
+        "fixture must carry live k-anonymity violations"
+    )
+
+    fd_rows = {
+        (r["tbl"], r["lhs"], r["rhs"]): r
+        for r in q["profile_fd_discovery"](spark, sf_dir).collect()
+    }
+    assert set(fd_rows) == set(_FD_CANDIDATES)
+    holds_seen, violated_seen = False, False
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        vals = con.execute(
+            f"SELECT {lhs}, {rhs} FROM "
+            f"read_parquet('{sf_dir}/{tbl}.parquet')"
+        ).fetchall()
+        rhs_sets: dict = {}
+        for a, b in vals:
+            rhs_sets.setdefault(a, set()).add(b)
+        n_keys = len(rhs_sets)
+        viol = sum(1 for s in rhs_sets.values() if len(s) > 1)
+        r = fd_rows[(tbl, lhs, rhs)]
+        assert r["n_keys"] == n_keys
+        assert r["violating_keys"] == viol
+        assert r["holds"] == (viol == 0)
+        assert r["violation_ppm"] == 1000000 * viol // n_keys
+        holds_seen |= viol == 0
+        violated_seen |= viol > 0
+    con.close()
+    assert holds_seen and violated_seen, (
+        "fixture must exercise both FD outcomes"
+    )
