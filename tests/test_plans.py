@@ -941,3 +941,34 @@ def test_outlier_clip_ranks_over_histogram_not_rows(spark, sf_dir):
     # formatted-plan ids grow from the scan upward, so the histogram
     # aggregate feeding the window has a SMALLER id than the window
     assert min(agg_ids) < min(win_ids), (win_ids, agg_ids)
+
+
+# -- r14-queue plan pins: ready before activation ------------------------------
+
+
+def test_good_turing_is_two_partial_aggregates_no_window(spark, sf_dir):
+    # bigram GT: groupBy(lang, bigram) then the per-lang rollup — both
+    # partial-aggregable (map-side combine), ZERO windows, zero Python,
+    # and exactly two exchanges (the two groupBy key changes)
+    plan = _plan(_deferred("llm_good_turing_missing_mass")(spark, sf_dir))
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_sprt_windows_run_over_the_daily_relation_only(spark, sf_dir):
+    # the corpus-scale stage is ONE partial-aggregable groupBy(arm, day);
+    # the cumulative windows and the crossing join see only the bounded
+    # daily relation — the raw-events scan must feed an Aggregate before
+    # any Window appears
+    plan = _plan(_deferred("events_sprt_sequential")(spark, sf_dir))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    first_window = plan.find("Window")
+    assert first_window != -1
+    # a partial aggregate exists BELOW the window (plans print top-down,
+    # so the aggregate that reduces events appears after the Window text)
+    assert "partial_" in plan[first_window:], (
+        "raw events reach the window without pre-aggregation"
+    )
