@@ -4461,3 +4461,89 @@ def test_k_anonymity_and_fd_discovery_match_python_dicts(spark, sf_dir):
     assert holds_seen and violated_seen, (
         "fixture must exercise both FD outcomes"
     )
+
+
+def test_survival_growth_stickiness_match_python_rebuilds(spark, sf_dir):
+    """Kaplan-Meier ingredients, weekly growth accounting, and DAU/WAU
+    stickiness vs plain Python rebuilds from the (user, day) relation."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    ud = con.execute("""
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        FROM read_parquet('{0}/events.parquet')
+    """.format(sf_dir)).fetchall()
+    con.close()
+    ud = [(u, int(d)) for u, d in ud]
+
+    # -- survival table --
+    last: dict[int, int] = {}
+    for u, d in ud:
+        last[u] = max(last.get(u, -1), d)
+    deaths: dict[int, int] = {}
+    for d in last.values():
+        deaths[d] = deaths.get(d, 0) + 1
+    rows = {
+        r["epoch_day"]: r
+        for r in q["events_survival_table"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(deaths)
+    at_risk = 0
+    for d in sorted(deaths, reverse=True):
+        at_risk += deaths[d]
+        r = rows[d]
+        assert (r["n_at_risk"], r["d_events"]) == (at_risk, deaths[d])
+        assert r["step_survival_ppm"] == (
+            1000000 * (at_risk - deaths[d]) // at_risk
+        )
+
+    # -- growth accounting (weekly) --
+    weeks: dict[int, set] = {}
+    for u, d in ud:
+        weeks.setdefault(u, set()).add(d // 7)
+    acc: dict[int, list] = {}  # week -> [new, retained, resurrected, churned]
+    for u, ws in weeks.items():
+        ws_sorted = sorted(ws)
+        first = ws_sorted[0]
+        for i, w in enumerate(ws_sorted):
+            e = acc.setdefault(w, [0, 0, 0, 0])
+            if w == first:
+                e[0] += 1
+            if i > 0 and ws_sorted[i - 1] == w - 1:
+                e[1] += 1
+            if i > 0 and ws_sorted[i - 1] < w - 1:
+                e[2] += 1
+            nxt = ws_sorted[i + 1] if i + 1 < len(ws_sorted) else None
+            if nxt is None or nxt > w + 1:
+                acc.setdefault(w + 1, [0, 0, 0, 0])[3] += 1
+    rows = {
+        r["week"]: r
+        for r in q["events_growth_accounting"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(acc)
+    for w, (n_new, n_ret, n_res, n_chu) in acc.items():
+        r = rows[w]
+        assert (
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        ) == (n_new, n_ret, n_res, n_chu)
+
+    # -- DAU/WAU stickiness --
+    by_day: dict[int, set] = {}
+    for u, d in ud:
+        by_day.setdefault(d, set()).add(u)
+    rows = {
+        r["epoch_day"]: r
+        for r in q["events_dau_wau_stickiness"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(by_day)
+    for d, us in by_day.items():
+        wau_set = set()
+        for dd in range(d - 6, d + 1):
+            wau_set |= by_day.get(dd, set())
+        r = rows[d]
+        assert (r["dau"], r["wau"]) == (len(us), len(wau_set))
+        assert r["stickiness_ppm"] == 1000000 * len(us) // len(wau_set)
