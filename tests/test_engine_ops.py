@@ -4547,3 +4547,70 @@ def test_survival_growth_stickiness_match_python_rebuilds(spark, sf_dir):
         r = rows[d]
         assert (r["dau"], r["wau"]) == (len(us), len(wau_set))
         assert r["stickiness_ppm"] == 1000000 * len(us) // len(wau_set)
+
+
+def test_ann_ivf_topk_matches_python_routing(spark, sf_dir):
+    """The IVF tier rebuilt in plain Python: centroid codebook (the
+    designated embedding rows), nearest-centroid assignment, N_PROBE
+    query routing, candidate scoring within probed lists only, and the
+    per-query top-k — compared row-for-row including cosine doubles
+    (left-assoc float order is bit-identical to the engines')."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        CENTROID_BASE,
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["ann_ivf_topk"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    embs = dict(
+        con.execute(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    )
+    con.close()
+
+    def dot(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + float(a[i]) * float(b[i])
+        return s
+
+    def cos(a, b):
+        return dot(a, b) / (dot(a, a) ** 0.5 * dot(b, b) ** 0.5)
+
+    cent = {
+        v - CENTROID_BASE: embs[v]
+        for v in embs
+        if CENTROID_BASE <= v < CENTROID_BASE + N_CENTROIDS
+    }
+    assign: dict[int, int] = {}
+    lists: dict[int, list] = {}
+    for v, e in embs.items():
+        cid = min(cent, key=lambda c: (-cos(e, cent[c]), c))
+        assign[v] = cid
+        lists.setdefault(cid, []).append(v)
+    expect = set()
+    for qid in (v for v in embs if v < N_QUERIES):
+        probes = sorted(cent, key=lambda c: (-cos(embs[qid], cent[c]), c))[
+            :N_PROBE
+        ]
+        cands = [
+            v for c in probes for v in lists.get(c, []) if v != qid
+        ]
+        ranked = sorted(
+            ((-cos(embs[qid], embs[v]), v) for v in cands)
+        )[:TOP_K]
+        for rank, (neg, v) in enumerate(ranked, 1):
+            expect.add((qid, v, -neg, rank))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in rows
+    }
+    assert got == expect
