@@ -4614,3 +4614,75 @@ def test_ann_ivf_topk_matches_python_routing(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_ann_lsh_bucketed_matches_python_planes(spark, sf_dir):
+    """The sign-random-projection tier rebuilt in plain Python: the
+    md5-seeded +/-1 hyperplanes, left-assoc signed sums (bit-identical
+    fold order), bit-string buckets, in-bucket exact cosine, and the
+    per-query top-k — row-for-row including the cosine doubles.
+    Completes the ANN ladder pinning (exact + IVF + LSH)."""
+    import duckdb
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        N_QUERIES,
+        TOP_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["ann_lsh_bucketed"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    embs = dict(
+        con.execute(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    signs = [
+        [
+            1 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+    def bucket(v):
+        out = []
+        for p in range(N_PLANES):
+            s = 0.0
+            for i in range(DIM):
+                s = s + float(v[i]) if signs[p][i] > 0 else s - float(v[i])
+            out.append("1" if s >= 0 else "0")
+        return "".join(out)
+
+    def dot(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + float(a[i]) * float(b[i])
+        return s
+
+    buckets: dict[str, list] = {}
+    for v, e in embs.items():
+        buckets.setdefault(bucket(e), []).append(v)
+    expect = set()
+    for qid in (v for v in embs if v < N_QUERIES):
+        qe = embs[qid]
+        qn = dot(qe, qe) ** 0.5
+        cands = [v for v in buckets[bucket(qe)] if v != qid]
+        ranked = sorted(
+            (
+                (-(dot(qe, embs[v]) / (qn * dot(embs[v], embs[v]) ** 0.5)), v)
+                for v in cands
+            )
+        )[:TOP_K]
+        for rank, (neg, v) in enumerate(ranked, 1):
+            expect.add((qid, v, -neg, rank))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in rows
+    }
+    assert got == expect
