@@ -4686,3 +4686,60 @@ def test_ann_lsh_bucketed_matches_python_planes(spark, sf_dir):
         for r in rows
     }
     assert got == expect
+
+
+def test_packing_and_bpe_pairs_match_python_rebuilds(spark, sf_dir):
+    """Sequence packing offsets vs a per-source Python running sum, and
+    the BPE pair-count inner loop vs plain character-pair dict counts."""
+    import duckdb
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _BPE_TOPN,
+        PACK_BUDGET,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    toks_by_doc = {
+        d: re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        for d, _, t in docs
+    }
+
+    # -- sequence packing --
+    rows = {
+        r["doc_id"]: r
+        for r in q["llm_sequence_packing"](spark, sf_dir).collect()
+    }
+    cum: dict[str, int] = {}
+    for d, src, _ in sorted(docs):
+        n = len(toks_by_doc[d])
+        start = cum.get(src, 0)
+        cum[src] = start + n
+        r = rows[d]
+        assert (r["source"], r["n_tokens"]) == (src, n)
+        assert r["cum_tokens"] == start + n
+        assert r["pack_id"] == start // PACK_BUDGET
+        assert r["offset_in_pack"] == start % PACK_BUDGET
+    assert len(rows) == len(docs)
+
+    # -- BPE pair counts --
+    counts: dict[str, int] = {}
+    for toks in toks_by_doc.values():
+        for t in toks:
+            if len(t) >= 2:
+                for i in range(len(t) - 1):
+                    p = t[i : i + 2]
+                    counts[p] = counts.get(p, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPN]
+    got = [
+        (r["pair"], r["n"])
+        for r in q["llm_bpe_pair_counts"](spark, sf_dir).collect()
+    ]
+    assert got == top
