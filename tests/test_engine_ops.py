@@ -4743,3 +4743,113 @@ def test_packing_and_bpe_pairs_match_python_rebuilds(spark, sf_dir):
         for r in q["llm_bpe_pair_counts"](spark, sf_dir).collect()
     ]
     assert got == top
+
+
+def test_asof_joins_and_skyline_match_python_bisect(spark, sf_dir):
+    """A third implementation for the custom join trio: prev-view as-of
+    via per-user bisect over sorted view times, nearest-purchase as-of
+    via prev/next scan with the tie-to-prev rule, and the 2-D skyline
+    via a literal dominance filter — the engine uses windows and the
+    oracle uses quadratic joins; this is neither."""
+    import bisect
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ev = con.execute("""
+        SELECT user_id, event_id, epoch_us(ts), event_type FROM events
+        WHERE event_type IN ('view', 'purchase')
+    """).fetchall()
+    parts = con.execute("""
+        SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT),
+               CAST(p_size AS BIGINT)
+        FROM read_parquet('{0}/part.parquet')
+    """.format(sf_dir)).fetchall()
+    con.close()
+
+    views: dict[int, list[int]] = {}
+    purchases: dict[int, list] = {}
+    for u, eid, t, et in ev:
+        if et == "view":
+            views.setdefault(u, []).append(int(t))
+        else:
+            purchases.setdefault(u, []).append((int(t), eid))
+    for v in views.values():
+        v.sort()
+
+    # -- prev-view as-of --
+    got = {
+        r["event_id"]: (r["user_id"], r["purchase_us"], r["prev_view_us"])
+        for r in q["join_asof_prev_view"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for u, ps in purchases.items():
+        vs = views.get(u, [])
+        for t, eid in ps:
+            i = bisect.bisect_right(vs, t)
+            expect[eid] = (u, t, vs[i - 1] if i else None)
+    assert got == expect
+
+    # -- nearest-purchase as-of (ties on equal distance go to prev;
+    #    a purchase at the SAME (t, event_id)-order position counts as
+    #    prev when it sorts before the view) --
+    got = {
+        r["event_id"]: r["nearest_purchase_us"]
+        for r in q["join_asof_nearest"](spark, sf_dir).collect()
+    }
+    expect = {}
+    # rebuild per-user merged order exactly as the window does
+    merged: dict[int, list] = {}
+    for u, eid, t, et in ev:
+        merged.setdefault(u, []).append((int(t), eid, et))
+    for u, rows_u in merged.items():
+        rows_u.sort(key=lambda x: (x[0], x[1]))
+        p_times = [t for t, _, et in rows_u if et == "purchase"]
+        prev = None
+        prev_by_pos = []
+        for t, eid, et in rows_u:
+            prev_by_pos.append(prev)
+            if et == "purchase":
+                prev = t
+        # next purchase strictly AFTER the current position
+        nxt = None
+        next_by_pos = [None] * len(rows_u)
+        for i in range(len(rows_u) - 1, -1, -1):
+            next_by_pos[i] = nxt
+            if rows_u[i][2] == "purchase":
+                nxt = rows_u[i][0]
+        for i, (t, eid, et) in enumerate(rows_u):
+            if et != "view":
+                continue
+            pp, np_ = prev_by_pos[i], next_by_pos[i]
+            # the window includes the CURRENT row in prev (rows between
+            # unbounded preceding and current row) but a view row is
+            # never a purchase, so prev_by_pos (strictly before) is right
+            if pp is None and np_ is None:
+                continue
+            if np_ is None:
+                expect[eid] = pp
+            elif pp is None:
+                expect[eid] = np_
+            else:
+                expect[eid] = pp if t - pp <= np_ - t else np_
+    assert got == expect
+
+    # -- skyline --
+    got_sky = {
+        (r["p_partkey"], r["price_cents"], r["size"])
+        for r in q["join_skyline_pareto"](spark, sf_dir).collect()
+    }
+    pts = [(k, int(p), int(s)) for k, p, s in parts]
+    expect_sky = {
+        (k, p, s)
+        for k, p, s in pts
+        if not any(p2 < p and s2 < s for _, p2, s2 in pts)
+    }
+    assert got_sky == expect_sky
