@@ -4853,3 +4853,96 @@ def test_asof_joins_and_skyline_match_python_bisect(spark, sf_dir):
         if not any(p2 < p and s2 < s for _, p2, s2 in pts)
     }
     assert got_sky == expect_sky
+
+
+def test_attribution_rules_transitions_match_python_walks(spark, sf_dir):
+    """Last-touch attribution, association rules, and the Markov
+    transition matrix vs per-user Python walks and basket sets."""
+    import datetime
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _AR_MINSUP,
+        _ATTR_LOOKBACK_DAYS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    ev = con.execute("""
+        SELECT user_id, event_id, epoch_us(ts), event_type,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM read_parquet('{0}/events.parquet')
+        ORDER BY user_id, epoch_us(ts), event_id
+    """.format(sf_dir)).fetchall()
+    con.close()
+
+    # -- last-touch attribution --
+    look_us = _ATTR_LOOKBACK_DAYS * 86400 * 1_000_000
+    chan: dict[str, list] = {}
+    last_touch: dict[int, tuple] = {}
+    for u, eid, t, et, c in ev:
+        if et == "purchase":
+            touch = last_touch.get(u)
+            if touch is not None and touch[1] >= t - look_us:
+                key = touch[0]
+            else:
+                key = "none"
+            e = chan.setdefault(key, [0, 0])
+            e[0] += 1
+            e[1] += int(c)
+        if et in ("view", "click"):
+            last_touch[u] = (et, t)
+    rows = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in q["events_attribution_last_touch"](spark, sf_dir).collect()
+    }
+    assert rows == {k: tuple(v) for k, v in chan.items()}
+
+    # -- association rules --
+    baskets: dict[int, set] = {}
+    for u, _, _, et, _ in ev:
+        baskets.setdefault(u, set()).add(et)
+    n_users = len(baskets)
+    tc: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for bs in baskets.values():
+        for t in bs:
+            tc[t] = tc.get(t, 0) + 1
+        for a in bs:
+            for b in bs:
+                if a < b:
+                    pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), n_both in pair_n.items():
+        if n_both < _AR_MINSUP:
+            continue
+        conf = 1000000 * n_both // tc[a]
+        expect[(a, b)] = (n_both, tc[a], tc[b], conf, conf * n_users // tc[b])
+    got = {
+        (r["ant"], r["cons"]): (
+            r["n_both"], r["n_ant"], r["n_cons"], r["conf_ppm"], r["lift_ppm"]
+        )
+        for r in q["events_association_rules"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # -- transition matrix --
+    trans: dict[tuple, int] = {}
+    prev: dict[int, str] = {}
+    for u, _, _, et, _ in ev:
+        if u in prev:
+            trans[(prev[u], et)] = trans.get((prev[u], et), 0) + 1
+        prev[u] = et
+    from_tot: dict[str, int] = {}
+    for (a, _), n in trans.items():
+        from_tot[a] = from_tot.get(a, 0) + n
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["prob"])
+        for r in q["events_transition_matrix"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(trans)
+    for k, n in trans.items():
+        gn, gp = got[k]
+        assert gn == n
+        assert gp == n / from_tot[k[0]]
