@@ -4946,3 +4946,105 @@ def test_attribution_rules_transitions_match_python_walks(spark, sf_dir):
         gn, gp = got[k]
         assert gn == n
         assert gp == n / from_tot[k[0]]
+
+
+def test_anomaly_seasonality_backtest_match_python(spark, sf_dir):
+    """The forecasting/anomaly mini-shelf vs Python rebuilds: the
+    squared z-score integer inequality, MAD outliers from sorted-list
+    lower medians, the day-of-week seasonality index, and the
+    seasonal-naive backtest errors."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _BT_TRAIN_DAYS,
+        _Z_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    raw = con.execute("""
+        SELECT event_id, event_type, CAST(ts AS DATE),
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM read_parquet('{0}/events.parquet')
+    """.format(sf_dir)).fetchall()
+    con.close()
+
+    # -- z-score outliers: (n*x - S)^2 > K^2 (n*Q - S^2) per (type, day) --
+    groups: dict[tuple, list] = {}
+    for eid, et, day, c in raw:
+        groups.setdefault((et, day), []).append((eid, int(c)))
+    expect_ids = set()
+    for (et, day), rows_g in groups.items():
+        n = len(rows_g)
+        s = sum(c for _, c in rows_g)
+        qq = sum(c * c for _, c in rows_g)
+        for eid, c in rows_g:
+            if (n * c - s) ** 2 > _Z_K * _Z_K * (n * qq - s * s):
+                expect_ids.add(eid)
+    got_ids = {
+        r["event_id"]
+        for r in q["events_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    assert got_ids == expect_ids
+    assert expect_ids, "fixture must carry live outliers"
+
+    # -- daily series per type (shared by the remaining three) --
+    daily: dict[tuple, int] = {}
+    for _, et, day, c in raw:
+        daily[(et, day)] = daily.get((et, day), 0) + int(c)
+    by_type: dict[str, list] = {}
+    for (et, day), v in daily.items():
+        by_type.setdefault(et, []).append((day, v))
+
+    # -- seasonality index (dow label: duckdb dayofweek + 1) --
+    import datetime
+
+    def dow_label(d: datetime.date) -> int:
+        return (d.weekday() + 1) % 7 + 1  # duckdb dayofweek: 0=Sunday
+
+    rows = {
+        (r["event_type"], r["dow"]): r
+        for r in q["events_seasonality_index"](spark, sf_dir).collect()
+    }
+    for et, series in by_type.items():
+        per_dow: dict[int, list] = {}
+        for day, v in series:
+            per_dow.setdefault(dow_label(day), []).append(v)
+        total = sum(v for _, v in series)
+        n_all = len(series)
+        for dw, vs in per_dow.items():
+            r = rows[(et, dw)]
+            assert (r["n_dow"], r["sum_dow"]) == (len(vs), sum(vs))
+            assert r["index_ppm"] == (
+                (1000000 * sum(vs) // len(vs)) * n_all // total
+            )
+
+    # -- seasonal-naive backtest --
+    all_days = [d for (_, d) in daily]
+    split = (
+        min(d.toordinal() for d in all_days)
+        - datetime.date(1970, 1, 1).toordinal()
+        + _BT_TRAIN_DAYS
+    )
+    model: dict[tuple, list] = {}
+    for (et, day), v in daily.items():
+        d = (day - datetime.date(1970, 1, 1)).days
+        if d < split:
+            model.setdefault((et, dow_label(day)), []).append(v)
+    fc = {k: sum(v) // len(v) for k, v in model.items()}
+    rows = {
+        (r["event_type"], r["epoch_day"]): r
+        for r in q["events_backtest_seasonal_naive"](spark, sf_dir).collect()
+    }
+    expect_keys = set()
+    for (et, day), v in daily.items():
+        d = (day - datetime.date(1970, 1, 1)).days
+        k = (et, dow_label(day))
+        if d >= split and k in fc:
+            expect_keys.add((et, d))
+            r = rows[(et, d)]
+            assert r["actual_cents"] == v
+            assert r["forecast_cents"] == fc[k]
+            assert r["abs_err_cents"] == abs(v - fc[k])
+    assert set(rows) == expect_keys
