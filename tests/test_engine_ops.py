@@ -5048,3 +5048,58 @@ def test_anomaly_seasonality_backtest_match_python(spark, sf_dir):
             assert r["forecast_cents"] == fc[k]
             assert r["abs_err_cents"] == abs(v - fc[k])
     assert set(rows) == expect_keys
+
+
+def test_sampling_shelf_matches_python_hashes(spark, sf_dir):
+    """Stratified hash sampling and Duffield-Lund-Thorup priority
+    sampling vs plain-Python Fibonacci-hash recomputation: per-lang
+    keep sets and per-source smallest-priority-K selections."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.sampling import (
+        _DEFAULT_RATE,
+        _KEY_MASK,
+        _KNUTH,
+        _MOD,
+        _PRI_K,
+        _RATES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, lang, source, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+
+    def h(doc_id: int) -> int:
+        return ((doc_id % _KEY_MASK) * _KNUTH) % _MOD
+
+    expect = {
+        (d, lang, h(d))
+        for d, lang, _, _ in docs
+        if h(d) < int(_RATES.get(lang, _DEFAULT_RATE) * _MOD)
+    }
+    got = {
+        (r["doc_id"], r["lang"], r["sample_key"])
+        for r in q["sample_stratified_hash"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must keep a live sample"
+
+    by_src: dict[str, list] = {}
+    for d, _, src, n_chars in docs:
+        w = max(n_chars, 1)
+        pri = float(1 + h(d)) / float(w)
+        by_src.setdefault(src, []).append((pri, d, w))
+    expect_rows = set()
+    for src, items in by_src.items():
+        for rk, (pri, d, w) in enumerate(sorted(items)[:_PRI_K], 1):
+            expect_rows.add((src, d, w, pri, rk))
+    got_rows = {
+        (r["source"], r["doc_id"], r["weight"], r["pri"], r["rk"])
+        for r in q["sample_weighted_priority"](spark, sf_dir).collect()
+    }
+    assert got_rows == expect_rows
