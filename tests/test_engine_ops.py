@@ -5103,3 +5103,89 @@ def test_sampling_shelf_matches_python_hashes(spark, sf_dir):
         for r in q["sample_weighted_priority"](spark, sf_dir).collect()
     }
     assert got_rows == expect_rows
+
+
+def test_graph_kernels_match_python_rebuilds(spark, sf_dir):
+    """k-core peeling, harmonic centrality, two-hop reach, and the
+    clustering coefficient vs plain-Python set algebra over the
+    hashlib-rebuilt pair graph."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import (
+        _HC_RADIUS,
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    pairs = _rebuilt_lsh_pairs(sf_dir)
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    # -- k-core (fixed synchronous rounds, then within-core degree) --
+    alive = set(adj)
+    for _ in range(_KCORE_ROUNDS):
+        alive = {
+            v
+            for v in alive
+            if len(adj[v] & alive) >= _KCORE_K
+        }
+    expect = {v: len(adj[v] & alive) for v in alive}
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in q["graph_kcore"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # -- harmonic centrality (BFS to radius 3) --
+    rows = {
+        r["doc_id"]: r
+        for r in q["graph_harmonic_centrality"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(adj)
+    for s in adj:
+        dist = {s: 0}
+        frontier = {s}
+        for d in range(1, _HC_RADIUS + 1):
+            frontier = {
+                u for v in frontier for u in adj[v] if u not in dist
+            }
+            for u in frontier:
+                dist[u] = d
+        n = [
+            sum(1 for d in dist.values() if d == k) for k in (1, 2, 3)
+        ]
+        r = rows[s]
+        assert (r["n1"], r["n2"], r["n3"]) == tuple(n)
+
+    # -- two-hop reach (top-25 by reach desc, degree desc, doc_id) --
+    from tmdb_movie_data_pipeline_spark.operators.graph import _REACH_TOPN
+
+    got_rows = [
+        (r["doc_id"], r["degree"], r["hop2_reach"])
+        for r in q["graph_two_hop_reach"](spark, sf_dir).collect()
+    ]
+    stats = []
+    for v in adj:
+        hop2 = {
+            u for w in adj[v] for u in adj[w] if u != v and u not in adj[v]
+        }
+        stats.append((v, len(adj[v]), len(hop2)))
+    expect_rows = sorted(stats, key=lambda x: (-x[2], -x[1], x[0]))[
+        :_REACH_TOPN
+    ]
+    assert got_rows == expect_rows
+
+    # -- clustering coefficient (per-vertex triangle counts) --
+    rows = {
+        r["doc_id"]: r
+        for r in q["graph_clustering_coefficient"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(adj)
+    for v in adj:
+        nb = adj[v]
+        t = sum(1 for a in nb for b in nb if a < b and b in adj[a])
+        r = rows[v]
+        assert r["degree"] == len(nb)
+        assert r["n_triangles"] == t
