@@ -5189,3 +5189,98 @@ def test_graph_kernels_match_python_rebuilds(spark, sf_dir):
         r = rows[v]
         assert r["degree"] == len(nb)
         assert r["n_triangles"] == t
+
+
+def test_containment_and_exact_substring_match_python_sets(spark, sf_dir):
+    """Containment pairs (df-capped distinct shingles, min-size
+    denominator) and exact-substring shared windows vs plain Python set
+    intersections over the same tokenization."""
+    import duckdb
+    import hashlib
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _CONTAIN_DF_CAP,
+        _CONTAIN_MIN_PPM,
+        _SUBSTR_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    toks_by_doc = {
+        d: re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        for d, t in docs
+    }
+
+    # -- containment --
+    sh_by_doc = {
+        d: {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+        for d, toks in toks_by_doc.items()
+    }
+    df: dict[str, int] = {}
+    for sh in sh_by_doc.values():
+        for s in sh:
+            df[s] = df.get(s, 0) + 1
+    kept = {
+        d: {s for s in sh if df[s] <= _CONTAIN_DF_CAP}
+        for d, sh in sh_by_doc.items()
+    }
+    inv: dict[str, list] = {}
+    for d, sh in kept.items():
+        for s in sh:
+            inv.setdefault(s, []).append(d)
+    inter: dict[tuple, int] = {}
+    for ds in inv.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                inter[(a, b)] = inter.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), n in inter.items():
+        c = 1000000 * n // min(len(kept[a]), len(kept[b]))
+        if c >= _CONTAIN_MIN_PPM:
+            expect[(a, b)] = (n, len(kept[a]), len(kept[b]), c)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"], r["n_a"], r["n_b"], r["containment_ppm"]
+        )
+        for r in q["dedup_containment_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must carry live containment pairs"
+
+    # -- exact substring --
+    grams_by_doc = {
+        d: {
+            hashlib.md5(
+                " ".join(toks[i : i + _SUBSTR_K]).encode()
+            ).hexdigest()
+            for i in range(max(len(toks) - (_SUBSTR_K - 1), 1))
+        }
+        for d, toks in toks_by_doc.items()
+    }
+    ginv: dict[str, list] = {}
+    for d, gs in grams_by_doc.items():
+        for g in gs:
+            ginv.setdefault(g, []).append(d)
+    shared: dict[tuple, int] = {}
+    for ds in ginv.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in q["dedup_exact_substring"](spark, sf_dir).collect()
+    }
+    assert got == shared
+    assert shared, "fixture must carry live shared windows"
