@@ -5284,3 +5284,86 @@ def test_containment_and_exact_substring_match_python_sets(spark, sf_dir):
     }
     assert got == shared
     assert shared, "fixture must carry live shared windows"
+
+
+def test_jaccard_verify_and_estimators_match_python(spark, sf_dir):
+    """The LSH verify/estimator trio vs Python sets + the rebuilt
+    signatures: exact 3-gram Jaccard on candidate pairs, the
+    16-signature match fraction, and the 1-bit (parity) estimator with
+    its 2x-1 unbiasing — estimator AND truth columns both rebuilt."""
+    import duckdb
+    import hashlib
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        NUM_HASHES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    pairs = _rebuilt_lsh_pairs(sf_dir)
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    sh: dict[int, set] = {}
+    sigs: dict[int, list] = {}
+    for d, t in docs:
+        toks = re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        s = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+        sh[d] = s
+        hs = [
+            (
+                int(hashlib.md5(x.encode()).hexdigest()[:15], 16),
+                int(hashlib.md5(x.encode()).hexdigest()[16:30], 16),
+            )
+            for x in s
+        ]
+        sigs[d] = [
+            min(h1 + i * h2 for h1, h2 in hs) for i in range(NUM_HASHES)
+        ]
+
+    # -- exact verify --
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for a, b in pairs:
+        inter = len(sh[a] & sh[b])
+        jac = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if jac >= 0.0375:
+            expect[(a, b)] = jac
+    assert got == expect
+
+    # -- signature-match estimator --
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_sig_match"], r["est_jaccard_ppm"], r["exact_jaccard_ppm"]
+        )
+        for r in q["dedup_minhash_jaccard_estimate"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for a, b in pairs:
+        m = sum(1 for i in range(NUM_HASHES) if sigs[a][i] == sigs[b][i])
+        inter = len(sh[a] & sh[b])
+        exact = 1000000 * inter // (len(sh[a]) + len(sh[b]) - inter)
+        expect[(a, b)] = (m, 1000000 * m // NUM_HASHES, exact)
+    assert got == expect
+
+    # -- 1-bit estimator --
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_bit_match"], r["bbit_est_ppm"])
+        for r in q["dedup_bbit_minhash_estimate"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for a, b in pairs:
+        m = sum(
+            1 for i in range(NUM_HASHES) if sigs[a][i] % 2 == sigs[b][i] % 2
+        )
+        expect[(a, b)] = (m, max(2000000 * m // NUM_HASHES - 1000000, 0))
+    assert got == expect
