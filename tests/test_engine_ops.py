@@ -5367,3 +5367,112 @@ def test_jaccard_verify_and_estimators_match_python(spark, sf_dir):
         )
         expect[(a, b)] = (m, max(2000000 * m // NUM_HASHES - 1000000, 0))
     assert got == expect
+
+
+def test_sketch_unions_and_join_cardinality_match_hashlib(spark, sf_dir):
+    """The sketch MERGE contracts + coordinated-sample join sizing vs
+    hashlib rebuilds: KMV states unioned and re-trimmed to K, HLL
+    register-wise MAX, and the shared-hash key sample with its
+    unbiasing scale — estimates and truth columns both rebuilt."""
+    import duckdb
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        _JC_CUT,
+        _JC_SCALE,
+        HLL_M,
+        KMV_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    co = con.execute(
+        "SELECT o_orderkey, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+    ).fetchall()
+    cl = con.execute(
+        "SELECT l_orderkey, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1"
+    ).fetchall()
+    con.close()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # -- KMV union --
+    per_src: dict[str, set] = {}
+    for src, text in docs:
+        per_src.setdefault(src, set()).add(h60(text))
+    states = {
+        src: sorted(hs)[:KMV_K] for src, hs in per_src.items()
+    }
+    merged = sorted(set().union(*states.values()))[:KMV_K]
+    rows = {
+        r["scope"]: r
+        for r in q["sketch_kmv_union"](spark, sf_dir).collect()
+    }
+    def kmv_est(hs_sorted, n_exact):
+        if len(hs_sorted) < KMV_K:
+            return float(n_exact)
+        return (KMV_K - 1) / (hs_sorted[KMV_K - 1] / float(1 << 60))
+
+    for src, hs in per_src.items():
+        r = rows[src]
+        assert r["n_exact"] == len(hs)
+        assert r["est_distinct"] == kmv_est(sorted(hs), len(hs))
+    all_exact = len(set().union(*per_src.values()))
+    r = rows["__all__"]
+    assert r["n_exact"] == all_exact
+    assert r["est_distinct"] == kmv_est(merged, all_exact)
+
+    # -- HLL union (register-wise MAX of the per-source states) --
+    def regs_of(hashes) -> dict[int, int]:
+        regs: dict[int, int] = {}
+        for hv in hashes:
+            reg, w = hv % HLL_M, hv // HLL_M
+            rho = 55 if w == 0 else 55 - w.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        return regs
+
+    def hll_est(regs: dict[int, int]) -> float:
+        s_int = sum(1 << (55 - mj) for mj in regs.values()) + (
+            HLL_M - len(regs)
+        ) * (1 << 55)
+        return float("2904.064") * 2.0**55 / float(s_int)
+
+    rows = {
+        r["scope"]: r
+        for r in q["sketch_hll_union"](spark, sf_dir).collect()
+    }
+    merged_regs: dict[int, int] = {}
+    for src, hs in per_src.items():
+        regs = regs_of(hs)
+        for k, v in regs.items():
+            merged_regs[k] = max(merged_regs.get(k, 0), v)
+        r = rows[src]
+        assert r["v_zero"] == HLL_M - len(regs)
+        assert r["est_distinct"] == hll_est(regs)
+    r = rows["__all__"]
+    assert r["v_zero"] == HLL_M - len(merged_regs)
+    assert r["est_distinct"] == hll_est(merged_regs)
+
+    # -- coordinated-sample join cardinality --
+    ca = {int(k): int(c) for k, c in co}
+    cb = {int(k): int(c) for k, c in cl}
+    shared = set(ca) & set(cb)
+    exact_pairs = sum(ca[k] * cb[k] for k in shared)
+    sampled = [k for k in shared if h60(str(k)) < _JC_CUT]
+    sampled_pairs = sum(ca[k] * cb[k] for k in sampled)
+    row = q["sketch_join_cardinality"](spark, sf_dir).collect()[0]
+    assert row["exact_pairs"] == exact_pairs
+    assert row["sampled_keys"] == len(sampled)
+    assert row["est_pairs"] == sampled_pairs * _JC_SCALE
+    if exact_pairs:
+        assert row["err_bp"] == (
+            (sampled_pairs * _JC_SCALE - exact_pairs) * 10000 // exact_pairs
+        )
