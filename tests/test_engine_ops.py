@@ -5476,3 +5476,118 @@ def test_sketch_unions_and_join_cardinality_match_hashlib(spark, sf_dir):
         assert row["err_bp"] == (
             (sampled_pairs * _JC_SCALE - exact_pairs) * 10000 // exact_pairs
         )
+
+
+def test_retention_suite_matches_python_rebuilds(spark, sf_dir):
+    """Streaks (gaps-and-islands), the weekly cohort retention matrix +
+    triangle, and type co-occurrence vs plain Python walks and sets."""
+    import datetime
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    ud = con.execute("""
+        SELECT DISTINCT user_id, CAST(ts AS DATE) FROM
+        read_parquet('{0}/events.parquet')
+    """.format(sf_dir)).fetchall()
+    ut = con.execute("""
+        SELECT DISTINCT user_id, event_type FROM
+        read_parquet('{0}/events.parquet')
+    """.format(sf_dir)).fetchall()
+    con.close()
+
+    # -- streaks --
+    days_by_user: dict[int, list] = {}
+    for u, d in ud:
+        days_by_user.setdefault(u, []).append(d)
+    rows = {
+        r["user_id"]: r
+        for r in q["events_user_streaks"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(days_by_user)
+    for u, days in days_by_user.items():
+        days.sort()
+        streaks = []
+        run = 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        r = rows[u]
+        assert r["longest_streak"] == max(streaks)
+        assert r["n_streaks"] == len(streaks)
+        assert r["active_days"] == len(days)
+
+    # -- weekly cohort retention (Monday-truncated weeks) --
+    def monday(d: datetime.date) -> datetime.date:
+        return d - datetime.timedelta(days=d.weekday())
+
+    uweeks: dict[int, set] = {}
+    for u, d in ud:
+        uweeks.setdefault(u, set()).add(monday(d))
+    matrix: dict[tuple, int] = {}
+    for u, ws in uweeks.items():
+        cw = min(ws)
+        for w in ws:
+            k = (cw, (w - cw).days // 7)
+            matrix[k] = matrix.get(k, 0) + 1
+    rows = {
+        (r["cohort_week_us"], r["weeks_since"]): r["n_users"]
+        for r in q["events_cohort_retention"](spark, sf_dir).collect()
+    }
+    epoch = datetime.date(1970, 1, 1)
+    expect = {
+        ((cw - epoch).days * 86400 * 1_000_000, off): n
+        for (cw, off), n in matrix.items()
+    }
+    assert rows == expect
+
+    # -- retention triangle (epoch-day // 7 weeks, ppm shares) --
+    uw7: dict[int, set] = {}
+    for u, d in ud:
+        uw7.setdefault(u, set()).add((d - epoch).days // 7)
+    cohort = {u: min(ws) for u, ws in uw7.items()}
+    sizes: dict[int, int] = {}
+    for cw in cohort.values():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    tri: dict[tuple, int] = {}
+    for u, ws in uw7.items():
+        for w in ws:
+            k = (cohort[u], w - cohort[u])
+            tri[k] = tri.get(k, 0) + 1
+    rows = {
+        (r["cohort_week"], r["offset_weeks"]): r
+        for r in q["events_retention_triangle"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(tri)
+    for (cw, off), n in tri.items():
+        r = rows[(cw, off)]
+        assert r["n_active"] == n
+        assert r["n_cohort"] == sizes[cw]
+        assert r["retention_ppm"] == 1000000 * n // sizes[cw]
+
+    # -- co-occurrence --
+    users_by_type: dict[str, set] = {}
+    for u, et in ut:
+        users_by_type.setdefault(et, set()).add(u)
+    rows = {
+        (r["type_a"], r["type_b"]): (r["n_both"], r["jaccard"])
+        for r in q["events_cooccurrence_pairs"](spark, sf_dir).collect()
+    }
+    expect = {}
+    types = sorted(users_by_type)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            n_both = len(users_by_type[a] & users_by_type[b])
+            if n_both:
+                expect[(a, b)] = (
+                    n_both,
+                    n_both
+                    / (len(users_by_type[a]) + len(users_by_type[b]) - n_both),
+                )
+    assert rows == expect
