@@ -5591,3 +5591,71 @@ def test_retention_suite_matches_python_rebuilds(spark, sf_dir):
                     / (len(users_by_type[a]) + len(users_by_type[b]) - n_both),
                 )
     assert rows == expect
+
+
+def test_interval_merge_and_interarrival_match_python_walks(spark, sf_dir):
+    """Interval merging (running-max-end islands) and the power-of-two
+    inter-arrival histogram vs literal per-user Python walks."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _IVL_DUR_CHOICES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    con = duckdb.connect()
+    raw = con.execute("""
+        SELECT user_id, event_id, epoch_us(ts), event_type, value
+        FROM read_parquet('{0}/events.parquet')
+    """.format(sf_dir)).fetchall()
+    con.close()
+
+    # -- interval merge --
+    ivs: dict[int, list] = {}
+    for u, eid, t, _, _ in raw:
+        ivs.setdefault(u, []).append(
+            (int(t), int(t) + (1 + eid % _IVL_DUR_CHOICES) * 60 * 1_000_000,
+             eid)
+        )
+    expect = set()
+    for u, items in ivs.items():
+        items.sort(key=lambda x: (x[0], x[2]))
+        seq = 0
+        cur = None  # (start, end, n)
+        max_end = None
+        for s, e, _ in items:
+            if max_end is None or s > max_end:
+                if cur:
+                    expect.add((u, seq, cur[0], cur[1], cur[2]))
+                seq += 1
+                cur = (s, e, 1)
+            else:
+                cur = (cur[0], max(cur[1], e), cur[2] + 1)
+            max_end = e if max_end is None else max(max_end, e)
+        expect.add((u, seq, cur[0], cur[1], cur[2]))
+    got = {
+        (
+            r["user_id"], r["interval_seq"], r["merged_start_us"],
+            r["merged_end_us"], r["n_merged"],
+        )
+        for r in q["events_interval_merge"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # -- interarrival histogram --
+    by_key: dict[tuple, list] = {}
+    for u, _, t, et, v in raw:
+        by_key.setdefault((et, u), []).append((int(t), v))
+    hist: dict[tuple, int] = {}
+    for (et, _), items in by_key.items():
+        items.sort(key=lambda x: (x[0], x[1]))
+        for (t0, _), (t1, _) in zip(items, items[1:]):
+            gap = t1 // 1_000_000 - t0 // 1_000_000
+            bucket = 0 if gap <= 0 else gap.bit_length()
+            hist[(et, bucket)] = hist.get((et, bucket), 0) + 1
+    got = {
+        (r["event_type"], r["gap_bucket"]): r["n_gaps"]
+        for r in q["events_interarrival_histogram"](spark, sf_dir).collect()
+    }
+    assert got == hist
