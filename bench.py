@@ -176,6 +176,14 @@ BENCH_QUERIES = [
     # aggregate; CUPED/Cochran-Armitage/Page collapse to constant-size
     # relations after one partial-aggregable scan and need no slot
     "llm_dsir_importance_weights",
+    # r14 activation (VERDICT r13 #4): the only r14-queue member whose
+    # cost scales with the corpus — positional in-array bigram build +
+    # explode + partial-aggregable groupBy(lang, bigram) over the token
+    # stream (≈ the DSIR token explode with a wider groupBy key;
+    # projected ~0.5–1.0 s at sf0.1); events_sprt_sequential collapses
+    # to a ~60-row daily relation after one groupBy(arm, day) scan and
+    # needs no slot
+    "llm_good_turing_missing_mass",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -454,12 +462,14 @@ def main() -> None:
                 # the session name can ALSO be a committed record (a prior
                 # session of the same round committed it — this bit r13:
                 # an untagged sf0.001 probe overwrote the committed
-                # BENCH_DETAIL_session_r12.json); keep probing b, c, ...
-                # until an untracked name, never clobber a tracked one
+                # BENCH_DETAIL_session_r12.json); keep probing _2, _3, ...
+                # until an untracked name, never clobber a tracked one.
+                # Numeric suffixes (ADVICE r13): a chr() walk past 'z'
+                # drifts into punctuation; integers never do.
                 stem, ext = detail_name.rsplit(".", 1)
-                suffix = ord("b")
+                suffix = 2
                 while _tracked(detail_name):
-                    detail_name = f"{stem}{chr(suffix)}.{ext}"
+                    detail_name = f"{stem}_{suffix}.{ext}"
                     suffix += 1
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), detail_name

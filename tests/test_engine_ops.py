@@ -1184,22 +1184,38 @@ def test_cuped_matches_numpy_reference(spark, sf_dir):
     assert abs(row["delta_cuped_micro"] - (dy - theta * dx) * 1e6) <= 2.0
 
 
+def _largest_sf_dir(root: str = "/root/testdata") -> str:
+    """Largest shipped scale-factor directory, DISCOVERED by glob
+    (ADVICE r13: a hardcoded 'sf0.1' would silently keep measuring the
+    old SF if a larger fixture ships, letting headroom guarantees go
+    stale without a failure)."""
+    import pathlib
+
+    dirs = [
+        (float(p.name[2:]), p)
+        for p in pathlib.Path(root).glob("sf*")
+        if p.is_dir() and (p / "events.parquet").exists()
+    ]
+    assert dirs, f"no sf* fixture dirs under {root}"
+    return str(max(dirs)[1])
+
+
 def test_cuped_decimal_headroom_at_largest_sf():
     """ADVICE r12: CUPED's DECIMAL(38,0) products must keep loud margin.
     Spark's non-ANSI decimal overflow silently NULLs while DuckDB
     HUGEINT raises, so an overflow would surface as a cross-engine
     divergence, not a failure — this test recomputes every
     numerator/denominator the query folds, in unbounded Python ints at
-    the LARGEST shipped SF, and reds if a data regen pushes the max
-    magnitude within 10 orders of the 38-digit ceiling (measured:
-    ~10^23.9 at sf0.1; the statistic scales ~n^4 in users, ceiling
-    near sf≈300)."""
+    the LARGEST shipped SF (glob-discovered, ADVICE r13), and reds if a
+    data regen pushes the max magnitude within 10 orders of the
+    38-digit ceiling (measured: ~10^23.9 at sf0.1; the statistic scales
+    ~n^4 in users, ceiling near sf≈300)."""
     import duckdb
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.1/events.parquet')"
+        f"read_parquet('{_largest_sf_dir()}/events.parquet')"
     )
     moments = con.execute("""
         WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -1243,6 +1259,50 @@ def test_cuped_decimal_headroom_at_largest_sf():
     # the arms must be non-degenerate so the ADVICE empty-arm guard's
     # pass-through branch (not the 0 case) is what the oracle exercises
     assert 0 < nt < n
+
+
+def test_sprt_bigint_headroom_at_largest_sf():
+    """ADVICE r13: events_sprt_sequential's llr_ppm fold
+    (C1·cs + C2·(cn−cs)) is BIGINT arithmetic, and Spark's non-ANSI
+    BIGINT wraps silently where DuckDB raises — the exact cross-engine
+    divergence class the CUPED headroom test pins. Recompute every
+    arm's running LLR in unbounded Python ints at the LARGEST shipped
+    SF (glob-discovered) and red if the max magnitude comes within 4
+    orders of 2^63−1. Measured: max |llr_ppm| ≈ 10^9.3 at sf0.1 vs the
+    ~9.2×10^18 ceiling — the fold binds at ~4.6×10^13 trials per arm
+    (≈10^9× the fixture), i.e. 46 trillion exposures per arm before
+    the ppm quantization would need widening to DECIMAL."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators import events as ev_mod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{_largest_sf_dir()}/events.parquet')"
+    )
+    daily = con.execute("""
+        SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    c1, c2 = int(ev_mod._SPRT_C1), int(ev_mod._SPRT_C2)
+    worst = 0
+    cum: dict[int, tuple[int, int]] = {}
+    for arm, _, s, n in daily:
+        cs, cn = cum.get(arm, (0, 0))
+        cs, cn = cs + int(s), cn + int(n)
+        cum[arm] = (cs, cn)
+        worst = max(worst, abs(c1 * cs + c2 * (cn - cs)))
+    assert worst * 10**4 < 2**63 - 1, (
+        f"max |llr_ppm| = {worst:.3e} at the largest shipped SF — within "
+        "4 orders of the BIGINT ceiling; Spark would silently wrap "
+        "before DuckDB raises. Widen the fold to DECIMAL or re-derive "
+        "the ppm quantization."
+    )
+    assert len(cum) == 2  # both arms live, the statistic is exercised
 
 
 def test_cochran_armitage_matches_float_reference(spark, sf_dir):

@@ -3646,6 +3646,18 @@ def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross report decision 'continue' with step/llr 0 (COALESCE on both
     sides, never NULL in the hash).
 
+    Overflow headroom (ADVICE r13 — the CUPED wrap-vs-raise class:
+    Spark's non-ANSI BIGINT arithmetic wraps silently where DuckDB
+    raises): |llr_ppm| ≤ max(|C1|, |C2|)·cn ≈ 2.007×10⁵·cn, so the
+    2⁶³−1 BIGINT ceiling binds at ~4.6×10¹³ trials PER ARM — about
+    10⁹× the sf0.1 fixture (~3×10⁴ events/arm, measured max
+    |llr_ppm| ≈ 10⁹·³) and comfortably past any per-experiment event
+    volume (46 trillion exposures per arm). The measured margin is
+    pinned by tests/test_engine_ops.py::
+    test_sprt_bigint_headroom_at_largest_sf, which recomputes the fold
+    in unbounded Python ints at the largest shipped SF and reds if a
+    data regen erodes the margin below 4 orders.
+
     Shape (100 TB): the corpus-scale stage is ONE partial-aggregable
     groupBy(arm, day) — raw events never reach the window; the
     cumulative scan runs over the |arms|·|days| daily relation
