@@ -3586,7 +3586,7 @@ _SPRT_B = -2944439  # round(1e6 * ln(beta/(1-alpha))): accept H0 at/below
 
 @register(
     "events_sprt_sequential",
-    deferred=True,
+    # r14: activated first-thing from the r13-built queue (VERDICT r13 #1)
     oracle=f"""
     WITH daily AS (
         SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,

@@ -2263,12 +2263,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one token explode, one md5 per token (the
     ml_feature_hashing_stats device — NO vocabulary broadcast at any
-    scale), one partial-aggregable groupBy to the {_DSIR_BUCKETS}-row
-    profile, a broadcast lift join back onto the token stream, a
-    per-doc partial-aggregable rollup, and a TakeOrderedAndProject
-    top-{_DSIR_TOP}. Both "language models" come from ONE scan via
-    conditional aggregation — the target profile is never a second
-    pass."""
+    scale), then ONE partial-aggregable groupBy(doc_id, lang, bucket)
+    count relation from which BOTH language-model profiles AND the
+    per-doc scoring derive: the {_DSIR_BUCKETS}-row profile is a
+    re-aggregation of those counts, and the scoring join+rollup weights
+    each (doc, bucket) count by the bucket's broadcast lift_ppm. The
+    token-explode shuffle is therefore planned ONCE and physically
+    REUSED (ReusedExchangeExec — r14, the NOTES_r13 #4 optimization;
+    the r13 shape recomputed the explode+hash Exchange for the scoring
+    pass), and the scoring side shrinks from |tokens| rows to
+    |distinct (doc, bucket)| ≤ {_DSIR_BUCKETS}·|docs| rows before the
+    join. Ends in a TakeOrderedAndProject top-{_DSIR_TOP}."""
     from ..io import load_table
 
     tok = load_table(spark, sf_dir, "documents").select(
@@ -2280,11 +2285,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
         f" % {_DSIR_BUCKETS} AS bucket",
     )
-    prof = h.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    cnt = h.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    prof = cnt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0)))
         .cast("decimal(38,0)")
         .alias("ct"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("cs"),
+        F.sum("c").cast("decimal(38,0)").alias("cs"),
     )
     tot = prof.agg(
         F.sum("ct").cast("decimal(38,0)").alias("nt"),
@@ -2296,11 +2304,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" div ((cs + 1) * (nt + {_DSIR_BUCKETS})) AS BIGINT) AS lift_ppm",
     )
     ds = (
-        h.join(F.broadcast(lift), "bucket")
+        cnt.join(F.broadcast(lift), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.sum("lift_ppm").cast("long").alias("dsir_score"),
+            F.sum("c").cast("long").alias("n_toks"),
+            F.sum(F.col("c") * F.col("lift_ppm")).cast("long").alias(
+                "dsir_score"
+            ),
         )
     )
     return (
@@ -2319,7 +2329,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_good_turing_missing_mass",
-    deferred=True,
+    # r14: activated first-thing from the r13-built queue (VERDICT r13 #1)
     oracle=f"""
     WITH tok AS (
         SELECT lang, {_TOKENS_SQL} AS l FROM documents

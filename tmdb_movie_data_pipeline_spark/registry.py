@@ -89,11 +89,12 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r13: no verified query's semantics or plan were rewritten this
-    # session — the ADVICE r12 fixes (CUPED empty-arm guard + headroom
-    # docstring, the Page-trend dead test binding) all touch r13-queue
-    # queries landing BEFORE their first activation, so they are still
-    # bucket-1.
+    # r14: the DSIR exchange-reuse rewrite (VERDICT r13 #5 / NOTES_r13 #4:
+    # profile AND scoring now derive from one groupBy(doc_id, lang, bucket)
+    # count relation so the token-explode Exchange is ReusedExchangeExec'd
+    # instead of recomputed) is a physical-plan rewrite of a driver-verified
+    # query, so it re-verifies in bucket 2.
+    "llm_dsir_importance_weights",
 ]
 
 
@@ -206,9 +207,17 @@ DRIVER_CAP_FLOOR = 45
 #: Cochran–Armitage, Page's L, DSIR), 0 changed → head 4, stride 41 —
 #: exactly the NOTES_r12 #2 projection, recorded BEFORE the driver runs
 #: per VERDICT r12 #2. Recycle arithmetic restated in NOTES_r13.
+#: r14: the 2-query r13 deferred queue activated (VERDICT r13 #1:
+#: Good–Turing missing mass, Wald SPRT) = bucket 1, PLUS the DSIR
+#: exchange-reuse rewrite on the changed list (VERDICT r13 #5) = bucket 2
+#: → head 2 + 1 = 3, stride 45 − 3 = 42. NOTE: VERDICT r13 #2 projected
+#: 43 from head 2, but that arithmetic predates its own mandate #5
+#: putting llm_dsir_importance_weights on the changed list; the ledger
+#: records the CI-enforced cap arithmetic (head 3), recorded BEFORE the
+#: driver runs.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20, 13: 41}
+_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20, 13: 41, 14: 42}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
