@@ -1,0 +1,719 @@
+"""Independent brute-force reference tests: calibration/eval cluster +
+rank-statistics shelf (VERDICT r13 #8, continuing the r13 sweep).
+
+Each test rebuilds the statistic from raw fixture data in plain Python —
+textbook float formulas (real ranks, real logs) or unbounded-int / Fraction
+arithmetic — NEVER the engine's folded integer constants or its SQL, so a
+folded-constant or mis-derived-identity bug that both engines hash-agree on
+(the Kruskal /4 precedent) cannot survive.  DuckDB supplies only raw column
+pulls and the SHARED tokenization/quantization, the established convention
+of the r13 sweep.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+import duckdb
+
+
+def _con(sf_dir: str, *tables: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _avg_ranks(values: list) -> list[float]:
+    """Textbook average (midrank) 1-based ranks, float — the independent
+    counterpart of every doubled-integer rank device in the engine."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j + 2) / 2  # ranks i+1 .. j+1 averaged
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+# --------------------------------------------------------------------------
+# calibration / eval cluster (documents: score = n_chars, pos = lang == 'en')
+# --------------------------------------------------------------------------
+
+
+def _doc_score_pos(sf_dir: str) -> list[tuple[int, int]]:
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _CAL_POS_LANG,
+    )
+
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT n_chars, lang FROM documents").fetchall()
+    con.close()
+    return [(int(x), 1 if lang == _CAL_POS_LANG else 0) for x, lang in rows]
+
+
+def _cal_bins(sf_dir: str) -> dict[int, tuple[int, int]]:
+    """{bin: (n, n_pos)} via the shared equal-width integer binning."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import _CAL_BINS
+
+    data = _doc_score_pos(sf_dir)
+    mn = min(x for x, _ in data)
+    mx = max(x for x, _ in data)
+    bins: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for x, pos in data:
+        b = (x - mn) * _CAL_BINS // (mx - mn + 1)
+        bins[b][0] += 1
+        bins[b][1] += pos
+    return {b: (n, p) for b, (n, p) in bins.items()}
+
+
+def test_auc_roc_matches_midrank_reference(spark, sf_dir):
+    """AUC via real float midranks and U = R1 − n1(n1+1)/2 vs the
+    doubled-rank integer identity."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_auc_roc"](spark, sf_dir).collect()[0]
+    data = _doc_score_pos(sf_dir)
+    ranks = _avg_ranks([x for x, _ in data])
+    n1 = sum(p for _, p in data)
+    n0 = len(data) - n1
+    r1 = sum(r for r, (_, p) in zip(ranks, data) if p)
+    u = r1 - n1 * (n1 + 1) / 2
+    auc = u / (n1 * n0)
+    assert row["n_pos"] == n1 and row["n_neg"] == n0
+    assert row["two_u"] == round(2 * u)  # 2U is an exact integer
+    assert abs(row["auc_ppm"] - auc * 1e6) <= 1.0
+
+
+def test_calibration_bins_match_python_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["rate_ppm"])
+        for r in all_queries()["ml_calibration_bins"](spark, sf_dir).collect()
+    }
+    want = {
+        b: (n, p, 10**6 * p // n) for b, (n, p) in _cal_bins(sf_dir).items()
+    }
+    assert got == want
+
+
+def test_pr_curve_matches_python_reference(spark, sf_dir):
+    """PR points rebuilt by a literal descending-threshold walk over the
+    Python-dict histogram, with float precision/recall cross-checks."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["threshold_bin"]: (
+            r["tp"], r["fp"], r["fn"], r["precision_ppm"], r["recall_ppm"]
+        )
+        for r in all_queries()["ml_pr_curve"](spark, sf_dir).collect()
+    }
+    bins = _cal_bins(sf_dir)
+    all_pos = sum(p for _, p in bins.values())
+    want = {}
+    pred = tp = 0
+    for b in sorted(bins, reverse=True):
+        n, p = bins[b]
+        pred, tp = pred + n, tp + p
+        want[b] = (
+            tp, pred - tp, all_pos - tp,
+            10**6 * tp // pred, 10**6 * tp // all_pos,
+        )
+        # float cross-check of the ppm floors
+        assert abs(want[b][3] - 1e6 * tp / pred) <= 1.0
+        assert abs(want[b][4] - 1e6 * tp / all_pos) <= 1.0
+    assert got == want
+
+
+def test_average_precision_matches_float_reference(spark, sf_dir):
+    """AP = Σ precision(k)·Δrecall(k): exact two-stage integer rebuild plus
+    the REAL float formula within the documented quantization bias."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_average_precision"](spark, sf_dir).collect()[0]
+    bins = _cal_bins(sf_dir)
+    all_pos = sum(p for _, p in bins.values())
+    pred = tp = 0
+    num = 0
+    ap_float = 0.0
+    for b in sorted(bins, reverse=True):
+        n, p = bins[b]
+        pred, tp = pred + n, tp + p
+        num += (10**6 * tp // pred) * p
+        ap_float += (tp / pred) * (p / all_pos)
+    assert row["all_pos"] == all_pos and row["n_bins"] == len(bins)
+    assert row["ap_ppm"] == num // all_pos
+    # each precision floor loses < 1 ppm, the final floor < 1 ppm more
+    assert abs(row["ap_ppm"] - ap_float * 1e6) <= 2.5
+
+
+def test_isotonic_pav_matches_stack_reference(spark, sf_dir):
+    """The minimax-identity fit vs the classic pool-adjacent-violators
+    STACK algorithm run on exact Fractions: floor is monotone, so
+    max_i min_j floor(rate_ij) == floor(PAV fit) exactly."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["raw_rate_ppm"], r["fitted_rate_ppm"])
+        for r in all_queries()["ml_isotonic_calibration"](
+            spark, sf_dir
+        ).collect()
+    }
+    bins = _cal_bins(sf_dir)
+    # PAV: pool adjacent bins while the rate decreases
+    stack: list[list[int]] = []  # [n, n_pos, first_bin_index_span...]
+    spans: list[list] = []  # parallel: list of bins in the block
+    for b in sorted(bins):
+        n, p = bins[b]
+        stack.append([n, p])
+        spans.append([b])
+        while len(stack) >= 2 and Fraction(stack[-1][1], stack[-1][0]) < (
+            Fraction(stack[-2][1], stack[-2][0])
+        ):
+            n2, p2 = stack.pop()
+            bs = spans.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+            spans[-1].extend(bs)
+    want = {}
+    for (n_blk, p_blk), bs in zip(stack, spans):
+        for b in bs:
+            n, p = bins[b]
+            want[b] = (n, p, 10**6 * p // n, 10**6 * p_blk // n_blk)
+    assert got == want
+
+
+def test_brier_decomposition_matches_python_reference(spark, sf_dir):
+    """Per-bin Brier and reliability numerators rebuilt in unbounded
+    Python ints from raw (event_id, event_type), plus a float identity
+    check REL_k ≈ n_k(p̄_k − ō_k)²."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["bin"]: (
+            r["n"], r["n_pos"], r["sum_p_ppm"], r["brier_num"],
+            r["reliability_num"],
+        )
+        for r in all_queries()["ml_brier_decomposition"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("SELECT event_id, event_type FROM events").fetchall()
+    con.close()
+    acc: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for eid, et in rows:
+        p = (int(eid) * 2654435761) % 1000001
+        y = 1 if et == "purchase" else 0
+        b = min(p // 100000, 9)
+        a = acc[b]
+        a[0] += 1
+        a[1] += y
+        a[2] += p
+        a[3] += (p - y * 10**6) ** 2
+    want = {
+        b: (n, np, sp, bn, (sp - np * 10**6) ** 2 // n)
+        for b, (n, np, sp, bn) in acc.items()
+    }
+    assert got == want
+    for b, (n, np, sp, _, rel) in want.items():
+        p_bar, o_bar = sp / n / 1e6, np / n
+        assert abs(rel / 1e12 - n * (p_bar - o_bar) ** 2) < 1e-3
+
+
+def test_cohen_kappa_matches_float_reference(spark, sf_dir):
+    """Marker-argmax language predictions re-derived in Python from the
+    shared tokenization, then kappa = (p_o − p_e)/(1 − p_e) in floats."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        LANG_MARKERS,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_cohen_kappa"](spark, sf_dir).collect()[0]
+    con = _con(sf_dir, "documents")
+    rows = con.execute(f"SELECT lang, {_TOKENS_SQL} FROM documents").fetchall()
+    con.close()
+    markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+    cm: Counter = Counter()
+    for lab, toks in rows:
+        s = {
+            k: sum(1 for t in toks if t in ms) for k, ms in markers.items()
+        }
+        if s["en"] == 0 and s["es"] == 0 and s["de"] == 0:
+            pred = "unknown"
+        elif s["en"] >= s["es"] and s["en"] >= s["de"]:
+            pred = "en"
+        elif s["es"] >= s["de"]:
+            pred = "es"
+        else:
+            pred = "de"
+        cm[(lab, pred)] += 1
+    n = sum(cm.values())
+    diag = sum(c for (a, b), c in cm.items() if a == b)
+    row_m: Counter = Counter()
+    col_m: Counter = Counter()
+    for (a, b), c in cm.items():
+        row_m[a] += c
+        col_m[b] += c
+    pe_num = sum(row_m[k] * col_m[k] for k in row_m if k in col_m)
+    p_o, p_e = diag / n, pe_num / n / n
+    kappa = (p_o - p_e) / (1 - p_e)
+    assert row["n"] == n and row["n_agree"] == diag
+    assert row["pe_num"] == pe_num
+    assert abs(row["kappa_ppm"] - kappa * 1e6) <= 1.0
+
+
+# --------------------------------------------------------------------------
+# retrieval eval (rebuilt metric arithmetic over the retrieval tiers; the
+# tiers themselves carry their own end-to-end Python rebuilds from r13)
+# --------------------------------------------------------------------------
+
+
+def _tiers(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        ann_cosine,
+        ann_ivf,
+        ann_lsh,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in ann_cosine(spark, sf_dir).collect()
+    }
+    approx = {
+        "ivf": [
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ann_ivf(spark, sf_dir).collect()
+        ],
+        "lsh": [
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ann_lsh(spark, sf_dir).collect()
+        ],
+    }
+    return exact, approx
+
+
+def test_retrieval_eval_matches_python_reference(spark, sf_dir):
+    """recall@K / MRR rebuilt with pure Python ints per (tier, query)."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import TOP_K
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["tier"], r["query_id"]): (
+            r["n_hit"], r["recall_ppm"], r["first_hit_rank"], r["mrr_ppm"]
+        )
+        for r in all_queries()["ml_retrieval_eval"](spark, sf_dir).collect()
+    }
+    exact, approx = _tiers(spark, sf_dir)
+    qids = {q for q, _ in exact}
+    want = {}
+    for tier, rows in approx.items():
+        per_q: dict = defaultdict(list)
+        for q, nb, rank in rows:
+            if (q, nb) in exact:
+                per_q[q].append(rank)
+        for q in qids:
+            hits = per_q.get(q, [])
+            first = min(hits) if hits else 0
+            want[(tier, q)] = (
+                len(hits),
+                10**6 * len(hits) // TOP_K,
+                first,
+                10**6 // first if first else 0,
+            )
+    assert got == want
+
+
+def test_ndcg_matches_float_log_reference(spark, sf_dir):
+    """NDCG rebuilt with REAL log2 discounts — the folded _NDCG_W
+    integer-literal table is exactly the constant set at risk."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import TOP_K
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["tier"], r["query_id"]): (
+            r["dcg_micro"], r["idcg_micro"], r["ndcg_ppm"]
+        )
+        for r in all_queries()["ml_ndcg_eval"](spark, sf_dir).collect()
+    }
+    exact, approx = _tiers(spark, sf_dir)
+    qids = {q for q, _ in exact}
+    w = lambda r: 1.0 / math.log2(r + 1)
+    ideal = sum((TOP_K - i) * w(i + 1) for i in range(TOP_K))
+    for tier, rows in approx.items():
+        dcg: dict = defaultdict(float)
+        for q, nb, rank in rows:
+            er = exact.get((q, nb))
+            if er is not None and rank <= TOP_K:
+                dcg[q] += (TOP_K + 1 - er) * w(rank)
+        for q in qids:
+            dm, im, np_ = got[(tier, q)]
+            # weight literals are round(1e6/log2(r+1)): ≤0.5 micro per
+            # grade unit, grades ≤ TOP_K, ≤ TOP_K terms
+            assert abs(dm - dcg[q] * 1e6) <= 0.5 * TOP_K * TOP_K + 1
+            assert abs(im - ideal * 1e6) <= 0.5 * TOP_K * TOP_K + 1
+            assert abs(np_ - 1e6 * dcg[q] / ideal) <= 4.0
+
+
+def test_knn_vote_and_confusion_match_python_reference(spark, sf_dir):
+    """The vote/argmax/diagonal stages rebuilt in Python dicts from the
+    neighbor relation + raw labels; confusion cells and ppm shares exact."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _KNN_HOLDOUT_MOD,
+        _KNN_HOLDOUT_REM,
+        _KNN_K,
+        cosine_topk,
+    )
+    from tmdb_movie_data_pipeline_spark.io import load_table
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    con = _con(sf_dir, "embeddings")
+    labels = dict(
+        con.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    con.close()
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_hold = emb.vec_id % _KNN_HOLDOUT_MOD == _KNN_HOLDOUT_REM
+    nbrs = cosine_topk(
+        emb.filter(is_hold), emb.filter(~is_hold), _KNN_K
+    ).collect()
+    votes: dict = defaultdict(Counter)
+    for r in nbrs:
+        votes[r["query_id"]][labels[r["neighbor_id"]]] += 1
+    want_pred = {}
+    for q, c in votes.items():
+        lab = min(c, key=lambda k: (-c[k], k))
+        want_pred[q] = (
+            int(labels[q]), int(lab), c[lab],
+            1 if lab == labels[q] else 0,
+        )
+    got_pred = {
+        r["query_id"]: (
+            r["true_label"], r["pred_label"], r["n_votes"], r["correct"]
+        )
+        for r in all_queries()["ml_knn_classify"](spark, sf_dir).collect()
+    }
+    assert got_pred == want_pred
+    cells: Counter = Counter(
+        (t, p) for t, p, _, _ in want_pred.values()
+    )
+    n_total = sum(cells.values())
+    want_cm = {
+        (t, p): (c, 10**6 * c // n_total, 1 if t == p else 0)
+        for (t, p), c in cells.items()
+    }
+    got_cm = {
+        (r["true_label"], r["pred_label"]): (
+            r["n"], r["share_ppm"], r["on_diagonal"]
+        )
+        for r in all_queries()["ml_confusion_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got_cm == want_cm
+
+
+# --------------------------------------------------------------------------
+# rank statistics (events)
+# --------------------------------------------------------------------------
+
+
+def _purchase_daily_xy(sf_dir: str) -> list[tuple[int, int, int]]:
+    """(epoch_day, count, cents) per purchase day — the shared staging."""
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               COUNT(*), SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    con.close()
+    return [(int(d), int(c), int(v)) for d, c, v in rows]
+
+
+def _typed_cents(sf_dir: str) -> dict[str, list[int]]:
+    con = _con(sf_dir, "events")
+    rows = con.execute(
+        "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    con.close()
+    out: dict[str, list[int]] = defaultdict(list)
+    for et, v in rows:
+        out[et].append(int(v))
+    return out
+
+
+def test_kendall_tau_matches_pair_loop_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_kendall_tau"](spark, sf_dir).collect()[0]
+    daily = _purchase_daily_xy(sf_dir)
+    con = dis = tied = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            prod = (daily[i][1] - daily[j][1]) * (daily[i][2] - daily[j][2])
+            if prod > 0:
+                con += 1
+            elif prod < 0:
+                dis += 1
+            else:
+                tied += 1
+    n = len(daily)
+    tau = (con - dis) / (n * (n - 1) / 2)
+    assert row["n_days"] == n
+    assert (row["concordant"], row["discordant"], row["tied"]) == (
+        con, dis, tied,
+    )
+    assert abs(row["tau_a_ppm"] - tau * 1e6) <= 1.0
+
+
+def test_mann_whitney_matches_midrank_reference(spark, sf_dir):
+    """U and the common-language effect size vs real float midranks of the
+    pooled sample, for every type pair."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_a"], r["n_b"], r["u_a_doubled"], r["auc_ppm"]
+        )
+        for r in all_queries()["stats_mann_whitney_u"](
+            spark, sf_dir
+        ).collect()
+    }
+    vals = _typed_cents(sf_dir)
+    for (ta, tb), (n_a, n_b, u2, auc_ppm) in got.items():
+        a, b = vals[ta], vals[tb]
+        assert (n_a, n_b) == (len(a), len(b))
+        ranks = _avg_ranks(a + b)
+        r_a = sum(ranks[: len(a)])
+        u = r_a - len(a) * (len(a) + 1) / 2
+        assert u2 == round(2 * u)
+        assert abs(auc_ppm - 1e6 * u / (len(a) * len(b))) <= 1.0
+
+
+def test_wilcoxon_matches_midrank_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_wilcoxon_signed_rank"](
+        spark, sf_dir
+    ).collect()[0]
+    daily = _purchase_daily_xy(sf_dir)
+    xs = [v for _, _, v in daily]
+    dx = [b - a for a, b in zip(xs, xs[1:]) if b - a != 0]
+    ranks = _avg_ranks([abs(d) for d in dx])
+    w_plus = sum(r for r, d in zip(ranks, dx) if d > 0)
+    w_minus = sum(r for r, d in zip(ranks, dx) if d < 0)
+    n = len(dx)
+    assert row["n_pairs"] == n
+    assert row["w2_plus"] == round(2 * w_plus)
+    assert row["w2_minus"] == round(2 * w_minus)
+    assert row["e_w2"] == n * (n + 1) // 2  # doubled E[W+] = n(n+1)/4 · 2
+    assert row["dev"] == round(2 * w_plus) - n * (n + 1) // 2
+
+
+def test_kruskal_wallis_matches_float_reference(spark, sf_dir):
+    """H from real pooled midranks: H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1),
+    within the documented ≤ k-ppm per-group floor bias."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_kruskal_wallis"](spark, sf_dir).collect()
+    vals = _typed_cents(sf_dir)
+    types = sorted(vals)
+    pooled = [v for t in types for v in vals[t]]
+    ranks = _avg_ranks(pooled)
+    big_n = len(pooled)
+    h = -3 * (big_n + 1)
+    i = 0
+    rsums = {}
+    for t in types:
+        n_j = len(vals[t])
+        r_j = sum(ranks[i : i + n_j])
+        rsums[t] = r_j
+        h += 12 / (big_n * (big_n + 1)) * r_j * r_j / n_j
+        i += n_j
+    k = len(types)
+    for r in rows:
+        assert r["n_j"] == len(vals[r["event_type"]])
+        assert r["r2_j"] == round(2 * rsums[r["event_type"]])
+        assert 0 <= h * 1e6 - r["h_ppm"] <= k + 1
+    assert len(rows) == k
+
+
+def test_friedman_matches_float_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _FRIED_BLOCKS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_friedman_test"](spark, sf_dir).collect()
+    con = _con(sf_dir, "events")
+    cells = con.execute(f"""
+        SELECT user_id % {_FRIED_BLOCKS}, event_type,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    by_blk: dict = defaultdict(dict)
+    for blk, et, cv in cells:
+        by_blk[int(blk)][et] = int(cv)
+    rsum: Counter = Counter()
+    for blk, d in by_blk.items():
+        ets = sorted(d)
+        ranks = _avg_ranks([d[e] for e in ets])
+        for e, r in zip(ets, ranks):
+            rsum[e] += r
+    n = len(by_blk)
+    k = len(rsum)
+    chi2 = 12 / (n * k * (k + 1)) * sum(r * r for r in rsum.values()) - (
+        3 * n * (k + 1)
+    )
+    for r in rows:
+        assert r["n_blocks"] == n
+        assert r["r2j"] == round(2 * rsum[r["event_type"]])
+        assert abs(r["chi2_ppm"] - chi2 * 1e6) <= 2.0
+    assert len(rows) == k
+
+
+def test_jonckheere_matches_bisect_reference(spark, sf_dir):
+    """JT = Σ_{i<j} (#(a<b) + ½·#(a=b)) counted per ordered weekday-group
+    pair with sorted lists + bisect — never the per-value cumulative."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_jonckheere_terpstra"](
+        spark, sf_dir
+    ).collect()[0]
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    groups: dict[int, list[int]] = defaultdict(list)
+    for g, v in rows:
+        groups[int(g)].append(int(v))
+    for g in groups:
+        groups[g].sort()
+    ks = sorted(groups)
+    jt2 = 0
+    for ii, gi in enumerate(ks):
+        for gj in ks[ii + 1 :]:
+            for b in groups[gj]:
+                lt = bisect.bisect_left(groups[gi], b)
+                le = bisect.bisect_right(groups[gi], b)
+                jt2 += 2 * lt + (le - lt)
+    n_g = [len(groups[g]) for g in ks]
+    n = sum(n_g)
+    assert row["n_total"] == n
+    assert row["jt_x2"] == jt2
+    assert row["e_jt_x4"] == n * n - sum(x * x for x in n_g)
+
+
+def test_mann_kendall_matches_pair_loop_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["s_stat"])
+        for r in all_queries()["stats_mann_kendall"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict[str, list[int]] = defaultdict(list)
+    for et, _, x in rows:
+        series[et].append(int(x))
+    want = {}
+    for et, xs in series.items():
+        s = n_pairs = 0
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                n_pairs += 1
+                s += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        want[et] = (n_pairs, s)
+    assert got == want
+
+
+def test_theil_sen_matches_sorted_slope_reference(spark, sf_dir):
+    """Lower-median pairwise slope per type, rebuilt by literally sorting
+    the float slopes (one IEEE division each) with the exact tie-break."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: (
+            r["n_pairs"], r["med_dv"], r["med_dd"],
+            r["med_slope_cents_per_day"],
+        )
+        for r in all_queries()["stats_theil_sen"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for et, d, v in rows:
+        series[et].append((int(d), int(v)))
+    want = {}
+    for et, pts in series.items():
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dv = pts[j][1] - pts[i][1]
+                dd = pts[j][0] - pts[i][0]
+                slopes.append((dv / dd, dv, dd))
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        want[et] = (len(slopes), med[1], med[2], med[0])
+    assert got == want
+
+
+def test_ks_two_sample_matches_counter_reference(spark, sf_dir):
+    """D = max |F_a − F_b| over pooled points, rebuilt with Counters and
+    unbounded-int cross-multiplication."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["ks_num"], r["ks_ppm"])
+        for r in all_queries()["stats_ks_two_sample"](spark, sf_dir).collect()
+    }
+    vals = _typed_cents(sf_dir)
+    types = sorted(vals)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            ca, cb = Counter(vals[ta]), Counter(vals[tb])
+            n_a, n_b = len(vals[ta]), len(vals[tb])
+            cum_a = cum_b = ks = 0
+            for x in sorted(set(ca) | set(cb)):
+                cum_a += ca.get(x, 0)
+                cum_b += cb.get(x, 0)
+                ks = max(ks, abs(cum_a * n_b - cum_b * n_a))
+            assert got[(ta, tb)] == (
+                n_a, n_b, ks, 10**6 * ks // (n_a * n_b)
+            ), (ta, tb)
+            # float cross-check of the supremum
+            assert abs(
+                got[(ta, tb)][3] - 1e6 * ks / (n_a * n_b)
+            ) <= 1.0
