@@ -1305,6 +1305,82 @@ def test_sprt_bigint_headroom_at_largest_sf():
     assert len(cum) == 2  # both arms live, the statistic is exercised
 
 
+def test_hits_matches_python_reference(spark, sf_dir):
+    """graph_hits_bipartite vs a plain-Python rebuild: the exact
+    fixed-point iteration in unbounded ints (dict adjacency, the
+    CUPED/hashlib device — a folded-constant bug both engines hash-agree
+    on cannot survive), PLUS a float power-iteration sanity check that
+    the integer scores track the real L1-normalized HITS eigenvector
+    direction (the quantization drift bound is ~|V| micro per round)."""
+    import duckdb
+
+    from tmdb_movie_data_pipeline_spark.operators.graph import (
+        _HITS_ITERS,
+        _HITS_SCALE,
+        _HITS_TOP,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import (
+        all_queries,
+        deferred_queries,
+    )
+
+    rows = {**all_queries(), **deferred_queries()}["graph_hits_bipartite"](
+        spark, sf_dir
+    ).collect()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    edges = con.execute("""
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """).fetchall()
+    con.close()
+    edges = [(int(c), int(p)) for c, p in edges]
+    h = {c: _HITS_SCALE for c, _ in edges}
+    hf = {c: 1.0 for c in h}
+    a, af = {}, {}
+    for _ in range(_HITS_ITERS):
+        a, af = {}, {}
+        for c, p in edges:
+            a[p] = a.get(p, 0) + h[c]
+            af[p] = af.get(p, 0.0) + hf[c]
+        tot, totf = sum(a.values()), sum(af.values())
+        a = {p: _HITS_SCALE * r // tot for p, r in a.items()}
+        af = {p: r / totf for p, r in af.items()}
+        h, hf = {}, {}
+        for c, p in edges:
+            h[c] = h.get(c, 0) + a[p]
+            hf[c] = hf.get(c, 0.0) + af[p]
+        tot, totf = sum(h.values()), sum(hf.values())
+        h = {c: _HITS_SCALE * r // tot for c, r in h.items()}
+        hf = {c: r / totf for c, r in hf.items()}
+    want = {
+        ("authority", p): s
+        for p, s in sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_HITS_TOP
+        ]
+    }
+    want.update(
+        {
+            ("hub", c): s
+            for c, s in sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_HITS_TOP
+            ]
+        }
+    )
+    got = {(r["role"], r["node_id"]): r["score_u"] for r in rows}
+    assert got == want
+    # the integer fixed point must track the REAL float eigenvector:
+    # |score_u - 1e6*float| bounded by the per-round quantization drift
+    drift = 2 * _HITS_ITERS * max(len(a), len(h))
+    for (role, node), s in got.items():
+        f = (af if role == "authority" else hf)[node]
+        assert abs(s - f * _HITS_SCALE) <= drift, (role, node, s, f)
+
+
 def test_cochran_armitage_matches_float_reference(spark, sf_dir):
     """CA trend z² vs the textbook float formula on the observed 5-row
     contingency table."""

@@ -1216,5 +1216,142 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- HITS hubs/authorities on the bipartite purchase graph (r15 queue) --------
+
+_HITS_SCALE = 1_000_000  # fixed-point score scale (the PageRank recipe)
+_HITS_ITERS = 3  # fixed rounds: deterministic row SET for the hash gate
+_HITS_TOP = 25  # reported per role, fully tie-broken
+
+
+def _hits_oracle() -> str:
+    """Unrolled-iteration DuckDB oracle mirroring the Spark loop — same
+    device as ``_pagerank_oracle`` (aggregation can't live in a recursive
+    CTE leg). Integer ``//`` + HUGEINT intermediates keep both engines
+    bit-identical."""
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                        CAST(l.l_partkey AS BIGINT) AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS HUGEINT) AS s FROM e)"""
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    a{k}r AS (
+        SELECT e.p, CAST(SUM(h.s) AS HUGEINT) AS raw
+        FROM e JOIN h{k - 1} h ON h.c = e.c GROUP BY e.p
+    ),
+    a{k} AS (
+        SELECT p, (CAST({_HITS_SCALE} AS HUGEINT) * raw)
+                   // (SELECT SUM(raw) FROM a{k}r) AS s
+        FROM a{k}r
+    ),
+    h{k}r AS (
+        SELECT e.c, CAST(SUM(a.s) AS HUGEINT) AS raw
+        FROM e JOIN a{k} a ON a.p = e.p GROUP BY e.c
+    ),
+    h{k} AS (
+        SELECT c, (CAST({_HITS_SCALE} AS HUGEINT) * raw)
+                   // (SELECT SUM(raw) FROM h{k}r) AS s
+        FROM h{k}r
+    )"""
+        )
+    parts.append(f"""
+    SELECT * FROM (
+        SELECT 'authority' AS role, p AS node_id, CAST(s AS BIGINT) AS score_u
+        FROM a{_HITS_ITERS} ORDER BY s DESC, p ASC LIMIT {_HITS_TOP}
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'hub' AS role, c AS node_id, CAST(s AS BIGINT) AS score_u
+        FROM h{_HITS_ITERS} ORDER BY s DESC, c ASC LIMIT {_HITS_TOP}
+    )""")
+    return "".join(parts)
+
+
+@register("graph_hits_bipartite", deferred=True, oracle=_hits_oracle())
+def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) on the DIRECTED bipartite
+    customer→part purchase graph: authorities are parts bought by the
+    strongest hubs, hubs are customers buying the strongest authorities —
+    the second classic link-analysis kernel beside :func:`pagerank`, and
+    the one that needs a directed graph (on the symmetric duplicate-pair
+    graph both score vectors collapse to the same eigenvector after one
+    round, so the bipartite purchase relation is the honest formulation).
+    Top-{_HITS_TOP} per role, fully tie-broken (score desc, node asc).
+
+    Determinism: scores are FIXED-POINT BIGINTs (scale {_HITS_SCALE});
+    each half-round is an exact integer sum followed by ONE L1
+    normalization ``(SCALE * raw) div Σraw`` — the sqrt-free norm, so no
+    engine ever computes a root and scores stay in [0, SCALE]. Fixed
+    {_HITS_ITERS}-round count (not a convergence test) keeps the row SET
+    deterministic. Overflow headroom: SCALE·raw ≤ SCALE²·|V| ≈ 10¹²·|V|,
+    DECIMAL(38,0)/HUGEINT-safe to |V| ~ 10²⁶ vertices.
+
+    Scale shape: the edge relation is ONE distinct over the
+    orders⋈lineitem equi-join (partial-aggregable, |E|-bounded);
+    each of the {_HITS_ITERS} rounds is two |E|-bounded equi-joins + two
+    partial-aggregable groupBys + two 1-row broadcast totals — the same
+    per-round contract as PageRank, localCheckpoint'ed so lineage stays
+    flat. The final top-k is TakeOrderedAndProject per role. No all-pairs
+    stage anywhere; at 100 TB every round is a shuffle the size of the
+    edge list."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("p"),
+    )
+    e = (
+        orders.join(li, "ok")
+        .select("c", "p")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("s")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = e.join(h, "c").groupBy("p").agg(
+            F.sum("s").cast("decimal(38,0)").alias("raw")
+        )
+        at = ar.agg(F.sum("raw").cast("decimal(38,0)").alias("tot"))
+        a = ar.crossJoin(F.broadcast(at)).selectExpr(
+            "p", f"(CAST({_HITS_SCALE} AS DECIMAL(38,0)) * raw) div tot AS s"
+        ).localCheckpoint(eager=True)
+        hr = e.join(a, "p").groupBy("c").agg(
+            F.sum("s").cast("decimal(38,0)").alias("raw")
+        )
+        ht = hr.agg(F.sum("raw").cast("decimal(38,0)").alias("tot"))
+        h = hr.crossJoin(F.broadcast(ht)).selectExpr(
+            "c", f"(CAST({_HITS_SCALE} AS DECIMAL(38,0)) * raw) div tot AS s"
+        ).localCheckpoint(eager=True)
+    auth = (
+        a.orderBy(F.desc("s"), F.asc("p"))
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").alias("node_id"),
+            F.col("s").cast("long").alias("score_u"),
+        )
+    )
+    hub = (
+        h.orderBy(F.desc("s"), F.asc("c"))
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node_id"),
+            F.col("s").cast("long").alias("score_u"),
+        )
+    )
+    return auth.unionByName(hub)
+
+
 from ..docfmt import format_docstrings  # noqa: E402
 format_docstrings(globals())  # substitute {CONST} docstring placeholders (ADVICE r8)
