@@ -717,3 +717,594 @@ def test_ks_two_sample_matches_counter_reference(spark, sf_dir):
             assert abs(
                 got[(ta, tb)][3] - 1e6 * ks / (n_a * n_b)
             ) <= 1.0
+
+
+# --------------------------------------------------------------------------
+# batch 2: parametric/moment statistics, multiple testing, attribution,
+# iterative kernels, feature selection, LM smoothing
+# --------------------------------------------------------------------------
+
+
+def test_anova_oneway_matches_float_reference(spark, sf_dir):
+    """F statistic from the textbook per-group SS formulas in plain
+    floats (group means, SSB, SSW) — never the engine's pinned-order
+    expression tree."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_anova_oneway"](spark, sf_dir).collect()[0]
+    vals = _typed_cents(sf_dir)
+    groups = [vals[t] for t in sorted(vals)]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n_total"] == n
+    assert abs(row["f_stat"] - f) <= max(1e-6, abs(f) * 1e-9)
+
+
+def test_chi_square_and_cramers_v_match_float_reference(spark, sf_dir):
+    """Cell expectations/contributions and the quantized total vs the
+    textbook float contingency formulas; V² from the same table."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_chi_square"](spark, sf_dir).collect()
+    con = _con(sf_dir, "events")
+    obs_rows = con.execute("""
+        SELECT event_type, CAST(strftime(ts, '%w') AS INTEGER), COUNT(*)
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    obs = {(et, int(d)): int(c) for et, d, c in obs_rows}
+    row_t: Counter = Counter()
+    col_t: Counter = Counter()
+    for (et, d), c in obs.items():
+        row_t[et] += c
+        col_t[d] += c
+    grand = sum(obs.values())
+    chi2 = 0.0
+    for (et, d), c in obs.items():
+        e = row_t[et] * col_t[d] / grand
+        chi2 += (c - e) ** 2 / e
+    got_total = rows[0]["chi2_micro"]
+    for r in rows:
+        e = row_t[r["event_type"]] * col_t[r["dow"]] / grand
+        assert r["n_obs"] == obs[(r["event_type"], r["dow"])]
+        assert abs(r["expected"] - e) <= abs(e) * 1e-9
+        assert abs(r["contrib"] - (r["n_obs"] - e) ** 2 / e) <= 1e-6
+        assert r["chi2_micro"] == got_total
+    # per-cell micro rounding: <= 0.5 micro per cell
+    assert abs(got_total - chi2 * 1e6) <= 0.5 * len(obs) + 1
+    v = all_queries()["stats_cramers_v"](spark, sf_dir).collect()[0]
+    r_dim, c_dim = len(row_t), len(col_t)
+    v2 = chi2 / (grand * (min(r_dim, c_dim) - 1))
+    assert (v["n_cells"], v["n_rows_dim"], v["n_cols_dim"]) == (
+        len(obs), r_dim, c_dim,
+    )
+    assert v["grand_n"] == grand and v["chi2_micro"] == got_total
+    assert abs(v["v2_ppm"] - v2 * 1e6) <= 2.0
+
+
+def test_cohens_d_matches_float_reference(spark, sf_dir):
+    """d = (m1 − m2)/s_pooled from raw per-cohort purchase cents."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_cohens_d"](spark, sf_dir).collect()[0]
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT user_id % 2, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    g1 = [int(v) for u, v in rows if u == 0]
+    g2 = [int(v) for u, v in rows if u == 1]
+    m1, m2 = sum(g1) / len(g1), sum(g2) / len(g2)
+    ssw = sum((x - m1) ** 2 for x in g1) + sum((x - m2) ** 2 for x in g2)
+    d = (m1 - m2) / math.sqrt(ssw / (len(g1) + len(g2) - 2))
+    assert (row["n1"], row["n2"]) == (len(g1), len(g2))
+    assert abs(row["cohens_d"] - d) <= 1e-6  # engine rounds to 6 dp
+
+
+def test_ztest_two_proportions_matches_float_reference(spark, sf_dir):
+    """z² = (p1 − p2)² / (p̂(1−p̂)(1/n1 + 1/n2)) in plain floats."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_ztest_two_proportions"](
+        spark, sf_dir
+    ).collect()[0]
+    con = _con(sf_dir, "events")
+    (n1, k1, n2, k2) = con.execute("""
+        SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END),
+               SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)
+        FROM events
+    """).fetchone()
+    con.close()
+    assert (row["n1"], row["k1"], row["n2"], row["k2"]) == (n1, k1, n2, k2)
+    p1, p2, pp = k1 / n1, k2 / n2, (k1 + k2) / (n1 + n2)
+    z2 = (p1 - p2) ** 2 / (pp * (1 - pp) * (1 / n1 + 1 / n2))
+    assert abs(row["z2_ppm"] - z2 * 1e6) <= 1.0
+
+
+def test_autocorrelation_matches_python_reference(spark, sf_dir):
+    """Per-lag covariance/variance numerators from a literal Python walk
+    over the daily series, plus the float r_k consistency check."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _ACF_MAX_LAG,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["lag"]: (r["n"], r["cov_num"], r["var_t_num"], r["var_l_num"])
+        for r in all_queries()["stats_autocorrelation"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1
+    """).fetchall()
+    con.close()
+    series = {int(d): int(x) for d, x in rows}
+    for k in range(1, _ACF_MAX_LAG + 1):
+        pairs = [
+            (series[d], series[d - k]) for d in series if d - k in series
+        ]
+        n = len(pairs)
+        st = sum(a for a, _ in pairs)
+        sl = sum(b for _, b in pairs)
+        stl = sum(a * b for a, b in pairs)
+        stt = sum(a * a for a, _ in pairs)
+        sll = sum(b * b for _, b in pairs)
+        assert got[k] == (
+            n, n * stl - st * sl, n * stt - st * st, n * sll - sl * sl,
+        )
+        # float r_k from the same pairs must match the numerator ratio
+        mt, ml = st / n, sl / n
+        cov = sum((a - mt) * (b - ml) for a, b in pairs)
+        vt = sum((a - mt) ** 2 for a, _ in pairs)
+        vl = sum((b - ml) ** 2 for _, b in pairs)
+        r_float = cov / math.sqrt(vt * vl)
+        r_int = got[k][1] / math.sqrt(got[k][2] * got[k][3])
+        assert abs(r_float - r_int) < 1e-9
+
+
+def _pseudo_p(doc_id: int, strong: bool) -> int:
+    if strong and doc_id % 10 == 5:
+        return 1 + (doc_id * 2654435761) % 90
+    if doc_id % 10 == 0:
+        return 2501 + (doc_id * 2654435761) % 500
+    return 1 + (doc_id * 2654435761) % 1000000
+
+
+def test_benjamini_hochberg_matches_stepup_reference(spark, sf_dir):
+    """The step-up rejection set rebuilt with Fractions: k* = max{i :
+    p_(i) <= i·α/m}, reject ranks <= k* — INCLUDING hypotheses whose own
+    inequality fails (the absorption property a naive threshold misses,
+    asserted to be non-vacuous)."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _BH_ALPHA_PPM,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["p_ppm"], r["rnk"], r["k_star"])
+        for r in all_queries()["stats_benjamini_hochberg"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    ids = [int(i) for (i,) in con.execute(
+        "SELECT doc_id FROM documents"
+    ).fetchall()]
+    con.close()
+    m = len(ids)
+    alpha = Fraction(_BH_ALPHA_PPM, 10**6)
+    ranked = sorted(((_pseudo_p(i, False), i) for i in ids))
+    k_star = max(
+        (r for r, (p, _) in enumerate(ranked, 1)
+         if Fraction(p, 10**6) <= r * alpha / m),
+        default=0,
+    )
+    want = {
+        i: (p, r, k_star)
+        for r, (p, i) in enumerate(ranked, 1)
+        if r <= k_star
+    }
+    assert got == want
+    # absorption is live: some rejected rank fails its OWN inequality
+    assert any(
+        Fraction(p, 10**6) > r * alpha / m
+        for r, (p, i) in enumerate(ranked, 1)
+        if r <= k_star
+    )
+
+
+def test_holm_bonferroni_matches_stepdown_reference(spark, sf_dir):
+    """Step-down walk: stop at the first rank with p_(k) > α/(m−k+1);
+    reject strictly before it."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _BH_ALPHA_PPM,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["p_ppm"], r["rnk"], r["k_stop"])
+        for r in all_queries()["stats_holm_bonferroni"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    ids = [int(i) for (i,) in con.execute(
+        "SELECT doc_id FROM documents"
+    ).fetchall()]
+    con.close()
+    m = len(ids)
+    alpha = Fraction(_BH_ALPHA_PPM, 10**6)
+    ranked = sorted(((_pseudo_p(i, True), i) for i in ids))
+    k_stop = m + 1
+    for r, (p, _) in enumerate(ranked, 1):
+        if Fraction(p, 10**6) > alpha / (m - r + 1):
+            k_stop = r
+            break
+    want = {
+        i: (p, r, k_stop)
+        for r, (p, i) in enumerate(ranked, 1)
+        if r < k_stop
+    }
+    assert got == want
+
+
+def test_mcnemar_matches_float_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_mcnemar_test"](spark, sf_dir).collect()[0]
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view'
+                        AND EXTRACT(DAY FROM ts) <= 15 THEN 1 ELSE 0 END),
+               MAX(CASE WHEN event_type = 'view'
+                        AND EXTRACT(DAY FROM ts) > 15 THEN 1 ELSE 0 END)
+        FROM events GROUP BY 1
+    """).fetchall()
+    con.close()
+    b = sum(1 for _, x, y in rows if x == 1 and y == 0)
+    c = sum(1 for _, x, y in rows if x == 0 and y == 1)
+    assert row["n_users"] == len(rows)
+    assert (row["b_disc"], row["c_disc"]) == (b, c)
+    if b + c == 0:
+        # all pairs concordant (the sf0.001 state): NULLIF nulls the
+        # statistic identically in both engines
+        assert row["chi2_ppm"] is None
+    else:
+        chi2 = (b - c) ** 2 / (b + c)
+        assert abs(row["chi2_ppm"] - chi2 * 1e6) <= 1.0
+
+
+def test_shapley_matches_permutation_reference(spark, sf_dir):
+    """Exact Shapley values rebuilt by LITERALLY enumerating all 4! = 24
+    channel orderings and averaging marginal contributions — the factorial
+    weight table _SHAP_W24 is exactly the folded-constant set at risk.
+    Also pins the efficiency identity Σφ = v(full) − v(∅)."""
+    from itertools import permutations
+
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _SHAP_CHANNELS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["channel"]: r["phi_x24"]
+        for r in all_queries()["events_shapley_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute(
+        "SELECT user_id, event_type, ts FROM events ORDER BY user_id, ts"
+    ).fetchall()
+    con.close()
+    first_purchase: dict = {}
+    for u, et, ts in rows:
+        if et == "purchase" and u not in first_purchase:
+            first_purchase[u] = ts
+    bit = dict(_SHAP_CHANNELS)
+    masks: Counter = Counter()
+    touched: dict = defaultdict(int)
+    for u, et, ts in rows:
+        if (
+            u in first_purchase
+            and ts < first_purchase[u]
+            and et != "purchase"
+            and et in bit
+        ):
+            touched[u] |= bit[et]
+    for u in first_purchase:
+        masks[touched.get(u, 0)] += 1
+
+    def v(s: int) -> int:
+        return sum(e for m, e in masks.items() if (m & s) == m)
+
+    phi: Counter = Counter()
+    chans = [c for c, _ in _SHAP_CHANNELS]
+    for perm in permutations(chans):
+        s = 0
+        for c in perm:
+            phi[c] += v(s | bit[c]) - v(s)
+            s |= bit[c]
+    assert got == dict(phi)
+    full = sum(bit.values())
+    assert sum(phi.values()) == 24 * (v(full) - v(0))
+
+
+def test_markov_stationary_matches_python_reference(spark, sf_dir):
+    """The integer power iteration rebuilt in unbounded-int Python dicts
+    from raw (user, ts, event_id)-ordered transitions, plus a float
+    power-iteration check that the fixed point tracks the real stationary
+    distribution of the row-normalized transition matrix."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _MK_ITERS,
+        _MK_SCALE,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: r["stationary_u"]
+        for r in all_queries()["events_markov_stationary"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    trans: Counter = Counter()
+    prev_u = prev_t = None
+    for u, et in rows:
+        if u == prev_u:
+            trans[(prev_t, et)] += 1
+        prev_u, prev_t = u, et
+    rt: Counter = Counter()
+    for (a, _), n in trans.items():
+        rt[a] += n
+    pi = {t: _MK_SCALE for t in rt}
+    pf = {t: 1.0 / len(rt) for t in rt}
+    for _ in range(_MK_ITERS):
+        nxt: Counter = Counter()
+        nf: Counter = Counter()
+        for (a, b), n in trans.items():
+            nxt[b] += pi[a] * n // rt[a]
+            nf[b] += pf.get(a, 0.0) * n / rt[a]
+        pi = dict(nxt)
+        tot = sum(nf.values())
+        pf = {t: x / tot for t, x in nf.items()}
+    assert got == pi
+    mass = sum(pi.values())
+    for t, p in pi.items():
+        assert abs(p / mass - pf[t]) < 1e-3, t  # tracks the true chain
+
+
+def test_pca_power_iteration_matches_python_reference(spark, sf_dir):
+    """The shift-renormalized integer iteration rebuilt in unbounded ints
+    over the engine's Gram relation, plus a numpy check that the result
+    points along the true top eigenvector of the float Gram."""
+    import numpy as np
+
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _GRAM_DIM,
+        _PCA_ITERS,
+        _PCA_TARGET_BITS,
+        _PCA_V0,
+        embedding_gram,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["i"]: r["v_q"]
+        for r in all_queries()["ml_pca_power_iteration"](
+            spark, sf_dir
+        ).collect()
+    }
+    gram_rows = embedding_gram(spark, sf_dir).collect()
+    g: dict = defaultdict(int)
+    for r in gram_rows:
+        g[(r["i"], r["j"])] = int(r["gram_q"])
+        if r["j"] > r["i"]:
+            g[(r["j"], r["i"])] = int(r["gram_q"])
+    v = {j: _PCA_V0 for j in range(_GRAM_DIM)}
+    for _ in range(_PCA_ITERS):
+        u: dict = defaultdict(int)
+        for (i, j), q in g.items():
+            u[i] += q * v[j]
+        m = max(abs(x) for x in u.values())
+        s = max(m.bit_length() - _PCA_TARGET_BITS, 0)
+        v = {j: x >> s for j, x in u.items()}
+    assert got == v
+    # the integer fixed point must track REAL float power iteration run
+    # the same number of rounds from the same start (the fixture's
+    # eigengap is ~1.07, so neither converges to the eigh top in 8
+    # rounds — same-round tracking is the honest float check) ...
+    gm = np.zeros((_GRAM_DIM, _GRAM_DIM))
+    for (i, j), q in g.items():
+        gm[i, j] = q
+    vf = np.ones(_GRAM_DIM)
+    for _ in range(_PCA_ITERS):
+        vf = gm @ vf
+        vf = vf / np.linalg.norm(vf)
+    vi = np.array([float(v[j]) for j in range(_GRAM_DIM)])
+    assert abs(vi @ vf) / np.linalg.norm(vi) > 0.999
+    # ... and the iteration must MOVE toward the dominant subspace: the
+    # Rayleigh quotient strictly improves over the constant start
+    v0 = np.ones(_GRAM_DIM) / math.sqrt(_GRAM_DIM)
+    r0 = v0 @ gm @ v0
+    r8 = (vi @ gm @ vi) / (vi @ vi)
+    w = np.linalg.eigvalsh(gm)
+    assert r0 < r8 <= w[-1] * (1 + 1e-12)
+
+
+def test_best_split_gini_matches_python_reference(spark, sf_dir):
+    """Every candidate threshold's weighted Gini impurity recomputed in
+    floats from a dict histogram; argmin with the bucket tie-break."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _GINI_BUCKET,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_best_split_gini"](spark, sf_dir).collect()[0]
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT n_chars, lang FROM documents").fetchall()
+    con.close()
+    hist: dict = defaultdict(Counter)
+    for x, lang in rows:
+        hist[int(x) // _GINI_BUCKET][lang] += 1
+    langs = sorted({l for c in hist.values() for l in c})
+    total = Counter()
+    for c in hist.values():
+        total.update(c)
+    n_all = sum(total.values())
+    best = None
+    cum = Counter()
+    for b in sorted(hist):
+        cum.update(hist[b])
+        nl = sum(cum.values())
+        nr = n_all - nl
+        if nr == 0:
+            continue
+        # weighted impurity: nl·gini_l + nr·gini_r
+        #                  = nl − Σcl²/nl + nr − Σcr²/nr
+        imp = (
+            nl - sum(cum[l] ** 2 for l in langs) / nl
+            + nr
+            - sum((total[l] - cum[l]) ** 2 for l in langs) / nr
+        )
+        key = (imp, b, nl, nr)
+        if best is None or key < best:
+            best = key
+    assert row["split_bucket"] == best[1]
+    assert (row["n_left"], row["n_right"]) == (best[2], best[3])
+    assert abs(row["impurity"] - best[0]) <= abs(best[0]) * 1e-12
+
+
+def test_chi2_feature_selection_matches_python_reference(spark, sf_dir):
+    """Per-feature n-scaled chi² rebuilt in unbounded ints, plus the float
+    identity chi2_micro_n ≈ 1e6·n·chi²_float."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _FS_LEN_BUCKET,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["feature"]: r["chi2_micro_n"]
+        for r in all_queries()["ml_chi2_feature_selection"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        "SELECT n_chars, source, lang FROM documents"
+    ).fetchall()
+    con.close()
+    feats = {
+        "len_bucket": Counter(
+            (str(int(x) // _FS_LEN_BUCKET), lang) for x, _, lang in rows
+        ),
+        "source": Counter((src, lang) for _, src, lang in rows),
+    }
+    for feature, obs in feats.items():
+        row_t: Counter = Counter()
+        col_t: Counter = Counter()
+        for (fv, lang), o in obs.items():
+            row_t[fv] += o
+            col_t[lang] += o
+        n = sum(obs.values())
+        want = 0
+        chi2_float = 0.0
+        for (fv, lang), o in obs.items():
+            dev = o * n - row_t[fv] * col_t[lang]
+            want += 10**6 * dev * dev // (n * row_t[fv] * col_t[lang])
+            e = row_t[fv] * col_t[lang] / n
+            chi2_float += (o - e) ** 2 / e
+        assert got[feature] == want
+        # dev²/(n·row·col) == (o−e)²/e with e = row·col/n, so the sum is
+        # plain 1e6·chi² (one floor per cell)
+        assert abs(got[feature] - 1e6 * chi2_float) <= len(obs) + 1
+
+
+def test_kn_continuation_matches_dict_reference(spark, sf_dir):
+    """Continuation counts, right-diversity, count-of-counts and the KN
+    discount rebuilt with plain Python dict bigrams (DuckDB supplies only
+    the shared tokenization), discount cross-checked in float."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _KN_TOPN,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["text_kn_continuation"](spark, sf_dir).collect()
+    con = _con(sf_dir, "documents")
+    docs = con.execute(f"SELECT {_TOKENS_SQL} FROM documents").fetchall()
+    con.close()
+    bc: Counter = Counter()
+    for (toks,) in docs:
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    n1 = sum(1 for c in bc.values() if c == 1)
+    n2 = sum(1 for c in bc.values() if c == 2)
+    cont: Counter = Counter()
+    freq: Counter = Counter()
+    rdiv: Counter = Counter()
+    for (a, b), c in bc.items():
+        cont[b] += 1
+        freq[b] += c
+        rdiv[a] += 1
+    order = sorted(cont, key=lambda w: (-cont[w], w))[:_KN_TOPN]
+    disc = 1000 * n1 // (n1 + 2 * n2)
+    assert abs(disc - 1000 * n1 / (n1 + 2 * n2)) <= 1.0  # float cross-check
+    assert [r["word"] for r in rows] == order
+    for r in rows:
+        w = r["word"]
+        assert (
+            r["cont_count"], r["freq"], r["right_div"],
+            r["bigram_types"], r["n1"], r["n2"], r["discount_milli"],
+        ) == (cont[w], freq[w], rdiv[w], len(bc), n1, n2, disc)
+
+
+def test_grouped_ols_matches_float_reference(spark, sf_dir):
+    """Per-type OLS slope vs the textbook centered least-squares fit in
+    plain floats over raw (hour, cents) points."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: (r["n"], r["slope_cents_per_hour"])
+        for r in all_queries()["ml_grouped_ols"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000)
+                 - (epoch_us(TIMESTAMP '1995-01-01 00:00:00') // 3600000000),
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events
+    """).fetchall()
+    con.close()
+    pts: dict = defaultdict(list)
+    for et, x, y in rows:
+        pts[et].append((int(x), int(y)))
+    for et, ps in pts.items():
+        n = len(ps)
+        mx = sum(x for x, _ in ps) / n
+        my = sum(y for _, y in ps) / n
+        cov = sum((x - mx) * (y - my) for x, y in ps)
+        var = sum((x - mx) ** 2 for x, _ in ps)
+        slope = cov / var
+        assert got[et][0] == n
+        assert abs(got[et][1] - slope) <= abs(slope) * 1e-9 + 1e-12
