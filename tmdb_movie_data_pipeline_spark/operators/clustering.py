@@ -1204,11 +1204,14 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square feature selection: which candidate feature (coarsened
     length vs source) carries more signal about the label (lang) — the
     filter-method ranking that prunes features BEFORE any model training.
-    Per feature, the chi-square statistic scaled by n in exact integer
-    micro-units: Σ 1e6·(o·n − row·col)² div (n·row·col) — the n-scaled
-    form keeps every operand integral (stats_chi_square's recipe,
-    per-feature); consumers comparing features need only the ordering,
-    which the common scaling preserves.
+    Per feature, the chi-square statistic in exact integer micro-units:
+    Σ 1e6·(o·n − row·col)² div (n·row·col), which is identically
+    Σ 1e6·(o−e)²/e with e = row·col/n — the cross-multiplied form keeps
+    every operand integral (stats_chi_square's recipe, per-feature), it
+    is NOT an n-scaled variant (the n's cancel; the r14 reference test
+    pins the identity). The column name chi2_micro_n predates that
+    correction and is kept for oracle stability; the value is plain
+    1e6·χ².
 
     Shape: one union of per-feature projections, a contingency count, and
     windows over the tiny (feature × value × label) frame. Candidates at
