@@ -1308,3 +1308,434 @@ def test_grouped_ols_matches_float_reference(spark, sf_dir):
         slope = cov / var
         assert got[et][0] == n
         assert abs(got[et][1] - slope) <= abs(slope) * 1e-9 + 1e-12
+
+
+# --------------------------------------------------------------------------
+# batch 3: harmonic/reciprocal folds, Flesch constants, causal estimates,
+# graph moments, robust ANOVA
+# --------------------------------------------------------------------------
+
+
+def test_benjamini_yekutieli_matches_stepdown_reference(spark, sf_dir):
+    """BY step-up rebuilt independently: the harmonic penalty c(m)
+    recomputed both as the engine's documented integer surrogate
+    (Σ 1e6 div i, checked within the documented m/1e6 bias of the REAL
+    float harmonic sum) and the rejection walk with cross-multiplied
+    unbounded ints; also pins the load-bearing BY-vs-BH distinction
+    (BY's penalty excludes the marginal tier BH's bar would admit)."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _BH_ALPHA_PPM,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["p_ppm"], r["rnk"], r["k_star"], r["c_micro"])
+        for r in all_queries()["stats_benjamini_yekutieli"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    ids = [int(i) for (i,) in con.execute(
+        "SELECT doc_id FROM documents"
+    ).fetchall()]
+    con.close()
+    m = len(ids)
+    c_micro = sum(10**6 // i for i in range(1, m + 1))
+    h_m = sum(1 / i for i in range(1, m + 1))  # the REAL harmonic sum
+    assert 0 <= h_m * 1e6 - c_micro <= m  # documented floor bias bound
+    ranked = sorted(((_pseudo_p(i, True), i) for i in ids))
+    k_by = max(
+        (r for r, (p, _) in enumerate(ranked, 1)
+         if p * m * c_micro <= r * _BH_ALPHA_PPM * 10**6),
+        default=0,
+    )
+    want = {
+        i: (p, r, k_by, c_micro)
+        for r, (p, i) in enumerate(ranked, 1)
+        if r <= k_by
+    }
+    assert got == want
+    # BH's independence bar on the SAME landscape admits strictly more
+    k_bh = max(
+        (r for r, (p, _) in enumerate(ranked, 1)
+         if p * m <= r * _BH_ALPHA_PPM),
+        default=0,
+    )
+    assert k_by < k_bh
+    # ... and BY keeps only the strong tier (p <= 90 ppm block)
+    assert all(p <= 90 for r, (p, _) in enumerate(ranked, 1) if r <= k_by)
+
+
+def test_rrf_fusion_matches_python_reference(spark, sf_dir):
+    """RRF fused ranking rebuilt in Python: the sparse distinct-token
+    overlap retriever from raw text with set intersections, the dense
+    ranks from the shared exact-cosine tier, reciprocal-rank scores
+    recomputed from _RRF_K — and the integer floors checked against the
+    REAL 1/(k+r) float scores."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _RRF_DEPTH,
+        _RRF_K,
+        _RRF_TOP,
+        N_QUERIES,
+        cosine_topk,
+    )
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.io import load_table
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["rank_dense"], r["rank_sparse"], r["rrf_ppm"], r["fused_rank"]
+        )
+        for r in all_queries()["ml_hybrid_rrf_fusion"](
+            spark, sf_dir
+        ).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense_rows = cosine_topk(
+        emb.filter(emb.vec_id < N_QUERIES), emb, _RRF_DEPTH
+    ).collect()
+    dense = {
+        (r["query_id"], r["neighbor_id"]): r["rank"] for r in dense_rows
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(
+        f"SELECT doc_id, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    toks = {int(d): set(t) for d, t in docs}
+    sparse = {}
+    for q in range(N_QUERIES):
+        ov = [
+            (len(toks[q] & toks[d]), d)
+            for d in toks
+            if d != q and len(toks[q] & toks[d]) > 0
+        ]
+        ov.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (_, d) in enumerate(ov[:_RRF_DEPTH], 1):
+            sparse[(q, d)] = rank
+    fused = {}
+    for key in set(dense) | set(sparse):
+        rd, rs = dense.get(key, 0), sparse.get(key, 0)
+        score = (10**6 // (_RRF_K + rd) if rd else 0) + (
+            10**6 // (_RRF_K + rs) if rs else 0
+        )
+        score_f = (1 / (_RRF_K + rd) if rd else 0.0) + (
+            1 / (_RRF_K + rs) if rs else 0.0
+        )
+        assert abs(score - score_f * 1e6) <= 2.0  # two floors
+        fused[key] = (rd, rs, score)
+    want = {}
+    for q in range(N_QUERIES):
+        cand = sorted(
+            ((v[2], k[1], v) for k, v in fused.items() if k[0] == q),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for fr, (_, nid, v) in enumerate(cand[:_RRF_TOP], 1):
+            want[(q, nid)] = (*v, fr)
+    assert got == want
+
+
+def test_readability_matches_flesch_float_reference(spark, sf_dir):
+    """fre_milli vs the REAL Flesch formula 206.835 − 1.015·W/S −
+    84.6·Y/W with S/W/Y re-derived in Python regex — the three folded
+    integer constants (206835/1015/84600) are exactly what's at risk."""
+    import re
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["n_sents"], r["n_words"], r["n_syll"], r["fre_milli"])
+        for r in all_queries()["text_readability"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+    for doc_id, text in rows:
+        s = max(
+            sum(1 for seg in re.split(r"[.!?]+", text) if seg.strip()), 1
+        )
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        w = max(len(norm.split(" ")), 1)
+        y = len(re.split(r"[aeiouy]+", norm)) - 1
+        fre = 206.835 - 1.015 * w / s - 84.6 * y / w
+        gs, gw, gy, gf = got[int(doc_id)]
+        assert (gs, gw, gy) == (s, w, y), doc_id
+        assert gf == 206835 - 1015 * w // s - 84600 * y // w
+        assert abs(gf - fre * 1000) <= 2.0, doc_id  # two floors
+
+
+def test_pmi_lift_matches_python_reference(spark, sf_dir):
+    """Windowed co-occurrence lift rebuilt with literal Python window
+    walks and checked against the float lift c_pair·T/(c1·c2)."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _PMI_MIN_LIFT_PPM,
+        _PMI_MIN_PAIR,
+        _PMI_WINDOW,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["w1"], r["w2"]): (r["c_pair"], r["c_w1"], r["c_w2"], r["lift_ppm"])
+        for r in all_queries()["text_pmi_lift_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(f"SELECT {_TOKENS_SQL} FROM documents").fetchall()
+    con.close()
+    pc: Counter = Counter()
+    uni: Counter = Counter()
+    t = 0
+    for (toks,) in docs:
+        uni.update(toks)
+        t += len(toks)
+        for i, a in enumerate(toks):
+            for b in toks[i + 1 : i + 1 + _PMI_WINDOW]:
+                pc[(min(a, b), max(a, b))] += 1
+    want = {}
+    for (w1, w2), c in pc.items():
+        if c < _PMI_MIN_PAIR:
+            continue
+        lift = 10**6 * c * t // (uni[w1] * uni[w2])
+        if lift >= _PMI_MIN_LIFT_PPM:
+            want[(w1, w2)] = (c, uni[w1], uni[w2], lift)
+            assert abs(lift - 1e6 * c * t / (uni[w1] * uni[w2])) <= 1.0
+    assert got == want
+
+
+def test_degree_assortativity_matches_pearson_reference(spark, sf_dir):
+    """Integer moments rebuilt from the staged pair list, and r²/sign
+    checked against the REAL float Pearson correlation of endpoint
+    degrees over the symmetrized edge list."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        lsh_pairs_staged,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["graph_degree_assortativity"](
+        spark, sf_dir
+    ).collect()[0]
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_staged(spark, sf_dir).collect()
+    ]
+    edges = pairs + [(b, a) for a, b in pairs]
+    deg: Counter = Counter(u for u, _ in edges)
+    me = len(edges)
+    xs = [deg[u] for u, _ in edges]
+    ys = [deg[v] for _, v in edges]
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    assert (row["n_edges_directed"], row["sum_deg"], row["sum_xy"]) == (
+        me, sx, sxy,
+    )
+    num = me * sxy - sx * sx
+    den = me * sxx - sx * sx
+    assert row["r_sign"] == (num > 0) - (num < 0)
+    assert row["r2_ppm"] == (10**6 * num * num) // (den * den)
+    # float Pearson over the same pairs (marginals coincide by symmetry)
+    mx = sx / me
+    cov = sum((x - mx) * (y - mx) for x, y in zip(xs, ys))
+    var = sum((x - mx) ** 2 for x in xs)
+    r = cov / var
+    assert abs(row["r2_ppm"] - r * r * 1e6) <= 2.0
+    assert row["r_sign"] == (r > 0) - (r < 0)
+
+
+def test_diff_in_diff_matches_float_reference(spark, sf_dir):
+    """DiD rebuilt in Python floats: per-user pre/post purchase revenue
+    over the FULL user universe, (Δtreated − Δcontrol) in milli-cents."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_diff_in_diff"](spark, sf_dir).collect()[0]
+    con = _con(sf_dir, "events")
+    d0, d1 = con.execute(
+        "SELECT MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)) FROM events"
+    ).fetchone()
+    users = [int(u) for (u,) in con.execute(
+        "SELECT DISTINCT user_id FROM events"
+    ).fetchall()]
+    rev = con.execute(f"""
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) <= DATE '{d0}' + CAST(
+                    date_diff('day', DATE '{d0}', DATE '{d1}') // 2 AS INT)
+                    THEN 0 ELSE 1 END,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    cents: dict = defaultdict(int)
+    for u, p, c in rev:
+        cents[(int(u), int(p))] = int(c)
+    t_users = [u for u in users if u % 2 == 0]
+    c_users = [u for u in users if u % 2 == 1]
+    st0 = sum(cents[(u, 0)] for u in t_users)
+    st1 = sum(cents[(u, 1)] for u in t_users)
+    sc0 = sum(cents[(u, 0)] for u in c_users)
+    sc1 = sum(cents[(u, 1)] for u in c_users)
+    assert (row["n_treat"], row["n_ctrl"]) == (len(t_users), len(c_users))
+    assert (
+        row["treat_pre_cents"], row["treat_post_cents"],
+        row["ctrl_pre_cents"], row["ctrl_post_cents"],
+    ) == (st0, st1, sc0, sc1)
+    did = 1000 * (
+        (st1 - st0) / len(t_users) - (sc1 - sc0) / len(c_users)
+    )
+    assert abs(row["did_milli_cents"] - did) <= 1.0
+
+
+def test_brown_forsythe_matches_float_reference(spark, sf_dir):
+    """Per-group lower medians, absolute deviations and the textbook
+    ANOVA F over them, all in plain Python floats."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_brown_forsythe"](spark, sf_dir).collect()[0]
+    vals = _typed_cents(sf_dir)
+    zs = {}
+    for t, vs in vals.items():
+        med = sorted(vs)[(len(vs) + 1) // 2 - 1]  # lower median
+        zs[t] = [abs(v - med) for v in vs]
+    groups = [zs[t] for t in sorted(zs)]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n_total"] == n
+    assert abs(row["f_stat"] - f) <= max(1e-6, abs(f) * 1e-9)
+
+
+def test_kruskal_mean_ranks_matches_midrank_reference(spark, sf_dir):
+    """Per-priority mean rank of order totals vs real float midranks of
+    the pooled sample."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["grp"]: (
+            r["n"], r["rank_sum_x2"], r["mean_rank_milli"],
+            r["expected_milli"], r["dev_milli"],
+        )
+        for r in all_queries()["stats_kruskal_mean_ranks"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "orders")
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    con.close()
+    grps: dict = defaultdict(list)
+    for g, v in rows:
+        grps[g].append(int(v))
+    order = sorted(grps)
+    pooled = [v for g in order for v in grps[g]]
+    ranks = _avg_ranks(pooled)
+    n_total = len(pooled)
+    i = 0
+    for g in order:
+        n = len(grps[g])
+        rsum = sum(ranks[i : i + n])
+        i += n
+        gn, rx2, mrm, em, dm = got[g]
+        assert gn == n
+        assert rx2 == round(2 * rsum)
+        assert abs(mrm - 1000 * rsum / n) <= 1.0
+        assert em == 500 * (n_total + 1)
+        assert dm == mrm - em
+
+
+def test_ks_one_pair_matches_counter_reference(spark, sf_dir):
+    """stats_ks_test (the purchase-vs-view pair, numerator-only form)
+    rebuilt with Counters."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["stats_ks_test"](spark, sf_dir).collect()[0]
+    vals = _typed_cents(sf_dir)
+    a, b = vals["purchase"], vals["view"]
+    ca, cb = Counter(a), Counter(b)
+    cum1 = cum2 = d = 0
+    for x in sorted(set(ca) | set(cb)):
+        cum1 += ca.get(x, 0)
+        cum2 += cb.get(x, 0)
+        d = max(d, abs(len(b) * cum1 - len(a) * cum2))
+    assert (row["n1"], row["n2"], row["d_num"]) == (len(a), len(b), d)
+    # float supremum consistency
+    assert abs(
+        d / (len(a) * len(b))
+        - max(
+            abs(
+                sum(1 for v in a if v <= x) / len(a)
+                - sum(1 for v in b if v <= x) / len(b)
+            )
+            for x in set(a) | set(b)
+        )
+    ) < 1e-12
+
+
+def test_ab_ttest_matches_welch_float_reference(spark, sf_dir):
+    """Welch t and Satterthwaite dof per event type from raw per-cohort
+    cents in plain Python floats."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["t_stat"], r["dof"])
+        for r in all_queries()["stats_ab_ttest"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type, user_id % 2, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events
+    """).fetchall()
+    con.close()
+    coh: dict = defaultdict(lambda: ([], []))
+    for et, par, v in rows:
+        coh[et][int(par)].append(int(v))
+    for et, (a, b) in coh.items():
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1) / na
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1) / nb
+        t = (ma - mb) / math.sqrt(va + vb)
+        dof = (va + vb) ** 2 / (va * va / (na - 1) + vb * vb / (nb - 1))
+        gn_a, gn_b, gt, gdof = got[et]
+        assert (gn_a, gn_b) == (na, nb)
+        assert abs(gt - t) <= max(1e-9, abs(t) * 1e-9)
+        assert abs(gdof - dof) <= max(1e-6, abs(dof) * 1e-9)
+
+
+def test_max_drawdown_matches_walk_reference(spark, sf_dir):
+    """Per-user peak-to-trough walk in plain Python over the (ts,
+    event_id)-ordered purchase series."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["user_id"]: (
+            r["max_drawdown_cents"], r["peak_cents"], r["n_points"]
+        )
+        for r in all_queries()["events_max_drawdown"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT user_id, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id, ts, event_id
+    """).fetchall()
+    con.close()
+    want: dict = {}
+    state: dict = {}
+    for u, v in rows:
+        u = int(u)
+        cum, peak, dd, n = state.get(u, (0, None, 0, 0))
+        cum += int(v)
+        peak = cum if peak is None else max(peak, cum)
+        dd = max(dd, peak - cum)
+        state[u] = (cum, peak, dd, n + 1)
+    for u, (cum, peak, dd, n) in state.items():
+        want[u] = (dd, peak, n)
+    assert got == want
