@@ -1739,3 +1739,382 @@ def test_max_drawdown_matches_walk_reference(spark, sf_dir):
     for u, (cum, peak, dd, n) in state.items():
         want[u] = (dd, peak, n)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 4: log10/sqrt/power-of-two folds, concentration curves, KM steps,
+# CUSUM argmax, normal-equation solves
+# --------------------------------------------------------------------------
+
+
+def test_benford_matches_log10_reference(spark, sf_dir):
+    """The folded _BENFORD_PPM table vs REAL math.log10(1 + 1/d), plus
+    the observed digit histogram rebuilt from raw cents."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["stats_benford_digits"](spark, sf_dir).collect()
+    con = _con(sf_dir, "orders")
+    cents = [
+        int(c) for (c,) in con.execute(
+            "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM orders"
+        ).fetchall()
+    ]
+    con.close()
+    digits = Counter(int(str(c)[0]) for c in cents if c > 0)
+    n_total = sum(digits.values())
+    assert len(rows) == 9
+    for r in rows:
+        d = r["digit"]
+        expected = round(1e6 * math.log10(1 + 1 / d))
+        assert abs(r["expected_ppm"] - expected) <= 1, d  # the folded table
+        assert r["n"] == digits.get(d, 0)
+        assert r["observed_ppm"] == 10**6 * digits.get(d, 0) // n_total
+        assert r["abs_diff_ppm"] == abs(r["observed_ppm"] - r["expected_ppm"])
+
+
+def test_temperature_mix_matches_sqrt_reference(spark, sf_dir):
+    """The tau = 0.5 upsampling quotas rebuilt with real math.sqrt weights
+    and a literal largest-remainder walk; Σ quota == budget pinned."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _TMQ_BUDGET,
+        _TMQ_WSCALE,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["source"]: (r["avail_tokens"], r["w"], r["quota"])
+        for r in all_queries()["llm_temperature_mix_quota"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    avail = dict(con.execute(
+        f"SELECT source, SUM(len({_TOKENS_SQL})) FROM documents GROUP BY 1"
+    ).fetchall())
+    con.close()
+    w = {s: int(_TMQ_WSCALE * math.sqrt(n)) for s, n in avail.items()}
+    total_w = sum(w.values())
+    floor_q = {s: _TMQ_BUDGET * x // total_w for s, x in w.items()}
+    rem = {s: _TMQ_BUDGET * x % total_w for s, x in w.items()}
+    leftover = _TMQ_BUDGET - sum(floor_q.values())
+    order = sorted(rem, key=lambda s: (-rem[s], s))
+    quota = {
+        s: floor_q[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    want = {s: (int(avail[s]), w[s], quota[s]) for s in avail}
+    assert got == want
+    assert sum(q for _, _, q in got.values()) == _TMQ_BUDGET
+    # the tau = 0.5 flattening property: quota share ordering follows
+    # sqrt(n) share, which upweights the tail vs raw n share
+    tot_n = sum(avail.values())
+    for s in avail:
+        if avail[s] / tot_n < 1 / len(avail):  # a tail source
+            assert quota[s] / _TMQ_BUDGET >= avail[s] / tot_n * 0.999
+
+
+def test_decayed_engagement_matches_python_reference(spark, sf_dir):
+    """Half-life decay rebuilt per event with exact Fractions: weight is
+    EXACTLY 2^-halvings of SCALE (the power-of-two shift fold)."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _DE_HALF_LIFE_DAYS,
+        _DE_SCALE,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["user_id"]: (r["n_purchases"], r["raw_cents"], r["decayed_cents"])
+        for r in all_queries()["events_decayed_engagement"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    as_of = con.execute(
+        "SELECT MAX(CAST(ts AS DATE)) FROM events"
+    ).fetchone()[0]
+    rows = con.execute(f"""
+        SELECT user_id, CAST(ROUND(value * 100) AS BIGINT),
+               datediff('day', CAST(ts AS DATE), DATE '{as_of}')
+        FROM events WHERE event_type = 'purchase'
+    """).fetchall()
+    con.close()
+    acc: dict = defaultdict(lambda: [0, 0, 0])
+    for u, cents, age in rows:
+        halv = min(int(age) // _DE_HALF_LIFE_DAYS, 62)
+        wt = _DE_SCALE >> halv
+        assert wt == _DE_SCALE * Fraction(1, 2**halv)  # exact halving
+        a = acc[int(u)]
+        a[0] += 1
+        a[1] += int(cents)
+        a[2] += int(cents) * wt
+    want = {
+        u: (n, raw, wsum // _DE_SCALE) for u, (n, raw, wsum) in acc.items()
+    }
+    assert got == want
+
+
+def test_zipf_profile_matches_counter_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["rank"]: (r["term"], r["freq"], r["rank_freq_product"])
+        for r in all_queries()["text_zipf_profile"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(f"SELECT {_TOKENS_SQL} FROM documents").fetchall()
+    con.close()
+    tf: Counter = Counter()
+    for (toks,) in docs:
+        tf.update(t for t in toks if t != "")
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        r: (t, f, r * f)
+        for r, (t, f) in enumerate(ranked, 1)
+        if r in {1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096}
+    }
+    assert got == want
+
+
+def test_lorenz_curve_matches_python_reference(spark, sf_dir):
+    """Cumulative user/event shares rebuilt by a literal sorted walk,
+    with the float share cross-check and curve-convexity pin."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["events_per_user"]: (
+            r["n_users"], r["cum_users"], r["cum_events"],
+            r["cum_users_ppm"], r["cum_events_ppm"],
+        )
+        for r in all_queries()["events_lorenz_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    per_user = [
+        int(k) for (_, k) in con.execute(
+            "SELECT user_id, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    ]
+    con.close()
+    hist = Counter(per_user)
+    tot_u, tot_e = len(per_user), sum(per_user)
+    cu = ce = 0
+    want = {}
+    prev = 0.0
+    for k in sorted(hist):
+        cu += hist[k]
+        ce += k * hist[k]
+        want[k] = (
+            hist[k], cu, ce,
+            10**6 * cu // tot_u, 10**6 * ce // tot_e,
+        )
+        assert abs(want[k][3] - 1e6 * cu / tot_u) <= 1.0
+        assert abs(want[k][4] - 1e6 * ce / tot_e) <= 1.0
+        # Lorenz convexity: event share never exceeds user share when
+        # walking from the least-active side
+        assert ce / tot_e <= cu / tot_u + 1e-12
+        assert ce / tot_e >= prev
+        prev = ce / tot_e
+    assert got == want
+
+
+def test_cusum_matches_argmax_reference(spark, sf_dir):
+    """argmax_i |Σ(v_j − mean)| per type rebuilt with REAL float means —
+    the n-scaled integer trick must pick the same day."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: (r["change_epoch_day"], r["s_scaled"], r["n_days"])
+        for r in all_queries()["events_cusum_change_point"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict = defaultdict(list)
+    for et, d, v in rows:
+        series[et].append((int(d), int(v)))
+    for et, pts in series.items():
+        n = len(pts)
+        mean = sum(v for _, v in pts) / n
+        tot = sum(v for _, v in pts)
+        best = None
+        cum = 0
+        for i, (d, v) in enumerate(pts, 1):
+            cum += v
+            s_float = cum - i * mean
+            s_scaled = n * cum - i * tot  # the engine's integer form
+            assert abs(n * s_float - s_scaled) < 1e-4 * max(1, abs(s_scaled))
+            key = (abs(s_scaled), -d)  # max |S|, earliest day tie-break
+            if best is None or key > best[0]:
+                best = (key, d, s_scaled)
+        assert got[et] == (best[1], best[2], n), et
+
+
+def test_survival_table_matches_km_reference(spark, sf_dir):
+    """Kaplan–Meier step ingredients rebuilt from last-activity days,
+    with the float step factor (n−d)/n cross-check."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["epoch_day"]: (r["n_at_risk"], r["d_events"], r["step_survival_ppm"])
+        for r in all_queries()["events_survival_table"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    last = dict(con.execute("""
+        SELECT user_id,
+               MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        FROM events GROUP BY 1
+    """).fetchall())
+    con.close()
+    deaths = Counter(int(d) for d in last.values())
+    at_risk = len(last)
+    want = {}
+    for d in sorted(deaths):
+        want[d] = (
+            at_risk, deaths[d],
+            10**6 * (at_risk - deaths[d]) // at_risk,
+        )
+        assert abs(
+            want[d][2] - 1e6 * (at_risk - deaths[d]) / at_risk
+        ) <= 1.0
+        at_risk -= deaths[d]
+    assert at_risk == 0  # every user dies exactly once
+    assert got == want
+
+
+def test_silhouette_matches_float_reference(spark, sf_dir):
+    """Simplified silhouette rebuilt in Python from raw embeddings:
+    shared integer quantization, per-label centroids, a/b distances,
+    sign-split ppm — and the per-label mean checked against the REAL
+    float silhouette of the same quantized points."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _SIL_SCALE,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["label"]: (r["n_vecs"], r["sum_s_ppm"], r["mean_s_ppm"])
+        for r in all_queries()["ml_silhouette_centroid"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "embeddings")
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    con.close()
+    pts = {
+        int(v): (int(lab), [round((float(x) + 1.0) * _SIL_SCALE) for x in emb])
+        for v, lab, emb in rows
+    }
+    by_label: dict = defaultdict(list)
+    for lab, q in pts.values():
+        by_label[lab].append(q)
+    cent = {
+        lab: [sum(col) // len(vs) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+    sums: Counter = Counter()
+    counts: Counter = Counter()
+    float_sums: Counter = Counter()
+    for lab, q in pts.values():
+        d2 = {
+            cl: sum((a - b) ** 2 for a, b in zip(q, c))
+            for cl, c in cent.items()
+        }
+        a = d2[lab]
+        b = min(v for cl, v in d2.items() if cl != lab)
+        if max(a, b) == 0:
+            s = 0
+        elif b >= a:
+            s = 10**6 * (b - a) // max(a, b)
+        else:
+            s = -(10**6 * (a - b) // max(a, b))
+        sums[lab] += s
+        counts[lab] += 1
+        float_sums[lab] += (b - a) / max(a, b) if max(a, b) else 0.0
+    want = {}
+    for lab in sums:
+        ssum = sums[lab]
+        mean = ssum // counts[lab] if ssum >= 0 else -((-ssum) // counts[lab])
+        want[lab] = (counts[lab], ssum, mean)
+        # float cross-check: per-point floor bias < 1 ppm, mean floor +1,
+        # sign-split truncation +1
+        assert abs(mean - 1e6 * float_sums[lab] / counts[lab]) <= 3.0
+    assert got == want
+
+
+def test_ols_normal_equations_matches_lstsq_reference(spark, sf_dir):
+    """The Cramer's-rule integer solve vs numpy least squares on the same
+    quantized design matrix."""
+    import numpy as np
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_ols_normal_equations"](
+        spark, sf_dir
+    ).collect()[0]
+    con = _con(sf_dir, "lineitem")
+    rows = con.execute("""
+        SELECT CAST(ROUND(l_quantity) AS BIGINT),
+               CAST(ROUND(l_discount * 1000) AS BIGINT),
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem
+    """).fetchall()
+    con.close()
+    X = np.array([[1.0, float(q), float(d)] for q, d, _ in rows])
+    y = np.array([float(p) for _, _, p in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_rows"] == len(rows)
+    assert row["det_sign"] == 1  # non-collinear design
+    for got_milli, b in zip(
+        (row["beta0_milli"], row["beta1_milli"], row["beta2_milli"]), beta
+    ):
+        assert abs(got_milli - b * 1000) <= 1.0 + abs(b) * 1e-6
+
+
+def test_ols_residual_diagnostics_matches_float_reference(spark, sf_dir):
+    """R² and Durbin–Watson from REAL float residuals of the daily fit."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["ml_ols_residual_diagnostics"](
+        spark, sf_dir
+    ).collect()[0]
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    con.close()
+    xs = [float(x) for x, _ in rows]
+    ys = [float(y) for _, y in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    res = [y - (my + slope * (x - mx)) for x, y in zip(xs, ys)]
+    sse = sum(e * e for e in res)
+    sst = sum((y - my) ** 2 for y in ys)
+    r2 = 1 - sse / sst
+    dw = sum(
+        (a - b) ** 2 for a, b in zip(res[1:], res)
+    ) / sse
+    assert row["n_days"] == n
+    assert abs(row["r2_ppm"] - r2 * 1e6) <= 2.0
+    assert abs(row["dw_ppm"] - dw * 1e6) <= 2.0
