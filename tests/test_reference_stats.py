@@ -2118,3 +2118,299 @@ def test_ols_residual_diagnostics_matches_float_reference(spark, sf_dir):
     assert row["n_days"] == n
     assert abs(row["r2_ppm"] - r2 * 1e6) <= 2.0
     assert abs(row["dw_ppm"] - dw * 1e6) <= 2.0
+
+
+# --------------------------------------------------------------------------
+# batch 5: graph kernels over the dup-pair relation, sigma/MAD anomaly
+# gates, UniMax water-filling, tokenizer fertility
+# --------------------------------------------------------------------------
+
+
+def _dup_adj(spark, sf_dir):
+    """Adjacency sets of the staged near-dup pair graph."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        lsh_pairs_staged,
+    )
+
+    adj: dict = defaultdict(set)
+    for r in lsh_pairs_staged(spark, sf_dir).collect():
+        adj[r["doc_a"]].add(r["doc_b"])
+        adj[r["doc_b"]].add(r["doc_a"])
+    return adj
+
+
+def test_kcore_matches_peel_reference(spark, sf_dir):
+    """Synchronous k-core peeling rebuilt with Python sets, plus the
+    convergence fact that makes the fixed round count honest: on this
+    fixture the peel reaches its fixpoint within the unrolled rounds."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in all_queries()["graph_kcore"](spark, sf_dir).collect()
+    }
+    adj = _dup_adj(spark, sf_dir)
+    alive = set(adj)
+    history = []
+    for _ in range(_KCORE_ROUNDS):
+        alive = {
+            v for v in alive if len(adj[v] & alive) >= _KCORE_K
+        }
+        history.append(set(alive))
+    want = {v: len(adj[v] & alive) for v in alive}
+    assert got == want
+    # fixpoint within the unrolled rounds: one more peel changes nothing
+    assert {
+        v for v in alive if len(adj[v] & alive) >= _KCORE_K
+    } == alive
+    # every survivor genuinely has core degree >= k
+    assert all(d >= _KCORE_K for d in want.values())
+
+
+def test_clustering_coefficient_matches_set_reference(spark, sf_dir):
+    """Per-vertex triangles via set intersections and the REAL float
+    cc = 2T/(d(d-1))."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+        for r in all_queries()["graph_clustering_coefficient"](
+            spark, sf_dir
+        ).collect()
+    }
+    adj = _dup_adj(spark, sf_dir)
+    want = {}
+    for v, nb in adj.items():
+        t = sum(len(adj[u] & nb) for u in nb) // 2
+        d = len(nb)
+        cc = 2 * 10**6 * t // (d * (d - 1)) if d >= 2 else 0
+        want[v] = (d, t, cc)
+        if d >= 2:
+            assert abs(cc - 1e6 * 2 * t / (d * (d - 1))) <= 1.0
+            assert 0 <= cc <= 10**6
+    assert got == want
+
+
+def test_link_prediction_matches_set_reference(spark, sf_dir):
+    """Common-neighbors scores of NON-adjacent pairs via set
+    intersections, with the full (score desc, a, b) top-N tie-break."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import _LINK_TOPN
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = [
+        (r["doc_a"], r["doc_b"], r["common"])
+        for r in all_queries()["graph_link_prediction"](
+            spark, sf_dir
+        ).collect()
+    ]
+    adj = _dup_adj(spark, sf_dir)
+    scores = {}
+    verts = sorted(adj)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1 :]:
+            if b in adj[a]:
+                continue
+            c = len(adj[a] & adj[b])
+            if c:
+                scores[(a, b)] = c
+    want = sorted(
+        ((a, b, c) for (a, b), c in scores.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:_LINK_TOPN]
+    assert sorted(got, key=lambda x: (-x[2], x[0], x[1])) == want
+
+
+def test_two_hop_reach_matches_set_reference(spark, sf_dir):
+    """Neighbors-of-neighbors blast radius via set unions, with the
+    engine's full (reach desc, degree desc, id) top-N tie-break."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import _REACH_TOPN
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = [
+        (r["doc_id"], r["degree"], r["hop2_reach"])
+        for r in all_queries()["graph_two_hop_reach"](
+            spark, sf_dir
+        ).collect()
+    ]
+    adj = _dup_adj(spark, sf_dir)
+    full = []
+    for v, nb in adj.items():
+        hop2 = set()
+        for u in nb:
+            hop2 |= adj[u]
+        hop2 -= nb
+        hop2.discard(v)
+        full.append((v, len(nb), len(hop2)))
+    want = sorted(full, key=lambda x: (-x[2], -x[1], x[0]))[:_REACH_TOPN]
+    assert sorted(got, key=lambda x: (-x[2], -x[1], x[0])) == want
+
+
+def test_anomaly_zscore_matches_float_reference(spark, sf_dir):
+    """The squared integer 3-sigma inequality vs REAL float population
+    z-scores, rebuilt per (type, day) group."""
+    from tmdb_movie_data_pipeline_spark.operators.events import _Z_K
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_id"]: (r["event_type"], r["day"], r["value_cents"])
+        for r in all_queries()["events_anomaly_zscore"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_id, event_type,
+               strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d'),
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events
+    """).fetchall()
+    con.close()
+    groups: dict = defaultdict(list)
+    for eid, et, day, qc in rows:
+        groups[(et, day)].append((int(eid), int(qc)))
+    want = {}
+    for (et, day), mem in groups.items():
+        n = len(mem)
+        s = sum(q for _, q in mem)
+        qq = sum(q * q for q, in [(q,) for _, q in mem])
+        for eid, q in mem:
+            if (n * q - s) ** 2 > _Z_K**2 * (n * qq - s * s):
+                want[eid] = (et, day, q)
+                # float cross-check (strictly flagged side only: the
+                # boundary belongs to the integer form)
+                mu = s / n
+                var = qq / n - mu * mu
+                assert (q - mu) ** 2 > _Z_K**2 * var * (1 - 1e-9)
+    assert got == want
+
+
+def test_anomaly_robust_matches_mad_reference(spark, sf_dir):
+    """Median/MAD flags rebuilt with literal sorted lower medians."""
+    from tmdb_movie_data_pipeline_spark.operators.events import _RA_K
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["event_type"], r["epoch_day"]): (
+            r["v_cents"], r["med_cents"], r["mad_cents"], r["is_anomaly"]
+        )
+        for r in all_queries()["events_anomaly_robust"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict = defaultdict(dict)
+    for et, d, v in rows:
+        series[et][int(d)] = int(v)
+    want = {}
+    for et, days in series.items():
+        vs = sorted(days.values())
+        med = vs[(len(vs) + 1) // 2 - 1]
+        ads = sorted(abs(v - med) for v in days.values())
+        mad = ads[(len(ads) + 1) // 2 - 1]
+        for d, v in days.items():
+            want[(et, d)] = (v, med, mad, abs(v - med) > _RA_K * mad)
+    assert got == want
+
+
+def test_unimax_matches_waterfill_reference(spark, sf_dir):
+    """UniMax allocation rebuilt as the LITERAL water-filling loop (walk
+    languages by ascending cap; grant the cap while it fits the equal
+    share, then split the remainder) — independent of the engine's
+    closed-form window derivation. Budget exhaustion pinned."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _TOKENS_SQL,
+        _UNIMAX_B_DEN,
+        _UNIMAX_B_NUM,
+        _UNIMAX_EPOCHS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["lang"]: (r["n_tokens"], r["cap"], r["alloc_tokens"], r["epochs_ppm"])
+        for r in all_queries()["llm_unimax_language_caps"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    avail = {
+        s: int(n)
+        for s, n in con.execute(
+            f"SELECT lang, SUM(len({_TOKENS_SQL})) FROM documents GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    b = _UNIMAX_B_NUM * sum(avail.values()) // _UNIMAX_B_DEN
+    caps = {s: _UNIMAX_EPOCHS * n for s, n in avail.items()}
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    alloc = {}
+    remaining, langs_left = b, len(order)
+    i = 0
+    while i < len(order):
+        s = order[i]
+        if caps[s] * langs_left <= remaining:
+            alloc[s] = caps[s]
+            remaining -= caps[s]
+            langs_left -= 1
+            i += 1
+        else:
+            # equal split of the remainder, +1 to the lowest-cap ranks
+            share, extra = divmod(remaining, langs_left)
+            for j, s2 in enumerate(order[i:]):
+                alloc[s2] = share + (1 if j < extra else 0)
+            remaining = 0
+            break
+    assert sum(alloc.values()) == b  # budget exhausted exactly
+    want = {
+        s: (avail[s], caps[s], alloc[s], 10**6 * alloc[s] // avail[s])
+        for s in avail
+    }
+    assert got == want
+    # no language exceeds its cap, and caps bind only from below
+    assert all(alloc[s] <= caps[s] for s in avail)
+
+
+def test_tokenizer_fertility_matches_regex_reference(spark, sf_dir):
+    """Per-language fertility rebuilt with Python regex token counts and
+    float ratio cross-checks."""
+    import re
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["n_words"], r["n_subwords"],
+            r["fertility_ppm"], r["bpe_fertility_ppm"],
+        )
+        for r in all_queries()["llm_tokenizer_fertility"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT lang, text FROM documents").fetchall()
+    con.close()
+    acc: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, text in rows:
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        a = acc[lang]
+        a[0] += 1
+        a[1] += len(norm.split(" "))
+        a[2] += len(re.findall(r"[a-z]+|[0-9]+", text.lower()))
+        a[3] += -(-len(text) // 4)  # ceil(len/4)
+    want = {}
+    for lang, (nd, nw, ns, nb) in acc.items():
+        want[lang] = (nd, nw, ns, 10**6 * ns // nw, 10**6 * nb // nw)
+        assert abs(want[lang][3] - 1e6 * ns / nw) <= 1.0
+        assert abs(want[lang][4] - 1e6 * nb / nw) <= 1.0
+    assert got == want
