@@ -2414,3 +2414,305 @@ def test_tokenizer_fertility_matches_regex_reference(spark, sf_dir):
         assert abs(want[lang][3] - 1e6 * ns / nw) <= 1.0
         assert abs(want[lang][4] - 1e6 * nb / nw) <= 1.0
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 6: decomposition identities, sweep lines, tail/divergence profiles
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_matches_python_reference(spark, sf_dir):
+    """STL-lite rebuilt with a literal centered-window walk; the additive
+    identity x = trend + seasonal + residual pinned row by row, and the
+    seasonal means cross-checked in float."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["day"]: (
+            r["rev_cents"], r["trend_cents"], r["seasonal_cents"],
+            r["residual_cents"],
+        )
+        for r in all_queries()["events_seasonal_decompose"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT CAST(ts AS DATE), CAST(dayofweek(CAST(ts AS DATE)) + 1
+               AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1
+    """).fetchall()
+    con.close()
+    days = [(d, int(dow), int(x)) for d, dow, x in rows]
+    det = []
+    for i in range(len(days)):
+        if i < 3 or i >= len(days) - 3:
+            continue  # only full 7-day windows qualify
+        window = days[i - 3 : i + 4]
+        trend = sum(x for _, _, x in window) // 7
+        d, dow, x = days[i]
+        det.append((str(d), dow, x, trend, x - trend))
+    seas_acc: dict = defaultdict(list)
+    for _, dow, _, _, dc in det:
+        seas_acc[dow].append(dc)
+    seas = {}
+    for dow, dcs in seas_acc.items():
+        s = sum(dcs)
+        seas[dow] = s // len(dcs) if s >= 0 else -((-s) // len(dcs))
+        # float cross-check of the sign-safe integer mean
+        assert abs(seas[dow] - s / len(dcs)) <= 1.0
+    want = {
+        day: (x, trend, seas[dow], x - trend - seas[dow])
+        for day, dow, x, trend, _ in det
+    }
+    assert got == want
+    # the decomposition identity, row by row
+    for x, trend, s, resid in got.values():
+        assert x == trend + s + resid
+
+
+def test_peak_concurrency_matches_sweep_reference(spark, sf_dir):
+    """The interval sweep line rebuilt with a literal sorted event-walk
+    using the engine's (t, delta, event_id) tie order."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _IVL_DUR_CHOICES,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: (r["peak"], r["n_intervals"], r["first_peak_us"])
+        for r in all_queries()["events_peak_concurrency"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type, event_id, epoch_us(ts) FROM events
+    """).fetchall()
+    con.close()
+    by_type: dict = defaultdict(list)
+    for et, eid, s in rows:
+        e = int(s) + (1 + int(eid) % _IVL_DUR_CHOICES) * 60 * 1_000_000
+        by_type[et].append((int(s), 1, int(eid)))
+        by_type[et].append((e, -1, int(eid)))
+    want = {}
+    for et, bounds in by_type.items():
+        bounds.sort()  # (t, delta, event_id): -1 before +1 at equal t
+        run = peak = 0
+        first = None
+        for t, delta, _ in bounds:
+            run += delta
+            if run > peak:
+                peak = run
+                first = t
+            elif run == peak and first is None:
+                first = t
+        want[et] = (peak, len(bounds) // 2, first)
+    assert got == want
+
+
+def test_term_burstiness_matches_float_reference(spark, sf_dir):
+    """Church–Gale VMR rebuilt per term in floats with zero-docs
+    included, vs the N-scaled integer milli form."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _BURST_TOPN,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["term"]: (r["df"], r["tf"], r["vmr_milli"])
+        for r in all_queries()["text_term_burstiness"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(f"SELECT {_TOKENS_SQL} FROM documents").fetchall()
+    con.close()
+    n_docs = len(docs)
+    per_term: dict = defaultdict(Counter)
+    for i, (toks,) in enumerate(docs):
+        for t in toks:
+            if t != "":
+                per_term[t][i] += 1
+    top = sorted(
+        per_term, key=lambda t: (-sum(per_term[t].values()), t)
+    )[:_BURST_TOPN]
+    want = {}
+    for t in top:
+        counts = per_term[t]
+        tf = sum(counts.values())
+        vmr_int = 1000 * (n_docs * sum(c * c for c in counts.values())
+                          - tf * tf) // (n_docs * tf)
+        want[t] = (len(counts), tf, vmr_int)
+        # float VMR with zero docs included: var/mean over ALL docs
+        mean = tf / n_docs
+        var = (
+            sum((c - mean) ** 2 for c in counts.values())
+            + (n_docs - len(counts)) * mean**2
+        ) / n_docs
+        assert abs(vmr_int - 1000 * var / mean) <= 1.0, t
+    assert got == want
+
+
+def test_source_tvd_matches_python_reference(spark, sf_dir):
+    """Total variation distance between per-source term distributions
+    rebuilt with Counters and exact cross-multiplication, plus the float
+    ½Σ|p−q| identity."""
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["source_a"], r["source_b"]): (r["shared_terms"], r["tvd_ppm"])
+        for r in all_queries()["text_source_tvd"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        f"SELECT source, UNNEST({_TOKENS_SQL}) FROM documents"
+    ).fetchall()
+    con.close()
+    tf: dict = defaultdict(Counter)
+    for src, t in rows:
+        if t != "":
+            tf[src][t] += 1
+    srcs = sorted(tf)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            na, nb = sum(tf[a].values()), sum(tf[b].values())
+            shared = set(tf[a]) & set(tf[b])
+            num = sum(
+                abs(tf[a].get(t, 0) * nb - tf[b].get(t, 0) * na)
+                for t in set(tf[a]) | set(tf[b])
+            )
+            tvd = 10**6 * num // (2 * na * nb)
+            want[(a, b)] = (len(shared), tvd)
+            # float ½ Σ |p - q| over the union support
+            f = 0.5 * sum(
+                abs(tf[a].get(t, 0) / na - tf[b].get(t, 0) / nb)
+                for t in set(tf[a]) | set(tf[b])
+            )
+            assert abs(tvd - f * 1e6) <= 1.0
+            assert 0 <= tvd <= 10**6
+    assert got == want
+
+
+def test_tail_ratio_matches_float_reference(spark, sf_dir):
+    """P(X>2x)/P(X>x) profile from literal float comparisons over raw
+    values (the engine compares the UNQUANTIZED double column)."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import (
+        _TAIL_THRESHOLDS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["x"]: (r["n_gt_x"], r["n_gt_2x"], r["tail_ratio_ppm"])
+        for r in all_queries()["stats_tail_ratio_profile"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    vals = [float(v) for (v,) in con.execute(
+        "SELECT value FROM events"
+    ).fetchall()]
+    con.close()
+    want = {}
+    for x in _TAIL_THRESHOLDS:
+        n1 = sum(1 for v in vals if v > x)
+        n2 = sum(1 for v in vals if v > 2 * x)
+        want[x] = (n1, n2, 10**6 * n2 // n1)
+        assert abs(want[x][2] - 1e6 * n2 / n1) <= 1.0
+    assert got == want
+
+
+def test_lift_gains_curve_matches_python_reference(spark, sf_dir):
+    """The marker-count classifier's gains/lift at every score cutoff,
+    rebuilt from Python token counts with float recall/lift checks."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _LIFT_MARKERS,
+    )
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["score"]: (
+            r["n_docs"], r["n_pos"], r["cum_docs"], r["cum_pos"],
+            r["recall_ppm"], r["lift_ppm"],
+        )
+        for r in all_queries()["ml_lift_gains_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        f"SELECT lang, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    markers = set(_LIFT_MARKERS)
+    hist: dict = defaultdict(lambda: [0, 0])
+    for lang, toks in rows:
+        score = sum(1 for t in toks if t in markers)
+        hist[score][0] += 1
+        hist[score][1] += 1 if lang == "en" else 0
+    tot_docs = sum(n for n, _ in hist.values())
+    tot_pos = sum(p for _, p in hist.values())
+    want = {}
+    cd = cp = 0
+    for s in sorted(hist, reverse=True):
+        n, p = hist[s]
+        cd, cp = cd + n, cp + p
+        want[s] = (
+            n, p, cd, cp,
+            10**6 * cp // tot_pos,
+            10**6 * cp * tot_docs // (cd * tot_pos),
+        )
+        assert abs(want[s][4] - 1e6 * cp / tot_pos) <= 1.0
+        assert abs(
+            want[s][5] - 1e6 * (cp / cd) / (tot_pos / tot_docs)
+        ) <= 1.0
+    assert got == want
+
+
+def test_backtest_seasonal_naive_matches_python_reference(spark, sf_dir):
+    """The temporal-split seasonal-naive backtest rebuilt literally:
+    per-(type, weekday) TRAIN-only integer-mean model scored on the
+    held-out days; the leak-free property pinned (no test day enters
+    its own forecast)."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _BT_TRAIN_DAYS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["event_type"], r["epoch_day"]): (
+            r["actual_cents"], r["forecast_cents"], r["abs_err_cents"]
+        )
+        for r in all_queries()["events_backtest_seasonal_naive"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events GROUP BY 1, 2, 3
+    """).fetchall()
+    con.close()
+    daily = [(et, int(d), int(dow), int(v)) for et, d, dow, v in rows]
+    split = min(d for _, d, _, _ in daily) + _BT_TRAIN_DAYS
+    model: dict = defaultdict(list)
+    for et, d, dow, v in daily:
+        if d < split:
+            model[(et, dow)].append(v)
+    fc = {k: sum(vs) // len(vs) for k, vs in model.items()}
+    want = {}
+    for et, d, dow, v in daily:
+        if d >= split and (et, dow) in fc:
+            want[(et, d)] = (v, fc[(et, dow)], abs(v - fc[(et, dow)]))
+    assert got == want
+    # leak-free: every forecast derives only from strictly earlier days
+    assert all(d >= split for _, d in got)
