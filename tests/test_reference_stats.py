@@ -2716,3 +2716,339 @@ def test_backtest_seasonal_naive_matches_python_reference(spark, sf_dir):
     assert got == want
     # leak-free: every forecast derives only from strictly earlier days
     assert all(d >= split for _, d in got)
+
+
+# --------------------------------------------------------------------------
+# batch 7: stratified uplift, SQ8 audit, Gopher gates, quota allocation,
+# lexical-richness ratios, Pearson matrix
+# --------------------------------------------------------------------------
+
+
+def test_uplift_stratified_matches_python_reference(spark, sf_dir):
+    """Per-weekday conversion uplift rebuilt from user-day sets, with the
+    float rate-difference cross-check."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["dow"]: (r["n_t"], r["n_c"], r["conv_t"], r["conv_c"], r["uplift_ppm"])
+        for r in all_queries()["stats_uplift_stratified"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    ud = con.execute("""
+        SELECT DISTINCT user_id,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT),
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT)
+        FROM events
+    """).fetchall()
+    conv = set(
+        (int(u), int(d))
+        for u, d in con.execute("""
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            FROM events WHERE event_type = 'purchase'
+        """).fetchall()
+    )
+    con.close()
+    acc: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for u, dow, d in ud:
+        u, dow, d = int(u), int(dow), int(d)
+        t = u % 2 == 0
+        c = (u, d) in conv
+        a = acc[dow]
+        a[0] += t
+        a[1] += not t
+        a[2] += t and c
+        a[3] += (not t) and c
+    want = {}
+    for dow, (nt, nc, ct, cc) in acc.items():
+        up = 10**6 * ct // nt - 10**6 * cc // nc
+        want[dow] = (nt, nc, ct, cc, up)
+        assert abs(up - 1e6 * (ct / nt - cc / nc)) <= 2.0
+    assert got == want
+
+
+def test_scalar_quantization_matches_float_reference(spark, sf_dir):
+    """SQ8 codes and reconstruction errors rebuilt in Python doubles
+    (same IEEE ops); aggregates compared with half-ulp rounding slack."""
+    from tmdb_movie_data_pipeline_spark.operators.pq import _SQ_LEVELS
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["pos"]: (
+            r["n_vecs"], r["total_err_pico"], r["mean_err_pico"],
+            r["max_err_pico"], r["codes_used"],
+        )
+        for r in all_queries()["ml_scalar_quantization_error"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "embeddings")
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    con.close()
+    dims = len(rows[0][1])
+    for pos in range(dims):
+        xs = [float(emb[pos]) for _, emb in rows]
+        mn, mx = min(xs), max(xs)
+        codes = set()
+        errs = []
+        for x in xs:
+            if mx == mn:
+                codes.add(0)
+                errs.append(0)
+                continue
+            code = min(math.floor((x - mn) * float(_SQ_LEVELS) / (mx - mn)),
+                       _SQ_LEVELS)
+            codes.add(code)
+            rec = mn + code * (mx - mn) / float(_SQ_LEVELS)
+            errs.append((x - rec) * (x - rec) * 1e12)
+        n_vecs, total, mean, mx_err, codes_used = got[pos]
+        assert n_vecs == len(xs)
+        assert codes_used == len(codes)
+        # per-row ROUND to pico: half-unit slack per element
+        assert abs(total - sum(errs)) <= len(xs) * 0.51
+        assert abs(mx_err - max(errs)) <= 0.51
+        assert abs(mean - total // n_vecs) <= 1
+
+
+def test_gopher_rules_match_python_reference(spark, sf_dir):
+    """The Gopher-style quality gate battery rebuilt rule by rule in
+    Python (word count, mean word length bounds, top-token share,
+    distinct stopwords) — all four flags and the conjunction."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _GR_MAX_WORDS,
+        _GR_MIN_STOP,
+        _GR_MIN_WORDS,
+        _GR_MWL_HI,
+        _GR_MWL_LO,
+        _GR_STOPWORDS,
+        _GR_TOP_SHARE_DEN,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+    import re
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["ok_word_count"], r["ok_mean_word_len"],
+            r["ok_top_token"], r["ok_stopwords"], r["passes"],
+        )
+        for r in all_queries()["llm_gopher_rules"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+    stop = set(_GR_STOPWORDS)
+    want = {}
+    for doc_id, text in rows:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_stop = len(stop & set(toks))
+        top_c = max(Counter(toks).values())
+        ok_wc = _GR_MIN_WORDS <= n <= _GR_MAX_WORDS
+        ok_mwl = _GR_MWL_LO * n <= sum_len <= _GR_MWL_HI * n
+        ok_top = _GR_TOP_SHARE_DEN * top_c <= n
+        ok_stop = n_stop >= _GR_MIN_STOP
+        want[int(doc_id)] = (
+            n, ok_wc, ok_mwl, ok_top, ok_stop,
+            ok_wc and ok_mwl and ok_top and ok_stop,
+        )
+    assert got == want
+    # the gate discriminates on this fixture: both outcomes live
+    assert {p for *_, p in got.values()} == {True, False}
+
+
+def test_token_budget_quota_matches_remainder_reference(spark, sf_dir):
+    """tau = 1 largest-remainder allocation rebuilt literally; exact
+    budget exhaustion and the proportionality bound |quota − ideal| ≤ 1."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _TB_BUDGET,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["lang"]: (r["avail_tokens"], r["floor_quota"], r["quota"])
+        for r in all_queries()["llm_token_budget_quota"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    avail = {
+        s: int(n)
+        for s, n in con.execute(
+            f"SELECT lang, SUM(len({_TOKENS_SQL})) FROM documents GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    total = sum(avail.values())
+    floor_q = {s: _TB_BUDGET * n // total for s, n in avail.items()}
+    rem = {s: _TB_BUDGET * n % total for s, n in avail.items()}
+    leftover = _TB_BUDGET - sum(floor_q.values())
+    order = sorted(rem, key=lambda s: (-rem[s], s))
+    quota = {
+        s: floor_q[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    want = {s: (avail[s], floor_q[s], quota[s]) for s in avail}
+    assert got == want
+    assert sum(quota.values()) == _TB_BUDGET
+    for s in avail:  # Hare-quota property: within 1 of the real share
+        assert abs(quota[s] - _TB_BUDGET * avail[s] / total) < 1.0
+
+
+def test_hapax_ratio_matches_counter_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["lang"]: (
+            r["vocab"], r["n_tokens"], r["hapax"],
+            r["hapax_vocab_ppm"], r["hapax_token_ppm"],
+        )
+        for r in all_queries()["text_hapax_ratio"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        f"SELECT lang, UNNEST({_TOKENS_SQL}) FROM documents"
+    ).fetchall()
+    con.close()
+    tf: dict = defaultdict(Counter)
+    for lang, t in rows:
+        if t != "":
+            tf[lang][t] += 1
+    want = {}
+    for lang, c in tf.items():
+        vocab = len(c)
+        toks = sum(c.values())
+        hap = sum(1 for v in c.values() if v == 1)
+        want[lang] = (
+            vocab, toks, hap,
+            10**6 * hap // vocab, 10**6 * hap // toks,
+        )
+    assert got == want
+
+
+def test_oov_bigram_rate_matches_python_reference(spark, sf_dir):
+    """The top-N-per-context bigram LM and per-doc OOV share rebuilt
+    with dicts (LM admission: rank ≤ N by (count desc, w2), context
+    support ≥ MIN_CTX)."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _LM_MIN_CTX,
+        _LM_TOPN,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_in_lm"], r["oov_ppm"])
+        for r in all_queries()["text_oov_bigram_rate"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(
+        f"SELECT doc_id, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    cnt: Counter = Counter()
+    per_doc: dict = {}
+    for doc_id, toks in docs:
+        bis = list(zip(toks, toks[1:]))
+        per_doc[int(doc_id)] = bis
+        cnt.update(bis)
+    by_ctx: dict = defaultdict(list)
+    for (w1, w2), n in cnt.items():
+        by_ctx[w1].append((n, w2))
+    lm = set()
+    for w1, lst in by_ctx.items():
+        if sum(n for n, _ in lst) < _LM_MIN_CTX:
+            continue
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for n, w2 in lst[:_LM_TOPN]:
+            lm.add((w1, w2))
+    want = {}
+    for doc_id, bis in per_doc.items():
+        if not bis:
+            continue
+        hits = sum(1 for b in bis if b in lm)
+        want[doc_id] = (
+            len(bis), hits, 10**6 * (len(bis) - hits) // len(bis)
+        )
+    assert got == want
+
+
+def test_char_diversity_matches_counter_reference(spark, sf_dir):
+    """Simpson collision index over the normalized 256-char prefix,
+    with the float Σp² cross-check."""
+    import re
+
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _DIVERSITY_PREFIX,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["n_chars_pfx"], r["distinct_chars"], r["simpson_ppm"])
+        for r in all_queries()["text_char_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+    want = {}
+    for doc_id, text in rows:
+        norm = re.sub(r"\s+", " ", text).strip().lower()[:_DIVERSITY_PREFIX]
+        c = Counter(ch for ch in norm if ch != "")
+        n = sum(c.values())
+        if n < 2:
+            continue
+        coll = sum(v * (v - 1) for v in c.values())
+        simpson = 10**6 * coll // (n * (n - 1))
+        want[int(doc_id)] = (n, len(c), simpson)
+        # float unbiased Simpson index
+        assert abs(simpson - 1e6 * coll / (n * (n - 1))) <= 1.0
+    assert got == want
+
+
+def test_corr_matrix_matches_float_reference(spark, sf_dir):
+    """The three Pearson correlations from raw quantized lineitem columns
+    in plain Python floats (centered formula, real sqrt)."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["pair"]: r["corr"]
+        for r in all_queries()["stats_corr_matrix"](spark, sf_dir).collect()
+    }
+    con = _con(sf_dir, "lineitem")
+    rows = con.execute("""
+        SELECT CAST(l_quantity AS BIGINT),
+               CAST(ROUND(l_extendedprice) AS BIGINT),
+               CAST(ROUND(l_discount * 10000) AS BIGINT)
+        FROM lineitem
+    """).fetchall()
+    con.close()
+
+    def corr(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        vx = sum((x - mx) ** 2 for x in xs)
+        vy = sum((y - my) ** 2 for y in ys)
+        return cov / math.sqrt(vx * vy)
+
+    q = [float(a) for a, _, _ in rows]
+    p = [float(b) for _, b, _ in rows]
+    d = [float(c) for _, _, c in rows]
+    for pair, (xs, ys) in {
+        "qty_price": (q, p),
+        "qty_discount": (q, d),
+        "price_discount": (p, d),
+    }.items():
+        r = corr(xs, ys)
+        assert abs(got[pair] - r) <= 1e-9 + abs(r) * 1e-9, pair
+        assert -1.0 <= got[pair] <= 1.0
+    assert set(got) == {"qty_price", "qty_discount", "price_discount"}
