@@ -3052,3 +3052,232 @@ def test_corr_matrix_matches_float_reference(spark, sf_dir):
         assert abs(got[pair] - r) <= 1e-9 + abs(r) * 1e-9, pair
         assert -1.0 <= got[pair] <= 1.0
     assert set(got) == {"qty_price", "qty_discount", "price_discount"}
+
+
+# --------------------------------------------------------------------------
+# batch 8: growth accounting, rolling windows, interpolation, burst gates,
+# percentile selection
+# --------------------------------------------------------------------------
+
+
+def test_burst_detection_matches_python_reference(spark, sf_dir):
+    """The integer cross-multiplied burst gate vs the REAL float trailing
+    mean n > 1.25 * mean(prior) per (type, day)."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _BURST_DEN,
+        _BURST_NUM,
+        _BURST_W,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["event_type"], r["epoch_day"]): (
+            r["n"], r["trailing_sum"], r["prior_days"], r["is_burst"]
+        )
+        for r in all_queries()["events_burst_detection"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT),
+               COUNT(*)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    con.close()
+    series: dict = defaultdict(list)
+    for et, d, n in rows:
+        series[et].append((int(d), int(n)))
+    want = {}
+    for et, pts in series.items():
+        for i, (d, n) in enumerate(pts):
+            window = pts[max(0, i - _BURST_W) : i]
+            ts = sum(x for _, x in window)
+            pd_ = len(window)
+            burst = pd_ > 0 and n * pd_ * _BURST_DEN > _BURST_NUM * ts
+            want[(et, d)] = (n, ts, pd_, burst)
+            if pd_ > 0:  # float cross-check on the strict side
+                if burst:
+                    assert n > _BURST_NUM / _BURST_DEN * (ts / pd_) * (
+                        1 - 1e-12
+                    )
+    assert got == want
+    assert any(b for *_, b in want.values())  # the gate fires somewhere
+
+
+def test_gap_fill_interpolate_matches_python_reference(spark, sf_dir):
+    """Linear interpolation over calendar gaps rebuilt with a literal
+    per-user spine walk; filled values cross-checked against the float
+    two-point line."""
+    import datetime
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["user_id"], r["day"]): (r["filled"], r["value_interp"])
+        for r in all_queries()["events_gap_fill_interpolate"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE),
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    per_user: dict = defaultdict(dict)
+    for u, d, q in rows:
+        per_user[int(u)][d] = int(q)
+    want = {}
+    for u, days in per_user.items():
+        lo, hi = min(days), max(days)
+        d = lo
+        while d <= hi:
+            if d in days:
+                want[(u, str(d))] = (0, days[d] / 100.0)
+            else:
+                prev_d = max(x for x in days if x < d)
+                next_d = min(x for x in days if x > d)
+                pq, nq = days[prev_d], days[next_d]
+                span = (next_d - prev_d).days
+                val = (
+                    pq * (next_d - d).days + nq * (d - prev_d).days
+                ) // span
+                want[(u, str(d))] = (1, val / 100.0)
+                # float two-point line within the floor quantum
+                t = (d - prev_d).days / span
+                assert abs(val - (pq * (1 - t) + nq * t)) <= 1.0
+            d += datetime.timedelta(days=1)
+    assert got == want
+    assert any(f for f, _ in got.values())  # gaps exist and get filled
+
+
+def test_growth_accounting_matches_python_reference(spark, sf_dir):
+    """Weekly new/retained/resurrected/churned classification rebuilt
+    from per-user week sets, plus the accounting identity
+    active(w) = new + retained + resurrected."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["week"]: (
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        )
+        for r in all_queries()["events_growth_accounting"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        FROM events
+    """).fetchall()
+    con.close()
+    weeks: dict = defaultdict(set)
+    for u, w in rows:
+        weeks[int(u)].add(int(w))
+    new_c: Counter = Counter()
+    ret: Counter = Counter()
+    res: Counter = Counter()
+    churn: Counter = Counter()
+    active: Counter = Counter()
+    for u, ws in weeks.items():
+        first = min(ws)
+        for w in ws:
+            active[w] += 1
+            if w == first:
+                new_c[w] += 1
+            elif w - 1 in ws:
+                ret[w] += 1
+            else:
+                res[w] += 1
+            if w + 1 not in ws:
+                churn[w + 1] += 1
+    want = {
+        w: (new_c[w], ret[w], res[w], churn[w])
+        for w in set(new_c) | set(ret) | set(res) | set(churn)
+    }
+    assert got == want
+    for w, (n, r_, rs, _) in want.items():
+        assert active[w] == n + r_ + rs  # the accounting identity
+
+
+def test_rolling_mau_matches_set_reference(spark, sf_dir):
+    """Trailing 28-day distinct actives + same-day DAU per day, rebuilt
+    from per-day user sets."""
+    import datetime
+
+    from tmdb_movie_data_pipeline_spark.operators.events import _MAU_WINDOW
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["day"]: (r["mau28"], r["dau"])
+        for r in all_queries()["events_rolling_mau"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events"
+    ).fetchall()
+    con.close()
+    per_day: dict = defaultdict(set)
+    for u, d in rows:
+        per_day[d].add(int(u))
+    max_d = max(per_day)
+    want = {}
+    # every day any window-day could claim, clipped at the data's end
+    all_days = set()
+    for d in per_day:
+        for off in range(_MAU_WINDOW):
+            wd = d + datetime.timedelta(days=off)
+            if wd <= max_d:
+                all_days.add(wd)
+    for wd in all_days:
+        mau: set = set()
+        for off in range(_MAU_WINDOW):
+            mau |= per_day.get(wd - datetime.timedelta(days=off), set())
+        want[str(wd)] = (len(mau), len(per_day.get(wd, set())))
+    assert got == want
+    # DAU <= MAU always; they agree on the first observed day
+    assert all(dau <= mau for mau, dau in got.values())
+
+
+def test_quality_percentile_gate_matches_sorted_reference(spark, sf_dir):
+    """The top-20% stopword-ratio gate rebuilt by literally sorting the
+    float scores with the doc_id tie-break."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        GATE_KEEP_PCT,
+    )
+    from tmdb_movie_data_pipeline_spark.operators.text import _TOKENS_SQL
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["stopword_ratio"])
+        for r in all_queries()["llm_quality_percentile_gate"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        f"SELECT doc_id, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    stop = {"the", "a", "and", "of", "is", "to", "in"}
+    scored = []
+    for doc_id, toks in rows:
+        if not toks:
+            continue
+        ratio = sum(1 for t in toks if t in stop) / len(toks)
+        scored.append((int(doc_id), len(toks), ratio))
+    k = len(scored) * GATE_KEEP_PCT // 100
+    keep = sorted(scored, key=lambda x: (-x[2], x[0]))[:k]
+    want = {d: (n, r) for d, n, r in keep}
+    assert set(got) == set(want)
+    for d, (n, r) in want.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - r) <= 1e-12
+    assert len(got) == k  # exactly the top slice, no boundary spill
