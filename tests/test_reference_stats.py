@@ -3281,3 +3281,122 @@ def test_quality_percentile_gate_matches_sorted_reference(spark, sf_dir):
         assert got[d][0] == n
         assert abs(got[d][1] - r) <= 1e-12
     assert len(got) == k  # exactly the top slice, no boundary spill
+
+
+# --------------------------------------------------------------------------
+# batch 9: quantile clips, RAKE, stickiness
+# --------------------------------------------------------------------------
+
+
+def test_embedding_outlier_clip_matches_python_reference(spark, sf_dir):
+    """Ordinal p1/p99 bounds, clipped counts and clip energy rebuilt per
+    dimension with sorted lists and unbounded ints; the ordinal bound
+    checked against the ceil-rank definition."""
+    from tmdb_movie_data_pipeline_spark.operators.pq import (
+        _CLIP_HI_PCT,
+        _CLIP_LO_PCT,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["pos"]: (
+            r["n"], r["p_lo_micro"], r["p_hi_micro"], r["n_clipped"],
+            r["clip_energy_micro2"],
+        )
+        for r in all_queries()["ml_embedding_outlier_clip"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "embeddings")
+    rows = con.execute("SELECT embedding FROM embeddings").fetchall()
+    con.close()
+    dims = len(rows[0][0])
+    for pos in range(dims):
+        xs = sorted(round(float(e[pos]) * 10**6) for (e,) in rows)
+        n = len(xs)
+        lo = xs[-(-_CLIP_LO_PCT * n // 100) - 1]  # ceil rank, 1-based
+        hi = xs[-(-_CLIP_HI_PCT * n // 100) - 1]
+        clipped = sum(1 for x in xs if x < lo or x > hi)
+        energy = sum(
+            (x - hi) ** 2 if x > hi else (lo - x) ** 2
+            for x in xs
+            if x < lo or x > hi
+        )
+        assert got[pos] == (n, lo, hi, clipped, energy), pos
+        # the clip touches at most (lo_pct + (100 - hi_pct))% + rounding
+        assert clipped <= n * (_CLIP_LO_PCT + 100 - _CLIP_HI_PCT) / 100 + 2
+
+
+def test_rake_word_scores_match_python_reference(spark, sf_dir):
+    """RAKE degree/frequency rebuilt by literally segmenting each doc at
+    stopwords and summing phrase lengths, with the float degree/freq
+    ratio check."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _RAKE_STOPS,
+        _RAKE_TOPN,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["word"]: (r["freq"], r["degree"], r["rake_milli"])
+        for r in all_queries()["text_rake_word_scores"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(f"SELECT {_TOKENS_SQL} FROM documents").fetchall()
+    con.close()
+    stops = set(_RAKE_STOPS)
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for (toks,) in docs:
+        phrase = []
+        for t in list(toks) + [next(iter(stops))]:  # sentinel flush
+            if t in stops or t == "":
+                for w in phrase:
+                    freq[w] += 1
+                    degree[w] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(t)
+    top = sorted(freq, key=lambda w: (-freq[w], w))[:_RAKE_TOPN]
+    want = {
+        w: (freq[w], degree[w], 1000 * degree[w] // freq[w]) for w in top
+    }
+    assert got == want
+    for w in top:
+        assert abs(want[w][2] - 1000 * degree[w] / freq[w]) <= 1.0
+        assert degree[w] >= freq[w]  # each occurrence contributes >= 1
+
+
+def test_dau_wau_stickiness_matches_set_reference(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["epoch_day"]: (r["dau"], r["wau"], r["stickiness_ppm"])
+        for r in all_queries()["events_dau_wau_stickiness"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        FROM events
+    """).fetchall()
+    con.close()
+    per_day: dict = defaultdict(set)
+    for u, d in rows:
+        per_day[int(d)].add(int(u))
+    want = {}
+    for d, users in per_day.items():
+        wau: set = set()
+        for off in range(7):
+            wau |= per_day.get(d - off, set())
+        want[d] = (
+            len(users), len(wau), 10**6 * len(users) // len(wau)
+        )
+        assert abs(want[d][2] - 1e6 * len(users) / len(wau)) <= 1.0
+        assert len(users) <= len(wau)
+    assert got == want
