@@ -3400,3 +3400,205 @@ def test_dau_wau_stickiness_matches_set_reference(spark, sf_dir):
         assert abs(want[d][2] - 1e6 * len(users) / len(wau)) <= 1.0
         assert len(users) <= len(wau)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 10: packing/batching assignment, class centroids, repetition gates,
+# Markov transitions
+# --------------------------------------------------------------------------
+
+
+def test_sequence_packing_matches_walk_reference(spark, sf_dir):
+    """Concat-and-chunk pack assignment rebuilt with a literal per-source
+    running walk in doc_id order; the pack-budget invariants pinned."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        PACK_BUDGET,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (
+            r["source"], r["n_tokens"], r["cum_tokens"], r["pack_id"],
+            r["offset_in_pack"],
+        )
+        for r in all_queries()["llm_sequence_packing"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        f"SELECT doc_id, source, len({_TOKENS_SQL}) FROM documents"
+        " ORDER BY source, doc_id"
+    ).fetchall()
+    con.close()
+    want = {}
+    cum: Counter = Counter()
+    for doc_id, src, n in rows:
+        n = int(n)
+        start = cum[src]
+        cum[src] += n
+        want[int(doc_id)] = (
+            src, n, cum[src], start // PACK_BUDGET, start % PACK_BUDGET,
+        )
+    assert got == want
+    for _, n, cum_t, pack, off in got.values():
+        assert 0 <= off < PACK_BUDGET
+        assert pack == (cum_t - n) // PACK_BUDGET
+
+
+def test_padding_waste_matches_python_reference(spark, sf_dir):
+    """Length-bucketed batch assembly and exact padding accounting
+    rebuilt with a literal (length, id)-ordered walk per bucket."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _PAD_BATCH_SIZE,
+        _PAD_BUCKET_TOKENS,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["bucket"], r["batch_idx"]): (
+            r["n_seqs"], r["max_tokens"], r["sum_tokens"],
+            r["padding_waste"], r["waste_ppm"],
+        )
+        for r in all_queries()["llm_padding_waste_batching"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute(
+        f"SELECT doc_id, len({_TOKENS_SQL}) FROM documents"
+    ).fetchall()
+    con.close()
+    buckets: dict = defaultdict(list)
+    for doc_id, n in rows:
+        n = int(n)
+        buckets[n // _PAD_BUCKET_TOKENS].append((n, int(doc_id)))
+    want = {}
+    for b, seqs in buckets.items():
+        seqs.sort()
+        for i in range(0, len(seqs), _PAD_BATCH_SIZE):
+            batch = seqs[i : i + _PAD_BATCH_SIZE]
+            idx = i // _PAD_BATCH_SIZE
+            mx = max(n for n, _ in batch)
+            sm = sum(n for n, _ in batch)
+            waste = len(batch) * mx - sm
+            want[(b, idx)] = (
+                len(batch), mx, sm, waste,
+                10**6 * waste // (len(batch) * mx),
+            )
+            # waste within a 16-token bucket of batch-8 is bounded by
+            # (batch-1) * (bucket-1) tokens
+            assert waste <= (len(batch) - 1) * (_PAD_BUCKET_TOKENS - 1)
+    assert got == want
+
+
+def test_label_centroids_match_python_reference(spark, sf_dir):
+    """Per-class centroid sums in unbounded ints and the IEEE mean."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["label"], r["dim"]): (r["n"], r["sum_micro"], r["centroid_micro"])
+        for r in all_queries()["ml_label_centroids"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "embeddings")
+    rows = con.execute("SELECT label, embedding FROM embeddings").fetchall()
+    con.close()
+    acc: dict = defaultdict(lambda: [0, 0])
+    for lab, emb in rows:
+        for dim, x in enumerate(emb):
+            a = acc[(int(lab), dim)]
+            a[0] += 1
+            a[1] += round(float(x) * 10**6)
+    want = {
+        k: (n, s, s / n) for k, (n, s) in acc.items()
+    }
+    assert set(got) == set(want)
+    for k, (n, s, c) in want.items():
+        gn, gs, gc = got[k]
+        assert (gn, gs) == (n, s), k
+        assert abs(gc - c) <= abs(c) * 1e-12 + 1e-9, k
+
+
+def test_repetition_filter_matches_counter_reference(spark, sf_dir):
+    """All three repetition ratios and the conjunction gate rebuilt from
+    dict unigram/trigram counts (floats via the same int/int divisions)."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        REP_MAX_DUP_TRIGRAM,
+        REP_MAX_DUP_UNIGRAM,
+        REP_MAX_TOP_TOKEN,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_distinct_tokens"], r["n_trigrams"],
+            r["n_distinct_trigrams"], r["passes_repetition"],
+        )
+        for r in all_queries()["text_repetition_filter"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(
+        f"SELECT doc_id, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    want = {}
+    for doc_id, toks in docs:
+        if len(toks) < 3:
+            continue
+        uni = Counter(toks)
+        tris = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        n, nd = len(toks), len(uni)
+        nt, ndt = len(tris), len(set(tris))
+        top = max(uni.values())
+        passes = (
+            1.0 - nd / n <= REP_MAX_DUP_UNIGRAM
+            and top / n <= REP_MAX_TOP_TOKEN
+            and 1.0 - ndt / nt <= REP_MAX_DUP_TRIGRAM
+        )
+        want[int(doc_id)] = (n, nd, nt, ndt, passes)
+    assert got == want
+
+
+def test_transition_matrix_matches_python_reference(spark, sf_dir):
+    """First-order Markov transitions rebuilt from the (ts, event_id)-
+    ordered per-user stream; probabilities row-normalize to 1."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["prob"])
+        for r in all_queries()["events_transition_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    trans: Counter = Counter()
+    prev_u = prev_t = None
+    for u, et in rows:
+        if u == prev_u:
+            trans[(prev_t, et)] += 1
+        prev_u, prev_t = u, et
+    row_tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    assert set(got) == set(trans)
+    for k, n in trans.items():
+        gn, gp = got[k]
+        assert gn == n
+        assert abs(gp - n / row_tot[k[0]]) <= 1e-12
+    for a in row_tot:  # rows normalize exactly
+        assert abs(
+            sum(p for (f, _), (_, p) in got.items() if f == a) - 1.0
+        ) <= 1e-9
