@@ -3602,3 +3602,150 @@ def test_transition_matrix_matches_python_reference(spark, sf_dir):
         assert abs(
             sum(p for (f, _), (_, p) in got.items() if f == a) - 1.0
         ) <= 1e-9
+
+
+# --------------------------------------------------------------------------
+# batch 11: leave-one-fold-out CV, RAG chunking, cumulative distinct
+# --------------------------------------------------------------------------
+
+
+def test_kfold_centroid_cv_matches_python_reference(spark, sf_dir):
+    """5-fold leave-one-out centroid CV rebuilt DIRECTLY (per fold,
+    recompute centroids from the other folds' points — not by the
+    engine's subtraction trick), nearest-centroid argmin with the label
+    tie-break, per-fold accuracy."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _CV_FOLDS,
+        _CV_SCALE,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["fold"]: (r["n_test"], r["n_correct"], r["acc_ppm"])
+        for r in all_queries()["ml_kfold_centroid_cv"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "embeddings")
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    con.close()
+    pts = [
+        (
+            int(v) % _CV_FOLDS,
+            int(lab),
+            [round((float(x) + 1.0) * _CV_SCALE) for x in emb],
+        )
+        for v, lab, emb in rows
+    ]
+    want = {}
+    for fold in range(_CV_FOLDS):
+        train = [(lab, q) for f, lab, q in pts if f != fold]
+        test = [(lab, q) for f, lab, q in pts if f == fold]
+        sums: dict = defaultdict(lambda: None)
+        counts: Counter = Counter()
+        for lab, q in train:
+            counts[lab] += 1
+            if sums[lab] is None:
+                sums[lab] = list(q)
+            else:
+                for i, x in enumerate(q):
+                    sums[lab][i] += x
+        cent = {
+            lab: [s // counts[lab] for s in sums[lab]] for lab in counts
+        }
+        correct = 0
+        for lab, q in test:
+            best = min(
+                cent,
+                key=lambda cl: (
+                    sum((a - b) ** 2 for a, b in zip(q, cent[cl])), cl,
+                ),
+            )
+            correct += best == lab
+        want[fold] = (
+            len(test), correct, 10**6 * correct // len(test)
+        )
+    assert got == want
+
+
+def test_rag_chunk_overlap_matches_python_reference(spark, sf_dir):
+    """Strided chunking rebuilt with literal Python slices, content
+    hashes with hashlib, and the overlap invariant between consecutive
+    chunks pinned."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _RAG_CHUNK,
+        _RAG_STRIDE,
+        _TOKENS_SQL,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["start_token"], r["n_tokens"], r["first_token"],
+            r["last_token"], r["chunk_hash"],
+        )
+        for r in all_queries()["llm_rag_chunk_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    docs = con.execute(
+        f"SELECT doc_id, {_TOKENS_SQL} FROM documents"
+    ).fetchall()
+    con.close()
+    want = {}
+    for doc_id, toks in docs:
+        toks = list(toks)
+        for s in range(1, max(len(toks), 1) + 1, _RAG_STRIDE):
+            ck = toks[s - 1 : s - 1 + _RAG_CHUNK]
+            if not ck:
+                continue
+            idx = (s - 1) // _RAG_STRIDE
+            want[(int(doc_id), idx)] = (
+                s, len(ck), ck[0], ck[-1],
+                hashlib.md5(" ".join(ck).encode()).hexdigest(),
+            )
+        # overlap invariant: consecutive full chunks share
+        # CHUNK - STRIDE tokens
+        for idx in range(len(toks) // _RAG_STRIDE):
+            a = toks[idx * _RAG_STRIDE : idx * _RAG_STRIDE + _RAG_CHUNK]
+            b = toks[(idx + 1) * _RAG_STRIDE :
+                     (idx + 1) * _RAG_STRIDE + _RAG_CHUNK]
+            if len(a) == _RAG_CHUNK and len(b) == _RAG_CHUNK:
+                assert a[_RAG_STRIDE:] == b[: _RAG_CHUNK - _RAG_STRIDE]
+    assert got == want
+
+
+def test_cumulative_distinct_matches_python_reference(spark, sf_dir):
+    """Running distinct-type count per user rebuilt with a literal
+    ordered walk and a real Python set — the per-row state the engine's
+    two-window decomposition deliberately avoids."""
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["user_id"], r["event_id"]): r["n_types_so_far"]
+        for r in all_queries()["events_cumulative_distinct"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute(
+        "SELECT user_id, event_id, event_type FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    want = {}
+    cur_u = None
+    seen: set = set()
+    for u, eid, et in rows:
+        if u != cur_u:
+            cur_u, seen = u, set()
+        seen.add(et)
+        want[(int(u), int(eid))] = len(seen)
+    assert got == want
+    # monotone per user, bounded by the type universe
+    assert max(got.values()) <= 5
