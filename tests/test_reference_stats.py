@@ -3749,3 +3749,215 @@ def test_cumulative_distinct_matches_python_reference(spark, sf_dir):
     assert got == want
     # monotone per user, bounded by the type universe
     assert max(got.values()) <= 5
+
+
+# --------------------------------------------------------------------------
+# batch 12: velocity windows, tier migration, quality gates, deterministic
+# resampling, exact stratified splits
+# --------------------------------------------------------------------------
+
+
+def test_velocity_flags_match_python_reference(spark, sf_dir):
+    """The trailing RANGE-frame velocity rule rebuilt with a literal
+    two-pointer walk over each user's epoch-second purchase stream
+    (self-inclusive, simultaneous events counted symmetrically)."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _VEL_MIN_COUNT,
+        _VEL_WINDOW_SEC,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["event_id"]: (r["user_id"], r["cents"], r["n_window"])
+        for r in all_queries()["events_velocity_flags"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute("""
+        SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT),
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id, 3, event_id
+    """).fetchall()
+    con.close()
+    per_user: dict = defaultdict(list)
+    for u, eid, sec, cents in rows:
+        per_user[int(u)].append((int(sec), int(eid), int(cents)))
+    want = {}
+    for u, evs in per_user.items():
+        secs = [s for s, _, _ in evs]
+        for i, (sec, eid, cents) in enumerate(evs):
+            # RANGE frame: ALL events with sec in [sec-W, sec] — including
+            # simultaneous ones ordered after this row
+            n = sum(1 for s in secs if sec - _VEL_WINDOW_SEC <= s <= sec)
+            if n >= _VEL_MIN_COUNT:
+                want[eid] = (u, cents, n)
+    assert got == want
+    assert want  # the rule fires at this scale (the fixture guarantee)
+
+
+def test_rfm_migration_matches_python_reference(spark, sf_dir):
+    """Tier migration cells rebuilt from per-user half-period purchase
+    counts with the fixed tier edges; the matrix conserves users."""
+    from tmdb_movie_data_pipeline_spark.operators.events import _MIG_SPLIT
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        (r["tier_from"], r["tier_to"]): (r["n_users"], r["net_purchase_delta"])
+        for r in all_queries()["events_rfm_migration_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "events")
+    rows = con.execute(f"""
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '{_MIG_SPLIT}' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN ts >= TIMESTAMP '{_MIG_SPLIT}' THEN 1 ELSE 0 END)
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """).fetchall()
+    con.close()
+
+    def tier(c: int) -> str:
+        return (
+            "absent" if c == 0 else
+            "low" if c <= 2 else
+            "mid" if c <= 5 else "high"
+        )
+
+    cells: dict = defaultdict(lambda: [0, 0])
+    for _, c1, c2 in rows:
+        k = (tier(int(c1)), tier(int(c2)))
+        cells[k][0] += 1
+        cells[k][1] += int(c2) - int(c1)
+    want = {k: tuple(v) for k, v in cells.items()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(rows)  # users conserved
+
+
+def test_quality_score_matches_python_reference(spark, sf_dir):
+    """Length/stopword/punctuation features and the pass gate rebuilt
+    with Python regex over raw text."""
+    import re
+
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_chars"], r["avg_token_len"],
+            r["stopword_ratio"], r["punct_ratio"], r["passes_quality"],
+        )
+        for r in all_queries()["text_quality_score"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+    stop = {"the", "a", "and", "of", "is", "to", "in"}
+    for doc_id, text in rows:
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        toks = norm.split(" ")
+        n = len(toks)
+        avg_len = sum(len(t) for t in toks) / n
+        sw = sum(1 for t in toks if t in stop) / n
+        punct = sum(
+            1 for ch in text if not (ch.isascii() and (ch.isalnum() or ch == " "))
+        ) / len(text)
+        passes = 20 <= n <= 1000 and sw >= 0.01
+        gn, gc, gavg, gsw, gp, gpass = got[int(doc_id)]
+        assert (gn, gc) == (n, len(norm))
+        assert abs(gavg - avg_len) <= 1e-12
+        assert abs(gsw - sw) <= 1e-12
+        assert abs(gp - punct) <= 1e-12
+        assert gpass == passes
+
+
+def test_domain_mix_matches_python_reference(spark, sf_dir):
+    """The deterministic hash-threshold resample rebuilt literally:
+    thr = ceil(budget·w·2³² / (W·n_s)), keep iff the Knuth hash falls
+    under it; kept counts must track the target share within the
+    hash-uniformity tolerance."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _MIX_BUDGET,
+        _MIX_KNUTH,
+        _MIX_MASK,
+        _MIX_MOD,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["source"]: (r["weight"], r["n_docs"], r["n_kept"])
+        for r in all_queries()["llm_domain_mix_resample"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT doc_id, source FROM documents").fetchall()
+    con.close()
+    by_src: dict = defaultdict(list)
+    for doc_id, src in rows:
+        by_src[src].append(int(doc_id))
+    w = {s: int(s[3:]) % 4 + 1 for s in by_src}
+    big_w = sum(w.values())
+    want = {}
+    for s, ids in by_src.items():
+        n_s = len(ids)
+        thr = (
+            _MIX_BUDGET * w[s] * _MIX_MOD + big_w * n_s - 1
+        ) // (big_w * n_s)
+        kept = sum(
+            1 for d in ids if ((d % _MIX_MASK) * _MIX_KNUTH) % _MIX_MOD < thr
+        )
+        want[s] = (w[s], n_s, kept)
+    assert got == want
+
+
+def test_stratified_split_matches_python_reference(spark, sf_dir):
+    """Exact 80/10/10 largest-remainder quotas per stratum rebuilt with a
+    literal apportionment walk and an md5-ranked assignment; per-stratum
+    quota exactness pinned (the guarantee the hash split trades away)."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _SPLIT_WEIGHTS,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (r["lang"], r["split"])
+        for r in all_queries()["llm_stratified_split_exact"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = _con(sf_dir, "documents")
+    rows = con.execute("SELECT doc_id, lang FROM documents").fetchall()
+    con.close()
+    by_lang: dict = defaultdict(list)
+    for doc_id, lang in rows:
+        by_lang[lang].append(int(doc_id))
+    want = {}
+    for lang, ids in by_lang.items():
+        n = len(ids)
+        q = {}
+        r = {}
+        for name, prio, wt in _SPLIT_WEIGHTS:
+            q[name] = wt * n // 10
+            r[name] = wt * n % 10
+        leftover = n - sum(q.values())
+        order = sorted(
+            _SPLIT_WEIGHTS, key=lambda v: (-r[v[0]], v[1])
+        )
+        for i, (name, _, _) in enumerate(order):
+            if i < leftover:
+                q[name] += 1
+        assert sum(q.values()) == n  # exact apportionment
+        ranked = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        i = 0
+        for name, prio, _ in sorted(_SPLIT_WEIGHTS, key=lambda v: v[1]):
+            for d in ranked[i : i + q[name]]:
+                want[d] = (lang, name)
+            i += q[name]
+    assert got == want
