@@ -1216,11 +1216,16 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- HITS hubs/authorities on the bipartite purchase graph (r15 queue) --------
+# -- HITS hubs/authorities on the bipartite purchase graph (active r15) -------
 
 _HITS_SCALE = 1_000_000  # fixed-point score scale (the PageRank recipe)
 _HITS_ITERS = 3  # fixed rounds: deterministic row SET for the hash gate
 _HITS_TOP = 25  # reported per role, fully tie-broken
+
+# ADVICE r14: the loop below leaves `a` None when _HITS_ITERS == 0 and the
+# failure (AttributeError on a.orderBy) would surface far from this constant;
+# fail HERE if the round count is ever mistuned.
+assert _HITS_ITERS >= 1, "HITS needs at least one iteration"
 
 
 def _hits_oracle() -> str:
@@ -1272,7 +1277,7 @@ def _hits_oracle() -> str:
     return "".join(parts)
 
 
-@register("graph_hits_bipartite", deferred=True, oracle=_hits_oracle())
+@register("graph_hits_bipartite", oracle=_hits_oracle())
 def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (Kleinberg 1999) on the DIRECTED bipartite
     customer→part purchase graph: authorities are parts bought by the

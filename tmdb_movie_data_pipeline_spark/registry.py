@@ -89,12 +89,14 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r14: the DSIR exchange-reuse rewrite (VERDICT r13 #5 / NOTES_r13 #4:
-    # profile AND scoring now derive from one groupBy(doc_id, lang, bucket)
-    # count relation so the token-explode Exchange is ReusedExchangeExec'd
-    # instead of recomputed) is a physical-plan rewrite of a driver-verified
-    # query, so it re-verifies in bucket 2.
-    "llm_dsir_importance_weights",
+    # r15: the CDC feed rewrite (VERDICT r14 #5): TxTable.merge/delete now
+    # record typed change files at COMMIT time when the table enables the
+    # change_feed property, and delta_cdc_feed_commits reads those change
+    # files instead of diffing adjacent snapshots — a physical-plan rewrite
+    # of a driver-verified query (the snapshot diff remains the oracle and
+    # the per-commit fallback for commits recorded without the property),
+    # so it re-verifies in bucket 2.
+    "delta_cdc_feed_commits",
 ]
 
 
@@ -215,9 +217,16 @@ DRIVER_CAP_FLOOR = 45
 #: putting llm_dsir_importance_weights on the changed list; the ledger
 #: records the CI-enforced cap arithmetic (head 3), recorded BEFORE the
 #: driver runs.
+#: r15: the 1-query r14 deferred queue activated (VERDICT r14 #1:
+#: graph_hits_bipartite) = bucket 1, PLUS the CDC write-time change-feed
+#: rewrite on the changed list (VERDICT r14 #5: delta_cdc_feed_commits)
+#: = bucket 2 → head 1 + 1 = 2, stride 45 − 2 = 43, recorded BEFORE the
+#: driver runs. VERDICT r14 #1 projected 44 "if the changed list stays
+#: empty"; its own mandate #5 rewrites the CDC feed, so the list is not
+#: empty — same interaction as r14, the cap arithmetic wins.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20, 13: 41, 14: 42}
+_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
