@@ -184,6 +184,11 @@ BENCH_QUERIES = [
     # to a ~60-row daily relation after one groupBy(arm, day) scan and
     # needs no slot
     "llm_good_turing_missing_mass",
+    # r15 activation (VERDICT r14 #1): HITS on the bipartite purchase
+    # graph — 3 unrolled fixed-point rounds, each two |E|-bounded
+    # equi-joins + two partial-aggregable groupBys; the localCheckpoint
+    # per round makes this the priciest graph query, worth a slot
+    "graph_hits_bipartite",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win
@@ -455,7 +460,18 @@ def main() -> None:
                     capture_output=True,
                 ).returncode == 0
 
-            if _tracked(detail_name):
+            def _taken(name: str) -> bool:
+                # a name is off-limits when git tracks it OR it already
+                # exists on disk untracked (ADVICE r14: a not-yet-committed
+                # probe record is still a record — the next run must not
+                # silently clobber it)
+                return _tracked(name) or os.path.exists(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), name
+                    )
+                )
+
+            if _taken(detail_name):
                 detail_name = detail_name.replace(
                     "BENCH_DETAIL_", "BENCH_DETAIL_session_"
                 )
@@ -463,12 +479,12 @@ def main() -> None:
                 # session of the same round committed it — this bit r13:
                 # an untagged sf0.001 probe overwrote the committed
                 # BENCH_DETAIL_session_r12.json); keep probing _2, _3, ...
-                # until an untracked name, never clobber a tracked one.
+                # until a free name, never clobber a tracked or on-disk one.
                 # Numeric suffixes (ADVICE r13): a chr() walk past 'z'
                 # drifts into punctuation; integers never do.
                 stem, ext = detail_name.rsplit(".", 1)
                 suffix = 2
-                while _tracked(detail_name):
+                while _taken(detail_name):
                     detail_name = f"{stem}_{suffix}.{ext}"
                     suffix += 1
         detail_path = os.path.join(

@@ -768,3 +768,192 @@ def test_dv_survives_restore_clone_and_vacuum(spark, tmp_path):
     # vacuum with the DV-bearing head retained keeps its sidecars readable
     t.vacuum(keep_latest=1, grace_seconds=0.0)
     assert t.read().count() == 190
+
+
+# -- write-time change feed (CDF; VERDICT r14 #5) -----------------------------
+
+
+def _mk_cdf(spark, tmp_path, stats: bool = False):
+    """8-row table with the change_feed property on; ``stats=True`` also
+    range-partitions into 4 files with footer stats so merge/delete take
+    the file-PRUNED path (the change recorder must be exact under both)."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 10) for i in range(1, 9)],
+        "k long, name string, v double",
+    )
+    if stats:
+        df = df.repartitionByRange(4, "k")
+    return TxTable.create(
+        spark,
+        str(tmp_path / "cdf"),
+        df,
+        stats_key="k" if stats else None,
+        change_feed=True,
+    )
+
+
+def _cdf_source(spark):
+    # (2, n2, 20.0) is IDENTICAL to the target row -> must record nothing;
+    # (3, ...) differs -> update; (100, ...) is absent -> insert
+    return spark.createDataFrame(
+        [(2, "n2", 20.0), (3, "x", 999.0), (100, "new", 1.0)],
+        "k long, name string, v double",
+    )
+
+
+def _python_snapshot_diff(t, v):
+    """Independent plain-Python ledger rebuild (VERDICT r14 #6): diff two
+    adjacent snapshots with dicts — no Spark joins — and emit the typed
+    change rows the write-time recorder must have produced."""
+    old = {r[0]: tuple(r) for r in t.read(v - 1).collect()}
+    new = {r[0]: tuple(r) for r in t.read(v).collect()}
+    out = set()
+    for k, row in new.items():
+        if k not in old:
+            out.add(("insert", *row))
+        elif row != old[k]:
+            out.add(("update", *row))
+    for k, row in old.items():
+        if k not in new:
+            out.add(("delete", *row))
+    return out
+
+
+@pytest.mark.parametrize("stats", [False, True], ids=["full-rewrite", "pruned"])
+def test_change_rows_match_python_snapshot_diff(spark, tmp_path, stats):
+    """Every commit's write-time change file equals the adjacent-snapshot
+    diff rebuilt in plain Python — under BOTH the full-rewrite fallback
+    and the footer-stats pruned path (where the pre-image is only the
+    touched files; exactness of stats pruning is what's under test)."""
+    t = _mk_cdf(spark, tmp_path, stats=stats)
+    t.merge(_cdf_source(spark), "k")  # v1
+    t.delete_range("k", 1, 2)  # v2
+    for v in t.versions()[1:]:
+        recorded = {tuple(r) for r in t.change_rows(v).collect()}
+        assert recorded == _python_snapshot_diff(t, v), f"v{v} diverged"
+    # the identical source row recorded NO change row
+    v1 = {tuple(r) for r in t.change_rows(1).collect()}
+    assert v1 == {("update", 3, "x", 999.0), ("insert", 100, "new", 1.0)}
+    v2 = {tuple(r) for r in t.change_rows(2).collect()}
+    assert v2 == {("delete", 1, "n1", 10.0), ("delete", 2, "n2", 20.0)}
+
+
+def test_change_feed_never_rereads_snapshot_files(spark, tmp_path):
+    """THE mandated pin (VERDICT r14 #5): assembling the full feed from
+    change_rows() scans ONLY change files — no data file of any snapshot
+    appears among the feed's input files, so read cost is O(changed rows)
+    regardless of commit count."""
+    t = _mk_cdf(spark, tmp_path, stats=True)
+    t.merge(_cdf_source(spark), "k")
+    t.delete_range("k", 1, 2)
+    feed = None
+    for v in t.versions()[1:]:
+        ch = t.change_rows(v)
+        assert ch is not None, "every commit recorded at write time"
+        feed = ch if feed is None else feed.unionByName(ch)
+    inputs = set(feed.inputFiles())
+    assert inputs, "feed must scan the staged change files"
+    assert all("-changes" in p for p in inputs), inputs
+    data_files = {
+        os.path.abspath(t._abs(rel))
+        for m in t.history()
+        for rel in m["files"]
+    }
+    assert not {os.path.abspath(p.removeprefix("file:")) for p in inputs} & data_files
+
+
+def test_registered_cdc_feed_scans_only_change_files(spark, sf_dir):
+    """The same pin on the REGISTERED query: delta_cdc_feed_commits (the
+    driver-benched shape) must take the write-time path for every commit —
+    zero snapshot re-reads."""
+    from tmdb_movie_data_pipeline_spark.operators.merge import cdc_feed_commits
+
+    df = cdc_feed_commits(spark, sf_dir)
+    inputs = df.inputFiles()
+    assert inputs and all("-changes" in p for p in inputs), inputs
+
+
+def test_optimize_records_empty_changes_without_fallback(spark, tmp_path):
+    """OPTIMIZE on a change-feed table records an EXPLICIT empty change
+    list: change_rows() returns an empty frame (never None), so the feed
+    never burns a snapshot diff on a compaction."""
+    t = _mk_cdf(spark, tmp_path)
+    t.merge(_cdf_source(spark), "k")
+    v = t.optimize(1)
+    ch = t.change_rows(v)
+    assert ch is not None and ch.count() == 0
+    assert ch.columns[0] == "change_type"
+
+
+def test_restore_carries_property_but_falls_back_to_diff(spark, tmp_path):
+    """RESTORE records no change file (its delta is old-head vs target,
+    nothing a write computed) -> change_rows() is None and a feed reader
+    falls back to the snapshot diff; the table PROPERTY survives, so the
+    next write records again."""
+    t = _mk_cdf(spark, tmp_path)
+    t.merge(_cdf_source(spark), "k")  # v1
+    rv = t.restore(0)  # v2
+    assert t.change_rows(rv) is None
+    t.delete_range("k", 1, 2)  # v3: property must still be on
+    assert {tuple(r) for r in t.change_rows(3).collect()} == {
+        ("delete", 1, "n1", 10.0),
+        ("delete", 2, "n2", 20.0),
+    }
+
+
+def test_dv_delete_change_rows_skip_already_deleted(spark, tmp_path):
+    """MoR (deletion-vector) deletes record change rows too — and a row an
+    EARLIER DV already removed must not re-record when a later overlapping
+    DV delete scans the same raw files."""
+    base = spark.range(1, 11).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "tbl"), base, stats_key="k", change_feed=True
+    )
+    t.delete_range_dv("k", 1, 3)  # v1 deletes 1,2,3
+    t.delete_range_dv("k", 1, 5)  # v2 must record ONLY 4,5
+    assert {tuple(r) for r in t.change_rows(1).collect()} == {
+        ("delete", 1, 1.0),
+        ("delete", 2, 2.0),
+        ("delete", 3, 3.0),
+    }
+    assert {tuple(r) for r in t.change_rows(2).collect()} == {
+        ("delete", 4, 4.0),
+        ("delete", 5, 5.0),
+    }
+    assert _python_snapshot_diff(t, 2) == {
+        ("delete", 4, 4.0),
+        ("delete", 5, 5.0),
+    }
+
+
+def test_vacuum_retains_head_change_files_reclaims_old(spark, tmp_path):
+    """Change files are table state under VACUUM: retained manifests keep
+    theirs readable; unretained commits' change files are reclaimed (the
+    feed is bounded by the retention window, exactly like Delta's CDF)."""
+    t = _mk_cdf(spark, tmp_path)
+    t.merge(_cdf_source(spark), "k")  # v1
+    t.delete_range("k", 1, 2)  # v2 (head)
+    v1_changes = [t._abs(rel) for rel in t.manifest(1)["changes"]]
+    v2_changes = [t._abs(rel) for rel in t.manifest(2)["changes"]]
+    assert all(os.path.exists(p) for p in v1_changes + v2_changes)
+    t.vacuum(keep_latest=1, grace_seconds=0.0)
+    assert all(not os.path.exists(p) for p in v1_changes), "unretained reclaimed"
+    assert all(os.path.exists(p) for p in v2_changes), "retained survives"
+    assert {tuple(r) for r in t.change_rows(2).collect()} == {
+        ("delete", 1, "n1", 10.0),
+        ("delete", 2, "n2", 20.0),
+    }
+
+
+def test_change_feed_off_by_default_records_nothing(spark, tmp_path):
+    """Tables without the property pay ZERO recording cost: no manifest
+    key, no change files on disk — readers fall back to snapshot diffs."""
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(3, "c", 30.0)], "k long, name string, v double")
+    t.merge(src, "k")
+    assert t.change_rows(1) is None
+    assert "changes" not in t.manifest(1)
+    for root, _dirs, names in os.walk(t.path):
+        assert "-changes" not in os.path.basename(root)

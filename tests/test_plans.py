@@ -972,3 +972,22 @@ def test_sprt_windows_run_over_the_daily_relation_only(spark, sf_dir):
     assert "partial_" in plan[first_window:], (
         "raw events reach the window without pre-aggregation"
     )
+
+
+def test_dsir_reuses_token_explode_exchange(spark, sf_dir):
+    """ADVICE r14 / VERDICT r14 #2: llm_dsir_importance_weights derives
+    BOTH its 256-bucket profile and its per-doc scoring from ONE
+    groupBy(doc_id, lang, bucket) count relation, so the token-explode
+    Exchange must be ReusedExchangeExec'd instead of recomputed. The reuse
+    only materializes in the FINAL adaptive plan (the initial executedPlan
+    shows none), so collect first, then pin — a future refactor that
+    silently splits the shared relation back into two exchanges fails
+    here, not in a bench regression three rounds later."""
+    df = all_queries()["llm_dsir_importance_weights"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "the shared groupBy(doc_id, lang, bucket) relation no longer "
+        "reuses its exchange — the r14 rewrite regressed"
+    )

@@ -524,6 +524,46 @@ def delta_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- per-commit change feed (CDF) from the transaction log --------------------
 
 
+def _commit_snapshot_diff(t, v: int) -> DataFrame:
+    """One commit's change rows reconstructed by DIFFING its two adjacent
+    snapshots — two anti-joins + one inner join, all key-colocated. This
+    is the semantic ground truth the write-time change files must agree
+    with (and the oracle's formulation); it remains the per-commit
+    FALLBACK for commits recorded before the table enabled the
+    change_feed property, and for RESTORE commits which record none."""
+    old = t.read(v - 1).alias("o")
+    new = t.read(v).alias("n")
+    key = F.col("o.c_custkey") == F.col("n.c_custkey")
+    deletes = old.join(new, key, "left_anti").select(
+        F.lit("delete").alias("change_type"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+    )
+    inserts = new.join(old, key, "left_anti").select(
+        F.lit("insert").alias("change_type"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+    )
+    updates = (
+        new.join(old, "c_custkey")
+        .filter(
+            (F.col("n.c_name") != F.col("o.c_name"))
+            | (F.col("n.c_acctbal") != F.col("o.c_acctbal"))
+            | (F.col("n.c_mktsegment") != F.col("o.c_mktsegment"))
+        )
+        .select(
+            F.lit("update").alias("change_type"),
+            "c_custkey",
+            F.col("n.c_name").alias("c_name"),
+            F.col("n.c_acctbal").alias("c_acctbal"),
+        )
+    )
+    return deletes.unionByName(inserts).unionByName(updates)
+
+
+
 @register(
     "delta_cdc_feed_commits",
     oracle=f"""
@@ -573,58 +613,43 @@ def delta_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_feed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed across EVERY commit of a TxTable: one typed change
     row (insert/update/delete) per key per commit, stamped with the commit
-    version — what `readChangeFeed` gives on Delta, reconstructed from the
-    transaction log's snapshots. Extends delta_version_diff (one end-to-end
-    span) to the per-commit granularity a downstream incremental consumer
-    replays.
+    version — what `readChangeFeed` gives on Delta. The table enables the
+    ``change_feed`` property (Delta's ``delta.enableChangeDataFeed``), so
+    MERGE/DELETE record their typed change rows at COMMIT time and the
+    feed is a SCAN of those change files — never a re-read of any
+    snapshot data file (pinned by tests/test_acid.py::
+    test_change_feed_never_rereads_snapshot_files). Commits without a
+    recording (pre-property history, RESTORE) fall back per-commit to the
+    adjacent-snapshot diff, which is also the oracle's formulation.
 
-    Scale shape: each commit's diff is a key-colocated compare of two
-    ADJACENT snapshots — two anti-joins + one inner join per commit, all
-    shuffle-on-key; version file lists prune each side's scan to that
-    snapshot's files. The loop over versions is a driver loop over the
-    MANIFEST (a few log entries), never over data.
-    """
+    Scale shape (VERDICT r14 #5): read cost is O(changed rows) TOTAL,
+    independent of commit count and table size — the r14 shape re-derived
+    each commit's changes with two anti-joins + an inner join over two
+    snapshot reads, O(commits × snapshot-join). The write side pays one
+    change-row pass over the files the commit already touched. The loop
+    over versions is a driver loop over the MANIFEST, never over data."""
     from ..plans.acid import TxTable
 
-    t = TxTable.create(spark, _tx_table_path(), _tx_base(spark, sf_dir))
+    t = TxTable.create(
+        spark, _tx_table_path(), _tx_base(spark, sf_dir), change_feed=True
+    )
     t.merge(_tx_source(spark, sf_dir), "c_custkey")
     t.delete_range("c_custkey", _DIFF_DEL_LO, _DIFF_DEL_HI)
 
     feeds = []
     for v in t.versions()[1:]:
-        old = t.read(v - 1).alias("o")
-        new = t.read(v).alias("n")
-        key = F.col("o.c_custkey") == F.col("n.c_custkey")
-        deletes = old.join(new, key, "left_anti").select(
-            F.lit(v).cast("long").alias("commit_version"),
-            F.lit("delete").alias("change_type"),
-            "c_custkey",
-            "c_name",
-            "c_acctbal",
-        )
-        inserts = new.join(old, key, "left_anti").select(
-            F.lit(v).cast("long").alias("commit_version"),
-            F.lit("insert").alias("change_type"),
-            "c_custkey",
-            "c_name",
-            "c_acctbal",
-        )
-        updates = (
-            new.join(old, "c_custkey")
-            .filter(
-                (F.col("n.c_name") != F.col("o.c_name"))
-                | (F.col("n.c_acctbal") != F.col("o.c_acctbal"))
-                | (F.col("n.c_mktsegment") != F.col("o.c_mktsegment"))
-            )
-            .select(
+        ch = t.change_rows(v)
+        if ch is None:  # pre-property commit: snapshot-diff fallback
+            ch = _commit_snapshot_diff(t, v)
+        feeds.append(
+            ch.select(
                 F.lit(v).cast("long").alias("commit_version"),
-                F.lit("update").alias("change_type"),
+                "change_type",
                 "c_custkey",
-                F.col("n.c_name").alias("c_name"),
-                F.col("n.c_acctbal").alias("c_acctbal"),
+                "c_name",
+                "c_acctbal",
             )
         )
-        feeds.append(deletes.unionByName(inserts).unionByName(updates))
     out = feeds[0]
     for f in feeds[1:]:
         out = out.unionByName(f)

@@ -247,12 +247,38 @@ class TxTable:
             ).drop("_dv_file", "_dv_pos")
         return df
 
+    def change_rows(self, version: int) -> DataFrame | None:
+        """Typed change rows (``change_type`` + the table's columns)
+        recorded at commit time for ``version`` — the read side of the
+        change feed (Delta's ``readChangeFeed`` per-commit slice).
+
+        Returns ``None`` when the commit recorded no change file (table
+        property off at commit time, or a RESTORE): the caller falls back
+        to diffing the two adjacent snapshots, which is the semantic
+        ground truth this fast path must agree with. An explicit empty
+        recording (``"changes": []`` — e.g. OPTIMIZE, or a commit that
+        matched zero rows) returns an EMPTY DataFrame, not None, so no
+        snapshot diff ever runs for it."""
+        m = self.manifest(version)
+        rels = m.get("changes")
+        if rels is None:
+            return None
+        if not rels:
+            return self.spark.createDataFrame(
+                [], "change_type string, " + m["schema_ddl"]
+            )
+        return self.spark.read.parquet(*[self._abs(rel) for rel in rels])
+
     # -- write ----------------------------------------------------------
 
-    def _stage(self, df: DataFrame, version: int) -> list[str]:
-        """Write data files into a fresh, manifest-invisible directory."""
+    def _stage(self, df: DataFrame, version: int, suffix: str = "") -> list[str]:
+        """Write data files into a fresh, manifest-invisible directory.
+        ``suffix`` distinguishes sidecar stages (change files) from data
+        stages; both live under ``data/v<N>-…`` so VACUUM's in-flight
+        protection (slot number above every claimed slot → live stage)
+        covers them identically."""
         token = uuid.uuid4().hex[:12]
-        rel_dir = os.path.join(_DATA_DIR, f"v{version}-{token}")
+        rel_dir = os.path.join(_DATA_DIR, f"v{version}-{token}{suffix}")
         df.write.mode("error").parquet(os.path.join(self.path, rel_dir))
         out = []
         for name in sorted(os.listdir(os.path.join(self.path, rel_dir))):
@@ -312,6 +338,7 @@ class TxTable:
         stats_key: str | None = None,
         carry: list[tuple[str, dict | None]] | None = None,
         extra: dict | None = None,
+        changes: DataFrame | None = None,
     ) -> int:
         """Stage ``df``, then publish a manifest holding the staged files
         plus any ``carry`` files referenced (not rewritten) from a previous
@@ -361,6 +388,15 @@ class TxTable:
         if stats_key is not None:
             manifest["stats_key"] = stats_key
             manifest["stats"] = stats
+        if changes is not None:
+            # CDF sidecar (VERDICT r14 #5): the typed change rows this
+            # commit causes, staged alongside the data so the change feed
+            # is a SCAN of change files instead of a per-commit snapshot
+            # diff — Delta's _change_data directory, reduced to manifest
+            # entries. Presence of the "changes" key (even as []) means
+            # "recorded at write time"; absence means a reader must fall
+            # back to diffing adjacent snapshots for this commit.
+            manifest["changes"] = self._stage(changes, version, "-changes")
         if extra:
             # e.g. TxGroup's pending-group marker (plans/txgroup.py): fields
             # the manifest carries verbatim for cross-table protocols
@@ -377,13 +413,26 @@ class TxTable:
         path: str,
         df: DataFrame,
         stats_key: str | None = None,
+        change_feed: bool = False,
     ) -> "TxTable":
         """Commit v0. With ``stats_key`` set, every staged file records
         footer min/max of that column in the manifest — the file-skipping
         metadata every log-based format keeps, here enabling MERGE to
-        rewrite only the files whose key range intersects the source."""
+        rewrite only the files whose key range intersects the source.
+
+        ``change_feed=True`` is Delta's ``delta.enableChangeDataFeed``
+        table property: subsequent MERGE/DELETE/OPTIMIZE commits record
+        their typed change rows at WRITE time (manifest key ``changes``),
+        so :meth:`change_rows` is a scan of change files — O(changed rows)
+        per commit regardless of commit count — instead of a snapshot diff.
+        Off by default: recording costs one extra change-row write per
+        commit, so tables nobody tails shouldn't pay it (the same reason
+        Delta's property is opt-in). The v0 CREATE itself records no
+        change file — a feed consumer reads changes SINCE a version, and
+        the initial content is that version's snapshot, not a change."""
         t = cls(spark, path)
-        t._commit(df, 0, "CREATE", stats_key=stats_key)
+        extra = {"change_feed": True} if change_feed else None
+        t._commit(df, 0, "CREATE", stats_key=stats_key, extra=extra)
         return t
 
     @classmethod
@@ -407,6 +456,8 @@ class TxTable:
         }
         if m.get("dvs"):  # deletion vectors travel with the snapshot
             manifest["dvs"] = [source._abs(rel) for rel in m["dvs"]]  # noqa: SLF001
+        if m.get("change_feed"):  # the table property travels with the clone
+            manifest["change_feed"] = True
         if "stats_key" in m:
             manifest["stats_key"] = m["stats_key"]
             manifest["stats"] = {
@@ -457,6 +508,38 @@ class TxTable:
             [rel for rel in files if rel in touched],
             [rel for rel in files if rel not in touched],
         )
+
+    @staticmethod
+    def _merge_changes(old: DataFrame, source: DataFrame, key: str) -> DataFrame:
+        """Typed change rows a full-row upsert causes, computed against the
+        pre-image: INSERTs are source rows whose key is absent (stats
+        pruning keeps this exact — any file holding a source key is in the
+        touched set, so absent-from-touched equals absent-from-table), and
+        UPDATEs are source rows whose key matches but whose row DIFFERS
+        (null-safe, column by column). A source row identical to its
+        target row produces NO change row — the same no-op rule the
+        snapshot diff applies, which is what keeps the write-time feed
+        hash-identical to the diff-reconstructed one."""
+        from pyspark.sql import functions as F
+
+        cols = list(source.columns)
+        val_cols = [c for c in cols if c != key]
+        inserts = source.join(old.select(key), key, "left_anti").select(
+            F.lit("insert").alias("change_type"), *cols
+        )
+        s, o = source.alias("s"), old.alias("o")
+        differs = None
+        for c in val_cols:
+            p = ~F.col(f"s.{c}").eqNullSafe(F.col(f"o.{c}"))
+            differs = p if differs is None else (differs | p)
+        updates = s.join(o, F.col(f"s.{key}") == F.col(f"o.{key}"), "inner")
+        if differs is not None:
+            updates = updates.filter(differs)
+        updates = updates.select(
+            F.lit("update").alias("change_type"),
+            *[F.col(f"s.{c}").alias(c) for c in cols],
+        )
+        return inserts.unionByName(updates)
 
     def merge(
         self,
@@ -514,6 +597,17 @@ class TxTable:
                 carry = [(rel, m["stats"].get(rel)) for rel in untouched]
                 stats_key = key
             merged = merge_upsert(rewrite, source, key)
+            changes = None
+            extra = None
+            if m.get("change_feed"):
+                # write-time CDF (VERDICT r14 #5): the change rows come
+                # from the SAME pruned pre-image the merge itself reads,
+                # so recording costs one extra pass over touched files +
+                # source — never a second full-table scan. (Delta computes
+                # both outputs in one job; two jobs keep this emulation
+                # readable at the cost of re-scanning the touched subset.)
+                changes = self._merge_changes(rewrite, source, key)
+                extra = {"change_feed": True}
             if _test_hook is not None:
                 _test_hook()  # test seam: interleave a competing commit here
             try:
@@ -523,6 +617,8 @@ class TxTable:
                     f"MERGE key={key}",
                     stats_key=stats_key,
                     carry=carry,
+                    extra=extra,
+                    changes=changes,
                 )
             except CommitConflict:
                 continue
@@ -581,6 +677,16 @@ class TxTable:
                 rewrite = self.read(base_v)
                 carry = []
             kept = rewrite.filter(~F.col(key).between(lo, hi))
+            changes = None
+            extra = None
+            if m.get("change_feed"):
+                # deleted rows are exactly the predicate's matches inside
+                # the touched files (range-vs-range pruning is exact, so
+                # untouched files provably contribute none)
+                changes = rewrite.filter(F.col(key).between(lo, hi)).select(
+                    F.lit("delete").alias("change_type"), *rewrite.columns
+                )
+                extra = {"change_feed": True}
             try:
                 return self._commit(
                     kept,
@@ -588,6 +694,8 @@ class TxTable:
                     f"DELETE {key} IN [{lo}, {hi}]",
                     stats_key=stats_key,
                     carry=carry,
+                    extra=extra,
+                    changes=changes,
                 )
             except CommitConflict:
                 continue
@@ -666,6 +774,47 @@ class TxTable:
                 "schema_ddl": m["schema_ddl"],
                 "dvs": list(m.get("dvs") or []) + dv_rels,
             }
+            if m.get("change_feed"):
+                # MoR delete still records its change rows eagerly: the
+                # probe scan already materializes the matching rows, so
+                # the change file is the same filter minus the _metadata
+                # columns (a feed reader must never need to apply DVs).
+                # Rows an EARLIER DV already removed must not re-record —
+                # the raw probe read resurrects them, so subtract existing
+                # DV positions first (deleted-rows-sized broadcast, same
+                # device as read()).
+                change_rels: list[str] = []
+                if probe:
+                    src = self.spark.read.parquet(
+                        *[self._abs(rel) for rel in probe]
+                    )
+                    data_cols = src.columns
+                    src = src.select(
+                        F.col("_metadata.file_name").alias("_cf_file"),
+                        F.col("_metadata.row_index").alias("_cf_pos"),
+                        "*",
+                    ).filter(F.col(key).between(lo, hi))
+                    prior = m.get("dvs") or []
+                    if prior:
+                        dv_old = (
+                            self.spark.read.parquet(
+                                *[self._abs(rel) for rel in prior]
+                            )
+                            .select("file_name", "row_index")
+                            .distinct()
+                        )
+                        src = src.join(
+                            F.broadcast(dv_old),
+                            (src["_cf_file"] == dv_old["file_name"])
+                            & (src["_cf_pos"] == dv_old["row_index"]),
+                            "left_anti",
+                        )
+                    deleted = src.select(
+                        F.lit("delete").alias("change_type"), *data_cols
+                    )
+                    change_rels = self._stage(deleted, slot, "-changes")
+                manifest["change_feed"] = True
+                manifest["changes"] = change_rels
             if "stats_key" in m:
                 manifest["stats_key"] = m["stats_key"]
                 manifest["stats"] = dict(stats)
@@ -717,6 +866,12 @@ class TxTable:
             }
             if m.get("dvs"):
                 manifest["dvs"] = list(m["dvs"])
+            if m.get("change_feed"):
+                # the property survives a RESTORE, but the restore commit
+                # itself records NO change file (its logical delta is
+                # old-head vs target, not something a write computed) —
+                # feed readers fall back to the snapshot diff for it
+                manifest["change_feed"] = True
             if "stats_key" in m:
                 manifest["stats_key"] = m["stats_key"]
                 manifest["stats"] = dict(m.get("stats") or {})
@@ -727,14 +882,25 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up restoring v{version} at {self.path}")
 
+    def _noop_change_extra(self, base_manifest: dict) -> dict | None:
+        """Manifest fields for a commit that changes NO logical content
+        (OPTIMIZE) on a change-feed table: an explicit empty ``changes``
+        list, so the feed reader knows "recorded, zero changes" and never
+        falls back to a pointless snapshot diff of a compaction."""
+        if not base_manifest.get("change_feed"):
+            return None
+        return {"change_feed": True, "changes": []}
+
     def optimize(self, target_files: int = 1) -> int:
         """Compaction: same logical content, fewer files, new version."""
         v = self.latest_visible_version()
+        m = self.manifest(v)
         return self._commit(
             self.read(v).coalesce(target_files),
             self.latest_version() + 1,
             f"OPTIMIZE n={target_files}",
-            stats_key=self.manifest(v).get("stats_key"),
+            stats_key=m.get("stats_key"),
+            extra=self._noop_change_extra(m),
         )
 
     def optimize_clustered(self, key: str, target_files: int = 8) -> int:
@@ -760,6 +926,7 @@ class TxTable:
             self.latest_version() + 1,
             f"OPTIMIZE CLUSTERED BY {key} n={target_files}",
             stats_key=key,
+            extra=self._noop_change_extra(self.manifest(v)),
         )
 
     def files_touched_by_range(self, key: str, lo: int, hi: int) -> tuple[int, int]:
@@ -834,13 +1001,18 @@ class TxTable:
             # ABORTED versions are dead (their group record says so) and
             # their files ARE reclaimable — without this, one failed
             # prepare would pin its staged files forever (ADVICE r6).
-            # DV sidecars are table state exactly like data files: an
-            # unretained DV is reclaimable, a retained one must survive
+            # DV sidecars and CHANGE files are table state exactly like
+            # data files: unretained ones are reclaimable, retained ones
+            # must survive. (Reclaiming an old commit's change file bounds
+            # the feed by the retention window — Delta's CDF behaves the
+            # same way past its retention.)
             referenced.update(m["files"])
             referenced.update(m.get("dvs") or [])
+            referenced.update(m.get("changes") or [])
             if v in retained or self._group_state(m) == "pending":
                 keep.update(m["files"])
                 keep.update(m.get("dvs") or [])
+                keep.update(m.get("changes") or [])
         n_deleted = 0
         bytes_deleted = 0
         # fs-clock "now" (see docstring): stamp a probe next to the log
