@@ -454,3 +454,86 @@ def test_frame_sample_matches_slice_rebuild(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# DBSCAN full labeling (r16 queue): literal Python rebuild
+# --------------------------------------------------------------------------
+
+
+def test_dbscan_clusters_match_python_rebuild(spark, sf_dir):
+    """spatial_dbscan_clusters vs a literal Python DBSCAN: md5 coordinates
+    recomputed with hashlib, the exact all-pairs epsilon scan with ints,
+    core points by neighbor count, clusters by set-based BFS over
+    core-core edges, borders to the MIN core-neighbor cluster — and the
+    density regime asserted per SF (sub-critical all-noise at sf0.001,
+    real clusters from sf0.01 up), so the degenerate branch is pinned the
+    way the McNemar NULL branch is."""
+    from tmdb_movie_data_pipeline_spark.operators.spatial import (
+        _DBSCAN_MINPTS,
+        _PLANE_MOD,
+        _R2,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    con = duckdb.connect()
+    keys = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+
+    def coord(axis: str, k: int) -> int:
+        h = hashlib.md5(f"{axis}_{k}".encode()).hexdigest()
+        return int(h[:15], 16) % _PLANE_MOD
+
+    pts = {k: (coord("sx", k), coord("sy", k)) for k in keys}
+    nbrs: dict[int, set[int]] = {k: set() for k in keys}
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        ax, ay = pts[a]
+        for b in ks[i + 1 :]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= _R2:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    core = {k for k in keys if len(nbrs[k]) >= _DBSCAN_MINPTS}
+    cluster: dict[int, int] = {}
+    for seed in sorted(core):
+        if seed in cluster:
+            continue
+        comp, frontier = {seed}, [seed]
+        while frontier:
+            u = frontier.pop()
+            for w in nbrs[u]:
+                if w in core and w not in comp:
+                    comp.add(w)
+                    frontier.append(w)
+        cid = min(comp)
+        for u in comp:
+            cluster[u] = cid
+    want = {}
+    for k in keys:
+        if k in core:
+            want[k] = ("core", cluster[k])
+        else:
+            core_nb = {cluster[w] for w in nbrs[k] if w in core}
+            want[k] = ("border", min(core_nb)) if core_nb else ("noise", None)
+
+    got = {
+        r["custkey"]: (r["role"], r["cluster_id"])
+        for r in deferred_queries()["spatial_dbscan_clusters"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    # density-regime pin: the sf0.001 fixture is sub-critical (all noise),
+    # sf0.01+ carries real clusters with all three roles live
+    if len(keys) <= 150:
+        assert not core and all(role == "noise" for role, _ in got.values())
+    else:
+        roles = {role for role, _ in got.values()}
+        assert roles == {"core", "border", "noise"}
+        assert len({c for _, c in got.values() if c is not None}) >= 2

@@ -206,6 +206,141 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spatial_dbscan_clusters",
+    deferred=True,  # r16 queue
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS pkey,
+               {_coord_sql('sx')} AS x,
+               {_coord_sql('sy')} AS y
+        FROM customer
+    ),
+    prs AS (
+        SELECT a.pkey AS pa, b.pkey AS pb
+        FROM pts a JOIN pts b ON a.pkey < b.pkey
+        WHERE (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= {_R2}
+    ),
+    sym AS (SELECT pa AS u, pb AS w FROM prs
+            UNION ALL SELECT pb, pa FROM prs),
+    core AS (
+        SELECT u AS pkey FROM sym GROUP BY 1
+        HAVING COUNT(*) >= {_DBSCAN_MINPTS}
+    ),
+    cedges AS (
+        SELECT u, w FROM sym
+        WHERE u IN (SELECT pkey FROM core) AND w IN (SELECT pkey FROM core)
+    ),
+    verts AS (SELECT DISTINCT u AS v FROM cedges),
+    reach AS (
+        SELECT v AS root, v AS node FROM verts
+        UNION
+        SELECT r.root, e.w FROM reach r JOIN cedges e ON e.u = r.node
+    ),
+    comp AS (SELECT root AS pkey, MIN(node) AS cl FROM reach GROUP BY 1),
+    core_lab AS (
+        SELECT c.pkey, COALESCE(comp.cl, c.pkey) AS cl
+        FROM core c LEFT JOIN comp USING (pkey)
+    ),
+    border AS (
+        SELECT s.u AS pkey, MIN(cl.cl) AS cl
+        FROM sym s JOIN core_lab cl ON cl.pkey = s.w
+        WHERE s.u NOT IN (SELECT pkey FROM core)
+        GROUP BY 1
+    )
+    SELECT pkey AS custkey, 'core' AS role, CAST(cl AS BIGINT) AS cluster_id
+    FROM core_lab
+    UNION ALL
+    SELECT pkey, 'border', CAST(cl AS BIGINT) FROM border
+    UNION ALL
+    SELECT p.pkey, 'noise', CAST(NULL AS BIGINT) FROM pts p
+    WHERE p.pkey NOT IN (SELECT pkey FROM core_lab)
+      AND p.pkey NOT IN (SELECT pkey FROM border)
+    """,
+)
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL DBSCAN labeling — the completion spatial_dbscan_core's own
+    docstring names as the remaining half: every point classified core /
+    border / noise with a deterministic cluster id. Same RADIUS and
+    MINPTS as the core scan (a point is core when >= {_DBSCAN_MINPTS}
+    OTHER points lie within RADIUS).
+
+    Determinism (textbook DBSCAN is scan-order-dependent for borders — a
+    border in reach of two clusters goes to whichever expanded first):
+    here the cluster id is the MIN core pkey of the component, and a
+    border point joins the MIN cluster id among its core neighbors, so
+    the labeling is a pure function of the point set and both engines
+    agree bit-for-bit. An isolated core (core by count, but no CORE
+    neighbor — its >= {_DBSCAN_MINPTS} witnesses are all border/noise)
+    forms its own singleton cluster.
+
+    Scale shape: the density scan is the SAME 3x3 grid equi-join the pair
+    query proves lossless (candidates bounded by local density, never n²);
+    the clustering is connected components over core-core edges via
+    graph.py's hash-to-min kernel (logarithmic rounds, |E|-bounded per
+    round); border attachment is one more |pairs|-bounded join + min-agg.
+    Nothing in the pipeline materializes more than the qualifying pair
+    relation. At sf0.001 the fixture's density is sub-critical (zero core
+    points — every point reads noise); structure appears from sf0.01 up —
+    both branches are oracle-checked and reference-tested.
+    """
+    from .graph import connected_components
+
+    pts = grid_points(load_table(spark, sf_dir, "customer"))
+    pairs = grid_distance_self_join(pts).localCheckpoint(eager=True)
+    sym = pairs.select(
+        F.col("custkey_a").alias("p"), F.col("custkey_b").alias("q")
+    ).unionAll(
+        pairs.select(F.col("custkey_b").alias("p"), F.col("custkey_a").alias("q"))
+    )
+    core = (
+        sym.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _DBSCAN_MINPTS)
+        .select(F.col("p").alias("pkey"))
+        .localCheckpoint(eager=True)
+    )
+    core_edges = pairs.join(
+        core.select(F.col("pkey").alias("custkey_a")), "custkey_a", "left_semi"
+    ).join(core.select(F.col("pkey").alias("custkey_b")), "custkey_b", "left_semi")
+    comp = connected_components(core_edges, "custkey_a", "custkey_b")
+    core_lab = core.join(
+        comp.select(F.col("v").alias("pkey"), F.col("comp").alias("cl")),
+        "pkey",
+        "left",
+    ).select("pkey", F.coalesce("cl", "pkey").alias("cl"))
+    border = (
+        sym.join(core.select(F.col("pkey").alias("p")), "p", "left_anti")
+        .join(
+            core_lab.select(F.col("pkey").alias("q"), "cl"),
+            "q",
+        )
+        .groupBy("p")
+        .agg(F.min("cl").alias("cl"))
+        .select(F.col("p").alias("pkey"), "cl")
+    )
+    labeled = core_lab.select(
+        "pkey", F.lit("core").alias("role"), F.col("cl").cast("long").alias("cluster_id")
+    ).unionByName(
+        border.select(
+            "pkey", F.lit("border").alias("role"), F.col("cl").cast("long").alias("cluster_id")
+        )
+    )
+    noise = (
+        pts.select("pkey")
+        .join(labeled.select("pkey"), "pkey", "left_anti")
+        .select(
+            "pkey",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster_id"),
+        )
+    )
+    return labeled.unionByName(noise).select(
+        F.col("pkey").alias("custkey"), "role", "cluster_id"
+    )
+
+
 #: neighbors reported per point by the radius-bounded kNN
 _KNN_K = 3
 
