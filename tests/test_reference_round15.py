@@ -537,3 +537,168 @@ def test_dbscan_clusters_match_python_rebuild(spark, sf_dir):
         roles = {role for role, _ in got.values()}
         assert roles == {"core", "border", "noise"}
         assert len({c for _, c in got.values() if c is not None}) >= 2
+
+
+# --------------------------------------------------------------------------
+# streaming batch-twins, batch 2: joins, stateful ops, the tx sink
+# --------------------------------------------------------------------------
+
+
+def _typed_events(sf_dir: str, etype: str, scale: int):
+    """(event_id, user_id, epoch_us, quantized value) for one event type."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_id, user_id, epoch_us(ts),
+               CAST(ROUND(value * {scale}) AS BIGINT)
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_type = '{etype}'
+        """
+    ).fetchall()
+    con.close()
+    return [(int(a), int(b), int(c), int(d)) for a, b, c, d in rows]
+
+
+def _interval_pairs(sf_dir: str):
+    """All (purchase, view) pairs of one user with the view inside the
+    trailing hour — the literal per-user nested walk."""
+    views_by_user = defaultdict(list)
+    for vid, uid, vus, _q in _typed_events(sf_dir, "view", 100):
+        views_by_user[uid].append((vid, vus))
+    pairs = []
+    for pid, uid, pus, _q in _typed_events(sf_dir, "purchase", 100):
+        for vid, vus in views_by_user.get(uid, []):
+            if pus - US_H <= vus <= pus:
+                pairs.append((pid, vid, uid, pus, vus))
+    return pairs
+
+
+def test_stream_stream_join_matches_interval_walk(spark, sf_dir):
+    """Stream-stream inner join over the drained input == the literal
+    per-user purchase x trailing-hour-view nested walk."""
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["stream_stream_join"](spark, sf_dir).collect()
+    )
+    assert got == sorted(_interval_pairs(sf_dir))
+
+
+def test_stream_stream_left_outer_join_matches_eviction_walk(spark, sf_dir):
+    """LEFT OUTER adds the watermark-eviction contract: unmatched
+    purchases emit a NULL view row ONLY once the final global watermark —
+    min over the two sides of (max event time) minus 30 min — proves no
+    view can still arrive. Both the row content and the cutoff rule are
+    rebuilt literally."""
+    purchases = _typed_events(sf_dir, "purchase", 100)
+    views = _typed_events(sf_dir, "view", 100)
+    cutoff = min(
+        max(us for _e, _u, us, _q in purchases),
+        max(us for _e, _u, us, _q in views),
+    ) - 30 * 60 * 1_000_000
+    matched = _interval_pairs(sf_dir)
+    matched_pids = {p for p, *_ in matched}
+    want = sorted(
+        matched
+        + [
+            (pid, None, uid, pus, None)
+            for pid, uid, pus, _q in purchases
+            if pid not in matched_pids and pus < cutoff
+        ],
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    got = sorted(
+        (tuple(r) for r in all_queries()["stream_stream_left_outer_join"](
+            spark, sf_dir
+        ).collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    assert got == want
+
+
+def test_stream_static_join_matches_dict_enrichment(spark, sf_dir):
+    """Stream-static broadcast enrichment == a Python dict lookup walk:
+    user -> segment, counting and quantized-summing per segment (events
+    whose user has no customer row drop, inner-join semantics)."""
+    con = duckdb.connect()
+    seg = dict(
+        con.execute(
+            f"SELECT c_custkey, c_mktsegment FROM "
+            f"read_parquet('{sf_dir}/customer.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for _us, _etype, uid, q in _events(sf_dir, 1_000_000):
+        s = seg.get(uid)
+        if s is not None:
+            want[s][0] += 1
+            want[s][1] += q
+    got = all_queries()["stream_static_join"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, qsum = want[r["c_mktsegment"]]
+        assert (r["n_events"], r["sum_value"]) == (n, qsum / 1_000_000.0)
+
+
+def test_stream_stateful_user_stats_matches_per_user_walk(spark, sf_dir):
+    """applyInPandasWithState per-user accumulators == the literal
+    per-user (count, integer quantized sum, max ts) walk."""
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for us, _etype, uid, q in _events(sf_dir, 1_000_000):
+        acc = want[uid]
+        acc[0] += 1
+        acc[1] += q
+        acc[2] = max(acc[2], us)
+    got = all_queries()["stream_stateful_user_stats"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, qsum, last = want[r["user_id"]]
+        assert (r["n_events"], r["sum_value"], r["last_seen_us"]) == (
+            n, qsum, last,
+        )
+
+
+def test_stream_txtable_append_matches_block_walk(spark, sf_dir):
+    """The exactly-once sink's final table, aggregated per 10-day block,
+    == the literal epoch-day floor-div walk over raw purchases."""
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for _pid, _uid, us, cents in _typed_events(sf_dir, "purchase", 100):
+        blk = (us // US_D) // 10
+        want[blk][0] += 1
+        want[blk][1] += cents
+    got = all_queries()["stream_txtable_append"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, cents = want[r["block"]]
+        assert (r["n_rows"], r["total_cents"]) == (n, cents)
+
+
+def test_stream_velocity_alerts_matches_range_walk(spark, sf_dir):
+    """The retroactive trailing-window velocity rule == a literal
+    symmetric per-user epoch-second walk: for each purchase, count the
+    user's purchases in [sec - W, sec]; alert when >= the threshold. The
+    streamed update-mode re-emissions must converge to exactly this set."""
+    from tmdb_movie_data_pipeline_spark.streaming.queries import (
+        _SVA_MIN_COUNT,
+        _SVA_WINDOW_SEC,
+    )
+
+    per_user = defaultdict(list)
+    rows = _typed_events(sf_dir, "purchase", 100)
+    for _pid, uid, us, _c in rows:
+        per_user[uid].append(us // 1_000_000)
+    want = {}
+    for pid, uid, us, cents in rows:
+        sec = us // 1_000_000
+        n = sum(1 for s in per_user[uid] if sec - _SVA_WINDOW_SEC <= s <= sec)
+        if n >= _SVA_MIN_COUNT:
+            t = datetime.fromtimestamp(sec, tz=timezone.utc)
+            want[pid] = (
+                uid, t.strftime("%Y-%m-%d %H:%M:%S"), cents, n,
+            )
+    got = {
+        r["event_id"]: (r["user_id"], r["event_time"], r["cents"], r["n_window"])
+        for r in all_queries()["stream_velocity_alerts"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture must fire the alert at every shipped SF"
