@@ -702,3 +702,93 @@ def test_stream_velocity_alerts_matches_range_walk(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture must fire the alert at every shipped SF"
+
+
+# --------------------------------------------------------------------------
+# streaming batch-twins, batch 3: SCD2 apply, windowed HLL, AvailableNow
+# --------------------------------------------------------------------------
+
+
+def test_stream_scd2_apply_matches_interval_walk(spark, sf_dir):
+    """The incrementally-applied SCD2 state == the literal per-user
+    interval walk: sort each user's purchases by (ts, value), each opens
+    an interval the next one closes, last stays current. Values are the
+    shared ROUND(value, 4) pull; everything else is plain Python."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, epoch_us(ts), ROUND(value, 4)
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    con.close()
+    per_user = defaultdict(list)
+    for uid, us, val in rows:
+        per_user[int(uid)].append((int(us), float(val)))
+    want = set()
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i, (us, val) in enumerate(evs):
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            want.add((uid, val, us, nxt, nxt is None))
+    got = {
+        (r["user_id"], r["value"], r["valid_from_us"], r["valid_to_us"],
+         r["is_current"])
+        for r in all_queries()["stream_scd2_apply"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_windowed_hll_matches_hashlib_register_rebuild(spark, sf_dir):
+    """The streaming-state HLL rebuilt register by register with hashlib:
+    per (hour window, register) max rho from the md5 hash family, exact
+    integer v_zero, exact-set n_exact, and the estimate re-derived with
+    the TEXTBOOK alpha_64 = 0.709 (not the engine's folded alpha*m^2
+    literal) within float tolerance — the folded-constant class the
+    sweep exists for."""
+    m, wmax, b = 64, 55, 6
+    regs: dict[int, dict[int, int]] = defaultdict(dict)
+    exact: dict[int, set[int]] = defaultdict(set)
+    for us, _etype, uid, _q in _events(sf_dir, 1_000_000):
+        w = (us // US_H) * US_H
+        exact[w].add(uid)
+        hv = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        reg, word = hv % m, hv >> b
+        rho = wmax if word == 0 else wmax - word.bit_length()
+        if rho > regs[w].get(reg, -1):
+            regs[w][reg] = rho
+    got = all_queries()["stream_windowed_hll_distinct"](spark, sf_dir).collect()
+    assert len(got) == len(regs)
+    for r in got:
+        w = r["window_start_us"]
+        v_zero = m - len(regs[w])
+        assert r["n_exact"] == len(exact[w])
+        assert r["v_zero"] == v_zero
+        denom = sum(1 << (wmax - mj) for mj in regs[w].values()) + v_zero * (
+            1 << wmax
+        )
+        est_real = 0.709 * m * m * (2.0**wmax) / denom
+        assert abs(r["est_distinct"] / est_real - 1) < 1e-9
+
+
+def test_availablenow_backfill_matches_raw_totals(spark, sf_dir):
+    """Run 1 of the AvailableNow backfill == raw-pull totals (count,
+    distinct types, Σ shared-quantized units); run 2 == the literal
+    exactly-once zeros."""
+    con = duckdb.connect()
+    n, ntypes, units = con.execute(
+        f"""
+        SELECT COUNT(*), COUNT(DISTINCT event_type),
+               SUM(CAST(ROUND(value) AS BIGINT))
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchone()
+    con.close()
+    got = {
+        r["run"]: (r["n_rows"], r["n_types"], r["value_units"])
+        for r in all_queries()["stream_availablenow_file_backfill"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {1: (int(n), int(ntypes), int(units)), 2: (0, 0, 0)}
