@@ -233,6 +233,11 @@ REBUILD_PER_RUN = {
     # builds + GCs its chunk store in the builder (store writes, refcount
     # anti-join, physical reclamation)
     "multimodal_chunk_store_gc",
+    # the HITS fixed point runs EAGERLY at plan-build time (per-round
+    # localCheckpoints); timing only the returned top-k frame would read
+    # ~30 ms for a multi-join iterative kernel — the measured work must
+    # sit inside the timed region
+    "graph_hits_bipartite",
 }
 
 #: timed executions per query; reported number is the min (run 1 pays
