@@ -792,3 +792,347 @@ def test_availablenow_backfill_matches_raw_totals(spark, sf_dir):
         ).collect()
     }
     assert got == {1: (int(n), int(ntypes), int(units)), 2: (0, 0, 0)}
+
+
+# --------------------------------------------------------------------------
+# batch 4: fold/identity risks across aggregates, text, profiling, clustering
+# --------------------------------------------------------------------------
+
+
+def _py_tokens(text: str) -> list[str]:
+    """The shared tokenization rebuilt with Python regex (the
+    llm_tokenizer_fertility precedent): collapse whitespace, trim,
+    lowercase, split on single spaces."""
+    import re
+
+    return re.sub(r"\s+", " ", text).strip().lower().split(" ")
+
+
+def _docs_text(sf_dir: str) -> list[tuple[int, str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return [(int(d), t) for d, t in rows]
+
+
+def test_hampel_outliers_match_trailing_range_walk(spark, sf_dir):
+    """Hampel filter rebuilt literally: daily cents, trailing 7-day RANGE
+    window by day VALUE, doubled median (lo+hi of the sorted window),
+    quadrupled MAD over |2v − med2|, and the pure-integer 3-sigma test
+    2|2x − med2| > 3·mad4 — all plain Python sorts and ints."""
+    daily: dict[int, int] = defaultdict(int)
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1e6
+    for us, etype, _uid, cents in _events(sf_dir, 100):
+        if etype == "purchase":
+            daily[int((us - base) // US_D)] += cents
+    want = {}
+    for d, x in daily.items():
+        win = sorted(v for dd, v in daily.items() if d - 6 <= dd <= d)
+        n = len(win)
+        med2 = win[(n + 1) // 2 - 1] + win[n // 2]
+        devs = sorted(abs(2 * v - med2) for v in win)
+        mad4 = devs[(n + 1) // 2 - 1] + devs[n // 2]
+        want[d] = (x, n, med2, mad4, 2 * abs(2 * x - med2) > 3 * mad4)
+    got = {
+        r["day"]: (
+            r["rev_cents"], r["n_in_window"], r["med2_cents"],
+            r["mad4_cents"], r["is_outlier"],
+        )
+        for r in all_queries()["window_hampel_outliers"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_surprisal_gate_matches_fraction_lm(spark, sf_dir):
+    """The log-free CCNet gate vs an exact-rational rebuild: bigram LM
+    from Python dicts, 'surprising' decided by Fraction(c12, c1) <
+    Fraction(tau, 1e6) — the EXACT content of the integer-div threshold —
+    and the keep rule from the true rational, so the div-truncation
+    boundary semantics are what's under test."""
+    from fractions import Fraction
+
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _SURP_KEEP_MAX_PPM,
+        _SURP_TAU_PPM,
+    )
+
+    docs = _docs_text(sf_dir)
+    c12: dict[tuple[str, str], int] = defaultdict(int)
+    c1: dict[str, int] = defaultdict(int)
+    doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+    for doc_id, text in docs:
+        toks = _py_tokens(text)
+        bgs = list(zip(toks, toks[1:]))
+        doc_bigrams[doc_id] = bgs
+        for bg in bgs:
+            c12[bg] += 1
+            c1[bg[0]] += 1
+    tau = Fraction(_SURP_TAU_PPM, 1_000_000)
+    want = {}
+    for doc_id, bgs in doc_bigrams.items():
+        if not bgs:
+            continue
+        n_s = sum(1 for bg in bgs if Fraction(c12[bg], c1[bg[0]]) < tau)
+        ppm = (1_000_000 * n_s) // len(bgs)
+        want[doc_id] = (len(bgs), n_s, ppm, ppm <= _SURP_KEEP_MAX_PPM)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_surprising"], r["surprisal_ppm"], r["keep"]
+        )
+        for r in all_queries()["text_lm_surprisal_gate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_tfidf_top_terms_match_dict_rebuild(spark, sf_dir):
+    """Per-doc TF-IDF top-k vs Python dicts: tf/n_toks times the log-free
+    rational (N+1)/(df+1) in the engine's exact IEEE association, ranked
+    by (score desc, term) — scores must be bit-identical doubles."""
+    from tmdb_movie_data_pipeline_spark.operators.text import TFIDF_TOP_K
+
+    docs = _docs_text(sf_dir)
+    n_docs = len(docs)
+    tf: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = defaultdict(int)
+    for doc_id, text in docs:
+        toks = _py_tokens(text)
+        counts: dict[str, int] = defaultdict(int)
+        for t in toks:
+            counts[t] += 1
+        tf[doc_id] = dict(counts)
+        tf[doc_id]["__n__"] = len(toks)
+        for t in counts:
+            df[t] += 1
+    want = {}
+    for doc_id, counts in tf.items():
+        n_toks = counts["__n__"]
+        scored = sorted(
+            (
+                -((c / n_toks) * ((n_docs + 1) / (df[t] + 1))),
+                t,
+            )
+            for t, c in counts.items()
+            if t != "__n__"
+        )
+        for rk, (neg, t) in enumerate(scored[:TFIDF_TOP_K], start=1):
+            want[(doc_id, t)] = (-neg, rk)
+    got = {
+        (r["doc_id"], r["term"]): (r["tfidf"], r["rk"])
+        for r in all_queries()["text_tfidf_top_terms"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_gini_coefficient_matches_sorted_lorenz_walk(spark, sf_dir):
+    """Gini vs the literal textbook walk: sort per-customer (quantized)
+    revenue ascending with the custkey tie-break, Σ i·x_i in unbounded
+    ints, the engine's two-branch basis-point division reproduced
+    literally, AND the real-float G cross-check within 1 bp."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+    xs = sorted((int(cents) // 100000, int(ck)) for ck, cents in rows)
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    six = sum(i * x for i, (x, _) in enumerate(xs, start=1))
+    num = 2 * six - (n + 1) * sx
+    bp = (
+        (10000 * num) // (n * sx)
+        if num < 900_000_000_000_000
+        else num // ((n * sx) // 10000)
+    )
+    row = all_queries()["agg_gini_coefficient"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["sx"], row["gini_bp"]) == (n, sx, bp)
+    g_float = num / (n * sx)
+    assert abs(row["gini_bp"] - 10000 * g_float) <= 1.0
+    assert 0.0 <= g_float < 1.0
+
+
+def test_collision_probability_matches_simpson_rebuild(spark, sf_dir):
+    """Per-type collision ppm and effective-user share vs unbounded-int
+    Simpson arithmetic and the real-float probability."""
+    per: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for _us, etype, uid, _q in _events(sf_dir, 100):
+        per[etype][uid] += 1
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_users"], r["collision_ppm"],
+            r["eff_user_share_ppm"],
+        )
+        for r in all_queries()["agg_collision_probability"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for etype, counts in per.items():
+        ns = list(counts.values())
+        N, U = sum(ns), len(ns)
+        coll = (1_000_000 * sum(c * (c - 1) for c in ns)) // (N * (N - 1))
+        eff = (1_000_000 * N * N) // (sum(c * c for c in ns) * U)
+        assert got[etype] == (N, U, coll, eff)
+        # real-float Simpson probability agrees to the floor
+        p = sum(c * (c - 1) for c in ns) / (N * (N - 1))
+        assert abs(got[etype][2] - 1e6 * p) <= 1.0
+
+
+def test_backtest_ewma_matches_weight_walk(spark, sf_dir):
+    """The shifted-window EWMA backtest vs a literal per-day walk, with
+    the folded 3^(k−1)·4^(L−k+1) weights PROVEN proportional to the real
+    alpha = 1/4 EWMA mass (1−alpha)^(k−1) via Fractions, and the forecast
+    cross-checked against the real-float weighted mean."""
+    from fractions import Fraction
+
+    from tmdb_movie_data_pipeline_spark.operators.events import _EWMA_LAGS
+
+    L = _EWMA_LAGS
+    scale = 4 ** (L + 1)
+    for k in range(1, L + 2):
+        w = 3 ** (k - 1) * 4 ** (L - k + 1)
+        assert Fraction(w, scale) == Fraction(1, 4) * Fraction(3, 4) ** (k - 1)
+    daily: dict[int, int] = defaultdict(int)
+    for us, etype, _uid, cents in _events(sf_dir, 100):
+        if etype == "purchase":
+            daily[us // US_D] += cents
+    want = {}
+    for d, x in daily.items():
+        num = den = n_hist = 0
+        fnum = fden = 0.0
+        for k in range(1, L + 2):
+            prev = d - k
+            if prev in daily:
+                w = 3 ** (k - 1) * 4 ** (L - k + 1)
+                num += daily[prev] * w
+                den += w
+                fnum += daily[prev] * (0.25 * 0.75 ** (k - 1))
+                fden += 0.25 * 0.75 ** (k - 1)
+                n_hist += 1
+        if n_hist == 0:
+            continue
+        fc = num // den
+        day = datetime.fromtimestamp(d * 86400, tz=timezone.utc).strftime(
+            "%Y-%m-%d"
+        )
+        want[day] = (x, fc, abs(x - fc), (1_000_000 * abs(x - fc)) // max(x, 1), n_hist)
+        assert abs(fc - fnum / fden) <= 1.0  # real-float EWMA cross-check
+    got = {
+        r["day"]: (
+            r["actual_cents"], r["forecast_cents"], r["abs_err_cents"],
+            r["ape_ppm"], r["n_hist"],
+        )
+        for r in all_queries()["events_backtest_ewma"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_lloyd_matches_python_iterations(spark, sf_dir):
+    """Lloyd's algorithm rebuilt literally: quantized vectors and float
+    centroids in Python lists, each round assigning by the ENGINE's exact
+    left-assoc ascending-dim squared-L2 (bit-identical IEEE), min-cid tie
+    break, centroids = sum_q/(n·scale) — final (cid, n, per-dim sums)
+    must match exactly."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _INIT_BASE,
+        _QSCALE,
+        DIM,
+        K_CLUSTERS,
+        KMEANS_ITERS,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = {}
+    for vid, emb in rows:
+        e = [float(v) for v in emb]
+        q = [int(round(v * _QSCALE)) for v in e]
+        vecs[int(vid)] = (e, q)
+    cent = {
+        vid - _INIT_BASE: list(vecs[vid][0])
+        for vid in range(_INIT_BASE, _INIT_BASE + K_CLUSTERS)
+    }
+    sums = {}
+    for _ in range(KMEANS_ITERS):
+        sums = {}
+        for vid, (e, q) in vecs.items():
+            best = None
+            for cid in sorted(cent):
+                d = 0.0
+                c = cent[cid]
+                for i in range(DIM):
+                    d = d + (e[i] - c[i]) * (e[i] - c[i])
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            cid = best[1]
+            if cid not in sums:
+                sums[cid] = [0, [0] * DIM]
+            sums[cid][0] += 1
+            for i in range(DIM):
+                sums[cid][1][i] += q[i]
+        cent = {
+            cid: [s[i] / (n * _QSCALE) for i in range(DIM)]
+            for cid, (n, s) in sums.items()
+        }
+    want = {
+        (cid, dim): (n, s[dim])
+        for cid, (n, s) in sums.items()
+        for dim in range(DIM)
+    }
+    got = {
+        (r["cid"], r["dim"]): (r["n"], r["sum_q"])
+        for r in all_queries()["kmeans_lloyd_centroids"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_t_closeness_matches_fraction_tvd(spark, sf_dir):
+    """t-closeness vs exact Fractions: per equivalence class, TVD =
+    ½ Σ_v |n_cv/n_c − N_v/N| over the FULL sensitive domain (absent cells
+    contribute their global mass), tvd_ppm = floor(1e6·TVD)."""
+    from fractions import Fraction
+    from math import floor
+
+    from tmdb_movie_data_pipeline_spark.operators.profiling import (
+        _KANON_LEN_BUCKET,
+        _TCLOSE_T_PPM,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, n_chars, lang FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    cls: dict[tuple, int] = defaultdict(int)
+    cell: dict[tuple, int] = defaultdict(int)
+    glob: dict[str, int] = defaultdict(int)
+    for src, n_chars, lang in rows:
+        key = (src, int(n_chars) // _KANON_LEN_BUCKET)
+        cls[key] += 1
+        cell[(*key, lang)] += 1
+        glob[lang] += 1
+    N = sum(glob.values())
+    want = {}
+    for key, n_c in cls.items():
+        tvd = Fraction(0)
+        for lang, n_v in glob.items():
+            tvd += abs(
+                Fraction(cell.get((*key, lang), 0), n_c) - Fraction(n_v, N)
+            )
+        tvd /= 2
+        ppm = floor(1_000_000 * tvd)
+        want[key] = (n_c, ppm, ppm > _TCLOSE_T_PPM)
+    got = {
+        (r["source"], r["len_b"]): (r["group_size"], r["tvd_ppm"], r["violates_t"])
+        for r in all_queries()["profile_t_closeness"](spark, sf_dir).collect()
+    }
+    assert got == want
