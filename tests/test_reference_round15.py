@@ -1136,3 +1136,180 @@ def test_t_closeness_matches_fraction_tvd(spark, sf_dir):
         for r in all_queries()["profile_t_closeness"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 5: order statistics, funnels, graph propagation
+# --------------------------------------------------------------------------
+
+
+def test_quantile_drift_matches_half_split_walk(spark, sf_dir):
+    """Exact p50/p90 drift between calendar halves rebuilt literally:
+    split at d0 + (d1−d0)//2 epoch days, per-(type, half) sorted cents,
+    p_q = smallest value whose cumulative count reaches the q_den·cum >=
+    q_num·n rank rule."""
+    evs = _events(sf_dir, 100)
+    days = [us // US_D for us, *_ in evs]
+    d0, d1 = min(days), max(days)
+    mid = d0 + (d1 - d0) // 2
+    per: dict[tuple[str, int], list[int]] = defaultdict(list)
+    for us, etype, _uid, cents in evs:
+        per[(etype, 0 if us // US_D <= mid else 1)].append(cents)
+
+    def pq(vals: list[int], num: int, den: int) -> int:
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        for i, v in enumerate(vals):
+            cum = i + 1
+            if den * cum >= num * n:
+                return v
+        return vals[-1]
+
+    got = {
+        r["event_type"]: (
+            r["n_a"], r["n_b"], r["p50_a"], r["p50_b"], r["p90_a"],
+            r["p90_b"], r["p50_shift_cents"], r["p90_shift_cents"],
+        )
+        for r in all_queries()["profile_quantile_drift"](spark, sf_dir).collect()
+    }
+    types = {t for t, _ in per}
+    assert set(got) == types
+    for t in types:
+        a, b = per[(t, 0)], per[(t, 1)]
+        p50a, p50b = pq(a, 1, 2), pq(b, 1, 2)
+        p90a, p90b = pq(a, 9, 10), pq(b, 9, 10)
+        assert got[t] == (
+            len(a), len(b), p50a, p50b, p90a, p90b,
+            abs(p50b - p50a), abs(p90b - p90a),
+        )
+
+
+def test_mad_and_winsorized_mean_match_sorted_rebuild(spark, sf_dir):
+    """The robust-statistics pair vs literal sorted lists: median and MAD
+    at rank (n+1)//2; winsorized mean with fences at rank (p·n+99)//100
+    and the integer clamped mean."""
+    vals = sorted(q for _us, _e, _u, q in _events(sf_dir, 100))
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(n + 1) // 2 - 1]
+    r = all_queries()["agg_median_abs_deviation"](spark, sf_dir).collect()[0]
+    assert (r["n"], r["median_cents"], r["mad_cents"]) == (n, med, mad)
+
+    lo = vals[(5 * n + 99) // 100 - 1]
+    hi = vals[(95 * n + 99) // 100 - 1]
+    wmean = sum(min(max(v, lo), hi) for v in vals) // n
+    r = all_queries()["agg_winsorized_mean"](spark, sf_dir).collect()[0]
+    assert (r["n"], r["p05_cents"], r["p95_cents"],
+            r["winsorized_mean_cents"]) == (n, lo, hi, wmean)
+
+
+def test_funnel_steps_match_first_touch_walk(spark, sf_dir):
+    """The ordered funnel vs per-user first-touch minima: a user converts
+    at step k iff first(step_k) is strictly later than first(step_{k-1});
+    conversions are the raw IEEE int/int divisions."""
+    first: dict[int, dict[str, int]] = defaultdict(dict)
+    for us, etype, uid, _q in _events(sf_dir, 100):
+        cur = first[uid].get(etype)
+        if cur is None or us < cur:
+            first[uid][etype] = us
+    n1 = n2 = n3 = 0
+    for f in first.values():
+        t1, t2, t3 = f.get("view"), f.get("click"), f.get("purchase")
+        if t1 is None:
+            continue
+        n1 += 1
+        if t2 is not None and t2 > t1:
+            n2 += 1
+            if t3 is not None and t3 > t2:
+                n3 += 1
+    got = {
+        r["step"]: (r["step_type"], r["n_users"], r["conv_from_first"])
+        for r in all_queries()["events_funnel_steps"](spark, sf_dir).collect()
+    }
+    assert got == {
+        1: ("view", n1, n1 / n1),
+        2: ("click", n2, n2 / n1),
+        3: ("purchase", n3, n3 / n1),
+    }
+
+
+def _dup_edges_and_langs(spark, sf_dir):
+    """Symmetric dup-graph adjacency from the engine's staged LSH pairs
+    (their construction already carries the r2 stage-for-stage hashlib
+    rebuild — what batch 5 rebuilds independently is the propagation
+    ALGEBRA on top), plus doc_id -> lang from a raw pull."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import lsh_pairs_staged
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in lsh_pairs_staged(spark, sf_dir).collect():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        adj[a].add(b)
+        adj[b].add(a)
+    con = duckdb.connect()
+    langs = dict(
+        con.execute(
+            f"SELECT doc_id, lang FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    return adj, {int(k): v for k, v in langs.items()}
+
+
+def test_label_propagation_matches_synchronous_vote_walk(spark, sf_dir):
+    """Deterministic LPA rebuilt literally: seeds keep ground truth;
+    every round, each non-seed with >= 1 labeled neighbor takes the
+    majority neighbor label with the (count desc, label asc) tie-break —
+    dict votes, no engine code."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import (
+        _LP_ITERS,
+        _LP_SEED_MOD,
+    )
+
+    adj, langs = _dup_edges_and_langs(spark, sf_dir)
+    seeds = {v: langs[v] for v in adj if v % _LP_SEED_MOD == 0}
+    labels = dict(seeds)
+    for _ in range(_LP_ITERS):
+        new = {}
+        for v in adj:
+            if v in seeds:
+                continue
+            votes: dict[str, int] = defaultdict(int)
+            for u in adj[v]:
+                if u in labels:
+                    votes[labels[u]] += 1
+            if votes:
+                new[v] = min(votes, key=lambda lab: (-votes[lab], lab))
+        labels = {**new, **seeds}
+    got = {
+        r["doc_id"]: r["label"]
+        for r in all_queries()["graph_label_propagation"](spark, sf_dir).collect()
+    }
+    assert got == labels
+
+
+def test_shortest_paths_match_multisource_bfs(spark, sf_dir):
+    """Hop distances vs a literal multi-source BFS over Python sets;
+    unreachable vertices absent on both sides."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import _SP_SRC_MOD
+
+    adj, _langs = _dup_edges_and_langs(spark, sf_dir)
+    frontier = {v for v in adj if v % _SP_SRC_MOD == 0}
+    dist = {v: 0 for v in frontier}
+    d = 0
+    while frontier:
+        d += 1
+        nxt = set()
+        for v in frontier:
+            for u in adj[v]:
+                if u not in dist:
+                    dist[u] = d
+                    nxt.add(u)
+        frontier = nxt
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in all_queries()["graph_shortest_paths"](spark, sf_dir).collect()
+    }
+    assert got == dist
