@@ -1313,3 +1313,183 @@ def test_shortest_paths_match_multisource_bfs(spark, sf_dir):
         for r in all_queries()["graph_shortest_paths"](spark, sf_dir).collect()
     }
     assert got == dist
+
+
+# --------------------------------------------------------------------------
+# batch 6: multimodal tiling/ZCR/decimation + LLM prep string algebra
+# --------------------------------------------------------------------------
+
+
+def test_image_tile_stats_match_nested_loop_rebuild(spark, sf_dir):
+    """ViT-style patch sums vs a nested-loop Python rebuild (no numpy
+    reshape): pixels from the closed-form rule laid out row-major, the
+    top-left crop to whole PxP patches, and per-tile channel sums by
+    literal iteration — a stride or tile-order bug that preserves
+    whole-image sums still fails here."""
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import _TILE_P
+
+    got = {
+        (r["doc_id"], r["tile_y"], r["tile_x"]): (
+            r["sum_r"], r["sum_g"], r["sum_b"],
+        )
+        for r in all_queries()["multimodal_image_tile_stats"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {}
+    for d in _doc_ids(sf_dir):
+        w, h = 2 + d % 7, 2 + d % 5
+        for ty in range(h // _TILE_P):
+            for tx in range(w // _TILE_P):
+                sums = [0, 0, 0]
+                for py in range(ty * _TILE_P, (ty + 1) * _TILE_P):
+                    for px in range(tx * _TILE_P, (tx + 1) * _TILE_P):
+                        k = py * w + px
+                        for c in range(3):
+                            sums[c] += (d * 7 + 3 * k + c) % 256
+                want[(d, ty, tx)] = tuple(sums)
+    assert got == want
+
+
+def test_pcm_zero_crossings_match_sign_walk(spark, sf_dir):
+    """ZCR per frame vs a literal consecutive-pair sign walk (zero is
+    non-negative; pairs never straddle frames)."""
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["zero_crossings"]
+        for r in all_queries()["multimodal_pcm_zero_crossings"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {}
+    for d in _doc_ids(sf_dir):
+        s = [((d * 31 + i) % 4096) - 2048 for i in range(512)]
+        for f_idx in range(512 // 128):
+            fr = s[f_idx * 128 : (f_idx + 1) * 128]
+            want[(d, f_idx)] = sum(
+                1 for a, b in zip(fr, fr[1:]) if (a < 0) != (b < 0)
+            )
+    assert got == want
+
+
+def test_pcm_decimate_matches_floor_mean_walk(spark, sf_dir):
+    """2:1 decimation vs a literal disjoint-pair FLOOR-mean walk in plain
+    Python ints (// floors on negatives — the truncating form would shift
+    every checksum by +1 per negative odd-sum pair, asserted to actually
+    occur in the fixture)."""
+    got = {
+        r["doc_id"]: (r["n_out"], r["sum_out"], r["energy_out"], r["peak_abs_out"])
+        for r in all_queries()["multimodal_pcm_decimate"](spark, sf_dir).collect()
+    }
+    saw_negative_odd_pair = False
+    for d in _doc_ids(sf_dir):
+        s = [((d * 31 + i) % 4096) - 2048 for i in range(512)]
+        dec = [(a + b) // 2 for a, b in zip(s[0::2], s[1::2])]
+        saw_negative_odd_pair |= any(
+            (a + b) < 0 and (a + b) % 2 for a, b in zip(s[0::2], s[1::2])
+        )
+        assert got[d] == (
+            len(dec), sum(dec), sum(v * v for v in dec), max(abs(v) for v in dec),
+        )
+    assert saw_negative_odd_pair, "fixture must exercise the floor-vs-trunc case"
+
+
+def test_prefix_cache_stats_match_dict_rebuild(spark, sf_dir):
+    """KV prefix-cache stats vs Python dicts + hashlib: 8-token prefixes
+    of regex-rebuilt tokens, multi-hit groups only, (n-1)*len savings."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import _PFX_TOKENS
+
+    groups: dict[str, list[int]] = defaultdict(list)
+    for doc_id, text in _docs_text(sf_dir):
+        toks = _py_tokens(text)
+        if len(toks) >= _PFX_TOKENS:
+            groups[" ".join(toks[:_PFX_TOKENS])].append(doc_id)
+    want = {
+        hashlib.md5(p.encode()).hexdigest(): (
+            len(ids), min(ids), (len(ids) - 1) * _PFX_TOKENS,
+        )
+        for p, ids in groups.items()
+        if len(ids) >= 2
+    }
+    got = {
+        r["prefix_md5"]: (r["n_prompts"], r["first_doc"], r["saved_tokens"])
+        for r in all_queries()["llm_prefix_cache_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain shared prefixes"
+
+
+def test_span_corruption_matches_sentinel_walk(spark, sf_dir):
+    """T5 span corruption vs a literal Python walk: span starts at
+    q ≡ doc_id (mod STRIDE) with whole spans only, numbered sentinels,
+    interior tokens dropped, targets strung behind their sentinels —
+    both md5s and the corruption ppm rebuilt from scratch."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _SPAN_LEN,
+        _SPAN_STRIDE,
+    )
+
+    S, L = _SPAN_STRIDE, _SPAN_LEN
+    want = {}
+    for doc_id, text in _docs_text(sf_dir):
+        toks = _py_tokens(text)
+        n = len(toks)
+        r = doc_id % S
+        corrupted, target, n_spans = [], [], 0
+        for q in range(n):
+            is_start = (q + S - r) % S == 0 and q + L - 1 <= n - 1
+            phase = (q + S - r) % S
+            in_span = phase < L and (q - phase) + L - 1 <= n - 1
+            if is_start:
+                k = (q - r) // S
+                n_spans += 1
+                corrupted.append(f"<extra_id_{k}>")
+                target.append(
+                    f"<extra_id_{k}> " + " ".join(toks[q : q + L])
+                )
+            elif in_span:
+                continue
+            else:
+                corrupted.append(toks[q])
+        want[doc_id] = (
+            n,
+            n_spans,
+            (1_000_000 * L * n_spans) // n,
+            hashlib.md5(" ".join(corrupted).encode()).hexdigest(),
+            hashlib.md5(" ".join(target).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["corrupt_ppm"],
+            r["corrupted_md5"], r["target_md5"],
+        )
+        for r in all_queries()["llm_span_corruption"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_shingle_novelty_matches_first_owner_walk(spark, sf_dir):
+    """Per-doc shingle novelty vs Python dicts: distinct word-3-gram
+    shingles per doc (the dedup family's exact construction, short-doc
+    truncation included), first owner = min doc_id, novelty in exact
+    integer ppm."""
+    doc_sh: dict[int, set] = {}
+    owner: dict[str, int] = {}
+    for doc_id, text in sorted(_docs_text(sf_dir)):
+        toks = _py_tokens(text)
+        sh = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+        doc_sh[doc_id] = sh
+        for s in sh:
+            if s not in owner or doc_id < owner[s]:
+                owner[s] = doc_id
+    want = {}
+    for doc_id, sh in doc_sh.items():
+        novel = sum(1 for s in sh if owner[s] == doc_id)
+        want[doc_id] = (len(sh), novel, (1_000_000 * novel) // len(sh))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+        for r in all_queries()["llm_shingle_novelty"](spark, sf_dir).collect()
+    }
+    assert got == want
