@@ -1493,3 +1493,130 @@ def test_shingle_novelty_matches_first_owner_walk(spark, sf_dir):
         for r in all_queries()["llm_shingle_novelty"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 7: calendar-spine events + windowed aggregates
+# --------------------------------------------------------------------------
+
+
+def test_gap_fill_ffill_matches_spine_walk(spark, sf_dir):
+    """Forward-filled daily series vs a literal per-user calendar-spine
+    walk: quantized day sums, dense min..max day grid, last-seen value
+    carried across gaps, `filled` marking synthesized days."""
+    per: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for us, _etype, uid, q in _events(sf_dir, 1_000_000):
+        if uid % 50 == 0:
+            per[uid][us // US_D] += q
+    want = {}
+    for uid, days in per.items():
+        last = None
+        for d in range(min(days), max(days) + 1):
+            day = datetime.fromtimestamp(d * 86400, tz=timezone.utc).strftime(
+                "%Y-%m-%d"
+            )
+            if d in days:
+                last = days[d] / 1_000_000.0
+                want[(uid, day)] = (0, last)
+            else:
+                want[(uid, day)] = (1, last)
+    got = {
+        (r["user_id"], r["day"]): (r["filled"], r["value_ffill"])
+        for r in all_queries()["events_gap_fill_ffill"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(f == 1 for f, _ in want.values()), "fixture must contain gaps"
+
+
+def test_cohort_ltv_matches_cumulative_walk(spark, sf_dir):
+    """Weekly-cohort LTV curves vs Python dicts: cohort = min epoch week
+    per user, dense cohort..max-week grid, running cumulative cents, and
+    the integer per-user LTV division."""
+    weeks: dict[int, int] = {}
+    rev: dict[tuple[int, int], int] = defaultdict(int)
+    per_user_rows = []
+    for us, etype, uid, cents in _events(sf_dir, 100):
+        if etype == "purchase":
+            per_user_rows.append((uid, (us // US_D) // 7, cents))
+    for uid, w, _c in per_user_rows:
+        if uid not in weeks or w < weeks[uid]:
+            weeks[uid] = w
+    for uid, w, c in per_user_rows:
+        rev[(weeks[uid], w)] += c
+    csize: dict[int, int] = defaultdict(int)
+    for _uid, cw in weeks.items():
+        csize[cw] += 1
+    mx = max(w for _uid, w, _c in per_user_rows)
+    want = {}
+    for cw, users in csize.items():
+        cum = 0
+        for w in range(cw, mx + 1):
+            cum += rev.get((cw, w), 0)
+            want[(cw, w - cw)] = (users, cum, cum // users)
+    got = {
+        (r["cohort_week"], r["weeks_since"]): (
+            r["cohort_users"], r["cum_cents"], r["ltv_cents"],
+        )
+        for r in all_queries()["events_cohort_ltv"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_yoy_growth_matches_lag12_walk(spark, sf_dir):
+    """Monthly revenue + YoY vs a sorted-month lag-12 walk with the raw
+    IEEE growth division; first-year months carry NULL honestly."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_orderdate, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        """
+    ).fetchall()
+    con.close()
+    monthly: dict[str, int] = defaultdict(int)
+    for d, cents in rows:
+        monthly[f"{d.year:04d}-{d.month:02d}"] += int(cents)
+    months = sorted(monthly)
+    want = {}
+    for i, m in enumerate(months):
+        prev = monthly[months[i - 12]] if i >= 12 else None
+        growth = (monthly[m] - prev) / prev if prev is not None else None
+        want[m] = (monthly[m], prev, growth)
+    got = {
+        r["month"]: (r["rev_cents"], r["prev_year_cents"], r["yoy_growth"])
+        for r in all_queries()["agg_yoy_growth"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(p is not None for _r, p, _g in want.values()), (
+        "fixture must span more than 12 months"
+    )
+
+
+def test_cdc_tombstones_match_latest_row_walk(spark, sf_dir):
+    """Compacted CDC state vs a per-user latest-row walk ((ts, event_id)
+    descending), users whose latest event is a tombstone ('error')
+    dropped — proven to actually drop somebody at the shipped SFs."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, event_id, epoch_us(ts), event_type, ROUND(value, 4)
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    con.close()
+    latest: dict[int, tuple] = {}
+    for uid, eid, us, etype, val in rows:
+        key = (int(us), int(eid))
+        if uid not in latest or key > latest[uid][:2]:
+            latest[uid] = (int(us), int(eid), etype, float(val))
+    want = {
+        int(uid): (eid, us, etype, val)
+        for uid, (us, eid, etype, val) in latest.items()
+        if etype != "error"
+    }
+    assert len(want) < len(latest), "a tombstoned user must exist"
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_ts_us"], r["last_type"], r["value"])
+        for r in all_queries()["events_cdc_tombstones"](spark, sf_dir).collect()
+    }
+    assert got == want
