@@ -1620,3 +1620,186 @@ def test_cdc_tombstones_match_latest_row_walk(spark, sf_dir):
         for r in all_queries()["events_cdc_tombstones"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 8: BPE training/apply, conversion paths, fingerprints, truncation
+# --------------------------------------------------------------------------
+
+
+def _bpe_word_freqs(sf_dir: str):
+    freqs: dict[str, int] = defaultdict(int)
+    for _doc_id, text in _docs_text(sf_dir):
+        for t in _py_tokens(text):
+            if len(t) >= 2:
+                freqs[t] += 1
+    return freqs
+
+
+def test_bpe_pair_counts_and_coverage_match_char_walk(spark, sf_dir):
+    """BPE training's pair counts vs a literal per-occurrence character
+    walk, plus the vocab-coverage ratio over the same counts."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import _BPE_TOPN
+
+    pairs: dict[str, int] = defaultdict(int)
+    for t, f in _bpe_word_freqs(sf_dir).items():
+        for i in range(len(t) - 1):
+            pairs[t[i : i + 2]] += f
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPN]
+    got = [
+        (r["pair"], r["n"])
+        for r in all_queries()["llm_bpe_pair_counts"](spark, sf_dir).collect()
+    ]
+    assert got == top
+
+    total = sum(pairs.values())
+    covered = sum(n for _p, n in top)
+    r = all_queries()["llm_bpe_vocab_coverage"](spark, sf_dir).collect()[0]
+    assert (r["total_pairs"], r["covered_pairs"], r["coverage_ppm"]) == (
+        total, covered, (1_000_000 * covered) // total,
+    )
+
+
+def test_bpe_apply_merges_matches_string_fold(spark, sf_dir):
+    """The BPE APPLY fold vs plain str.replace: space the word's chars,
+    fold the ranked merges left-to-right non-overlapping (Python's
+    replace has the engines' exact scan semantics), emit tokenization and
+    piece count for the top words."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _BPE_MERGES,
+        _BPE_WORDS,
+    )
+
+    pairs: dict[str, int] = defaultdict(int)
+    freqs = _bpe_word_freqs(sf_dir)
+    for t, f in freqs.items():
+        for i in range(len(t) - 1):
+            pairs[t[i : i + 2]] += f
+    merges = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_MERGES]
+    want = []
+    for word, freq in sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_BPE_WORDS
+    ]:
+        s = " " + "".join(c + " " for c in word)
+        for pair, _n in merges:
+            a, b = pair[0], pair[1]
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        tok = s.strip()
+        want.append((word, freq, tok, len(tok.split(" "))))
+    got = [
+        (r["word"], r["freq"], r["tokenization"], r["n_pieces"])
+        for r in all_queries()["llm_bpe_apply_merges"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_funnel_conversion_time_matches_sorted_deltas(spark, sf_dir):
+    """Signup->purchase latency stats vs sorted per-user first-touch
+    deltas; the exact lower median at rank (n+1)//2."""
+    first: dict[int, dict[str, int]] = defaultdict(dict)
+    for us, etype, uid, _q in _events(sf_dir, 100):
+        cur = first[uid].get(etype)
+        if cur is None or us < cur:
+            first[uid][etype] = us
+    deltas = sorted(
+        f["purchase"] - f["signup"]
+        for f in first.values()
+        if "signup" in f and "purchase" in f and f["purchase"] >= f["signup"]
+    )
+    r = all_queries()["events_funnel_conversion_time"](spark, sf_dir).collect()[0]
+    assert (r["n_users"], r["min_us"], r["max_us"], r["median_us"]) == (
+        len(deltas), deltas[0], deltas[-1], deltas[(len(deltas) + 1) // 2 - 1],
+    )
+
+
+def test_conversion_paths_match_sequence_walk(spark, sf_dir):
+    """Top conversion paths vs the literal per-user walk: (ts, event_id)
+    order, prefix of at most MAX_STEPS steps ending at the first
+    purchase, '>'-joined, counted, (count desc, path) top-N."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _PATH_MAX_STEPS,
+        _PATH_TOPN,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, event_id, epoch_us(ts), event_type
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    con.close()
+    per_user: dict[int, list] = defaultdict(list)
+    for uid, eid, us, etype in rows:
+        per_user[int(uid)].append((int(us), int(eid), etype))
+    counts: dict[str, int] = defaultdict(int)
+    for seq in per_user.values():
+        seq.sort()
+        conv = next(
+            (i for i, (_u, _e, t) in enumerate(seq) if t == "purchase"), None
+        )
+        if conv is None:
+            continue
+        types = [t for _u, _e, t in seq[max(conv + 1 - _PATH_MAX_STEPS, 0) : conv + 1]]
+        counts[">".join(types)] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATH_TOPN]
+    got = [
+        (r["path"], r["n_users"])
+        for r in all_queries()["events_conversion_paths"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_text_fingerprint_matches_hashlib_walk(spark, sf_dir):
+    """Content md5 + winnowing min-hash over rolling 16-char shingles
+    rebuilt with hashlib over the regex-normalized string."""
+    import re
+
+    want = {}
+    for doc_id, text in _docs_text(sf_dir):
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        shingles = [
+            norm[i : i + 16] for i in range(max(len(norm) - 15, 1))
+        ]
+        want[doc_id] = (
+            hashlib.md5(norm.encode()).hexdigest(),
+            min(hashlib.md5(s.encode()).hexdigest() for s in shingles),
+        )
+    got = {
+        r["doc_id"]: (r["content_md5"], r["min_shingle_hash"])
+        for r in all_queries()["text_fingerprint"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_repeated_ngram_truncation_matches_first_repeat_walk(spark, sf_dir):
+    """The degeneration guard vs a literal first-repeat walk over 4-grams:
+    truncate at the first position whose gram already occurred; kept
+    fraction = (pos-1+3) or everything, exact integer ppm. Documents too
+    short for one gram are absent on both sides."""
+    from tmdb_movie_data_pipeline_spark.operators.text import _TRUNC_N
+
+    want = {}
+    for doc_id, text in _docs_text(sf_dir):
+        toks = _py_tokens(text)
+        n = len(toks)
+        if n < _TRUNC_N:
+            continue
+        seen: dict[str, int] = {}
+        first_rep = None
+        for i in range(n - _TRUNC_N + 1):
+            g = " ".join(toks[i : i + _TRUNC_N])
+            if g in seen and first_rep is None:
+                first_rep = i + 1  # 1-based
+            seen.setdefault(g, i)
+        kept = (first_rep - 1 + _TRUNC_N - 1) if first_rep is not None else n
+        want[doc_id] = (
+            n, n - _TRUNC_N + 1, first_rep, (1_000_000 * kept) // n,
+        )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["n_grams"], r["truncate_at"], r["kept_ppm"])
+        for r in all_queries()["text_repeated_ngram_truncation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
