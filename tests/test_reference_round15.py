@@ -1803,3 +1803,133 @@ def test_repeated_ngram_truncation_matches_first_repeat_walk(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 9: bit-arithmetic histograms, hierarchy shares, privacy/integrity
+# --------------------------------------------------------------------------
+
+
+def test_pow2_histogram_matches_bit_length_walk(spark, sf_dir):
+    """The log-free HdrHistogram bucket rule vs Python int.bit_length —
+    the exact alternative to floor(log2) the docstring claims; per-bucket
+    count/lo/hi rebuilt with dicts."""
+    con = duckdb.connect()
+    cents = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    want: dict[int, list] = {}
+    for v in cents:
+        if v <= 0:
+            continue
+        b = v.bit_length()
+        if b not in want:
+            want[b] = [0, v, v]
+        want[b][0] += 1
+        want[b][1] = min(want[b][1], v)
+        want[b][2] = max(want[b][2], v)
+    got = {
+        r["bits"]: [r["n"], r["lo"], r["hi"]]
+        for r in all_queries()["agg_pow2_histogram"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for b, (_n, lo, hi) in want.items():  # buckets really are power-of-two
+        assert 2 ** (b - 1) <= lo <= hi < 2**b
+
+
+def test_percent_of_parent_matches_dict_rollup(spark, sf_dir):
+    """Region->nation contribution shares vs Python dict rollups over raw
+    joins: exact integer ppm at both hierarchy levels."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT r.r_name, n.n_name, CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+        FROM read_parquet('{sf_dir}/orders.parquet') o
+        JOIN read_parquet('{sf_dir}/customer.parquet') c ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{sf_dir}/nation.parquet') n ON n.n_nationkey = c.c_nationkey
+        JOIN read_parquet('{sf_dir}/region.parquet') r ON r.r_regionkey = n.n_regionkey
+        """
+    ).fetchall()
+    con.close()
+    rev: dict[tuple[str, str], int] = defaultdict(int)
+    for region, nation, cents in rows:
+        rev[(region, nation)] += int(cents)
+    reg: dict[str, int] = defaultdict(int)
+    for (region, _nation), c in rev.items():
+        reg[region] += c
+    total = sum(rev.values())
+    want = {
+        (region, nation): (
+            c,
+            (1_000_000 * c) // reg[region],
+            (1_000_000 * reg[region]) // total,
+        )
+        for (region, nation), c in rev.items()
+    }
+    got = {
+        (r["region"], r["nation"]): (
+            r["cents"], r["pct_of_region_ppm"], r["region_pct_of_total_ppm"],
+        )
+        for r in all_queries()["agg_percent_of_parent"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_l_diversity_matches_set_walk(spark, sf_dir):
+    """l-diversity audit vs Python sets per equivalence class."""
+    from tmdb_movie_data_pipeline_spark.operators.profiling import (
+        _KANON_LEN_BUCKET,
+        _LDIV_L,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, n_chars, lang FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    size: dict[tuple, int] = defaultdict(int)
+    langs: dict[tuple, set] = defaultdict(set)
+    for src, n_chars, lang in rows:
+        key = (src, int(n_chars) // _KANON_LEN_BUCKET)
+        size[key] += 1
+        langs[key].add(lang)
+    want = {
+        key: (n, len(langs[key]), len(langs[key]) < _LDIV_L)
+        for key, n in size.items()
+    }
+    got = {
+        (r["source"], r["len_b"]): (
+            r["group_size"], r["n_sensitive"], r["violates_l"],
+        )
+        for r in all_queries()["profile_l_diversity"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sequential_id_gaps_match_sorted_walk(spark, sf_dir):
+    """The id-integrity audit vs a literal sorted-id walk: gap count,
+    span-minus-distinct missing total, and the largest hole."""
+    con = duckdb.connect()
+    ids_rows = con.execute(
+        f"SELECT event_id FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+    all_ids = [int(r[0]) for r in ids_rows]
+    ids = sorted(set(all_ids))
+    steps = [b - a for a, b in zip(ids, ids[1:])]
+    n_gaps = sum(1 for s in steps if s > 1)
+    max_gap = max((s - 1 for s in steps if s > 1), default=0)
+    r = all_queries()["profile_sequential_id_gaps"](spark, sf_dir).collect()[0]
+    assert (
+        r["n_rows"], r["n_distinct"], r["min_id"], r["max_id"],
+        r["n_gaps"], r["missing_total"], r["max_gap"],
+    ) == (
+        len(all_ids), len(ids), ids[0], ids[-1],
+        n_gaps, ids[-1] - ids[0] + 1 - len(ids), max_gap,
+    )
