@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "text_source_tvd",
     "ml_silhouette_centroid",
     "spatial_dbscan_core",
+    # r16 activation (VERDICT r15 #1): full DBSCAN labeling — the grid
+    # pair scan plus connected components over core-core edges
+    "spatial_dbscan_clusters",
     # r10 (VERDICT r9 #9): heavy r9 first-time-green families not yet in a
     # BENCH record — rank-pair stats, Zipf rank windows, the Lorenz
     # contribution explode, harmonic centrality's bounded BFS joins, and
@@ -238,6 +241,11 @@ REBUILD_PER_RUN = {
     # ~30 ms for a multi-join iterative kernel — the measured work must
     # sit inside the timed region
     "graph_hits_bipartite",
+    # the grid pair relation + core set are eager localCheckpoints and the
+    # connected-components fixed point iterates at plan-build time — same
+    # policy as HITS: rebuild inside the bracket or the timing reads only
+    # the final label union
+    "spatial_dbscan_clusters",
 }
 
 #: timed executions per query; reported number is the min (run 1 pays
@@ -378,6 +386,26 @@ def main() -> None:
             .count()
         )
 
+        # VERDICT r15 #3: the headline delta_cdc_feed_commits number is
+        # BUILD-dominated (REBUILD_PER_RUN times create+merge+delete, which
+        # since r15 pay the write-time change-row recording pass), while the
+        # feed READ — the path the query is named for — is a flat
+        # change-file scan. Bracket the two phases separately so the
+        # recorded figure attributes where the time goes; the headline
+        # timing above stays the total (build + read) for cross-round
+        # comparability.
+        from tmdb_movie_data_pipeline_spark.operators.merge import (
+            _cdc_assemble_feed,
+            _cdc_build_table,
+        )
+
+        t0 = time.perf_counter()
+        cdc_table = _cdc_build_table(spark, copy_dir)
+        cdc_build_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _cdc_assemble_feed(cdc_table).count()
+        cdc_read_sec = round(time.perf_counter() - t0, 3)
+
         # skewed-shuffle-join pair: same result (oracle-checked as
         # skew_salted_join), different physical plan — demonstrates the
         # static salting win when broadcast/AQE-skew aren't available
@@ -430,6 +458,14 @@ def main() -> None:
             # scale as commits x (2 anti-joins + 1 join) — compare timings
             # across rounds only at equal counts
             "delta_cdc_feed_commits_n_commits": cdc_commits,
+            # phase split (VERDICT r15 #3): the query's headline number is
+            # the build+read total; build = table commits incl. the
+            # write-time change-row recording, read = the change-file scan
+            # the query is named for. Compare the READ number when judging
+            # the r15 O(changed-rows) rewrite; build growth tracks commit
+            # count x recording cost.
+            "delta_cdc_feed_commits_build_sec": cdc_build_sec,
+            "delta_cdc_feed_commits_read_sec": cdc_read_sec,
             # cold candidate-pair stage build (cache guaranteed cold: the
             # temp copy's fingerprint is fresh) — the cost every dedup/graph
             # consumer amortizes via the per-fixture cache

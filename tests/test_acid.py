@@ -957,3 +957,101 @@ def test_change_feed_off_by_default_records_nothing(spark, tmp_path):
     assert "changes" not in t.manifest(1)
     for root, _dirs, names in os.walk(t.path):
         assert "-changes" not in os.path.basename(root)
+
+
+def test_group_commit_preserves_change_feed_property(spark, tmp_path):
+    """ADVICE r15 #1: TxGroup.prepare published member manifests with only
+    its pending-group extras, silently DROPPING the change_feed property —
+    every later merge/delete then found nothing on the base manifest and
+    permanently stopped recording change files. The property now propagates
+    at the _commit choke point: a group commit on a change-feed table keeps
+    the property, and the NEXT merge records typed change rows again."""
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import TxGroup
+
+    t = _mk_cdf(spark, tmp_path)
+    other = TxTable.create(
+        spark, str(tmp_path / "other"), spark.range(0, 5).withColumnRenamed("id", "k")
+    )
+    g = TxGroup(spark, str(tmp_path))
+    moved = spark.createDataFrame(
+        [(50, "g", 5.0)], "k long, name string, v double"
+    )
+    gid = g.prepare(
+        [(t, t.read().unionByName(moved)), (other, other.read())], "MOVE"
+    )
+    g.commit(gid, [t.path, other.path])
+    # the group-published manifest carries the property forward
+    assert t.manifest(t.latest_visible_version()).get("change_feed") is True
+    # the group commit itself recorded no typed changes (feed readers fall
+    # back to the snapshot diff for it), but the property survived...
+    assert t.change_rows(t.latest_visible_version()) is None
+    # ...so the NEXT merge records change rows at write time again
+    v = t.merge(_cdf_source(spark), "k")
+    recorded = {tuple(r) for r in t.change_rows(v).collect()}
+    assert recorded == _python_snapshot_diff(t, v)
+    assert recorded  # non-empty: the regression silently returned None here
+    # a table WITHOUT the property gains nothing from the choke point
+    assert not other.manifest(other.latest_visible_version()).get("change_feed")
+
+
+def test_key_only_merge_records_inserts_only(spark, tmp_path):
+    """ADVICE r15 #2: with a key-only schema (no value columns) a matched
+    source row can never differ from its target, so the write-time recorder
+    must emit ONLY the insert rows — not one spurious 'update' per matched
+    key, which would diverge from the snapshot diff (which records
+    nothing for them)."""
+    base = spark.createDataFrame([(i,) for i in range(1, 5)], "k long")
+    t = TxTable.create(spark, str(tmp_path / "keyonly"), base, change_feed=True)
+    src = spark.createDataFrame([(2,), (3,), (9,)], "k long")
+    v = t.merge(src, "k")
+    recorded = {tuple(r) for r in t.change_rows(v).collect()}
+    assert recorded == {("insert", 9)}
+    assert recorded == _python_snapshot_diff(t, v)
+
+
+def test_cdf_null_transitions_agree_across_formulations(spark, tmp_path):
+    """ADVICE r15 #3: a NULL->value or value->NULL column transition is a
+    real update. The write-time recorder (eqNullSafe) always caught it; the
+    snapshot-diff fallback used plain != (NULL-valued predicate, row
+    dropped) and silently missed it. All formulations must agree under
+    NULLs — pinned here on the customer-shaped fallback and the generic
+    write-time path."""
+    from tmdb_movie_data_pipeline_spark.operators.merge import (
+        _commit_snapshot_diff,
+    )
+
+    # generic write-time path: NULL->value and value->NULL updates recorded
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, "n2", 20.0), (3, "n3", None)],
+        "k long, name string, v double",
+    )
+    t = TxTable.create(spark, str(tmp_path / "nulls"), base, change_feed=True)
+    src = spark.createDataFrame(
+        [(1, "now", 10.0), (2, "n2", 20.0), (3, "n3", None)],
+        "k long, name string, v double",
+    )
+    v = t.merge(src, "k")
+    recorded = {tuple(r) for r in t.change_rows(v).collect()}
+    # row 2 identical -> nothing; row 3 identical incl. its NULL -> nothing
+    assert recorded == {("update", 1, "now", 10.0)}
+    assert recorded == _python_snapshot_diff(t, v)
+
+    # customer-shaped fallback: the NULL transition must survive the diff
+    cust = spark.createDataFrame(
+        [(1, None, 1.0, "SEG"), (2, "b", 2.0, "SEG")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    tc = TxTable.create(spark, str(tmp_path / "cust"), cust)  # no property
+    tc.merge(
+        spark.createDataFrame(
+            [(1, "named", 1.0, "SEG"), (2, "b", None, "SEG")],
+            "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+        ),
+        "c_custkey",
+    )
+    assert tc.change_rows(1) is None  # property off: fallback territory
+    diffed = {tuple(r) for r in _commit_snapshot_diff(tc, 1).collect()}
+    assert diffed == {
+        ("update", 1, "named", 1.0),  # NULL -> value
+        ("update", 2, "b", None),  # value -> NULL
+    }

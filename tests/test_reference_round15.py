@@ -474,7 +474,7 @@ def test_dbscan_clusters_match_python_rebuild(spark, sf_dir):
         _PLANE_MOD,
         _R2,
     )
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+    from tmdb_movie_data_pipeline_spark.registry import all_queries
 
     con = duckdb.connect()
     keys = [
@@ -524,7 +524,7 @@ def test_dbscan_clusters_match_python_rebuild(spark, sf_dir):
 
     got = {
         r["custkey"]: (r["role"], r["cluster_id"])
-        for r in deferred_queries()["spatial_dbscan_clusters"](
+        for r in all_queries()["spatial_dbscan_clusters"](
             spark, sf_dir
         ).collect()
     }

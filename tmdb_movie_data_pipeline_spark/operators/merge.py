@@ -548,10 +548,17 @@ def _commit_snapshot_diff(t, v: int) -> DataFrame:
     )
     updates = (
         new.join(old, "c_custkey")
+        # NULL-SAFE inequality (ADVICE r15 #3): plain != evaluates to NULL
+        # when either side is NULL and the filter drops the row, so a
+        # NULL<->value column transition would be missed here while the
+        # write-time recorder (eqNullSafe in _merge_changes) records it —
+        # all three formulations (write-time, this fallback, the oracle's
+        # IS DISTINCT FROM) must agree under NULLs, not just on the
+        # NULL-free TPC-H fixtures.
         .filter(
-            (F.col("n.c_name") != F.col("o.c_name"))
-            | (F.col("n.c_acctbal") != F.col("o.c_acctbal"))
-            | (F.col("n.c_mktsegment") != F.col("o.c_mktsegment"))
+            ~F.col("n.c_name").eqNullSafe(F.col("o.c_name"))
+            | ~F.col("n.c_acctbal").eqNullSafe(F.col("o.c_acctbal"))
+            | ~F.col("n.c_mktsegment").eqNullSafe(F.col("o.c_mktsegment"))
         )
         .select(
             F.lit("update").alias("change_type"),
@@ -590,8 +597,9 @@ def _commit_snapshot_diff(t, v: int) -> DataFrame:
         UNION ALL
         SELECT 'update', v1.c_custkey, v1.c_name, v1.c_acctbal
         FROM v1 JOIN v0 USING (c_custkey)
-        WHERE v1.c_name <> v0.c_name OR v1.c_acctbal <> v0.c_acctbal
-           OR v1.c_mktsegment <> v0.c_mktsegment
+        WHERE v1.c_name IS DISTINCT FROM v0.c_name
+           OR v1.c_acctbal IS DISTINCT FROM v0.c_acctbal
+           OR v1.c_mktsegment IS DISTINCT FROM v0.c_mktsegment
     ),
     d12 AS (
         SELECT 'delete' AS change_type, v1.c_custkey, v1.c_name, v1.c_acctbal
@@ -602,8 +610,9 @@ def _commit_snapshot_diff(t, v: int) -> DataFrame:
         UNION ALL
         SELECT 'update', v2.c_custkey, v2.c_name, v2.c_acctbal
         FROM v2 JOIN v1 USING (c_custkey)
-        WHERE v2.c_name <> v1.c_name OR v2.c_acctbal <> v1.c_acctbal
-           OR v2.c_mktsegment <> v1.c_mktsegment
+        WHERE v2.c_name IS DISTINCT FROM v1.c_name
+           OR v2.c_acctbal IS DISTINCT FROM v1.c_acctbal
+           OR v2.c_mktsegment IS DISTINCT FROM v1.c_mktsegment
     )
     SELECT CAST(1 AS BIGINT) AS commit_version, * FROM d01
     UNION ALL
@@ -628,6 +637,17 @@ def cdc_feed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot reads, O(commits × snapshot-join). The write side pays one
     change-row pass over the files the commit already touched. The loop
     over versions is a driver loop over the MANIFEST, never over data."""
+    return _cdc_assemble_feed(_cdc_build_table(spark, sf_dir))
+
+
+def _cdc_build_table(spark: SparkSession, sf_dir: str):
+    """The WRITE side of the CDC exhibit: create the change-feed table and
+    run the merge + delete commits (each recording its typed change rows
+    at commit time). Split out so bench.py can bracket the build and the
+    feed read separately (VERDICT r15 watch-item #2: the committed number
+    is build-dominated — the query is REBUILD_PER_RUN, so create+merge+
+    delete sit inside the timed bracket — while the read side is a flat
+    change-file scan)."""
     from ..plans.acid import TxTable
 
     t = TxTable.create(
@@ -635,7 +655,13 @@ def cdc_feed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(_tx_source(spark, sf_dir), "c_custkey")
     t.delete_range("c_custkey", _DIFF_DEL_LO, _DIFF_DEL_HI)
+    return t
 
+
+def _cdc_assemble_feed(t) -> DataFrame:
+    """The READ side: assemble the feed from the recorded change files
+    (O(changed rows) total), with the adjacent-snapshot diff as the
+    per-commit fallback for commits recorded without the property."""
     feeds = []
     for v in t.versions()[1:]:
         ch = t.change_rows(v)

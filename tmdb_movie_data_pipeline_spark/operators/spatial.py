@@ -208,7 +208,6 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "spatial_dbscan_clusters",
-    deferred=True,  # r16 queue
     oracle=f"""
     WITH RECURSIVE pts AS (
         SELECT c_custkey AS pkey,

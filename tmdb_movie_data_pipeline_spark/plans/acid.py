@@ -397,6 +397,20 @@ class TxTable:
             # "recorded at write time"; absence means a reader must fall
             # back to diffing adjacent snapshots for this commit.
             manifest["changes"] = self._stage(changes, version, "-changes")
+        if version > 0 and not (extra and extra.get("change_feed")):
+            # Persistent table properties propagate at THE choke point, not
+            # per call site (ADVICE r15 #1): TxGroup.prepare published member
+            # manifests with only its pending-group extras, silently dropping
+            # change_feed — every later merge/delete then checked the base
+            # manifest, found nothing, and permanently stopped recording
+            # change files (the feed degraded to the snapshot-diff fallback).
+            # Reading the property from the latest VISIBLE manifest here makes
+            # every _commit writer (group prepares, the streaming sink, any
+            # future caller) property-preserving by construction; the direct
+            # paths that bypass _commit (restore / delete_range_dv / clone)
+            # keep their explicit propagation.
+            if self.manifest(self.latest_visible_version()).get("change_feed"):
+                manifest["change_feed"] = True
         if extra:
             # e.g. TxGroup's pending-group marker (plans/txgroup.py): fields
             # the manifest carries verbatim for cross-table protocols
@@ -532,9 +546,16 @@ class TxTable:
         for c in val_cols:
             p = ~F.col(f"s.{c}").eqNullSafe(F.col(f"o.{c}"))
             differs = p if differs is None else (differs | p)
-        updates = s.join(o, F.col(f"s.{key}") == F.col(f"o.{key}"), "inner")
-        if differs is not None:
-            updates = updates.filter(differs)
+        if differs is None:
+            # key-only schema (ADVICE r15 #2): a source row holding nothing
+            # but the key can never differ from its matched target row, so
+            # the upsert's only possible changes are inserts — emitting the
+            # unfiltered matches as "update" rows would diverge from the
+            # snapshot-diff ground truth, which records nothing for them.
+            return inserts
+        updates = s.join(
+            o, F.col(f"s.{key}") == F.col(f"o.{key}"), "inner"
+        ).filter(differs)
         updates = updates.select(
             F.lit("update").alias("change_type"),
             *[F.col(f"s.{c}").alias(c) for c in cols],

@@ -89,13 +89,15 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r15: the CDC feed rewrite (VERDICT r14 #5): TxTable.merge/delete now
-    # record typed change files at COMMIT time when the table enables the
-    # change_feed property, and delta_cdc_feed_commits reads those change
-    # files instead of diffing adjacent snapshots — a physical-plan rewrite
-    # of a driver-verified query (the snapshot diff remains the oracle and
-    # the per-commit fallback for commits recorded without the property),
-    # so it re-verifies in bucket 2.
+    # r16: the CDF null-safety fix (ADVICE r15 #3): the snapshot-diff
+    # fallback (_commit_snapshot_diff) switched from plain != (NULL-
+    # dropping) to eqNullSafe negation, and the query's ORACLE SQL from
+    # <> to IS DISTINCT FROM, so all three CDF formulations agree under
+    # NULLs. On the NULL-free fixture the results are value-identical and
+    # the registered query's executed path (write-time change files) is
+    # byte-unchanged — but the oracle the driver compares against changed
+    # text, so the query earns a fresh bucket-2 row rather than riding a
+    # stale green.
     "delta_cdc_feed_commits",
 ]
 
@@ -224,9 +226,19 @@ DRIVER_CAP_FLOOR = 45
 #: driver runs. VERDICT r14 #1 projected 44 "if the changed list stays
 #: empty"; its own mandate #5 rewrites the CDC feed, so the list is not
 #: empty — same interaction as r14, the cap arithmetic wins.
+#: r16: the 1-query r15 deferred queue activated (VERDICT r15 #1:
+#: spatial_dbscan_clusters) = bucket 1, PLUS the CDF null-safety fix
+#: (ADVICE r15 #3) putting delta_cdc_feed_commits on the changed list
+#: = bucket 2 → head 1 + 1 = 2, stride 45 − 2 = 43, recorded BEFORE the
+#: driver runs. VERDICT r15 #1 projected 44 "if the changed list stays
+#: empty"; the ADVICE null-safety mandate changes the query's oracle SQL,
+#: so the list is not empty — the same mandate-interaction as r14/r15,
+#: the cap arithmetic wins.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
-_ROUND_STRIDES: dict[int, int] = {10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43}
+_ROUND_STRIDES: dict[int, int] = {
+    10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43,
+}
 
 #: First round under the recorded-stride scheme. Rounds before this used
 #: the fixed formula ``shift = token * RECONFIRM_STRIDE``; the cumulative
