@@ -441,3 +441,62 @@ def test_harmonic_centrality_matches_python_bfs(spark, sf_dir):
         for r in all_queries()["graph_harmonic_centrality"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_filtered_ann_matches_python_prefilter_walk(spark, sf_dir):
+    """Filtered vector search (r17 queue) vs a literal Python walk: the
+    eligible set is the lang-predicate pull, ranking happens AFTER the
+    filter, and every query returns its exact k best eligible neighbors.
+    Also pins the trap the operator exists to avoid: post-filtering the
+    UNFILTERED top-k yields a strict subset (fewer than k) for at least
+    one query on this fixture — pre- and post-filter are not the same
+    operator."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _FILTER_LANG,
+        N_QUERIES,
+        TOP_K,
+    )
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    emb = _embeddings(sf_dir)
+    con = duckdb.connect()
+    eligible = {
+        int(d)
+        for (d,) in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+            f" WHERE lang = '{_FILTER_LANG}'"
+        ).fetchall()
+    }
+    con.close()
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+
+    def topk(q, cand):
+        scored = sorted(
+            ((-_dot_py(emb[q], emb[v]) / (norms[q] * norms[v]), v) for v in cand),
+        )[:TOP_K]
+        return {
+            (q, v): (-negcos, rank)
+            for rank, (negcos, v) in enumerate(scored, start=1)
+        }
+
+    want = {}
+    post_filter_short = 0
+    for q in range(N_QUERIES):
+        if q not in emb:
+            continue
+        pre = topk(q, [v for v in emb if v != q and v in eligible])
+        want.update(pre)
+        post = {
+            (qq, v)
+            for (qq, v) in topk(q, [v for v in emb if v != q])
+            if v in eligible
+        }
+        assert post <= set(pre)  # post-filter is always a subset...
+        if len(post) < min(TOP_K, len(pre)):
+            post_filter_short += 1  # ...and strictly short somewhere
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in deferred_queries()["ann_filtered_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert post_filter_short >= 1

@@ -123,6 +123,64 @@ def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K)
 
 
+_FILTER_LANG = "en"
+
+
+@register(
+    "ann_filtered_topk",
+    deferred=True,  # r17 queue
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb
+               FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+               WHERE d.lang = '{_FILTER_LANG}'),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {_dot_duck("q_emb", "c_emb")}
+                      / ({_norm_duck("q_emb")} * {_norm_duck("c_emb")}) AS cosine
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored
+         )
+    SELECT * FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: top-k cosine neighbors restricted
+    to vectors whose joined document satisfies a predicate (lang =
+    '{_FILTER_LANG}') — the operation every production vector store
+    (filtered HNSW/IVF, hybrid search) treats as first-class, and the
+    correctness trap this pins: the predicate applies BEFORE ranking
+    (pre-filter), so every query returns its exact k best eligible
+    neighbors. Post-filtering an unfiltered top-k — the naive composition
+    of ann_cosine_topk + a WHERE — silently returns FEWER than k (or
+    zero) whenever the unfiltered neighborhood is predicate-sparse.
+
+    Scale shape: the predicate lives on the documents dimension, so
+    eligibility is one key equi-join (broadcast when the eligible-id set
+    is small, shuffle-semi-join otherwise) applied to the corpus BEFORE
+    any distance math — at 100 TB this both shrinks the scored set by the
+    selectivity factor and pushes the lang filter into the documents
+    scan (PushedFilters). Queries stay broadcast; scoring is the same
+    codegen'd 64-term expression chain as the unfiltered tier. For the
+    IVF path, the same semi-join applies to the inverted lists before
+    probing — filter-then-route, never route-then-filter.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eligible = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == _FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(F.broadcast(eligible), "vec_id", "left_semi")
+    return cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), corpus, TOP_K)
+
+
 # -- sign-random-projection LSH ----------------------------------------------
 #
 # Hyperplane p ∈ [0, N_PLANES), dimension i ∈ [0, DIM): the component is
