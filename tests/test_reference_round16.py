@@ -500,3 +500,456 @@ def test_filtered_ann_matches_python_prefilter_walk(spark, sf_dir):
     }
     assert got == want
     assert post_filter_short >= 1
+
+
+# --------------------------------------------------------------------------
+# batch 2: the sketch shelf — every member rebuilt from raw pulls with
+# hashlib + integer arithmetic (registers, counters, order statistics),
+# including the mergeability identities the engine queries pin
+# --------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    """First 15 hex digits of md5 -> uniform 60-bit int, the shelf's shared
+    hash, rebuilt with hashlib."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_HASH_RANGE = float(1 << 60)
+
+
+def _kmv_est(n_exact: int, hvs: list[int], k: int) -> float:
+    """(K-1) / (h_K / 2^60), exact-count fallback below capacity — the two
+    IEEE divisions in the engines' order."""
+    s = sorted(hvs)
+    if len(s) < k:
+        return float(n_exact)
+    return float(k - 1) / (float(s[k - 1]) / _HASH_RANGE)
+
+
+def _raw(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    out = con.execute(sql.replace("{D}", sf_dir)).fetchall()
+    con.close()
+    return out
+
+
+def test_kmv_distinct_matches_hashlib_order_stat(spark, sf_dir):
+    """Per-type KMV estimate vs a hashlib rebuild: distinct 60-bit hashes,
+    the 64th order statistic, two IEEE divisions."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import KMV_K
+
+    per: dict[str, set[int]] = defaultdict(set)
+    for t, u in _raw(
+        sf_dir, "SELECT event_type, user_id FROM read_parquet('{D}/events.parquet')"
+    ):
+        per[t].add(_md5_60(str(u)))
+    want = {
+        t: (len(hv), _kmv_est(len(hv), list(hv), KMV_K)) for t, hv in per.items()
+    }
+    got = {
+        r["event_type"]: (r["n_exact"], r["est_distinct"])
+        for r in all_queries()["sketch_kmv_distinct"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_kmv_union_merges_states_exactly(spark, sf_dir):
+    """Union KMV: the __all__ estimate folds PER-SOURCE 64-smallest states
+    (never raw rows) — rebuilt by literally unioning the per-source
+    K-smallest lists and re-trimming, the mergeability identity itself."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import KMV_K
+
+    per: dict[str, set[int]] = defaultdict(set)
+    for s, txt in _raw(
+        sf_dir, "SELECT source, text FROM read_parquet('{D}/documents.parquet')"
+    ):
+        per[s].add(_md5_60(txt))
+    want = {
+        s: (len(hv), _kmv_est(len(hv), list(hv), KMV_K)) for s, hv in per.items()
+    }
+    states = set()
+    for hv in per.values():
+        states |= set(sorted(hv)[:KMV_K])
+    n_all = len(set().union(*per.values()))
+    want["__all__"] = (n_all, _kmv_est(n_all, list(states), KMV_K))
+    got = {
+        r["scope"]: (r["n_exact"], r["est_distinct"])
+        for r in all_queries()["sketch_kmv_union"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+_WMAX = 55
+_HLL_M = 64
+
+
+def _hll_regs(hvs) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    for hv in hvs:
+        reg, w = hv % _HLL_M, hv >> 6
+        rho = _WMAX if w == 0 else _WMAX - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _hll_est(regs: dict[int, int]) -> tuple[int, float]:
+    s_int = sum(1 << (_WMAX - mj) for mj in regs.values())
+    v_zero = _HLL_M - len(regs)
+    s_int += v_zero * (1 << _WMAX)
+    return v_zero, 2904.064 * 2.0**_WMAX / float(s_int)
+
+
+def test_hll_distinct_matches_register_rebuild(spark, sf_dir):
+    """Deterministic HLL vs a dict register file: reg = hv % 64, rho =
+    55 - bit_length(hv >> 6), integer harmonic sum, one float division."""
+    per: dict[str, set[int]] = defaultdict(set)
+    users: dict[str, set[int]] = defaultdict(set)
+    for t, u in _raw(
+        sf_dir, "SELECT event_type, user_id FROM read_parquet('{D}/events.parquet')"
+    ):
+        per[t].add(_md5_60(str(u)))
+        users[t].add(u)
+    want = {}
+    for t, hvs in per.items():
+        v_zero, est = _hll_est(_hll_regs(hvs))
+        want[t] = (len(users[t]), v_zero, est)
+    got = {
+        r["event_type"]: (r["n_exact"], r["v_zero"], r["est_distinct"])
+        for r in all_queries()["sketch_hll_distinct"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_hll_union_is_registerwise_max(spark, sf_dir):
+    """HLL merge vs the identity max(max(a), max(b)) == max(a U b): fold
+    per-source register dicts by element-wise max and estimate from the
+    folded state alone."""
+    per: dict[str, set[int]] = defaultdict(set)
+    for s, txt in _raw(
+        sf_dir, "SELECT source, text FROM read_parquet('{D}/documents.parquet')"
+    ):
+        per[s].add(_md5_60(txt))
+    states = {s: _hll_regs(hvs) for s, hvs in per.items()}
+    merged: dict[int, int] = {}
+    for regs in states.values():
+        for reg, mj in regs.items():
+            merged[reg] = max(merged.get(reg, 0), mj)
+    want = {s: _hll_est(regs) for s, regs in states.items()}
+    want["__all__"] = _hll_est(merged)
+    got = {
+        r["scope"]: (r["v_zero"], r["est_distinct"])
+        for r in all_queries()["sketch_hll_union"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _cms_walk(rows, d, w):
+    """(sketch counters, exact counts) from a key stream — counters over
+    ALL occurrences, the d md5-salted positions per key."""
+    sketch = [defaultdict(int) for _ in range(d)]
+    exact: dict[str, int] = defaultdict(int)
+    pos: dict[tuple[int, str], int] = {}
+    for k in rows:
+        exact[k] += 1
+        for i in range(d):
+            if (i, k) not in pos:
+                pos[(i, k)] = _md5_60(f"{i}_{k}") % w
+            sketch[i][pos[(i, k)]] += 1
+    return sketch, exact, pos
+
+
+def test_cms_heavy_hitters_match_counter_walk(spark, sf_dir):
+    """Count-Min top-20 vs literal dict counters: per-key estimate is the
+    MIN over 4 salted rows, one-sided by construction; ranking by
+    (exact desc, key-string asc)."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        CMS_D,
+        CMS_TOPN,
+        CMS_W,
+    )
+
+    rows = [
+        str(u)
+        for (u,) in _raw(
+            sf_dir, "SELECT user_id FROM read_parquet('{D}/events.parquet')"
+        )
+    ]
+    sketch, exact, pos = _cms_walk(rows, CMS_D, CMS_W)
+    want = {}
+    for k in sorted(exact, key=lambda k: (-exact[k], k))[:CMS_TOPN]:
+        est = min(sketch[i][pos[(i, k)]] for i in range(CMS_D))
+        want[k] = (exact[k], est)
+        assert est >= exact[k]  # the one-sided guarantee, rebuilt
+    got = {
+        r["user_key"]: (r["n_exact"], r["n_est"])
+        for r in all_queries()["sketch_cms_heavy_hitters"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cms_union_is_cellwise_sum(spark, sf_dir):
+    """CMS linearity: per-event-type counter grids folded by cell-wise sum
+    must answer global probes identically to counting the union stream —
+    rebuilt by building per-type dicts and adding them."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        CMS_D,
+        CMS_TOPN,
+        CMS_W,
+    )
+
+    per_type: dict[str, list[str]] = defaultdict(list)
+    for t, u in _raw(
+        sf_dir, "SELECT event_type, user_id FROM read_parquet('{D}/events.parquet')"
+    ):
+        per_type[t].append(str(u))
+    merged = [defaultdict(int) for _ in range(CMS_D)]
+    exact: dict[str, int] = defaultdict(int)
+    pos: dict[tuple[int, str], int] = {}
+    for t, ks in per_type.items():
+        sk, ex, ps = _cms_walk(ks, CMS_D, CMS_W)
+        pos.update(ps)
+        for i in range(CMS_D):
+            for c, n in sk[i].items():
+                merged[i][c] += n
+        for k, n in ex.items():
+            exact[k] += n
+    want = {}
+    for k in sorted(exact, key=lambda k: (-exact[k], k))[:CMS_TOPN]:
+        est = min(merged[i][pos[(i, k)]] for i in range(CMS_D))
+        want[k] = (exact[k], est, est >= exact[k])
+    got = {
+        r["user_key"]: (r["n_exact"], r["n_est"], r["one_sided"])
+        for r in all_queries()["sketch_cms_union"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(os for _, _, os in got.values())
+
+
+def test_kmv_intersection_matches_probe_walk(spark, sf_dir):
+    """Theta-style intersection: union-KMV sample, exact membership probe
+    against both per-set hash sets, Jaccard fraction x union estimate —
+    all from hashlib sets."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import KMV_K
+
+    per: dict[str, set[int]] = defaultdict(set)
+    for t, u in _raw(
+        sf_dir,
+        "SELECT event_type, user_id FROM read_parquet('{D}/events.parquet')"
+        " WHERE event_type IN ('view', 'click', 'purchase')",
+    ):
+        per[t].add(_md5_60(str(u)))
+    want = {}
+    for ta, tb in (("click", "purchase"), ("click", "view"), ("purchase", "view")):
+        a, b = per[ta], per[tb]
+        unionk = sorted(a | b)[:KMV_K]
+        k_eff, hk = len(unionk), max(unionk)
+        shared = sum(1 for hv in unionk if hv in a and hv in b)
+        est = (
+            float(shared) / float(k_eff)
+            * (float(k_eff - 1) / (float(hk) / _HASH_RANGE))
+        )
+        want[(ta, tb)] = (len(a & b), est)
+    got = {
+        (r["t_a"], r["t_b"]): (r["n_exact"], r["est_intersection"])
+        for r in all_queries()["sketch_kmv_intersection"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_kmv_difference_matches_churn_walk(spark, sf_dir):
+    """Churn |A \\ B| per event type (days 1-3 actives never seen in 4-6):
+    the anti-membership probe inside the union-KMV sample, rebuilt from
+    epoch-day buckets and hashlib sets."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import KMV_K
+
+    A: dict[str, set[int]] = defaultdict(set)
+    B: dict[str, set[int]] = defaultdict(set)
+    for t, day, u in _raw(
+        sf_dir,
+        "SELECT event_type, CAST(strftime(ts, '%d') AS INTEGER), user_id"
+        " FROM read_parquet('{D}/events.parquet')"
+        " WHERE CAST(strftime(ts, '%d') AS INTEGER) <= 6",
+    ):
+        (A if day <= 3 else B)[t].add(_md5_60(str(u)))
+    want = {}
+    for t in set(A) | set(B):
+        a, b = A[t], B[t]
+        unionk = sorted(a | b)[:KMV_K]
+        k_eff, hk = len(unionk), max(unionk)
+        only_a = sum(1 for hv in unionk if hv in a and hv not in b)
+        est = (
+            float(only_a) / float(k_eff)
+            * (float(k_eff - 1) / (float(hk) / _HASH_RANGE))
+        )
+        want[t] = (len(a - b), est)
+    got = {
+        r["event_type"]: (r["n_exact"], r["est_difference"])
+        for r in all_queries()["sketch_kmv_difference"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_quantile_histogram_matches_bin_walk(spark, sf_dir):
+    """Fixed-grid histogram quantiles vs dict bins + a sorted list: bin =
+    floor(v/512), k = (p*n+99)//100, hit bin = first with cum >= k, exact
+    k-th order statistic, the within-bin accuracy contract."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        _QH_PS,
+        _QH_WIDTH,
+    )
+
+    per: dict[str, list[float]] = defaultdict(list)
+    for s, v in _raw(
+        sf_dir,
+        "SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        per[s].append(float(v))
+        per["__all__"].append(float(v))
+    want = {}
+    for scope, vs in per.items():
+        bins: dict[int, int] = defaultdict(int)
+        for v in vs:
+            bins[math.floor(v / _QH_WIDTH)] += 1
+        n = len(vs)
+        svs = sorted(vs)
+        for p in _QH_PS:
+            k = (p * n + 99) // 100
+            cum = 0
+            for b in sorted(bins):
+                cum += bins[b]
+                if cum >= k:
+                    qbin = b
+                    break
+            exact_q = svs[k - 1]
+            want[(scope, p)] = (
+                n,
+                k,
+                float((qbin + 1) * _QH_WIDTH),
+                exact_q,
+                qbin * _QH_WIDTH <= exact_q < (qbin + 1) * _QH_WIDTH,
+            )
+    got = {
+        (r["scope"], r["p"]): (
+            r["n"],
+            r["k"],
+            r["est_q"],
+            r["exact_q"],
+            r["within_bin"],
+        )
+        for r in all_queries()["sketch_quantile_histogram"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(wb for *_, wb in got.values())
+
+
+def _tdiv(a: int, b: int) -> int:
+    """SQL integer div (truncate toward zero) — Python // floors, which
+    diverges on negative numerators."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_join_cardinality_matches_sampled_sum(spark, sf_dir):
+    """Coordinated-sample join-size estimate vs dict count maps: exact
+    pair sum, the 1/16 hash-gated sample, x16 scale, truncating-division
+    basis-point error."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        _JC_CUT,
+        _JC_SCALE,
+    )
+
+    ca: dict[int, int] = defaultdict(int)
+    cb: dict[int, int] = defaultdict(int)
+    for (k,) in _raw(
+        sf_dir, "SELECT o_orderkey FROM read_parquet('{D}/orders.parquet')"
+    ):
+        ca[k] += 1
+    for (k,) in _raw(
+        sf_dir, "SELECT l_orderkey FROM read_parquet('{D}/lineitem.parquet')"
+    ):
+        cb[k] += 1
+    shared = set(ca) & set(cb)
+    exact = sum(ca[k] * cb[k] for k in shared)
+    sampled = [k for k in shared if _md5_60(str(k)) < _JC_CUT]
+    sampled_pairs = sum(ca[k] * cb[k] for k in sampled)
+    est = sampled_pairs * _JC_SCALE
+    err_bp = _tdiv((est - exact) * 10000, exact) if exact else None
+    [r] = all_queries()["sketch_join_cardinality"](spark, sf_dir).collect()
+    assert (r["exact_pairs"], r["sampled_keys"], r["est_pairs"], r["err_bp"]) == (
+        exact,
+        len(sampled),
+        est,
+        err_bp,
+    )
+
+
+def test_bloom_membership_matches_bitmap_walk(spark, sf_dir):
+    """Bloom FPR vs a literal int-bitmap rebuild: 3 disjoint md5 hex
+    slices per key, 63-bit words, 1000 disjoint probe keys, all-bits-set
+    = certain false positive."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.sketches import (
+        _BF_BITS,
+        _BF_K,
+        _BF_PROBE_BASE,
+        _BF_PROBES,
+    )
+
+    def positions(key: int) -> list[int]:
+        hx = hashlib.md5(str(key).encode()).hexdigest()
+        return [int(hx[10 * i : 10 * i + 10], 16) % _BF_BITS for i in range(_BF_K)]
+
+    members = {
+        u
+        for (u,) in _raw(
+            sf_dir, "SELECT DISTINCT user_id FROM read_parquet('{D}/events.parquet')"
+        )
+    }
+    words: dict[int, int] = defaultdict(int)
+    for m in members:
+        for pos in positions(m):
+            words[pos // 63] |= 1 << (pos % 63)
+    nfp = 0
+    for pk in range(_BF_PROBE_BASE, _BF_PROBE_BASE + _BF_PROBES):
+        hits = sum(
+            1
+            for pos in positions(pk)
+            if pos // 63 in words and words[pos // 63] & (1 << (pos % 63))
+        )
+        nfp += hits == _BF_K
+    [r] = all_queries()["sketch_bloom_membership"](spark, sf_dir).collect()
+    assert (r["n_members"], r["n_probes"], r["n_false_pos"], r["fpr_ppm"]) == (
+        len(members),
+        _BF_PROBES,
+        nfp,
+        (1_000_000 * nfp) // _BF_PROBES,
+    )
+
+
+def test_ams_f2_matches_sign_sum_walk(spark, sf_dir):
+    """AMS F2 vs a literal signed-sum walk: per-user counts, the salted
+    parity sign, one integer per row, est = X_j^2, exact ppm error."""
+    from tmdb_movie_data_pipeline_spark.operators.sketches import _AMS_ROWS
+
+    cnt: dict[int, int] = defaultdict(int)
+    for (u,) in _raw(
+        sf_dir, "SELECT user_id FROM read_parquet('{D}/events.parquet')"
+    ):
+        cnt[u] += 1
+    exact_f2 = sum(c * c for c in cnt.values())
+    want = {}
+    for j in range(_AMS_ROWS):
+        ss = sum(
+            c if _md5_60(f"{j}_{u}") % 2 == 0 else -c for u, c in cnt.items()
+        )
+        want[j] = (ss, ss * ss, exact_f2, (1_000_000 * abs(ss * ss - exact_f2)) // exact_f2)
+    got = {
+        r["j"]: (r["sketch_sum"], r["est_f2"], r["exact_f2"], r["err_ppm"])
+        for r in all_queries()["sketch_ams_f2"](spark, sf_dir).collect()
+    }
+    assert got == want
