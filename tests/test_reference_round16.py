@@ -953,3 +953,232 @@ def test_ams_f2_matches_sign_sum_walk(spark, sf_dir):
         for r in all_queries()["sketch_ams_f2"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 3: the rest of the ANN ladder — every tier vs literal Python walks
+# (left-assoc float loops; the ladder's tie orders and shortlist algebra)
+# --------------------------------------------------------------------------
+
+
+def _cos_py(emb, norms, a: int, b: int) -> float:
+    return _dot_py(emb[a], emb[b]) / (norms[a] * norms[b])
+
+
+def _rank_topk(scored: dict[int, float], k: int):
+    """(neighbor -> cosine) -> [(neighbor, cosine, rank)] under the
+    (cosine desc, neighbor asc) total order."""
+    order = sorted(scored, key=lambda n: (-scored[n], n))[:k]
+    return [(n, scored[n], r) for r, n in enumerate(order, start=1)]
+
+
+def test_ann_cosine_topk_matches_python_walk(spark, sf_dir):
+    """The exact tier: brute-force cosine top-k per query."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    want = {}
+    for q in range(N_QUERIES):
+        scored = {v: _cos_py(emb, norms, q, v) for v in emb if v != q}
+        for n, cos, r in _rank_topk(scored, TOP_K):
+            want[(q, n)] = (cos, r)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in all_queries()["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ann_lsh_bucketed_matches_sign_projection_walk(spark, sf_dir):
+    """Sign-random-projection LSH: the fixed md5-derived +-1 matrix
+    rebuilt with hashlib, per-vector 8-bit bucket strings, exact cosine
+    only within the query's bucket."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    signs = {
+        (p, i): 1 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for p in range(N_PLANES)
+        for i in range(DIM)
+    }
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+
+    def bucket(e):
+        bits = []
+        for p in range(N_PLANES):
+            d = signs[(p, 0)] * e[0]
+            for i in range(1, DIM):
+                d = d + e[i] if signs[(p, i)] > 0 else d - e[i]
+            bits.append("1" if d >= 0 else "0")
+        return "".join(bits)
+
+    buckets = {v: bucket(e) for v, e in emb.items()}
+    want = {}
+    for q in range(N_QUERIES):
+        cand = [v for v in emb if v != q and buckets[v] == buckets[q]]
+        scored = {v: _cos_py(emb, norms, q, v) for v in cand}
+        for n, cos, r in _rank_topk(scored, TOP_K):
+            want[(q, n)] = (cos, r)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in all_queries()["ann_lsh_bucketed"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ann_truncated_rerank_matches_shortlist_walk(spark, sf_dir):
+    """Matryoshka two-stage retrieval: prefix-16 cosine shortlists 32
+    candidates, the full 64-dim rerank picks the top-k — both stages'
+    tie orders rebuilt literally."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _TR_DIM,
+        _TR_SHORTLIST,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    pre = {v: e[:_TR_DIM] for v, e in emb.items()}
+    pnorm = {v: math.sqrt(_dot_py(p, p)) for v, p in pre.items()}
+    want = {}
+    for q in range(N_QUERIES):
+        coarse = {
+            v: _dot_py(pre[q], pre[v]) / (pnorm[q] * pnorm[v])
+            for v in emb
+            if v != q
+        }
+        short = sorted(coarse, key=lambda n: (-coarse[n], n))[:_TR_SHORTLIST]
+        rer = {v: _cos_py(emb, norms, q, v) for v in short}
+        for n, cos, r in _rank_topk(rer, TOP_K):
+            want[(q, n)] = (cos, r)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in all_queries()["ann_truncated_rerank"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ann_ivf_topk_matches_route_walk(spark, sf_dir):
+    """IVF-Flat: the Python routing from batch 1 supplies assignment and
+    probes; candidates in the probed lists are scored with exact cosine."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        CENTROID_BASE,
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    assign, probes = _ivf_route_py(
+        emb, N_CENTROIDS, CENTROID_BASE, N_PROBE, N_QUERIES
+    )
+    want = {}
+    for q, lists in probes.items():
+        probed = set(lists)
+        scored = {
+            v: _cos_py(emb, norms, q, v)
+            for v in emb
+            if v != q and assign[v] in probed
+        }
+        for n, cos, r in _rank_topk(scored, TOP_K):
+            want[(q, n)] = (cos, r)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in all_queries()["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ann_ivf_probe_sweep_matches_recall_walk(spark, sf_dir):
+    """The nprobe tuning curve: per (nprobe, query), hits = overlap of the
+    probed-list top-k with the exact-cosine ground truth; also re-proves
+    the nestedness monotonicity (recall never drops as nprobe grows)."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _SWEEP_PROBES,
+        CENTROID_BASE,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    assign, probes = _ivf_route_py(
+        emb, N_CENTROIDS, CENTROID_BASE, max(_SWEEP_PROBES), N_QUERIES
+    )
+    want = {}
+    for q in range(N_QUERIES):
+        gt_scored = {v: _cos_py(emb, norms, q, v) for v in emb if v != q}
+        gt = {n for n, _, _ in _rank_topk(gt_scored, TOP_K)}
+        prev = -1
+        for p in _SWEEP_PROBES:
+            probed = set(probes[q][:p])
+            scored = {
+                v: gt_scored[v] for v in emb if v != q and assign[v] in probed
+            }
+            approx = {n for n, _, _ in _rank_topk(scored, TOP_K)}
+            hits = len(approx & gt)
+            assert hits >= prev  # nested candidate sets -> monotone recall
+            prev = hits
+            want[(p, q)] = (hits, (1_000_000 * hits) // TOP_K)
+    got = {
+        (r["nprobe"], r["query_id"]): (r["n_hits"], r["recall_ppm"])
+        for r in all_queries()["ann_ivf_probe_sweep"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ml_knn_classify_matches_vote_walk(spark, sf_dir):
+    """k-NN holdout classification: top-10 cosine neighbors vote, ties by
+    (votes desc, label asc) — the vote fold rebuilt from dicts."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _KNN_HOLDOUT_MOD,
+        _KNN_HOLDOUT_REM,
+        _KNN_K,
+    )
+
+    con = duckdb.connect()
+    labels = {
+        int(v): int(l)
+        for v, l in con.execute(
+            f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    holdout = [v for v in emb if v % _KNN_HOLDOUT_MOD == _KNN_HOLDOUT_REM]
+    corpus = [v for v in emb if v % _KNN_HOLDOUT_MOD != _KNN_HOLDOUT_REM]
+    want = {}
+    for q in holdout:
+        scored = {v: _cos_py(emb, norms, q, v) for v in corpus}
+        topk = sorted(scored, key=lambda n: (-scored[n], n))[:_KNN_K]
+        votes: dict[int, int] = defaultdict(int)
+        for n in topk:
+            votes[labels[n]] += 1
+        pred = min(votes, key=lambda lab: (-votes[lab], lab))
+        want[q] = (
+            labels[q],
+            pred,
+            votes[pred],
+            1 if pred == labels[q] else 0,
+        )
+    got = {
+        r["query_id"]: (r["true_label"], r["pred_label"], r["n_votes"], r["correct"])
+        for r in all_queries()["ml_knn_classify"](spark, sf_dir).collect()
+    }
+    assert got == want
