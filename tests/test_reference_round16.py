@@ -1182,3 +1182,187 @@ def test_ml_knn_classify_matches_vote_walk(spark, sf_dir):
         for r in all_queries()["ml_knn_classify"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 4: embedding-side quality operators — quantized-integer disciplines
+# rebuilt literally (Decimal HALF_UP quantization, integer Gram products,
+# the SemDeDup keep-first relation, the MMR greedy loop)
+# --------------------------------------------------------------------------
+
+
+def test_pq_distortion_matches_python_min_walk(spark, sf_dir):
+    """Per-block codec distortion: each vector's min block distance over
+    the 16-row codebook, micro-quantized then integer-aggregated; mean is
+    a non-negative integer division."""
+    from tmdb_movie_data_pipeline_spark.operators.pq import (
+        _CB_BASE,
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+    )
+
+    emb = _embeddings(sf_dir)
+    cb = {cid: emb[_CB_BASE + cid] for cid in range(PQ_K)}
+    per_block: dict[int, list[int]] = defaultdict(list)
+    for e in emb.values():
+        for b in range(PQ_M):
+            per_block[b].append(
+                _micro(min(_block_dist_py(e, cb[cid], b, PQ_DSUB) for cid in range(PQ_K)))
+            )
+    want = {
+        b: (len(ds), sum(ds), sum(ds) // len(ds), max(ds))
+        for b, ds in per_block.items()
+    }
+    got = {
+        r["block"]: (
+            r["n_vecs"],
+            r["total_dist_micro"],
+            r["mean_dist_micro"],
+            r["max_dist_micro"],
+        )
+        for r in all_queries()["ml_pq_distortion"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _q_half_away(x: float, scale: int) -> int:
+    """CAST(ROUND(x * scale) AS BIGINT) incl. negatives: Decimal HALF_UP is
+    round-half-away-from-zero, Spark's ROUND rule."""
+    return int(Decimal(x * scale).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def test_embedding_gram_matches_integer_products(spark, sf_dir):
+    """X^T X upper triangle vs literal integer accumulation over quantized
+    components; the double column is exact IEEE scaling by 2^-20."""
+    emb = _embeddings(sf_dir)
+    qv = {v: [_q_half_away(x, 1024) for x in e] for v, e in emb.items()}
+    want = {}
+    for i in range(64):
+        for j in range(i, 64):
+            s = sum(q[i] * q[j] for q in qv.values())
+            want[(i, j)] = (s, float(s) / 1048576)
+    got = {
+        (r["i"], r["j"]): (r["gram_q"], r["gram"])
+        for r in all_queries()["ml_embedding_gram"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_semantic_decontaminate_matches_ppm_walk(spark, sf_dir):
+    """Embedding-space decontamination: per training vector, the floor-ppm
+    max cosine against the eval slice, the lowest offending eval id, the
+    leak verdict — floats quantized BEFORE the max, as the engine pins."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _SDECON_TAU_PPM,
+        N_QUERIES,
+    )
+
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    evals = [v for v in emb if v < N_QUERIES]
+    want = {}
+    for v in emb:
+        if v < N_QUERIES:
+            continue
+        ppm = {
+            q: math.floor(1_000_000 * _cos_py(emb, norms, q, v)) for q in evals
+        }
+        mx = max(ppm.values())
+        leaks = [q for q in evals if ppm[q] >= _SDECON_TAU_PPM]
+        want[v] = (mx, min(leaks) if leaks else None, mx >= _SDECON_TAU_PPM)
+    got = {
+        r["vec_id"]: (r["max_cos_ppm"], r["leaked_from"], r["contaminated"])
+        for r in all_queries()["llm_semantic_decontaminate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_semdedup_prune_matches_cluster_walk(spark, sf_dir):
+    """SemDeDup keep-first: IVF clusters from the batch-1 routing walk;
+    inside each cluster a member drops iff a LOWER-id member's
+    integer-quantized cosine clears the threshold (zero-norm vectors
+    never pair)."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        CENTROID_BASE,
+        DUP_COSINE_THRESHOLD,
+        DUP_QUANT_SCALE,
+        N_CENTROIDS,
+    )
+
+    emb = _embeddings(sf_dir)
+    assign, _ = _ivf_route_py(emb, N_CENTROIDS, CENTROID_BASE, 1, 0)
+    q = {v: [_q_half_away(x, DUP_QUANT_SCALE) for x in e] for v, e in emb.items()}
+    n2 = {v: sum(x * x for x in qq) for v, qq in q.items()}
+    clusters: dict[int, list[int]] = defaultdict(list)
+    for v, cid in assign.items():
+        clusters[cid].append(v)
+    want = {}
+    for cid, vs in clusters.items():
+        vs = sorted(vs)
+        for idx, v in enumerate(vs):
+            dropped = False
+            if n2[v] > 0:
+                for u in vs[:idx]:
+                    if n2[u] == 0:
+                        continue
+                    cos = float(sum(a * b for a, b in zip(q[u], q[v]))) / (
+                        math.sqrt(float(n2[u])) * math.sqrt(float(n2[v]))
+                    )
+                    if cos >= DUP_COSINE_THRESHOLD:
+                        dropped = True
+                        break
+            want[v] = (cid, dropped)
+    got = {
+        r["vec_id"]: (r["cid"], r["dropped"])
+        for r in all_queries()["dedup_semdedup_prune"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mmr_diversified_topk_matches_greedy_walk(spark, sf_dir):
+    """MMR re-ranking as a literal integer greedy loop: micro-quantized
+    relevance pool of 12, pairwise micro sims, argmax(rel) then
+    argmax(rel - max-sim-to-selected) x3, every tie by neighbor id."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_POOL,
+        N_QUERIES,
+    )
+
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    want = {}
+    for qid in range(N_QUERIES):
+        rel = {
+            v: _q_half_away(_cos_py(emb, norms, qid, v), 1_000_000)
+            for v in emb
+            if v != qid
+        }
+        pool = sorted(rel, key=lambda n: (-rel[n], n))[:_MMR_POOL]
+        sim = {
+            (a, b): _q_half_away(_cos_py(emb, norms, a, b), 1_000_000)
+            for a in pool
+            for b in pool
+            if a != b
+        }
+        first = min(pool, key=lambda n: (-rel[n], n))
+        selected = [first]
+        want[(qid, first)] = (1, rel[first], rel[first])
+        for step in range(2, _MMR_K + 1):
+            remaining = [v for v in pool if v not in selected]
+            score = {
+                v: rel[v] - max(sim[(v, s)] for s in selected) for v in remaining
+            }
+            pick = min(remaining, key=lambda v: (-score[v], v))
+            selected.append(pick)
+            want[(qid, pick)] = (step, rel[pick], score[pick])
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["step"],
+            r["rel_micro"],
+            r["score_micro"],
+        )
+        for r in all_queries()["ml_mmr_diversified_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
