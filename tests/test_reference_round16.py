@@ -1366,3 +1366,242 @@ def test_mmr_diversified_topk_matches_greedy_walk(spark, sf_dir):
         for r in all_queries()["ml_mmr_diversified_topk"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 5: the window battery — frames, ranks, value and distribution
+# functions rebuilt as literal sorted-partition walks over raw pulls
+# --------------------------------------------------------------------------
+
+
+def _round_dec(x, nd: int):
+    """ROUND(x, nd) with Spark's HALF_UP-on-exact-decimal rule."""
+    if x is None:
+        return None
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+
+def test_window_topk_per_segment_matches_sort_walk(spark, sf_dir):
+    want = {}
+    per: dict[str, list] = defaultdict(list)
+    for seg, ck, bal in _raw(
+        sf_dir,
+        "SELECT c_mktsegment, c_custkey, c_acctbal"
+        " FROM read_parquet('{D}/customer.parquet')",
+    ):
+        per[seg].append((ck, float(bal)))
+    for seg, rows in per.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (ck, bal) in enumerate(rows[:3], start=1):
+            want[(seg, ck)] = (_round_dec(bal, 2), rk)
+    got = {
+        (r["c_mktsegment"], r["c_custkey"]): (r["acctbal"], r["rk"])
+        for r in all_queries()["window_topk_per_segment"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_running_totals_matches_cumsum_walk(spark, sf_dir):
+    """Quantized running sum + row_number + lag/lead per customer, ordered
+    (orderdate, orderkey) — a literal per-partition fold."""
+    per: dict[int, list] = defaultdict(list)
+    for ck, ok, d, p in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet') WHERE o_custkey % 10 = 0",
+    ):
+        per[ck].append((d, ok, float(p)))
+    want = {}
+    for ck, rows in per.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        run = 0
+        for seq, (_, ok, p) in enumerate(rows, start=1):
+            run += _q_half_away(p, 100)
+            prev = rows[seq - 2][2] if seq >= 2 else None
+            nxt = rows[seq][2] if seq < len(rows) else None
+            want[(ck, ok)] = (
+                float(run) / 100.0,
+                seq,
+                _round_dec(prev, 2),
+                _round_dec(nxt, 2),
+            )
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (
+            r["running_spend"],
+            r["order_seq"],
+            r["prev_price"],
+            r["next_price"],
+        )
+        for r in all_queries()["window_running_totals"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_rank_ntile_matches_tile_arithmetic(spark, sf_dir):
+    """rank / dense_rank / ntile(4) on the supplier dim: fully tie-broken
+    orders make rank a position; ntile sizes are the ceil/floor split."""
+    rows = [
+        (sk, nm, nk, float(b))
+        for sk, nm, nk, b in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_name, s_nationkey, s_acctbal"
+            " FROM read_parquet('{D}/supplier.parquet')",
+        )
+    ]
+    n = len(rows)
+    by_bal = sorted(rows, key=lambda t: (-t[3], t[0]))
+    by_nat = sorted(rows, key=lambda t: (t[2], t[0]))
+    size, rem = n // 4, n % 4
+    tile_of = []
+    for t in range(1, 5):
+        tile_of += [t] * (size + (1 if t <= rem else 0))
+    want = {}
+    for pos, (sk, nm, _, _) in enumerate(by_bal):
+        want[sk] = [nm, pos + 1, None, tile_of[pos]]
+    for pos, (sk, *_), in enumerate(by_nat):
+        want[sk][2] = pos + 1
+    got = {
+        r["s_suppkey"]: [r["s_name"], r["bal_rank"], r["nation_seq"], r["quartile"]]
+        for r in all_queries()["window_rank_ntile"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_window_frame_moving_avg_matches_rows_frame_walk(spark, sf_dir):
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW: the 3-row moving average
+    of quantized cents, two IEEE divisions in the engines' order."""
+    per: dict[int, list] = defaultdict(list)
+    for sk, ok, ln, d, p in _raw(
+        sf_dir,
+        "SELECT l_suppkey, l_orderkey, l_linenumber, CAST(l_shipdate AS VARCHAR),"
+        " l_extendedprice FROM read_parquet('{D}/lineitem.parquet')"
+        " WHERE l_suppkey <= 5",
+    ):
+        per[sk].append((d, ok, ln, _q_half_away(float(p), 100)))
+    want = {}
+    for sk, rows in per.items():
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        for i, (_, ok, ln, _) in enumerate(rows):
+            frame = rows[max(0, i - 2) : i + 1]
+            s = sum(c for *_, c in frame)
+            want[(sk, ok, ln)] = (float(s) / float(len(frame))) / 100.0
+    got = {
+        (r["l_suppkey"], r["l_orderkey"], r["l_linenumber"]): r["moving_avg_price"]
+        for r in all_queries()["window_frame_moving_avg"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_range_frame_matches_value_scan(spark, sf_dir):
+    """Numeric RANGE frame: peers within +-500 of the current balance —
+    counted by VALUE against IEEE bounds, not by physical position."""
+    rows = [
+        (sk, float(b))
+        for sk, b in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_acctbal FROM read_parquet('{D}/supplier.parquet')",
+        )
+    ]
+    want = {
+        sk: (
+            _round_dec(b, 2),
+            sum(1 for _, y in rows if b - 500 <= y <= b + 500),
+        )
+        for sk, b in rows
+    }
+    got = {
+        r["s_suppkey"]: (r["acctbal"], r["peers_within_500"])
+        for r in all_queries()["window_range_frame"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_value_functions_match_partition_walk(spark, sf_dir):
+    """first/last/nth_value + percent_rank/cume_dist per segment under the
+    fully tie-broken (balance desc, key) order."""
+    per: dict[str, list] = defaultdict(list)
+    for seg, ck, b in _raw(
+        sf_dir,
+        "SELECT c_mktsegment, c_custkey, c_acctbal"
+        " FROM read_parquet('{D}/customer.parquet') WHERE c_custkey % 10 = 0",
+    ):
+        per[seg].append((ck, float(b)))
+    want = {}
+    for seg, rows in per.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        n = len(rows)
+        richest = rows[0][1]
+        poorest = rows[-1][1]
+        second = rows[1][1] if n >= 2 else None
+        for pos, (ck, _) in enumerate(rows, start=1):
+            pr = 0.0 if n == 1 else (pos - 1) / (n - 1)
+            want[(seg, ck)] = (
+                _round_dec(richest, 2),
+                _round_dec(poorest, 2),
+                _round_dec(second, 2),
+                _round_dec(pr, 9),
+                _round_dec(pos / n, 9),
+            )
+    got = {
+        (r["c_mktsegment"], r["c_custkey"]): (
+            r["seg_richest"],
+            r["seg_poorest"],
+            r["seg_second"],
+            r["pct_rank"],
+            r["cume"],
+        )
+        for r in all_queries()["window_value_functions"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_time_range_frame_matches_micros_scan(spark, sf_dir):
+    """Temporal RANGE frame: trailing 1h of quantized cents per user,
+    bounded by EVENT TIME in epoch micros (ties share a frame)."""
+    per: dict[int, list] = defaultdict(list)
+    for uid, eid, us, v in _raw(
+        sf_dir,
+        "SELECT user_id, event_id, epoch_us(ts), value"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        per[uid].append((int(us), eid, _q_half_away(float(v), 100)))
+    want = {}
+    for uid, rows in per.items():
+        for us, eid, _ in rows:
+            want[(uid, eid)] = sum(
+                c for t, _, c in rows if us - 3_600_000_000 <= t <= us
+            )
+    got = {
+        (r["user_id"], r["event_id"]): r["trailing_1h_cents"]
+        for r in all_queries()["window_time_range_frame"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_dist_functions_match_ppm_walk(spark, sf_dir):
+    """PERCENT_RANK / CUME_DIST per nation in exact ppm, ordered by
+    (cent balance desc, key): (pos-1)/(n-1) and pos/n on plain ints."""
+    per: dict[int, list] = defaultdict(list)
+    for sk, nk, b in _raw(
+        sf_dir,
+        "SELECT s_suppkey, s_nationkey, s_acctbal"
+        " FROM read_parquet('{D}/supplier.parquet')",
+    ):
+        per[nk].append((sk, _q_half_away(float(b), 100)))
+    want = {}
+    for nk, rows in per.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        n = len(rows)
+        for pos, (sk, _) in enumerate(rows, start=1):
+            # the engines compute 1e6 * (ratio): keep that association
+            pr = 0.0 if n == 1 else 1_000_000 * ((pos - 1) / (n - 1))
+            want[sk] = (
+                nk,
+                _q_half_away(pr, 1),
+                _q_half_away(1_000_000 * (pos / n), 1),
+            )
+    got = {
+        r["s_suppkey"]: (r["nation"], r["pct_rank_ppm"], r["cume_dist_ppm"])
+        for r in all_queries()["window_dist_functions"](spark, sf_dir).collect()
+    }
+    assert got == want
