@@ -1605,3 +1605,228 @@ def test_window_dist_functions_match_ppm_walk(spark, sf_dir):
         for r in all_queries()["window_dist_functions"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 6: LLM-prep string operators — normalization, n-gram, regex, and
+# funnel algebra rebuilt with Python str/re/hashlib
+# --------------------------------------------------------------------------
+
+import re as _re
+
+
+def _norm_py(text: str) -> str:
+    """lower(trim(regexp_replace(text, '\\s+', ' '))) — ASCII \\s, the
+    engines' regex class."""
+    return _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip(" ").lower()
+
+
+def _toks_py(text: str) -> list[str]:
+    return _norm_py(text).split(" ")
+
+
+def _docs(sf_dir: str):
+    return _raw(
+        sf_dir,
+        "SELECT doc_id, text, lang FROM read_parquet('{D}/documents.parquet')",
+    )
+
+
+def test_text_lang_id_matches_marker_walk(spark, sf_dir):
+    """Marker-word language ID: per-language token counts + the fixed
+    argmax precedence (en >= es >= de, all-zero -> unknown)."""
+    from tmdb_movie_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    want = {}
+    for did, text, lang in _docs(sf_dir):
+        toks = _toks_py(text)
+        s = {
+            lg: sum(1 for t in toks if t in set(ms))
+            for lg, ms in LANG_MARKERS.items()
+        }
+        if s["en"] == 0 and s["es"] == 0 and s["de"] == 0:
+            pred = "unknown"
+        elif s["en"] >= s["es"] and s["en"] >= s["de"]:
+            pred = "en"
+        elif s["es"] >= s["de"]:
+            pred = "es"
+        else:
+            pred = "de"
+        want[did] = (lang, s["en"], s["es"], s["de"], pred)
+    got = {
+        r["doc_id"]: (
+            r["labeled_lang"],
+            r["s_en"],
+            r["s_es"],
+            r["s_de"],
+            r["predicted_lang"],
+        )
+        for r in all_queries()["text_lang_id"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_text_token_count_matches_three_counters(spark, sf_dir):
+    """Whitespace split, the [a-z]+|[0-9]+ pre-tokenizer, and the chars/4
+    BPE budget — three counters from str/re."""
+    want = {}
+    for did, text, _ in _docs(sf_dir):
+        want[did] = (
+            len(_toks_py(text)),
+            len(_re.findall(r"[a-z]+|[0-9]+", text.lower())),
+            math.ceil(len(text) / 4.0),
+        )
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["word_tokens"], r["approx_bpe_tokens"])
+        for r in all_queries()["text_token_count"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_llm_pii_scrub_matches_re_chain(spark, sf_dir):
+    """The email -> phone -> long-number redaction chain replayed with
+    Python re in the same order; the md5 pins the exact rewrite."""
+    import hashlib
+
+    want = {}
+    for did, text, _ in _docs(sf_dir):
+        s = _re.sub(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>", text)
+        s = _re.sub(r"\d{3}[-. ]\d{3,4}[-. ]\d{4}", "<PHONE>", s)
+        s = _re.sub(r"\d{6,}", "<NUM>", s)
+        want[did] = (
+            hashlib.md5(s.encode()).hexdigest(),
+            sum(c.isdigit() and c.isascii() for c in text),
+        )
+    got = {
+        r["doc_id"]: (r["scrubbed_md5"], r["n_digits"])
+        for r in all_queries()["llm_pii_scrub"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _grams_py(toks: list[str], k: int) -> list[str]:
+    """slice(toks, i, k) semantics: 1-based start, shorter tail slices
+    allowed, always >= 1 gram."""
+    n = len(toks)
+    return [
+        " ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))
+    ]
+
+
+def test_llm_decontaminate_matches_gram_overlap(spark, sf_dir):
+    """8-gram decontamination: benchmark gram set from doc_id < 5, per
+    corpus doc the count of DISTINCT overlapping grams; docs with zero
+    overlap are absent."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import _DECON_NGRAM
+
+    bench: set[str] = set()
+    corpus = []
+    for did, text, _ in _docs(sf_dir):
+        toks = _toks_py(text)
+        if did < 5:
+            bench |= set(_grams_py(toks, _DECON_NGRAM))
+        else:
+            corpus.append((did, toks))
+    want = {}
+    for did, toks in corpus:
+        hit = set(_grams_py(toks, _DECON_NGRAM)) & bench
+        if hit:
+            want[did] = len(hit)
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in all_queries()["llm_decontaminate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_good_turing_matches_bigram_type_walk(spark, sf_dir):
+    """Good-Turing missing mass per language over bigram types: N, V, N1,
+    N2 from nested dicts, the two truncating ppm rationals, the N1=0
+    degenerate."""
+    types: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for _, text, lang in _docs(sf_dir):
+        toks = _toks_py(text)
+        if len(toks) < 2:
+            continue
+        for i in range(len(toks) - 1):
+            types[lang][f"{toks[i]} {toks[i + 1]}"] += 1
+    want = {}
+    for lang, tc in types.items():
+        n = sum(tc.values())
+        v = len(tc)
+        n1 = sum(1 for r in tc.values() if r == 1)
+        n2 = sum(1 for r in tc.values() if r == 2)
+        want[lang] = (
+            n,
+            v,
+            n1,
+            n2,
+            (1_000_000 * n1) // n,
+            0 if n1 == 0 else (2_000_000 * n2) // n1,
+        )
+    got = {
+        r["lang"]: (
+            r["n_tokens"],
+            r["n_types"],
+            r["n_singletons"],
+            r["n_doubletons"],
+            r["missing_mass_ppm"],
+            r["r1_star_ppm"],
+        )
+        for r in all_queries()["llm_good_turing_missing_mass"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _funnel_survivors(spark, sf_dir):
+    """The prepare-corpus funnel in plain Python: quality gate, md5
+    keep-first, LSH-loser drop (the pair relation from the engine's staged
+    build, whose construction carries its own hashlib rebuild)."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import lsh_pairs_staged
+
+    stop = {"the", "a", "and", "of", "is", "to", "in"}
+    quality = {}
+    for did, text, lang in _docs(sf_dir):
+        toks = _toks_py(text)
+        n = len(toks)
+        ratio = sum(1 for t in toks if t in stop) / float(n) if n else None
+        if 20 <= n <= 1000 and ratio is not None and ratio >= 0.01:
+            quality[did] = (lang, n, hashlib.md5(_norm_py(text).encode()).hexdigest())
+    keep_by_hash: dict[str, int] = {}
+    for did in sorted(quality):
+        h = quality[did][2]
+        keep_by_hash.setdefault(h, did)
+    kept = set(keep_by_hash.values())
+    losers = {int(r["doc_b"]) for r in lsh_pairs_staged(spark, sf_dir).collect()}
+    return {
+        did: quality[did][:2] for did in kept if did not in losers
+    }
+
+
+def test_llm_prepare_corpus_matches_funnel_walk(spark, sf_dir):
+    want = {
+        did: (lang, n) for did, (lang, n) in _funnel_survivors(spark, sf_dir).items()
+    }
+    got = {
+        r["doc_id"]: (r["lang"], r["ws_tokens"])
+        for r in all_queries()["llm_prepare_corpus"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_llm_corpus_stats_match_funnel_rollup(spark, sf_dir):
+    """The per-language token-budget report folded from the same Python
+    funnel: docs, total/min/max whitespace tokens."""
+    per: dict[str, list[int]] = defaultdict(list)
+    for _, (lang, n) in _funnel_survivors(spark, sf_dir).items():
+        per[lang].append(n)
+    want = {
+        lang: (len(ns), sum(ns), min(ns), max(ns)) for lang, ns in per.items()
+    }
+    got = {
+        r["lang"]: (r["n_docs"], r["total_tokens"], r["min_tokens"], r["max_tokens"])
+        for r in all_queries()["llm_corpus_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
