@@ -1830,3 +1830,207 @@ def test_llm_corpus_stats_match_funnel_rollup(spark, sf_dir):
         for r in all_queries()["llm_corpus_stats"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 7: the profiling shelf — audits and advisors vs dict rollups
+# --------------------------------------------------------------------------
+
+
+def test_profile_table_stats_match_dict_rollup(spark, sf_dir):
+    """Lineitem column profile: nulls / exact distincts / string-cast
+    extremes per audited column, from raw typed pulls."""
+    rows = _raw(
+        sf_dir,
+        "SELECT CAST(l_orderkey AS BIGINT), CAST(l_quantity AS BIGINT),"
+        " l_returnflag, CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    )
+    cols = list(zip(*rows))
+    names = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    want = {}
+    for name, vals in zip(names, cols):
+        nn = [v for v in vals if v is not None]
+        want[name] = (
+            len(vals),
+            len(vals) - len(nn),
+            len(set(nn)),
+            str(min(nn)),
+            str(max(nn)),
+        )
+    got = {
+        r["column"]: (
+            r["n_rows"],
+            r["n_null"],
+            r["n_distinct"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in all_queries()["profile_table_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_profile_column_stats_match_canonical_strings(spark, sf_dir):
+    """Orders profile through the canonical string projection: min/max are
+    LEXICOGRAPHIC over the canonical form (ints as strings — '9' > '10'),
+    which this rebuild exercises deliberately."""
+    rows = _raw(
+        sf_dir,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,"
+        " CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    )
+    proj = {
+        "o_orderkey": [str(r[0]) for r in rows],
+        "o_custkey": [str(r[1]) for r in rows],
+        "o_orderstatus": [r[2] for r in rows],
+        "o_orderpriority": [r[3] for r in rows],
+        "o_orderdate": [r[4] for r in rows],
+        "o_totalprice_cents": [str(_q_half_away(float(r[5]), 100)) for r in rows],
+    }
+    want = {}
+    for col, vals in proj.items():
+        nn = [v for v in vals if v is not None]
+        want[col] = (len(vals), len(vals) - len(nn), len(set(nn)), min(nn), max(nn))
+    got = {
+        r["col"]: (r["n_rows"], r["n_null"], r["n_distinct"], r["min_val"], r["max_val"])
+        for r in all_queries()["profile_column_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_profile_fk_integrity_matches_set_probe(spark, sf_dir):
+    """Every declared FK edge: orphans = non-null child keys outside the
+    (optionally predicated) parent key set — plain set membership."""
+    con = duckdb.connect()
+
+    def col(table, c, pred=None):
+        where = f" WHERE {pred}" if pred else ""
+        return [
+            v
+            for (v,) in con.execute(
+                f"SELECT {c} FROM read_parquet('{sf_dir}/{table}.parquet'){where}"
+            ).fetchall()
+        ]
+
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey", None),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey", None),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey", None),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey", None),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey", None),
+        ("orders.o_custkey -> customer[c_acctbal >= 0]", "orders", "o_custkey",
+         "customer", "c_custkey", "c_acctbal >= 0"),
+    ]
+    want = {}
+    for label, child, ckey, parent, pkey, pred in edges:
+        ck = col(child, ckey)
+        pk = {v for v in col(parent, pkey, pred) if v is not None}
+        nn = [v for v in ck if v is not None]
+        want[label] = (len(ck), sum(1 for v in nn if v not in pk), len(ck) - len(nn))
+    con.close()
+    got = {
+        r["fk_edge"]: (r["n_child_rows"], r["n_orphans"], r["n_null_keys"])
+        for r in all_queries()["profile_fk_integrity"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_profile_join_key_skew_matches_histogram_walk(spark, sf_dir):
+    """The skew advisor: per candidate key, group-size histogram ->
+    max / exact p50 / p99 group sizes, top-key ppm share, and the
+    cross-multiplied salt recommendation — dict counters only. The
+    planted skew exhibit must flag, the organic keys must not."""
+    from tmdb_movie_data_pipeline_spark.operators.profiling import (
+        _SKEWP_DIM_N,
+        _SKEWP_RATIO,
+    )
+
+    groups: dict[str, dict[int, int]] = {
+        "lineitem.l_orderkey": defaultdict(int),
+        "events.user_id": defaultdict(int),
+        "skew_exhibit.k": defaultdict(int),
+    }
+    for (k,) in _raw(
+        sf_dir, "SELECT l_orderkey FROM read_parquet('{D}/lineitem.parquet')"
+    ):
+        groups["lineitem.l_orderkey"][k] += 1
+    for (u,) in _raw(
+        sf_dir, "SELECT user_id FROM read_parquet('{D}/events.parquet')"
+    ):
+        groups["events.user_id"][u] += 1
+    for ok, ln in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        k = 0 if ln % 7 != 0 else ok % _SKEWP_DIM_N
+        groups["skew_exhibit.k"][k] += 1
+    want = {}
+    for src, g in groups.items():
+        sizes = sorted(g.values())
+        n_keys, n_rows, mx = len(sizes), sum(sizes), max(sizes)
+
+        def pctl(num, den):
+            cum = 0
+            hist: dict[int, int] = defaultdict(int)
+            for s in sizes:
+                hist[s] += 1
+            for c in sorted(hist):
+                cum += hist[c]
+                if den * cum >= num * n_keys:
+                    return c
+            return None
+
+        want[src] = (
+            n_rows,
+            n_keys,
+            mx,
+            pctl(1, 2),
+            pctl(99, 100),
+            (1_000_000 * mx) // n_rows,
+            mx * n_keys > _SKEWP_RATIO * n_rows,
+        )
+    assert want["skew_exhibit.k"][6] and not want["lineitem.l_orderkey"][6]
+    got = {
+        r["src"]: (
+            r["n_rows"],
+            r["n_keys"],
+            r["max_group"],
+            r["p50_group"],
+            r["p99_group"],
+            r["top_share_ppm"],
+            r["salt_recommended"],
+        )
+        for r in all_queries()["profile_join_key_skew"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_profile_mode_imputation_matches_argmax_walk(spark, sf_dir):
+    """Mode imputation with leak-free evaluation: the per-source mode over
+    OBSERVED rows only, (count desc, label asc) argmax, and the held-back
+    truth comparison for every masked row."""
+    from tmdb_movie_data_pipeline_spark.operators.profiling import _IMP_MISS_MOD
+
+    rows = _raw(
+        sf_dir,
+        "SELECT doc_id, source, lang FROM read_parquet('{D}/documents.parquet')",
+    )
+    counts: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for did, src, lang in rows:
+        if did % _IMP_MISS_MOD != 0:
+            counts[src][lang] += 1
+    modes = {
+        src: min(c, key=lambda lab: (-c[lab], lab)) for src, c in counts.items()
+    }
+    want = {
+        did: (src, modes[src], lang, 1 if modes[src] == lang else 0)
+        for did, src, lang in rows
+        if did % _IMP_MISS_MOD == 0 and src in modes
+    }
+    got = {
+        r["doc_id"]: (r["source"], r["imputed_lang"], r["true_lang"], r["correct"])
+        for r in all_queries()["profile_mode_imputation"](spark, sf_dir).collect()
+    }
+    assert got == want
