@@ -2034,3 +2034,212 @@ def test_profile_mode_imputation_matches_argmax_walk(spark, sf_dir):
         for r in all_queries()["profile_mode_imputation"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 8: events/BI kernels — sessionization algebra, cohorts, streaks,
+# funnels, attribution rebuilt as per-user timeline walks
+# --------------------------------------------------------------------------
+
+
+def _ev_rows(sf_dir: str):
+    """(user_id, event_id, epoch_us, event_type, value) sorted pulls."""
+    return [
+        (int(u), int(e), int(us), t, float(v))
+        for u, e, us, t, v in _raw(
+            sf_dir,
+            "SELECT user_id, event_id, epoch_us(ts), event_type, value"
+            " FROM read_parquet('{D}/events.parquet')",
+        )
+    ]
+
+
+def _sessions_py(rows):
+    """user -> list of sessions, each a list of (us, event_id, event_type)
+    under the 30-min-gap rule with the (ts, event_id) tie order."""
+    from tmdb_movie_data_pipeline_spark.operators.events import SESSION_GAP_MIN
+
+    gap = SESSION_GAP_MIN * 60 * 1_000_000
+    per: dict[int, list] = defaultdict(list)
+    for u, e, us, t, _ in rows:
+        per[u].append((us, e, t))
+    out: dict[int, list] = {}
+    for u, evs in per.items():
+        evs.sort()
+        sessions = []
+        for us, e, t in evs:
+            if not sessions or us - sessions[-1][-1][0] > gap:
+                sessions.append([])
+            sessions[-1].append((us, e, t))
+        out[u] = sessions
+    return out
+
+
+def test_events_sessionize_matches_gap_walk(spark, sf_dir):
+    rows = _ev_rows(sf_dir)
+    want = {}
+    for u, sessions in _sessions_py(rows).items():
+        for seq, s in enumerate(sessions, start=1):
+            want[(u, seq)] = (len(s), s[0][0], s[-1][0])
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            r["session_start_us"],
+            r["session_end_us"],
+        )
+        for r in all_queries()["events_sessionize"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_session_funnel_matches_step_walk(spark, sf_dir):
+    """view -> click -> purchase at session grain: a step counts only when
+    strictly later than the previous step inside the SAME session."""
+    rows = _ev_rows(sf_dir)
+    n_sessions = s1 = s2 = s3 = 0
+    for _, sessions in _sessions_py(rows).items():
+        for s in sessions:
+            n_sessions += 1
+            t1 = min((us for us, _, t in s if t == "view"), default=None)
+            t2 = min((us for us, _, t in s if t == "click"), default=None)
+            t3 = min((us for us, _, t in s if t == "purchase"), default=None)
+            if t1 is not None:
+                s1 += 1
+                if t2 is not None and t2 > t1:
+                    s2 += 1
+                    if t3 is not None and t3 > t2:
+                        s3 += 1
+    want = {
+        1: ("view", n_sessions, s1, 1_000_000),
+        2: ("click", n_sessions, s2, (1_000_000 * s2) // s1),
+        3: ("purchase", n_sessions, s3, (1_000_000 * s3) // s1),
+    }
+    got = {
+        r["step"]: (r["step_type"], r["n_sessions"], r["n_reached"], r["conv_ppm"])
+        for r in all_queries()["events_session_funnel"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_latest_per_user_matches_max_walk(spark, sf_dir):
+    rows = _ev_rows(sf_dir)
+    per: dict[int, tuple] = {}
+    for u, e, us, t, v in rows:
+        if u not in per or (us, e) > (per[u][0], per[u][1]):
+            per[u] = (us, e, t, v)
+    want = {
+        u: (e, us, t, _round_dec(v, 4)) for u, (us, e, t, v) in per.items()
+    }
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_ts_us"], r["event_type"], r["value"])
+        for r in all_queries()["events_latest_per_user"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_cohort_retention_matches_week_walk(spark, sf_dir):
+    """First-active-week cohorts: Monday-truncated weeks from epoch
+    micros, integer day-diff/7 offsets, distinct (user, week) counting."""
+    from datetime import datetime, timedelta, timezone
+
+    rows = _ev_rows(sf_dir)
+    uw = set()
+    for u, _, us, _, _ in rows:
+        dt = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
+        monday = (dt - timedelta(days=dt.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        uw.add((u, int(monday.timestamp() * 1_000_000)))
+    first = {}
+    for u, w in uw:
+        first[u] = min(first.get(u, w), w)
+    want: dict[tuple[int, int], int] = defaultdict(int)
+    for u, w in uw:
+        want[(first[u], (w - first[u]) // (7 * 86_400_000_000))] += 1
+    got = {
+        (r["cohort_week_us"], r["weeks_since"]): r["n_users"]
+        for r in all_queries()["events_cohort_retention"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_events_user_streaks_matches_islands_walk(spark, sf_dir):
+    """Gaps-and-islands over distinct active days, rebuilt by literally
+    scanning each user's sorted day list for consecutive runs."""
+    from datetime import datetime, timezone
+
+    rows = _ev_rows(sf_dir)
+    days: dict[int, set] = defaultdict(set)
+    for u, _, us, _, _ in rows:
+        days[u].add(
+            datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).date().toordinal()
+        )
+    want = {}
+    for u, ds in days.items():
+        sd = sorted(ds)
+        streaks = [1]
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        want[u] = (max(streaks), len(streaks), sum(streaks))
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["active_days"])
+        for r in all_queries()["events_user_streaks"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_interarrival_histogram_matches_pow2_walk(spark, sf_dir):
+    """Power-of-two gap buckets per event type: floor-second gaps under
+    the (ts, value) tie order, bucket = bit_length (0 for gap <= 0)."""
+    per: dict[tuple[str, int], list] = defaultdict(list)
+    for u, _, us, t, v in _ev_rows(sf_dir):
+        per[(t, u)].append((us, v))
+    want: dict[tuple[str, int], int] = defaultdict(int)
+    for (t, _), evs in per.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gap = b // 1_000_000 - a // 1_000_000
+            want[(t, 0 if gap <= 0 else gap.bit_length())] += 1
+    got = {
+        (r["event_type"], r["gap_bucket"]): r["n_gaps"]
+        for r in all_queries()["events_interarrival_histogram"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_events_attribution_last_touch_matches_timeline_walk(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the most recent
+    view/click STRICTLY before it (and within the lookback window);
+    otherwise 'none'. Rebuilt as a per-user ordered scan."""
+    from tmdb_movie_data_pipeline_spark.operators.events import (
+        _ATTR_LOOKBACK_DAYS,
+        _Z_SCALE,
+    )
+
+    lookback = _ATTR_LOOKBACK_DAYS * 86_400_000_000
+    per: dict[int, list] = defaultdict(list)
+    for u, e, us, t, v in _ev_rows(sf_dir):
+        per[u].append((us, e, t, v))
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for u, evs in per.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        touch = None  # (us, type) of last view/click so far
+        for us, e, t, v in evs:
+            if t == "purchase":
+                ch = (
+                    touch[1]
+                    if touch is not None and touch[0] >= us - lookback
+                    else "none"
+                )
+                want[ch][0] += 1
+                want[ch][1] += _q_half_away(v, _Z_SCALE)
+            if t in ("view", "click"):
+                touch = (us, t)
+    got = {
+        r["channel"]: [r["n_purchases"], r["revenue_cents"]]
+        for r in all_queries()["events_attribution_last_touch"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
