@@ -2243,3 +2243,148 @@ def test_events_attribution_last_touch_matches_timeline_walk(spark, sf_dir):
         for r in all_queries()["events_attribution_last_touch"](spark, sf_dir).collect()
     }
     assert got == {k: v for k, v in want.items()}
+
+
+# --------------------------------------------------------------------------
+# batch 9: grouping algebra and distribution aggregates vs dict rollups
+# --------------------------------------------------------------------------
+
+
+def test_agg_rollup_matches_three_level_fold(spark, sf_dir):
+    """ROLLUP (flag, status): leaf, per-flag subtotal, grand total — each
+    level folded independently from the same raw pull (NULL = the
+    rolled-up dimension)."""
+    rows = [
+        (f, s, _q_half_away(float(q), 100))
+        for f, s, q in _raw(
+            sf_dir,
+            "SELECT l_returnflag, l_linestatus, l_quantity"
+            " FROM read_parquet('{D}/lineitem.parquet')",
+        )
+    ]
+    want: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for f, s, qc in rows:
+        for key in ((f, s), (f, None), (None, None)):
+            want[key][0] += 1
+            want[key][1] += qc
+    wexp = {k: (n, float(c) / 100.0) for k, (n, c) in want.items()}
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["sum_qty"])
+        for r in all_queries()["agg_rollup"](spark, sf_dir).collect()
+    }
+    assert got == wexp
+
+
+def test_agg_cube_matches_four_level_fold(spark, sf_dir):
+    """CUBE (status, priority): all four grouping levels from one pull."""
+    rows = [
+        (st, pr, _q_half_away(float(p), 100))
+        for st, pr, p in _raw(
+            sf_dir,
+            "SELECT o_orderstatus, o_orderpriority, o_totalprice"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+    ]
+    want: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for st, pr, pc in rows:
+        for key in ((st, pr), (st, None), (None, pr), (None, None)):
+            want[key][0] += 1
+            want[key][1] += pc
+    wexp = {k: (n, float(c) / 100.0) for k, (n, c) in want.items()}
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"]): (r["n"], r["sum_price"])
+        for r in all_queries()["agg_cube"](spark, sf_dir).collect()
+    }
+    assert got == wexp
+
+
+def test_agg_grouped_median_matches_sorted_pick(spark, sf_dir):
+    """Exact per-group lower median: rank (n+1)//2 in the sorted cents
+    multiset — the engine's histogram-offset plan must agree with a plain
+    sorted-list pick."""
+    per: dict[str, list[int]] = defaultdict(list)
+    for t, v in _raw(
+        sf_dir, "SELECT event_type, value FROM read_parquet('{D}/events.parquet')"
+    ):
+        per[t].append(_q_half_away(float(v), 100))
+    want = {
+        t: (len(vs), sorted(vs)[(len(vs) + 1) // 2 - 1]) for t, vs in per.items()
+    }
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"])
+        for r in all_queries()["agg_grouped_median"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_agg_mode_per_group_matches_argmax(spark, sf_dir):
+    """Per-segment modal order priority through the dimension join, ties
+    to the lexicographically smallest priority."""
+    cust = dict(
+        _raw(
+            sf_dir,
+            "SELECT c_custkey, c_mktsegment FROM read_parquet('{D}/customer.parquet')",
+        )
+    )
+    cnt: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for ck, pr in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderpriority FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if ck in cust:
+            cnt[cust[ck]][pr] += 1
+    want = {}
+    for seg, c in cnt.items():
+        pr = min(c, key=lambda p: (-c[p], p))
+        want[seg] = (pr, c[pr])
+    got = {
+        r["c_mktsegment"]: (r["mode_priority"], r["n"])
+        for r in all_queries()["agg_mode_per_group"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_agg_hhi_matches_integer_formula(spark, sf_dir):
+    """HHI in exact basis points over $1000-quantized per-customer
+    revenue, including the overflow-guard branch choice."""
+    rev: dict[int, int] = defaultdict(int)
+    for ck, p in _raw(
+        sf_dir, "SELECT o_custkey, o_totalprice FROM read_parquet('{D}/orders.parquet')"
+    ):
+        rev[ck] += _q_half_away(float(p), 100)
+    rev_k = {ck: c // 100000 for ck, c in rev.items()}
+    total_k = sum(rev_k.values())
+    sum_sq = sum(v * v for v in rev_k.values())
+    if sum_sq < 900_000_000_000_000:
+        hhi = (10_000 * sum_sq) // (total_k * total_k)
+    else:
+        hhi = sum_sq // ((total_k * total_k) // 10_000)
+    [r] = all_queries()["agg_hhi_concentration"](spark, sf_dir).collect()
+    assert (r["n_cust"], r["total_k"], r["hhi_bp"]) == (len(rev_k), total_k, hhi)
+
+
+def test_agg_pareto_matches_cumulative_walk(spark, sf_dir):
+    """The 80% revenue head: descending cumulative cents with the
+    (revenue desc, custkey) tie order; a customer is in the head while
+    the revenue BEFORE them hasn't covered the threshold."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import _PARETO_PCT
+
+    rev: dict[int, int] = defaultdict(int)
+    for ck, p in _raw(
+        sf_dir, "SELECT o_custkey, o_totalprice FROM read_parquet('{D}/orders.parquet')"
+    ):
+        rev[ck] += _q_half_away(float(p), 100)
+    total = sum(rev.values())
+    order = sorted(rev, key=lambda c: (-rev[c], c))
+    want = {}
+    cum = 0
+    for rk, ck in enumerate(order, start=1):
+        before = cum
+        cum += rev[ck]
+        if before * 100 < total * _PARETO_PCT:
+            want[ck] = (rev[ck], cum, rk)
+    got = {
+        r["c_custkey"]: (r["revenue_cents"], r["cum_cents"], r["rk"])
+        for r in all_queries()["agg_pareto_contribution"](spark, sf_dir).collect()
+    }
+    assert got == want
