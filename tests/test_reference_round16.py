@@ -2388,3 +2388,167 @@ def test_agg_pareto_matches_cumulative_walk(spark, sf_dir):
         for r in all_queries()["agg_pareto_contribution"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 10: multimodal leftovers — fingerprints and closed-form media
+# walks as a third independent derivation beside engine bytes + oracle SQL
+# --------------------------------------------------------------------------
+
+
+def test_multimodal_features_match_byte_walk(spark, sf_dir):
+    import hashlib
+
+    want = {}
+    for did, text, _ in _docs(sf_dir):
+        b = text.encode("utf-8")
+        n = len(b)
+        want[did] = (
+            n,
+            hashlib.md5(b).hexdigest(),
+            64 + n % 512,
+            64 + (n * 7) % 512,
+        )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["payload_md5"], r["fake_width"], r["fake_height"])
+        for r in all_queries()["multimodal_features"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_multimodal_block_dedup_matches_md5_blocks(spark, sf_dir):
+    """64-char block fingerprints (ASCII contract: chars == bytes), corpus
+    redundancy counters, one IEEE ratio division."""
+    import hashlib
+
+    blocks = []
+    for _, text, _ in _docs(sf_dir):
+        for i in range((len(text) + 63) // 64):
+            blocks.append(hashlib.md5(text[i * 64 : i * 64 + 64].encode()).hexdigest())
+    [r] = all_queries()["multimodal_block_dedup"](spark, sf_dir).collect()
+    assert (r["total_blocks"], r["distinct_blocks"]) == (len(blocks), len(set(blocks)))
+    assert r["unique_ratio"] == float(len(set(blocks))) / float(len(blocks))
+
+
+def test_multimodal_dhash_pairs_match_bit_walk(spark, sf_dir):
+    """dHash 56-bit fingerprints from ord() comparisons over the padded
+    grid, then brute-force Hamming pairs at radius 6 — proving the
+    engine's banded plan has perfect recall."""
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+        _DH_COLS,
+        _DH_MAX_HAMMING,
+        _DH_ROWS,
+    )
+
+    hs = {}
+    width = _DH_ROWS * _DH_COLS + 1
+    for did, text, _ in _docs(sf_dir):
+        px = (text + " " * width)[:width]
+        h = 0
+        for r in range(_DH_ROWS):
+            for c in range(_DH_COLS - 1):
+                pos = r * _DH_COLS + c  # 0-based
+                if ord(px[pos]) < ord(px[pos + 1]):
+                    h |= 1 << (r * (_DH_COLS - 1) + c)
+        hs[did] = h
+    ids = sorted(hs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= _DH_MAX_HAMMING:
+                want[(a, b)] = d
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in all_queries()["multimodal_dhash_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_multimodal_rle_matches_closed_form(spark, sf_dir):
+    """RLE audit vs the synthetic block rule alone: run counts, encoded
+    length, ratio ppm, run-value sum — a third derivation beside the
+    engine's real container round-trip and the oracle's SQL."""
+    want = {}
+    for did, *_ in _docs(sf_dir):
+        n_bytes = 3 * (2 + did % 7) * (2 + did % 5)
+        blk = 1 + did % 4
+        n_runs = (n_bytes + blk - 1) // blk
+        want[did] = (
+            "bmp" if did % 2 == 0 else "ppm",
+            n_bytes,
+            n_runs,
+            2 * n_runs,
+            (1_000_000 * 2 * n_runs) // n_bytes,
+            sum((did * 11 + j * 13) % 256 for j in range(n_runs)),
+        )
+    got = {
+        r["doc_id"]: (
+            r["container"],
+            r["n_bytes"],
+            r["n_runs"],
+            r["encoded_len"],
+            r["ratio_ppm"],
+            r["run_value_sum"],
+        )
+        for r in all_queries()["multimodal_rle_compression"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_multimodal_scene_change_matches_frame_rule(spark, sf_dir):
+    """Shot boundaries vs the closed-form frame rule: per-pixel absolute
+    diffs (incl. the mod-256 wrap where |a-b| = 206), nonzero = change."""
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import _VID_PIXELS
+
+    want = {}
+    for did, *_ in _docs(sf_dir):
+        n_f, seg = 4 + did % 4, 2 + did % 3
+        for f in range(1, n_f):
+            s = sum(
+                abs(
+                    (did * 7 + (f // seg) * 50 + p) % 256
+                    - (did * 7 + ((f - 1) // seg) * 50 + p) % 256
+                )
+                for p in range(_VID_PIXELS)
+            )
+            want[(did, f)] = (s, s > 0)
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["diff_abs_sum"], r["is_change"])
+        for r in all_queries()["multimodal_scene_change_detect"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_multimodal_pcm_silence_trim_matches_sample_rule(spark, sf_dir):
+    """Silence trim vs the planted sample rule: frame energies, the
+    first/last loud frames, trimmed counts, kept energy."""
+    from tmdb_movie_data_pipeline_spark.operators.multimodal import (
+        _PCM_FRAME,
+        _TRIM_FRAMES,
+        _TRIM_THRESH,
+    )
+
+    want = {}
+    for did, *_ in _docs(sf_dir):
+        energies = []
+        for f in range(_TRIM_FRAMES):
+            e = 0
+            for k in range(f * _PCM_FRAME, (f + 1) * _PCM_FRAME):
+                quiet = f < did % 2 or f >= _TRIM_FRAMES - (did // 2) % 2
+                v = (did + k) % 9 - 4 if quiet else (did * 31 + k) % 4096 - 2048
+                e += v * v
+            energies.append(e)
+        loud = [f for f, e in enumerate(energies) if e >= _TRIM_THRESH]
+        first, last = min(loud), max(loud)
+        want[did] = (
+            _TRIM_FRAMES,
+            first,
+            _TRIM_FRAMES - 1 - last,
+            sum(energies[first : last + 1]),
+        )
+    got = {
+        r["doc_id"]: (r["n_frames"], r["lead_trimmed"], r["tail_trimmed"], r["kept_energy"])
+        for r in all_queries()["multimodal_pcm_silence_trim"](spark, sf_dir).collect()
+    }
+    assert got == want
