@@ -2552,3 +2552,267 @@ def test_multimodal_pcm_silence_trim_matches_sample_rule(spark, sf_dir):
         for r in all_queries()["multimodal_pcm_silence_trim"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 11: the dedup estimator family — shingle algebra, MinHash accuracy
+# contracts, IDF weighting, cluster accounting vs hashlib/dict rebuilds
+# --------------------------------------------------------------------------
+
+
+def _shingles_py(text: str) -> set[str]:
+    """Distinct word-3-gram shingles, incl. the short-doc degenerate
+    (sub-3-token docs yield their whole token join)."""
+    toks = _toks_py(text)
+    n = len(toks)
+    if n < 3:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + 3]) for i in range(n - 2)}
+
+
+def _minhash_sigs_py(sh: set[str], n: int) -> list[int]:
+    import hashlib
+
+    h12 = [
+        (int(h[:15], 16), int(h[16:30], 16))
+        for h in (hashlib.md5(s.encode()).hexdigest() for s in sh)
+    ]
+    return [min(h1 + i * h2 for h1, h2 in h12) for i in range(n)]
+
+
+def _cand_pairs(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.dedup import lsh_pairs_staged
+
+    return [
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in lsh_pairs_staged(spark, sf_dir).collect()
+    ]
+
+
+def test_dedup_exact_matches_md5_groups(spark, sf_dir):
+    import hashlib
+
+    groups: dict[str, list[int]] = defaultdict(list)
+    for did, text, _ in _docs(sf_dir):
+        groups[hashlib.md5(_norm_py(text).encode()).hexdigest()].append(did)
+    want = {h: (min(ds), len(ds)) for h, ds in groups.items()}
+    got = {
+        r["content_hash"]: (r["canonical_id"], r["dup_count"])
+        for r in all_queries()["dedup_exact"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_ngram_jaccard_matches_set_walk(spark, sf_dir):
+    """Exact 3-gram Jaccard per LSH candidate pair (zero-intersection
+    candidates drop out), one IEEE int/int division, 0.0375 gate."""
+    sh = {did: _shingles_py(text) for did, text, _ in _docs(sf_dir)}
+    want = {}
+    for a, b in _cand_pairs(spark, sf_dir):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = float(inter) / float(len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.0375:
+            want[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in all_queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_minhash_estimate_matches_sig_walk(spark, sf_dir):
+    """The MinHash accuracy contract: matching-slot fraction (ppm) next to
+    the exact Jaccard, signatures rebuilt with hashlib Kirsch-Mitzenmacher
+    h1 + i*h2."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import NUM_HASHES
+
+    sh = {did: _shingles_py(text) for did, text, _ in _docs(sf_dir)}
+    sigs = {did: _minhash_sigs_py(s, NUM_HASHES) for did, s in sh.items()}
+    want = {}
+    for a, b in _cand_pairs(spark, sf_dir):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        want[(a, b)] = (
+            m,
+            (1_000_000 * m) // NUM_HASHES,
+            (1_000_000 * inter) // (len(sh[a]) + len(sh[b]) - inter),
+        )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_sig_match"],
+            r["est_jaccard_ppm"],
+            r["exact_jaccard_ppm"],
+        )
+        for r in all_queries()["dedup_minhash_jaccard_estimate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_bbit_estimate_matches_low_bit_walk(spark, sf_dir):
+    """b=1-bit MinHash: lowest-bit matches and the clamped 2f-1 estimator
+    beside the exact Jaccard."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import NUM_HASHES
+
+    sh = {did: _shingles_py(text) for did, text, _ in _docs(sf_dir)}
+    sigs = {did: _minhash_sigs_py(s, NUM_HASHES) for did, s in sh.items()}
+    want = {}
+    for a, b in _cand_pairs(spark, sf_dir):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x % 2 == y % 2)
+        want[(a, b)] = (
+            m,
+            max((2_000_000 * m) // NUM_HASHES - 1_000_000, 0),
+            (1_000_000 * inter) // (len(sh[a]) + len(sh[b]) - inter),
+        )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_bit_match"],
+            r["bbit_est_ppm"],
+            r["exact_jaccard_ppm"],
+        )
+        for r in all_queries()["dedup_bbit_minhash_estimate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_weighted_jaccard_matches_idf_walk(spark, sf_dir):
+    """IDF-weighted Jaccard: rational weights (1e6*(N+1))//(df+1), per-doc
+    and per-intersection integer sums, union weight as wa+wb-w_inter."""
+    docs = _docs(sf_dir)
+    sh = {did: _shingles_py(text) for did, text, _ in docs}
+    n_docs = len(docs)
+    df: dict[str, int] = defaultdict(int)
+    for s in sh.values():
+        for g in s:
+            df[g] += 1
+    w = {g: (1_000_000 * (n_docs + 1)) // (d + 1) for g, d in df.items()}
+    w_doc = {did: sum(w[g] for g in s) for did, s in sh.items()}
+    want = {}
+    for a, b in _cand_pairs(spark, sf_dir):
+        inter_set = sh[a] & sh[b]
+        if not inter_set:
+            continue
+        w_inter = sum(w[g] for g in inter_set)
+        want[(a, b)] = (
+            len(inter_set),
+            w_inter,
+            w_doc[a],
+            w_doc[b],
+            (1_000_000 * w_inter) // (w_doc[a] + w_doc[b] - w_inter),
+        )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"],
+            r["w_inter"],
+            r["w_a"],
+            r["w_b"],
+            r["wjaccard_ppm"],
+        )
+        for r in all_queries()["dedup_weighted_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_threshold_sweep_matches_operating_points(spark, sf_dir):
+    """The tau sweep over estimator-vs-truth rows: kept / true and false
+    positives / candidate misses / precision ppm at every operating
+    point, folded from the same Python contract rows."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _SWEEP_TAUS,
+        NUM_HASHES,
+    )
+
+    sh = {did: _shingles_py(text) for did, text, _ in _docs(sf_dir)}
+    sigs = {did: _minhash_sigs_py(s, NUM_HASHES) for did, s in sh.items()}
+    est_rows = []
+    for a, b in _cand_pairs(spark, sf_dir):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est_rows.append(
+            (
+                (1_000_000 * m) // NUM_HASHES,
+                (1_000_000 * inter) // (len(sh[a]) + len(sh[b]) - inter),
+            )
+        )
+    want = {}
+    for tau in _SWEEP_TAUS:
+        kept = sum(1 for e, _ in est_rows if e >= tau)
+        tp = sum(1 for e, x in est_rows if e >= tau and x >= tau)
+        fp = sum(1 for e, x in est_rows if e >= tau and x < tau)
+        miss = sum(1 for e, x in est_rows if e < tau and x >= tau)
+        prec = 1_000_000 if kept == 0 else (1_000_000 * tp) // kept
+        want[tau] = (kept, tp, fp, miss, prec)
+    got = {
+        r["tau_ppm"]: (
+            r["kept"],
+            r["true_pos"],
+            r["false_pos"],
+            r["missed_in_candidates"],
+            r["precision_ppm"],
+        )
+        for r in all_queries()["dedup_threshold_sweep"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_cluster_stats_match_component_walk(spark, sf_dir):
+    """Per-cluster accounting over the LSH pair graph: BFS components,
+    min-id cluster labels, size and keep-canonical removal counts."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in _cand_pairs(spark, sf_dir):
+        adj[a].add(b)
+        adj[b].add(a)
+    seen: set[int] = set()
+    want = {}
+    for v in adj:
+        if v in seen:
+            continue
+        comp = {v}
+        frontier = {v}
+        while frontier:
+            frontier = {u for x in frontier for u in adj[x]} - comp
+            comp |= frontier
+        seen |= comp
+        want[min(comp)] = (len(comp), len(comp) - 1)
+    got = {
+        r["component_id"]: (r["n_docs"], r["n_removed"])
+        for r in all_queries()["dedup_cluster_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_chunk_dupshare_matches_chunk_walk(spark, sf_dir):
+    """C4-style duplicated-chunk share: non-overlapping 8-word chunks,
+    cross-document frequency, per-doc ppm share (within-doc repeats of a
+    single-doc chunk are NOT dups)."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import _CHUNK_W
+
+    per_doc: dict[int, list[str]] = {}
+    chunk_docs: dict[str, set[int]] = defaultdict(set)
+    for did, text, _ in _docs(sf_dir):
+        toks = _toks_py(text)
+        chunks = [
+            " ".join(toks[_CHUNK_W * i : _CHUNK_W * i + _CHUNK_W])
+            for i in range(len(toks) // _CHUNK_W)
+        ]
+        if chunks:
+            per_doc[did] = chunks
+            for c in chunks:
+                chunk_docs[c].add(did)
+    want = {}
+    for did, chunks in per_doc.items():
+        dup = sum(1 for c in chunks if len(chunk_docs[c]) > 1)
+        want[did] = (len(chunks), dup, (1_000_000 * dup) // len(chunks))
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_share_ppm"])
+        for r in all_queries()["dedup_chunk_dupshare"](spark, sf_dir).collect()
+    }
+    assert got == want
