@@ -2816,3 +2816,201 @@ def test_dedup_chunk_dupshare_matches_chunk_walk(spark, sf_dir):
         for r in all_queries()["dedup_chunk_dupshare"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 12: the join menu — asof variants, intervals, skyline, lateral,
+# null semantics, division vs brute-force Python walks
+# --------------------------------------------------------------------------
+
+
+def test_join_asof_nearest_matches_two_sided_walk(spark, sf_dir):
+    """Nearest-purchase asof: per user, prev/next purchase around every
+    view under the (t, event_id) order, tie to backward."""
+    per: dict[int, list] = defaultdict(list)
+    for u, e, us, t, _ in _ev_rows(sf_dir):
+        if t in ("view", "purchase"):
+            per[u].append((us, e, t))
+    want = {}
+    for u, evs in per.items():
+        evs.sort()
+        p_times = [us for us, _, t in evs if t == "purchase"]
+        prev = None
+        nxt_idx = 0  # purchases strictly after current row position
+        n_purch_seen = 0
+        for us, e, t in evs:
+            if t == "purchase":
+                n_purch_seen += 1
+                prev = us
+                continue
+            nxt = p_times[n_purch_seen] if n_purch_seen < len(p_times) else None
+            if prev is None and nxt is None:
+                continue
+            if nxt is None:
+                best = prev
+            elif prev is None:
+                best = nxt
+            else:
+                best = prev if us - prev <= nxt - us else nxt
+            want[e] = (u, us, best)
+    got = {
+        r["event_id"]: (r["user_id"], r["view_us"], r["nearest_purchase_us"])
+        for r in all_queries()["join_asof_nearest"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_join_asof_tolerance_matches_staleness_walk(spark, sf_dir):
+    """Bounded asof: the most recent purchase, surfaced only within the
+    1-hour freshness tolerance, NULL-with-flag otherwise."""
+    from tmdb_movie_data_pipeline_spark.operators.joins import _ASOF_TOL_US
+
+    per: dict[int, list] = defaultdict(list)
+    for u, e, us, t, _ in _ev_rows(sf_dir):
+        if t in ("view", "purchase"):
+            per[u].append((us, e, t))
+    want = {}
+    for u, evs in per.items():
+        evs.sort()
+        prev = None
+        for us, e, t in evs:
+            if t == "purchase":
+                prev = us
+                continue
+            if prev is None:
+                continue
+            fresh = us - prev <= _ASOF_TOL_US
+            want[e] = (u, us, prev if fresh else None, fresh)
+    got = {
+        r["event_id"]: (r["user_id"], r["view_us"], r["fresh_purchase_us"], r["is_fresh"])
+        for r in all_queries()["join_asof_tolerance"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_join_skyline_matches_dominance_scan(spark, sf_dir):
+    """2-D Pareto frontier by literal O(n^2) strict-dominance checks —
+    the engine's one-pass sweep must produce the identical set."""
+    pts = {
+        pk: (_q_half_away(float(p), 100), int(s))
+        for pk, p, s in _raw(
+            sf_dir,
+            "SELECT p_partkey, p_retailprice, p_size FROM read_parquet('{D}/part.parquet')",
+        )
+    }
+    want = {
+        pk: v
+        for pk, v in pts.items()
+        if not any(q[0] < v[0] and q[1] < v[1] for q in pts.values())
+    }
+    got = {
+        r["p_partkey"]: (r["price_cents"], r["size"])
+        for r in all_queries()["join_skyline_pareto"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_join_interval_overlap_matches_session_pairs(spark, sf_dir):
+    """Session-interval overlap across the even/odd user split: counts and
+    total overlapping micros per user pair, from the shared Python
+    session builder."""
+    rows = _ev_rows(sf_dir)
+    iv: dict[int, list] = defaultdict(list)
+    for u, sessions in _sessions_py(rows).items():
+        for s in sessions:
+            iv[u].append((s[0][0], s[-1][0]))
+    a = [(u, s, e) for u, ivs in iv.items() if u % 2 == 0 for s, e in ivs]
+    b = [(u, s, e) for u, ivs in iv.items() if u % 2 == 1 for s, e in ivs]
+    want: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0])
+    for ua, sa, ea in a:
+        for ub, sb, eb in b:
+            if sa <= eb and sb <= ea:
+                want[(ua, ub)][0] += 1
+                want[(ua, ub)][1] += min(ea, eb) - max(sa, sb)
+    got = {
+        (r["a_user"], r["b_user"]): [r["n_overlaps"], r["total_overlap_us"]]
+        for r in all_queries()["join_interval_overlap"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_join_lateral_topn_matches_per_key_sort(spark, sf_dir):
+    """Correlated LATERAL top-2: per sampled customer, the two priciest
+    orders under the (price desc, orderkey) order."""
+    per: dict[int, list] = defaultdict(list)
+    for ck, ok, p in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if ck % 50 == 0:
+            per[ck].append((-float(p), ok))
+    want = {}
+    for ck, lst in per.items():
+        for negp, ok in sorted(lst)[:2]:
+            want[(ck, ok)] = _q_half_away(-negp, 100)
+    got = {
+        (r["c_custkey"], r["o_orderkey"]): r["price_cents"]
+        for r in all_queries()["join_lateral_topn"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_join_null_safe_eq_matches_null_bucket_walk(spark, sf_dir):
+    """IS NOT DISTINCT FROM join: the NULL keys match each other and land
+    in one group with the NULL dim row's weight."""
+    ks = [
+        None if ck % 7 == 3 else ck % 7
+        for (ck,) in _raw(
+            sf_dir, "SELECT c_custkey FROM read_parquet('{D}/customer.parquet')"
+        )
+    ]
+    rhs = {None if i == 3 else i: i * 2 for i in range(7)}
+    want: dict = defaultdict(lambda: [0, 0])
+    for k in ks:
+        want[k][0] += 1
+        want[k][1] += rhs[k]
+    got = {
+        r["k"]: [r["n_rows"], r["sum_w"]]
+        for r in all_queries()["join_null_safe_eq"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_join_null_aware_anti_matches_3vl_counts(spark, sf_dir):
+    """NOT IN three-valued logic: the clean set keeps the complement, one
+    NULL in the set annihilates every row."""
+    rows = _raw(
+        sf_dir,
+        "SELECT c_custkey, c_mktsegment FROM read_parquet('{D}/customer.parquet')",
+    )
+    clean = {ck for ck, seg in rows if seg == "BUILDING"}
+    want = {
+        "no_null": sum(1 for ck, _ in rows if ck not in clean),
+        "with_null": 0,
+    }
+    got = {
+        r["variant"]: r["n_kept"]
+        for r in all_queries()["join_null_aware_anti"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_join_relational_division_matches_coverage(spark, sf_dir):
+    """Codd's division: customers whose orders span EVERY priority in the
+    data-derived universe."""
+    per: dict[int, set] = defaultdict(set)
+    n_orders: dict[int, int] = defaultdict(int)
+    univ = set()
+    for ck, pr in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderpriority FROM read_parquet('{D}/orders.parquet')",
+    ):
+        per[ck].add(pr)
+        n_orders[ck] += 1
+        univ.add(pr)
+    want = {ck: n_orders[ck] for ck, prs in per.items() if len(prs) == len(univ)}
+    got = {
+        r["c_custkey"]: r["n_orders"]
+        for r in all_queries()["join_relational_division"](spark, sf_dir).collect()
+    }
+    assert got == want
