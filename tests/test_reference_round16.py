@@ -3014,3 +3014,129 @@ def test_join_relational_division_matches_coverage(spark, sf_dir):
         for r in all_queries()["join_relational_division"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 13: text modeling kernels — bigram LM, inverted index, trigram
+# language ID vs nested-dict rebuilds
+# --------------------------------------------------------------------------
+
+
+def test_text_bigram_lm_matches_count_walk(spark, sf_dir):
+    """Count-based bigram LM: per frequent context, the top-3 next tokens
+    with exact ppm conditional probability and the (n desc, w2) rank."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _LM_MIN_CTX,
+        _LM_TOPN,
+    )
+
+    cnt: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for _, text, _ in _docs(sf_dir):
+        toks = _toks_py(text)
+        for a, b in zip(toks, toks[1:]):
+            cnt[a][b] += 1
+    want = {}
+    for w1, nexts in cnt.items():
+        n_ctx = sum(nexts.values())
+        if n_ctx < _LM_MIN_CTX:
+            continue
+        order = sorted(nexts, key=lambda w2: (-nexts[w2], w2))
+        for rk, w2 in enumerate(order[:_LM_TOPN], start=1):
+            want[(w1, w2)] = (
+                nexts[w2],
+                n_ctx,
+                (1_000_000 * nexts[w2]) // n_ctx,
+                rk,
+            )
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["n_ctx"], r["cond_ppm"], r["rk"])
+        for r in all_queries()["text_bigram_lm"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_text_inverted_index_matches_postings_walk(spark, sf_dir):
+    """term -> (df, capped sorted postings): distinct (doc, term) pairs,
+    the absolute df floor and the relative 4n/5 ceiling, 10 smallest ids
+    comma-joined."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _IDX_CAP,
+        _IDX_MAX_DF_DEN,
+        _IDX_MAX_DF_NUM,
+        _IDX_MIN_DF,
+    )
+
+    docs = _docs(sf_dir)
+    postings: dict[str, set[int]] = defaultdict(set)
+    for did, text, _ in docs:
+        for t in set(_toks_py(text)):
+            if len(t) >= 3:
+                postings[t].add(did)
+    ceil_df = (_IDX_MAX_DF_NUM * len(docs)) // _IDX_MAX_DF_DEN
+    want = {}
+    for t, ds in postings.items():
+        if _IDX_MIN_DF <= len(ds) <= ceil_df:
+            want[t] = (
+                len(ds),
+                ",".join(str(d) for d in sorted(ds)[:_IDX_CAP]),
+            )
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in all_queries()["text_inverted_index"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_text_char_trigram_langid_matches_lift_walk(spark, sf_dir):
+    """Cavnar-Trenkle-style language ID with LIFT-ranked trigram profiles:
+    integer lift ranks, per-doc profile-hit argmax, und fallback, the
+    confusion-matrix rollup."""
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _TRI_MIN_COUNT,
+        _TRI_PROFILE,
+    )
+
+    docs = _docs(sf_dir)
+    lg: dict[tuple[str, str], int] = defaultdict(int)
+    doc_grams: dict[int, list[str]] = {}
+    actual: dict[int, str] = {}
+    for did, text, lang in docs:
+        t = _norm_py(text)
+        grams = [t[i : i + 3] for i in range(max(len(t) - 2, 0))]
+        doc_grams[did] = grams
+        actual[did] = lang
+        for g in grams:
+            lg[(lang, g)] += 1
+    tot: dict[str, int] = defaultdict(int)
+    ltot: dict[str, int] = defaultdict(int)
+    for (lang, g), c in lg.items():
+        tot[g] += c
+        ltot[lang] += c
+    n = sum(lg.values())
+    prof: dict[str, set[str]] = {}
+    for lang in ltot:
+        ranked = sorted(
+            (
+                (-((1_000_000 * c * n) // (tot[g] * ltot[lang])), g)
+                for (lg_lang, g), c in lg.items()
+                if lg_lang == lang and c >= _TRI_MIN_COUNT
+            )
+        )
+        prof[lang] = {g for _, g in ranked[:_TRI_PROFILE]}
+    conf: dict[tuple[str, str], int] = defaultdict(int)
+    for did, grams in doc_grams.items():
+        scores = {
+            lang: sum(1 for g in grams if g in p) for lang, p in prof.items()
+        }
+        scores = {lang: s for lang, s in scores.items() if s > 0}
+        pred = (
+            min(scores, key=lambda lang: (-scores[lang], lang))
+            if scores
+            else "und"
+        )
+        conf[(actual[did], pred)] += 1
+    got = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in all_queries()["text_char_trigram_langid"](spark, sf_dir).collect()
+    }
+    assert got == dict(conf)
