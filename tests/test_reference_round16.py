@@ -3140,3 +3140,127 @@ def test_text_char_trigram_langid_matches_lift_walk(spark, sf_dir):
         for r in all_queries()["text_char_trigram_langid"](spark, sf_dir).collect()
     }
     assert got == dict(conf)
+
+
+# --------------------------------------------------------------------------
+# batch 14: ML metric kernels — MCC, calibration error, the hashing trick
+# --------------------------------------------------------------------------
+
+
+def test_ml_matthews_corr_matches_confusion_walk(spark, sf_dir):
+    """MCC of the marker-threshold classifier: integer confusion cells,
+    sign carried separately, MCC^2 in exact ppm."""
+    markers = {"the", "a", "and", "of", "is"}
+    tp = fp = fn = tn = 0
+    for _, text, lang in _docs(sf_dir):
+        pred = 1 if sum(1 for t in _toks_py(text) if t in markers) >= 1 else 0
+        actual = 1 if lang == "en" else 0
+        tp += pred & actual
+        fp += pred & (1 - actual)
+        fn += (1 - pred) & actual
+        tn += (1 - pred) & (1 - actual)
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc2 = 0 if denom == 0 else (1_000_000 * (tp * tn - fp * fn) ** 2) // denom
+    [r] = all_queries()["ml_matthews_corr"](spark, sf_dir).collect()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"], r["mcc_sign"], r["mcc2_ppm"]) == (
+        tp,
+        fp,
+        fn,
+        tn,
+        1 if tp * tn >= fp * fn else -1,
+        mcc2,
+    )
+
+
+def test_ml_ece_matches_bin_gap_walk(spark, sf_dir):
+    """ECE/MCE over the equal-width n_chars bins: integer gap numerators
+    |2B*n_pos - n*(2bin+1)| folded over the common denominators."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _CAL_BINS,
+        _CAL_POS_LANG,
+    )
+
+    rows = _raw(
+        sf_dir,
+        "SELECT n_chars, lang FROM read_parquet('{D}/documents.parquet')",
+    )
+    mn = min(n for n, _ in rows)
+    mx = max(n for n, _ in rows)
+    bins: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for n_chars, lang in rows:
+        b = ((n_chars - mn) * _CAL_BINS) // (mx - mn + 1)
+        bins[b][0] += 1
+        bins[b][1] += 1 if lang == _CAL_POS_LANG else 0
+    gaps = {
+        b: abs(2 * _CAL_BINS * npos - n * (2 * b + 1))
+        for b, (n, npos) in bins.items()
+    }
+    n_total = sum(n for n, _ in bins.values())
+    ece = (1_000_000 * sum(gaps.values())) // (2 * _CAL_BINS * n_total)
+    mce = max(
+        (1_000_000 * gaps[b]) // (2 * _CAL_BINS * bins[b][0]) for b in bins
+    )
+    [r] = all_queries()["ml_expected_calibration_error"](spark, sf_dir).collect()
+    assert (r["n_bins"], r["n_total"], r["ece_ppm"], r["mce_ppm"]) == (
+        len(bins),
+        n_total,
+        ece,
+        mce,
+    )
+
+
+def test_ml_feature_hashing_matches_salted_md5(spark, sf_dir):
+    """The hashing trick: salted md5 modulus into the fixed feature
+    space, (doc, idx, tf) cells, the df >= 3 feature floor."""
+    from tmdb_movie_data_pipeline_spark.operators.clustering import (
+        _FH_DIM,
+        _FH_MIN_DF,
+    )
+
+    cells: dict[tuple[int, int], int] = defaultdict(int)
+    for did, text, _ in _docs(sf_dir):
+        for t in _toks_py(text):
+            if len(t) >= 2:
+                cells[(did, _md5_60(f"fh_{t}") % _FH_DIM)] += 1
+    df: dict[int, set[int]] = defaultdict(set)
+    for (did, idx) in cells:
+        df[idx].add(did)
+    want = {
+        (did, idx): tf
+        for (did, idx), tf in cells.items()
+        if len(df[idx]) >= _FH_MIN_DF
+    }
+    got = {
+        (r["doc_id"], r["feature_idx"]): r["tf"]
+        for r in all_queries()["ml_feature_hashing"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ml_feature_hashing_stats_match_sign_audit(spark, sf_dir):
+    """The collision audit: per bucket distinct terms, raw tf, the signed
+    net under the disjoint-slice sign bit, and df."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.text import _FH_BUCKETS
+
+    terms: dict[int, set[str]] = defaultdict(set)
+    tf: dict[int, int] = defaultdict(int)
+    net: dict[int, int] = defaultdict(int)
+    docs_in: dict[int, set[int]] = defaultdict(set)
+    for did, text, _ in _docs(sf_dir):
+        for t in _toks_py(text):
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:15], 16) % _FH_BUCKETS
+            terms[b].add(t)
+            tf[b] += 1
+            net[b] += 1 if int(h[16], 16) % 2 == 0 else -1
+            docs_in[b].add(did)
+    want = {
+        b: (len(terms[b]), tf[b], net[b], len(docs_in[b])) for b in terms
+    }
+    got = {
+        r["bucket"]: (r["n_terms"], r["total_tf"], r["net_signed"], r["df"])
+        for r in all_queries()["ml_feature_hashing_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
