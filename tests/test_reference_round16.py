@@ -3264,3 +3264,163 @@ def test_ml_feature_hashing_stats_match_sign_audit(spark, sf_dir):
         for r in all_queries()["ml_feature_hashing_stats"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 15: substring/minimizer/containment dedup — the long-match axis
+# rebuilt with rolling-window hashlib walks
+# --------------------------------------------------------------------------
+
+
+def _windows_py(toks: list[str], k: int) -> list[str]:
+    """1-based rolling k-token windows, shorter whole-doc window for
+    sub-k docs (the engines' sequence/slice semantics)."""
+    n = len(toks)
+    return [" ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))]
+
+
+def test_dedup_exact_substring_matches_window_join(spark, sf_dir):
+    """Shared >= 15-token verbatim windows per doc pair: distinct md5'd
+    windows, set-intersection counts."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import _SUBSTR_K
+
+    gd = {
+        did: {
+            hashlib.md5(w.encode()).hexdigest()
+            for w in _windows_py(_toks_py(text), _SUBSTR_K)
+        }
+        for did, text, _ in _docs(sf_dir)
+    }
+    ids = sorted(gd)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(gd[a] & gd[b])
+            if shared:
+                want[(a, b)] = shared
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in all_queries()["dedup_exact_substring"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_longest_dup_run_matches_island_walk(spark, sf_dir):
+    """Lee-et-al reporting statistic: cross-document duplicated window
+    positions merged by consecutive-position islands; run length =
+    span + K; within-doc-only repeats excluded."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import _SUBSTR_K
+
+    wins: dict[int, list[str]] = {}
+    owners: dict[str, list[int]] = defaultdict(list)
+    for did, text, _ in _docs(sf_dir):
+        ws = [
+            hashlib.md5(w.encode()).hexdigest()
+            for w in _windows_py(_toks_py(text), _SUBSTR_K)
+        ]
+        wins[did] = ws
+        for g in ws:
+            owners[g].append(did)
+    span = {g: (min(ds), max(ds)) for g, ds in owners.items()}
+    want = {}
+    for did, ws in wins.items():
+        dup_pos = [
+            pos
+            for pos, g in enumerate(ws, start=1)
+            if span[g] != (did, did)
+        ]
+        if not dup_pos:
+            continue
+        runs = [[dup_pos[0], dup_pos[0]]]
+        for p in dup_pos[1:]:
+            if p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        want[did] = (
+            len(dup_pos),
+            len(runs),
+            max(b - a + _SUBSTR_K for a, b in runs),
+        )
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_runs"], r["longest_dup_run"])
+        for r in all_queries()["dedup_longest_dup_run"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_minimizer_pairs_match_winnowing_walk(spark, sf_dir):
+    """Schleimer winnowing: per-window minimum of md5(gram)+padded-pos
+    strings, full-window starts only, >= 2 shared fingerprints."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _MZ_K,
+        _MZ_MIN_SHARED,
+        _MZ_W,
+    )
+
+    sels: dict[int, set[str]] = {}
+    for did, text, _ in _docs(sf_dir):
+        toks = _toks_py(text)
+        grams = _windows_py(toks, _MZ_K)
+        m = len(grams)
+        hp = [
+            hashlib.md5(g.encode()).hexdigest() + str(i + 1).zfill(8)
+            for i, g in enumerate(grams)
+        ]
+        keep = set()
+        for pos in range(1, max(m - _MZ_W + 1, 1) + 1):
+            sel = min(hp[pos - 1 : pos - 1 + _MZ_W])
+            keep.add(sel[:32])
+        sels[did] = keep
+    ids = sorted(sels)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(sels[a] & sels[b])
+            if shared >= _MZ_MIN_SHARED:
+                want[(a, b)] = shared
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_minimizers"]
+        for r in all_queries()["dedup_minimizer_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_containment_matches_capped_set_walk(spark, sf_dir):
+    """Asymmetric containment over RARE shingles: df-capped sets, pair
+    intersections, |A n B| / min sizes in exact ppm with the 7.5% gate."""
+    from tmdb_movie_data_pipeline_spark.operators.dedup import (
+        _CONTAIN_DF_CAP,
+        _CONTAIN_MIN_PPM,
+    )
+
+    sh = {did: _shingles_py(text) for did, text, _ in _docs(sf_dir)}
+    df: dict[str, int] = defaultdict(int)
+    for s in sh.values():
+        for g in s:
+            df[g] += 1
+    capped = {
+        did: {g for g in s if df[g] <= _CONTAIN_DF_CAP} for did, s in sh.items()
+    }
+    sizes = {did: len(s) for did, s in capped.items() if s}
+    ids = sorted(sizes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(capped[a] & capped[b])
+            if inter == 0:
+                continue
+            ppm = (1_000_000 * inter) // min(sizes[a], sizes[b])
+            if ppm >= _CONTAIN_MIN_PPM:
+                want[(a, b)] = (inter, sizes[a], sizes[b], ppm)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["n_a"], r["n_b"], r["containment_ppm"])
+        for r in all_queries()["dedup_containment_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
