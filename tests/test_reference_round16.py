@@ -3424,3 +3424,143 @@ def test_dedup_containment_matches_capped_set_walk(spark, sf_dir):
         for r in all_queries()["dedup_containment_pairs"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 16: market-basket, sequence and seasonality kernels + deterministic
+# stratified sampling vs dict walks
+# --------------------------------------------------------------------------
+
+
+def test_events_association_rules_match_basket_walk(spark, sf_dir):
+    """Support / confidence / lift over per-user type baskets, the
+    two-step bounded integer ppm forms with truncating division."""
+    from tmdb_movie_data_pipeline_spark.operators.events import _AR_MINSUP
+
+    baskets: dict[int, set[str]] = defaultdict(set)
+    for u, _, _, t, _ in _ev_rows(sf_dir):
+        baskets[u].add(t)
+    tc: dict[str, int] = defaultdict(int)
+    nboth: dict[tuple[str, str], int] = defaultdict(int)
+    for types in baskets.values():
+        for t in types:
+            tc[t] += 1
+        st = sorted(types)
+        for i, a in enumerate(st):
+            for b in st[i + 1 :]:
+                nboth[(a, b)] += 1
+    n_users = len(baskets)
+    want = {}
+    for (a, b), nb in nboth.items():
+        if nb < _AR_MINSUP:
+            continue
+        conf = (1_000_000 * nb) // tc[a]
+        want[(a, b)] = (nb, tc[a], tc[b], conf, (conf * n_users) // tc[b])
+    got = {
+        (r["ant"], r["cons"]): (
+            r["n_both"],
+            r["n_ant"],
+            r["n_cons"],
+            r["conf_ppm"],
+            r["lift_ppm"],
+        )
+        for r in all_queries()["events_association_rules"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_cooccurrence_matches_user_set_jaccard(spark, sf_dir):
+    baskets: dict[str, set[int]] = defaultdict(set)
+    for u, _, _, t, _ in _ev_rows(sf_dir):
+        baskets[t].add(u)
+    types = sorted(baskets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            nb = len(baskets[a] & baskets[b])
+            if nb:
+                want[(a, b)] = (
+                    nb,
+                    float(nb) / float(len(baskets[a]) + len(baskets[b]) - nb),
+                )
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_both"], r["jaccard"])
+        for r in all_queries()["events_cooccurrence_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_sequence_trigrams_match_timeline_walk(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.events import _SEQ_TOPN
+
+    per: dict[int, list] = defaultdict(list)
+    for u, e, us, t, _ in _ev_rows(sf_dir):
+        per[u].append((us, e, t))
+    cnt: dict[tuple[str, str, str], int] = defaultdict(int)
+    for evs in per.values():
+        evs.sort()
+        ts = [t for _, _, t in evs]
+        for tri in zip(ts, ts[1:], ts[2:]):
+            cnt[tri] += 1
+    top = sorted(cnt, key=lambda k: (-cnt[k], *k))[:_SEQ_TOPN]
+    want = {tri: cnt[tri] for tri in top}
+    got = {
+        (r["t1"], r["t2"], r["t3"]): r["n"]
+        for r in all_queries()["events_sequence_trigrams"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_seasonality_index_matches_dow_walk(spark, sf_dir):
+    """Day-of-week revenue index per type in exact ppm (1e6 = average
+    day), daily cents from the quantized rollup, Sunday-anchored dow."""
+    from datetime import datetime, timezone
+
+    daily: dict[tuple[str, str], int] = defaultdict(int)
+    for _, _, us, t, v in _ev_rows(sf_dir):
+        d = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).date()
+        daily[(t, d.isoformat())] += _q_half_away(v, 100)
+    dows: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
+    for (t, ds), v in daily.items():
+        d = datetime.strptime(ds, "%Y-%m-%d").date()
+        dow = (d.weekday() + 1) % 7 + 1  # Sunday -> 1 ... Saturday -> 7
+        dows[(t, dow)][0] += v
+        dows[(t, dow)][1] += 1
+    tot: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for (t, _), (s, n) in dows.items():
+        tot[t][0] += s
+        tot[t][1] += n
+    want = {}
+    for (t, dow), (s, n) in dows.items():
+        total, n_all = tot[t]
+        want[(t, dow)] = (n, s, (((1_000_000 * s) // n) * n_all) // total)
+    got = {
+        (r["event_type"], r["dow"]): (r["n_dow"], r["sum_dow"], r["index_ppm"])
+        for r in all_queries()["events_seasonality_index"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sample_stratified_hash_matches_knuth_walk(spark, sf_dir):
+    """Deterministic stratified sampling: Fibonacci-hash the doc id, keep
+    under the per-language cut — pure integer arithmetic, replayed
+    verbatim."""
+    from tmdb_movie_data_pipeline_spark.operators.sampling import (
+        _DEFAULT_RATE,
+        _KEY_MASK,
+        _KNUTH,
+        _MOD,
+        _RATES,
+    )
+
+    want = {}
+    for did, _, lang in _docs(sf_dir):
+        h = ((did % _KEY_MASK) * _KNUTH) % _MOD
+        cut = int(_RATES.get(lang, _DEFAULT_RATE) * _MOD)
+        if h < cut:
+            want[did] = (lang, h)
+    got = {
+        r["doc_id"]: (r["lang"], r["sample_key"])
+        for r in all_queries()["sample_stratified_hash"](spark, sf_dir).collect()
+    }
+    assert got == want
