@@ -3564,3 +3564,159 @@ def test_sample_stratified_hash_matches_knuth_walk(spark, sf_dir):
         for r in all_queries()["sample_stratified_hash"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 17: Spark-4 SQL-surface sugars — the inferred/linear dialects must
+# equal plain dict rollups of the underlying relation
+# --------------------------------------------------------------------------
+
+
+def test_sql_group_by_all_matches_dict_rollup(spark, sf_dir):
+    want: dict = defaultdict(lambda: [0, 0])
+    for pr, d, p in _raw(
+        sf_dir,
+        "SELECT o_orderpriority, CAST(o_orderdate AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        key = (pr, int(d[:4]))
+        want[key][0] += 1
+        want[key][1] += _q_half_away(float(p), 100)
+    got = {
+        (r["o_orderpriority"], r["order_year"]): [r["n_orders"], r["total_cents"]]
+        for r in all_queries()["sql_group_by_all_report"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_sql_unpivot_matches_melt_walk(spark, sf_dir):
+    want = {}
+    for ok, ln, q, d, t in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax"
+        " FROM read_parquet('{D}/lineitem.parquet') WHERE l_orderkey % 1000 = 0",
+    ):
+        for m, v in (("quantity", q), ("discount", d), ("tax", t)):
+            want[(ok, ln, m)] = _q_half_away(float(v), 100)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"], r["measure"]): r["val_centi"]
+        for r in all_queries()["sql_unpivot_syntax"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sql_pipe_syntax_matches_rollup_topn(spark, sf_dir):
+    per: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for f, q, d in _raw(
+        sf_dir,
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT), CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if d >= "1995-01-01":
+            per[f][0] += 1
+            per[f][1] += q
+    top = sorted(per, key=lambda f: (-per[f][1], f))[:2]
+    want = {f: (per[f][0], per[f][1]) for f in top}
+    got = {
+        r["l_returnflag"]: (r["n_items"], r["sum_qty"])
+        for r in all_queries()["sql_pipe_syntax_report"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 18: transaction-log exhibits — version diff, history, time travel
+# rebuilt as plain-Python dict ledgers of the fixture's commit sequence
+# --------------------------------------------------------------------------
+
+
+def _tx_ledger(sf_dir: str):
+    """v0/v1/v2 content dicts of the Delta-shaped fixture: CREATE from
+    customer (2-decimal balances), MERGE the %5 updates + nation inserts,
+    DELETE the [301, 450] key slice."""
+    base = {}
+    for ck, nm, bal, seg in _raw(
+        sf_dir,
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment"
+        " FROM read_parquet('{D}/customer.parquet')",
+    ):
+        base[ck] = (nm, _round_dec(float(bal), 2), seg)
+    source = {
+        ck: (nm + "+", _round_dec(bal + 50, 2), seg)
+        for ck, (nm, bal, seg) in base.items()
+        if ck % 5 == 0
+    }
+    for nk, nname in _raw(
+        sf_dir, "SELECT n_nationkey, n_name FROM read_parquet('{D}/nation.parquet')"
+    ):
+        source[2_000_000 + nk] = (f"tx-{nname}", 0.0, "TX")
+    v1 = {**base, **source}
+    from tmdb_movie_data_pipeline_spark.operators.merge import (
+        _DIFF_DEL_HI,
+        _DIFF_DEL_LO,
+    )
+
+    v2 = {k: v for k, v in v1.items() if not (_DIFF_DEL_LO <= k <= _DIFF_DEL_HI)}
+    return base, v1, v2
+
+
+def test_delta_version_diff_matches_ledger_diff(spark, sf_dir):
+    """v0 -> v2 typed change rows from the dict ledger: deletes, inserts,
+    and value-differing updates."""
+    v0, _, v2 = _tx_ledger(sf_dir)
+    want = {}
+    for ck in v0:
+        if ck not in v2:
+            nm, bal, _ = v0[ck]
+            want[("delete", ck)] = (nm, bal)
+    for ck, (nm, bal, seg) in v2.items():
+        if ck not in v0:
+            want[("insert", ck)] = (nm, bal)
+        elif (nm, bal, seg) != v0[ck]:
+            want[("update", ck)] = (nm, bal)
+    got = {
+        (r["change_type"], r["c_custkey"]): (r["c_name"], r["c_acctbal"])
+        for r in all_queries()["delta_version_diff"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_time_travel_matches_ledger_aggregates(spark, sf_dir):
+    """Snapshot isolation's observable: v0 aggregates stay pre-merge, v1
+    reflects the upsert — both folded from the dict ledger."""
+    v0, v1, _ = _tx_ledger(sf_dir)
+    want = {
+        0: (len(v0), sum(_q_half_away(b, 100) for _, b, _ in v0.values())),
+        1: (len(v1), sum(_q_half_away(b, 100) for _, b, _ in v1.values())),
+    }
+    got = {
+        r["version"]: (r["n_rows"], r["bal_cents"])
+        for r in all_queries()["delta_time_travel_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_cdc_feed_matches_ledger_diffs(spark, sf_dir):
+    """The full change feed (both commits) against the ledger: v0->v1
+    merge changes and v1->v2 delete changes with their commit stamps —
+    the third formulation beside the write-time recorder and the
+    snapshot-diff oracle."""
+    v0, v1, v2 = _tx_ledger(sf_dir)
+    want = {}
+    for ck, (nm, bal, seg) in v1.items():
+        if ck not in v0:
+            want[(1, "insert", ck)] = (nm, bal)
+        elif (nm, bal, seg) != v0[ck]:
+            want[(1, "update", ck)] = (nm, bal)
+    for ck in v1:
+        if ck not in v2:
+            nm, bal, _ = v1[ck]
+            want[(2, "delete", ck)] = (nm, bal)
+    got = {
+        (r["commit_version"], r["change_type"], r["c_custkey"]): (
+            r["c_name"],
+            r["c_acctbal"],
+        )
+        for r in all_queries()["delta_cdc_feed_commits"](spark, sf_dir).collect()
+    }
+    assert got == want
