@@ -3720,3 +3720,80 @@ def test_delta_cdc_feed_matches_ledger_diffs(spark, sf_dir):
         for r in all_queries()["delta_cdc_feed_commits"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 19: ordered-alternative trend tests vs integer-rational walks
+# --------------------------------------------------------------------------
+
+
+def test_cochran_armitage_matches_contingency_walk(spark, sf_dir):
+    """Trend in proportions across dose groups: the 5-row contingency
+    from dicts, z^2 as one floored integer rational, degenerate guards."""
+    g: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for pr, st in _raw(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus FROM read_parquet('{D}/orders.parquet')",
+    ):
+        dose = int(pr[0])
+        g[dose][0] += 1
+        g[dose][1] += 1 if st == "F" else 0
+    n = sum(ni for ni, _ in g.values())
+    s = sum(si for _, si in g.values())
+    t = sum(d * si for d, (_, si) in g.items())
+    w1 = sum(d * ni for d, (ni, _) in g.items())
+    w2 = sum(d * d * ni for d, (ni, _) in g.items())
+    if s == 0 or s == n or n * w2 == w1 * w1:
+        z2 = 0
+    else:
+        z2 = (1_000_000 * n * (n * t - s * w1) ** 2) // (
+            s * (n - s) * (n * w2 - w1 * w1)
+        )
+    want = {
+        d: (ni, si, (1_000_000 * si) // ni, z2) for d, (ni, si) in g.items()
+    }
+    got = {
+        r["dose"]: (r["n"], r["successes"], r["success_ppm"], r["z2_ppm"])
+        for r in all_queries()["stats_cochran_armitage_trend"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_page_trend_matches_midrank_walk(spark, sf_dir):
+    """Page's L after Friedman: doubled midranks per block (2*rank +
+    ties - 1), alphabetical treatment order, the signed z^2 ppm rational
+    with both branches' floor semantics."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import _FRIED_BLOCKS
+
+    cells: dict[tuple[int, str], int] = defaultdict(int)
+    for u, _, _, t, v in _ev_rows(sf_dir):
+        cells[(u % _FRIED_BLOCKS, t)] += _q_half_away(v, 100)
+    blocks: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for (blk, t), cv in cells.items():
+        blocks[blk].append((t, cv))
+    r2: dict[str, int] = defaultdict(int)
+    nblk: dict[str, int] = defaultdict(int)
+    for blk, rows in blocks.items():
+        cvs = sorted(cv for _, cv in rows)
+        for t, cv in rows:
+            rank = 1 + sum(1 for x in cvs if x < cv)  # competition rank
+            ties = sum(1 for x in cvs if x == cv)
+            r2[t] += 2 * rank + ties - 1
+            nblk[t] += 1
+    types = sorted(r2)
+    j = {t: i + 1 for i, t in enumerate(types)}
+    l2 = sum(j[t] * r2[t] for t in types)
+    b = max(nblk.values())
+    k = len(types)
+    mean2 = b * k * (k + 1) * (k + 1) // 2
+    var_den = (b * (k**3 - k) * (k**3 - k)) // (36 * (k - 1))
+    if l2 >= mean2:
+        z2 = (1_000_000 * (l2 - mean2) ** 2) // var_den
+    else:
+        z2 = -((1_000_000 * (mean2 - l2) ** 2) // var_den)
+    want = {t: (j[t], r2[t], l2, z2) for t in types}
+    got = {
+        r["event_type"]: (r["j"], r["r2j"], r["l2"], r["signed_z2_ppm"])
+        for r in all_queries()["stats_page_trend_test"](spark, sf_dir).collect()
+    }
+    assert got == want
