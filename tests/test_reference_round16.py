@@ -3797,3 +3797,152 @@ def test_page_trend_matches_midrank_walk(spark, sf_dir):
         for r in all_queries()["stats_page_trend_test"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 20: rolling order-statistics/regression, closed-form EWMA, and the
+# recursive BOM explosion vs literal Python folds
+# --------------------------------------------------------------------------
+
+
+def _daily_purchase_cents(sf_dir: str) -> dict[int, int]:
+    """day-offset-from-2024-01-01 -> quantized daily purchase revenue."""
+    from datetime import date, datetime, timezone
+
+    daily: dict[int, int] = defaultdict(int)
+    epoch = date(2024, 1, 1).toordinal()
+    for _, _, us, t, v in _ev_rows(sf_dir):
+        if t == "purchase":
+            d = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).date()
+            daily[d.toordinal() - epoch] += _q_half_away(v, 100)
+    return dict(daily)
+
+
+def test_window_rolling_median_matches_sorted_frame(spark, sf_dir):
+    """Trailing 7-day RANGE median as lo+hi of the sorted frame (x2 so
+    the even case stays integer); gap days shrink the frame."""
+    daily = _daily_purchase_cents(sf_dir)
+    want = {}
+    for day, rev in daily.items():
+        win = sorted(v for d, v in daily.items() if day - 6 <= d <= day)
+        n = len(win)
+        want[day] = (rev, n, win[(n + 1) // 2 - 1] + win[n // 2])
+    got = {
+        r["day"]: (r["rev_cents"], r["n_in_window"], r["median_x2_cents"])
+        for r in all_queries()["window_rolling_median"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_window_rolling_ols_matches_moment_walk(spark, sf_dir):
+    """Trailing OLS slope per type from integer moment sums, the signed
+    ppm division split."""
+    from datetime import date, datetime, timezone
+
+    from tmdb_movie_data_pipeline_spark.operators.windows import _ROLS_DAYS
+
+    daily: dict[tuple[str, int], int] = defaultdict(int)
+    epoch = date(2024, 1, 1).toordinal()
+    for _, _, us, t, v in _ev_rows(sf_dir):
+        d = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).date()
+        daily[(t, d.toordinal() - epoch)] += _q_half_away(v, 1)
+    per: dict[str, dict[int, int]] = defaultdict(dict)
+    for (t, d), rev in daily.items():
+        per[t][d] = rev
+    want = {}
+    for t, days in per.items():
+        for d, rev in days.items():
+            frame = [
+                (x, y) for x, y in days.items() if d - (_ROLS_DAYS - 1) <= x <= d
+            ]
+            n = len(frame)
+            sx = sum(x for x, _ in frame)
+            sy = sum(y for _, y in frame)
+            sxy = sum(x * y for x, y in frame)
+            sxx = sum(x * x for x, _ in frame)
+            if n < 2:
+                slope = None
+            else:
+                num = n * sxy - sx * sy
+                den = n * sxx - sx * sx
+                slope = (
+                    (1_000_000 * num) // den
+                    if num >= 0
+                    else -((1_000_000 * -num) // den)
+                )
+            want[(t, d)] = (rev, n, slope)
+    got = {
+        (r["event_type"], r["day"]): (r["rev"], r["n"], r["slope_ppm"])
+        for r in all_queries()["window_rolling_ols_slope"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_events_ewma_matches_rational_weights(spark, sf_dir):
+    """Closed-form EWMA: exact integer weights 3^k * 4^(L-k) over present
+    days, floored rational per anchor day."""
+    from datetime import date
+
+    from tmdb_movie_data_pipeline_spark.operators.events import _EWMA_LAGS
+
+    daily = _daily_purchase_cents(sf_dir)
+    epoch = date(2024, 1, 1).toordinal()
+    # anchor day -> contributions from day d at lag = anchor - d
+    num: dict[int, int] = defaultdict(int)
+    den: dict[int, int] = defaultdict(int)
+    nl: dict[int, int] = defaultdict(int)
+    for d, x in daily.items():
+        for lag in range(_EWMA_LAGS + 1):
+            w = 3**lag * 4 ** (_EWMA_LAGS - lag)
+            a = d + lag
+            num[a] += x * w
+            den[a] += w
+            nl[a] += 1
+    want = {}
+    for d, x in daily.items():
+        day_str = date.fromordinal(epoch + d).isoformat()
+        want[day_str] = (x, num[d] // den[d], nl[d])
+    got = {
+        r["day"]: (r["rev_cents"], r["ewma_cents"], r["n_lags"])
+        for r in all_queries()["events_ewma_smoothing"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_graph_bom_explosion_matches_dfs_walk(spark, sf_dir):
+    """The BOM fixed point as a literal DFS: child -> parent = key div
+    FANOUT edges, extended quantity = product along the path."""
+    from tmdb_movie_data_pipeline_spark.operators.graph import (
+        _BOM_FANOUT,
+        _BOM_QTY_MOD,
+    )
+
+    keys = [
+        int(k)
+        for (k,) in _raw(
+            sf_dir, "SELECT p_partkey FROM read_parquet('{D}/part.parquet')"
+        )
+    ]
+    children: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for k in keys:
+        if k >= _BOM_FANOUT:
+            children[k // _BOM_FANOUT].append((k, k % _BOM_QTY_MOD + 1))
+    want = {}
+    for root in (k for k in keys if k < _BOM_FANOUT):
+        n = 0
+        max_depth = 0
+        total = 1  # the root itself (depth 0, ext_qty 1)
+        stack = [(root, 0, 1)]
+        while stack:
+            node, depth, ext = stack.pop()
+            for child, qty in children.get(node, ()):
+                n += 1
+                max_depth = max(max_depth, depth + 1)
+                total += ext * qty
+                stack.append((child, depth + 1, ext * qty))
+        want[root] = (n, max_depth, total)
+    got = {
+        r["root"]: (r["n_components"], r["max_depth"], r["total_ext_qty"])
+        for r in all_queries()["graph_bom_explosion"](spark, sf_dir).collect()
+    }
+    assert got == want
