@@ -3946,3 +3946,89 @@ def test_graph_bom_explosion_matches_dfs_walk(spark, sf_dir):
         for r in all_queries()["graph_bom_explosion"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 21: segment dedup with reassembly + the pandas-UDF battery's
+# arithmetic contracts as plain Python folds
+# --------------------------------------------------------------------------
+
+
+def test_text_segment_dedup_matches_keepfirst_reassembly(spark, sf_dir):
+    """RefinedWeb-style paragraph dedup: fixed-width token segments (raw
+    space split, NOT the normalized tokens), corpus-wide keep-first by
+    (doc_id, position), md5 of the ordered reassembly."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.text import (
+        _SEG_MAX,
+        _SEG_TOKENS,
+    )
+
+    segs = []  # (doc_id, j, seg) in corpus order
+    for did, text, _ in sorted(_docs(sf_dir)):
+        toks = text.split(" ")
+        for j in range(_SEG_MAX):
+            if j * _SEG_TOKENS >= len(toks):
+                break
+            segs.append(
+                (did, j, " ".join(toks[j * _SEG_TOKENS : (j + 1) * _SEG_TOKENS]))
+            )
+    first: dict[str, tuple[int, int]] = {}
+    for did, j, seg in sorted(segs):
+        first.setdefault(seg, (did, j))
+    want = {}
+    per: dict[int, list] = defaultdict(list)
+    for did, j, seg in segs:
+        per[did].append((j, seg, first[seg] == (did, j)))
+    for did, rows in per.items():
+        rows.sort()
+        keptsegs = [seg for _, seg, kept in rows if kept]
+        want[did] = (
+            len(rows),
+            len(keptsegs),
+            hashlib.md5(" ".join(keptsegs).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["kept_md5"])
+        for r in all_queries()["text_segment_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_udf_pandas_scalar_matches_math_walk(spark, sf_dir):
+    """The vectorized scalar UDF's arithmetic — sqrt(price) +
+    floor(qty/10) — replayed with math.sqrt (IEEE-correct on all three
+    engines)."""
+    want = {}
+    for ok, ln, p, q in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet') WHERE l_orderkey % 200 = 0",
+    ):
+        want[(ok, ln)] = math.sqrt(float(p)) + math.floor(float(q) / 10.0)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["scored"]
+        for r in all_queries()["udf_pandas_scalar"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_udf_grouped_agg_matches_weighted_fold(spark, sf_dir):
+    """The grouped-agg UDF's quantity-weighted mean: integer cents*qty
+    sums folded in Python, the same two-division tail."""
+    num: dict[str, int] = defaultdict(int)
+    den: dict[str, int] = defaultdict(int)
+    for f, p, q in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_extendedprice, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        num[f] += _q_half_away(float(p), 100) * int(q)
+        den[f] += int(q)
+    want = {f: num[f] / den[f] / 100.0 for f in num}
+    got = {
+        r["l_returnflag"]: r["weighted_avg_price"]
+        for r in all_queries()["udf_grouped_agg"](spark, sf_dir).collect()
+    }
+    assert got == want
