@@ -4032,3 +4032,169 @@ def test_udf_grouped_agg_matches_weighted_fold(spark, sf_dir):
         for r in all_queries()["udf_grouped_agg"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 22: TPC-H flagship shapes — q1/q3/q5 rebuilt as dict folds with the
+# per-row quantization discipline
+# --------------------------------------------------------------------------
+
+
+def test_q1_pricing_summary_matches_dict_fold(spark, sf_dir):
+    """The flagship scan+agg: per-row quantized integer sums (money,
+    price, unit scales), two-division averages, the shipdate cutoff."""
+    from tmdb_movie_data_pipeline_spark.functions.numeric import (
+        MONEY_SCALE,
+        PRICE_SCALE,
+        UNIT_SCALE,
+    )
+
+    acc: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0] * 7)
+    for f, s, q, p, d, t, sd in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,"
+        " l_discount, l_tax, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if sd > "1998-09-02":
+            continue
+        q, p, d, t = float(q), float(p), float(d), float(t)
+        a = acc[(f, s)]
+        a[0] += _q_half_away(q, MONEY_SCALE)
+        a[1] += _q_half_away(p, MONEY_SCALE)
+        a[2] += _q_half_away(p * (1 - d), PRICE_SCALE)
+        a[3] += _q_half_away(p * (1 - d) * (1 + t), PRICE_SCALE)
+        a[4] += _q_half_away(d, UNIT_SCALE)
+        a[5] += 1
+    want = {}
+    for key, a in acc.items():
+        n = a[5]
+        want[key] = (
+            float(a[0]) / float(MONEY_SCALE),
+            float(a[1]) / float(MONEY_SCALE),
+            float(a[2]) / float(PRICE_SCALE),
+            float(a[3]) / float(PRICE_SCALE),
+            (float(a[0]) / float(n)) / float(MONEY_SCALE),
+            (float(a[1]) / float(n)) / float(MONEY_SCALE),
+            (float(a[4]) / float(n)) / float(UNIT_SCALE),
+            n,
+        )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["sum_qty"],
+            r["sum_base_price"],
+            r["sum_disc_price"],
+            r["sum_charge"],
+            r["avg_qty"],
+            r["avg_price"],
+            r["avg_disc"],
+            r["count_order"],
+        )
+        for r in all_queries()["q1_pricing_summary"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q3_shipping_priority_matches_join_fold(spark, sf_dir):
+    """3-way join -> grouped quantized revenue -> top-10 under
+    (revenue desc, orderkey)."""
+    from tmdb_movie_data_pipeline_spark.functions.numeric import PRICE_SCALE
+
+    building = {
+        ck
+        for ck, seg in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_mktsegment FROM read_parquet('{D}/customer.parquet')",
+        )
+        if seg == "BUILDING"
+    }
+    orders = {
+        ok: (d, pr)
+        for ok, ck, d, pr in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR),"
+            " o_orderpriority FROM read_parquet('{D}/orders.parquet')",
+        )
+        if ck in building and d < "1998-03-15"
+    }
+    rev: dict[int, int] = defaultdict(int)
+    for ok, p, d, sd in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_extendedprice, l_discount, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if ok in orders and sd > "1995-03-15":
+            rev[ok] += _q_half_away(float(p) * (1 - float(d)), PRICE_SCALE)
+    top = sorted(rev, key=lambda ok: (-rev[ok], ok))[:10]
+    want = {
+        ok: (float(rev[ok]) / float(PRICE_SCALE), orders[ok][0][:10], orders[ok][1])
+        for ok in top
+    }
+    got = {
+        r["l_orderkey"]: (r["revenue"], r["o_orderdate"], r["o_orderpriority"])
+        for r in all_queries()["q3_shipping_priority"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q5_region_revenue_matches_star_fold(spark, sf_dir):
+    """6-way star join: the local-supplier constraint (c_nationkey =
+    s_nationkey), the ASIA region filter, quantized revenue per nation."""
+    from tmdb_movie_data_pipeline_spark.functions.numeric import PRICE_SCALE
+
+    asia = {
+        rk
+        for rk, rn in _raw(
+            sf_dir, "SELECT r_regionkey, r_name FROM read_parquet('{D}/region.parquet')"
+        )
+        if rn == "ASIA"
+    }
+    nations = {
+        nk: nn
+        for nk, nn, rk in _raw(
+            sf_dir,
+            "SELECT n_nationkey, n_name, n_regionkey FROM read_parquet('{D}/nation.parquet')",
+        )
+        if rk in asia
+    }
+    supp_nation = dict(
+        _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_nationkey FROM read_parquet('{D}/supplier.parquet')",
+        )
+    )
+    cust_nation = dict(
+        _raw(
+            sf_dir,
+            "SELECT c_custkey, c_nationkey FROM read_parquet('{D}/customer.parquet')",
+        )
+    )
+    order_cust = {
+        ok: ck
+        for ok, ck, d in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR)"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+        if "1996-01-01" <= d < "1998-01-01"
+    }
+    rev: dict[str, int] = defaultdict(int)
+    for ok, sk, p, d in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if ok not in order_cust:
+            continue
+        nk = supp_nation.get(sk)
+        if nk is None or nk not in nations:
+            continue
+        if cust_nation.get(order_cust[ok]) != nk:
+            continue
+        rev[nations[nk]] += _q_half_away(float(p) * (1 - float(d)), PRICE_SCALE)
+    want = {nn: float(c) / float(PRICE_SCALE) for nn, c in rev.items()}
+    got = {
+        r["n_name"]: r["revenue"]
+        for r in all_queries()["q5_region_revenue"](spark, sf_dir).collect()
+    }
+    assert got == want
