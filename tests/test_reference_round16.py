@@ -4056,7 +4056,10 @@ def test_q1_pricing_summary_matches_dict_fold(spark, sf_dir):
         " l_discount, l_tax, CAST(l_shipdate AS VARCHAR)"
         " FROM read_parquet('{D}/lineitem.parquet')",
     ):
-        if sd > "1998-09-02":
+        # l_shipdate is a midnight TIMESTAMP: its VARCHAR form carries
+        # " 00:00:00", so compare against the full-instant cutoff (the
+        # engine's <= TIMESTAMP '1998-09-02' includes the boundary rows)
+        if sd > "1998-09-02 00:00:00":
             continue
         q, p, d, t = float(q), float(p), float(d), float(t)
         a = acc[(f, s)]
@@ -4123,7 +4126,8 @@ def test_q3_shipping_priority_matches_join_fold(spark, sf_dir):
         "SELECT l_orderkey, l_extendedprice, l_discount, CAST(l_shipdate AS VARCHAR)"
         " FROM read_parquet('{D}/lineitem.parquet')",
     ):
-        if ok in orders and sd > "1995-03-15":
+        # strict > on the timestamp: the midnight boundary row is excluded
+        if ok in orders and sd > "1995-03-15 00:00:00":
             rev[ok] += _q_half_away(float(p) * (1 - float(d)), PRICE_SCALE)
     top = sorted(rev, key=lambda ok: (-rev[ok], ok))[:10]
     want = {
