@@ -4202,3 +4202,86 @@ def test_q5_region_revenue_matches_star_fold(spark, sf_dir):
         for r in all_queries()["q5_region_revenue"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 23: more TPC-H shapes — conditional counts across a join, the
+# promo share ratio, disjunctive predicates
+# --------------------------------------------------------------------------
+
+
+def test_q12_shipmode_matches_case_counts(spark, sf_dir):
+    prio = dict(
+        _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_orderpriority FROM read_parquet('{D}/orders.parquet')",
+        )
+    )
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for ok, f, sd in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_returnflag, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if not ("1996-01-01" <= sd < "1997-01-01") or ok not in prio:
+            continue
+        hi = prio[ok] in ("1-URGENT", "2-HIGH")
+        want[f][0 if hi else 1] += 1
+    got = {
+        r["l_returnflag"]: [r["high_line_count"], r["low_line_count"]]
+        for r in all_queries()["q12_shipmode_priority"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_q14_promo_share_matches_like_fold(spark, sf_dir):
+    ptype = dict(
+        _raw(sf_dir, "SELECT p_partkey, p_type FROM read_parquet('{D}/part.parquet')")
+    )
+    promo = total = n = 0
+    for pk, p, d, sd in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_extendedprice, l_discount, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if not ("1997-06-01" <= sd < "1997-07-01") or pk not in ptype:
+            continue
+        v = _q_half_away(float(p) * (1 - float(d)), 10_000)
+        total += v
+        n += 1
+        if ptype[pk].startswith("TYPE_1"):
+            promo += v
+    want = float(promo) * 100.0 / float(total)
+    [r] = all_queries()["q14_promo_revenue"](spark, sf_dir).collect()
+    assert (r["promo_pct"], r["n"]) == (want, n)
+
+
+def test_q19_disjunctive_matches_predicate_fold(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.functions.numeric import PRICE_SCALE
+
+    part = {
+        pk: (b, s)
+        for pk, b, s in _raw(
+            sf_dir,
+            "SELECT p_partkey, p_brand, p_size FROM read_parquet('{D}/part.parquet')",
+        )
+    }
+    rev = n = 0
+    for pk, q, p, d in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_quantity, l_extendedprice, l_discount"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if pk not in part:
+            continue
+        b, s = part[pk]
+        q = float(q)
+        if (
+            (b == "Brand#1" and 1 <= s <= 15 and q >= 5)
+            or (b == "Brand#2" and 10 <= s <= 30 and q >= 10)
+            or (b == "Brand#3" and 20 <= s <= 50 and q >= 20)
+        ):
+            rev += _q_half_away(float(p) * (1 - float(d)), PRICE_SCALE)
+            n += 1
+    [r] = all_queries()["q19_disjunctive_predicates"](spark, sf_dir).collect()
+    assert (r["revenue"], r["n"]) == (float(rev) / float(PRICE_SCALE), n)
