@@ -4285,3 +4285,105 @@ def test_q19_disjunctive_matches_predicate_fold(spark, sf_dir):
             n += 1
     [r] = all_queries()["q19_disjunctive_predicates"](spark, sf_dir).collect()
     assert (r["revenue"], r["n"]) == (float(rev) / float(PRICE_SCALE), n)
+
+
+# --------------------------------------------------------------------------
+# batch 24: set operators, JSON extraction, and the string battery
+# (incl. a from-scratch Levenshtein DP)
+# --------------------------------------------------------------------------
+
+
+def test_setop_intersect_and_except_match_set_walks(spark, sf_dir):
+    orders = _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderstatus FROM read_parquet('{D}/orders.parquet')",
+    )
+    f = {ck for ck, st in orders if st == "F"}
+    o = {ck for ck, st in orders if st == "O"}
+    custs = {
+        ck for (ck,) in _raw(sf_dir, "SELECT c_custkey FROM read_parquet('{D}/customer.parquet')")
+    }
+    got_i = {
+        r["custkey"]
+        for r in all_queries()["setop_intersect"](spark, sf_dir).collect()
+    }
+    assert got_i == (f & o)
+    got_e = {
+        r["c_custkey"]
+        for r in all_queries()["setop_except"](spark, sf_dir).collect()
+    }
+    assert got_e == custs - {ck for ck, _ in orders}
+
+
+def test_json_extract_props_matches_json_walk(spark, sf_dir):
+    import json as _json
+
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for t, props in _raw(
+        sf_dir, "SELECT event_type, props FROM read_parquet('{D}/events.parquet')"
+    ):
+        want[t][1] += 1
+        k = _json.loads(props).get("k") if props else None
+        if k is not None:
+            want[t][0] += int(k)
+    got = {
+        r["event_type"]: [r["sum_k"], r["n"]]
+        for r in all_queries()["json_extract_props"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_string_battery_matches_str_walk(spark, sf_dir):
+    """The 14-function string menu replayed with Python str/re, incl. a
+    from-scratch Levenshtein DP."""
+    want = {}
+    for pk, nm, br, tp, sz in _raw(
+        sf_dir,
+        "SELECT p_partkey, p_name, p_brand, p_type, p_size"
+        " FROM read_parquet('{D}/part.parquet') WHERE p_partkey % 20 = 0",
+    ):
+        m = _re.search(r"([a-z]+)", nm)
+        want[pk] = (
+            nm.upper(),
+            br.lower(),
+            tp.strip(" "),
+            nm[:5],
+            len(nm),
+            tp.replace(" ", "_"),
+            f"{br}#{sz}",
+            m.group(1) if m else "",
+            _re.sub(r"[aeiou]", "", nm),
+            nm.find("a") + 1,
+            str(pk).zfill(8),
+            br[::-1],
+            _lev(br, "Brand#1"),
+        )
+    got = {
+        r["p_partkey"]: (
+            r["name_upper"],
+            r["brand_lower"],
+            r["type_trim"],
+            r["name_prefix"],
+            r["name_len"],
+            r["type_snake"],
+            r["brand_size"],
+            r["first_word"],
+            r["name_novowels"],
+            r["first_a"],
+            r["padded_key"],
+            r["brand_rev"],
+            r["brand_dist"],
+        )
+        for r in all_queries()["string_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
