@@ -4387,3 +4387,145 @@ def test_string_battery_matches_str_walk(spark, sf_dir):
         for r in all_queries()["string_battery"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 25: the plain-join menu — outer/semi/anti/theta/lookup/enrichment
+# as set and dict walks
+# --------------------------------------------------------------------------
+
+
+def test_join_full_outer_matches_set_reconciliation(spark, sf_dir):
+    buyers = {
+        ck
+        for ck, st in _raw(
+            sf_dir, "SELECT o_custkey, o_orderstatus FROM read_parquet('{D}/orders.parquet')"
+        )
+        if st == "F"
+    }
+    rich = {
+        ck
+        for ck, b in _raw(
+            sf_dir, "SELECT c_custkey, c_acctbal FROM read_parquet('{D}/customer.parquet')"
+        )
+        if float(b) > 9000
+    }
+    want = {}
+    for side, n in (
+        ("both", len(buyers & rich)),
+        ("buyer_only", len(buyers - rich)),
+        ("rich_only", len(rich - buyers)),
+    ):
+        if n:
+            want[side] = n
+    got = {
+        r["side"]: r["n"]
+        for r in all_queries()["join_full_outer"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_join_semi_and_anti_match_exists_walks(spark, sf_dir):
+    orders = _raw(
+        sf_dir,
+        "SELECT o_orderkey, o_custkey, o_orderpriority, CAST(o_orderdate AS VARCHAR)"
+        " FROM read_parquet('{D}/orders.parquet')",
+    )
+    heavy = {
+        ok
+        for ok, q in _raw(
+            sf_dir, "SELECT l_orderkey, l_quantity FROM read_parquet('{D}/lineitem.parquet')"
+        )
+        if float(q) > 45
+    }
+    want_semi: dict[str, int] = defaultdict(int)
+    for ok, _, pr, _ in orders:
+        if ok in heavy:
+            want_semi[pr] += 1
+    got_semi = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in all_queries()["join_semi_exists"](spark, sf_dir).collect()
+    }
+    assert got_semi == dict(want_semi)
+
+    active_1995 = {
+        ck for _, ck, _, d in orders if "1995-01-01" <= d < "1996-01-01"
+    }
+    want_anti: dict[str, int] = defaultdict(int)
+    for ck, seg in _raw(
+        sf_dir, "SELECT c_custkey, c_mktsegment FROM read_parquet('{D}/customer.parquet')"
+    ):
+        if ck not in active_1995:
+            want_anti[seg] += 1
+    got_anti = {
+        r["c_mktsegment"]: r["n_customers"]
+        for r in all_queries()["join_anti_not_exists"](spark, sf_dir).collect()
+    }
+    assert got_anti == dict(want_anti)
+
+
+def test_join_range_nonequi_matches_theta_scan(spark, sf_dir):
+    parts = [
+        (int(s), float(p))
+        for s, p in _raw(
+            sf_dir,
+            "SELECT p_size, p_retailprice FROM read_parquet('{D}/part.parquet')"
+            " WHERE p_size <= 5",
+        )
+    ]
+    bals = [
+        float(b)
+        for (b,) in _raw(
+            sf_dir, "SELECT s_acctbal FROM read_parquet('{D}/supplier.parquet')"
+        )
+    ]
+    want: dict[int, int] = defaultdict(int)
+    for size, price in parts:
+        thresh = price / 100.0
+        want[size] += sum(1 for b in bals if b > thresh)
+    got = {
+        r["size_class"]: r["n_pairs"]
+        for r in all_queries()["join_range_nonequi"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_join_broadcast_lookup_fallback_matches_coalesce(spark, sf_dir):
+    regions = {
+        rk: rn
+        for rk, rn in _raw(
+            sf_dir, "SELECT r_regionkey, r_name FROM read_parquet('{D}/region.parquet')"
+        )
+        if rk != 0
+    }
+    want: dict[str, int] = defaultdict(int)
+    for (nk,) in _raw(
+        sf_dir, "SELECT n_regionkey FROM read_parquet('{D}/nation.parquet')"
+    ):
+        want[regions.get(nk, str(nk))] += 1
+    got = {
+        r["region_label"]: r["n_nations"]
+        for r in all_queries()["join_broadcast_lookup_fallback"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_join_events_enrichment_matches_dim_fold(spark, sf_dir):
+    seg = dict(
+        _raw(
+            sf_dir,
+            "SELECT c_custkey, c_mktsegment FROM read_parquet('{D}/customer.parquet')",
+        )
+    )
+    want: dict = defaultdict(lambda: [0, 0])
+    for u, _, _, t, v in _ev_rows(sf_dir):
+        if u in seg:
+            k = (seg[u], t)
+            want[k][0] += 1
+            want[k][1] += _q_half_away(v, 1_000_000)
+    wexp = {k: (n, float(s) / 1_000_000.0) for k, (n, s) in want.items()}
+    got = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in all_queries()["join_events_enrichment"](spark, sf_dir).collect()
+    }
+    assert got == wexp
