@@ -4529,3 +4529,121 @@ def test_join_events_enrichment_matches_dim_fold(spark, sf_dir):
         for r in all_queries()["join_events_enrichment"](spark, sf_dir).collect()
     }
     assert got == wexp
+
+
+# --------------------------------------------------------------------------
+# batch 26: more grouping/aggregation shapes
+# --------------------------------------------------------------------------
+
+
+def test_agg_grouping_sets_matches_two_folds(spark, sf_dir):
+    rows = [
+        (st, pr, _q_half_away(float(p), 100))
+        for st, pr, p in _raw(
+            sf_dir,
+            "SELECT o_orderstatus, o_orderpriority, o_totalprice"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+    ]
+    want: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for st, pr, pc in rows:
+        for key in ((st, None), (None, pr)):
+            want[key][0] += 1
+            want[key][1] += pc
+    wexp = {
+        k: (n, (float(s) / float(n)) / 100.0) for k, (n, s) in want.items()
+    }
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"]): (r["n"], r["avg_price"])
+        for r in all_queries()["agg_grouping_sets"](spark, sf_dir).collect()
+    }
+    assert got == wexp
+
+
+def test_agg_pivot_status_matches_conditional_fold(spark, sf_dir):
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for f, s, q in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_linestatus, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        qc = _q_half_away(float(q), 100)
+        a = want[f]
+        if s == "O":
+            a[0] += qc
+            a[2] += 1
+        else:
+            a[1] += qc if s == "F" else 0
+            a[3] += 1 if s == "F" else 0
+    wexp = {
+        f: (float(o) / 100.0, float(fl) / 100.0, no, nf)
+        for f, (o, fl, no, nf) in want.items()
+    }
+    got = {
+        r["l_returnflag"]: (r["qty_open"], r["qty_filled"], r["n_open"], r["n_filled"])
+        for r in all_queries()["agg_pivot_status"](spark, sf_dir).collect()
+    }
+    assert got == wexp
+
+
+def test_agg_weighted_median_matches_crossing_walk(spark, sf_dir):
+    rows = sorted(
+        (_q_half_away(float(p), 100), int(q))
+        for p, q in _raw(
+            sf_dir,
+            "SELECT l_extendedprice, l_quantity FROM read_parquet('{D}/lineitem.parquet')",
+        )
+    )
+    total_w = sum(w for _, w in rows)
+    target = (total_w + 1) // 2
+    cum = 0
+    for v, w in rows:
+        cum += w
+        if cum >= target:
+            med = v
+            break
+    [r] = all_queries()["agg_weighted_median"](spark, sf_dir).collect()
+    assert (r["n_rows"], r["total_w"], r["weighted_median_cents"]) == (
+        len(rows),
+        total_w,
+        med,
+    )
+
+
+def test_agg_distinct_counts_match_set_fold(spark, sf_dir):
+    per: dict[str, dict] = defaultdict(
+        lambda: {"ok": set(), "pk": set(), "ln": 0, "mn": None, "mx": None}
+    )
+    for f, ok, pk, ln, p in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_orderkey, l_partkey, l_linenumber, l_extendedprice"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        a = per[f]
+        a["ok"].add(ok)
+        a["pk"].add(pk)
+        a["ln"] += int(ln)
+        p = float(p)
+        a["mn"] = p if a["mn"] is None else min(a["mn"], p)
+        a["mx"] = p if a["mx"] is None else max(a["mx"], p)
+    want = {
+        f: (
+            len(a["ok"]),
+            len(a["pk"]),
+            a["ln"],
+            _round_dec(a["mn"], 2),
+            _round_dec(a["mx"], 2),
+        )
+        for f, a in per.items()
+    }
+    got = {
+        r["l_returnflag"]: (
+            r["n_orders"],
+            r["n_parts"],
+            r["sum_lines"],
+            r["min_price"],
+            r["max_price"],
+        )
+        for r in all_queries()["agg_distinct_counts"](spark, sf_dir).collect()
+    }
+    assert got == want
