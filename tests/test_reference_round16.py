@@ -4647,3 +4647,80 @@ def test_agg_distinct_counts_match_set_fold(spark, sf_dir):
         for r in all_queries()["agg_distinct_counts"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 27: scalar batteries — math functions, positional explode, MapType
+# probing vs math/list/dict walks
+# --------------------------------------------------------------------------
+
+
+def test_math_battery_matches_math_walk(spark, sf_dir):
+    """The 12-function math menu replayed with the math module (IEEE
+    sqrt; ln/log10 same libm inputs both engines already hash-agree on),
+    each rounded with the engines' HALF_UP."""
+    want = {}
+    for ok, ln_, q, p, d, t in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,"
+        " l_discount, l_tax FROM read_parquet('{D}/lineitem.parquet')"
+        " WHERE l_orderkey % 500 = 0",
+    ):
+        q, p, d, t = float(q), float(p), float(d), float(t)
+        want[(ok, ln_)] = (
+            _round_dec(abs(p - 30000), 2),
+            math.ceil(q),
+            math.floor(q),
+            _round_dec(math.sqrt(p), 4),
+            _round_dec(math.log(p + 1), 4),
+            _round_dec(math.log10(p + 1), 4),
+            _round_dec((1 + d) ** 2, 6),
+            ok % 7,
+            _round_dec(max(d, t), 2),
+            _round_dec(min(d, t), 2),
+            float((d - 0.05 > 0) - (d - 0.05 < 0)),
+        )
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): (
+            r["abs_dev"],
+            r["qty_ceil"],
+            r["qty_floor"],
+            r["price_sqrt"],
+            r["price_ln"],
+            r["price_log10"],
+            r["disc_sq"],
+            r["key_mod7"],
+            r["max_rate"],
+            r["min_rate"],
+            r["disc_sign"],
+        )
+        for r in all_queries()["math_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_array_posexplode_matches_enumerate(spark, sf_dir):
+    want = {}
+    for did, text, _ in _docs(sf_dir):
+        if did % 100 == 0:
+            for pos, tok in enumerate(_toks_py(text), start=1):
+                want[(did, pos)] = tok
+    got = {
+        (r["doc_id"], r["pos"]): r["token"]
+        for r in all_queries()["array_posexplode"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_map_functions_battery_matches_dict_probe(spark, sf_dir):
+    n: dict[str, int] = defaultdict(int)
+    users: dict[str, set[int]] = defaultdict(set)
+    for u, _, _, t, _ in _ev_rows(sf_dir):
+        n[t] += 1
+        users[t].add(u)
+    want = {t: (n[t], len(users[t]), 2) for t in n}
+    got = {
+        r["event_type"]: (r["n"], r["users"], r["n_keys"])
+        for r in all_queries()["map_functions_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
