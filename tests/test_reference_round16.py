@@ -4724,3 +4724,122 @@ def test_map_functions_battery_matches_dict_probe(spark, sf_dir):
         for r in all_queries()["map_functions_battery"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 28: the date kit and the deterministic corpus split
+# --------------------------------------------------------------------------
+
+
+def test_date_battery_matches_calendar_walk(spark, sf_dir):
+    """P10-P15 date kit via the calendar module: truncation, month
+    arithmetic, last-day, components, day diffs, ISO formatting."""
+    import calendar
+    from datetime import date
+
+    want = {}
+    for ok, d in _raw(
+        sf_dir,
+        "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+        " FROM read_parquet('{D}/orders.parquet') WHERE o_orderkey % 100 = 0",
+    ):
+        dt = date.fromisoformat(d)
+        month_start = dt.replace(day=1)
+        ny, nm = (dt.year + 1, 1) if dt.month == 12 else (dt.year, dt.month + 1)
+        next_month = date(ny, nm, 1)
+        month_end = dt.replace(day=calendar.monthrange(dt.year, dt.month)[1])
+        want[ok] = (
+            d,
+            month_start.isoformat(),
+            next_month.isoformat(),
+            month_end.isoformat(),
+            dt.year,
+            dt.month,
+            (dt - date(1995, 1, 1)).days,
+            d,
+        )
+    got = {
+        r["o_orderkey"]: (
+            r["order_date"],
+            r["month_start"],
+            r["next_month"],
+            r["month_end"],
+            r["order_year"],
+            r["order_month"],
+            r["days_since_epoch_start"],
+            r["iso_date"],
+        )
+        for r in all_queries()["date_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_date_month_ranges_matches_spine_walk(spark, sf_dir):
+    """The month spine: first-of-month steps from the data's min month to
+    its max date, each month clamped to the data's end."""
+    import calendar
+    from datetime import date
+
+    ds = [
+        date.fromisoformat(d)
+        for (d,) in _raw(
+            sf_dir,
+            "SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+    ]
+    lo, hi = min(ds).replace(day=1), max(ds)
+    want = set()
+    cur = lo
+    while cur <= hi:
+        month_end = cur.replace(day=calendar.monthrange(cur.year, cur.month)[1])
+        want.add((cur.isoformat(), min(month_end, hi).isoformat()))
+        ny, nm = (cur.year + 1, 1) if cur.month == 12 else (cur.year, cur.month + 1)
+        cur = date(ny, nm, 1)
+    got = {
+        (r["month_start"], r["month_end"])
+        for r in all_queries()["date_month_ranges"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_llm_train_val_test_split_matches_hash_walk(spark, sf_dir):
+    """The leakage-proof deterministic split: Fibonacci-hash slots, the
+    train/val/test percent bands, per-(source, split) rollups with the
+    id-sum integrity column."""
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _SPLIT_KNUTH,
+        _SPLIT_MASK,
+        _SPLIT_MOD,
+        _SPLIT_TRAIN_PCT,
+        _SPLIT_VAL_PCT,
+    )
+
+    cells: dict = defaultdict(lambda: [0, 0, 0])
+    totals: dict[str, int] = defaultdict(int)
+    for did, src, n_chars in _raw(
+        sf_dir,
+        "SELECT doc_id, source, length(text) FROM read_parquet('{D}/documents.parquet')",
+    ):
+        slot = ((did % _SPLIT_MASK) * _SPLIT_KNUTH) % _SPLIT_MOD % 100
+        split = (
+            "train"
+            if slot < _SPLIT_TRAIN_PCT
+            else "val"
+            if slot < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT
+            else "test"
+        )
+        a = cells[(src, split)]
+        a[0] += 1
+        a[1] += did
+        a[2] += int(n_chars)
+        totals[src] += 1
+    want = {
+        k: (n, sid, nc, float(n) / float(totals[k[0]]))
+        for k, (n, sid, nc) in cells.items()
+    }
+    got = {
+        (r["source"], r["split"]): (r["n_docs"], r["sum_doc_id"], r["n_chars"], r["share"])
+        for r in all_queries()["llm_train_val_test_split"](spark, sf_dir).collect()
+    }
+    assert got == want
