@@ -4843,3 +4843,108 @@ def test_llm_train_val_test_split_matches_hash_walk(spark, sf_dir):
         for r in all_queries()["llm_train_val_test_split"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 29: LLM-prep composites — keep-canonical accounting, DPO pairs,
+# chat-template rendering
+# --------------------------------------------------------------------------
+
+
+def test_llm_dedup_keep_canonical_matches_component_walk(spark, sf_dir):
+    """The near-dup pipeline's final act: BFS components over the staged
+    pair graph, non-minimum members drop, per-source accounting."""
+    adj = _dup_adj(spark, sf_dir)
+    dropped: set[int] = set()
+    seen: set[int] = set()
+    for v in adj:
+        if v in seen:
+            continue
+        comp = {v}
+        frontier = {v}
+        while frontier:
+            frontier = {u for x in frontier for u in adj[x]} - comp
+            comp |= frontier
+        seen |= comp
+        dropped |= comp - {min(comp)}
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    con = duckdb.connect()
+    for did, src in con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall():
+        a = want[src]
+        a[0] += 1
+        if did in dropped:
+            a[2] += 1
+        else:
+            a[1] += 1
+    con.close()
+    got = {
+        r["source"]: [r["n_docs"], r["n_kept"], r["n_dropped"]]
+        for r in all_queries()["llm_dedup_keep_canonical"](spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_llm_dpo_pairs_match_extreme_walk(spark, sf_dir):
+    """One (chosen, rejected) pair per (source, lang) group: the length-
+    reward extremes with doc_id tie-breaks, distinct-pair and margin
+    floors."""
+    groups: dict[tuple[str, str], list[tuple[int, int]]] = defaultdict(list)
+    con = duckdb.connect()
+    for did, src, lang, nc in con.execute(
+        f"SELECT doc_id, source, lang, n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall():
+        groups[(src, lang)].append((int(nc), int(did)))
+    con.close()
+    want = {}
+    for key, rows in groups.items():
+        best = min(rows, key=lambda t: (-t[0], t[1]))
+        worst = min(rows, key=lambda t: (t[0], t[1]))
+        if best[1] != worst[1] and best[0] - worst[0] >= 1:
+            want[key] = (best[1], worst[1], best[0] - worst[0])
+    got = {
+        (r["source"], r["lang"]): (
+            r["chosen_doc_id"],
+            r["rejected_doc_id"],
+            r["reward_gap"],
+        )
+        for r in all_queries()["llm_dpo_pair_builder"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_llm_chat_template_matches_render_walk(spark, sf_dir):
+    """SFT chat assembly: the fixed special-token template rendered in
+    Python and md5-pinned, with the loss-mask token accounting."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.llm_prep import (
+        _CHAT_PROMPT_TOKENS,
+        _CHAT_SYS,
+    )
+
+    want = {}
+    for did, text, _ in _docs(sf_dir):
+        toks = _toks_py(text)
+        user = " ".join(toks[:_CHAT_PROMPT_TOKENS])
+        asst = " ".join(toks[_CHAT_PROMPT_TOKENS:])
+        pt = min(len(toks), _CHAT_PROMPT_TOKENS)
+        rt = max(len(toks) - _CHAT_PROMPT_TOKENS, 0)
+        rendered = f"<|system|>{_CHAT_SYS}<|user|>{user}<|assistant|>{asst}<|end|>"
+        want[did] = (
+            pt,
+            rt,
+            hashlib.md5(rendered.encode()).hexdigest(),
+            0 if pt + rt == 0 else (1_000_000 * rt) // (pt + rt),
+        )
+    got = {
+        r["doc_id"]: (
+            r["prompt_tokens"],
+            r["response_tokens"],
+            r["rendered_md5"],
+            r["trained_ratio_ppm"],
+        )
+        for r in all_queries()["llm_chat_template_render"](spark, sf_dir).collect()
+    }
+    assert got == want
