@@ -4948,3 +4948,124 @@ def test_llm_chat_template_matches_render_walk(spark, sf_dir):
         for r in all_queries()["llm_chat_template_render"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 30: SCD2 intervals, subquery shapes, global top-n, bucketing,
+# bitwise scalars
+# --------------------------------------------------------------------------
+
+
+def test_scd2_user_value_history_matches_lead_walk(spark, sf_dir):
+    """SCD2 intervals over the purchase stream: validity from each change
+    to the next under the (ts, value) order, open-ended current rows."""
+    per: dict[int, list] = defaultdict(list)
+    for u, _, us, t, v in _ev_rows(sf_dir):
+        if t == "purchase":
+            per[u].append((us, _round_dec(v, 4)))
+    want = {}
+    for u, rows in per.items():
+        rows.sort()
+        for i, (us, v) in enumerate(rows):
+            nxt = rows[i + 1][0] if i + 1 < len(rows) else None
+            want[(u, us)] = (v, nxt, nxt is None)
+    got = {
+        (r["user_id"], r["valid_from_us"]): (
+            r["value"],
+            r["valid_to_us"],
+            r["is_current"],
+        )
+        for r in all_queries()["scd2_user_value_history"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_subq_in_filter_matches_membership(spark, sf_dir):
+    big = {
+        ck
+        for ck, p in _raw(
+            sf_dir,
+            "SELECT o_custkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+        )
+        if float(p) > 150_000
+    }
+    want: dict[str, int] = defaultdict(int)
+    for ck, seg in _raw(
+        sf_dir, "SELECT c_custkey, c_mktsegment FROM read_parquet('{D}/customer.parquet')"
+    ):
+        if ck in big:
+            want[seg] += 1
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in all_queries()["subq_in_filter"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_sort_global_topn_matches_heap_walk(spark, sf_dir):
+    rows = [
+        (ok, float(p), pr)
+        for ok, p, pr in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_totalprice, o_orderpriority"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+    ]
+    top = sorted(rows, key=lambda t: (-t[1], t[0]))[:25]
+    want = {ok: (_round_dec(p, 2), pr) for ok, p, pr in top}
+    got = {
+        r["o_orderkey"]: (r["totalprice"], r["o_orderpriority"])
+        for r in all_queries()["sort_global_topn"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_conditional_bucketing_matches_case_walk(spark, sf_dir):
+    want: dict = defaultdict(lambda: [0, 0])
+    for b, nk in _raw(
+        sf_dir,
+        "SELECT c_acctbal, c_nationkey FROM read_parquet('{D}/customer.parquet')",
+    ):
+        b = float(b)
+        bucket = (
+            "debt" if b < 0 else "low" if b < 5000 else "mid" if b < 9000 else "high"
+        )
+        path = f"nation/{nk}" if nk is not None else None
+        a = want[(bucket, path)]
+        a[0] += 1
+        a[1] += _q_half_away(b, 100)
+    wexp = {k: (n, (float(s) / float(n)) / 100.0) for k, (n, s) in want.items()}
+    got = {
+        (r["bal_bucket"], r["nation_path"]): (r["n"], r["avg_bal"])
+        for r in all_queries()["conditional_bucketing"](spark, sf_dir).collect()
+    }
+    assert got == wexp
+
+
+def test_bitwise_battery_matches_int_ops(spark, sf_dir):
+    want = {}
+    for (ok,) in _raw(
+        sf_dir,
+        "SELECT o_orderkey FROM read_parquet('{D}/orders.parquet')"
+        " WHERE o_orderkey % 50 = 0",
+    ):
+        want[ok] = (
+            ok & 255,
+            ok | 4096,
+            ok ^ 21845,
+            ok << 3,
+            ok >> 2,
+            bin(ok).count("1"),
+        )
+    got = {
+        r["o_orderkey"]: (
+            r["and_mask"],
+            r["or_flag"],
+            r["xor_pat"],
+            r["shl3"],
+            r["shr2"],
+            r["popcount"],
+        )
+        for r in all_queries()["bitwise_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
