@@ -5069,3 +5069,110 @@ def test_bitwise_battery_matches_int_ops(spark, sf_dir):
         for r in all_queries()["bitwise_battery"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 31: the reference-parity flagship, the constraint audit, and the
+# recursive month spine
+# --------------------------------------------------------------------------
+
+
+def test_movie_normalize_matches_reference_semantics(spark, sf_dir):
+    """The original reference pipeline's normalize (P1-P7), replayed from
+    the fixture rows in plain Python: genre-map lookup with str(id)
+    fallback, pipe join ('' for null/empty lists), the conditional poster
+    URL (None for null AND empty-string paths)."""
+    from tmdb_movie_data_pipeline_spark.operators.normalize import (
+        _FIXTURE_ROWS,
+        _GENRE_MAP,
+        _IMAGE_BASE,
+        _POSTER_SIZE,
+    )
+
+    want = {}
+    for (mid, title, ot, rd, gids, va, vc, pop, lang, ov, poster) in _FIXTURE_ROWS:
+        genres = (
+            ""
+            if not gids
+            else "|".join(_GENRE_MAP.get(g, str(g)) for g in gids)
+        )
+        url = (
+            f"{_IMAGE_BASE}{_POSTER_SIZE}{poster}" if poster else None
+        )
+        want[mid] = (title, ot, rd, genres, va, vc, pop, lang, ov, url)
+    got = {
+        r["tmdb_id"]: (
+            r["title"],
+            r["original_title"],
+            r["release_date"],
+            r["genres"],
+            r["vote_average"],
+            r["vote_count"],
+            r["popularity"],
+            r["original_language"],
+            r["overview"],
+            r["poster_url"],
+        )
+        for r in all_queries()["movie_normalize"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_quality_constraint_audit_matches_rule_counts(spark, sf_dir):
+    rows = _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,"
+        " l_discount, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    )
+    n = len(rows)
+    qty = sum(1 for r in rows if not (1 <= float(r[2]) <= 50))
+    price = sum(1 for r in rows if float(r[3]) <= 0)
+    disc = sum(1 for r in rows if not (0 <= float(r[4]) <= 1))
+    ship = sum(1 for r in rows if r[5] is None)
+    pk: dict[tuple[int, int], int] = defaultdict(int)
+    for r in rows:
+        pk[(r[0], r[1])] += 1
+    dup = sum(c - 1 for c in pk.values() if c > 1)
+    want = {
+        "quantity_in_1_50": qty,
+        "price_positive": price,
+        "discount_in_0_1": disc,
+        "shipdate_not_null": ship,
+        "pk_unique": dup,
+    }
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in all_queries()["quality_constraint_audit"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(
+        r["n_rows"] == n
+        for r in all_queries()["quality_constraint_audit"](spark, sf_dir).collect()
+    )
+
+
+def test_recursive_month_spine_matches_calendar_fold(spark, sf_dir):
+    """The recursive CTE spine: every month from 1995-01 through 2002-03
+    present (zeros beyond the data edge), order counts by month."""
+    from datetime import date
+
+    counts: dict[str, int] = defaultdict(int)
+    for (d,) in _raw(
+        sf_dir,
+        "SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        counts[d[:7]] += 1
+    want = {}
+    cur = date(1995, 1, 1)
+    while cur <= date(2002, 3, 1):
+        ym = cur.isoformat()[:7]
+        want[ym] = counts.get(ym, 0)
+        ny, nm = (cur.year + 1, 1) if cur.month == 12 else (cur.year, cur.month + 1)
+        cur = date(ny, nm, 1)
+    got = {
+        r["ym"]: r["n_orders"]
+        for r in all_queries()["recursive_month_spine"](spark, sf_dir).collect()
+    }
+    assert got == want
