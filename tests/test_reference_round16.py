@@ -5176,3 +5176,88 @@ def test_recursive_month_spine_matches_calendar_fold(spark, sf_dir):
         for r in all_queries()["recursive_month_spine"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 32: exact-moment statistics, bitmap distincts, grouped quartiles
+# --------------------------------------------------------------------------
+
+
+def test_agg_stats_exact_matches_power_sums(spark, sf_dir):
+    """Variance/stddev/correlation from exact integer power sums, the
+    final float expression replayed in the engines' order."""
+    sums: dict[str, list[int]] = defaultdict(lambda: [0] * 6)
+    for f, q, d in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_quantity, l_discount"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        x = _q_half_away(float(q), 100)
+        y = _q_half_away(float(d), 10_000)
+        a = sums[f]
+        a[0] += 1
+        a[1] += x
+        a[2] += x * x
+        a[3] += y
+        a[4] += y * y
+        a[5] += x * y
+    want = {}
+    for f, (n, sx, sxx, sy, syy, sxy) in sums.items():
+        nf, sxf, sxxf = float(n), float(sx), float(sxx)
+        syf, syyf, sxyf = float(sy), float(syy), float(sxy)
+        var_q = (nf * sxxf - sxf * sxf) / (nf * float(n - 1)) / 10000.0
+        std_q = math.sqrt((nf * sxxf - sxf * sxf) / (nf * float(n - 1))) / 100.0
+        corr = (nf * sxyf - sxf * syf) / math.sqrt(
+            (nf * sxxf - sxf * sxf) * (nf * syyf - syf * syf)
+        )
+        want[f] = (n, var_q, std_q, corr)
+    got = {
+        r["l_returnflag"]: (r["n"], r["var_qty"], r["stddev_qty"], r["corr_qty_disc"])
+        for r in all_queries()["agg_stats_exact"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_agg_bitmap_distinct_matches_word_walk(spark, sf_dir):
+    """Exact bitmap distincts: 63-bit words keyed by id div 63, popcounts
+    summed, next to the set-based exact count."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import _BM_WORD
+
+    words: dict[tuple[str, int], int] = defaultdict(int)
+    exact: dict[str, set[int]] = defaultdict(set)
+    for u, _, _, t, _ in _ev_rows(sf_dir):
+        words[(t, u // _BM_WORD)] |= 1 << (u % _BM_WORD)
+        exact[t].add(u)
+    bm: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for (t, _), wv in words.items():
+        bm[t][0] += bin(wv).count("1")
+        bm[t][1] += 1
+    want = {t: (bm[t][0], len(exact[t]), bm[t][1]) for t in bm}
+    for t, (nb, ne, _) in want.items():
+        assert nb == ne  # the bitmap is EXACT, not approximate
+    got = {
+        r["event_type"]: (r["n_distinct_bitmap"], r["n_distinct_exact"], r["n_words"])
+        for r in all_queries()["agg_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_agg_grouped_quartiles_match_rank_picks(spark, sf_dir):
+    """p25/p50/p75 per group as sorted-list picks at k = (p*n+99)//100 —
+    the engine's histogram-offset plan must land on the same rows."""
+    from tmdb_movie_data_pipeline_spark.operators.aggregates import _QUARTILE_PCTS
+
+    per: dict[str, list[int]] = defaultdict(list)
+    for _, _, _, t, v in _ev_rows(sf_dir):
+        per[t].append(_q_half_away(v, 100))
+    want = {}
+    for t, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        for p in _QUARTILE_PCTS:
+            want[(t, p)] = (n, vs[(p * n + 99) // 100 - 1])
+    got = {
+        (r["event_type"], r["pct"]): (r["n"], r["value_cents"])
+        for r in all_queries()["agg_grouped_quartiles"](spark, sf_dir).collect()
+    }
+    assert got == want
