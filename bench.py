@@ -192,6 +192,11 @@ BENCH_QUERIES = [
     # equi-joins + two partial-aggregable groupBys; the localCheckpoint
     # per round makes this the priciest graph query, worth a slot
     "graph_hits_bipartite",
+    # r17 activation (VERDICT r16 #1): metadata-filtered vector search —
+    # the eligibility semi-join + the same broadcast cosine rescore as
+    # ann_cosine_topk; expected in the same ~0.4-0.6 s band, benched so
+    # the filtered tier's cost is visible next to the unfiltered one
+    "ann_filtered_topk",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

@@ -128,13 +128,18 @@ _FILTER_LANG = "en"
 
 @register(
     "ann_filtered_topk",
-    deferred=True,  # r17 queue
+    # Eligibility via IN (set semantics) — NOT a plain JOIN to documents:
+    # ADVICE r16 #3 observed a join would duplicate corpus rows (and skew
+    # ROW_NUMBER ranks) if doc_id ever carried duplicates, while the Spark
+    # side's left_semi dedups. IN = semi-join semantics on both engines, so
+    # the pair cannot diverge on a duplicate-bearing fixture.
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < {N_QUERIES}),
          c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb
-               FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-               WHERE d.lang = '{_FILTER_LANG}'),
+               FROM embeddings e
+               WHERE e.vec_id IN (SELECT doc_id FROM documents
+                                  WHERE lang = '{_FILTER_LANG}')),
          scored AS (
            SELECT query_id, neighbor_id,
                   {_dot_duck("q_emb", "c_emb")}

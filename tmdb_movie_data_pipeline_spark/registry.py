@@ -89,16 +89,16 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r16: the CDF null-safety fix (ADVICE r15 #3): the snapshot-diff
-    # fallback (_commit_snapshot_diff) switched from plain != (NULL-
-    # dropping) to eqNullSafe negation, and the query's ORACLE SQL from
-    # <> to IS DISTINCT FROM, so all three CDF formulations agree under
-    # NULLs. On the NULL-free fixture the results are value-identical and
-    # the registered query's executed path (write-time change files) is
-    # byte-unchanged — but the oracle the driver compares against changed
-    # text, so the query earns a fresh bucket-2 row rather than riding a
-    # stale green.
-    "delta_cdc_feed_commits",
+    # r17: EMPTY. The round's three ADVICE items touch nothing the driver
+    # compares for an already-verified query: #1 is bench.py timing policy
+    # (the CDC read bracket becomes min-of-RUNS — no query/oracle change);
+    # #2 is driver-side metadata IO in plans/acid.py _commit (the base
+    # manifest is now passed/cached instead of re-resolved — behavior
+    # pinned identical by test_commit_reuses_base_manifest); #3 changes the
+    # oracle TEXT of ann_filtered_topk only, which is NEVER-verified and
+    # therefore already sits in bucket 1 by definition. Unlike r14–r16,
+    # where a mandate rewrote the verified delta_cdc_feed_commits oracle,
+    # nothing verified changed → head = 1 (the activation) + 0.
 ]
 
 
@@ -234,10 +234,19 @@ DRIVER_CAP_FLOOR = 45
 #: empty"; the ADVICE null-safety mandate changes the query's oracle SQL,
 #: so the list is not empty — the same mandate-interaction as r14/r15,
 #: the cap arithmetic wins.
+#: r17: the 1-query r16 deferred queue activated (VERDICT r16 #1:
+#: ann_filtered_topk) = bucket 1, and the changed list stays EMPTY this
+#: round (see the r17 note on _CHANGED_THIS_ROUND: all three ADVICE fixes
+#: are bench-policy / driver-side-metadata / never-verified-oracle-text —
+#: none touches what the driver compares for a verified name) → head 1,
+#: stride 45 − 1 = 44, recorded BEFORE the driver runs. This matches
+#: VERDICT r16 #1's projection ("44 if the changed list stays empty") —
+#: the first round since r13 where the projection and the cap arithmetic
+#: agree, because no mandate rewrote a verified query.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
 _ROUND_STRIDES: dict[int, int] = {
-    10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43,
+    10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
