@@ -407,9 +407,17 @@ def main() -> None:
         t0 = time.perf_counter()
         cdc_table = _cdc_build_table(spark, copy_dir)
         cdc_build_sec = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        _cdc_assemble_feed(cdc_table).count()
-        cdc_read_sec = round(time.perf_counter() - t0, 3)
+        # ADVICE r16 #1: the read bracket follows the headline min-of-RUNS
+        # policy (a single run pays first-run whole-stage-codegen JIT and
+        # reads noisy/inflated vs steady state); the table is already built,
+        # so repeats cost only the change-file scan. The BUILD bracket stays
+        # single-run by nature — rebuilding would re-commit the table.
+        best_read = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            _cdc_assemble_feed(cdc_table).count()
+            best_read = min(best_read, time.perf_counter() - t0)
+        cdc_read_sec = round(best_read, 3)
 
         # skewed-shuffle-join pair: same result (oracle-checked as
         # skew_salted_join), different physical plan — demonstrates the

@@ -1055,3 +1055,71 @@ def test_cdf_null_transitions_agree_across_formulations(spark, tmp_path):
         ("update", 1, "named", 1.0),  # NULL -> value
         ("update", 2, "b", None),  # value -> NULL
     }
+
+
+def test_commit_reuses_base_manifest(spark, tmp_path):
+    """ADVICE r16 #2: the change_feed choke-point propagation re-resolved
+    latest_visible_version (a log listing + a manifest JSON read) on EVERY
+    version>0 commit, even for tables that never enabled the property. The
+    property is create-time-constant (no API toggles it), so each TxTable
+    handle now resolves it AT MOST ONCE — behavior identical, one fewer
+    metadata read per subsequent commit."""
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import TxGroup
+
+    t = _mk_cdf(spark, tmp_path)
+    assert t._change_feed_prop is True  # the creator seeds the cache
+
+    # fresh handle: lazy, resolved exactly once on its first commit that
+    # carries no change_feed extra (the TxGroup.prepare path)
+    t2 = TxTable(spark, t.path)
+    assert t2._change_feed_prop is None
+
+    reads: list[int] = []
+    real_manifest = TxTable.manifest
+
+    def counting_manifest(self, version):
+        if self is t2:
+            reads.append(version)
+        return real_manifest(self, version)
+
+    import tmdb_movie_data_pipeline_spark.plans.acid as acid_mod
+
+    orig = acid_mod.TxTable.manifest
+    acid_mod.TxTable.manifest = counting_manifest
+    try:
+        g = TxGroup(spark, str(tmp_path))
+        gid = g.prepare([(t2, t2.read())], "NOOP1")
+        g.commit(gid, [t2.path])
+        cold_reads = len(reads)
+        assert t2._change_feed_prop is True  # resolved on the cold commit
+
+        reads.clear()
+        gid = g.prepare([(t2, t2.read())], "NOOP2")
+        g.commit(gid, [t2.path])
+        warm_reads = len(reads)
+    finally:
+        acid_mod.TxTable.manifest = orig
+
+    # warm path skips exactly the propagation's two manifest reads (the
+    # latest_visible_version scan resolves one manifest, then the property
+    # read loads the same head again)
+    assert warm_reads == cold_reads - 2, (cold_reads, warm_reads)
+
+    # behavior identical: both group-published manifests carry the property,
+    # and the NEXT merge still records write-time change rows that equal the
+    # semantic ground truth
+    assert t2.manifest(t2.latest_visible_version()).get("change_feed") is True
+    v = t2.merge(_cdf_source(spark), "k")
+    recorded = {tuple(r) for r in t2.change_rows(v).collect()}
+    assert recorded == _python_snapshot_diff(t2, v)
+    assert recorded
+
+    # a table created WITHOUT the property caches False and never gains it
+    plain = _mk(spark, tmp_path)
+    assert plain._change_feed_prop is False
+    plain.optimize()
+    assert not plain.manifest(plain.latest_visible_version()).get("change_feed")
+
+    # shallow clones inherit the resolved flag with the property
+    clone = TxTable.shallow_clone(spark, str(tmp_path / "clone"), t)
+    assert clone._change_feed_prop is True

@@ -76,6 +76,11 @@ class TxTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # change_feed table-property flag, lazily resolved at most once per
+        # instance (ADVICE r16 #2): the property is set at CREATE and only
+        # ever propagated thereafter (no API toggles it), so the first read
+        # is authoritative for the table's lifetime. None = not yet read.
+        self._change_feed_prop: bool | None = None
 
     # -- log ------------------------------------------------------------
 
@@ -408,8 +413,16 @@ class TxTable:
             # every _commit writer (group prepares, the streaming sink, any
             # future caller) property-preserving by construction; the direct
             # paths that bypass _commit (restore / delete_range_dv / clone)
-            # keep their explicit propagation.
-            if self.manifest(self.latest_visible_version()).get("change_feed"):
+            # keep their explicit propagation. The read resolves AT MOST ONCE
+            # per instance (ADVICE r16 #2: re-resolving latest_visible_version
+            # per commit added a log listing + manifest JSON read even for
+            # tables that never enabled the property) — sound because the
+            # property is create-time-constant, never toggled.
+            if self._change_feed_prop is None:
+                self._change_feed_prop = bool(
+                    self.manifest(self.latest_visible_version()).get("change_feed")
+                )
+            if self._change_feed_prop:
                 manifest["change_feed"] = True
         if extra:
             # e.g. TxGroup's pending-group marker (plans/txgroup.py): fields
@@ -447,6 +460,7 @@ class TxTable:
         t = cls(spark, path)
         extra = {"change_feed": True} if change_feed else None
         t._commit(df, 0, "CREATE", stats_key=stats_key, extra=extra)
+        t._change_feed_prop = change_feed  # seed the cache: creator knows
         return t
 
     @classmethod
@@ -479,6 +493,7 @@ class TxTable:
                 for rel, st in (m.get("stats") or {}).items()
             }
         t._publish(manifest)
+        t._change_feed_prop = bool(m.get("change_feed"))  # travels with clone
         return t
 
     def _touched_files(
