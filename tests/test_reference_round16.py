@@ -456,7 +456,6 @@ def test_filtered_ann_matches_python_prefilter_walk(spark, sf_dir):
         N_QUERIES,
         TOP_K,
     )
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
 
     emb = _embeddings(sf_dir)
     con = duckdb.connect()
@@ -496,7 +495,7 @@ def test_filtered_ann_matches_python_prefilter_walk(spark, sf_dir):
             post_filter_short += 1  # ...and strictly short somewhere
     got = {
         (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
-        for r in deferred_queries()["ann_filtered_topk"](spark, sf_dir).collect()
+        for r in all_queries()["ann_filtered_topk"](spark, sf_dir).collect()
     }
     assert got == want
     assert post_filter_short >= 1
