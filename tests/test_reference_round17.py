@@ -642,3 +642,567 @@ def test_python_datasource_stream_write_manifest_walk(spark, tmp_path):
     assert set(claimed) == on_disk
     assert rows == _md5_corpus(STREAM_PAGES, STREAM_PAGE_SIZE)
     assert total == STREAM_PAGES * STREAM_PAGE_SIZE
+
+
+# --------------------------------------------------------------------------
+# batch 5: the TPC-H tail — the flagship shapes the r16 sweep left
+# uncovered (q1/q3/q5/q12/q14/q19 were rebuilt there), each as a dict fold
+# over raw pulls with the shared micro-unit quantization, never a SQL
+# restatement
+# --------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+
+def _raw(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    out = con.execute(sql.replace("{D}", sf_dir)).fetchall()
+    con.close()
+    return out
+
+
+def _q(x: float, scale: int) -> int:
+    """CAST(ROUND(x * scale) AS BIGINT): Decimal HALF_UP = half-away."""
+    return int(Decimal(x * scale).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _dt(s: str):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_q4_order_priority_matches_exists_walk(spark, sf_dir):
+    """1997 orders with at least one line shipped > 60 days after the
+    order date, counted per priority — EXISTS as a set membership test."""
+    import datetime
+
+    late_by_order: dict[int, bool] = {}
+    ship = {}
+    for ok, sd in _raw(
+        sf_dir,
+        "SELECT l_orderkey, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        ship.setdefault(ok, []).append(_dt(sd))
+    counts: dict[str, int] = {}
+    for ok, od, pr in _raw(
+        sf_dir,
+        "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR), o_orderpriority"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        d = _dt(od)
+        if not ("1997-01-01" <= od[:10] < "1998-01-01"):
+            continue
+        cutoff = d + datetime.timedelta(days=60)
+        if any(s > cutoff for s in ship.get(ok, [])):
+            counts[pr] = counts.get(pr, 0) + 1
+    got = {
+        (r["o_orderpriority"],): (r["order_count"],)
+        for r in all_queries()["q4_order_priority"](spark, sf_dir).collect()
+    }
+    assert got == {(p,): (n,) for p, n in counts.items()}
+
+
+def test_q6_forecast_revenue_matches_filtered_fold(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.functions.numeric import PRICE_SCALE
+
+    total = n = 0
+    for p, d, q, sd in _raw(
+        sf_dir,
+        "SELECT l_extendedprice, l_discount, l_quantity,"
+        " CAST(l_shipdate AS VARCHAR) FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        p, d, q = float(p), float(d), float(q)
+        if not ("1996-01-01" <= sd[:10] < "1997-01-01"):
+            continue
+        if not (0.05 <= d <= 0.07 and q < 24):
+            continue
+        total += _q(p * d, PRICE_SCALE)
+        n += 1
+    [r] = all_queries()["q6_forecast_revenue"](spark, sf_dir).collect()
+    assert (r["revenue"], r["n_rows"]) == (float(total) / float(PRICE_SCALE), n)
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    return {
+        int(k): n
+        for k, n in _raw(
+            sf_dir,
+            "SELECT n_nationkey, n_name FROM read_parquet('{D}/nation.parquet')",
+        )
+    }
+
+
+def test_q7_volume_shipping_matches_pair_fold(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.functions.numeric import PRICE_SCALE
+
+    nation = _nation_names(sf_dir)
+    supp_nat = {
+        int(s): nation[int(nk)]
+        for s, nk in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_nationkey FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    cust_nat = {
+        int(c): nation[int(nk)]
+        for c, nk in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_nationkey FROM read_parquet('{D}/customer.parquet')",
+        )
+    }
+    order_cust = {
+        int(o): int(c)
+        for o, c in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_custkey FROM read_parquet('{D}/orders.parquet')",
+        )
+    }
+    acc: dict[tuple, int] = {}
+    for ok, sk, p, d, sd in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount,"
+        " CAST(l_shipdate AS VARCHAR) FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if sd[:10] < "1996-01-01":
+            continue
+        sn = supp_nat[int(sk)]
+        cn = cust_nat[order_cust[int(ok)]]
+        if not (
+            (sn == "NATION_1" and cn == "NATION_2")
+            or (sn == "NATION_2" and cn == "NATION_1")
+        ):
+            continue
+        key = (sn, cn, int(sd[:4]))
+        acc[key] = acc.get(key, 0) + _q(float(p) * (1 - float(d)), PRICE_SCALE)
+    want = {k: float(v) / float(PRICE_SCALE) for k, v in acc.items()}
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in all_queries()["q7_volume_shipping"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q8_market_share_matches_ratio_fold(spark, sf_dir):
+    nation = _nation_names(sf_dir)
+    supp_nat = {
+        int(s): nation[int(nk)]
+        for s, nk in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_nationkey FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    orders = {
+        int(o): od
+        for o, od in _raw(
+            sf_dir,
+            "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR)"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+    }
+    num: dict[int, int] = {}
+    den: dict[int, int] = {}
+    for ok, sk, p, d in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        od = orders[int(ok)]
+        if od[:10] < "1996-01-01":
+            continue
+        y = int(od[:4])
+        vol = _q(float(p) * (1 - float(d)), 10000)
+        den[y] = den.get(y, 0) + vol
+        if supp_nat[int(sk)] == "NATION_3":
+            num[y] = num.get(y, 0) + vol
+    want = {y: float(num.get(y, 0)) / float(den[y]) for y in den}
+    got = {
+        r["o_year"]: r["mkt_share"]
+        for r in all_queries()["q8_market_share"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q9_product_profit_matches_join_fold(spark, sf_dir):
+    nation = _nation_names(sf_dir)
+    supp_nat = {
+        int(s): nation[int(nk)]
+        for s, nk in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_nationkey FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    gear_retail = {
+        int(pk): float(rp)
+        for pk, nm, rp in _raw(
+            sf_dir,
+            "SELECT p_partkey, p_name, p_retailprice"
+            " FROM read_parquet('{D}/part.parquet')",
+        )
+        if "gear" in nm
+    }
+    order_year = {
+        int(o): int(od[:4])
+        for o, od in _raw(
+            sf_dir,
+            "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR)"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+    }
+    acc: dict[tuple, int] = {}
+    for ok, pk, sk, q, p, d in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice,"
+        " l_discount FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(pk) not in gear_retail:
+            continue
+        key = (supp_nat[int(sk)], order_year[int(ok)])
+        profit = float(p) * (1 - float(d)) - gear_retail[int(pk)] * 0.5 * float(q)
+        acc[key] = acc.get(key, 0) + _q(profit, 100)
+    want = {k: float(v) / 100.0 for k, v in acc.items()}
+    got = {
+        (r["nation"], r["o_year"]): r["profit"]
+        for r in all_queries()["q9_product_profit"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q10_returned_items_matches_topn_fold(spark, sf_dir):
+    nation = _nation_names(sf_dir)
+    cust = {
+        int(c): (nm, nation[int(nk)])
+        for c, nm, nk in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_name, c_nationkey"
+            " FROM read_parquet('{D}/customer.parquet')",
+        )
+    }
+    orders = {
+        int(o): int(c)
+        for o, c, od in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR)"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+        if od[:10] >= "1997-01-01"
+    }
+    acc: dict[int, int] = {}
+    for ok, p, d, rf in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_extendedprice, l_discount, l_returnflag"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if rf != "R" or int(ok) not in orders:
+            continue
+        ck = orders[int(ok)]
+        acc[ck] = acc.get(ck, 0) + _q(float(p) * (1 - float(d)), 10000)
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {
+        (ck, cust[ck][0], float(v) / 10000.0, cust[ck][1]) for ck, v in ranked
+    }
+    got = {
+        (r["c_custkey"], r["c_name"], r["revenue"], r["n_name"])
+        for r in all_queries()["q10_returned_items"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q11_important_stock_matches_threshold_fold(spark, sf_dir):
+    low_nat_supp = {
+        int(s)
+        for s, nk in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_nationkey FROM read_parquet('{D}/supplier.parquet')",
+        )
+        if int(nk) < 5
+    }
+    acc: dict[int, int] = {}
+    for pk, sk, p in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_suppkey, l_extendedprice"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(sk) not in low_nat_supp:
+            continue
+        acc[int(pk)] = acc.get(int(pk), 0) + _q(float(p), 100)
+    total = float(sum(acc.values()))
+    want = {
+        (pk, v) for pk, v in acc.items() if float(v) > total * 0.002
+    }
+    got = {
+        (r["partkey"], r["value_cents"])
+        for r in all_queries()["q11_important_stock"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q13_customer_distribution_matches_histogram(spark, sf_dir):
+    per_cust: dict[int, int] = {
+        int(c): 0
+        for (c,) in _raw(
+            sf_dir, "SELECT c_custkey FROM read_parquet('{D}/customer.parquet')"
+        )
+    }
+    for (c,) in _raw(
+        sf_dir, "SELECT o_custkey FROM read_parquet('{D}/orders.parquet')"
+    ):
+        if int(c) in per_cust:
+            per_cust[int(c)] += 1
+    hist: dict[int, int] = {}
+    for n in per_cust.values():
+        hist[n] = hist.get(n, 0) + 1
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in all_queries()["q13_customer_distribution"](spark, sf_dir).collect()
+    }
+    assert got == hist
+
+
+def test_q2_min_cost_supplier_matches_argmax_walk(spark, sf_dir):
+    """Correlated MAX subquery: per size-10 part, the supplier(s) whose
+    acctbal equals the max among suppliers shipping that part."""
+    size10 = {
+        int(pk)
+        for pk, sz in _raw(
+            sf_dir,
+            "SELECT p_partkey, p_size FROM read_parquet('{D}/part.parquet')",
+        )
+        if int(sz) == 10
+    }
+    bal = {
+        int(s): float(b)
+        for s, b in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_acctbal FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    part_supps: dict[int, set[int]] = {}
+    for pk, sk in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_suppkey FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(pk) in size10:
+            part_supps.setdefault(int(pk), set()).add(int(sk))
+    want = set()
+    for pk, supps in part_supps.items():
+        mx = max(bal[s] for s in supps)
+        for s in supps:
+            if bal[s] == mx:
+                r2 = float(
+                    Decimal(bal[s]).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+                )
+                want.add((pk, s, r2))
+    got = {
+        (r["p_partkey"], r["s_suppkey"], r["s_acctbal"])
+        for r in all_queries()["q2_min_cost_supplier"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q15_top_supplier_matches_max_fold(spark, sf_dir):
+    names = {
+        int(s): nm
+        for s, nm in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_name FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    rev: dict[int, int] = {}
+    for sk, p, d, sd in _raw(
+        sf_dir,
+        "SELECT l_suppkey, l_extendedprice, l_discount,"
+        " CAST(l_shipdate AS VARCHAR) FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if not ("1997-01-01" <= sd[:10] < "1997-04-01"):
+            continue
+        rev[int(sk)] = rev.get(int(sk), 0) + _q(float(p) * (1 - float(d)), 10000)
+    mx = max(rev.values())
+    want = {(s, names[s], v) for s, v in rev.items() if v == mx}
+    got = {
+        (r["s_suppkey"], r["s_name"], r["total_rev"])
+        for r in all_queries()["q15_top_supplier"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q16_parts_supplier_counts_matches_distinct_sets(spark, sf_dir):
+    bad_supps = {
+        int(s)
+        for s, b in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_acctbal FROM read_parquet('{D}/supplier.parquet')",
+        )
+        if float(b) < 0
+    }
+    parts = {
+        int(pk): (br, ty, int(sz))
+        for pk, br, ty, sz in _raw(
+            sf_dir,
+            "SELECT p_partkey, p_brand, p_type, p_size"
+            " FROM read_parquet('{D}/part.parquet')",
+        )
+        if br != "Brand#1" and int(sz) in (1, 4, 7, 10, 13)
+    }
+    supp_sets: dict[tuple, set[int]] = {}
+    for pk, sk in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_suppkey FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(pk) in parts and int(sk) not in bad_supps:
+            supp_sets.setdefault(parts[int(pk)], set()).add(int(sk))
+    want = {(br, ty, sz, len(s)) for (br, ty, sz), s in supp_sets.items()}
+    got = {
+        (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+        for r in all_queries()["q16_parts_supplier_counts"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q18_large_volume_orders_matches_having_fold(spark, sf_dir):
+    order_cust = {
+        int(o): int(c)
+        for o, c in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_custkey FROM read_parquet('{D}/orders.parquet')",
+        )
+    }
+    qty: dict[int, int] = {}
+    for ok, q in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_quantity FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        qty[int(ok)] = qty.get(int(ok), 0) + _q(float(q), 100)
+    want = {
+        (ok, order_cust[ok], float(v) / 100.0)
+        for ok, v in qty.items()
+        if v > 150 * 100
+    }
+    got = {
+        (r["o_orderkey"], r["o_custkey"], r["total_qty"])
+        for r in all_queries()["q18_large_volume_orders"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q20_part_supply_chain_matches_threshold_set(spark, sf_dir):
+    bolt_parts = {
+        int(pk)
+        for pk, nm in _raw(
+            sf_dir,
+            "SELECT p_partkey, p_name FROM read_parquet('{D}/part.parquet')",
+        )
+        if "bolt" in nm
+    }
+    names = {
+        int(s): nm
+        for s, nm in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_name FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    qty: dict[int, int] = {}
+    for pk, sk, q in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_suppkey, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(pk) in bolt_parts:
+            qty[int(sk)] = qty.get(int(sk), 0) + _q(float(q), 100)
+    want = {(s, names[s]) for s, v in qty.items() if v > 50 * 100}
+    got = {
+        (r["s_suppkey"], r["s_name"])
+        for r in all_queries()["q20_part_supply_chain"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q21_suppliers_kept_waiting_matches_blame_walk(spark, sf_dir):
+    """The sole-late-supplier blame walk: count F-order lines late by >60
+    days where another supplier participated in the order but NO other
+    supplier was also late."""
+    import datetime
+
+    names = {
+        int(s): nm
+        for s, nm in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_name FROM read_parquet('{D}/supplier.parquet')",
+        )
+    }
+    orders = {
+        int(o): od
+        for o, od, st in _raw(
+            sf_dir,
+            "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR), o_orderstatus"
+            " FROM read_parquet('{D}/orders.parquet')",
+        )
+        if st == "F"
+    }
+    lines: dict[int, list[tuple[int, str]]] = {}
+    for ok, sk, sd in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_suppkey, CAST(l_shipdate AS VARCHAR)"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        lines.setdefault(int(ok), []).append((int(sk), sd))
+    counts: dict[str, int] = {}
+    for ok, od in orders.items():
+        cutoff = _dt(od) + datetime.timedelta(days=60)
+        ls = lines.get(ok, [])
+        supps = {sk for sk, _ in ls}
+        late_supps = {sk for sk, sd in ls if _dt(sd) > cutoff}
+        for sk, sd in ls:
+            if _dt(sd) <= cutoff:
+                continue
+            if not (supps - {sk}):  # no other supplier in the order
+                continue
+            if late_supps - {sk}:  # another supplier was ALSO late
+                continue
+            counts[names[sk]] = counts.get(names[sk], 0) + 1
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in all_queries()["q21_suppliers_kept_waiting"](spark, sf_dir).collect()
+    }
+    assert got == counts
+
+
+def test_q22_global_sales_opportunity_matches_anti_fold(spark, sf_dir):
+    cust = {
+        int(c): (int(nk), _q(float(b), 100))
+        for c, nk, b in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_nationkey, c_acctbal"
+            " FROM read_parquet('{D}/customer.parquet')",
+        )
+    }
+    raw_bal = {
+        int(c): float(b)
+        for c, b in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_acctbal FROM read_parquet('{D}/customer.parquet')",
+        )
+    }
+    pos = [cents for c, (nk, cents) in cust.items() if raw_bal[c] > 0]
+    avg_cents = float(sum(pos)) / float(len(pos))
+    big_order_custs = {
+        int(c)
+        for c, tp in _raw(
+            sf_dir,
+            "SELECT o_custkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+        )
+        if float(tp) > 480000
+    }
+    agg: dict[int, list[int]] = {}
+    for c, (nk, cents) in cust.items():
+        if float(cents) > avg_cents and c not in big_order_custs:
+            a = agg.setdefault(nk, [0, 0])
+            a[0] += 1
+            a[1] += cents
+    want = {(nk, a[0], a[1]) for nk, a in agg.items()}
+    got = {
+        (r["nationkey"], r["n_custs"], r["total_bal_cents"])
+        for r in all_queries()["q22_global_sales_opportunity"](spark, sf_dir).collect()
+    }
+    assert got == want
