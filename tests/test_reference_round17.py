@@ -1206,3 +1206,233 @@ def test_q22_global_sales_opportunity_matches_anti_fold(spark, sf_dir):
         for r in all_queries()["q22_global_sales_opportunity"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 6: the nonparametric/stratified stats shelf — doubled-midrank
+# walks, integer ppm arithmetic, and closed-form float chains in the
+# engines' exact operation order
+# --------------------------------------------------------------------------
+
+
+def _ar2(values: list[int]) -> dict[int, int]:
+    """value -> doubled midrank: 2*RANK() + COUNT(v) - 1 (the integer form
+    both engines share — rank = #(smaller) + 1)."""
+    from collections import Counter
+
+    cnt = Counter(values)
+    smaller = 0
+    out = {}
+    for v in sorted(cnt):
+        rank = smaller + 1
+        out[v] = 2 * rank + cnt[v] - 1
+        smaller += cnt[v]
+    return out
+
+
+def test_mann_whitney_matches_doubled_midranks(spark, sf_dir):
+    pv = [
+        (et, _q(float(v), 100))
+        for et, v in _raw(
+            sf_dir,
+            "SELECT event_type, value FROM read_parquet('{D}/events.parquet')"
+            " WHERE event_type IN ('purchase', 'view')",
+        )
+    ]
+    ranks = _ar2([v for _, v in pv])
+    n1 = sum(1 for et, _ in pv if et == "purchase")
+    n2 = sum(1 for et, _ in pv if et == "view")
+    two_r1 = sum(ranks[v] for et, v in pv if et == "purchase")
+    [r] = all_queries()["stats_mann_whitney"](spark, sf_dir).collect()
+    assert tuple(r) == (n1, n2, two_r1, two_r1 - n1 * (n1 + 1), n1 * n2)
+
+
+def test_spearman_rho_matches_rank_walk(spark, sf_dir):
+    daily: dict[str, list[int]] = {}
+    for d, v in _raw(
+        sf_dir,
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet') WHERE event_type = 'purchase'",
+    ):
+        a = daily.setdefault(d, [0, 0])
+        a[0] += 1
+        a[1] += _q(float(v), 100)
+    xs = [a[0] for a in daily.values()]
+    ys = [a[1] for a in daily.values()]
+    rx, ry = _ar2(xs), _ar2(ys)
+    n = len(daily)
+    sum_d2 = sum((rx[a[0]] - ry[a[1]]) ** 2 for a in daily.values())
+    rho_ppm = 1000000 - (1500000 * sum_d2) // (n * (n * n - 1))
+    [r] = all_queries()["stats_spearman_rho"](spark, sf_dir).collect()
+    assert tuple(r) == (n, sum_d2, rho_ppm)
+
+
+def test_welch_t2_matches_integer_moments(spark, sf_dir):
+    n1 = n2 = s1 = s2 = q1 = q2 = 0
+    for et, v in _raw(
+        sf_dir,
+        "SELECT event_type, value FROM read_parquet('{D}/events.parquet')"
+        " WHERE event_type IN ('purchase', 'view')",
+    ):
+        vi = _q(float(v), 1)
+        if et == "purchase":
+            n1 += 1
+            s1 += vi
+            q1 += vi * vi
+        else:
+            n2 += 1
+            s2 += vi
+            q2 += vi * vi
+    num = s1 * n2 - s2 * n1
+    t2_ppm = (1000000 * (num * num) * ((n1 - 1) * (n2 - 1))) // (
+        (n1 * q1 - s1 * s1) * (n2 * n2 * (n2 - 1))
+        + (n2 * q2 - s2 * s2) * (n1 * n1 * (n1 - 1))
+    )
+    [r] = all_queries()["stats_welch_t2"](spark, sf_dir).collect()
+    assert tuple(r) == (n1, n2, num, t2_ppm)
+
+
+def test_runs_test_matches_sign_walk(spark, sf_dir):
+    daily: dict[tuple[str, str], int] = {}
+    for et, d, v in _raw(
+        sf_dir,
+        "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        daily[(et, d)] = daily.get((et, d), 0) + _q(float(v), 100)
+    want = {}
+    for et in {k[0] for k in daily}:
+        days = sorted(d for e, d in daily if e == et)
+        vs = [daily[(et, d)] for d in days]
+        n, total = len(vs), sum(vs)
+        above = [1 if v * n > total else 0 for v in vs]
+        n_runs = sum(
+            1 for i, a in enumerate(above) if i == 0 or above[i - 1] != a
+        )
+        want[et] = (n_runs, sum(above), n - sum(above))
+    got = {
+        r["event_type"]: (r["n_runs"], r["n_above"], r["n_below"])
+        for r in all_queries()["stats_runs_test"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cochran_q_matches_block_walk(spark, sf_dir):
+    cells: dict[tuple[int, str], int] = {}
+    for u, et in _raw(
+        sf_dir,
+        "SELECT user_id, event_type FROM read_parquet('{D}/events.parquet')",
+    ):
+        key = (int(u) % 16, et)
+        cells[key] = cells.get(key, 0) + 1
+    types = sorted({et for _, et in cells})
+    mc = sum(cells.values()) // (16 * len(types))
+    x = {key: (1 if c > mc else 0) for key, c in cells.items()}
+    # rows_ groups the CELLS relation, so only blocks present in cells count
+    blocks = sorted({b for b, _ in cells})
+    ri = {b: sum(x.get((b, t), 0) for t in types if (b, t) in x) for b in blocks}
+    cj = {t: sum(x.get((b, t), 0) for b in blocks if (b, t) in x) for t in types}
+    k = len(types)
+    n_tot = sum(cj.values())
+    sum_cj_sq = sum(v * v for v in cj.values())
+    sum_ri = sum(ri.values())
+    sum_ri_sq = sum(v * v for v in ri.values())
+    if k * sum_ri == sum_ri_sq:
+        q_ppm = 0
+    else:
+        q_ppm = (1000000 * (k - 1) * (k * sum_cj_sq - n_tot * n_tot)) // (
+            k * sum_ri - sum_ri_sq
+        )
+    [r] = all_queries()["stats_cochran_q"](spark, sf_dir).collect()
+    assert tuple(r) == (k, n_tot, q_ppm)
+
+
+def test_hellinger_matches_sqrt_floor_terms(spark, sf_dir):
+    c: dict[str, list[int]] = {}
+    for u, et in _raw(
+        sf_dir,
+        "SELECT user_id, event_type FROM read_parquet('{D}/events.parquet')",
+    ):
+        a = c.setdefault(et, [0, 0])
+        a[int(u) % 2] += 1
+    t1 = sum(a[0] for a in c.values())
+    t2 = sum(a[1] for a in c.values())
+    terms = {
+        et: math.floor(
+            1000000 * math.sqrt(float(a[0] * a[1]) / float(t1 * t2))
+        )
+        for et, a in c.items()
+    }
+    bc = sum(terms.values())
+    want = {
+        (et, a[0], a[1], terms[et], bc, 1000000 - bc) for et, a in c.items()
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["stats_hellinger_distance"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cmh_stratified_matches_float_chain(spark, sf_dir):
+    """Cochran–Mantel–Haenszel over 7 weekday strata: the numerator and
+    variance sums replayed as left-assoc float chains in the oracle's
+    exact operation order, rounded half-up at 6 places."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    n1 = [0] * 7
+    k1 = [0] * 7
+    n2 = [0] * 7
+    k2 = [0] * 7
+    for ts, u, et in _raw(
+        sf_dir,
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), user_id, event_type"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        d = (datetime.date.fromisoformat(ts) - base).days % 7
+        grp1 = int(u) % 2 == 0
+        success = 1 if et == "purchase" else 0
+        if grp1:
+            n1[d] += 1
+            k1[d] += success
+        else:
+            n2[d] += 1
+            k2[d] += success
+    num = 0.0
+    den = 0.0
+    for s in range(7):
+        fn1, fk1, fn2, fk2 = float(n1[s]), float(k1[s]), float(n2[s]), float(k2[s])
+        nt, kt = fn1 + fn2, fk1 + fk2
+        num = num + (fk1 - fn1 * kt / nt)
+        den = den + (fn1 * fn2 * kt * (nt - kt) / (nt * nt * (nt - 1.0)))
+    stat = (num * num) / den
+    want = float(Decimal(stat).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    [r] = all_queries()["stats_cmh_stratified"](spark, sf_dir).collect()
+    assert r["n_total"] == sum(n1) + sum(n2)
+    assert r["cmh_stat"] == want
+
+
+def test_median_ci_matches_order_statistics(spark, sf_dir):
+    vs = sorted(
+        _q(float(v), 100)
+        for (v,) in _raw(
+            sf_dir,
+            "SELECT value FROM read_parquet('{D}/events.parquet')"
+            " WHERE event_type = 'purchase'",
+        )
+    )
+    n = len(vs)
+    lo_rank = math.floor((float(n) - 1.96 * math.sqrt(float(n))) / 2.0)
+    hi_rank = n + 1 - lo_rank
+    med_rank = (n + 1) // 2
+    want = (
+        n,
+        lo_rank,
+        hi_rank,
+        vs[med_rank - 1],
+        vs[lo_rank - 1],
+        vs[hi_rank - 1],
+    )
+    [r] = all_queries()["stats_median_ci_distribution_free"](spark, sf_dir).collect()
+    assert tuple(r) == want
