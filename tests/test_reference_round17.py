@@ -1436,3 +1436,327 @@ def test_median_ci_matches_order_statistics(spark, sf_dir):
     )
     [r] = all_queries()["stats_median_ci_distribution_free"](spark, sf_dir).collect()
     assert tuple(r) == want
+
+
+# --------------------------------------------------------------------------
+# batch 7: the join-menu leftovers — outer/banded/interval/Bloom/Allen/
+# as-of/SCD2-PIT/bitemporal, each as a dict/set walk over raw pulls
+# --------------------------------------------------------------------------
+
+
+def test_right_outer_join_matches_null_preserving_fold(spark, sf_dir):
+    nations = {
+        n
+        for (n,) in _raw(
+            sf_dir, "SELECT n_name FROM read_parquet('{D}/nation.parquet')"
+        )
+    }
+    nation_of = _nation_names(sf_dir)
+    agg: dict[str, list] = {n: [0, None] for n in nations}
+    for nk, b in _raw(
+        sf_dir,
+        "SELECT s_nationkey, s_acctbal FROM read_parquet('{D}/supplier.parquet')",
+    ):
+        nm = nation_of[int(nk)]
+        agg[nm][0] += 1
+        b = float(b)
+        if agg[nm][1] is None or b > agg[nm][1]:
+            agg[nm][1] = b
+    want = {}
+    for nm, (cnt, mx) in agg.items():
+        r2 = (
+            None
+            if mx is None
+            else float(Decimal(mx).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        )
+        want[nm] = (cnt, r2)
+    got = {
+        r["n_name"]: (r["n_suppliers"], r["max_bal"])
+        for r in all_queries()["join_right_outer"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_range_banded_join_matches_promo_fold(spark, sf_dir):
+    import datetime
+
+    base = datetime.date(1993, 1, 1)
+    promos = {}
+    for x in range(50):
+        start = base + datetime.timedelta(days=(x * 37) % 1500)
+        end = start + datetime.timedelta(days=3 + (x * 13) % 28)
+        promos[x] = (start, end)
+    acc: dict[int, list[int]] = {}
+    for od, tp in _raw(
+        sf_dir,
+        "SELECT CAST(o_orderdate AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        d = datetime.date.fromisoformat(od[:10])
+        cents = _q(float(tp), 100)
+        for pid, (s, e) in promos.items():
+            if s <= d < e:
+                a = acc.setdefault(pid, [0, 0])
+                a[0] += 1
+                a[1] += cents
+    want = {(pid, a[0], a[1]) for pid, a in acc.items()}
+    got = {
+        (r["promo_id"], r["n_orders"], r["revenue_cents"])
+        for r in all_queries()["join_range_banded"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _events_us(sf_dir: str, event_type: str):
+    """[(event_id, user_id, epoch_us)] raw pull for one event type."""
+    return [
+        (int(e), int(u), int(us))
+        for e, u, us in _raw(
+            sf_dir,
+            "SELECT event_id, user_id, epoch_us(ts)"
+            " FROM read_parquet('{D}/events.parquet')"
+            f" WHERE event_type = '{event_type}'",
+        )
+    ]
+
+
+def test_interval_overlap_duration_matches_pair_fold(spark, sf_dir):
+    def intervals(event_type):
+        return [
+            (u, us, us + (1 + e % 50) * 60 * 1000000)
+            for e, u, us in _events_us(sf_dir, event_type)
+        ]
+
+    views, purchases = intervals("view"), intervals("purchase")
+    by_user: dict[int, list] = {}
+    for u, s, e in purchases:
+        by_user.setdefault(u, []).append((s, e))
+    acc: dict[int, list[int]] = {}
+    for u, vs, ve in views:
+        for ps, pe in by_user.get(u, []):
+            ov = min(ve, pe) - max(vs, ps)
+            if ov > 0:
+                a = acc.setdefault(u, [0, 0])
+                a[0] += 1
+                a[1] += ov
+    want = {(u, a[0], a[1]) for u, a in acc.items()}
+    got = {
+        (r["user_id"], r["n_overlapping_pairs"], r["total_overlap_us"])
+        for r in all_queries()["join_interval_overlap_duration"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bloom_prefilter_matches_hashlib_bitset(spark, sf_dir):
+    """The 64-bit/3-hash Bloom exhibit: build the words from the dim side
+    with hashlib, probe every lineitem supplier, classify pass/true/fp/fn
+    — the false-negative count must be zero by construction."""
+    import hashlib
+
+    def pos(seed, key):
+        return int(hashlib.md5(f"{seed}_{key}".encode()).hexdigest()[:15], 16) % 64
+
+    dim = {
+        int(s)
+        for s, nk in _raw(
+            sf_dir,
+            "SELECT s_suppkey, s_nationkey FROM read_parquet('{D}/supplier.parquet')",
+        )
+        if int(nk) < 5
+    }
+    words: dict[int, int] = {}
+    for s in dim:
+        for seed in range(3):
+            p = pos(seed, s)
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    n_probe = n_pass = n_true = n_fp = n_fn = 0
+    for (sk,) in _raw(
+        sf_dir, "SELECT l_suppkey FROM read_parquet('{D}/lineitem.parquet')"
+    ):
+        sk = int(sk)
+        n_probe += 1
+        ps = [pos(seed, sk) for seed in range(3)]
+        passed = all(
+            (words.get(p // 32, 0) >> (p % 32)) & 1 == 1 for p in ps
+        )
+        true = sk in dim
+        n_pass += passed
+        n_true += true
+        n_fp += passed and not true
+        n_fn += true and not passed
+    [r] = all_queries()["join_bloom_prefilter"](spark, sf_dir).collect()
+    assert tuple(r) == (n_probe, n_pass, n_true, n_fp, n_fn)
+    assert n_fn == 0
+
+
+def _sessions_us(sf_dir: str):
+    """user_id -> list of (start_us, end_us) 30-min-gap sessions, ordered
+    by (ts, event_id) exactly like the engines."""
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for e, u, us in [
+        (int(e), int(u), int(us))
+        for e, u, us in _raw(
+            sf_dir,
+            "SELECT event_id, user_id, epoch_us(ts)"
+            " FROM read_parquet('{D}/events.parquet')",
+        )
+    ]:
+        rows.setdefault(u, []).append((us, e))
+    out: dict[int, list[tuple[int, int]]] = {}
+    gap = 30 * 60 * 1000000
+    for u, evs in rows.items():
+        evs.sort()
+        sessions = []
+        cur = [evs[0][0], evs[0][0]]
+        prev = evs[0][0]
+        for us, _ in evs[1:]:
+            if us - prev > gap:
+                sessions.append(tuple(cur))
+                cur = [us, us]
+            else:
+                cur[1] = us
+            prev = us
+        sessions.append(tuple(cur))
+        out[u] = sessions
+    return out
+
+
+def test_allen_interval_algebra_matches_classification_walk(spark, sf_dir):
+    """The 13 Allen relations over even-vs-odd-user session intervals,
+    candidate pairs bounded by the hour-bucket band join — the relation
+    CASE ladder replayed verbatim as Python conditionals."""
+    H = 3600000000
+    sess = _sessions_us(sf_dir)
+    a_iv = [(u, s, e) for u, ivs in sess.items() if u % 2 == 0 for s, e in ivs]
+    b_iv = [(u, s, e) for u, ivs in sess.items() if u % 2 == 1 for s, e in ivs]
+
+    def rel(a_s, a_e, b_s, b_e):
+        if a_e < b_s:
+            return "precedes"
+        if a_e == b_s:
+            return "meets"
+        if b_e < a_s:
+            return "preceded_by"
+        if b_e == a_s:
+            return "met_by"
+        if a_s == b_s and a_e == b_e:
+            return "equals"
+        if a_s == b_s and a_e < b_e:
+            return "starts"
+        if a_s == b_s:
+            return "started_by"
+        if a_e == b_e and a_s > b_s:
+            return "finishes"
+        if a_e == b_e:
+            return "finished_by"
+        if a_s > b_s and a_e < b_e:
+            return "during"
+        if a_s < b_s and a_e > b_e:
+            return "contains"
+        if a_s < b_s:
+            return "overlaps"
+        return "overlapped_by"
+
+    pairs: dict[str, list] = {}
+    for au, a_s, a_e in a_iv:
+        for bu, b_s, b_e in b_iv:
+            if a_s // H <= b_e // H and b_s // H <= a_e // H:
+                pairs.setdefault(rel(a_s, a_e, b_s, b_e), []).append(au)
+    want = {
+        (relname, len(users), len(set(users)))
+        for relname, users in pairs.items()
+    }
+    got = {
+        (r["relation"], r["n_pairs"], r["n_a_users"])
+        for r in all_queries()["join_allen_interval_algebra"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_asof_prev_view_matches_max_walk(spark, sf_dir):
+    views: dict[int, list[int]] = {}
+    for _, u, us in _events_us(sf_dir, "view"):
+        views.setdefault(u, []).append(us)
+    want = set()
+    for e, u, us in _events_us(sf_dir, "purchase"):
+        prev = [v for v in views.get(u, []) if v <= us]
+        want.add((e, u, us, max(prev) if prev else None))
+    got = {
+        (r["event_id"], r["user_id"], r["purchase_us"], r["prev_view_us"])
+        for r in all_queries()["join_asof_prev_view"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_scd2_point_in_time_matches_interval_walk(spark, sf_dir):
+    """SCD2 intervals from purchase history (LEAD over (ts, value)), every
+    view matched to its covering interval."""
+    hist_raw: dict[int, list[tuple[int, float, float]]] = {}
+    for u, us, v in _raw(
+        sf_dir,
+        "SELECT user_id, epoch_us(ts), value"
+        " FROM read_parquet('{D}/events.parquet')"
+        " WHERE event_type = 'purchase'",
+    ):
+        hist_raw.setdefault(int(u), []).append((int(us), float(v)))
+    hist: dict[int, list[tuple[int, int | None, float]]] = {}
+    for u, rows in hist_raw.items():
+        rows.sort()  # (ts, value) — the LEAD ordering
+        ivs = []
+        for i, (us, v) in enumerate(rows):
+            nxt = rows[i + 1][0] if i + 1 < len(rows) else None
+            sv = float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+            ivs.append((us, nxt, sv))
+        hist[u] = ivs
+    want = set()
+    for e, u, us in _events_us(sf_dir, "view"):
+        for vf, vt, sv in hist.get(u, []):
+            if us >= vf and (vt is None or us < vt):
+                want.add((e, u, us, sv, vf))
+    got = {
+        (r["event_id"], r["user_id"], r["ts_us"], r["state_value"], r["valid_from_us"])
+        for r in all_queries()["join_scd2_point_in_time"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bitemporal_asof_matches_two_clock_walk(spark, sf_dir):
+    """Two-clock as-of: the same valid-time cutoff read at two transaction
+    times; 'revised' flags customers whose known state changed as late
+    rows arrived."""
+    import datetime
+
+    cutoff_valid = datetime.date(1996, 6, 30)
+    tx1 = datetime.date(1996, 6, 30)
+    tx2 = datetime.date(1996, 12, 31)
+    facts: dict[int, list] = {}
+    for ck, ok, od, tp in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        ck, ok = int(ck), int(ok)
+        valid = datetime.date.fromisoformat(od[:10])
+        tx = valid + datetime.timedelta(days=ok % 3)
+        units = _q(float(tp), 1)
+        facts.setdefault(ck, []).append((valid, tx, ok, units))
+
+    def known(rows, tx_cut):
+        elig = [r for r in rows if r[0] <= cutoff_valid and r[1] <= tx_cut]
+        if not elig:
+            return None
+        best = max(elig, key=lambda r: (r[0], r[1], r[2]))
+        return best[3]
+
+    want = set()
+    for ck, rows in facts.items():
+        k2 = known(rows, tx2)
+        if k2 is None:
+            continue  # t2 is the driving side
+        k1 = known(rows, tx1)
+        want.add((ck, k1, k2, k1 != k2))
+    got = {
+        (r["custkey"], r["known_t1"], r["known_t2"], r["revised"])
+        for r in all_queries()["join_bitemporal_asof"](spark, sf_dir).collect()
+    }
+    assert got == want
