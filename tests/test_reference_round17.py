@@ -1760,3 +1760,301 @@ def test_bitemporal_asof_matches_two_clock_walk(spark, sf_dir):
         for r in all_queries()["join_bitemporal_asof"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 8: events/windowing leftovers — hour buckets, sliding offsets,
+# interval coalescing, the retention triangle, keep-first — as dict folds
+# --------------------------------------------------------------------------
+
+
+def test_tumbling_hourly_matches_bucket_fold(spark, sf_dir):
+    acc: dict[tuple[int, str], list] = {}
+    for et, us, u, v in _raw(
+        sf_dir,
+        "SELECT event_type, epoch_us(ts), user_id, value"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        hour = (int(us) // 3600000000) * 3600000000
+        a = acc.setdefault((hour, et), [0, 0, set()])
+        a[0] += 1
+        a[1] += _q(float(v), 1000000)
+        a[2].add(int(u))
+    want = {
+        (h, et, a[0], float(a[1]) / 1000000.0, len(a[2]))
+        for (h, et), a in acc.items()
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["events_tumbling_hourly"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sliding_windows_matches_offset_fold(spark, sf_dir):
+    acc: dict[int, list[int]] = {}
+    for us, v in _raw(
+        sf_dir,
+        "SELECT epoch_us(ts), value FROM read_parquet('{D}/events.parquet')",
+    ):
+        us, micro = int(us), _q(float(v), 1000000)
+        for off in (0, 30 * 60 * 1000000):
+            w = ((us - off) // 3600000000) * 3600000000 + off
+            a = acc.setdefault(w, [0, 0])
+            a[0] += 1
+            a[1] += micro
+    want = {
+        (w, a[0], (float(a[1]) / float(a[0])) / 1000000.0)
+        for w, a in acc.items()
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["events_sliding_windows"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_interval_merge_matches_coalesce_walk(spark, sf_dir):
+    ivs: dict[int, list[tuple[int, int, int]]] = {}
+    for e, u, us in [
+        (int(e), int(u), int(us))
+        for e, u, us in _raw(
+            sf_dir,
+            "SELECT event_id, user_id, epoch_us(ts)"
+            " FROM read_parquet('{D}/events.parquet')",
+        )
+    ]:
+        ivs.setdefault(u, []).append((us, e, us + (1 + e % 50) * 60 * 1000000))
+    want = set()
+    for u, rows in ivs.items():
+        rows.sort()  # (start_us, event_id) — the window ordering
+        seq = 0
+        cur_max_end = None
+        groups: dict[int, list] = {}
+        for s, e, en in rows:
+            if cur_max_end is None or s > cur_max_end:
+                seq += 1
+            cur_max_end = en if cur_max_end is None else max(cur_max_end, en)
+            g = groups.setdefault(seq, [s, en, 0])
+            g[0] = min(g[0], s)
+            g[1] = max(g[1], en)
+            g[2] += 1
+        for seq, (ms, me, n) in groups.items():
+            want.add((u, seq, ms, me, n))
+    got = {
+        tuple(r)
+        for r in all_queries()["events_interval_merge"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_retention_triangle_matches_cohort_fold(spark, sf_dir):
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    uw = set()
+    for u, d in _raw(
+        sf_dir,
+        "SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR)"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        w = (datetime.date.fromisoformat(d) - epoch).days // 7
+        uw.add((int(u), w))
+    cohort = {}
+    for u, w in uw:
+        cohort[u] = min(cohort.get(u, w), w)
+    sizes: dict[int, int] = {}
+    for u, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    tri: dict[tuple[int, int], int] = {}
+    for u, w in uw:
+        key = (cohort[u], w - cohort[u])
+        tri[key] = tri.get(key, 0) + 1
+    want = {
+        (cw, off, n, sizes[cw], (1000000 * n) // sizes[cw])
+        for (cw, off), n in tri.items()
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["events_retention_triangle"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_keepfirst_events_matches_min_walk(spark, sf_dir):
+    first: dict[int, tuple] = {}
+    for e, u, us, et in _raw(
+        sf_dir,
+        "SELECT event_id, user_id, epoch_us(ts), event_type"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        e, u, us = int(e), int(u), int(us)
+        if u not in first or (us, e) < (first[u][1], first[u][0]):
+            first[u] = (e, us, et)
+    want = {(u, e, us, et) for u, (e, us, et) in first.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["dedup_keepfirst_events"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 9: the MinHash/SimHash dedup core — signatures, banding, candidate
+# pairs, and the dup-graph components, rebuilt with hashlib + re + BFS
+# --------------------------------------------------------------------------
+
+
+def _doc_tokens(sf_dir: str) -> dict[int, list[str]]:
+    import re
+
+    out = {}
+    for d, text in _raw(
+        sf_dir, "SELECT doc_id, text FROM read_parquet('{D}/documents.parquet')"
+    ):
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        out[int(d)] = norm.split(" ")
+    return out
+
+
+def _minhash_pairs_py(sf_dir: str) -> set[tuple[int, int]]:
+    """tokenize -> word-3-gram shingles -> 16 Kirsch-Mitzenmacher minhashes
+    -> 4 banded md5 buckets -> colliding (a < b) pairs."""
+    import hashlib
+
+    sigs: dict[int, list[int]] = {}
+    for d, toks in _doc_tokens(sf_dir).items():
+        L = len(toks)
+        shingles = [
+            " ".join(toks[i - 1 : i + 2]) for i in range(1, max(L - 2, 1) + 1)
+        ]
+        hs = []
+        for s in shingles:
+            m = hashlib.md5(s.encode()).hexdigest()
+            hs.append((int(m[:15], 16), int(m[16:30], 16)))
+        sigs[d] = [min(h1 + i * h2 for h1, h2 in hs) for i in range(16)]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(4):
+            key = "|".join(str(sig[b * 4 + r]) for r in range(4))
+            bucket = hashlib.md5(key.encode()).hexdigest()
+            buckets.setdefault((b, bucket), []).append(d)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                pairs.add((a, b))
+    return pairs
+
+
+def test_minhash_lsh_matches_hashlib_banding(spark, sf_dir):
+    want = _minhash_pairs_py(sf_dir)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_cluster_components_matches_bfs(spark, sf_dir):
+    """Connected components over the MinHash pair graph: min-doc_id labels
+    via plain BFS, one row per vertex that appears in any pair."""
+    pairs = _minhash_pairs_py(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set[int] = set()
+    for v in sorted(adj):
+        if v in seen:
+            continue
+        comp = {v}
+        stack = [v]
+        seen.add(v)
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    comp.add(w)
+                    stack.append(w)
+        label = min(comp)
+        for u in comp:
+            want[u] = label
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in all_queries()["dedup_cluster_components"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _simhash_py(sf_dir: str) -> dict[int, int]:
+    """32-bit SimHash: bit j reads hex digit j//4 of md5(token), bit j%4;
+    tokens vote ±1, the bit sets on a non-negative sum."""
+    import hashlib
+
+    out = {}
+    for d, toks in _doc_tokens(sf_dir).items():
+        digests = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+        sh = 0
+        for j in range(32):
+            pos, bit = j // 4, j % 4
+            s = sum(
+                1 if (int(m[pos], 16) >> bit) & 1 else -1 for m in digests
+            )
+            if s >= 0:
+                sh += 1 << j
+        out[d] = sh
+    return out
+
+
+def test_simhash_matches_hashlib_votes(spark, sf_dir):
+    want = _simhash_py(sf_dir)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in all_queries()["dedup_simhash"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_matches_byte_banding(spark, sf_dir):
+    """Byte-banded SimHash candidate pairs at hamming <= 6: the operator's
+    defined semantics is banded-candidates-then-verify (a pair must share
+    at least one of the 4 sketch bytes to be seen — the standard recall
+    trade; only hamming <= 3 would guarantee an untouched byte). The
+    rebuild replays banding + verify exactly, and additionally pins the
+    one-sided guarantees brute force CAN make: every emitted pair is
+    within the threshold, and every hamming<=3 pair is emitted."""
+    sh = _simhash_py(sf_dir)
+    cand = set()
+    byband: dict[tuple[int, int], list[int]] = {}
+    for d, s in sh.items():
+        for b in range(4):
+            byband.setdefault((b, (s >> (8 * b)) & 255), []).append(d)
+    for members in byband.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cand.add((a, b))
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in cand
+        if bin(sh[a] ^ sh[b]).count("1") <= 6
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in all_queries()["dedup_simhash_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # one-sided brute-force guarantees: soundness at <=6, total recall at <=3
+    docs = sorted(sh)
+    emitted = {(a, b) for a, b, _ in want}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if (a, b) in emitted:
+                assert h <= 6
+            elif h <= 3:  # pigeonhole: <=3 flips leave a byte untouched
+                raise AssertionError(f"banding missed guaranteed pair {(a, b)}")
