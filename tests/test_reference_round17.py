@@ -2058,3 +2058,378 @@ def test_simhash_pairs_matches_byte_banding(spark, sf_dir):
                 assert h <= 6
             elif h <= 3:  # pigeonhole: <=3 flips leave a byte untouched
                 raise AssertionError(f"banding missed guaranteed pair {(a, b)}")
+
+
+# --------------------------------------------------------------------------
+# batch 10: the registered transactional exhibits — each builds a TxTable
+# and reads back; the rebuild computes the expected READ content with set
+# algebra over the raw customer/nation pulls (no TxTable, no SQL)
+# --------------------------------------------------------------------------
+
+
+def _r2(x: float) -> float:
+    return float(Decimal(x).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
+def _customers(sf_dir: str):
+    return [
+        (int(k), nm, float(b), seg)
+        for k, nm, b, seg in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_name, c_acctbal, c_mktsegment"
+            " FROM read_parquet('{D}/customer.parquet')",
+        )
+    ]
+
+
+def test_delta_deletion_vectors_matches_set_subtraction(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for k, _, b, seg in _customers(sf_dir):
+        if 50 <= k <= 200 or 700 <= k <= 820:
+            continue
+        a = acc.setdefault(seg, [0, 0])
+        a[0] += 1
+        a[1] += _q(_r2(b), 100)
+    want = {(seg, a[0], a[1]) for seg, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_deletion_vectors"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_restore_version_matches_base_counts(spark, sf_dir):
+    rows = _customers(sf_dir)
+    total = sum(_q(b, 100) for _, _, b, _ in rows)
+    [r] = all_queries()["delta_restore_version"](spark, sf_dir).collect()
+    assert tuple(r) == (len(rows), total, 3)
+
+
+def _merge_source(sf_dir: str):
+    src = [
+        (k, nm + "+", _r2(_r2(b) + 50), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k % 5 == 0
+    ]
+    src += [
+        (2000000 + int(nk), "tx-" + nm, 0.0, "TX")
+        for nk, nm in _raw(
+            sf_dir,
+            "SELECT n_nationkey, n_name FROM read_parquet('{D}/nation.parquet')",
+        )
+    ]
+    return src
+
+
+def test_delta_merge_upsert_read_matches_upsert_algebra(spark, sf_dir):
+    src = _merge_source(sf_dir)
+    src_keys = {r[0] for r in src}
+    kept = [
+        (k, nm, _r2(b), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k not in src_keys
+    ]
+    want = set(kept) | set(src)
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_merge_upsert_read"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_vacuum_read_matches_survivor_algebra(spark, sf_dir):
+    src = _merge_source(sf_dir)
+    src_keys = {r[0] for r in src}
+    v1 = src + [
+        (k, nm, _r2(b), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k not in src_keys
+    ]
+    acc: dict[str, list[int]] = {}
+    for k, _, b, seg in v1:
+        if 1 <= k <= 300:
+            continue
+        a = acc.setdefault(seg, [0, 0])
+        a[0] += 1
+        a[1] += _q(b, 100)
+    want = {(seg, a[0], a[1]) for seg, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_vacuum_read"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_shallow_clone_matches_side_counts(spark, sf_dir):
+    rows = [(k, _q(b, 100)) for k, _, b, _ in _customers(sf_dir)]
+    clone = [(k, c) for k, c in rows if not (20 <= k <= 40)]
+    want = {
+        ("source", len(rows), sum(c for _, c in rows)),
+        ("clone", len(clone), sum(c for _, c in clone)),
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_shallow_clone"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 11: sink roundtrips and source exhibits — the readback aggregates
+# rebuilt as dict folds (the SAME fold pins csv/json/orc/xml/codec-matrix:
+# a format that corrupts any value diverges from it)
+# --------------------------------------------------------------------------
+
+
+def _lineitem_slice_fold(sf_dir: str) -> set[tuple]:
+    acc: dict[str, list[int]] = {}
+    for ln, rf, p, q in _raw(
+        sf_dir,
+        "SELECT l_linenumber, l_returnflag, l_extendedprice, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(ln) > 2:
+            continue
+        a = acc.setdefault(rf, [0, 0, 0])
+        a[0] += 1
+        a[1] += _q(float(p), 100)
+        a[2] += int(q)
+    return {(rf, a[0], a[1], a[2]) for rf, a in acc.items()}
+
+
+def test_sink_roundtrips_match_shared_fold(spark, sf_dir):
+    """csv / json / orc / xml / every parquet codec must all reproduce the
+    identical slice aggregate — one Python fold pins all five paths."""
+    want = _lineitem_slice_fold(sf_dir)
+    for name in (
+        "sink_csv_roundtrip",
+        "sink_json_roundtrip",
+        "sink_orc_roundtrip",
+        "sink_xml_roundtrip",
+        "sink_parquet_codec_matrix",
+    ):
+        got = {tuple(r) for r in all_queries()[name](spark, sf_dir).collect()}
+        assert got == want, name
+
+
+def test_partitioned_write_readback_matches_full_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for rf, p, q in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_extendedprice, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        a = acc.setdefault(rf, [0, 0, 0])
+        a[0] += 1
+        a[1] += _q(float(p), 100)
+        a[2] += int(q)
+    want = {(rf, a[0], a[1], a[2]) for rf, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sink_partitioned_write_readback"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dynamic_partition_overwrite_matches_block_fold(spark, sf_dir):
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    rows = []
+    for d, v in _raw(
+        sf_dir,
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        block = (datetime.date.fromisoformat(d) - epoch).days // 10
+        rows.append((block, _q(float(v), 100)))
+    fb = min(b for b, _ in rows)
+    acc: dict[int, list[int]] = {}
+    for b, cents in rows:
+        a = acc.setdefault(b, [0, 0])
+        a[0] += 1
+        a[1] += cents * 2 if b == fb else cents
+    want = {(b, a[0], a[1]) for b, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sink_dynamic_partition_overwrite"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_glob_scan_matches_shard_fold(spark, sf_dir):
+    acc: dict[int, list[int]] = {}
+    for ok, tp in _raw(
+        sf_dir,
+        "SELECT o_orderkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+    ):
+        shard = int(ok) % 3
+        if shard not in (0, 1):
+            continue
+        a = acc.setdefault(shard, [0, 0])
+        a[0] += 1
+        a[1] += _q(float(tp), 100)
+    want = {(s, a[0], a[1]) for s, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["source_glob_scan"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_csv_corrupt_records_matches_kind_counts(spark, sf_dir):
+    kinds = {"corrupt": 0, "good": 0}
+    for (nk,) in _raw(
+        sf_dir, "SELECT n_nationkey FROM read_parquet('{D}/nation.parquet')"
+    ):
+        kinds["corrupt" if int(nk) % 10 == 0 else "good"] += 1
+    want = {(k, n) for k, n in kinds.items() if n}
+    got = {
+        tuple(r)
+        for r in all_queries()["source_csv_corrupt_records"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_config_dimension_matches_literal_lookup(spark, sf_dir):
+    dim = {
+        12: "Adventure", 14: "Fantasy", 16: "Animation", 18: "Drama",
+        27: "Horror", 28: "Action", 35: "Comedy", 36: "History",
+        37: "Western", 53: "Thriller", 80: "Crime", 99: "Documentary",
+        878: "Science Fiction", 9648: "Mystery", 10402: "Music",
+        10749: "Romance", 10751: "Family", 10752: "War", 10770: "TV Movie",
+    }
+    acc: dict[tuple[str, bool], int] = {}
+    for (pk,) in _raw(
+        sf_dir, "SELECT p_partkey FROM read_parquet('{D}/part.parquet')"
+    ):
+        gid = int(pk) % 40
+        resolved = gid in dim
+        genre = dim.get(gid, str(gid))
+        acc[(genre, resolved)] = acc.get((genre, resolved), 0) + 1
+    want = {(g, n, res) for (g, res), n in acc.items()}
+    got = {
+        (r["genre"], r["n_parts"], r["resolved"])
+        for r in all_queries()["source_config_dimension"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_filter_boolean_guards_matches_predicate_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for pr, tp, st in _raw(
+        sf_dir,
+        "SELECT o_orderpriority, o_totalprice, o_orderstatus"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if not (
+            (pr in ("1-URGENT", "2-HIGH") or st.startswith("F"))
+            and not (float(tp) < 1000.0)
+            and st is not None
+        ):
+            continue
+        a = acc.setdefault(pr, [0, 0])
+        a[0] += 1
+        a[1] += 1 if st.startswith("F") else 0
+    want = {(pr, a[0], a[1]) for pr, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["filter_boolean_guards"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cap_docs_per_source_matches_topk_walk(spark, sf_dir):
+    per_source: dict[str, list] = {}
+    for src, d, text in _raw(
+        sf_dir,
+        "SELECT source, doc_id, text FROM read_parquet('{D}/documents.parquet')",
+    ):
+        per_source.setdefault(src, []).append((-len(text), int(d)))
+    want = set()
+    for src, rows in per_source.items():
+        for rk, (neglen, d) in enumerate(sorted(rows)[:3], start=1):
+            want.add((src, d, -neglen, rk))
+    got = {
+        tuple(r)
+        for r in all_queries()["cap_docs_per_source"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_binaryfile_scan_matches_hashlib(spark, sf_dir):
+    import hashlib
+
+    want = {
+        (int(d), len(t.encode()), hashlib.md5(t.encode()).hexdigest())
+        for d, t in _raw(
+            sf_dir,
+            "SELECT doc_id, text FROM read_parquet('{D}/documents.parquet')",
+        )
+        if int(d) % 25 == 0
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["source_binaryfile_scan"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_schema_evolution_scan_matches_null_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for d, nc, lang in _raw(
+        sf_dir,
+        "SELECT doc_id, n_chars, lang FROM read_parquet('{D}/documents.parquet')",
+    ):
+        key = None if int(d) % 2 == 0 else lang  # pre-evolution rows: no lang
+        a = acc.setdefault(key, [0, 0])
+        a[0] += 1
+        a[1] += int(nc)
+    want = {(k, a[0], a[1]) for k, a in acc.items()}
+    got = {
+        (r["lang"], r["n_docs"], r["sum_chars"])
+        for r in all_queries()["source_schema_evolution_scan"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_rest_fixture_scan_matches_window_keys(spark, sf_dir):
+    import calendar
+    import datetime
+
+    want = set()
+    for ok, od in _raw(
+        sf_dir,
+        "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR)"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        day = od[:10]
+        if not ("1995-01-01" <= day <= "1995-03-31") or int(ok) % 10 != 0:
+            continue
+        d = datetime.date.fromisoformat(day)
+        last = calendar.monthrange(d.year, d.month)[1]
+        wk = f"{d:%Y-%m}-01_{d:%Y-%m}-{last:02d}"
+        want.add((int(ok), f"order-{int(ok)}", day, wk))
+    got = {
+        tuple(r)
+        for r in all_queries()["source_rest_fixture_scan"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_checkpoint_resume_degrade_matches_daily_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for d, v in _raw(
+        sf_dir,
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        a = acc.setdefault(d[:10], [0, 0])
+        a[0] += 1
+        a[1] += _q(float(v), 1000000)
+    want = {(d, a[0], a[1]) for d, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["checkpoint_resume_degrade"](spark, sf_dir).collect()
+    }
+    assert got == want
