@@ -2433,3 +2433,233 @@ def test_checkpoint_resume_degrade_matches_daily_fold(spark, sf_dir):
         for r in all_queries()["checkpoint_resume_degrade"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 12: spatial kNN / point-in-polygon, the deletion-neighborhood fuzzy
+# join, and the agg shelf leftovers — brute walks and closed-form folds
+# --------------------------------------------------------------------------
+
+
+def test_spatial_knn_matches_brute_rank(spark, sf_dir):
+    pts = _dbscan_points(sf_dir)
+    keys = sorted(pts)
+    R2 = 1 << 28
+    nbrs: dict[int, list[tuple[int, int]]] = {}
+    for i, a in enumerate(keys):
+        ax, ay = pts[a]
+        for b in keys[i + 1 :]:
+            bx, by = pts[b]
+            d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+            if d2 <= R2:
+                nbrs.setdefault(a, []).append((d2, b))
+                nbrs.setdefault(b, []).append((d2, a))
+    want = set()
+    for k, lst in nbrs.items():
+        for rk, (d2, nbr) in enumerate(sorted(lst)[:3], start=1):
+            want.add((k, rk, nbr, d2))
+    got = {
+        (r["custkey"], r["rank"], r["neighbor_custkey"], r["dist_sq"])
+        for r in all_queries()["spatial_knn_within_radius"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_point_in_polygon_matches_sign_tests(spark, sf_dir):
+    verts = [
+        (873813, 524288), (699051, 826986), (349526, 826986),
+        (174763, 524288), (349525, 221590), (699050, 221590),
+    ]
+
+    def signs(x, y):
+        out = []
+        for i in range(6):
+            xi, yi = verts[i]
+            xj, yj = verts[(i + 1) % 6]
+            out.append((xj - xi) * (y - yi) - (yj - yi) * (x - xi))
+        return out
+
+    acc: dict[str, list] = {}
+    for k, (x, y) in _dbscan_points(sf_dir).items():
+        s = signs(x, y)
+        if all(v > 0 for v in s):
+            verdict = "inside"
+        elif all(v >= 0 for v in s):
+            verdict = "boundary"
+        else:
+            verdict = "outside"
+        a = acc.setdefault(verdict, [0, 0, 0, None])
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] = k if a[3] is None else min(a[3], k)
+    want = {(v, a[0], a[1], a[2], a[3]) for v, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["spatial_point_in_polygon"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_deletion_neighborhood_matches_variant_walk(spark, sf_dir):
+    """Deletion-neighborhood blocking: each name emits itself plus every
+    single-char-deleted variant; candidates share a variant; survivors have
+    true edit distance <= 1 (plain DP levenshtein)."""
+    names = {
+        int(k): nm
+        for k, nm in _raw(
+            sf_dir,
+            "SELECT c_custkey, c_name FROM read_parquet('{D}/customer.parquet')",
+        )
+        if int(k) < 600
+    }
+    byvar: dict[str, list[int]] = {}
+    for k, nm in names.items():
+        vs = {nm[:i] + nm[i + 1 :] for i in range(len(nm))} | {nm}
+        for v in vs:
+            byvar.setdefault(v, []).append(k)
+    cand = set()
+    for members in byvar.values():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cand.add((a, b))
+    want = {
+        (a, b, _lev(names[a], names[b]))
+        for a, b in cand
+        if _lev(names[a], names[b]) <= 1
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["join_fuzzy_deletion_neighborhood"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def _quantile_cont(sorted_vals: list[int], q: float) -> float:
+    """quantile_cont / percentile on integers: linear interpolation at
+    h = (n-1)*q, IEEE arithmetic."""
+    n = len(sorted_vals)
+    h = (n - 1) * q
+    lo = math.floor(h)
+    hi = min(lo + 1, n - 1)
+    frac = h - lo
+    return sorted_vals[lo] + frac * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def test_agg_percentiles_matches_interpolation(spark, sf_dir):
+    groups: dict[str, list[int]] = {}
+    for rf, p in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_extendedprice FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        groups.setdefault(rf, []).append(_q(float(p), 100))
+    want = {}
+    for rf, vs in groups.items():
+        vs.sort()
+        want[rf] = tuple(_quantile_cont(vs, q) / 100.0 for q in (0.25, 0.5, 0.75))
+    got = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in all_queries()["agg_percentiles"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_agg_approx_distinct_matches_exact_sets(spark, sf_dir):
+    custs = set()
+    n = 0
+    for (c,) in _raw(
+        sf_dir, "SELECT o_custkey FROM read_parquet('{D}/orders.parquet')"
+    ):
+        custs.add(int(c))
+        n += 1
+    [r] = all_queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    assert (r["exact_custs"], r["n_orders"]) == (len(custs), n)
+
+
+def test_equi_depth_histogram_matches_boundary_walk(spark, sf_dir):
+    from collections import Counter
+
+    vals = Counter(
+        _q(float(tp), 1)
+        for (tp,) in _raw(
+            sf_dir, "SELECT o_totalprice FROM read_parquet('{D}/orders.parquet')"
+        )
+    )
+    n = sum(vals.values())
+    cum = 0
+    per_bucket: dict[int, list] = {}
+    for v in sorted(vals):
+        cnt = vals[v]
+        cum += cnt
+        for j in range(1, 9):
+            if 8 * (cum - cnt) < j * n and 8 * cum > (j - 1) * n:
+                b = per_bucket.setdefault(j, [None, None, 0, 0])
+                b[0] = v if b[0] is None else min(b[0], v)
+                b[1] = v if b[1] is None else max(b[1], v)
+                b[2] += cnt
+                b[3] += 1
+    want = {(j, b[0], b[1], b[2], b[3]) for j, b in per_bucket.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["agg_equi_depth_histogram"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_grouping_id_report_matches_set_fold(spark, sf_dir):
+    rows = _raw(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus FROM read_parquet('{D}/orders.parquet')",
+    )
+    acc: dict[tuple, int] = {}
+    for pr, st in rows:
+        for key in [(pr, st, 0), (pr, None, 1), (None, st, 2), (None, None, 3)]:
+            acc[key] = acc.get(key, 0) + 1
+    want = {(pr, st, gid, n) for (pr, st, gid), n in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["agg_grouping_id_report"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_amount_collision_audit_matches_cents_fold(spark, sf_dir):
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    acc: dict[int, list] = {}
+    for u, v, d in _raw(
+        sf_dir,
+        "SELECT user_id, value, CAST(CAST(ts AS DATE) AS VARCHAR)"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        cents = _q(float(v), 100)
+        day = (datetime.date.fromisoformat(d) - epoch).days
+        a = acc.setdefault(cents, [0, set(), None, None])
+        a[0] += 1
+        a[1].add(int(u))
+        a[2] = day if a[2] is None else min(a[2], day)
+        a[3] = day if a[3] is None else max(a[3], day)
+    want = {
+        (c, a[0], len(a[1]), a[3] - a[2], a[0] * (a[0] - 1) // 2)
+        for c, a in acc.items()
+        if a[0] > 1
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["agg_amount_collision_audit"](spark, sf_dir).collect()
+    }
+    assert got == want
