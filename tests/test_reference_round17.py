@@ -2663,3 +2663,309 @@ def test_amount_collision_audit_matches_cents_fold(spark, sf_dir):
         for r in all_queries()["agg_amount_collision_audit"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 13: the Spark-4 SQL surface + set ops + correlated scalar — each a
+# plain fold (the engine exercises EXECUTE IMMEDIATE / named params /
+# BEGIN-WHILE / collations / UNPIVOT; the semantics are ordinary algebra)
+# --------------------------------------------------------------------------
+
+
+def test_execute_immediate_matches_having_fold(spark, sf_dir):
+    nation = _nation_names(sf_dir)
+    counts: dict[str, int] = {}
+    for (nk,) in _raw(
+        sf_dir, "SELECT s_nationkey FROM read_parquet('{D}/supplier.parquet')"
+    ):
+        nm = nation[int(nk)]
+        counts[nm] = counts.get(nm, 0) + 1
+    want = {(nm, n) for nm, n in counts.items() if n >= 3}
+    got = {
+        tuple(r)
+        for r in all_queries()["sql_execute_immediate"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_parameterized_query_matches_filter_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for pr, od, tp in _raw(
+        sf_dir,
+        "SELECT o_orderpriority, CAST(o_orderdate AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if od[:10] < "1995-06-01" or float(tp) <= 1000:
+            continue
+        a = acc.setdefault(pr, [0, 0])
+        a[0] += 1
+        a[1] += _q(float(tp), 1)
+    want = {(pr, a[0], a[1]) for pr, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sql_parameterized_query"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_scripting_block_matches_month_loop(spark, sf_dir):
+    total = 0
+    for (od,) in _raw(
+        sf_dir,
+        "SELECT CAST(o_orderdate AS VARCHAR) FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if "1995-01-01" <= od[:10] <= "1995-06-30":
+            total += 1
+    [r] = all_queries()["sql_scripting_block"](spark, sf_dir).collect()
+    assert tuple(r) == (6, total)
+
+
+def test_string_collation_matches_case_fold(spark, sf_dir):
+    acc: dict[str, list] = {}
+    for e, et in _raw(
+        sf_dir,
+        "SELECT event_id, event_type FROM read_parquet('{D}/events.parquet')",
+    ):
+        label = et.upper() if int(e) % 2 == 0 else et
+        a = acc.setdefault(label.lower(), [0, set()])
+        a[0] += 1
+        a[1].add(label)
+    want = {(k, a[0], len(a[1])) for k, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["string_collation_groupby"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_unpivot_measures_matches_long_form(spark, sf_dir):
+    want = set()
+    for ok, ln, q, d, t in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if int(ok) % 1000 != 0:
+            continue
+        for m, v in (("quantity", float(q)), ("discount", float(d)), ("tax", float(t))):
+            want.add((int(ok), int(ln), m, _r2(v)))
+    got = {
+        tuple(r)
+        for r in all_queries()["unpivot_measures"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_setop_union_distinct_matches_set_union(spark, sf_dir):
+    want = set()
+    for c, st, tp in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_orderstatus, o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if st == "F" or float(tp) > 100000:
+            want.add((int(c),))
+    got = {
+        tuple(r)
+        for r in all_queries()["setop_union_distinct"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_correlated_scalar_matches_per_key_average(spark, sf_dir):
+    per_part: dict[int, list] = {}
+    rows = _raw(
+        sf_dir,
+        "SELECT l_partkey, l_quantity, l_extendedprice"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    )
+    for pk, q, p in rows:
+        a = per_part.setdefault(int(pk), [0, 0])
+        a[0] += _q(float(q), 100)
+        a[1] += 1
+    acc: dict[int, list[int]] = {}
+    for pk, q, p in rows:
+        s, n = per_part[int(pk)]
+        avg = (float(s) / float(n)) / 100.0
+        if float(q) < 0.4 * avg:
+            a = acc.setdefault(int(pk), [0, 0])
+            a[0] += _q(float(p), 100)
+            a[1] += 1
+    want = {(pk, float(a[0]) / 100.0, a[1]) for pk, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["subq_correlated_scalar"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 14: profiling / consistent sampling / upsert algebra — dict folds
+# --------------------------------------------------------------------------
+
+
+def test_profile_drift_tvd_matches_bin_fold(spark, sf_dir):
+    bins: dict[int, list[int]] = {}
+    na = nb = 0
+    for d, nc in _raw(
+        sf_dir,
+        "SELECT doc_id, n_chars FROM read_parquet('{D}/documents.parquet')",
+    ):
+        b = int(nc) // 100
+        is_a = int(d) % 2 == 0
+        a = bins.setdefault(b, [0, 0])
+        a[0 if is_a else 1] += 1
+        na += is_a
+        nb += not is_a
+    want = set()
+    for b, (ac, bc) in bins.items():
+        appm = (1000000 * ac) // na
+        bppm = (1000000 * bc) // nb
+        want.add((b, ac, bc, appm, bppm, abs(appm - bppm)))
+    got = {
+        tuple(r)
+        for r in all_queries()["profile_drift_tvd"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_profile_fd_discovery_matches_violation_walk(spark, sf_dir):
+    cases = [
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("documents", "doc_id", "lang"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("events", "user_id", "event_type"),
+    ]
+    want = set()
+    for tbl, lhs, rhs in cases:
+        vals: dict = {}
+        for k, v in _raw(
+            sf_dir, f"SELECT {lhs}, {rhs} FROM read_parquet('{{D}}/{tbl}.parquet')"
+        ):
+            vals.setdefault(k, set()).add(v)
+        n_keys = len(vals)
+        violating = sum(1 for s in vals.values() if len(s) > 1)
+        want.add(
+            (
+                tbl,
+                lhs,
+                rhs,
+                n_keys,
+                violating,
+                violating == 0,
+                (1000000 * violating) // n_keys,
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["profile_fd_discovery"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_profile_k_anonymity_matches_group_sizes(spark, sf_dir):
+    groups: dict[tuple, int] = {}
+    for lang, src, nc in _raw(
+        sf_dir,
+        "SELECT lang, source, n_chars FROM read_parquet('{D}/documents.parquet')",
+    ):
+        key = (lang, src, int(nc) // 200)
+        groups[key] = groups.get(key, 0) + 1
+    want = {(l, s, b, n, n < 5) for (l, s, b), n in groups.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["profile_k_anonymity"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sample_join_consistent_matches_hash_gate(spark, sf_dir):
+    import hashlib
+
+    def keep(u: int) -> bool:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 4 < 1
+
+    acc: dict[str, list] = {}
+    for u, et, v in _raw(
+        sf_dir,
+        "SELECT user_id, event_type, value FROM read_parquet('{D}/events.parquet')",
+    ):
+        u = int(u)
+        if not keep(u):
+            continue
+        a = acc.setdefault(et, [0, set(), 0])
+        a[0] += 1
+        a[1].add(u)
+        a[2] += _q(float(v), 100)
+    want = {(et, a[0], len(a[1]), a[2], a[2] * 4) for et, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sample_join_consistent"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sample_weighted_priority_matches_fib_hash(spark, sf_dir):
+    per_source: dict[str, list] = {}
+    for src, d, nc in _raw(
+        sf_dir,
+        "SELECT source, doc_id, n_chars FROM read_parquet('{D}/documents.parquet')",
+    ):
+        d, w = int(d), max(int(nc), 1)
+        pri = float(1 + ((d % 2147483648) * 2654435761) % 4294967296) / float(w)
+        per_source.setdefault(src, []).append((pri, d, w))
+    want = set()
+    for src, rows in per_source.items():
+        for rk, (pri, d, w) in enumerate(sorted(rows)[:4], start=1):
+            want.add((src, d, w, pri, rk))
+    got = {
+        tuple(r)
+        for r in all_queries()["sample_weighted_priority"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_merge_upsert_customers_matches_upsert_algebra(spark, sf_dir):
+    src = [
+        (k, nm + "*", _r2(b + 100), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k % 7 == 0
+    ]
+    src += [
+        (1000000 + int(nk), "new-" + nm, 0.0, "NEW")
+        for nk, nm in _raw(
+            sf_dir,
+            "SELECT n_nationkey, n_name FROM read_parquet('{D}/nation.parquet')",
+        )
+    ]
+    src_keys = {r[0] for r in src}
+    kept = [
+        (k, nm, _r2(b), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k not in src_keys
+    ]
+    want = set(kept) | set(src)
+    got = {
+        tuple(r)
+        for r in all_queries()["merge_upsert_customers"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_incremental_agg_maintenance_matches_full_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for pr, tp in _raw(
+        sf_dir,
+        "SELECT o_orderpriority, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+    ):
+        a = acc.setdefault(pr, [0, 0])
+        a[0] += 1
+        a[1] += _q(float(tp), 100)
+    want = {(pr, a[0], a[1]) for pr, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["incremental_agg_maintenance"](spark, sf_dir).collect()
+    }
+    assert got == want
