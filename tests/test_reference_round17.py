@@ -2969,3 +2969,161 @@ def test_incremental_agg_maintenance_matches_full_fold(spark, sf_dir):
         for r in all_queries()["incremental_agg_maintenance"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 15: the pandas-UDF / UDTF battery — the engine exercises the Arrow
+# transfer machinery (applyInPandas, SCALAR_ITER, mapInArrow, cogrouped,
+# polymorphic UDTFs); the arithmetic contracts replay as plain folds
+# --------------------------------------------------------------------------
+
+
+def test_apply_in_pandas_matches_segment_math(spark, sf_dir):
+    segs: dict[str, list] = {}
+    for k, _, b, seg in _customers(sf_dir):
+        segs.setdefault(seg, []).append((k, _q(b, 100), float(b)))
+    want = set()
+    for seg, rows in segs.items():
+        total = sum(c for _, c, _ in rows)
+        n = len(rows)
+        ranked = sorted(rows, key=lambda r: (-r[2], r[0]))
+        # RANK() over (acctbal DESC, custkey): the key is unique per row,
+        # so rank == position
+        rank_of = {k: i for i, (k, _, _) in enumerate(ranked, start=1)}
+        for k, c, b in rows:
+            diff = (c - float(total) / float(n)) / 100.0
+            want.add((seg, k, diff, rank_of[k]))
+    got = {
+        (r["c_mktsegment"], r["c_custkey"], r["bal_minus_seg_mean"], r["seg_rank"])
+        for r in all_queries()["udf_apply_in_pandas"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_arrow_scalar_matches_mod_bucket(spark, sf_dir):
+    want = {
+        (int(ok), _q(float(tp), 100) % 97)
+        for ok, tp in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+        )
+        if int(ok) % 100 == 0
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["udf_arrow_scalar"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cogrouped_join_matches_left_fold(spark, sf_dir):
+    spend: dict[int, list[int]] = {}
+    for c, tp in _raw(
+        sf_dir,
+        "SELECT o_custkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+    ):
+        a = spend.setdefault(int(c), [0, 0])
+        a[0] += 1
+        a[1] += _q(float(tp), 100)
+    want = set()
+    for k, _, b, _ in _customers(sf_dir):
+        if k % 100 != 0:
+            continue
+        n, s = spend.get(k, [0, 0])
+        want.add((k, n, s, _q(b, 100)))
+    got = {
+        tuple(r)
+        for r in all_queries()["udf_cogrouped_join"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_map_in_arrow_matches_mix(spark, sf_dir):
+    want = {
+        (int(ok), int(ln), _q(float(p), 100) + int(q))
+        for ok, ln, p, q in _raw(
+            sf_dir,
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity"
+            " FROM read_parquet('{D}/lineitem.parquet')",
+        )
+        if int(ok) % 200 == 0
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["udf_map_in_arrow"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pandas_scalar_iter_matches_micro_bucket(spark, sf_dir):
+    want = {
+        (int(ok), int(ln), _q(float(p), 1000000) % 97)
+        for ok, ln, p in _raw(
+            sf_dir,
+            "SELECT l_orderkey, l_linenumber, l_extendedprice"
+            " FROM read_parquet('{D}/lineitem.parquet')",
+        )
+        if int(ok) % 200 == 0
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["udf_pandas_scalar_iter"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_udtf_explode_buckets_matches_remainder_split(spark, sf_dir):
+    want = set()
+    for ok, tp in _raw(
+        sf_dir,
+        "SELECT o_orderkey, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if int(ok) % 500 != 0:
+            continue
+        cents = _q(float(tp), 100)
+        for i in range(3):
+            want.add((int(ok), i, cents // 3 + (1 if i < cents % 3 else 0)))
+    got = {
+        tuple(r)
+        for r in all_queries()["udtf_explode_buckets"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_udtf_polymorphic_split_matches_substrings(spark, sf_dir):
+    want = {
+        (int(d), t[0:16], t[16:32], t[32:48])
+        for d, t in _raw(
+            sf_dir,
+            "SELECT doc_id, text FROM read_parquet('{D}/documents.parquet')",
+        )
+        if int(d) % 7 == 0
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["udtf_polymorphic_split"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_udtf_table_arg_gaps_matches_lag_walk(spark, sf_dir):
+    per_user: dict[int, list] = {}
+    for e, u, us in [
+        (int(e), int(u), int(us))
+        for e, u, us in _raw(
+            sf_dir,
+            "SELECT event_id, user_id, epoch_us(ts)"
+            " FROM read_parquet('{D}/events.parquet')",
+        )
+    ]:
+        per_user.setdefault(u, []).append((us, e))
+    want = set()
+    for u, evs in per_user.items():
+        evs.sort()
+        gaps = [evs[i][0] - evs[i - 1][0] for i in range(1, len(evs))]
+        want.add((u, len(evs), max(gaps) if gaps else 0))
+    got = {
+        tuple(r)
+        for r in all_queries()["udtf_table_arg_gaps"](spark, sf_dir).collect()
+    }
+    assert got == want
