@@ -3127,3 +3127,139 @@ def test_udtf_table_arg_gaps_matches_lag_walk(spark, sf_dir):
         for r in all_queries()["udtf_table_arg_gaps"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 16: graph iterative kernels + uplift/gains curves — integer
+# PageRank loop, wedge-closure triangles, NTILE decile folds
+# --------------------------------------------------------------------------
+
+
+def test_triangle_count_matches_wedge_walk(spark, sf_dir):
+    """Directed (a<b) wedge closure over the MinHash pair graph: triangles
+    = ordered pairs (e1, e2, e3) with e1=(a,b), e2=(b,c), e3=(a,c)."""
+    pairs = _minhash_pairs_py(sf_dir)
+    out: dict[int, set[int]] = {}
+    for a, b in pairs:
+        out.setdefault(a, set()).add(b)
+    tri = 0
+    for a, b in pairs:
+        tri += len(out.get(b, set()) & out.get(a, set()))
+    [r] = all_queries()["graph_triangle_count"](spark, sf_dir).collect()
+    assert tuple(r) == (len(pairs), tri)
+
+
+def test_pagerank_matches_integer_loop(spark, sf_dir):
+    """8 rounds of integer PageRank (damping 85/100, floor division at
+    every share and at the final mix) over the symmetrized dup graph."""
+    pairs = _minhash_pairs_py(sf_dir)
+    edges = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1000000 for v in deg}
+    for _ in range(8):
+        nxt: dict[int, int] = {}
+        for s, d in edges:
+            nxt[d] = nxt.get(d, 0) + r[s] // deg[s]
+        r = {v: 150000 + (85 * acc) // 100 for v, acc in nxt.items()}
+    got = {
+        row["doc_id"]: row["rank_u"]
+        for row in all_queries()["graph_pagerank"](spark, sf_dir).collect()
+    }
+    assert got == r
+
+
+def _ntile(rows: list, n: int) -> dict:
+    """NTILE(n) over pre-sorted rows: first (len % n) buckets get one extra."""
+    L = len(rows)
+    base, extra = divmod(L, n)
+    out = {}
+    i = 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= extra else 0)
+        for row in rows[i : i + size]:
+            out[row] = b
+        i += size
+    return out
+
+
+def test_gains_lift_deciles_matches_ntile_fold(spark, sf_dir):
+    rows = sorted(
+        (
+            (-int(nc), int(d), 1 if lang == "en" else 0)
+            for d, nc, lang in _raw(
+                sf_dir,
+                "SELECT doc_id, n_chars, lang FROM read_parquet('{D}/documents.parquet')",
+            )
+        )
+    )
+    tiles = _ntile(rows, 10)
+    per: dict[int, list[int]] = {}
+    for row, dec in tiles.items():
+        a = per.setdefault(dec, [0, 0])
+        a[0] += 1
+        a[1] += row[2]
+    nn = sum(a[0] for a in per.values())
+    pp = sum(a[1] for a in per.values())
+    want = set()
+    cum_n = cum_p = 0
+    for dec in sorted(per):
+        n, np_ = per[dec]
+        cum_n += n
+        cum_p += np_
+        want.add(
+            (
+                dec,
+                n,
+                np_,
+                cum_p,
+                (1000000 * cum_p) // pp,
+                (1000000 * cum_p * nn) // (cum_n * pp),
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["ml_gains_lift_deciles"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_qini_curve_matches_uplift_fold(spark, sf_dir):
+    users: dict[int, list[int]] = {}
+    for u, et in _raw(
+        sf_dir,
+        "SELECT user_id, event_type FROM read_parquet('{D}/events.parquet')",
+    ):
+        a = users.setdefault(int(u), [0, 0])
+        a[0] += 1
+        a[1] = max(a[1], 1 if et == "purchase" else 0)
+    rows = sorted((-score, u) for u, (score, _) in users.items())
+    tiles = _ntile(rows, 10)
+    per: dict[int, list[int]] = {}
+    for (negscore, u), dec in tiles.items():
+        treated = 1 if u % 2 == 0 else 0
+        conv = users[u][1]
+        a = per.setdefault(dec, [0, 0, 0, 0])
+        a[0] += treated
+        a[1] += 1 - treated
+        a[2] += treated * conv
+        a[3] += (1 - treated) * conv
+    want = set()
+    nt = nc = ct = cc = 0
+    for dec in sorted(per):
+        a = per[dec]
+        nt += a[0]
+        nc += a[1]
+        ct += a[2]
+        cc += a[3]
+        if ct * nc >= cc * nt:
+            qini = (1000 * (ct * nc - cc * nt)) // nc
+        else:
+            qini = -((1000 * (cc * nt - ct * nc)) // nc)
+        want.add((dec, nt, nc, ct, cc, qini))
+    got = {
+        tuple(r)
+        for r in all_queries()["ml_qini_curve"](spark, sf_dir).collect()
+    }
+    assert got == want
