@@ -3263,3 +3263,194 @@ def test_qini_curve_matches_uplift_fold(spark, sf_dir):
         for r in all_queries()["ml_qini_curve"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 17: SCD2 intervals, VARIANT shredding, the array/map battery,
+# co-located + DPP joins, Z-order layout stats — folds and string walks
+# --------------------------------------------------------------------------
+
+
+def _scd2_hist(sf_dir: str):
+    """user -> [(value_r4, valid_from_us, valid_to_us|None)] via LEAD over
+    (ts, value)."""
+    raw: dict[int, list] = {}
+    for u, us, v in _raw(
+        sf_dir,
+        "SELECT user_id, epoch_us(ts), value FROM read_parquet('{D}/events.parquet')"
+        " WHERE event_type = 'purchase'",
+    ):
+        raw.setdefault(int(u), []).append((int(us), float(v)))
+    out = {}
+    for u, rows in raw.items():
+        rows.sort()
+        out[u] = [
+            (
+                float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)),
+                us,
+                rows[i + 1][0] if i + 1 < len(rows) else None,
+            )
+            for i, (us, v) in enumerate(rows)
+        ]
+    return out
+
+
+def test_scd2_late_splice_matches_interval_walk(spark, sf_dir):
+    want = {
+        (u, v, vf, vt, vt is None)
+        for u, ivs in _scd2_hist(sf_dir).items()
+        for v, vf, vt in ivs
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["scd2_late_arriving_splice"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_scd2_snapshot_asof_matches_midpoint_cut(spark, sf_dir):
+    hist = _scd2_hist(sf_dir)
+    all_us = [
+        int(us)
+        for (us,) in _raw(
+            sf_dir,
+            "SELECT epoch_us(ts) FROM read_parquet('{D}/events.parquet')"
+            " WHERE event_type = 'purchase'",
+        )
+    ]
+    t_us = (min(all_us) + max(all_us)) // 2
+    want = {
+        (u, v, vf)
+        for u, ivs in hist.items()
+        for v, vf, vt in ivs
+        if vf <= t_us and (vt is None or t_us < vt)
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["scd2_snapshot_asof"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_json_variant_shred_matches_json_loads(spark, sf_dir):
+    import json
+
+    acc: dict[tuple, int] = {}
+    for et, props in _raw(
+        sf_dir,
+        "SELECT event_type, props FROM read_parquet('{D}/events.parquet')",
+    ):
+        k = int(json.loads(props)["k"]) % 10
+        acc[(et, k)] = acc.get((et, k), 0) + 1
+    want = {(et, k, n) for (et, k), n in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["json_variant_shred"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_array_map_battery_matches_vocab_walk(spark, sf_dir):
+    import re
+
+    want = set()
+    for d, text in _raw(
+        sf_dir, "SELECT doc_id, text FROM read_parquet('{D}/documents.parquet')"
+    ):
+        if int(d) % 25 != 0:
+            continue
+        vocab = sorted(set(re.sub(r"\s+", " ", text).strip().lower().split(" ")))
+        long_terms = "|".join(sorted(w for w in vocab if len(w) > 5))
+        markers = {"data", "table", "row", "fast"}
+        want.add(
+            (
+                int(d),
+                len(vocab),
+                vocab[0],
+                vocab[-1],
+                ",".join(vocab[:3]),
+                "data" in vocab,
+                long_terms,
+                len(set(vocab) & markers),
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["array_map_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_colocated_join_matches_fold(spark, sf_dir):
+    pri = {
+        int(o): p
+        for o, p in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_orderpriority FROM read_parquet('{D}/orders.parquet')",
+        )
+    }
+    acc: dict[str, list[int]] = {}
+    for ok, q in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_quantity FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        p = pri[int(ok)]
+        a = acc.setdefault(p, [0, 0])
+        a[0] += 1
+        a[1] += int(q)
+    want = {(p, a[0], a[1]) for p, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["join_bucketed_colocated"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dynamic_partition_pruning_matches_year_fold(spark, sf_dir):
+    rows = _raw(
+        sf_dir,
+        "SELECT CAST(o_orderdate AS VARCHAR), o_orderpriority, o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    )
+    dim = {
+        int(od[:4])
+        for od, pr, _ in rows
+        if pr == "1-URGENT" and int(od[:4]) <= 1996
+    }
+    acc: dict[int, list[int]] = {}
+    for od, _, tp in rows:
+        y = int(od[:4])
+        if y not in dim:
+            continue
+        a = acc.setdefault(y, [0, 0])
+        a[0] += 1
+        a[1] += _q(float(tp), 100)
+    want = {(y, a[0], a[1]) for y, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["join_dynamic_partition_pruning"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_zorder_stats_matches_bit_interleave(spark, sf_dir):
+    acc: dict[int, list] = {}
+    for pk, sk in _raw(
+        sf_dir,
+        "SELECT l_partkey, l_suppkey FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        a8, b8 = int(pk) % 256, int(sk) % 256
+        z = 0
+        for bit in range(8):
+            z |= ((a8 >> bit) & 1) << (2 * bit)
+            z |= ((b8 >> bit) & 1) << (2 * bit + 1)
+        b = acc.setdefault(z // 4096, [0, None, None])
+        b[0] += 1
+        b[1] = z if b[1] is None else min(b[1], z)
+        b[2] = z if b[2] is None else max(b[2], z)
+    want = {(zb, a[0], a[1], a[2]) for zb, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["layout_zorder_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
