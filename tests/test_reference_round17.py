@@ -3454,3 +3454,208 @@ def test_zorder_stats_matches_bit_interleave(spark, sf_dir):
         for r in all_queries()["layout_zorder_stats"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 18: skew exhibits, the grid pair relation, RFM, and the LLM corpus
+# rollups that compose exact-dup, quality, and the MinHash dup graph
+# --------------------------------------------------------------------------
+
+
+def test_skew_salted_agg_matches_flag_fold(spark, sf_dir):
+    acc: dict[str, list] = {}
+    for rf, q, ok in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_quantity, l_orderkey"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        a = acc.setdefault(rf, [0, 0, None, None])
+        a[0] += _q(float(q), 100)
+        a[1] += 1
+        a[2] = int(ok) if a[2] is None else min(a[2], int(ok))
+        a[3] = int(ok) if a[3] is None else max(a[3], int(ok))
+    want = {(rf, a[0], a[1], a[2], a[3]) for rf, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["skew_salted_agg"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_skew_salted_join_matches_fanout_fold(spark, sf_dir):
+    """The deliberately-skewed fact (93%% of rows on key 0, 16x fan-out)
+    joined to the generated dim — the salted and unsalted plans must both
+    equal this fold (the engine pair is oracle-checked to one result)."""
+    dim = {x: x * 3 + 1 for x in range(1000)}
+    acc: dict[int, list[int]] = {}
+    for ok, ln, q in _raw(
+        sf_dir,
+        "SELECT l_orderkey, l_linenumber, l_quantity"
+        " FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        k = 0 if int(ln) % 7 != 0 else int(ok) % 1000
+        v = _q(float(q), 100)
+        a = acc.setdefault(k, [0, 0])
+        a[0] += 16 * v * dim[k]
+        a[1] += 16
+    want = {(k, a[0], a[1]) for k, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["skew_salted_join"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_spatial_grid_join_matches_brute_pairs(spark, sf_dir):
+    """The grid equi-join's pair relation vs the O(n^2) brute walk — the
+    losslessness claim the DBSCAN family builds on, pinned directly."""
+    pts = _dbscan_points(sf_dir)
+    keys = sorted(pts)
+    R2 = 1 << 28
+    want = set()
+    for i, a in enumerate(keys):
+        ax, ay = pts[a]
+        for b in keys[i + 1 :]:
+            bx, by = pts[b]
+            d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+            if d2 <= R2:
+                want.add((a, b, d2))
+    got = {
+        tuple(r)
+        for r in all_queries()["join_spatial_grid"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_rfm_segmentation_matches_ntile_scores(spark, sf_dir):
+    import datetime
+
+    cust: dict[int, list] = {}
+    max_d = None
+    for c, od, tp in _raw(
+        sf_dir,
+        "SELECT o_custkey, CAST(o_orderdate AS VARCHAR), o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        d = datetime.date.fromisoformat(od[:10])
+        max_d = d if max_d is None else max(max_d, d)
+        a = cust.setdefault(int(c), [None, 0, 0])
+        a[0] = d if a[0] is None else max(a[0], d)
+        a[1] += 1
+        a[2] += _q(float(tp), 100)
+    rows = {
+        c: ((max_d - a[0]).days, a[1], a[2]) for c, a in cust.items()
+    }
+    r_score = _ntile(sorted((r, c) for c, (r, f, m) in rows.items()), 5)
+    f_score = _ntile(sorted((f, c) for c, (r, f, m) in rows.items()), 5)
+    m_score = _ntile(sorted((m, c) for c, (r, f, m) in rows.items()), 5)
+    want = set()
+    for c, (r, f, m) in rows.items():
+        rs, fs, ms = r_score[(r, c)], f_score[(f, c)], m_score[(m, c)]
+        want.add((c, r, f, m, rs, fs, ms, f"{rs}{fs}{ms}"))
+    got = {
+        tuple(r)
+        for r in all_queries()["agg_rfm_segmentation"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+_STOPWORDS = {"the", "a", "and", "of", "is", "to", "in"}
+
+
+def _doc_quality(toks: list[str]) -> int:
+    n = len(toks)
+    if n == 0:
+        return 0
+    stop_ratio = float(sum(1 for t in toks if t in _STOPWORDS)) / float(n)
+    return int(20 <= n <= 1000 and stop_ratio >= 0.01)
+
+
+def test_llm_dataset_card_matches_composed_rollup(spark, sf_dir):
+    import hashlib
+
+    toks_by_doc = _doc_tokens(sf_dir)
+    langs = {
+        lang
+        for (lang,) in _raw(
+            sf_dir, "SELECT lang FROM read_parquet('{D}/documents.parquet')"
+        )
+    }
+    import re
+
+    norm_hashes = []
+    total_toks = 0
+    q_pass = 0
+    for d, text in _raw(
+        sf_dir, "SELECT doc_id, text FROM read_parquet('{D}/documents.parquet')"
+    ):
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        norm_hashes.append(hashlib.md5(norm.encode()).hexdigest())
+        toks = toks_by_doc[int(d)]
+        total_toks += len(toks)
+        q_pass += _doc_quality(toks)
+    n = len(norm_hashes)
+    dup_docs = set()
+    for a, b in _minhash_pairs_py(sf_dir):
+        dup_docs.add(a)
+        dup_docs.add(b)
+    [r] = all_queries()["llm_dataset_card"](spark, sf_dir).collect()
+    assert tuple(r) == (
+        n,
+        len(langs),
+        total_toks,
+        (1000000 * q_pass) // n,
+        (1000000 * (n - len(set(norm_hashes)))) // n,
+        (1000000 * len(dup_docs)) // n,
+    )
+
+
+def test_llm_quality_canonical_dedup_matches_component_walk(spark, sf_dir):
+    toks_by_doc = _doc_tokens(sf_dir)
+    pairs = _minhash_pairs_py(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp: dict[int, int] = {}
+    seen: set[int] = set()
+    for v in sorted(adj):
+        if v in seen:
+            continue
+        members = {v}
+        stack = [v]
+        seen.add(v)
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    members.add(w)
+                    stack.append(w)
+        label = min(members)
+        for u in members:
+            comp[u] = label
+    groups: dict[int, list] = {}
+    for d, label in comp.items():
+        toks = toks_by_doc[d]
+        groups.setdefault(label, []).append(
+            (-_doc_quality(toks), -len(toks), d)
+        )
+    want = set()
+    for label, members in groups.items():
+        members.sort()
+        negq, neglen, canon = members[0]
+        want.add(
+            (
+                label,
+                canon,
+                -neglen,
+                len(members),
+                sum(-q for q, _, _ in members),
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["llm_quality_canonical_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
