@@ -3659,3 +3659,360 @@ def test_llm_quality_canonical_dedup_matches_component_walk(spark, sf_dir):
         for r in all_queries()["llm_quality_canonical_dedup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 19: experimentation/extreme-value stats + RBO — integer ppm chains,
+# exact float-order replication, and the doubled-midrank Friedman post-hoc
+# --------------------------------------------------------------------------
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def test_mean_excess_profile_matches_threshold_fold(spark, sf_dir):
+    vals = [
+        (float(v), _q(float(v), 100))
+        for (v,) in _raw(
+            sf_dir, "SELECT value FROM read_parquet('{D}/events.parquet')"
+        )
+    ]
+    want = set()
+    for u in (100, 150, 200, 250):
+        exceed = [(v, c) for v, c in vals if v > u]
+        n = len(exceed)
+        excess = sum(c - 100 * u for _, c in exceed)
+        want.add((u, n, excess, excess // max(n, 1)))
+    got = {
+        tuple(r)
+        for r in all_queries()["stats_mean_excess_profile"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_rescaled_range_matches_segment_walk(spark, sf_dir):
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    daily: dict[int, int] = {}
+    for d, v in _raw(
+        sf_dir,
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet') WHERE event_type = 'purchase'",
+    ):
+        day = (datetime.date.fromisoformat(d) - base).days
+        daily[day] = daily.get(day, 0) + _q(float(v), 100)
+    want = set()
+    for w in (8, 16, 32):
+        segs: dict[int, list] = {}
+        for day in sorted(daily):
+            segs.setdefault(day // w, []).append(daily[day])
+        n_full = 0
+        rs_sum = 0
+        for xs in segs.values():
+            n = len(xs)
+            if n != w:
+                continue
+            n_full += 1
+            sx = sum(xs)
+            sxx = sum(x * x for x in xs)
+            if n * sxx - sx * sx <= 0:
+                continue
+            cum = 0
+            devs = []
+            for k, x in enumerate(xs, start=1):
+                cum += x
+                devs.append(n * cum - k * sx)
+            rng = max(devs) - min(devs)
+            std2 = (float(sxx) - float(sx) * float(sx) / float(n)) / float(n)
+            rs_sum += math.floor(
+                1000000.0 * (float(rng) / float(n)) / math.sqrt(std2)
+            )
+        if n_full:
+            want.add((w, n_full, rs_sum))
+    got = {
+        tuple(r)
+        for r in all_queries()["stats_rescaled_range"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ratio_metric_delta_ci_matches_float_chain(spark, sf_dir):
+    per_user: dict[int, list[int]] = {}
+    for u, et, v in _raw(
+        sf_dir,
+        "SELECT user_id, event_type, value FROM read_parquet('{D}/events.parquet')",
+    ):
+        a = per_user.setdefault(int(u), [0, 0])
+        a[0] += 1
+        if et == "purchase":
+            a[1] += _q(float(v), 100)
+    want = set()
+    for cohort, members in (
+        ("even", [a for u, a in per_user.items() if u % 2 == 0]),
+        ("odd", [a for u, a in per_user.items() if u % 2 == 1]),
+    ):
+        n = len(members)
+        sx = sum(x for x, _ in members)
+        sy = sum(y for _, y in members)
+        sxx = sum(x * x for x, _ in members)
+        syy = sum(y * y for _, y in members)
+        sxy = sum(x * y for x, y in members)
+        fn, fsx, fsy = float(n), float(sx), float(sy)
+        r = fsy / fsx
+        vy = (float(syy) - fsy * fsy / fn) / (fn - 1.0)
+        cov = (float(sxy) - fsx * fsy / fn) / (fn - 1.0)
+        vx = (float(sxx) - fsx * fsx / fn) / (fn - 1.0)
+        se = math.sqrt((vy - 2.0 * r * cov + r * r * vx) / fn) / (fsx / fn)
+        want.add(
+            (
+                cohort,
+                n,
+                sx,
+                sy,
+                _round6(r),
+                _round6(se),
+                _round6(r - 1.96 * se),
+                _round6(r + 1.96 * se),
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["stats_ratio_metric_delta_ci"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_nemenyi_posthoc_matches_block_ranks(spark, sf_dir):
+    cells: dict[tuple[int, str], int] = {}
+    for u, et, v in _raw(
+        sf_dir,
+        "SELECT user_id, event_type, value FROM read_parquet('{D}/events.parquet')",
+    ):
+        key = (int(u) % 12, et)
+        cells[key] = cells.get(key, 0) + _q(float(v), 100)
+    blocks = sorted({b for b, _ in cells})
+    r2j: dict[str, int] = {}
+    nblk: dict[str, int] = {}
+    for b in blocks:
+        row = {t: cv for (bb, t), cv in cells.items() if bb == b}
+        ranks = _ar2(list(row.values()))
+        for t, cv in row.items():
+            r2j[t] = r2j.get(t, 0) + ranks[cv]
+            nblk[t] = nblk.get(t, 0) + 1
+    want = set()
+    types = sorted(r2j)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            diff = abs(r2j[a] - r2j[b])
+            sig = 1 if diff * diff * 100000 > 14883968 * nblk[a] else 0
+            want.add((a, b, diff, nblk[a], sig))
+    got = {
+        tuple(r)
+        for r in all_queries()["stats_nemenyi_posthoc"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_event_study_matches_period_gaps(spark, sf_dir):
+    import datetime
+
+    anchor = datetime.date(2024, 1, 16)
+    per: dict[int, list[int]] = {}
+    for u, d, v in _raw(
+        sf_dir,
+        "SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet') WHERE event_type = 'purchase'",
+    ):
+        day = datetime.date.fromisoformat(d)
+        if not (anchor - datetime.timedelta(days=14) <= day
+                < anchor + datetime.timedelta(days=14)):
+            continue
+        period = ((day - anchor).days + 14) // 7 - 2
+        treated = int(u) % 2 == 0
+        a = per.setdefault(period, [0, 0, 0, 0])
+        if treated:
+            a[0] += 1
+            a[1] += _q(float(v), 100)
+        else:
+            a[2] += 1
+            a[3] += _q(float(v), 100)
+    want = set()
+    for p, (nt, st, nc, sc) in per.items():
+        num = st * nc - sc * nt
+        if num >= 0:
+            gap = (1000 * num) // (nt * nc)
+        else:
+            gap = -((1000 * -num) // (nt * nc))
+        want.add((p, nt, nc, gap))
+    got = {
+        tuple(r)
+        for r in all_queries()["stats_event_study_leads_lags"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cuped_matches_integer_regression(spark, sf_dir):
+    users = {
+        int(u)
+        for (u,) in _raw(
+            sf_dir, "SELECT DISTINCT user_id FROM read_parquet('{D}/events.parquet')"
+        )
+    }
+    per: dict[int, list[int]] = {u: [0, 0] for u in users}
+    for u, ts, v in _raw(
+        sf_dir,
+        "SELECT user_id, CAST(ts AS VARCHAR), value"
+        " FROM read_parquet('{D}/events.parquet') WHERE event_type = 'purchase'",
+    ):
+        vi = _q(float(v), 1)
+        if ts < "2024-01-16":
+            per[int(u)][0] += vi
+        else:
+            per[int(u)][1] += vi
+    n = len(per)
+    sx = sum(a[0] for a in per.values())
+    sy = sum(a[1] for a in per.values())
+    sxx = sum(a[0] * a[0] for a in per.values())
+    sxy = sum(a[0] * a[1] for a in per.values())
+    syy = sum(a[1] * a[1] for a in per.values())
+    nt = sum(1 for u in per if u % 2 == 0)
+    sxt = sum(a[0] for u, a in per.items() if u % 2 == 0)
+    syt = sum(a[1] for u, a in per.items() if u % 2 == 0)
+    vxx = n * sxx - sx * sx
+    vyy = n * syy - sy * sy
+    rho2 = 0 if vxx == 0 or vyy == 0 else (
+        1000000 * (n * sxy - sx * sy) ** 2
+    ) // (vxx * vyy)
+    dnum = syt * (n - nt) - (sy - syt) * nt
+    draw = (1000000 * dnum) // (nt * (n - nt))
+    if vxx == 0:
+        dcuped = draw
+    else:
+        dcuped = (
+            1000000
+            * (dnum * vxx - (n * sxy - sx * sy) * (sxt * (n - nt) - (sx - sxt) * nt))
+        ) // (nt * (n - nt) * vxx)
+    [r] = all_queries()["events_cuped_variance_reduction"](spark, sf_dir).collect()
+    assert tuple(r) == (nt, n - nt, rho2, draw, dcuped)
+
+
+def test_power_analysis_matches_variance_chain(spark, sf_dir):
+    n = s = q = 0
+    for u, v in _raw(
+        sf_dir,
+        "SELECT user_id, value FROM read_parquet('{D}/events.parquet')"
+        " WHERE event_type = 'purchase'",
+    ):
+        if int(u) % 2 != 1:
+            continue
+        c = _q(float(v), 100)
+        n += 1
+        s += c
+        q += c * c
+    var = (float(q) - float(s) * float(s) / float(n)) / float(n - 1)
+    want = set()
+    for mde in (100, 200, 500, 1000):
+        mean = float(s) / float(n)
+        delta = float(mde) * mean / 10000.0
+        req = math.ceil((2.0 * 7.84896256 * var) / (delta * delta))
+        want.add((mde, n, int(req)))
+    got = {
+        tuple(r)
+        for r in all_queries()["events_power_analysis"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sprt_sequential_matches_llr_walk(spark, sf_dir):
+    daily: dict[tuple[int, str], list[int]] = {}
+    for u, d, et in _raw(
+        sf_dir,
+        "SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR), event_type"
+        " FROM read_parquet('{D}/events.parquet')",
+    ):
+        a = daily.setdefault((int(u) % 2, d), [0, 0])
+        a[0] += 1 if et == "purchase" else 0
+        a[1] += 1
+    want = set()
+    for arm in (0, 1):
+        days = sorted(d for a, d in daily if a == arm)
+        cs = cn = 0
+        llrs = []
+        for d in days:
+            s_day, n_day = daily[(arm, d)]
+            cs += s_day
+            cn += n_day
+            llrs.append(200671 * cs + -50010 * (cn - cs))
+        cross = next(
+            (i + 1 for i, l in enumerate(llrs) if l >= 2944439 or l <= -2944439),
+            None,
+        )
+        if cross is None:
+            decision, at_cross = "continue", 0
+        else:
+            at_cross = llrs[cross - 1]
+            decision = "reject_h0" if at_cross >= 2944439 else "accept_h0"
+        want.add(
+            (
+                arm,
+                len(days),
+                cn,
+                cs,
+                llrs[-1],
+                cross or 0,
+                at_cross,
+                decision,
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["events_sprt_sequential"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_rank_biased_overlap_matches_dual_lists(spark, sf_dir):
+    emb = _embeddings(sf_dir)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    dense = {
+        q: [v for (_, v) in sorted(_topk_py(emb, norms, q, [v for v in emb if v != q], 10))]
+        for q in range(10)
+        if q in emb
+    }
+    # dense rank map: (q, v) -> rank
+    dense_rank = {}
+    for q in dense:
+        ranked = sorted(
+            _topk_py(emb, norms, q, [v for v in emb if v != q], 10).items(),
+            key=lambda kv: kv[1][1],
+        )
+        for (qq, v), (_, rk) in ranked:
+            dense_rank[(qq, v)] = rk
+    toks = {d: set(t) for d, t in _doc_tokens(sf_dir).items()}
+    W = {1: 1788440, 2: 498200, 3: 175640, 4: 68120, 5: 27800,
+         6: 11672, 7: 4952, 8: 2072, 9: 812, 10: 252}
+    want = set()
+    for q in dense:
+        ov = [
+            (-(len(toks[q] & toks[d])), d)
+            for d in toks
+            if d != q and len(toks[q] & toks[d]) > 0
+        ]
+        sparse_rank = {
+            d: rk for rk, (negov, d) in enumerate(sorted(ov)[:10], start=1)
+        }
+        n_common = 0
+        wsum = 0
+        for (qq, v), rk_d in dense_rank.items():
+            if qq != q or v not in sparse_rank:
+                continue
+            n_common += 1
+            wsum += W.get(max(rk_d, sparse_rank[v]), 0)
+        want.add((q, n_common, (1000000 * wsum) // 2580480 if n_common else 0))
+    got = {
+        tuple(r)
+        for r in all_queries()["ml_rank_biased_overlap"](spark, sf_dir).collect()
+    }
+    assert got == want
