@@ -3885,15 +3885,22 @@ def test_cuped_matches_integer_regression(spark, sf_dir):
     rho2 = 0 if vxx == 0 or vyy == 0 else (
         1000000 * (n * sxy - sx * sy) ** 2
     ) // (vxx * vyy)
+    def _tdiv(a: int, b: int) -> int:
+        # DuckDB/Spark integer division truncates toward zero; Python //
+        # floors — they differ on negative numerators (bit the sf0.01 run)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
     dnum = syt * (n - nt) - (sy - syt) * nt
-    draw = (1000000 * dnum) // (nt * (n - nt))
+    draw = _tdiv(1000000 * dnum, nt * (n - nt))
     if vxx == 0:
         dcuped = draw
     else:
-        dcuped = (
+        dcuped = _tdiv(
             1000000
-            * (dnum * vxx - (n * sxy - sx * sy) * (sxt * (n - nt) - (sx - sxt) * nt))
-        ) // (nt * (n - nt) * vxx)
+            * (dnum * vxx - (n * sxy - sx * sy) * (sxt * (n - nt) - (sx - sxt) * nt)),
+            nt * (n - nt) * vxx,
+        )
     [r] = all_queries()["events_cuped_variance_reduction"](spark, sf_dir).collect()
     assert tuple(r) == (nt, n - nt, rho2, draw, dcuped)
 
