@@ -4023,3 +4023,143 @@ def test_rank_biased_overlap_matches_dual_lists(spark, sf_dir):
         for r in all_queries()["ml_rank_biased_overlap"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 20: BM25, deterministic resampling (Poisson bootstrap, permutation
+# test), and DSIR importance weights — hashlib resampling + float chains
+# --------------------------------------------------------------------------
+
+
+def test_bm25_topk_matches_bitlength_idf(spark, sf_dir):
+    toks = _doc_tokens(sf_dir)
+    terms = ["spark", "join", "dup"]
+    feat = {
+        d: (len(t), [sum(1 for x in t if x == q) for q in terms])
+        for d, t in toks.items()
+    }
+    n_docs = len(feat)
+    sum_dl = sum(dl for dl, _ in feat.values())
+    df = [
+        sum(1 for _, fs in feat.values() if fs[i] > 0) for i in range(3)
+    ]
+    avgdl = float(sum_dl) / float(n_docs)
+    scored = []
+    for d, (dl, fs) in feat.items():
+        score = 0.0
+        for i in range(3):
+            idf = float(((n_docs + 1) // (df[i] + 1)).bit_length())
+            score = score + idf * (
+                (float(fs[i]) * 2.2)
+                / (float(fs[i]) + 0.3 + 0.9 * float(dl) / avgdl)
+            )
+        scored.append((-score, d, dl))
+    want = {(d, dl, -negs) for negs, d, dl in sorted(scored)[:20]}
+    got = {
+        tuple(r)
+        for r in all_queries()["text_bm25_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_poisson_bootstrap_matches_hashlib_weights(spark, sf_dir):
+    import hashlib
+
+    CUTS = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+    rows = [
+        (u, ts, _q(float(v), 100))
+        for u, ts, v in _raw(
+            sf_dir,
+            "SELECT user_id, CAST(ts AS VARCHAR), value"
+            " FROM read_parquet('{D}/events.parquet') WHERE event_type = 'purchase'",
+        )
+    ]
+    m_cents = []
+    for i in range(32):
+        sw = swv = 0
+        for u, ts, cents in rows:
+            rk = hashlib.md5(f"{u}|{ts}|{cents}".encode()).hexdigest()
+            hv = int(hashlib.md5(f"{rk}#{i}".encode()).hexdigest()[:12], 16) % 1000000
+            w = next((j for j, c in enumerate(CUTS) if hv < c), 8)
+            sw += w
+            swv += w * cents
+        m_cents.append(swv // sw if sw else 0)
+    sm = sum(m_cents)
+    sq = sum(m * m for m in m_cents)
+    var_scaled = 32 * sq - sm * sm
+    [r] = all_queries()["stats_poisson_bootstrap"](spark, sf_dir).collect()
+    assert tuple(r) == (32, sm, var_scaled, var_scaled // (32 * 31))
+
+
+def test_permutation_diff_test_matches_fib_hash_flips(spark, sf_dir):
+    rows = [
+        (int(e), int(u), _q(float(v), 100))
+        for e, u, v in _raw(
+            sf_dir,
+            "SELECT event_id, user_id, value"
+            " FROM read_parquet('{D}/events.parquet') WHERE event_type = 'purchase'",
+        )
+    ]
+    n1 = sum(1 for _, u, _ in rows if u % 2 == 0)
+    s1 = sum(v for _, u, v in rows if u % 2 == 0)
+    n2 = len(rows) - n1
+    s2 = sum(v for _, u, v in rows if u % 2 == 1)
+    obs = abs(s1 * n2 - s2 * n1)
+    n_extreme = 0
+    for b in range(1, 200):
+        n1b = s1b = n2b = s2b = 0
+        for e, _, v in rows:
+            side = (((e + b * 7919) * 2654435761) // 1048576) % 2
+            if side == 0:
+                n1b += 1
+                s1b += v
+            else:
+                n2b += 1
+                s2b += v
+        if abs(s1b * n2b - s2b * n1b) * (n1 * n2) >= obs * (n1b * n2b):
+            n_extreme += 1
+    [r] = all_queries()["stats_permutation_diff_test"](spark, sf_dir).collect()
+    assert tuple(r) == (199, n_extreme, (1000000 * (1 + n_extreme)) // 200)
+
+
+def test_dsir_weights_matches_bucket_lift_walk(spark, sf_dir):
+    import hashlib
+
+    toks = _doc_tokens(sf_dir)
+    langs = {
+        int(d): lang
+        for d, lang in _raw(
+            sf_dir, "SELECT doc_id, lang FROM read_parquet('{D}/documents.parquet')"
+        )
+    }
+    prof: dict[int, list[int]] = {}
+    doc_buckets: dict[int, list[int]] = {}
+    for d, ts in toks.items():
+        bs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 256 for t in ts
+        ]
+        doc_buckets[d] = bs
+        for b in bs:
+            a = prof.setdefault(b, [0, 0])
+            a[0] += langs[d] == "en"
+            a[1] += 1
+    nt = sum(a[0] for a in prof.values())
+    ns = sum(a[1] for a in prof.values())
+    lift = {
+        b: (1000000 * (a[0] + 1) * (ns + 256)) // ((a[1] + 1) * (nt + 256))
+        for b, a in prof.items()
+    }
+    scored = []
+    for d, bs in doc_buckets.items():
+        n_toks = len(bs)
+        score = sum(lift[b] for b in bs)
+        scored.append((-(score // n_toks), d, langs[d], n_toks, score))
+    want = {
+        (d, lang, n_toks, score, -negper)
+        for negper, d, lang, n_toks, score in sorted(scored)[:25]
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["llm_dsir_importance_weights"](spark, sf_dir).collect()
+    }
+    assert got == want
