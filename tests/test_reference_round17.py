@@ -4163,3 +4163,273 @@ def test_dsir_weights_matches_bucket_lift_walk(spark, sf_dir):
         for r in all_queries()["llm_dsir_importance_weights"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 21: the embedding-cosine dedup (quantized sign-LSH), the VARIANT/
+# SQL-UDF batteries, the remaining transactional exhibits, and the
+# reference-parity backfill e2e — hashlib banding + set algebra
+# --------------------------------------------------------------------------
+
+
+def test_dedup_embedding_cosine_matches_quantized_banding(spark, sf_dir):
+    """Banded sign-LSH (6 tables x 4 md5-parity hyperplanes) candidates,
+    verified by the quantized integer-Gram cosine at >= 0.35 — signs,
+    quantization, and the order-free integer sums all rebuilt from raw."""
+    import hashlib
+
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        DUP_COSINE_THRESHOLD,
+        DUP_QUANT_SCALE,
+        LSH_PLANES_PER_TABLE,
+        LSH_TABLES,
+    )
+
+    emb = _embeddings(sf_dir)
+    signs = {}
+    for p in range(LSH_TABLES * LSH_PLANES_PER_TABLE):
+        row = []
+        for i in range(64):
+            h = hashlib.md5(f"{p}_{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        signs[p] = row
+
+    # plane dot replayed EXACTLY as the SQL's left-assoc signed sum
+    def plane_dot(v: list[float], p: int) -> float:
+        d = 0.0
+        for i in range(64):
+            d = d + v[i] if signs[p][i] > 0 else d - v[i]
+        return d
+
+    def bucket(v, t):
+        return tuple(
+            plane_dot(v, t * LSH_PLANES_PER_TABLE + s) >= 0
+            for s in range(LSH_PLANES_PER_TABLE)
+        )
+
+    cand = set()
+    for t in range(LSH_TABLES):
+        by: dict[tuple, list[int]] = {}
+        for vid, v in emb.items():
+            by.setdefault(bucket(v, t), []).append(vid)
+        for members in by.values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1 :]:
+                    cand.add((a, b))
+    qv = {vid: [_q(x, DUP_QUANT_SCALE) for x in v] for vid, v in emb.items()}
+    n2 = {vid: sum(x * x for x in q) for vid, q in qv.items()}
+    want = set()
+    for a, b in cand:
+        if n2[a] <= 0 or n2[b] <= 0:
+            continue
+        dot = sum(x * y for x, y in zip(qv[a], qv[b]))
+        cos = float(dot) / (math.sqrt(float(n2[a])) * math.sqrt(float(n2[b])))
+        if cos >= DUP_COSINE_THRESHOLD:
+            want.add((a, b, cos))
+    got = {
+        tuple(r)
+        for r in all_queries()["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_scalar_variant_battery_matches_json_walk(spark, sf_dir):
+    want = set()
+    for ok, st, pr, tp in _raw(
+        sf_dir,
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        if int(ok) % 40 != 0:
+            continue
+        want.add(
+            (
+                int(ok),
+                int(ok),
+                st,
+                pr,
+                st,
+                _q(float(tp), 100),
+                True,
+                "OBJECT<meta: OBJECT<cents: BIGINT>, ok: BIGINT,"
+                " status: STRING, tags: ARRAY<STRING>>",
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["scalar_variant_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sql_scalar_udf_battery_matches_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for rf, p, d, q, sd in _raw(
+        sf_dir,
+        "SELECT l_returnflag, l_extendedprice, l_discount, l_quantity,"
+        " CAST(l_shipdate AS VARCHAR) FROM read_parquet('{D}/lineitem.parquet')",
+    ):
+        if sd[:10] < "1995-01-01":
+            continue
+        a = acc.setdefault(rf, [0, 0, 0])
+        a[0] += 1
+        a[1] += _q(float(p) * (1 - float(d)), 100)
+        a[2] += 1 if float(q) >= 30 else 0
+    want = {(rf, a[0], a[1], a[2]) for rf, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sql_scalar_udf_battery"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_schema_evolution_matches_null_backfill(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for k, _, b, _ in _customers(sf_dir):
+        a = acc.setdefault("∅", [0, 0])
+        a[0] += 1
+        a[1] += _q(b, 100)
+    for nk, _ in _raw(
+        sf_dir,
+        "SELECT n_nationkey, n_name FROM read_parquet('{D}/nation.parquet')",
+    ):
+        a = acc.setdefault(f"T-{int(nk) % 3}", [0, 0])
+        a[0] += 1
+    want = {(t, a[0], a[1]) for t, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_schema_evolution_commit"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_delete_optimize_matches_survivors(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for k, _, b, seg in _customers(sf_dir):
+        if 1 <= k <= 300:
+            continue
+        a = acc.setdefault(seg, [0, 0])
+        a[0] += 1
+        a[1] += _q(_r2(b), 100)
+    want = {(seg, a[0], a[1]) for seg, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_delete_optimize"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_multi_table_tx_matches_move_algebra(spark, sf_dir):
+    hot = [0, 0]
+    cold = [0, 0]
+    for ok, pr, tp in _raw(
+        sf_dir,
+        "SELECT o_orderkey, o_orderpriority, o_totalprice"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        cents = _q(float(tp), 100)
+        if pr == "1-URGENT" or int(ok) % 10 == 0:
+            hot[0] += 1
+            hot[1] += cents
+        else:
+            cold[0] += 1
+            cold[1] += cents
+    want = {("hot", hot[0], hot[1]), ("cold", cold[0], cold[1])}
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_multi_table_tx"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_history_relation_matches_op_ledger(spark, sf_dir):
+    want = {
+        (0, "CREATE", 2),
+        (1, "DELETE c_custkey IN [20, 40]", 2),
+        (2, "OPTIMIZE n=1", 1),
+        (3, "RESTORE v0", 2),
+    }
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_history_relation"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_delta_file_pruned_merge_matches_upsert_algebra(spark, sf_dir):
+    src = [
+        (k, nm + "~", _r2(_r2(b) + 25), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k % 5 == 0 and k <= 100
+    ]
+    src += [
+        (3000000 + int(nk), "px-" + nm, 0.0, "PX")
+        for nk, nm in _raw(
+            sf_dir,
+            "SELECT n_nationkey, n_name FROM read_parquet('{D}/nation.parquet')",
+        )
+    ]
+    src_keys = {r[0] for r in src}
+    kept = [
+        (k, nm, _r2(b), seg)
+        for k, nm, b, seg in _customers(sf_dir)
+        if k not in src_keys
+    ]
+    want = set(kept) | set(src)
+    got = {
+        tuple(r)
+        for r in all_queries()["delta_file_pruned_merge"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_clustered_layout_pruning_matches_range_counts(spark, sf_dir):
+    keys = [
+        int(k)
+        for (k,) in _raw(
+            sf_dir, "SELECT l_orderkey FROM read_parquet('{D}/lineitem.parquet')"
+        )
+    ]
+    mx = max(keys)
+    lo, hi = mx // 10, (2 * mx) // 10
+    in_range = sum(1 for k in keys if lo <= k <= hi)
+    [r] = all_queries()["delta_clustered_layout_pruning"](spark, sf_dir).collect()
+    assert tuple(r) == (len(keys), in_range, 8, True, True, True)
+
+
+def test_pipeline_month_backfill_matches_reference_shape(spark, sf_dir):
+    """The reference-parity backfill: normalized movie rows rebuilt from
+    the deterministic order-derived fixture (title/genre/popularity/URL
+    rules exactly as the reference's normalize would emit them)."""
+    want = set()
+    for ok, od in _raw(
+        sf_dir,
+        "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR)"
+        " FROM read_parquet('{D}/orders.parquet')",
+    ):
+        k, d = int(ok), od[:10]
+        if not ("1995-01-01" <= d <= "1995-03-31") or k % 10 != 0:
+            continue
+        alt = k % 30 == 0
+        title = f"order-{k}-alt" if alt else f"order-{k}"
+        want.add(
+            (
+                k,
+                title,
+                f"{title} OT",
+                d,
+                "Action|Comedy" if k % 20 == 0 else "9999",
+                5.0,
+                11 if alt else 10,
+                1.0 + (k % 7) + (0.25 if alt else 0),
+                "en",
+                f"ov-{k}",
+                f"https://cdn/w500/p{k}.jpg" if k % 40 == 0 else None,
+            )
+        )
+    got = {
+        tuple(r)
+        for r in all_queries()["pipeline_month_backfill_e2e"](spark, sf_dir).collect()
+    }
+    assert got == want
