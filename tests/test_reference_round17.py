@@ -4433,3 +4433,246 @@ def test_pipeline_month_backfill_matches_reference_shape(spark, sf_dir):
         for r in all_queries()["pipeline_month_backfill_e2e"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 22: the content-defined-chunking family — the buzhash rolling
+# window rebuilt bit-for-bit with hashlib, then dedup / snapshot-diff /
+# GC / per-batch store accounting on top; plus the incremental
+# watermark-dedup admission walk and the registered DataSource aggregates
+# --------------------------------------------------------------------------
+
+
+def _cdc_chunks(text: str) -> list[tuple[str, int]]:
+    """(chunk_md5, chunk_len) via the 8-byte rolling xor-of-rotations hash:
+    cut AFTER position i when i >= 8 and (h_i & 63) == 0; final cut at
+    len(text)."""
+    import hashlib
+
+    L = len(text)
+    if L == 0:
+        return []
+    ts = [
+        int(hashlib.md5(f"buz_{ord(c)}".encode()).hexdigest()[:8], 16)
+        for c in text
+    ]
+
+    def rol(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+    ends = {L}
+    for i in range(1, L + 1):
+        h = ts[i - 1]
+        for k in range(1, 8):
+            prev = ts[i - 1 - k] if i - 1 - k >= 0 else 0
+            h ^= rol(prev, k)
+        if i >= 8 and (h & 63) == 0:
+            ends.add(i)
+    out = []
+    s = 0
+    for e in sorted(ends):
+        out.append(
+            (hashlib.md5(text[s:e].encode()).hexdigest(), e - s)
+        )
+        s = e
+    return out
+
+
+def _doc_texts(sf_dir: str) -> dict[int, str]:
+    return {
+        int(d): t
+        for d, t in _raw(
+            sf_dir, "SELECT doc_id, text FROM read_parquet('{D}/documents.parquet')"
+        )
+    }
+
+
+def test_cdc_chunk_dedup_matches_buzhash_walk(spark, sf_dir):
+    chunks = [
+        c for _, t in _doc_texts(sf_dir).items() for c in _cdc_chunks(t)
+    ]
+    md5s = [m for m, _ in chunks]
+    total = len(chunks)
+    distinct = len(set(md5s))
+    [r] = all_queries()["multimodal_cdc_chunk_dedup"](spark, sf_dir).collect()
+    assert tuple(r) == (
+        total,
+        distinct,
+        float(distinct) / float(total),
+        sum(ln for _, ln in chunks),
+    )
+
+
+def test_cdc_snapshot_diff_matches_edit_walk(spark, sf_dir):
+    texts = _doc_texts(sf_dir)
+    v0 = {m for t in texts.values() for m, _ in _cdc_chunks(t)}
+    v1_chunks = []
+    docs_changed = 0
+    bytes_changed = 0
+    for d, t in texts.items():
+        if d % 7 == 0:
+            t2 = "EDIT v2: " + t
+            docs_changed += 1
+            bytes_changed += len(t2)
+        else:
+            t2 = t
+        v1_chunks.extend(_cdc_chunks(t2))
+    v1d = {(m, ln) for m, ln in v1_chunks}
+    new = {(m, ln) for m, ln in v1d if m not in v0}
+    bytes_new = sum(ln for _, ln in new)
+    [r] = all_queries()["multimodal_cdc_snapshot_diff"](spark, sf_dir).collect()
+    assert tuple(r) == (
+        docs_changed,
+        len(v1_chunks),
+        sum(ln for _, ln in v1_chunks),
+        len(new),
+        bytes_new,
+        bytes_changed,
+        float(bytes_new) / float(bytes_changed),
+    )
+
+
+def test_chunk_store_gc_matches_refcount_walk(spark, sf_dir):
+    texts = _doc_texts(sf_dir)
+    stored: dict[str, int] = {}
+    referenced: set[str] = set()
+    for d, t in texts.items():
+        for m, ln in _cdc_chunks(t):
+            stored[m] = min(stored.get(m, ln), ln)
+            if d % 7 != 0:
+                referenced.add(m)
+    gc = {m: ln for m, ln in stored.items() if m not in referenced}
+    [r] = all_queries()["multimodal_chunk_store_gc"](spark, sf_dir).collect()
+    assert tuple(r) == (
+        len(stored),
+        len(referenced),
+        len(gc),
+        sum(gc.values()),
+    )
+
+
+def test_stream_cdc_chunk_store_matches_batch_walk(spark, sf_dir):
+    texts = _doc_texts(sf_dir)
+    first_seen: dict[str, tuple[int, int]] = {}
+    for d, t in texts.items():
+        for m, ln in _cdc_chunks(t):
+            b = d % 3
+            cur = first_seen.get(m)
+            first_seen[m] = (
+                (min(cur[0], b), min(cur[1], ln)) if cur else (b, ln)
+            )
+    per_batch: dict[int, list[int]] = {}
+    for m, (b, ln) in first_seen.items():
+        a = per_batch.setdefault(b, [0, 0])
+        a[0] += 1
+        a[1] += ln
+    want = {(b, a[0], a[1]) for b, a in per_batch.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["stream_cdc_chunk_store"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_incremental_dedup_matches_admission_walk(spark, sf_dir):
+    """Watermarked corpus admission: per arriving batch, a doc is admitted
+    unless its exact hash OR a MinHash band bucket collides with an
+    already-admitted doc — the sequential walk the streaming dedup must
+    equal."""
+    import hashlib
+    import re
+
+    texts = _doc_texts(sf_dir)
+    norm = {d: re.sub(r"\s+", " ", t).strip().lower() for d, t in texts.items()}
+    h = {d: hashlib.md5(n.encode()).hexdigest() for d, n in norm.items()}
+    # keep-first per (batch, hash)
+    kf: dict[int, tuple[int, str]] = {}
+    seen_bh: set[tuple[int, str]] = set()
+    for d in sorted(texts):
+        key = (d % 3, h[d])
+        if key in seen_bh:
+            continue
+        seen_bh.add(key)
+        kf[d] = (d % 3, h[d])
+    # band buckets over kf docs
+    buckets: dict[int, set[tuple[int, str]]] = {}
+    for d in kf:
+        toks = norm[d].split(" ")
+        L = len(toks)
+        shingles = [
+            " ".join(toks[i - 1 : i + 2]) for i in range(1, max(L - 2, 1) + 1)
+        ]
+        hs = [
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+                int(hashlib.md5(s.encode()).hexdigest()[16:30], 16),
+            )
+            for s in shingles
+        ]
+        sig = [min(h1 + i * h2 for h1, h2 in hs) for i in range(16)]
+        buckets[d] = {
+            (b, hashlib.md5("|".join(str(sig[b * 4 + r]) for r in range(4)).encode()).hexdigest())
+            for b in range(4)
+        }
+    admitted: dict[int, str] = {}
+    admitted_hashes: set[str] = set()
+    admitted_buckets: set[tuple[int, str]] = set()
+    for batch in (0, 1, 2):
+        batch_docs = [d for d, (b, _) in kf.items() if b == batch]
+        newly = []
+        for d in sorted(batch_docs):
+            if kf[d][1] in admitted_hashes:
+                continue
+            if buckets[d] & admitted_buckets:
+                continue
+            newly.append(d)
+        # batch members are admitted against the PRIOR state, then merged
+        for d in newly:
+            admitted[d] = kf[d][1]
+        admitted_hashes |= {kf[d][1] for d in newly}
+        for d in newly:
+            admitted_buckets |= buckets[d]
+    want = {(d, hh) for d, hh in admitted.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["stream_incremental_corpus_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sink_python_write_aggregate_matches_fold(spark, sf_dir):
+    acc: dict[str, list[int]] = {}
+    for pr, tp in _raw(
+        sf_dir,
+        "SELECT o_orderpriority, o_totalprice FROM read_parquet('{D}/orders.parquet')",
+    ):
+        a = acc.setdefault(pr, [0, 0])
+        a[0] += 1
+        a[1] += _q(float(tp), 100)
+    want = {(pr, a[0], a[1]) for pr, a in acc.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sink_python_datasource_write"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sink_python_streamwrite_aggregate_matches_corpus(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.sources.python_source import (
+        STREAM_PAGE_SIZE,
+        STREAM_PAGES,
+    )
+
+    corpus = _md5_corpus(STREAM_PAGES, STREAM_PAGE_SIZE)
+    per_page: dict[int, list] = {}
+    for rid, page, payload in corpus:
+        a = per_page.setdefault(page, [0, 0, set()])
+        a[0] += 1
+        a[1] += rid
+        a[2].add(payload)
+    want = {(p, a[0], a[1], len(a[2])) for p, a in per_page.items()}
+    got = {
+        tuple(r)
+        for r in all_queries()["sink_python_datasource_streamwrite"](spark, sf_dir).collect()
+    }
+    assert got == want
