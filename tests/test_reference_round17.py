@@ -4676,3 +4676,49 @@ def test_sink_python_streamwrite_aggregate_matches_corpus(spark, sf_dir):
         for r in all_queries()["sink_python_datasource_streamwrite"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 23: HITS on the bipartite purchase graph — 3 unrolled rounds of
+# exact integer sums with (SCALE*raw) // Σraw L1 normalization, the last
+# uncovered active (dict walk, unbounded Python ints = HUGEINT semantics)
+# --------------------------------------------------------------------------
+
+
+def test_hits_bipartite_matches_integer_fixed_point(spark, sf_dir):
+    orders_cust = {
+        int(o): int(c)
+        for o, c in _raw(
+            sf_dir,
+            "SELECT o_orderkey, o_custkey FROM read_parquet('{D}/orders.parquet')",
+        )
+    }
+    edges = {
+        (orders_cust[int(ok)], int(pk))
+        for ok, pk in _raw(
+            sf_dir,
+            "SELECT l_orderkey, l_partkey FROM read_parquet('{D}/lineitem.parquet')",
+        )
+    }
+    h = {c: 1000000 for c, _ in edges}
+    a: dict[int, int] = {}
+    for _ in range(3):
+        raw_a: dict[int, int] = {}
+        for c, p in edges:
+            raw_a[p] = raw_a.get(p, 0) + h[c]
+        tot = sum(raw_a.values())
+        a = {p: (1000000 * r) // tot for p, r in raw_a.items()}
+        raw_h: dict[int, int] = {}
+        for c, p in edges:
+            raw_h[c] = raw_h.get(c, 0) + a[p]
+        tot = sum(raw_h.values())
+        h = {c: (1000000 * r) // tot for c, r in raw_h.items()}
+    want = set()
+    for role, scores in (("authority", a), ("hub", h)):
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        want |= {(role, n, s) for n, s in ranked}
+    got = {
+        tuple(r)
+        for r in all_queries()["graph_hits_bipartite"](spark, sf_dir).collect()
+    }
+    assert got == want
