@@ -4722,3 +4722,138 @@ def test_hits_bipartite_matches_integer_fixed_point(spark, sf_dir):
         for r in all_queries()["graph_hits_bipartite"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# batch 24: the filtered probe sweep — the Python filter-then-route walk
+# extended to probe ranks 1..8, per-(nprobe, query) recall pinned exactly,
+# monotonicity proved, and the "filtered needs more probes" effect checked
+# against the unfiltered walk on the same routing
+# --------------------------------------------------------------------------
+
+
+def test_filtered_probe_sweep_matches_python_walk(spark, sf_dir):
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _FILTER_LANG,
+        _SWEEP_PROBES,
+        CENTROID_BASE,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = _embeddings(sf_dir)
+    eligible = _eligible_ids(sf_dir, _FILTER_LANG)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    cents = {
+        cid: emb[CENTROID_BASE + cid]
+        for cid in range(N_CENTROIDS)
+        if CENTROID_BASE + cid in emb
+    }
+    cnorm = {cid: math.sqrt(_dot_py(c, c)) for cid, c in cents.items()}
+
+    def cos_to_cent(v, cid):
+        return _dot_py(emb[v], cents[cid]) / (norms[v] * cnorm[cid])
+
+    assign = {
+        v: min(cents, key=lambda cid: (-cos_to_cent(v, cid), cid)) for v in emb
+    }
+    probe_order = {
+        q: sorted(cents, key=lambda cid: (-cos_to_cent(q, cid), cid))
+        for q in range(N_QUERIES)
+        if q in emb
+    }
+    want = set()
+    per_query_recall: dict[int, list[int]] = {}
+    for q, order in probe_order.items():
+        gt = set(
+            v
+            for (_, v) in _topk_py(
+                emb, norms, q, [v for v in emb if v != q and v in eligible], TOP_K
+            )
+        )
+        for nprobe in _SWEEP_PROBES:
+            lists = set(order[:nprobe])
+            cand = [
+                v
+                for v in emb
+                if v != q and v in eligible and assign[v] in lists
+            ]
+            approx = set(v for (_, v) in _topk_py(emb, norms, q, cand, TOP_K))
+            hits = len(approx & gt)
+            want.add((nprobe, q, hits, (1000000 * hits) // TOP_K))
+            per_query_recall.setdefault(q, []).append(hits)
+    # monotonicity: candidate sets are nested in nprobe
+    for q, series in per_query_recall.items():
+        assert series == sorted(series), f"query {q} recall not monotone"
+    got = {
+        tuple(r)
+        for r in deferred_queries()["ann_filtered_probe_sweep"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_filtered_sweep_fixture_curves_pinned(spark, sf_dir):
+    """Fixture-wide recall curves for the filtered and unfiltered routes,
+    pinned EXACTLY per scale (1/50-step sensitive). Honest finding from
+    building this: "filtered always needs more probes" is a TENDENCY, not
+    an invariant — the filter changes the ground-truth set as well as the
+    candidate set, and at sf0.01 the filtered route actually beats the
+    unfiltered one at nprobe 1-2 on this fixture. What IS invariant
+    (nested candidate sets) is the per-query monotonicity the sibling
+    test pins; the exact curves below keep any routing or filtering drift
+    visible either way."""
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        _FILTER_LANG,
+        _SWEEP_PROBES,
+        CENTROID_BASE,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = _embeddings(sf_dir)
+    eligible = _eligible_ids(sf_dir, _FILTER_LANG)
+    norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
+    cents = {
+        cid: emb[CENTROID_BASE + cid]
+        for cid in range(N_CENTROIDS)
+        if CENTROID_BASE + cid in emb
+    }
+    cnorm = {cid: math.sqrt(_dot_py(c, c)) for cid, c in cents.items()}
+
+    def cos_to_cent(v, cid):
+        return _dot_py(emb[v], cents[cid]) / (norms[v] * cnorm[cid])
+
+    assign = {
+        v: min(cents, key=lambda cid: (-cos_to_cent(v, cid), cid)) for v in emb
+    }
+
+    def fixture_recall(nprobe: int, restrict: set | None) -> float:
+        hits = total = 0
+        for q in range(N_QUERIES):
+            if q not in emb:
+                continue
+            order = sorted(cents, key=lambda cid: (-cos_to_cent(q, cid), cid))
+            lists = set(order[:nprobe])
+            pool = [
+                v
+                for v in emb
+                if v != q and (restrict is None or v in restrict)
+            ]
+            gt = set(v for (_, v) in _topk_py(emb, norms, q, pool, TOP_K))
+            cand = [v for v in pool if assign[v] in lists]
+            approx = set(v for (_, v) in _topk_py(emb, norms, q, cand, TOP_K))
+            hits += len(approx & gt)
+            total += len(gt)
+        return hits / total
+
+    scale = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    want = {
+        "sf0.001": {1: (0.12, 0.22), 2: (0.2, 0.36), 4: (0.5, 0.6), 8: (0.72, 0.78)},
+        "sf0.01": {1: (0.16, 0.12), 2: (0.24, 0.22), 4: (0.44, 0.44), 8: (0.7, 0.74)},
+    }[scale]
+    for nprobe in _SWEEP_PROBES:
+        filt = fixture_recall(nprobe, eligible)
+        unfilt = fixture_recall(nprobe, None)
+        assert (filt, unfilt) == want[nprobe], (nprobe, filt, unfilt)

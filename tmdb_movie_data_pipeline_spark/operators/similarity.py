@@ -1718,6 +1718,222 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- FILTERED IVF probe-count recall sweep (r18 queue) ---------------------------
+
+_FILTERED_SWEEP_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id - {CENTROID_BASE} AS cid, embedding AS c_emb FROM embeddings
+        WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+    ),
+    elig AS (SELECT doc_id FROM documents WHERE lang = '{_FILTER_LANG}'),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_dot_duck("v.embedding", "cent.c_emb")}
+                                / ({_norm_duck("v.embedding")} * {_norm_duck("cent.c_emb")})
+                                DESC, cent.cid) AS rn
+            FROM embeddings v, cent
+        ) WHERE rn = 1
+    ),
+    assign_f AS (  -- filter-then-route: the lists shrink BEFORE probing
+        SELECT * FROM assign WHERE vec_id IN (SELECT doc_id FROM elig)
+    ),
+    probes AS (
+        SELECT query_id, cid, rn FROM (
+            SELECT q.vec_id AS query_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_dot_duck("q.embedding", "cent.c_emb")}
+                                / ({_norm_duck("q.embedding")} * {_norm_duck("cent.c_emb")})
+                                DESC, cent.cid) AS rn
+            FROM embeddings q, cent WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {_SWEEP_MAX}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.rn,
+               {_dot_duck("q.embedding", "c.embedding")}
+                   / ({_norm_duck("q.embedding")} * {_norm_duck("c.embedding")})
+                   AS cosine
+        FROM probes p
+        JOIN assign_f a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = a.vec_id
+    ),
+    grid AS (SELECT UNNEST([{", ".join(str(p) for p in _SWEEP_PROBES)}]) AS nprobe),
+    approx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT g.nprobe, s.query_id, s.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY g.nprobe, s.query_id
+                                      ORDER BY s.cosine DESC, s.neighbor_id)
+                       AS arank
+            FROM scored s JOIN grid g ON s.rn <= g.nprobe
+        ) WHERE arank <= {TOP_K}
+    ),
+    gt AS (  -- FILTERED exact ground truth: the k best ELIGIBLE neighbors
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_dot_duck("q.embedding", "c.embedding")}
+                                / ({_norm_duck("q.embedding")} * {_norm_duck("c.embedding")})
+                                DESC, c.vec_id) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+              AND c.vec_id IN (SELECT doc_id FROM elig)
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT CAST(g.nprobe AS BIGINT) AS nprobe,
+           gt.query_id,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((1000000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)) // {TOP_K}
+                AS BIGINT) AS recall_ppm
+    FROM gt CROSS JOIN grid g
+    LEFT JOIN approx a ON a.nprobe = g.nprobe
+                      AND a.query_id = gt.query_id
+                      AND a.neighbor_id = gt.neighbor_id
+    GROUP BY 1, 2
+    """
+
+
+@register("ann_filtered_probe_sweep", deferred=True, oracle=_FILTERED_SWEEP_ORACLE)
+def filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED IVF tuning table — recall@{TOP_K} against the
+    filtered-exact ground truth for every probe count in {_SWEEP_PROBES},
+    per query, with the eligibility semi-join applied to the inverted
+    lists BEFORE probing (the `ann_ivf_filtered_topk` route). Completes
+    the filtered-search story's third leg: the exact tier pins the
+    answer, the IVF tier pins the scale path, and this sweep pins the
+    curve an operator actually reads to TUNE it — the known production
+    effect that a selective predicate empties some probed lists, so
+    filtered search needs MORE probes than unfiltered for the same
+    recall (Milvus/FAISS operational guidance made measurable).
+    Monotonicity still holds (candidate sets are nested in nprobe) and is
+    pinned per query by the r17 reference test, which also cross-checks
+    hits against a literal Python filter-then-route walk.
+
+    Shape: identical to ann_ivf_probe_sweep — the filtered lists are
+    scored ONCE at the largest grid point, each candidate tagged with its
+    list's probe rank, and the grid re-ranks the same relation four ways
+    (rn <= nprobe is a map-side predicate, never a re-scan). The filter
+    is the same broadcast semi-join the filtered tiers share, applied to
+    the (vec_id, cid) assignment relation — at 100 TB it shrinks every
+    probed list by the predicate's selectivity before any distance math.
+    The filtered-exact ground truth is the same deliberate broadcast
+    eval-slice cost `ann_filtered_topk` already pays as the accuracy bar.
+    Output is integer hits/ppm — no float leaves the plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eligible = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == _FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb_flat = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_e{i}")
+            for i in range(DIM)
+        ],
+    ).withColumn(
+        "nrm_e",
+        F.expr("sqrt(" + " + ".join(f"_e{i} * _e{i}" for i in range(DIM)) + ")"),
+    )
+    cent_flat = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+        )
+        .select(
+            (F.col("vec_id") - CENTROID_BASE).alias("cid"),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_c{i}")
+                for i in range(DIM)
+            ],
+        )
+        .withColumn(
+            "nrm_c",
+            F.expr(
+                "sqrt(" + " + ".join(f"_c{i} * _c{i}" for i in range(DIM)) + ")"
+            ),
+        )
+    )
+    dot_ec = "(" + " + ".join(f"_e{i} * _c{i}" for i in range(DIM)) + ")"
+    w_probe = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    probes = (
+        emb_flat.crossJoin(F.broadcast(cent_flat))
+        .withColumn("cos", F.expr(dot_ec) / (F.col("nrm_e") * F.col("nrm_c")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _SWEEP_MAX)
+        .select(F.col("vec_id").alias("query_id"), "cid", "rn")
+    )
+    assign, _ = ivf_route(spark, sf_dir)
+    assign_f = assign.join(F.broadcast(eligible), "vec_id", "left_semi")
+    cand = (
+        probes.join(assign_f, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rn")
+    )
+
+    def side(tag: str, key: str) -> DataFrame:
+        # fresh scan per side (the ann_ivf_topk analyzer-blowup lesson)
+        e = load_table(spark, sf_dir, "embeddings")
+        d = e.select(
+            F.col("vec_id").alias(key),
+            *[
+                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_{tag}{i}")
+                for i in range(DIM)
+            ],
+        )
+        nrm = "sqrt(" + " + ".join(f"_{tag}{i} * _{tag}{i}" for i in range(DIM)) + ")"
+        return d.withColumn(f"nrm_{tag}", F.expr(nrm))
+
+    qs, cs = side("q", "query_id"), side("v", "neighbor_id")
+    dot_qv = "(" + " + ".join(f"_q{i} * _v{i}" for i in range(DIM)) + ")"
+    scored = (
+        cand.join(F.broadcast(qs), "query_id")
+        .join(cs, "neighbor_id")
+        .withColumn(
+            "cosine", F.expr(dot_qv) / (F.col("nrm_q") * F.col("nrm_v"))
+        )
+        .select("query_id", "neighbor_id", "rn", "cosine")
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in _SWEEP_PROBES], "nprobe long"
+    )
+    wa = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored.join(F.broadcast(grid), F.col("rn") <= F.col("nprobe"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    corpus_f = emb.join(F.broadcast(eligible), "vec_id", "left_semi")
+    gt = cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), corpus_f, TOP_K
+    ).select("query_id", "neighbor_id")
+    return (
+        gt.crossJoin(F.broadcast(grid))
+        .join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                f"(1000000 * SUM(COALESCE(hit, 0))) div {TOP_K}"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 # -- rank-biased overlap between retrievers (r12 queue) --------------------------------
 
 _RBO_DEPTH = 10  # evaluation depth k
