@@ -991,3 +991,26 @@ def test_dsir_reuses_token_explode_exchange(spark, sf_dir):
         "the shared groupBy(doc_id, lang, bucket) relation no longer "
         "reuses its exchange — the r14 rewrite regressed"
     )
+
+
+def test_filtered_ann_pushes_lang_predicate_and_semi_joins(spark, sf_dir):
+    """The filtered-search tiers' plan claims, CI-pinned (r17 activation):
+    the lang predicate reaches the documents parquet scan as a pushed
+    filter, eligibility applies via semi-joins (never an inner join that
+    could duplicate), and the query stays whole-stage-codegen'd JVM work
+    (no Python eval, no cartesian product)."""
+    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+
+    for name, src in (
+        ("ann_filtered_topk", all_queries()),
+        ("ann_ivf_filtered_topk", deferred_queries()),
+        ("ann_filtered_probe_sweep", deferred_queries()),
+    ):
+        plan = _plan(src[name](spark, sf_dir))
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, name
+        assert _nodes(plan, "BroadcastHashJoin LeftSemi BuildRight") >= 1 or (
+            "LeftSemi" in plan
+        ), name
+        assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan, name
+        # eligibility must prune the documents scan to the join key only
+        assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, name
