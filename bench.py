@@ -197,6 +197,15 @@ BENCH_QUERIES = [
     # ann_cosine_topk; expected in the same ~0.4-0.6 s band, benched so
     # the filtered tier's cost is visible next to the unfiltered one
     "ann_filtered_topk",
+    # r18 activations (VERDICT r17 #1): the filtered-IVF scale route and
+    # its tuning sweep. NOT in REBUILD_PER_RUN (the mandated decision):
+    # both builders are pure lazy DataFrame composition — ivf_route, the
+    # eligibility semi-join, and the grid re-rank all execute inside the
+    # timed .count(); there is no eager localCheckpoint/collect/commit at
+    # plan-build time (unlike HITS/DBSCAN/TxTable), so the default
+    # build-once-time-thrice bracket measures exactly the engine work.
+    "ann_ivf_filtered_topk",
+    "ann_filtered_probe_sweep",
 ]
 # NOT benched, deliberately: delta_file_pruned_merge (its local timing is
 # dominated by the range-partitioned CREATE, not the merge — the pruning win

@@ -678,7 +678,7 @@ _IVF_FILTERED_ORACLE = f"""
     """
 
 
-@register("ann_ivf_filtered_topk", deferred=True, oracle=_IVF_FILTERED_ORACLE)
+@register("ann_ivf_filtered_topk", oracle=_IVF_FILTERED_ORACLE)
 def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered IVF ANN — FILTER-THEN-ROUTE, never
     route-then-filter: the eligibility semi-join (documents.lang =
@@ -1798,7 +1798,7 @@ _FILTERED_SWEEP_ORACLE = f"""
     """
 
 
-@register("ann_filtered_probe_sweep", deferred=True, oracle=_FILTERED_SWEEP_ORACLE)
+@register("ann_filtered_probe_sweep", oracle=_FILTERED_SWEEP_ORACLE)
 def filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FILTERED IVF tuning table — recall@{TOP_K} against the
     filtered-exact ground truth for every probe count in {_SWEEP_PROBES},

@@ -89,16 +89,15 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r17: EMPTY. The round's three ADVICE items touch nothing the driver
-    # compares for an already-verified query: #1 is bench.py timing policy
-    # (the CDC read bracket becomes min-of-RUNS — no query/oracle change);
-    # #2 is driver-side metadata IO in plans/acid.py _commit (the base
-    # manifest is now passed/cached instead of re-resolved — behavior
-    # pinned identical by test_commit_reuses_base_manifest); #3 changes the
-    # oracle TEXT of ann_filtered_topk only, which is NEVER-verified and
-    # therefore already sits in bucket 1 by definition. Unlike r14–r16,
-    # where a mandate rewrote the verified delta_cdc_feed_commits oracle,
-    # nothing verified changed → head = 1 (the activation) + 0.
+    # r18: EMPTY. Both ADVICE items touch nothing the driver compares for
+    # an already-verified query: #1 factors the shared probe-sweep body
+    # into _ivf_probe_sweep_impl with the VERIFIED ann_ivf_probe_sweep's
+    # optimized plan pinned byte-identical before/after (md5 during the
+    # refactor — the r17 _ivf_exact_rescore precedent), and #2 rewords the
+    # broadcast-hint docstrings of the filtered tiers (prose only; no plan
+    # or oracle change). The two r18 activations (ann_ivf_filtered_topk,
+    # ann_filtered_probe_sweep) are NEVER-verified and sit in bucket 1 by
+    # definition → head = 2 (activations) + 0.
 ]
 
 
@@ -243,10 +242,20 @@ DRIVER_CAP_FLOOR = 45
 #: VERDICT r16 #1's projection ("44 if the changed list stays empty") —
 #: the first round since r13 where the projection and the cap arithmetic
 #: agree, because no mandate rewrote a verified query.
+#: r18: the 2-query r17 deferred queue activated (VERDICT r17 #1:
+#: ann_ivf_filtered_topk, ann_filtered_probe_sweep) = bucket 1, and the
+#: changed list stays EMPTY (see the r18 note on _CHANGED_THIS_ROUND:
+#: ADVICE #1 is a plan-preserving factoring md5-pinned byte-identical for
+#: the verified sweep, ADVICE #2 is docstring prose) → head 2, stride
+#: 45 − 2 = 43, recorded BEFORE the driver runs. This matches VERDICT
+#: r17 #1's projection ("43 if the changed list stays empty") — the
+#: second consecutive round where the projection and the cap arithmetic
+#: agree.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
+    18: 43,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
