@@ -998,15 +998,14 @@ def test_filtered_ann_pushes_lang_predicate_and_semi_joins(spark, sf_dir):
     the lang predicate reaches the documents parquet scan as a pushed
     filter, eligibility applies via semi-joins (never an inner join that
     could duplicate), and the query stays whole-stage-codegen'd JVM work
-    (no Python eval, no cartesian product)."""
-    from tmdb_movie_data_pipeline_spark.registry import deferred_queries
-
-    for name, src in (
-        ("ann_filtered_topk", all_queries()),
-        ("ann_ivf_filtered_topk", deferred_queries()),
-        ("ann_filtered_probe_sweep", deferred_queries()),
+    (no Python eval, no cartesian product). All three tiers are active
+    registrations as of the r18 activation."""
+    for name in (
+        "ann_filtered_topk",
+        "ann_ivf_filtered_topk",
+        "ann_filtered_probe_sweep",
     ):
-        plan = _plan(src[name](spark, sf_dir))
+        plan = _plan(all_queries()[name](spark, sf_dir))
         assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, name
         assert _nodes(plan, "BroadcastHashJoin LeftSemi BuildRight") >= 1 or (
             "LeftSemi" in plan

@@ -20,7 +20,7 @@ import math
 
 import duckdb
 
-from tmdb_movie_data_pipeline_spark.registry import all_queries, deferred_queries
+from tmdb_movie_data_pipeline_spark.registry import all_queries
 
 # --------------------------------------------------------------------------
 # batch 1: the filtered-IVF route — filter-then-route rebuilt as a literal
@@ -139,7 +139,7 @@ def test_filtered_ivf_matches_python_filter_then_route(spark, sf_dir):
 
     got = {
         (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
-        for r in deferred_queries()["ann_ivf_filtered_topk"](spark, sf_dir).collect()
+        for r in all_queries()["ann_ivf_filtered_topk"](spark, sf_dir).collect()
     }
     assert got == want
 
@@ -171,7 +171,7 @@ def test_filtered_ivf_recall_equals_filtered_exact_recall(spark, sf_dir):
 
     # engine rows -> per-query neighbor sets
     engine = {}
-    for r in deferred_queries()["ann_ivf_filtered_topk"](spark, sf_dir).collect():
+    for r in all_queries()["ann_ivf_filtered_topk"](spark, sf_dir).collect():
         engine.setdefault(r["query_id"], set()).add(r["neighbor_id"])
 
     hits = total = 0
@@ -224,7 +224,7 @@ def test_filtered_ivf_is_subset_of_filtered_exact_scores(spark, sf_dir):
     }
     emb = _embeddings(sf_dir)
     norms = {v: math.sqrt(_dot_py(e, e)) for v, e in emb.items()}
-    for r in deferred_queries()["ann_ivf_filtered_topk"](spark, sf_dir).collect():
+    for r in all_queries()["ann_ivf_filtered_topk"](spark, sf_dir).collect():
         q, v, c = r["query_id"], r["neighbor_id"], r["cosine"]
         if (q, v) in filt_exact:
             assert c == filt_exact[(q, v)], (q, v)
@@ -4788,7 +4788,7 @@ def test_filtered_probe_sweep_matches_python_walk(spark, sf_dir):
         assert series == sorted(series), f"query {q} recall not monotone"
     got = {
         tuple(r)
-        for r in deferred_queries()["ann_filtered_probe_sweep"](spark, sf_dir).collect()
+        for r in all_queries()["ann_filtered_probe_sweep"](spark, sf_dir).collect()
     }
     assert got == want
 

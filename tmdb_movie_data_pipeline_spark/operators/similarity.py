@@ -167,14 +167,20 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero) whenever the unfiltered neighborhood is predicate-sparse.
 
     Scale shape: the predicate lives on the documents dimension, so
-    eligibility is one key equi-join (broadcast when the eligible-id set
-    is small, shuffle-semi-join otherwise) applied to the corpus BEFORE
-    any distance math — at 100 TB this both shrinks the scored set by the
+    eligibility is one key semi-join applied to the corpus BEFORE any
+    distance math — at 100 TB this both shrinks the scored set by the
     selectivity factor and pushes the lang filter into the documents
-    scan (PushedFilters). Queries stay broadcast; scoring is the same
-    codegen'd 64-term expression chain as the unfiltered tier. For the
-    IVF path, the same semi-join applies to the inverted lists before
-    probing — filter-then-route, never route-then-filter.
+    scan (PushedFilters). The ``F.broadcast(eligible)`` hint is PINNED
+    here for the fixture scale (the eligible-id set is a few hundred
+    longs, and the explicit hint keeps the CI plan pin deterministic);
+    as written it forces a broadcast regardless of selectivity, so a
+    100 TB deployment with a low-selectivity predicate would drop the
+    hint and let AQE / size statistics choose broadcast-vs-shuffle
+    semi-join — the surrounding plan is hint-agnostic (ADVICE r17 #2).
+    Queries stay broadcast; scoring is the same codegen'd 64-term
+    expression chain as the unfiltered tier. For the IVF path, the same
+    semi-join applies to the inverted lists before probing —
+    filter-then-route, never route-then-filter.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     eligible = (
@@ -704,9 +710,12 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes) are predicate-independent and precomputed/broadcast; the lists
     ARE the partitioning key (partitionBy(cid) on write), so the semi-join
     against the eligible-id set is partition-local and the lang predicate
-    pushes into the documents scan (PushedFilters). The eligible-id
-    relation broadcasts when small; at low selectivity a shuffle semi-join
-    on vec_id replaces it with the same plan shape.
+    pushes into the documents scan (PushedFilters). The
+    ``F.broadcast(eligible)`` hint is PINNED for the fixture scale — as
+    written it forces a broadcast regardless of the eligible set's size;
+    at scale the hint would be dropped so AQE / size statistics pick
+    broadcast-vs-shuffle semi-join per the predicate's actual
+    selectivity, with the rest of the plan unchanged (ADVICE r17 #2).
     """
     assign, probes = ivf_route(spark, sf_dir)
     eligible = (
@@ -1595,26 +1604,29 @@ _SWEEP_ORACLE = f"""
     """.replace("{CB}", str(CENTROID_BASE)).replace("{NC}", str(N_CENTROIDS))
 
 
-@register("ann_ivf_probe_sweep", oracle=_SWEEP_ORACLE)
-def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF tuning table: recall@{TOP_K} against exact-cosine ground
-    truth for every probe count in {_SWEEP_PROBES}, per query — the
-    recall-vs-cost curve an ANN deployment reads to pick nprobe (each
-    +probe multiplies scan cost by ~1/{N_CENTROIDS} of the corpus; this
-    table says what recall it buys). ann_ivf_topk pins ONE operating
-    point; the sweep pins the whole curve, including the monotonicity a
-    routing bug would break (recall can only grow with nprobe — the
-    candidate set is nested).
+def _probe_sweep_impl(
+    spark: SparkSession, sf_dir: str, eligible: DataFrame | None = None
+) -> DataFrame:
+    """Shared probe-sweep body for the unfiltered and filtered recall
+    curves (ADVICE r17 #1: the two registered sweeps previously carried
+    two ~90-line copies of the codegen-sensitive vector-flattening idiom;
+    this is the `_ivf_exact_rescore` factoring applied to the sweep tail).
 
-    Shape: centroid ranking is queries×K (trivial); candidates come from
-    the probed inverted lists at the LARGEST grid point once, each tagged
-    with the rank of its list (a vector belongs to exactly one list, so
-    reachability at nprobe=p is the map-side predicate rn <= p — the grid
-    re-ranks the SAME scored relation four ways, never re-scanning). The
-    only corpus-scale joins are the list-keyed candidate join and the
-    exact ground-truth eval slice (broadcast queries x corpus — the same
-    deliberate cost ann_cosine_topk already pays as the accuracy bar).
-    Output is integer hits/ppm — no float leaves the plan.
+    ``eligible`` is an optional one-column (vec_id) DataFrame; ``None``
+    means the unfiltered sweep. When present it is semi-joined onto BOTH
+    the (vec_id, cid) assignment relation (filter-then-route — the
+    inverted lists shrink before probing) and the ground-truth corpus
+    (the truth set is the eligible corpus, not a post-filtered slice).
+
+    Plan-preservation note: with ``eligible=None`` this builds the exact
+    DataFrame graph `ann_ivf_probe_sweep` always built — its optimized
+    plan was md5-pinned byte-identical before/after the extraction
+    (e1ba9395fc6998594d32fe8dadad5747, fresh-session deterministic). The
+    filtered caller now constructs ``eligible`` before the embeddings
+    scan, which only re-orders expression-ID allocation; its plan is
+    structurally unchanged and was re-verified against the DuckDB oracle
+    at sf0.001 and sf0.01 post-refactor (the name is never
+    driver-verified, so no changed-list entry either way).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     emb_flat = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1657,6 +1669,9 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "cid", "rn")
     )
     assign, _ = ivf_route(spark, sf_dir)
+    if eligible is not None:
+        # filter-then-route: the lists shrink BEFORE probing
+        assign = assign.join(F.broadcast(eligible), "vec_id", "left_semi")
     cand = (
         probes.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1698,9 +1713,14 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arank") <= TOP_K)
         .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
-    gt = cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K).select(
-        "query_id", "neighbor_id"
+    corpus = (
+        emb
+        if eligible is None
+        else emb.join(F.broadcast(eligible), "vec_id", "left_semi")
     )
+    gt = cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), corpus, TOP_K
+    ).select("query_id", "neighbor_id")
     return (
         gt.crossJoin(F.broadcast(grid))
         .join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
@@ -1716,6 +1736,32 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@register("ann_ivf_probe_sweep", oracle=_SWEEP_ORACLE)
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: recall@{TOP_K} against exact-cosine ground
+    truth for every probe count in {_SWEEP_PROBES}, per query — the
+    recall-vs-cost curve an ANN deployment reads to pick nprobe (each
+    +probe multiplies scan cost by ~1/{N_CENTROIDS} of the corpus; this
+    table says what recall it buys). ann_ivf_topk pins ONE operating
+    point; the sweep pins the whole curve, including the monotonicity a
+    routing bug would break (recall can only grow with nprobe — the
+    candidate set is nested).
+
+    Shape: centroid ranking is queries×K (trivial); candidates come from
+    the probed inverted lists at the LARGEST grid point once, each tagged
+    with the rank of its list (a vector belongs to exactly one list, so
+    reachability at nprobe=p is the map-side predicate rn <= p — the grid
+    re-ranks the SAME scored relation four ways, never re-scanning). The
+    only corpus-scale joins are the list-keyed candidate join and the
+    exact ground-truth eval slice (broadcast queries x corpus — the same
+    deliberate cost ann_cosine_topk already pays as the accuracy bar).
+    Output is integer hits/ppm — no float leaves the plan.
+    Body shared with the filtered sweep via ``_probe_sweep_impl``
+    (optimized plan md5-pinned byte-identical across the extraction).
+    """
+    return _probe_sweep_impl(spark, sf_dir)
 
 
 # -- FILTERED IVF probe-count recall sweep (r18 queue) ---------------------------
@@ -1824,114 +1870,15 @@ def filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filtered-exact ground truth is the same deliberate broadcast
     eval-slice cost `ann_filtered_topk` already pays as the accuracy bar.
     Output is integer hits/ppm — no float leaves the plan.
+    Body shared with the unfiltered sweep via ``_probe_sweep_impl`` —
+    the only filtered-specific code left is the eligible-ids relation.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     eligible = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("lang") == _FILTER_LANG)
         .select(F.col("doc_id").alias("vec_id"))
     )
-    emb_flat = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        "vec_id",
-        *[
-            F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_e{i}")
-            for i in range(DIM)
-        ],
-    ).withColumn(
-        "nrm_e",
-        F.expr("sqrt(" + " + ".join(f"_e{i} * _e{i}" for i in range(DIM)) + ")"),
-    )
-    cent_flat = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(
-            (F.col("vec_id") >= CENTROID_BASE)
-            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
-        )
-        .select(
-            (F.col("vec_id") - CENTROID_BASE).alias("cid"),
-            *[
-                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_c{i}")
-                for i in range(DIM)
-            ],
-        )
-        .withColumn(
-            "nrm_c",
-            F.expr(
-                "sqrt(" + " + ".join(f"_c{i} * _c{i}" for i in range(DIM)) + ")"
-            ),
-        )
-    )
-    dot_ec = "(" + " + ".join(f"_e{i} * _c{i}" for i in range(DIM)) + ")"
-    w_probe = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    probes = (
-        emb_flat.crossJoin(F.broadcast(cent_flat))
-        .withColumn("cos", F.expr(dot_ec) / (F.col("nrm_e") * F.col("nrm_c")))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _SWEEP_MAX)
-        .select(F.col("vec_id").alias("query_id"), "cid", "rn")
-    )
-    assign, _ = ivf_route(spark, sf_dir)
-    assign_f = assign.join(F.broadcast(eligible), "vec_id", "left_semi")
-    cand = (
-        probes.join(assign_f, "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rn")
-    )
-
-    def side(tag: str, key: str) -> DataFrame:
-        # fresh scan per side (the ann_ivf_topk analyzer-blowup lesson)
-        e = load_table(spark, sf_dir, "embeddings")
-        d = e.select(
-            F.col("vec_id").alias(key),
-            *[
-                F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"_{tag}{i}")
-                for i in range(DIM)
-            ],
-        )
-        nrm = "sqrt(" + " + ".join(f"_{tag}{i} * _{tag}{i}" for i in range(DIM)) + ")"
-        return d.withColumn(f"nrm_{tag}", F.expr(nrm))
-
-    qs, cs = side("q", "query_id"), side("v", "neighbor_id")
-    dot_qv = "(" + " + ".join(f"_q{i} * _v{i}" for i in range(DIM)) + ")"
-    scored = (
-        cand.join(F.broadcast(qs), "query_id")
-        .join(cs, "neighbor_id")
-        .withColumn(
-            "cosine", F.expr(dot_qv) / (F.col("nrm_q") * F.col("nrm_v"))
-        )
-        .select("query_id", "neighbor_id", "rn", "cosine")
-    )
-    grid = spark.createDataFrame(
-        [(p,) for p in _SWEEP_PROBES], "nprobe long"
-    )
-    wa = W.partitionBy("nprobe", "query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    approx = (
-        scored.join(F.broadcast(grid), F.col("rn") <= F.col("nprobe"))
-        .withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") <= TOP_K)
-        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
-    )
-    corpus_f = emb.join(F.broadcast(eligible), "vec_id", "left_semi")
-    gt = cosine_topk(
-        emb.filter(F.col("vec_id") < N_QUERIES), corpus_f, TOP_K
-    ).select("query_id", "neighbor_id")
-    return (
-        gt.crossJoin(F.broadcast(grid))
-        .join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
-        .groupBy("nprobe", "query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_hits"),
-            F.expr(
-                f"(1000000 * SUM(COALESCE(hit, 0))) div {TOP_K}"
-            )
-            .cast("long")
-            .alias("recall_ppm"),
-        )
-    )
+    return _probe_sweep_impl(spark, sf_dir, eligible)
 
 
 # -- rank-biased overlap between retrievers (r12 queue) --------------------------------
