@@ -91,7 +91,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # slots at the head of the rotation.
     # r18: EMPTY. Both ADVICE items touch nothing the driver compares for
     # an already-verified query: #1 factors the shared probe-sweep body
-    # into _ivf_probe_sweep_impl with the VERIFIED ann_ivf_probe_sweep's
+    # into _probe_sweep_impl with the VERIFIED ann_ivf_probe_sweep's
     # optimized plan pinned byte-identical before/after (md5 during the
     # refactor — the r17 _ivf_exact_rescore precedent), and #2 rewords the
     # broadcast-hint docstrings of the filtered tiers (prose only; no plan
@@ -410,6 +410,7 @@ def _ensure_loaded() -> None:
     from .sources import python_source as _python_source  # noqa: F401
     from .streaming import chunk_store as _chunk_store  # noqa: F401
     from .streaming import incremental_dedup as _incremental_dedup  # noqa: F401
+    from .streaming import incremental_index as _incremental_index  # noqa: F401
     from .streaming import scd2_apply as _scd2_apply  # noqa: F401
     from .streaming import txtable_sink as _txtable_sink  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
