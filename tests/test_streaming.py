@@ -323,3 +323,70 @@ def test_scd2_apply_redelivery_and_restart_are_safe(spark, sf_dir, tmp_path):
 
     recovered = Scd2Apply(spark, str(tmp_path / "state"))  # restart
     assert snap(recovered) == committed, "restart lost committed state"
+
+
+def test_ivf_index_checkpoint_restart_is_noop(spark, sf_dir, tmp_path):
+    """Exactly-once across RESTARTS for the incremental IVF index (r18,
+    streaming/incremental_index.py): after the stream drains and stops, a
+    brand-new query on the SAME checkpoint and the SAME input directory
+    must append nothing — the WAL already recorded every batch, so a crash/
+    restart loop cannot duplicate list entries. Complements the r18
+    reference test's within-run exactly-once check (that one proves no
+    within-run replay; this one proves the restart path)."""
+    import os
+
+    from tmdb_movie_data_pipeline_spark.io import load_table
+    from tmdb_movie_data_pipeline_spark.streaming.incremental_index import (
+        APPEND_MOD,
+        APPEND_REM,
+        IncrementalIvfIndex,
+        _flat,
+    )
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        CENTROID_BASE,
+        N_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_flat = _flat(
+        emb.filter(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+        ).select((F.col("vec_id") - CENTROID_BASE).alias("cid"), "embedding"),
+        "c",
+    )
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "state"), cent_flat)
+    idx.bootstrap(emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_REM))
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_REM).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = idx.attach(stream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted((r.vec_id, r.cid) for r in idx.index().collect())
+
+    # restart on the same checkpoint: the WAL says everything is committed
+    q2 = idx.attach(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    second = sorted((r.vec_id, r.cid) for r in idx.index().collect())
+    assert second == first  # zero rows appended on restart
