@@ -226,6 +226,18 @@ BENCH_QUERIES = [
 STREAMING_BENCH = [
     "stream_cdc_chunk_store",  # chunk + anti-join ingest per micro-batch
     "stream_scd2_apply",  # incremental SCD2 state rewrite per micro-batch
+    # r19 activation (VERDICT r18 #1, placement mandated+documented): the
+    # builder drives its file-source stream EAGERLY (processAllAvailable
+    # inside the query fn, incremental_index.py) — bootstrap write + 3
+    # routed micro-batch appends + WAL commits all happen at plan-build
+    # time and the returned frame is just the index read, so the default
+    # build-once-time-thrice bracket would measure a ~50 ms parquet scan.
+    # STREAMING_BENCH (not REBUILD_PER_RUN) because the cost is Structured
+    # Streaming machinery end-to-end (query startup, epoch scheduling,
+    # foreachBatch applies), exactly this section's one-run policy; a
+    # min-of-3 rebuild would triple-pay startup without tightening the
+    # estimate.
+    "stream_ivf_index_append",
 ]
 
 #: files per table in the warmup copy — enough tasks to feed local[32]

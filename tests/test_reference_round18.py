@@ -1,6 +1,7 @@
 """Independent brute-force reference tests, round-18 sweep (VERDICT r17
 #5/#6): the incremental IVF index maintenance query (`stream_ivf_index_append`,
-r19 queue) — the streamed, foreachBatch-maintained inverted lists rebuilt as
+registered r18, activated r19) — the streamed, foreachBatch-maintained
+inverted lists rebuilt as
 a literal Python argmax walk, the arrival-independence identity vs a
 from-scratch batch rebuild, exactly-once completeness of the appended
 micro-batches, and the query-level consequence: post-append recall@k equals
@@ -20,7 +21,7 @@ import math
 
 import duckdb
 
-from tmdb_movie_data_pipeline_spark.registry import deferred_queries
+from tmdb_movie_data_pipeline_spark.registry import all_queries
 
 
 def _embeddings(sf_dir: str) -> dict[int, list[float]]:
@@ -69,7 +70,7 @@ def test_incremental_index_matches_python_argmax_walk(spark, sf_dir):
     want = _python_assign(emb)
     got = {
         int(r["vec_id"]): int(r["cid"])
-        for r in deferred_queries()["stream_ivf_index_append"](
+        for r in all_queries()["stream_ivf_index_append"](
             spark, sf_dir
         ).collect()
     }
@@ -94,7 +95,7 @@ def test_incremental_index_is_arrival_independent(spark, sf_dir):
     resident = set(emb) - arriving
     assert arriving and resident  # the split is non-trivial at both scales
 
-    rows = deferred_queries()["stream_ivf_index_append"](spark, sf_dir).collect()
+    rows = all_queries()["stream_ivf_index_append"](spark, sf_dir).collect()
     got = {int(r["vec_id"]): int(r["cid"]) for r in rows}
     # the streamed rows agree with the batch walk on BOTH halves — arrival
     # changed when rows entered lists, never where
@@ -109,7 +110,7 @@ def test_incremental_index_exactly_once_and_complete(spark, sf_dir):
     from tmdb_movie_data_pipeline_spark.operators.similarity import N_CENTROIDS
 
     emb = _embeddings(sf_dir)
-    rows = deferred_queries()["stream_ivf_index_append"](spark, sf_dir).collect()
+    rows = all_queries()["stream_ivf_index_append"](spark, sf_dir).collect()
     ids = [int(r["vec_id"]) for r in rows]
     assert len(ids) == len(emb)  # one row per corpus vector
     assert len(set(ids)) == len(ids)  # no duplicates (exactly-once)
@@ -166,7 +167,7 @@ def test_post_append_recall_equals_full_rebuild(spark, sf_dir):
 
     engine_assign = {
         int(r["vec_id"]): int(r["cid"])
-        for r in deferred_queries()["stream_ivf_index_append"](
+        for r in all_queries()["stream_ivf_index_append"](
             spark, sf_dir
         ).collect()
     }

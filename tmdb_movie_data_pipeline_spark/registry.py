@@ -89,15 +89,15 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r18: EMPTY. Both ADVICE items touch nothing the driver compares for
-    # an already-verified query: #1 factors the shared probe-sweep body
-    # into _probe_sweep_impl with the VERIFIED ann_ivf_probe_sweep's
-    # optimized plan pinned byte-identical before/after (md5 during the
-    # refactor — the r17 _ivf_exact_rescore precedent), and #2 rewords the
-    # broadcast-hint docstrings of the filtered tiers (prose only; no plan
-    # or oracle change). The two r18 activations (ann_ivf_filtered_topk,
-    # ann_filtered_probe_sweep) are NEVER-verified and sit in bucket 1 by
-    # definition → head = 2 (activations) + 0.
+    # r19: EMPTY. The round's source changes touch only NEVER-verified
+    # surface: the single r19-queue activation (stream_ivf_index_append)
+    # plus the ADVICE r18 #1 idempotence fix to the same query's
+    # foreachBatch sink (epoch-keyed overwrite instead of blind append) —
+    # that query has no driver row yet, so it sits in bucket 1 by
+    # definition. The watch-rule resolution (VERDICT r19 #2) is a
+    # NOTES/bench-policy decision plus profiling; pq.py and dedup.py
+    # verified plans are untouched. ADVICE #2/#3 are test/session-tooling
+    # only. → head = 1 (activation) + 0.
 ]
 
 
@@ -251,11 +251,20 @@ DRIVER_CAP_FLOOR = 45
 #: r17 #1's projection ("43 if the changed list stays empty") — the
 #: second consecutive round where the projection and the cap arithmetic
 #: agree.
+#: r19: the 1-query r18 deferred queue activated (VERDICT r18 #1:
+#: stream_ivf_index_append) = bucket 1, and the changed list stays EMPTY
+#: (see the r19 note on _CHANGED_THIS_ROUND: the ADVICE r18 #1
+#: exactly-once fix rewrites the SAME never-verified query's sink, and
+#: the fired-watch-rule resolution is profiling + a NOTES rule amendment
+#: — no verified plan changes) → head 1, stride 45 − 1 = 44, recorded
+#: BEFORE the driver runs. This matches VERDICT r18 #1's projection
+#: ("44 if the changed list stays empty") — the third consecutive round
+#: where the projection and the cap arithmetic agree.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43,
+    18: 43, 19: 44,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used

@@ -174,7 +174,7 @@ def _index_oracle() -> str:
 def _register_query() -> None:
     from ..registry import register
 
-    @register("stream_ivf_index_append", deferred=True, oracle=_index_oracle())
+    @register("stream_ivf_index_append", oracle=_index_oracle())
     def stream_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Incremental ANN index maintenance driven end to end: bootstrap
         the IVF inverted lists from the resident corpus (vec_id % 4 != 3),
