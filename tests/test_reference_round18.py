@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pytest
 
 from tmdb_movie_data_pipeline_spark.registry import all_queries
 
@@ -174,8 +175,14 @@ def test_post_append_recall_equals_full_rebuild(spark, sf_dir):
     got = recall_hits(engine_assign)
     want = recall_hits(_python_assign(emb))
     assert got == want  # maintained index ≡ full rebuild at the query level
+    # exact per-scale pins exist only for the two protocol fixtures; on any
+    # other SPARK_GRAFT_TEST_SF_DIR the identity above is still asserted but
+    # the pin is skipped cleanly instead of raising an opaque KeyError
+    # (ADVICE r18 #2)
     expected = {
         "/root/testdata/sf0.001": 18,
         "/root/testdata/sf0.01": 11,
-    }[sf_dir]
+    }.get(sf_dir)
+    if expected is None:
+        pytest.skip(f"no pinned recall value for fixture {sf_dir}")
     assert got == expected

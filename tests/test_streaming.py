@@ -390,3 +390,61 @@ def test_ivf_index_checkpoint_restart_is_noop(spark, sf_dir, tmp_path):
         q2.stop()
     second = sorted((r.vec_id, r.cid) for r in idx.index().collect())
     assert second == first  # zero rows appended on restart
+
+
+def test_ivf_index_epoch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once under the CRASH-REPLAY path (ADVICE r18 #1): foreachBatch
+    is at-least-once — a crash after process_batch returns but BEFORE the
+    checkpoint WAL commit re-delivers the same (batch, epoch_id) on restart.
+    The clean-stop restart test above never exercises that window (its WAL
+    is fully committed), so this test drives the sink directly: applying the
+    SAME epoch twice must leave the index byte-identical (the epoch-keyed
+    overwrite lands on the same directory), while a genuinely NEW epoch must
+    still add its rows. With the pre-fix blind mode('append') the first
+    assertion fails with every replayed row duplicated."""
+    import os
+
+    from tmdb_movie_data_pipeline_spark.io import load_table
+    from tmdb_movie_data_pipeline_spark.operators.similarity import (
+        CENTROID_BASE,
+        N_CENTROIDS,
+    )
+    from tmdb_movie_data_pipeline_spark.streaming.incremental_index import (
+        APPEND_MOD,
+        APPEND_REM,
+        IncrementalIvfIndex,
+        _flat,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_flat = _flat(
+        emb.filter(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+        ).select((F.col("vec_id") - CENTROID_BASE).alias("cid"), "embedding"),
+        "c",
+    )
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "state"), cent_flat)
+    idx.bootstrap(emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_REM))
+    booted = sorted((r.vec_id, r.cid) for r in idx.index().collect())
+
+    arriving = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_REM)
+    # arriving ids are all ≡ APPEND_REM (mod APPEND_MOD) — split on a
+    # coprime modulus so both batches are non-empty
+    batch0 = arriving.filter(F.col("vec_id") % 3 == 0)
+    batch1 = arriving.filter(F.col("vec_id") % 3 != 0)
+    assert batch0.count() > 0 and batch1.count() > 0
+
+    idx.process_batch(batch0, 0)
+    committed = sorted((r.vec_id, r.cid) for r in idx.index().collect())
+    assert len(committed) > len(booted)  # epoch 0 landed
+
+    idx.process_batch(batch0, 0)  # crash-replay: same batch, same epoch
+    assert sorted((r.vec_id, r.cid) for r in idx.index().collect()) == committed, (
+        "re-delivered epoch duplicated list entries"
+    )
+
+    idx.process_batch(batch1, 1)  # a NEW epoch still appends
+    final = sorted((r.vec_id, r.cid) for r in idx.index().collect())
+    assert len(final) == len(committed) + batch1.count()
+    assert os.path.isdir(str(tmp_path / "state" / "ivf_index" / "epoch=1"))

@@ -13,8 +13,16 @@ cadence, if ever). The index lives as a parquet table ``partitionBy(cid)``:
 so each micro-batch touches ONLY the list partitions it routes into, and a
 probe at query time stays a partition-pruned scan. Implemented as a
 ``foreachBatch`` sink so it runs identically on a file stream today and a
-Kafka stream in production; the checkpointLocation WAL makes each batch
-exactly-once.
+Kafka stream in production. Exactly-once = WAL + idempotent sink:
+``foreachBatch`` alone is only at-least-once (a crash after the write but
+before the WAL commit replays the batch on restart), so each epoch writes
+to its own ``epoch=<id>/`` subdirectory with ``mode("overwrite")`` — the
+replay re-derives the identical assignment (routing is deterministic
+against the fixed codebook) and lands on the same directory, overwriting
+rather than duplicating. Same idempotence discipline as the repo's other
+sinks (txtable_sink dedups by epoch; scd2_apply keys its output by
+epoch_id; the reference's backfill loop overwrites a deterministic
+per-month filename before marking it done, src/movie.py:247-299).
 
 Correctness property this design buys (and the reference test pins): IVF
 assignment is a per-vector argmax against a FIXED codebook, so it is
@@ -102,28 +110,49 @@ class IncrementalIvfIndex:
             )
         )
 
+    def _epoch_path(self, epoch_id: int) -> str:
+        """One directory per write unit, key=value-named so partition
+        discovery surfaces ``epoch`` as a column: the bootstrap is
+        ``epoch=-1``, micro-batch N is ``epoch=N``. The epoch directory is
+        the idempotence unit — a replayed epoch overwrites its own subtree
+        and can never touch another epoch's files."""
+        return os.path.join(self.index_path, f"epoch={int(epoch_id)}")
+
     def bootstrap(self, corpus: DataFrame) -> None:
         """One-time batch build over the resident corpus. partitionBy(cid)
         IS the inverted-list layout: each list is a partition directory, so
-        probes are partition-pruned scans and incremental appends below are
-        partition-local writes."""
+        probes are partition-pruned scans and incremental writes below are
+        partition-local."""
         self._assign(corpus).write.mode("overwrite").partitionBy("cid").parquet(
-            self.index_path
+            self._epoch_path(-1)
         )
 
     def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
-        """foreachBatch body: route the batch, append to the touched lists.
-        Append-only (the routing never reads the index), so no lineage
-        severing is needed — unlike the dedup state machine, a batch cannot
-        observe its own writes."""
-        self._assign(batch).write.mode("append").partitionBy("cid").parquet(
-            self.index_path
+        """foreachBatch body: route the batch, overwrite its epoch subtree.
+
+        IDEMPOTENT per epoch (ADVICE r18 #1): foreachBatch is at-least-once
+        — a crash after the write but before the checkpoint WAL commit
+        replays (batch, epoch_id) on restart. A blind ``mode("append")``
+        would duplicate every replayed row; writing the batch to its own
+        ``epoch=<id>/`` directory with ``mode("overwrite")`` makes the
+        replay land on the identical path with the identical deterministic
+        assignment, so re-delivery overwrites instead of duplicating —
+        WAL + idempotent sink = exactly-once. A full-table dynamic
+        partition overwrite is deliberately NOT used: that depends on
+        ``spark.sql.sources.partitionOverwriteMode=dynamic`` (the driver
+        runs an un-tuned session, where static mode would wipe the whole
+        index). The routing never reads the index, so no lineage severing
+        is needed — a batch cannot observe its own writes."""
+        self._assign(batch).write.mode("overwrite").partitionBy("cid").parquet(
+            self._epoch_path(epoch_id)
         )
 
     def index(self) -> DataFrame:
-        """The maintained inverted lists as (vec_id, cid). The partition
-        column comes back as the discovered directory key — cast to LONG so
-        the read-side schema is stable regardless of partition inference."""
+        """The maintained inverted lists as (vec_id, cid). ``cid`` and
+        ``epoch`` both come back as discovered directory keys (so
+        cid-filtered probes still partition-prune); project the epoch away
+        and cast to LONG so the read-side schema is stable regardless of
+        partition inference."""
         return self.spark.read.parquet(self.index_path).select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("cid").cast("long").alias("cid"),
@@ -185,9 +214,11 @@ def _register_query() -> None:
 
         Scale shape (what a 100 TB vector pipeline runs daily): routing is
         one broadcast of K centroids against only the ARRIVING batch (the
-        resident corpus is never re-scanned), appends are partition-local
-        to the touched lists, and the checkpoint WAL makes each batch
-        exactly-once. The oracle is the from-scratch batch argmax over the
+        resident corpus is never re-scanned), writes are partition-local
+        to the touched lists, and each batch is exactly-once because the
+        WAL is paired with an idempotent epoch-keyed overwrite sink (an
+        at-least-once replay lands on its own epoch directory — see
+        process_batch). The oracle is the from-scratch batch argmax over the
         final corpus — equal by arrival-independence, the soundness
         property of incremental IVF maintenance (the reference test also
         pins post-append recall@k == a full-rebuild's recall@k)."""
