@@ -168,16 +168,72 @@ class IncrementalIvfIndex:
         )
 
 
-# --- driver-facing registered query ----------------------------------------
+# --- driver-facing registered queries ---------------------------------------
 #
 # The embeddings table is split: vec_id % 4 != 3 is the resident corpus the
 # index bootstraps from; vec_id % 4 == 3 arrives as 3 ordered micro-batch
 # files (split by vec_id % 3, mtimes staggered so the file source processes
 # them in batch order) through a real file-source stream with a foreachBatch
-# sink. The query returns the final maintained index — every (vec_id, cid).
-# The oracle is the plain batch argmax over the SAME final corpus: equality
-# holds because assignment against a fixed codebook is arrival-independent,
-# which is exactly the property that makes incremental maintenance sound.
+# sink. `stream_ivf_index_append` returns the final maintained index — every
+# (vec_id, cid). The oracle is the plain batch argmax over the SAME final
+# corpus: equality holds because assignment against a fixed codebook is
+# arrival-independent, which is exactly the property that makes incremental
+# maintenance sound. `stream_ivf_index_filtered_probe` (r20 queue) then
+# reads THROUGH the maintained lists at query time — the r18 filtered
+# probe composed with this index instead of batch routing.
+
+
+def build_maintained_index(spark: SparkSession, sf_dir: str) -> IncrementalIvfIndex:
+    """Bootstrap + stream the full maintenance lifecycle and return the live
+    index handle: resident corpus (vec_id % 4 != 3) batch-bootstrapped, the
+    remaining vectors driven through a real file-source stream in
+    ``N_APPEND_BATCHES`` ordered micro-batches, each routed and written to
+    its epoch subtree inside foreachBatch. Shared by the index query and the
+    query-time probe through it."""
+    import glob
+    import shutil
+    import time
+
+    from ..io import load_table, scratch_dir
+
+    root = scratch_dir("ivfidx_")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_flat = _flat(
+        emb.filter(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+        ).select((F.col("vec_id") - CENTROID_BASE).alias("cid"), "embedding"),
+        "c",
+    )
+    idx = IncrementalIvfIndex(spark, os.path.join(root, "state"), cent_flat)
+    idx.bootstrap(emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_REM))
+
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    arriving = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_REM)
+    t0 = time.time() - 600
+    for b in range(N_APPEND_BATCHES):
+        stage = os.path.join(root, f"stage_{b}")
+        arriving.filter(F.col("vec_id") % N_APPEND_BATCHES == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        [src] = glob.glob(os.path.join(stage, "*.parquet"))
+        dst = os.path.join(in_dir, f"batch_{b}.parquet")
+        shutil.copyfile(src, dst)
+        # the file source orders batches by mtime — stagger far apart so
+        # batch b is always micro-batch b
+        os.utime(dst, (t0 + b * 60, t0 + b * 60))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = idx.attach(stream, os.path.join(root, "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return idx
 
 
 def _index_oracle() -> str:
@@ -222,50 +278,68 @@ def _register_query() -> None:
         final corpus — equal by arrival-independence, the soundness
         property of incremental IVF maintenance (the reference test also
         pins post-append recall@k == a full-rebuild's recall@k)."""
-        import glob
-        import shutil
-        import time
+        return build_maintained_index(spark, sf_dir).index()
 
-        from ..io import load_table, scratch_dir
+    from ..operators.similarity import _IVF_FILTERED_ORACLE
 
-        root = scratch_dir("ivfidx_")
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        cent_flat = _flat(
-            emb.filter(
-                (F.col("vec_id") >= CENTROID_BASE)
-                & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
-            ).select((F.col("vec_id") - CENTROID_BASE).alias("cid"), "embedding"),
-            "c",
+    @register(
+        "stream_ivf_index_filtered_probe",
+        deferred=True,
+        oracle=_IVF_FILTERED_ORACLE,
+    )
+    def stream_ivf_index_filtered_probe(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Query-time filtered ANN probe THROUGH the incrementally-maintained
+        index (r20 queue; VERDICT r18 #5's named strongest candidate) —
+        the composition of the two previous rounds' stories: where
+        `ann_ivf_filtered_topk` computes its inverted lists by batch
+        routing, this query serves the SAME filtered top-k from the lists
+        the streaming maintenance loop wrote (bootstrap epoch + 3 routed
+        micro-batch epochs), i.e. what a production vector store actually
+        executes at query time — probe the index you maintain, never
+        re-route the corpus per query.
+
+        Shape: eligibility (documents.lang = 'en') is a broadcast left-semi
+        applied to the MAINTAINED (vec_id, cid) relation before probing
+        (filter-then-route, the r18 shape); probes come from the fixed
+        codebook (predicate- and arrival-independent); the exact cosine
+        rescore tail is the shared `_ivf_exact_rescore`. The index read is
+        a scan of the cid-partitioned parquet lists — at 100 TB the probed
+        cids prune list partitions (the probe side joins on the partition
+        column) and the epoch subtrees are append-units, so query cost is
+        O(eligible members of probed lists), independent of corpus size
+        and of how many epochs ever streamed in.
+
+        Oracle = the SAME batch filtered-IVF SQL as `ann_ivf_filtered_topk`
+        — equality is exactly arrival-independence lifted to the query
+        level: the maintained lists are bit-identical to batch routing, so
+        every downstream read of them is too. BENCH placement when
+        activated (decide-and-document, the r19 precedent): STREAMING_BENCH
+        — the builder drives the maintenance stream eagerly via
+        build_maintained_index, so the build-once bracket would time only
+        the probe read."""
+        from ..io import load_table
+        from ..operators.similarity import (
+            _FILTER_LANG,
+            _ivf_exact_rescore,
+            ivf_route,
         )
-        idx = IncrementalIvfIndex(spark, os.path.join(root, "state"), cent_flat)
-        idx.bootstrap(emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_REM))
 
-        in_dir = os.path.join(root, "in")
-        os.makedirs(in_dir, exist_ok=True)
-        arriving = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_REM)
-        t0 = time.time() - 600
-        for b in range(N_APPEND_BATCHES):
-            stage = os.path.join(root, f"stage_{b}")
-            arriving.filter(F.col("vec_id") % N_APPEND_BATCHES == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(stage)
-            [src] = glob.glob(os.path.join(stage, "*.parquet"))
-            dst = os.path.join(in_dir, f"batch_{b}.parquet")
-            shutil.copyfile(src, dst)
-            # the file source orders batches by mtime — stagger far apart so
-            # batch b is always micro-batch b
-            os.utime(dst, (t0 + b * 60, t0 + b * 60))
-        stream = (
-            spark.readStream.schema("vec_id long, embedding array<float>")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(in_dir)
+        maintained = build_maintained_index(spark, sf_dir).index()
+        eligible = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("lang") == _FILTER_LANG)
+            .select(F.col("doc_id").alias("vec_id"))
         )
-        q = idx.attach(stream, os.path.join(root, "ckpt"))
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return idx.index()
+        assign_f = maintained.join(F.broadcast(eligible), "vec_id", "left_semi")
+        _, probes = ivf_route(spark, sf_dir)
+        cand = (
+            probes.join(assign_f, "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        return _ivf_exact_rescore(spark, sf_dir, cand)
 
 
 _register_query()
