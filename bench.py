@@ -238,6 +238,15 @@ STREAMING_BENCH = [
     # min-of-3 rebuild would triple-pay startup without tightening the
     # estimate.
     "stream_ivf_index_append",
+    # r20 activation (VERDICT r19 #1, placement pre-decided in the query's
+    # docstring): the probe READS through the index the maintenance stream
+    # wrote, and its builder drives that same eager stream via
+    # build_maintained_index (bootstrap + 3 routed epochs + WAL at
+    # plan-build time) — so, exactly like stream_ivf_index_append above,
+    # the default build-once bracket would time only the probe read while
+    # the dominant cost is Structured Streaming machinery. One end-to-end
+    # run per this section's policy.
+    "stream_ivf_index_filtered_probe",
 ]
 
 #: files per table in the warmup copy — enough tasks to feed local[32]

@@ -21,7 +21,7 @@ import math
 
 import duckdb
 
-from tmdb_movie_data_pipeline_spark.registry import all_queries, deferred_queries
+from tmdb_movie_data_pipeline_spark.registry import all_queries
 
 
 def _embeddings(sf_dir: str) -> dict[int, list[float]]:
@@ -109,7 +109,7 @@ def test_filtered_probe_matches_python_walk(spark, sf_dir):
     want = sorted(_python_filtered_probe(emb, _eligible_ids(sf_dir)))
     got = sorted(
         (int(r["query_id"]), int(r["neighbor_id"]), float(r["cosine"]), int(r["rank"]))
-        for r in deferred_queries()["stream_ivf_index_filtered_probe"](
+        for r in all_queries()["stream_ivf_index_filtered_probe"](
             spark, sf_dir
         ).collect()
     )
@@ -136,7 +136,7 @@ def test_filtered_probe_candidates_are_eligible_and_probed(spark, sf_dir):
         return _dot_py(emb[v], cents[cid]) / (norms[v] * cnorm[cid])
 
     assign = {v: min(cents, key=lambda c: (-cos_to_cent(v, c), c)) for v in emb}
-    rows = deferred_queries()["stream_ivf_index_filtered_probe"](
+    rows = all_queries()["stream_ivf_index_filtered_probe"](
         spark, sf_dir
     ).collect()
     assert rows  # the probe returns neighbors at both protocol scales
@@ -159,7 +159,7 @@ def test_filtered_probe_equals_batch_routed_query(spark, sf_dir):
     via_index = sorted(
         map(
             tuple,
-            deferred_queries()["stream_ivf_index_filtered_probe"](
+            all_queries()["stream_ivf_index_filtered_probe"](
                 spark, sf_dir
             ).collect(),
         )
@@ -176,10 +176,22 @@ def test_filtered_probe_plan_prunes_list_partitions(spark, sf_dir):
     subquery on cid — at scale, only the probed lists' partitions are read,
     independent of how many epochs ever streamed in. Also re-pins the
     suite-wide bans (no cartesian product, no Python eval) and the pushed
-    eligibility predicate on this composed plan."""
-    df = deferred_queries()["stream_ivf_index_filtered_probe"](spark, sf_dir)
+    eligibility predicate on this composed plan.
+
+    ADVICE r19 #3: the pins match case-insensitive TOKENS, not an exact
+    PushedFilters rendering — filter ordering / spacing / casing are Spark
+    formatting choices that can change across versions without any
+    behavior regression; the behavior that matters is that the lang
+    equality reaches the parquet scan and the list scan carries a runtime
+    pruning subquery."""
+    import re
+
+    df = all_queries()["stream_ivf_index_filtered_probe"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower()
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan
+    plan_l = plan.lower()
+    assert "dynamicpruning" in plan_l
+    assert "cartesianproduct" not in plan_l
+    assert "batchevalpython" not in plan_l
+    assert re.search(
+        r"pushedfilters:\s*\[[^\]]*equalto\(lang,\s*en\)", plan_l
+    ), "lang=en equality not pushed to the documents scan"

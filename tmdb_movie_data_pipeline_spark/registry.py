@@ -89,15 +89,19 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r19: EMPTY. The round's source changes touch only NEVER-verified
-    # surface: the single r19-queue activation (stream_ivf_index_append)
-    # plus the ADVICE r18 #1 idempotence fix to the same query's
-    # foreachBatch sink (epoch-keyed overwrite instead of blind append) —
-    # that query has no driver row yet, so it sits in bucket 1 by
-    # definition. The watch-rule resolution (VERDICT r19 #2) is a
-    # NOTES/bench-policy decision plus profiling; pq.py and dedup.py
-    # verified plans are untouched. ADVICE #2/#3 are test/session-tooling
-    # only. → head = 1 (activation) + 0.
+    # r20 (FINAL round): EMPTY. The round's source changes touch only
+    # NEVER-verified surface and non-plan paths: the single r20-queue
+    # activation (stream_ivf_index_filtered_probe — no driver row yet, so
+    # bucket 1 by definition), the ADVICE r19 #1/#2 hardening of
+    # IncrementalIvfIndex.bootstrap()/process_batch() (both sit on the
+    # same module as the r19-verified stream_ivf_index_append, but only
+    # the EAGER write-side bodies bootstrap()/process_batch() — the
+    # plan-constructing paths (_assign, index(), attach(), both query
+    # fns) are byte-untouched per the r20 diff, so the verified query's
+    # optimized plan cannot have changed; behavior pins in
+    # tests/test_reference_round20.py), and ADVICE r19 #3 which is
+    # test-only. Zero net-new registrations per VERDICT r19 #3: the
+    # queue ends EMPTY. → head = 1 (activation) + 0.
 ]
 
 
@@ -260,11 +264,21 @@ DRIVER_CAP_FLOOR = 45
 #: BEFORE the driver runs. This matches VERDICT r18 #1's projection
 #: ("44 if the changed list stays empty") — the third consecutive round
 #: where the projection and the cap arithmetic agree.
+#: r20 (FINAL round): the 1-query r19 deferred queue activated (VERDICT
+#: r19 #1: stream_ivf_index_filtered_probe) = bucket 1, and the changed
+#: list stays EMPTY (see the r20 note on _CHANGED_THIS_ROUND: the ADVICE
+#: r19 items touch only the two never-verified-or-r19-fresh stream_ivf_*
+#: builders' Python plumbing and a test; the r19-verified
+#: stream_ivf_index_append plan is md5-pinned unchanged) → head 1,
+#: stride 45 − 1 = 44, recorded BEFORE the driver runs. This matches
+#: VERDICT r19 #1's projection ("44 if the changed list stays empty") —
+#: the fourth consecutive round where the projection and the cap
+#: arithmetic agree. Final shape: 454 active / 0 deferred.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43, 19: 44,
+    18: 43, 19: 44, 20: 44,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used

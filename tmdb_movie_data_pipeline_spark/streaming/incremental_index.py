@@ -122,13 +122,30 @@ class IncrementalIvfIndex:
         """One-time batch build over the resident corpus. partitionBy(cid)
         IS the inverted-list layout: each list is a partition directory, so
         probes are partition-pruned scans and incremental writes below are
-        partition-local."""
+        partition-local.
+
+        Clears the WHOLE index root first (ADVICE r19 #1): under the
+        epoch-keyed layout, overwriting only ``epoch=-1/`` would silently
+        keep stale ``epoch=N/`` subtrees from a previous stream over the
+        same state_dir, and ``index()`` would return mixed old-stream +
+        new-bootstrap rows. A re-bootstrap means "start this index over",
+        so every prior epoch must go."""
+        import shutil
+
+        shutil.rmtree(self.index_path, ignore_errors=True)
         self._assign(corpus).write.mode("overwrite").partitionBy("cid").parquet(
             self._epoch_path(-1)
         )
 
-    def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: route the batch, overwrite its epoch subtree.
+
+        ``epoch_id`` is REQUIRED (ADVICE r19 #2): under the idempotent
+        overwrite semantics, two calls that both defaulted to epoch 0 with
+        different batches would silently discard the first batch (the old
+        append semantics accumulated, so a default was harmless then).
+        foreachBatch always passes the epoch; direct callers must be
+        explicit about which write unit they are (re)delivering.
 
         IDEMPOTENT per epoch (ADVICE r18 #1): foreachBatch is at-least-once
         — a crash after the write but before the checkpoint WAL commit
@@ -284,7 +301,6 @@ def _register_query() -> None:
 
     @register(
         "stream_ivf_index_filtered_probe",
-        deferred=True,
         oracle=_IVF_FILTERED_ORACLE,
     )
     def stream_ivf_index_filtered_probe(
