@@ -43,6 +43,20 @@ __all__ = [
 _MAX_ROUNDS = 50
 
 
+def _vector_broadcast_cap() -> int:
+    """Row cap under which a per-vertex relation (labels, score vectors,
+    core sets) may carry a broadcast hint inside an iterative kernel.
+    Parameterised (guide §3.1): the local default comfortably covers every
+    fixture scale; a 100 TB deployment with billion-vertex label vectors
+    sets it low (or 0) and the same joins fall back to the shuffle plans
+    the kernels always used. The gating COUNT is always taken from an
+    already-checkpointed relation, so the decision costs one in-memory
+    scan, never a recompute."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_VECTOR_BROADCAST_ROWS", 50_000_000))
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; the component id is
     the minimum vertex id reachable from the vertex.
@@ -59,6 +73,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     detected from the label sum — labels only ever decrease, so an
     unchanged sum means a fixpoint — one tiny aggregate instead of an
     old-vs-new join.
+
+    r21 physical tuning (guide §2.4/§3.1; results unchanged — the fixpoint
+    is init-independent for any init ≥ the true min that names a reachable
+    vertex): (1) labels initialize to min(v, min neighbor) via ONE groupBy
+    on the checkpointed edge list — a free half-step that replaces the
+    identity-labels checkpoint; (2) every in-loop join carries a broadcast
+    hint on its |V|-bounded side, gated on the checkpointed edge count vs
+    ``_vector_broadcast_cap`` — under the cap no round ever shuffles the
+    edge relation; over it (the 100 TB regime) the plan is the r20 shuffle
+    join unchanged.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
@@ -66,10 +90,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .distinct()
         .localCheckpoint(eager=True)
     )
+    bcast = sym.count() <= _vector_broadcast_cap()  # |labels| ≤ |sym|
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     labels = (
-        sym.select(F.col("u").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("comp"))
+        sym.groupBy("u")
+        .agg(F.min("w").alias("_mw"))
+        .select(F.col("u").alias("v"), F.least(F.col("u"), F.col("_mw")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
@@ -77,7 +106,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     for _ in range(_MAX_ROUNDS):
         # neighbor labels: for edge (u, w), u can adopt w's current label
         nbr = sym.join(
-            labels.select(F.col("v").alias("w"), F.col("comp")), "w"
+            _b(labels.select(F.col("v").alias("w"), F.col("comp"))), "w"
         ).select(F.col("u").alias("v"), "comp")
         folded = labels.union(nbr).groupBy("v").agg(F.min("comp").alias("comp"))
         # hash-to-min: push the new min to the OLD root as well, so when two
@@ -85,14 +114,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         # round instead of migrating one edge per round
         to_root = (
             folded.alias("f")
-            .join(labels.alias("o"), "v")
+            .join(_b(labels.alias("o")), "v")
             .select(F.col("o.comp").alias("v"), F.col("f.comp").alias("comp"))
         )
         merged = folded.union(to_root).groupBy("v").agg(F.min("comp").alias("comp"))
         # one flattening hop keeps pointer depth ~1 for the next round
         hop = merged.select(F.col("v").alias("comp"), F.col("comp").alias("comp2"))
         labels = (
-            merged.join(hop, "comp", "left")
+            merged.join(_b(hop), "comp", "left")
             .select(
                 "v", F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp")
             )
@@ -1321,22 +1350,36 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = e.select("c").distinct().select(
         "c", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("s")
     )
+    # r21 loop restructure (guide §2.4/§3.1, A/B'd in .claude/ab_hits_r21.py —
+    # 6.995 s → 4.663 s min-of-3 interleaved, identical result rows asserted):
+    # (1) checkpoint the RAW half-round aggregate (|P|-/|C|-bounded), not the
+    #     normalized vector — the normalization total and the normalized
+    #     vector both become ~|vector|-row scans of the materialized
+    #     partials instead of re-executing the |E| join subtree;
+    # (2) broadcast the score-vector side of each |E| equi-join, so the edge
+    #     relation is never shuffled inside the loop. The hint is gated on a
+    #     row-count bound (score vectors are ≤ |E| rows, e is checkpointed so
+    #     the count is free) against a parameterised cap — at 100 TB a
+    #     billion-row vector exceeds the cap and the plan falls back to the
+    #     shuffle join the r20 shape always used; locally every half-round
+    #     drops its exchange of the 600 k-edge relation.
+    bcast = e.count() <= _vector_broadcast_cap()  # |h|,|a| ≤ |e|: conservative
     a = None
     for _ in range(_HITS_ITERS):
-        ar = e.join(h, "c").groupBy("p").agg(
+        ar = e.join(F.broadcast(h) if bcast else h, "c").groupBy("p").agg(
             F.sum("s").cast("decimal(38,0)").alias("raw")
-        )
+        ).localCheckpoint(eager=True)
         at = ar.agg(F.sum("raw").cast("decimal(38,0)").alias("tot"))
         a = ar.crossJoin(F.broadcast(at)).selectExpr(
             "p", f"(CAST({_HITS_SCALE} AS DECIMAL(38,0)) * raw) div tot AS s"
-        ).localCheckpoint(eager=True)
-        hr = e.join(a, "p").groupBy("c").agg(
-            F.sum("s").cast("decimal(38,0)").alias("raw")
         )
+        hr = e.join(F.broadcast(a) if bcast else a, "p").groupBy("c").agg(
+            F.sum("s").cast("decimal(38,0)").alias("raw")
+        ).localCheckpoint(eager=True)
         ht = hr.agg(F.sum("raw").cast("decimal(38,0)").alias("tot"))
         h = hr.crossJoin(F.broadcast(ht)).selectExpr(
             "c", f"(CAST({_HITS_SCALE} AS DECIMAL(38,0)) * raw) div tot AS s"
-        ).localCheckpoint(eager=True)
+        )
     auth = (
         a.orderBy(F.desc("s"), F.asc("p"))
         .limit(_HITS_TOP)

@@ -284,10 +284,21 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     points — every point reads noise); structure appears from sf0.01 up —
     both branches are oracle-checked and reference-tested.
     """
-    from .graph import connected_components
+    from .graph import _vector_broadcast_cap, connected_components
 
     pts = grid_points(load_table(spark, sf_dir, "customer"))
     pairs = grid_distance_self_join(pts).localCheckpoint(eager=True)
+    # r21 (guide §3.1): every assembly join's small side is |pairs|-bounded
+    # (core set, component labels, labeled keys), so a single gate on the
+    # checkpointed pair count lets all of them carry a broadcast hint —
+    # under the cap the pair/point relations are never shuffled in the
+    # assembly; over it (100 TB) every join falls back to the r20 shuffle
+    # plan. The count is free (pairs is already materialized).
+    bcast = pairs.count() <= _vector_broadcast_cap()
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     sym = pairs.select(
         F.col("custkey_a").alias("p"), F.col("custkey_b").alias("q")
     ).unionAll(
@@ -301,18 +312,18 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     core_edges = pairs.join(
-        core.select(F.col("pkey").alias("custkey_a")), "custkey_a", "left_semi"
-    ).join(core.select(F.col("pkey").alias("custkey_b")), "custkey_b", "left_semi")
+        _b(core.select(F.col("pkey").alias("custkey_a"))), "custkey_a", "left_semi"
+    ).join(_b(core.select(F.col("pkey").alias("custkey_b"))), "custkey_b", "left_semi")
     comp = connected_components(core_edges, "custkey_a", "custkey_b")
     core_lab = core.join(
-        comp.select(F.col("v").alias("pkey"), F.col("comp").alias("cl")),
+        _b(comp.select(F.col("v").alias("pkey"), F.col("comp").alias("cl"))),
         "pkey",
         "left",
     ).select("pkey", F.coalesce("cl", "pkey").alias("cl"))
     border = (
-        sym.join(core.select(F.col("pkey").alias("p")), "p", "left_anti")
+        sym.join(_b(core.select(F.col("pkey").alias("p"))), "p", "left_anti")
         .join(
-            core_lab.select(F.col("pkey").alias("q"), "cl"),
+            _b(core_lab.select(F.col("pkey").alias("q"), "cl")),
             "q",
         )
         .groupBy("p")
@@ -328,7 +339,7 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     noise = (
         pts.select("pkey")
-        .join(labeled.select("pkey"), "pkey", "left_anti")
+        .join(_b(labeled.select("pkey")), "pkey", "left_anti")
         .select(
             "pkey",
             F.lit("noise").alias("role"),
