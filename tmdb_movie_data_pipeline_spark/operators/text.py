@@ -1500,9 +1500,14 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds the profile build AND the scoring join: one explosion
         .localCheckpoint(eager=False)
     )
-    lg = grams.groupBy("lang", "gram").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
-    )
+    # r21 (guide §2.3 narrower types): the gram counts aggregate as LONGs —
+    # decimal(38,0) sum/count buffers are markedly slower than long partial
+    # aggregation (A/B on the lg groupBy alone: 0.683 s vs 0.436 s at
+    # sf0.1), and long is exact here (counts are bounded by corpus tokens,
+    # ≪ 2^63 even at 100 TB). The lift arithmetic below promotes to
+    # DECIMAL(38,0) BEFORE multiplying, so the integer products/division
+    # stay overflow-free and bit-identical to the oracle's HUGEINT chain.
+    lg = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
     tot = lg.groupBy("gram").agg(F.sum("c").alias("ct"))
     ltot = lg.groupBy("lang").agg(F.sum("c").alias("cl"))
     nn = lg.agg(F.sum("c").alias("n"))
@@ -1514,7 +1519,10 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .withColumn(
             "lift",
-            F.expr("CAST((1000000 * c * n) div (ct * cl) AS DECIMAL(38,0))"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c * n)"
+                " div (CAST(ct AS DECIMAL(38,0)) * cl) AS DECIMAL(38,0))"
+            ),
         )
         .withColumn("rk", F.row_number().over(wp))
         .filter(F.col("rk") <= _TRI_PROFILE)

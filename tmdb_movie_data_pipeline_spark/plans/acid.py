@@ -70,6 +70,27 @@ def _manifest_name(version: int) -> str:
     return f"{version:011d}.json"
 
 
+def _optimized_write(df: "DataFrame") -> "DataFrame":
+    """Delta-style optimized write (guide §6 small-files; r21): a REBALANCE
+    hint ahead of the stage write lets AQE size the output partitions to the
+    advisory target, so a MERGE/DELETE rewrite lands as few right-sized
+    files instead of one near-empty file per upstream task (the benched
+    merge's anti-join ∪ source union produced 48 files of ~15 k total rows
+    — 48 task commits + 48 footers every downstream read then pays).
+    Applied ONLY to the merge/delete rewrite relations — never to
+    CREATE/OPTIMIZE paths, whose callers may pass an explicit layout
+    (range-clustered creates must keep their per-file key locality).
+    Parameterised: SPARK_GRAFT_OPTIMIZED_WRITES=false restores the r20
+    behavior; at 100 TB the hint stays correct (the rebalance shuffle
+    carries only the touched-file rewrite, the same price Delta's
+    optimizeWrite pays for the same reason)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_OPTIMIZED_WRITES", "true").lower() == "false":
+        return df
+    return df.hint("rebalance")
+
+
 class TxTable:
     """A versioned parquet table with atomic commits and time travel."""
 
@@ -648,13 +669,13 @@ class TxTable:
                 _test_hook()  # test seam: interleave a competing commit here
             try:
                 return self._commit(
-                    merged,
+                    _optimized_write(merged),
                     slot,
                     f"MERGE key={key}",
                     stats_key=stats_key,
                     carry=carry,
                     extra=extra,
-                    changes=changes,
+                    changes=None if changes is None else _optimized_write(changes),
                 )
             except CommitConflict:
                 continue
@@ -725,13 +746,13 @@ class TxTable:
                 extra = {"change_feed": True}
             try:
                 return self._commit(
-                    kept,
+                    _optimized_write(kept),
                     slot,
                     f"DELETE {key} IN [{lo}, {hi}]",
                     stats_key=stats_key,
                     carry=carry,
                     extra=extra,
-                    changes=changes,
+                    changes=None if changes is None else _optimized_write(changes),
                 )
             except CommitConflict:
                 continue
