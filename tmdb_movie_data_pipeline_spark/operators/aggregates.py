@@ -398,14 +398,24 @@ _RFM_K = 5  # quintile scores
 _RFM_M_BUCKET = 100_000  # monetary histogram bucket: $1000 in cents
 
 
-def _dist_ntile(df: DataFrame, metric: str, bucket: F.Column, k: int) -> DataFrame:
+def _dist_ntile(
+    df: DataFrame, metric: str, bucket: F.Column, k: int, n: int | None = None
+) -> DataFrame:
     """Exact global NTILE(k) ordered by (metric, c_custkey) WITHOUT a
     single-partition window: per-bucket counts (tiny) -> cumulative offsets
     (window over the bucket HISTOGRAM, |buckets| rows) -> global rank =
     offset + bucket-local row_number (window partitioned by bucket, fully
     distributed) -> standard NTILE arithmetic from (rank, n). This is the
     distributed-order-statistics trick the quantile sketch uses, applied to
-    ranking: the only non-partitioned state is the histogram."""
+    ranking: the only non-partitioned state is the histogram.
+
+    ``n`` (the relation's row count) may be passed by callers that already
+    know it — r21: chained calls each re-counted ``df``, and because every
+    level's plan nests the previous levels, the 2nd/3rd builder counts
+    re-executed the whole growing chain at plan-build time (~13 s of the
+    15.5 s agg_rfm plan build at sf0.1; the row count is level-invariant,
+    so one count on the BASE relation serves all levels). The timed plan
+    is unchanged — n is the same integer either way."""
     b = df.withColumn("_b", bucket)
     hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
     off = hist.select(
@@ -421,7 +431,8 @@ def _dist_ntile(df: DataFrame, metric: str, bucket: F.Column, k: int) -> DataFra
         b.join(F.broadcast(off), "_b")
         .withColumn("_rank", F.col("_off") + F.row_number().over(wl))
     )
-    n = df.count()  # scalar: |customers|, the same 1-row-probe pattern
+    if n is None:
+        n = df.count()  # scalar: |customers|, the same 1-row-probe pattern
     q, r = n // k, n % k
     cut = r * (q + 1)
     score = F.expr(
@@ -499,13 +510,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    cust = _dist_ntile(cust, "r_days", F.col("r_days"), _RFM_K)
-    cust = _dist_ntile(cust, "n_orders", F.col("n_orders"), _RFM_K)
+    n = cust.count()  # level-invariant: one count on the base serves all 3
+    cust = _dist_ntile(cust, "r_days", F.col("r_days"), _RFM_K, n=n)
+    cust = _dist_ntile(cust, "n_orders", F.col("n_orders"), _RFM_K, n=n)
     cust = _dist_ntile(
         cust,
         "monetary_cents",
         F.expr(f"monetary_cents div {_RFM_M_BUCKET}"),
         _RFM_K,
+        n=n,
     )
     return cust.select(
         "c_custkey",

@@ -296,7 +296,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign, probes = ivf_route(spark, sf_dir)
     cand = (
-        probes.join(assign, "cid")
+        # broadcast the query-batch-bounded probe relation (see ann_ivf)
+        F.broadcast(probes).join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )

@@ -649,7 +649,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-score restricted to the probed inverted lists."""
     assign, probes = ivf_route(spark, sf_dir)
     cand = (
-        probes.join(assign, "cid")
+        # broadcast the probe relation (|queries| x N_PROBE rows - the query
+        # batch is the small side of an ANN lookup BY DESIGN at any scale):
+        # the corpus-sized assignment is never shuffled for this join (r21;
+        # the initial plan was a SortMergeJoin shuffling assign by cid)
+        F.broadcast(probes).join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
@@ -725,7 +729,7 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign_f = assign.join(F.broadcast(eligible), "vec_id", "left_semi")
     cand = (
-        probes.join(assign_f, "cid")
+        F.broadcast(probes).join(assign_f, "cid")  # see ann_ivf: query side
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
@@ -1673,7 +1677,7 @@ def _probe_sweep_impl(
         # filter-then-route: the lists shrink BEFORE probing
         assign = assign.join(F.broadcast(eligible), "vec_id", "left_semi")
     cand = (
-        probes.join(assign, "cid")
+        F.broadcast(probes).join(assign, "cid")  # see ann_ivf: query side
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rn")
     )

@@ -90,11 +90,16 @@ class TxGroup:
         block transactional writers and pin their staged files forever."""
         gid = uuid.uuid4().hex
         record = self._record_path(gid)
+        from .acid import _optimized_write
+
         try:
             for table, df in updates:
                 v = table.latest_version() + 1
                 table._commit(  # noqa: SLF001 — coordinator is pkg-internal
-                    df,
+                    # group updates are rewrites like MERGE/DELETE: size the
+                    # staged files via the same optimized-write rebalance
+                    # (guide §6; SPARK_GRAFT_OPTIMIZED_WRITES=false opts out)
+                    _optimized_write(df),
                     v,
                     op,
                     # the manifest carries its own commit-point location, so

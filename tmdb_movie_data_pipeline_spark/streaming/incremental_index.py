@@ -351,7 +351,8 @@ def _register_query() -> None:
         assign_f = maintained.join(F.broadcast(eligible), "vec_id", "left_semi")
         _, probes = ivf_route(spark, sf_dir)
         cand = (
-            probes.join(assign_f, "cid")
+            # broadcast the query-batch-bounded probe relation (see ann_ivf)
+            F.broadcast(probes).join(assign_f, "cid")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id")
         )
