@@ -89,19 +89,44 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r20 (FINAL round): EMPTY. The round's source changes touch only
-    # NEVER-verified surface and non-plan paths: the single r20-queue
-    # activation (stream_ivf_index_filtered_probe — no driver row yet, so
-    # bucket 1 by definition), the ADVICE r19 #1/#2 hardening of
-    # IncrementalIvfIndex.bootstrap()/process_batch() (both sit on the
-    # same module as the r19-verified stream_ivf_index_append, but only
-    # the EAGER write-side bodies bootstrap()/process_batch() — the
-    # plan-constructing paths (_assign, index(), attach(), both query
-    # fns) are byte-untouched per the r20 diff, so the verified query's
-    # optimized plan cannot have changed; behavior pins in
-    # tests/test_reference_round20.py), and ADVICE r19 #3 which is
-    # test-only. Zero net-new registrations per VERDICT r19 #3: the
-    # queue ends EMPTY. → head = 1 (activation) + 0.
+    # r21 (OPTIMIZATION round 1): every query whose PHYSICAL PLAN the
+    # round's performance work rewrote (results oracle-proven identical at
+    # sf0.01 before commit — see OPTIMIZATION_r21.md). Groups:
+    # (a) iterative-kernel restructure + gated broadcasts (graph.py
+    #     connected_components / hits_bipartite; spatial.py assembly):
+    "graph_hits_bipartite",
+    "spatial_dbscan_clusters",
+    "dedup_cluster_components",
+    "dedup_cluster_stats",
+    "llm_domain_mix_resample",
+    "llm_quality_canonical_dedup",
+    # (b) Delta-style optimized writes on MERGE/DELETE/TxGroup rewrites
+    #     (plans/acid.py _optimized_write; plans/txgroup.py prepare):
+    "delta_merge_upsert_read",
+    "delta_time_travel_stats",
+    "delta_file_pruned_merge",
+    "delta_delete_optimize",
+    "delta_version_diff",
+    "delta_vacuum_read",
+    "delta_cdc_feed_commits",
+    "delta_multi_table_tx",
+    "delta_shallow_clone",
+    "delta_history_relation",
+    # (c) long gram counts + decimal-promoted lift (operators/text.py):
+    "text_char_trigram_langid",
+    # (d) broadcast query-batch probe relations in the IVF candidate joins
+    #     (operators/similarity.py, operators/pq.py,
+    #     streaming/incremental_index.py):
+    "ann_ivf_topk",
+    "ann_ivf_filtered_topk",
+    "ann_ivfpq_topk",
+    "ann_ivf_probe_sweep",
+    "ann_filtered_probe_sweep",
+    "stream_ivf_index_filtered_probe",
+    # NOT listed: agg_rfm_segmentation (the r21 change moves a builder-side
+    # count() out of the chained NTILE levels — the value fed to the plan
+    # is the same integer, so the timed plan is unchanged; precedent: the
+    # r18 plan-preserving factoring stayed off the list).
 ]
 
 
@@ -276,9 +301,13 @@ DRIVER_CAP_FLOOR = 45
 #: arithmetic agree. Final shape: 454 active / 0 deferred.
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
+#: r21 (OPTIMIZATION round 1): zero activations (registry final at 454
+#: since r20) and 23 plan-rewritten names on the changed list (bucket 2)
+#: → head 0 + 23 = 23, stride 45 − 23 = 22, recorded BEFORE the driver
+#: runs per the r12+ protocol.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43, 19: 44, 20: 44,
+    18: 43, 19: 44, 20: 44, 21: 22,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
