@@ -119,6 +119,86 @@ def test_optimized_write_sizes_merge_output_and_preserves_rows(
     assert len(files_on) < len(files_off)
 
 
+def test_concurrent_commit_jobs_identical_on_both_gate_sides(
+    spark, tmp_path, monkeypatch
+):
+    """The commit-job overlap (SPARK_GRAFT_CONCURRENT_COMMIT_JOBS; guide
+    §2.6) is pure scheduling: a change-feed MERGE+DELETE build and a
+    TxGroup transact produce identical snapshots, change rows, and manifest
+    shapes whether the sidecar/member stage jobs run concurrently (default)
+    or strictly sequentially (gate off)."""
+    from tmdb_movie_data_pipeline_spark.plans.acid import TxTable
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import TxGroup
+
+    def build(root):
+        base = spark.range(0, 3000).select(
+            F.col("id").alias("k"), (F.col("id") % 19).cast("double").alias("v")
+        )
+        t = TxTable.create(spark, str(root / "t"), base, change_feed=True)
+        src = spark.range(1500, 4000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+        )
+        t.merge(src, "k")
+        t.delete_range("k", 100, 400)
+        snap = sorted(map(tuple, t.read().collect()))
+        changes = {
+            ver: sorted(map(tuple, t.change_rows(ver).collect()))
+            for ver in t.versions()[1:]
+        }
+        # group transact over two fresh member tables
+        hot = TxTable.create(
+            spark, str(root / "hot"), base.filter(F.col("k") % 2 == 0)
+        )
+        cold = TxTable.create(
+            spark, str(root / "cold"), base.filter(F.col("k") % 2 == 1)
+        )
+        g = TxGroup(spark, str(root))
+        moved = g.read(cold).filter(F.col("k") % 5 == 0)
+        g.transact(
+            [
+                (hot, g.read(hot).unionByName(moved)),
+                (cold, g.read(cold).filter(~(F.col("k") % 5 == 0))),
+            ],
+            "MOVE",
+        )
+        tiers = (
+            sorted(map(tuple, g.read(hot).collect())),
+            sorted(map(tuple, g.read(cold).collect())),
+        )
+        return snap, changes, tiers
+
+    got_conc = build(tmp_path / "conc")  # default: overlap on
+    monkeypatch.setenv("SPARK_GRAFT_CONCURRENT_COMMIT_JOBS", "false")
+    got_seq = build(tmp_path / "seq")
+    assert got_conc == got_seq
+    assert len(got_conc[0]) > 0 and len(got_conc[1]) == 2
+
+
+def test_concurrent_prepare_failure_still_aborts_group(spark, tmp_path):
+    """A member prepare failing under the CONCURRENT path must tombstone
+    the whole group exactly like the sequential path: no member version
+    ever becomes visible, and the group record is an abort."""
+    from tmdb_movie_data_pipeline_spark.plans.acid import TxTable
+    from tmdb_movie_data_pipeline_spark.plans.txgroup import TxGroup
+
+    base = spark.range(0, 100).select(F.col("id").alias("k"))
+    a = TxTable.create(spark, str(tmp_path / "a"), base)
+    b = TxTable.create(spark, str(tmp_path / "b"), base)
+    g = TxGroup(spark, str(tmp_path))
+    # a relation that fails at stage time (division by zero evaluated
+    # per-row inside the write job)
+    poison = base.select((F.lit(1) / (F.col("k") - F.col("k"))).alias("k"))
+    bad = poison.select(F.assert_true(F.lit(False)).alias("k"))
+    with pytest.raises(Exception):
+        g.prepare([(a, base), (b, bad)], "MOVE")
+    # the group is aborted; both members still read their v0 snapshots
+    assert a.latest_visible_version() == 0
+    assert b.latest_visible_version() == 0
+    assert sorted(map(tuple, a.read().collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
 def test_dist_ntile_precomputed_n_matches_self_count(spark):
     """_dist_ntile(n=...) is a pure builder-cost optimization: scores are
     identical to the self-counting form."""

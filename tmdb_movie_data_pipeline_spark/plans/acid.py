@@ -91,6 +91,23 @@ def _optimized_write(df: "DataFrame") -> "DataFrame":
     return df.hint("rebalance")
 
 
+def _overlap_commit_jobs() -> bool:
+    """Whether independent Spark jobs inside one logical commit (the data
+    rewrite and its CDF change-file sidecar; a group's member prepares) may
+    run CONCURRENTLY from driver threads (guide §2.6: Spark's scheduler
+    happily runs several jobs at once — actions are only sequential because
+    driver code calls them sequentially; the second job's tasks back-fill
+    executors the first job's tail leaves idle). Pure scheduling overlap:
+    every job's plan, its output files, and the published manifest are
+    byte-identical either way — only wall-clock changes. Parameterised:
+    SPARK_GRAFT_CONCURRENT_COMMIT_JOBS=false restores strictly sequential
+    job submission (and is how the A/B in OPTIMIZATION_r21.md was run)."""
+    return (
+        os.environ.get("SPARK_GRAFT_CONCURRENT_COMMIT_JOBS", "true").lower()
+        != "false"
+    )
+
+
 class TxTable:
     """A versioned parquet table with atomic commits and time travel."""
 
@@ -382,47 +399,73 @@ class TxTable:
         coordinator shadowing that must also refuse (prepare's
         self-abort then rolls back its earlier members)."""
         self._refuse_pending(op)
-        staged = self._stage(df, version)
-        files = list(staged)
-        stats: dict[str, dict | None] = {}
-        if stats_key is not None and staged:
-            # footer reads are IO-bound and release the GIL inside pyarrow;
-            # a thread pool turns the per-file metadata pass into ~one
-            # slowest-file latency instead of a serial sum (at real scale
-            # the writer computes stats inline with the write — this is the
-            # collector for files staged by Spark's committer).
+        # Stage the CDF sidecar CONCURRENTLY with the data rewrite when both
+        # exist (guide §2.6): the two writes are independent jobs over
+        # disjoint output dirs, and sequential submission left the cluster
+        # idle through each one's task tail (measured r21 session 2: the
+        # benched merge's 1.4 s data stage + 1.0 s changes stage ran back to
+        # back). The staged files, manifest content, and commit point are
+        # identical either way — only the submission overlaps.
+        changes_fut = None
+        pool = None
+        if changes is not None and _overlap_commit_jobs():
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(16, len(staged))) as ex:
-                for rel, st in zip(
-                    staged,
-                    ex.map(lambda r: self._file_stats(r, stats_key), staged),
-                ):
+            pool = ThreadPoolExecutor(max_workers=1)
+            changes_fut = pool.submit(self._stage, changes, version, "-changes")
+        try:
+            staged = self._stage(df, version)
+            files = list(staged)
+            stats: dict[str, dict | None] = {}
+            if stats_key is not None and staged:
+                # footer reads are IO-bound and release the GIL inside
+                # pyarrow; a thread pool turns the per-file metadata pass
+                # into ~one slowest-file latency instead of a serial sum (at
+                # real scale the writer computes stats inline with the write
+                # — this is the collector for files staged by Spark's
+                # committer).
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(16, len(staged))) as ex:
+                    for rel, st in zip(
+                        staged,
+                        ex.map(lambda r: self._file_stats(r, stats_key), staged),
+                    ):
+                        stats[rel] = st
+            for rel, st in carry or []:
+                files.append(rel)
+                if stats_key is not None:
                     stats[rel] = st
-        for rel, st in carry or []:
-            files.append(rel)
+            manifest = {
+                "version": version,
+                "op": op,
+                "files": files,
+                "schema_ddl": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                ),
+            }
             if stats_key is not None:
-                stats[rel] = st
-        manifest = {
-            "version": version,
-            "op": op,
-            "files": files,
-            "schema_ddl": ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-            ),
-        }
-        if stats_key is not None:
-            manifest["stats_key"] = stats_key
-            manifest["stats"] = stats
-        if changes is not None:
-            # CDF sidecar (VERDICT r14 #5): the typed change rows this
-            # commit causes, staged alongside the data so the change feed
-            # is a SCAN of change files instead of a per-commit snapshot
-            # diff — Delta's _change_data directory, reduced to manifest
-            # entries. Presence of the "changes" key (even as []) means
-            # "recorded at write time"; absence means a reader must fall
-            # back to diffing adjacent snapshots for this commit.
-            manifest["changes"] = self._stage(changes, version, "-changes")
+                manifest["stats_key"] = stats_key
+                manifest["stats"] = stats
+            if changes is not None:
+                # CDF sidecar (VERDICT r14 #5): the typed change rows this
+                # commit causes, staged alongside the data so the change feed
+                # is a SCAN of change files instead of a per-commit snapshot
+                # diff — Delta's _change_data directory, reduced to manifest
+                # entries. Presence of the "changes" key (even as []) means
+                # "recorded at write time"; absence means a reader must fall
+                # back to diffing adjacent snapshots for this commit.
+                manifest["changes"] = (
+                    changes_fut.result()
+                    if changes_fut is not None
+                    else self._stage(changes, version, "-changes")
+                )
+        finally:
+            # drain the sidecar writer on EVERY exit (a failure anywhere
+            # above must not leave its job racing a caller's cleanup)
+            if pool is not None:
+                pool.shutdown(wait=True)
         if version > 0 and not (extra and extra.get("change_feed")):
             # Persistent table properties propagate at THE choke point, not
             # per call site (ADVICE r15 #1): TxGroup.prepare published member
