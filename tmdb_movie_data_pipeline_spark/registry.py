@@ -123,17 +123,19 @@ _CHANGED_THIS_ROUND: list[str] = [
     "ann_ivf_probe_sweep",
     "ann_filtered_probe_sweep",
     "stream_ivf_index_filtered_probe",
-    # (e) session 2 — duplicated-subtree removal in the histogram-quantile
-    #     plan (operators/sketches.py: scoped as ONE explode(scope,'__all__')
-    #     aggregation; exact-rank row carries hit's columns so the final
-    #     hit-join is gone — 38 exchanges → 15, results oracle-proven
-    #     identical at sf0.01 and value-identical at sf0.1):
+    # (e) session 2 — duplicated-subtree removal (guide §2.4; results
+    #     oracle-proven identical at sf0.01 AND value-identical at sf0.1):
+    #     the histogram-quantile plan (operators/sketches.py: scoped as ONE
+    #     explode(scope,'__all__') aggregation; exact-rank row carries hit's
+    #     columns so the final hit-join is gone — 38 exchanges → 15), the
+    #     trigram langid (lang,gram)-counts checkpoint (operators/text.py),
+    #     and the RFM chain's between-level checkpoints
+    #     (operators/aggregates.py — the base aggregate executed ~2^3 times
+    #     before; cold run 0.851 → 0.206 s):
     "sketch_quantile_histogram",
-    # NOT listed: agg_rfm_segmentation (the r21 change moves a builder-side
-    # count() out of the chained NTILE levels — the value fed to the plan
-    # is the same integer, so the timed plan is unchanged; precedent: the
-    # r18 plan-preserving factoring stayed off the list). ALSO not listed
-    # (session 2): delta_cdc_feed_commits / delta_multi_table_tx's
+    "agg_rfm_segmentation",
+    # (text_char_trigram_langid already sits on the list via group (c).)
+    # NOT listed (session 2): delta_cdc_feed_commits / delta_multi_table_tx's
     # commit-job OVERLAP (plans/acid.py, plans/txgroup.py,
     # operators/merge.py) — pure driver-thread scheduling, every Spark
     # job's plan and the published manifests are byte-identical (both
@@ -313,13 +315,13 @@ DRIVER_CAP_FLOOR = 45
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
 #: r21 (OPTIMIZATION round 1): zero activations (registry final at 454
-#: since r20) and 24 plan-rewritten names on the changed list (bucket 2;
-#: 23 from session 1 + sketch_quantile_histogram from session 2)
-#: → head 0 + 24 = 24, stride 45 − 24 = 21, recorded BEFORE the driver
-#: runs per the r12+ protocol.
+#: since r20) and 25 plan-rewritten names on the changed list (bucket 2;
+#: 23 from session 1 + sketch_quantile_histogram and agg_rfm_segmentation
+#: from session 2) → head 0 + 25 = 25, stride 45 − 25 = 20, recorded
+#: BEFORE the driver runs per the r12+ protocol.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43, 19: 44, 20: 44, 21: 21,
+    18: 43, 19: 44, 20: 44, 21: 20,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
