@@ -1196,6 +1196,17 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded0.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") <= _CONTAIN_DF_CAP)
+        # r21 session 2 (guide §2.4): grouped feeds the pair-intersection
+        # tree AND the sizes relation (which the final join consumes twice,
+        # n_a and n_b), so the corpus explode + collect_set groupBy — the
+        # dominant cost — executed three times with zero runtime exchange
+        # reuse. The lazy checkpoint materializes it once inside the first
+        # action (the same lineage truncation the trigram/RFM plans took
+        # this round). Interleaved A/B at sf0.1, results asserted
+        # identical: cold first-run 1.217 → 0.243 s, steady 1.284 →
+        # 0.279 s. The relation is (shingle, ≤cap doc ids) — vocabulary-
+        # bounded rows, the df cap bounds each row's list.
+        .localCheckpoint(eager=False)
     )
     pairs = grouped.select(
         F.explode(
