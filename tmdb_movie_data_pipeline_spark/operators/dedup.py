@@ -145,9 +145,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"md5(concat_ws('|', {', '.join(parts)}))").alias("bucket"),
             )
         )
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.bucket").alias("bucket"))
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+        .select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.bucket").alias("bucket"),
+        )
+        # r21 session 2 (guide §2.4): both self-join sides re-executed the
+        # whole signature pipeline (shingle explode + md5 + 16-way min
+        # groupBy) — zero runtime exchange reuse, like every duplicated
+        # subtree this round's survey found. The lazy checkpoint
+        # materializes the |docs|×BANDS band relation once inside the
+        # first action. Interleaved A/B at sf0.1, results asserted
+        # identical: steady 0.632 → 0.184 s, cold 0.652 → 0.287 s (also
+        # halves the cold lsh_pairs_staged build every consumer amortizes).
+        .localCheckpoint(eager=False)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -711,8 +725,22 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS_SH)
         ])
     )
-    bands = sketches.select("doc_id", "simhash", band_vals.alias("bv")).select(
-        "doc_id", "simhash", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val")
+    bands = (
+        sketches.select("doc_id", "simhash", band_vals.alias("bv"))
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("bv.band_idx").alias("band_idx"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+        # r21 session 2 (guide §2.4): both self-join sides re-executed the
+        # sketch pipeline — 32 interpreted majority-vote folds per doc,
+        # the query's dominant cost, paid twice with zero runtime exchange
+        # reuse. The lazy checkpoint materializes the |docs|×4 band
+        # relation once inside the first action. Interleaved A/B at sf0.1,
+        # results asserted identical (1,012,715 candidate-derived rows):
+        # steady 1.511 → 0.426 s (0.28×), cold 1.361 → 0.874 s.
+        .localCheckpoint(eager=False)
     )
     a = bands.alias("a")
     b = bands.alias("b")
