@@ -995,19 +995,31 @@ def test_sprt_windows_run_over_the_daily_relation_only(spark, sf_dir):
 def test_dsir_reuses_token_explode_exchange(spark, sf_dir):
     """ADVICE r14 / VERDICT r14 #2: llm_dsir_importance_weights derives
     BOTH its 256-bucket profile and its per-doc scoring from ONE
-    groupBy(doc_id, lang, bucket) count relation, so the token-explode
-    Exchange must be ReusedExchangeExec'd instead of recomputed. The reuse
-    only materializes in the FINAL adaptive plan (the initial executedPlan
-    shows none), so collect first, then pin — a future refactor that
-    silently splits the shared relation back into two exchanges fails
-    here, not in a bench regression three rounds later."""
+    groupBy(doc_id, lang, bucket) count relation — the token explode +
+    md5 must compute once, not once per consumer. The r14 mechanism was
+    ReusedExchangeExec in the final adaptive plan; since r21 session 2 the
+    sharing is EXPLICIT (a lazy localCheckpoint on the count relation —
+    the runtime reuse had stopped firing under bench conditions when the
+    consumers' pruning diverged), so the pin now asserts the structural
+    property directly: after execution the final plan's scoring join
+    reads the checkpoint (Scan ExistingRDD) and the whole plan contains
+    NO second token-explode subtree (at most one generator/explode over
+    the documents scan)."""
     df = all_queries()["llm_dsir_importance_weights"](spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "isFinalPlan=true" in final
-    assert "ReusedExchange" in final, (
-        "the shared groupBy(doc_id, lang, bucket) relation no longer "
-        "reuses its exchange — the r14 rewrite regressed"
+    assert "Scan ExistingRDD" in final, (
+        "the shared groupBy(doc_id, lang, bucket) relation is no longer "
+        "materialized once — the r21 checkpoint regressed"
+    )
+    # the scoring pass must not re-run the token explode: the final plan
+    # reads the checkpointed counts, so no Generate/explode node (and no
+    # documents scan) may appear in it at all
+    assert "Generate explode" not in final, final
+    assert final.count("Scan parquet") == 0, (
+        "the scoring plan re-scanned the corpus instead of reading the "
+        "checkpointed count relation"
     )
 
 

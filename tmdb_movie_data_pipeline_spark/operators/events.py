@@ -1487,8 +1487,18 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ym"),
         quantize(F.col("value"), MONEY_SCALE).alias("v"),
+        # r21 session 2 (guide §2.4): p feeds cohorts, monthly and maxym
+        # (3 scans of events before), cohorts feeds csize and monthly —
+        # all re-executed with zero runtime exchange reuse. Lazy
+        # checkpoints materialize each once inside the first action
+        # (|purchases| and |users| rows). Interleaved A/B at sf0.1,
+        # results asserted identical: steady 0.373 → 0.153 s, cold
+        # 0.426 → 0.148 s.
+    ).localCheckpoint(eager=False)
+    cohorts = (
+        p.groupBy("user_id").agg(F.min("ym").alias("cym"))
+        .localCheckpoint(eager=False)
     )
-    cohorts = p.groupBy("user_id").agg(F.min("ym").alias("cym"))
     csize = cohorts.groupBy("cym").agg(F.count(F.lit(1)).alias("cohort_users"))
     monthly = (
         p.join(cohorts, "user_id")

@@ -2268,10 +2268,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scoring derive: the {_DSIR_BUCKETS}-row profile is a
     re-aggregation of those counts, and the scoring join+rollup weights
     each (doc, bucket) count by the bucket's broadcast lift_ppm. The
-    token-explode shuffle is therefore planned ONCE and physically
-    REUSED (ReusedExchangeExec — r14, the NOTES_r13 #4 optimization;
-    the r13 shape recomputed the explode+hash Exchange for the scoring
-    pass), and the scoring side shrinks from |tokens| rows to
+    count relation is computed ONCE and shared via a lazy localCheckpoint
+    (r21 session 2 — the r14 ReusedExchangeExec stopped firing once the
+    two consumers' pruning diverged; the r13 shape recomputed the
+    explode+hash Exchange for the scoring pass either way), and the
+    scoring side shrinks from |tokens| rows to
     |distinct (doc, bucket)| ≤ {_DSIR_BUCKETS}·|docs| rows before the
     join. Ends in a TakeOrderedAndProject top-{_DSIR_TOP}."""
     from ..io import load_table
@@ -2285,8 +2286,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
         f" % {_DSIR_BUCKETS} AS bucket",
     )
-    cnt = h.groupBy("doc_id", "lang", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = (
+        h.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # r21 session 2 (guide §2.4): the r14 ReusedExchange no longer
+        # fires (the round's executed-plan survey read 0 reused exchanges
+        # — the profile and scoring consumers prune differently, which
+        # de-canonicalizes the shared exchange), so the token explode +
+        # md5 + groupBy ran under BOTH consumers. The lazy checkpoint
+        # restores compute-once explicitly (≤ buckets·|docs| rows at any
+        # scale). Interleaved A/B at sf0.1, results asserted identical:
+        # steady 0.922 → 0.310 s, cold 0.877 → 0.442 s.
+        .localCheckpoint(eager=False)
     )
     prof = cnt.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0)))

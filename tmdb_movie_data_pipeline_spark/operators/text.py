@@ -264,8 +264,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("toks").alias("term"),
         F.size("toks").alias("n_toks"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.any_value(F.col("n_toks")).alias("n_toks")
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.any_value(F.col("n_toks")).alias("n_toks"),
+        )
+        # r21 session 2 (guide §2.4): tf feeds the df build AND the scoring
+        # join, and the token explode + groupBy re-executed under both with
+        # zero runtime exchange reuse. Lazy checkpoint: materialized once
+        # inside the first action. Interleaved A/B at sf0.1, results
+        # asserted identical: steady 0.989 → 0.486 s, cold 0.961 → 0.598 s.
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar dimension; fine to evaluate eagerly

@@ -141,6 +141,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "multimodal_dhash_pairs",
+    #     ... and the multiply-consumed aggregate relations in TF-IDF,
+    #     DSIR (whose r14 runtime exchange reuse had stopped firing) and
+    #     cohort LTV (operators/text.py, llm_prep.py, events.py):
+    "text_tfidf_top_terms",
+    "llm_dsir_importance_weights",
+    "events_cohort_ltv",
     # (text_char_trigram_langid already sits on the list via group (c).)
     # NOT listed (session 2): delta_cdc_feed_commits / delta_multi_table_tx's
     # commit-job OVERLAP (plans/acid.py, plans/txgroup.py,
@@ -322,15 +328,17 @@ DRIVER_CAP_FLOOR = 45
 #: KEEP IN SYNC when activating queries — test_round_strides_recorded_and_
 #: continuous recomputes the arithmetic against the live registry.
 #: r21 (OPTIMIZATION round 1): zero activations (registry final at 454
-#: since r20) and 29 plan-rewritten names on the changed list (bucket 2;
-#: 23 from session 1 + six duplicated-subtree removals from session 2:
+#: since r20) and 32 plan-rewritten names on the changed list (bucket 2;
+#: 23 from session 1 + nine duplicated-subtree removals from session 2:
 #: sketch_quantile_histogram, agg_rfm_segmentation,
 #: dedup_containment_pairs, dedup_simhash_pairs, dedup_minhash_lsh,
-#: multimodal_dhash_pairs) → head 0 + 29 = 29, stride 45 − 29 = 16,
-#: recorded BEFORE the driver runs per the r12+ protocol.
+#: multimodal_dhash_pairs, text_tfidf_top_terms,
+#: llm_dsir_importance_weights, events_cohort_ltv) → head 0 + 32 = 32,
+#: stride 45 − 32 = 13, recorded BEFORE the driver runs per the r12+
+#: protocol.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43, 19: 44, 20: 44, 21: 16,
+    18: 43, 19: 44, 20: 44, 21: 13,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
