@@ -963,7 +963,12 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("event_type") == _MW_G1, 1).otherwise(0)).alias("n1_v"),
     )
-    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    # the offsets build and the ranked join both consume the per-value
+    # aggregate; checkpoint it so the scan + groupBy run once per action
+    # (|distinct quantized values| rows — value-domain-bounded).
+    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}")).localCheckpoint(
+        eager=False
+    )
     off = bucket_offsets(b, "_b", {"c": F.col("cnt")})
     w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
     ranked = (
@@ -1041,7 +1046,12 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("event_type") == _MW_G1, 1).otherwise(0)).alias("n1_v"),
     )
-    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    # the offsets build and the ranked join both consume the per-value
+    # aggregate; checkpoint it so the scan + groupBy run once per action
+    # (|distinct quantized values| rows — value-domain-bounded).
+    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}")).localCheckpoint(
+        eager=False
+    )
     off = bucket_offsets(
         b,
         "_b",
@@ -1252,9 +1262,16 @@ def grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     s = ev.select("event_type", quantize(F.col("value"), MONEY_SCALE).alias("v"))
-    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    # three consumers (offsets, totals, the ranked join) and zero runtime
+    # exchange reuse (r21 survey) meant three events scans per action; one
+    # bounded checkpoint of the 3-narrow-column quantized relation feeds
+    # all of them (totals now count b — _b is derived, so the count is
+    # identical by construction).
+    b = s.withColumn("_b", F.expr(f"v div {_MW_BUCKET}")).localCheckpoint(
+        eager=False
+    )
     off = bucket_offsets(b, "_b", {"c": F.lit(1)}, partition_by=["event_type"])
-    tot = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     w_loc = W.partitionBy("event_type", "_b").orderBy("v")
     ranked = (
         b.join(F.broadcast(off), ["event_type", "_b"])
@@ -1554,7 +1571,12 @@ def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = s.groupBy("v").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("n1_v")
     )
-    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}"))
+    # the offsets build and the ranked join both consume the per-value
+    # aggregate; checkpoint it so the scan + groupBy run once per action
+    # (|distinct quantized values| rows — value-domain-bounded).
+    b = per.withColumn("_b", F.expr(f"v div {_MW_BUCKET}")).localCheckpoint(
+        eager=False
+    )
     off = bucket_offsets(b, "_b", {"c": F.col("cnt")})
     w_loc = W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
     ranked = (
@@ -2396,6 +2418,10 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d"),
     ).agg(F.sum(quantize(F.col("value"), MONEY_SCALE)).alias("v"))
+    # both sides of the pair self-join consume the daily rollup: without a
+    # checkpoint the events scan + groupBy executed twice per action (zero
+    # runtime exchange reuse). |types|×|days| rows — calendar-bounded.
+    daily = daily.localCheckpoint(eager=False)
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(
         b,

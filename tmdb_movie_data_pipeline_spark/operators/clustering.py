@@ -1828,7 +1828,10 @@ def silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("v").cast("double") + 1.0) * _SIL_SCALE, 0)
         .cast("long")
         .alias("qv"),
-    )
+        # the centroid build and the distance join both consume this
+        # posexplode: quantize-explode once per action, not twice (zero
+        # runtime exchange reuse — r21 survey; 4 narrow columns).
+    ).localCheckpoint(eager=False)
     cent = ex.groupBy(F.col("label").alias("c_label"), "dim").agg(
         F.expr("CAST(SUM(qv) div COUNT(*) AS BIGINT)").alias("c")
     )

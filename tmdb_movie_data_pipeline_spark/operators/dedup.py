@@ -532,8 +532,13 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_docs = docs.count()  # scalar dimension; fine to evaluate eagerly
+    # fold 1e6*(N+1) in PYTHON: interpolated as `1000000 * (N + 1)` the
+    # operands parse as INT literals and ANSI constant folding overflows
+    # once N >= 2147 (seen at sf0.1, N=5000 — INT ceiling, not a data edge;
+    # any real corpus is past it). The pre-folded literal parses as BIGINT
+    # and the arithmetic value is unchanged at every scale.
     wt = exploded.groupBy("shingle").agg(
-        F.expr(f"CAST((1000000 * ({n_docs} + 1)) div (COUNT(*) + 1) AS BIGINT)")
+        F.expr(f"CAST({1000000 * (n_docs + 1)} div (COUNT(*) + 1) AS BIGINT)")
         .alias("w")
     )
     wtot = (
@@ -1427,6 +1432,10 @@ def chunk_dupshare(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE array()
                 END) AS chunk""",
         )
+        # the chunk-frequency build and the per-doc join both consume this
+        # relation: tokenize + chunk-explode once per action, not twice
+        # (zero runtime exchange reuse — r21 survey; narrow chunk rows).
+        .localCheckpoint(eager=False)
     )
     df_counts = chunked.groupBy("chunk").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")

@@ -1821,12 +1821,21 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_windowed_hll_distinct) are the documented swaps.
     """
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id",
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("d"),
-    ).distinct()
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+        # three consumers (days, dau, the WAU band join) × zero runtime
+        # exchange reuse = the events scan + distinct executed three times
+        # per action; the user-day relation is deduped narrow metadata.
+        .localCheckpoint(eager=False)
+    )
     days = ud.select("d").distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     wau = (
@@ -2377,8 +2386,17 @@ def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle itself is one groupBy over the user-week relation — no
     window, no self-join, three bounded exchanges at any event volume.
     """
-    uw = _user_weeks(spark, sf_dir)
-    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    # uw feeds the cohort build AND the triangle join, cohort feeds the
+    # size rollup AND the same join — with zero runtime exchange reuse
+    # (r21 survey) the events scan + distinct executed twice and the
+    # cohort aggregate twice per action. Both relations are narrow
+    # metadata (user-week pairs; one row per user).
+    uw = _user_weeks(spark, sf_dir).localCheckpoint(eager=False)
+    cohort = (
+        uw.groupBy("user_id")
+        .agg(F.min("w").alias("cw"))
+        .localCheckpoint(eager=False)
+    )
     sizes = cohort.groupBy("cw").agg(
         F.count(F.lit(1)).cast("long").alias("n_cohort")
     )

@@ -622,7 +622,12 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("e") / _HOUR_US).cast("long"),
             )
         ),
-    )
+        # both sides of the band self-join consume this relation, and
+        # executed plans get zero runtime exchange reuse (r21 survey) — so
+        # the sessionize windows + groupBy + explode ran TWICE per action.
+        # Session-interval-scale metadata (5 narrow columns), the same
+        # bounded class as the r21 banded-sketch checkpoints.
+    ).localCheckpoint(eager=False)
     a = banded.filter(F.col("user_id") % 2 == 0).select(
         F.col("user_id").alias("a_user"),
         F.col("session_seq").alias("a_seq"),
@@ -753,7 +758,10 @@ def allen_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("e") / _HOUR_US).cast("long"),
             )
         ),
-    )
+        # same band-self-join shape as join_interval_overlap above: the
+        # sessionize+groupBy+explode subtree fed BOTH join sides and
+        # executed twice per action; one bounded checkpoint halves it.
+    ).localCheckpoint(eager=False)
     a = banded.filter(F.col("user_id") % 2 == 0).select(
         F.col("user_id").alias("a_user"),
         F.col("session_seq").alias("a_seq"),

@@ -1574,40 +1574,52 @@ def dpo_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the document length; in production, plug the reward-model score
     column in unchanged."""
     from ..io import load_table
-    from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    grp = W.partitionBy("source", "lang")
+    # ONE partial-aggregable pass (the ivf_route max_by precedent): the
+    # rank-1 row of a ROW_NUMBER window IS an argmax, so both window sorts
+    # (each shuffling the full completion relation) and the group-key
+    # self-join collapse into a single groupBy whose max_by/min_by combine
+    # map-side. Ordering keys mirror the window ORDER BYs exactly:
+    # rn_best  = 1  <=>  argmax (reward, -doc_id)   [reward DESC, doc_id ASC]
+    # rn_worst = 1  <=>  argmin (reward,  doc_id)   [reward ASC,  doc_id ASC]
+    # (doc_id is unique, so both argexts are tie-free and deterministic.)
     scored = docs.select(
         "source",
         "lang",
         "doc_id",
         F.col("n_chars").cast("long").alias("reward"),
-        F.row_number()
-        .over(grp.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
-        .alias("rn_best"),
-        F.row_number()
-        .over(grp.orderBy(F.col("n_chars").asc(), F.col("doc_id")))
-        .alias("rn_worst"),
     )
-    best = scored.filter(F.col("rn_best") == 1).select(
-        "source", "lang",
-        F.col("doc_id").alias("chosen_doc_id"),
-        F.col("reward").alias("chosen_reward"),
-    )
-    worst = scored.filter(F.col("rn_worst") == 1).select(
-        "source", "lang",
-        F.col("doc_id").alias("rejected_doc_id"),
-        F.col("reward").alias("rejected_reward"),
+    picked = scored.groupBy("source", "lang").agg(
+        F.max_by(
+            F.struct(
+                F.col("doc_id").alias("doc_id"), F.col("reward").alias("reward")
+            ),
+            F.struct(
+                F.col("reward").alias("reward"), (-F.col("doc_id")).alias("pref")
+            ),
+        ).alias("best"),
+        F.min_by(
+            F.struct(
+                F.col("doc_id").alias("doc_id"), F.col("reward").alias("reward")
+            ),
+            F.struct(
+                F.col("reward").alias("reward"), F.col("doc_id").alias("pref")
+            ),
+        ).alias("worst"),
     )
     return (
-        best.join(worst, ["source", "lang"])
-        .withColumn("reward_gap", F.col("chosen_reward") - F.col("rejected_reward"))
+        picked.select(
+            "source",
+            "lang",
+            F.col("best.doc_id").alias("chosen_doc_id"),
+            F.col("worst.doc_id").alias("rejected_doc_id"),
+            (F.col("best.reward") - F.col("worst.reward")).alias("reward_gap"),
+        )
         .filter(
             (F.col("chosen_doc_id") != F.col("rejected_doc_id"))
             & (F.col("reward_gap") >= 1)
         )
-        .select("source", "lang", "chosen_doc_id", "rejected_doc_id", "reward_gap")
     )
 
 

@@ -574,6 +574,16 @@ def ivf_route(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             "nrm_c",
             F.expr("sqrt(" + " + ".join(f"_c{i} * _c{i}" for i in range(DIM)) + ")"),
         )
+        # the assignment crossJoin AND the probe crossJoin both consume the
+        # codebook; without this the {DIM}-wide flat projection subtree sat
+        # twice in every IVF plan — paying its analysis/optimization cost
+        # (the dominant per-run cost of these plans: count() re-plans each
+        # call, measured ~1.2 s plan vs ~0.15 s exec) and its scan twice.
+        # K rows — a config-scale constant at any corpus size. emb_flat is
+        # deliberately NOT checkpointed: the probes leg prunes it to
+        # vec_id < N_QUERIES at the parquet scan, which a corpus-wide
+        # materialization would destroy at scale.
+        .localCheckpoint(eager=False)
     )
     dot_ec = "(" + " + ".join(f"_e{i} * _c{i}" for i in range(DIM)) + ")"
     cos_to_cent = F.expr(dot_ec) / (F.col("nrm_e") * F.col("nrm_c"))
@@ -870,8 +880,14 @@ def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of registering it: eval plumbing should be free.
     """
     preds = knn_classify(spark, sf_dir)
-    cells = preds.groupBy("true_label", "pred_label").agg(
-        F.count(F.lit(1)).alias("n")
+    cells = (
+        preds.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # consumed by the total AND the share projection: without the
+        # checkpoint the whole k-NN classifier tower executed twice per
+        # action (zero runtime exchange reuse — r21 survey). |labels|^2
+        # rows, bounded at any corpus size.
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(F.sum("n").cast("long").alias("n_total"))
     return (
@@ -946,7 +962,14 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast query side, bucket/list equi-joins) and adds no new corpus
     scan. At production scale the same query runs over sampled query sets,
     which is exactly how recall monitoring works against a live index."""
-    truth = ann_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = (
+        ann_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+        # consumed by BOTH the hit join and the per-query scaffold (qs):
+        # executed plans get zero runtime exchange reuse (r21 survey), so
+        # without this the whole exact-cosine tower ran twice per action.
+        # |Q|x{TOP_K} rows — trivially bounded at any corpus size.
+        .localCheckpoint(eager=False)
+    )
     approx = (
         ann_ivf(spark, sf_dir)
         .select(F.lit("ivf").alias("tier"), "query_id", "neighbor_id", "rank")
@@ -1063,8 +1086,13 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: identical composition to ml_retrieval_eval — tiny bounded
     relations joined after the retrieval plans; no new corpus scan."""
-    truth = ann_cosine(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    truth = (
+        ann_cosine(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+        )
+        # same two-consumer shape as ml_retrieval_eval: checkpoint the
+        # |Q|x{TOP_K}-bounded truth so the exact tower executes once.
+        .localCheckpoint(eager=False)
     )
     approx = (
         ann_ivf(spark, sf_dir)
@@ -1982,13 +2010,20 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dense = cosine_topk(
-        emb.filter(F.col("vec_id") < N_QUERIES), emb, _RBO_DEPTH
-    ).select("query_id", "neighbor_id", F.col("rank").alias("rank_dense"))
+    dense = (
+        cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, _RBO_DEPTH)
+        .select("query_id", "neighbor_id", F.col("rank").alias("rank_dense"))
+        # consumed by the common join AND the query scaffold (ql): the
+        # whole broadcast-cosine tower executed twice per action (zero
+        # runtime exchange reuse — r21 survey). |Q|×depth rows.
+        .localCheckpoint(eager=False)
+    )
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id"), F.explode(F.array_distinct(tokens_col())).alias("tok")
-    )
+        # both sides of the token self-join: tokenize + explode once, not
+        # twice (the r21 banded-self-join class; narrow token metadata).
+    ).localCheckpoint(eager=False)
     ov = (
         toks.filter(F.col("doc_id") < N_QUERIES)
         .withColumnRenamed("doc_id", "query_id")

@@ -391,11 +391,19 @@ def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_HLL_WMAX) - F.length(F.bin(w)))
         .alias("rho"),
     )
-    states = rr.groupBy("source", "reg").agg(F.max("rho").alias("mj"))
-    merged = states.groupBy("reg").agg(F.max("mj").alias("mj"))
-    scoped = states.select(
-        F.col("source").alias("scope"), "reg", "mj"
-    ).unionByName(merged.select(F.lit("__all__").alias("scope"), "reg", "mj"))
+    # ONE explode(scope ∈ {source, '__all__'}) aggregation instead of
+    # states ∪ merged-FROM-states (the r21 sketch_quantile_histogram
+    # §11 shape): per-reg MAX over the doubled rows ≡ the register-wise
+    # max-merge of the per-source states — the exact mergeability the
+    # gate pins — and the md5+distinct subtree executes once, not twice
+    # (the union's two legs each re-ran it; zero runtime exchange reuse).
+    scoped = (
+        rr.withColumn(
+            "scope", F.explode(F.array(F.col("source"), F.lit("__all__")))
+        )
+        .groupBy("scope", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
     s = scoped.groupBy("scope").agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WMAX} - mj)"))
         .alias("s_present"),

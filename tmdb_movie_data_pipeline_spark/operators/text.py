@@ -372,8 +372,13 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     ``size >= 3`` happens BEFORE the sequence so no descending-sequence or
     out-of-bounds element_at can occur under ANSI mode.
     """
-    docs = documents.select("doc_id", tokens_col().alias("toks")).filter(
-        F.size("toks") >= 3
+    docs = (
+        documents.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        # the unigram tree and the trigram tree both consume this relation
+        # and executed plans get zero runtime exchange reuse (r21 survey),
+        # so the regexp tokenizer ran twice per action; tokenize once.
+        .localCheckpoint(eager=False)
     )
     uni = docs.select("doc_id", F.explode("toks").alias("w"))
     per_tok = uni.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1363,7 +1368,13 @@ def source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # token explosion single-pass (measured: 6 scans without it)
         .localCheckpoint(eager=False)
     )
-    tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    # four consumers (ta/tb inside the pair agg, xa/xb on the final
+    # projection) each re-aggregated the staged tf; |sources| rows.
+    tot = (
+        tf.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a = tf.alias("a")
     b = tf.alias("b")
     ta = tot.alias("ta")

@@ -89,70 +89,60 @@ def deferred_oracles() -> dict[str, str]:
 _CHANGED_THIS_ROUND: list[str] = [
     # RESET each round (VERDICT r5 item #3): stale entries burn re-confirm
     # slots at the head of the rotation.
-    # r21 (OPTIMIZATION round 1): every query whose PHYSICAL PLAN the
+    # r22 (OPTIMIZATION round 2): every query whose PHYSICAL PLAN this
     # round's performance work rewrote (results oracle-proven identical at
-    # sf0.01 before commit — see OPTIMIZATION_r21.md). Groups:
-    # (a) iterative-kernel restructure + gated broadcasts (graph.py
-    #     connected_components / hits_bipartite; spatial.py assembly):
-    "graph_hits_bipartite",
-    "spatial_dbscan_clusters",
-    "dedup_cluster_components",
-    "dedup_cluster_stats",
-    "llm_domain_mix_resample",
-    "llm_quality_canonical_dedup",
-    # (b) Delta-style optimized writes on MERGE/DELETE/TxGroup rewrites
-    #     (plans/acid.py _optimized_write; plans/txgroup.py prepare):
-    "delta_merge_upsert_read",
-    "delta_time_travel_stats",
-    "delta_file_pruned_merge",
-    "delta_delete_optimize",
-    "delta_version_diff",
-    "delta_vacuum_read",
-    "delta_cdc_feed_commits",
-    "delta_multi_table_tx",
-    "delta_shallow_clone",
-    "delta_history_relation",
-    # (c) long gram counts + decimal-promoted lift (operators/text.py):
-    "text_char_trigram_langid",
-    # (d) broadcast query-batch probe relations in the IVF candidate joins
-    #     (operators/similarity.py, operators/pq.py,
-    #     streaming/incremental_index.py):
+    # sf0.01 before commit, interleaved A/B with result-identity asserted
+    # at sf0.1 — see OPTIMIZATION_r22.md). Groups:
+    # (a) ANSI-overflow hardening: the IDF weight's 1e6*(N+1) multiplier is
+    #     folded in Python so it lands as one BIGINT-ranged literal (the
+    #     interpolated INT*INT form constant-folds to an ARITHMETIC_OVERFLOW
+    #     once n_docs >= 2147 — seen at sf0.1; operators/dedup.py):
+    "dedup_weighted_jaccard_pairs",
+    # (b) duplicated-subtree removal, the r21 §12 pattern extended (guide
+    #     §2.4): lazy localCheckpoints on bounded multiply-consumed
+    #     relations — executed plans get zero runtime exchange reuse, so a
+    #     k-consumer relation executed k times per action (and its subtree
+    #     sat k times in every re-planned count(), paying analysis cost
+    #     too). Each change A/B'd old-vs-new in one session with result
+    #     rows asserted identical; cold first-run improves in every case
+    #     (removed work, not caching):
+    "ml_retrieval_eval",
+    "ml_ndcg_eval",
+    "ml_confusion_matrix",
+    "join_interval_overlap",
+    "join_allen_interval_algebra",
+    "agg_grouped_quartiles",
+    "events_retention_triangle",
+    "events_dau_wau_stickiness",
+    "ml_rank_biased_overlap",
+    "text_repetition_filter",
+    "text_source_tvd",
+    "stats_theil_sen",
+    "stats_mann_whitney",
+    "stats_ks_two_sample",
+    "ml_auc_roc",
+    "dedup_chunk_dupshare",
+    "ml_silhouette_centroid",
+    # (c) the IVF coarse codebook (ivf_route cent_flat, K rows) feeds BOTH
+    #     the assignment crossJoin and the probe crossJoin: checkpointing it
+    #     removes the duplicated DIM-wide flat-projection subtree from every
+    #     IVF plan (measured 0.68x on ann_ivf_topk, results identical):
     "ann_ivf_topk",
     "ann_ivf_filtered_topk",
     "ann_ivfpq_topk",
     "ann_ivf_probe_sweep",
     "ann_filtered_probe_sweep",
+    "dedup_semdedup_prune",
     "stream_ivf_index_filtered_probe",
-    # (e) session 2 — duplicated-subtree removal (guide §2.4; results
-    #     oracle-proven identical at sf0.01 AND value-identical at sf0.1):
-    #     the histogram-quantile plan (operators/sketches.py: scoped as ONE
-    #     explode(scope,'__all__') aggregation; exact-rank row carries hit's
-    #     columns so the final hit-join is gone — 38 exchanges → 15), the
-    #     trigram langid (lang,gram)-counts checkpoint (operators/text.py),
-    #     and the RFM chain's between-level checkpoints
-    #     (operators/aggregates.py — the base aggregate executed ~2^3 times
-    #     before; cold run 0.851 → 0.206 s):
-    "sketch_quantile_histogram",
-    "agg_rfm_segmentation",
-    "dedup_containment_pairs",
-    #     ... and the banded self-joins, whose both sides re-executed the
-    #     full sketch pipeline (operators/dedup.py, operators/multimodal.py:
-    #     the band relation is now lazily checkpointed):
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
-    "multimodal_dhash_pairs",
-    #     ... and the multiply-consumed aggregate relations in TF-IDF,
-    #     DSIR (whose r14 runtime exchange reuse had stopped firing) and
-    #     cohort LTV (operators/text.py, llm_prep.py, events.py):
-    "text_tfidf_top_terms",
-    "llm_dsir_importance_weights",
-    "events_cohort_ltv",
-    # (text_char_trigram_langid already sits on the list via group (c).)
-    # NOT listed (session 2): delta_cdc_feed_commits / delta_multi_table_tx's
-    # commit-job OVERLAP (plans/acid.py, plans/txgroup.py,
-    # operators/merge.py) — pure driver-thread scheduling, every Spark
-    # job's plan and the published manifests are byte-identical (both
-    # names already sit on the list via group (b) anyway).
+    # (d) aggregation restructures, bit-identical by argmax/mergeability:
+    #     llm_dpo_pair_builder's two window sorts + group-key self-join
+    #     collapse to ONE partial-aggregable max_by/min_by groupBy (the
+    #     rank-1 row of a ROW_NUMBER window IS an argmax; the ivf_route
+    #     max_by precedent); sketch_hll_union's states ∪ merged-FROM-states
+    #     becomes ONE explode(scope,'__all__') aggregation (register-wise
+    #     MAX is mergeable — the r21 §11 sketch_quantile_histogram shape):
+    "llm_dpo_pair_builder",
+    "sketch_hll_union",
 ]
 
 
@@ -336,9 +326,19 @@ DRIVER_CAP_FLOOR = 45
 #: llm_dsir_importance_weights, events_cohort_ltv) → head 0 + 32 = 32,
 #: stride 45 − 32 = 13, recorded BEFORE the driver runs per the r12+
 #: protocol.
+#: r22 (OPTIMIZATION round 2): zero activations and 27 plan-rewritten
+#: names on the changed list — and THREE of the round's head slots are
+#: bucket-1 re-entries, not changes: the r21 driver run's DuckDB oracle
+#: OOM'd (host memory pressure, err rows) on ann_filtered_probe_sweep,
+#: dedup_minhash_lsh and multimodal_dhash_pairs, so their latest rows are
+#: non-green and _driver_verified_names() re-prioritizes them
+#: automatically (ann_filtered_probe_sweep is also on the changed list and
+#: lands in bucket 1, not bucket 2). Head = 3 never/non-green + 26
+#: verified-changed = 29, stride 45 − 29 = 16, recorded BEFORE the driver
+#: runs per the r12+ protocol.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43, 19: 44, 20: 44, 21: 13,
+    18: 43, 19: 44, 20: 44, 21: 13, 22: 16,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
