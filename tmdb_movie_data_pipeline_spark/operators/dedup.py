@@ -904,7 +904,10 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    gd = grams.distinct()
+    # both sides of the gram self-join consume this: tokenize + explode +
+    # md5 + distinct once per action, not twice (zero runtime exchange
+    # reuse — the r21/r22 banded-self-join class; narrow hash rows).
+    gd = grams.distinct().localCheckpoint(eager=False)
     a, b = gd.alias("a"), gd.alias("b")
     return (
         a.join(
@@ -1096,7 +1099,10 @@ def minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the >= {_MZ_MIN_SHARED}-shared-minimizers floor drops the
     single-boilerplate-hit tail the way production winnowing does."""
     docs = load_table(spark, sf_dir, "documents")
-    sels = minimizer_sets(docs)
+    # both sides of the fingerprint self-join consume the winnowed set:
+    # tokenize + gram md5 + window-min + distinct once per action, not
+    # twice (the banded-self-join class; winnowed ~2/(w+1) sample rows).
+    sels = minimizer_sets(docs).localCheckpoint(eager=False)
     a, b = sels.alias("a"), sels.alias("b")
     return (
         a.join(

@@ -351,7 +351,14 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at the end. Jaccard is an int/int IEEE division — bit-equal
     cross-engine with no rounding."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # three consumers (type totals + both self-join sides): dedupe the
+    # events scan + distinct to one execution per action (r22; narrow
+    # user-type rows, bounded by |users|x|types|).
+    ut = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
     a = ut.alias("a")
     b = ut.alias("b")
@@ -995,7 +1002,13 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs blowup; type counts and the 1-row total broadcast.
     """
     ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select("user_id", "event_type").distinct()
+    # four consumers (type counts, the user total, both self-join sides):
+    # dedupe the events scan + distinct to one execution per action (r22).
+    baskets = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     tc = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     tot = baskets.agg(F.countDistinct("user_id").alias("n_users"))
     a = baskets.alias("a")

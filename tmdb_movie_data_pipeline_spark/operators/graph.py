@@ -1029,9 +1029,15 @@ def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge-bounded and keyed, never vertex-adjacency materialized; the
     final TakeOrderedAndProject keeps {_REACH_TOPN} rows."""
     e = lsh_pairs_staged(spark, sf_dir)
-    sym = e.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # three consumers (the direct-edge distinct + both wedge-join sides):
+    # symmetrize the staged edges once per action, not three times (r22).
+    sym = (
+        e.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
     direct = sym.distinct()
     a, b = sym.alias("a"), sym.alias("b")
     two_hop = (
