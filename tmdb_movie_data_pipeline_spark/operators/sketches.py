@@ -793,6 +793,10 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.select("scope", F.floor(F.col("v") / _QH_WIDTH).alias("bin"))
         .groupBy("scope", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the rank targets (ks) and the cumulative walk (cum) both consume
+        # the sketch state: one lineitem pass builds it, not two (r22).
+        # O(scopes x bins) rows — the mergeable state itself.
+        .localCheckpoint(eager=False)
     )
     ks = (
         scoped.groupBy("scope")

@@ -1572,6 +1572,11 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.withColumn("rk", F.row_number().over(wb))
         .filter(F.col("rk") == 1)
         .select("doc_id", "actual", F.col("p_lang").alias("predicted"))
+        # consumed by the final union AND the unmatched anti-join: without
+        # this the whole profile-scoring subtree (gram join + score agg +
+        # argmax window) executed twice per action (r22; one narrow row
+        # per classified document).
+        .localCheckpoint(eager=False)
     )
     unmatched = (
         docs.join(best.select("doc_id"), "doc_id", "left_anti")

@@ -153,6 +153,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     "events_cooccurrence_pairs",
     "events_association_rules",
     "graph_two_hop_reach",
+    # (f) third sweep: the langid classifier's `best` relation (consumed by
+    #     the final union AND the unmatched anti-join — the whole scoring
+    #     subtree executed twice) and the quantile sketch state `scoped`
+    #     (consumed by the rank targets AND the cumulative walk — one
+    #     lineitem pass instead of two):
+    "text_char_trigram_langid",
+    "sketch_quantile_histogram",
 ]
 
 
@@ -336,19 +343,19 @@ DRIVER_CAP_FLOOR = 45
 #: llm_dsir_importance_weights, events_cohort_ltv) → head 0 + 32 = 32,
 #: stride 45 − 32 = 13, recorded BEFORE the driver runs per the r12+
 #: protocol.
-#: r22 (OPTIMIZATION round 2): zero activations and 32 plan-rewritten
+#: r22 (OPTIMIZATION round 2): zero activations and 34 plan-rewritten
 #: names on the changed list — and THREE of the round's head slots are
 #: bucket-1 re-entries, not changes: the r21 driver run's DuckDB oracle
 #: OOM'd (host memory pressure, err rows) on ann_filtered_probe_sweep,
 #: dedup_minhash_lsh and multimodal_dhash_pairs, so their latest rows are
 #: non-green and _driver_verified_names() re-prioritizes them
 #: automatically (ann_filtered_probe_sweep is also on the changed list and
-#: lands in bucket 1, not bucket 2). Head = 3 never/non-green + 31
-#: verified-changed = 34, stride 45 − 34 = 11, recorded BEFORE the driver
+#: lands in bucket 1, not bucket 2). Head = 3 never/non-green + 33
+#: verified-changed = 36, stride 45 − 36 = 9, recorded BEFORE the driver
 #: runs per the r12+ protocol.
 _ROUND_STRIDES: dict[int, int] = {
     10: 0, 11: 8, 12: 20, 13: 41, 14: 42, 15: 43, 16: 43, 17: 44,
-    18: 43, 19: 44, 20: 44, 21: 13, 22: 11,
+    18: 43, 19: 44, 20: 44, 21: 13, 22: 9,
 }
 
 #: First round under the recorded-stride scheme. Rounds before this used
